@@ -1,0 +1,271 @@
+"""Join operators (SURVEY.md §2 C1-C10).
+
+Scale rationale per join (the 100 TB contract, SURVEY §7.7):
+
+* Dimension joins (region 5 rows, nation 25, customer 1.5k-15M at
+  scale) are **broadcast** — explicit ``F.broadcast`` hints so the
+  plan never shuffles the fact side just to pick up a dim column.
+* Fact-fact joins (lineitem⋈orders) shuffle on the join key; both
+  sides hash-partition on ``l_orderkey``/``o_orderkey`` which is
+  near-uniform (no skew salt needed); AQE handles residual skew.
+* The as-of join (C9) deliberately avoids a per-row subquery (O(n²))
+  and instead sorts once per user partition — a single shuffle +
+  sort, streaming-friendly and linear in partition size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from clj_kinesis_to_firehose_spark.registry import register
+from clj_kinesis_to_firehose_spark.sources import load_table
+
+
+@register(
+    "join_inner",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return orders.join(customer, orders.o_custkey == customer.c_custkey).select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "join_broadcast",
+    oracle="""
+    SELECT n_nationkey, n_name, r_name
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name", "r_name")
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey,
+           COALESCE(o_totalprice, 0.0) AS totalprice_filled
+    FROM customer LEFT JOIN (
+        SELECT * FROM orders WHERE o_orderstatus = 'F'
+    ) o ON c_custkey = o_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left"
+    ).select(
+        "c_custkey",
+        "c_name",
+        "o_orderkey",
+        F.coalesce("o_totalprice", F.lit(0.0)).alias("totalprice_filled"),
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM (SELECT * FROM customer WHERE c_nationkey < 13) c
+    FULL OUTER JOIN (SELECT * FROM orders WHERE o_orderstatus = 'F') o
+      ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fixtures have no NULLs (FIXTURES.md); both filters manufacture
+    # unmatched rows on each side so the outer semantics are exercised
+    customer = load_table(spark, sf_dir, "customer").filter(F.col("c_nationkey") < 13)
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "full"
+    ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000.0)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    big_orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 100000.0
+    )
+    return customer.join(
+        big_orders, customer.c_custkey == big_orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000.0)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    big_orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 100000.0
+    )
+    return customer.join(
+        big_orders, customer.c_custkey == big_orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_theta_range",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_late_ship,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem JOIN orders
+      ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+    GROUP BY o_orderpriority
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # equi key + range conjunct: Catalyst plans the equi part as the join
+    # key (shuffle/SMJ) and evaluates the range predicate inside the join
+    # — no O(n²) theta explosion at scale.
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = lineitem.join(
+        orders,
+        (lineitem.l_orderkey == orders.o_orderkey)
+        & (lineitem.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_late_ship"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+@register(
+    "join_star_multiway",
+    oracle="""
+    SELECT n_name, r_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey  = o_orderkey
+    JOIN customer ON o_custkey   = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name, r_name
+    """,
+)
+def join_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship (TPC-H Q5 shape): revenue by nation over a 2-year window.
+
+    Plan shape at scale: date filter pushes down to the orders scan;
+    lineitem⋈orders is the one real shuffle; customer/nation/region are
+    broadcast so the fact tables never reshuffle for dimension lookups.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts,
+           (SELECT p.value FROM events p
+            WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+              AND p.ts < e.ts
+            ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS last_purchase_value
+    FROM events e
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every event, the value of the same user's latest
+    strictly-prior purchase.
+
+    Spark has no native as-of join; the correlated-subquery shape the
+    oracle uses would be O(probe × build) at scale. Instead: union-tag
+    build rows (purchases) under the probe rows, sort each user
+    partition once by (ts, is_build, event_id), and carry the last
+    non-null purchase value over a frame ending 1 row before current.
+    Sorting probes *before* builds on ties makes the "strictly prior"
+    semantics fall out of the frame bound; one shuffle, linear scan.
+    """
+    events = load_table(spark, sf_dir, "events")
+    probe = events.select(
+        "event_id", "user_id", "ts",
+        F.lit(0).alias("is_build"),
+        F.lit(None).cast("double").alias("pvalue"),
+    )
+    build = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts",
+        F.lit(1).alias("is_build"),
+        F.col("value").alias("pvalue"),
+    )
+    tagged = probe.unionByName(build)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_build", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        tagged.withColumn(
+            "last_purchase_value", F.last("pvalue", ignorenulls=True).over(w)
+        )
+        .filter(F.col("is_build") == 0)
+        .select("event_id", "user_id", "ts", "last_purchase_value")
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT n_name, r_name AS candidate_region
+    FROM nation CROSS JOIN region
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cartesian product of two tiny dims (25×5); also the building block
+    # the brute-force similarity search (J3) composes with a fact table
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return nation.crossJoin(F.broadcast(region)).select(
+        "n_name", F.col("r_name").alias("candidate_region")
+    )

@@ -1,0 +1,76 @@
+"""Scan / source / sink operators (SURVEY.md §2 A1-A3, A7).
+
+The streaming sources (A4/A5) and the Firehose-batched sink (A6, I7)
+live in ``streaming/`` and are registered via ``streaming_ops``.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clj_kinesis_to_firehose_spark.registry import register
+from clj_kinesis_to_firehose_spark.sources import load_table
+
+
+@register("scan_parquet", oracle="SELECT * FROM region")
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "region")
+
+
+@register(
+    "scan_events_ns",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props FROM events
+    """,
+)
+def scan_events_ns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exercises the nanosecond-timestamp shim end-to-end: parquet
+    # TIMESTAMP(NANOS) → long nanos → µs timestamp identical to DuckDB's
+    # silent ns→µs truncation (SURVEY.md §1.2)
+    return load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
+@register("sink_parquet_roundtrip")
+def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write→read-back roundtrip (Firehose→S3 delivery analog, weak check).
+
+    Writes the routed projection partitioned by event_type — the same
+    (type, date)-partitioned layout the 100 TB sink uses so downstream
+    readers get partition pruning — then proves losslessness by
+    re-aggregating the read-back to per-type counts/sums.
+    """
+    events = load_table(spark, sf_dir, "events")
+    out = os.path.join(tempfile.mkdtemp(prefix="kf_roundtrip_"), "events_out")
+    events.select("event_id", "ts", "user_id", "event_type", "value").write.mode(
+        "overwrite"
+    ).partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@register(
+    "route_by_event_type",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_records,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def route_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # batch analog of the bridge's content-based routing: records fan
+    # out to per-type delivery targets; here the per-target cardinality
+    # and payload mass are the checkable surface
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("n_records"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )

@@ -1,0 +1,51 @@
+"""Batch table loaders — the single choke point for fixture I/O.
+
+All operators load through here so the events nanosecond-timestamp
+shim (SURVEY.md §1.2) is applied exactly once, uniformly:
+
+* ``events.ts`` is parquet ``TIMESTAMP(NANOS)``. Spark 4.x cannot read
+  it natively; with ``spark.sql.legacy.parquet.nanosAsLong=true`` it
+  reads as long nanos, which we floor-divide to µs (integer ``div`` —
+  double division would lose sub-µs precision at 1.7e18 ns and round
+  a stray row to the wrong microsecond). DuckDB truncates ns→µs the
+  same way, so both engines agree exactly.
+
+Scale notes: loaders return lazy DataFrames straight off the parquet
+scan — no caching, no collect — so Catalyst's column pruning and
+predicate pushdown reach the file scan in every downstream operator.
+At 100 TB the same code reads a partitioned table directory; nothing
+here assumes single files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clj_kinesis_to_firehose_spark.session import ensure_configs
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_configs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # long nanos → µs timestamp; integer div keeps exact µs truncation
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}

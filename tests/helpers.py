@@ -1,0 +1,60 @@
+"""Local stand-in for the driver's DuckDB-oracle compare.
+
+Mirrors the documented gate (row-count + schema + order-insensitive
+value-hash) as: identical sorted column names, identical row count,
+and exact value equality after sorting rows by all columns. Floats
+are compared bit-exact — if a float column flakes here, the fix is
+rounding discipline in BOTH the Spark query and the oracle SQL
+(SURVEY.md §5.3), never loosening this check.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = s.astype("datetime64[us]")
+        elif isinstance(s.dtype, pd.DatetimeTZDtype):
+            df[c] = s.dt.tz_localize(None).astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.astype("float64")
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("int64")
+        elif pd.api.types.is_bool_dtype(s):
+            df[c] = s.astype("bool")
+    df = df.sort_values(by=list(df.columns), na_position="last", kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def assert_frames_match(sp: pd.DataFrame, du: pd.DataFrame, name: str = "") -> None:
+    assert sorted(sp.columns) == sorted(du.columns), (
+        f"{name}: column mismatch spark={sorted(sp.columns)} oracle={sorted(du.columns)}"
+    )
+    assert len(sp) == len(du), f"{name}: row count spark={len(sp)} oracle={len(du)}"
+    a, b = normalize(sp), normalize(du)
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if pd.api.types.is_float_dtype(a[c]) and pd.api.types.is_float_dtype(b[c]):
+            ok = np.array_equal(av, bv, equal_nan=True)
+        else:
+            ok = (pd.isna(av) == pd.isna(bv)).all() and (
+                (av == bv) | pd.isna(av)
+            ).all()
+        if not ok:
+            bad = np.where(~((av == bv) | (pd.isna(av) & pd.isna(bv))))[0][:5]
+            detail = "; ".join(
+                f"row {i}: spark={av[i]!r} oracle={bv[i]!r}" for i in bad
+            )
+            raise AssertionError(f"{name}: column {c!r} differs — {detail}")
+
+
+def assert_oracle_match(spark_df, sql: str, con, name: str = "") -> None:
+    sp = spark_df.toPandas()
+    du = con.execute(sql).fetchdf()
+    assert_frames_match(sp, du, name=name)
