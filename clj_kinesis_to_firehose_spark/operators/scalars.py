@@ -1,1 +1,253 @@
-"""placeholder — operators land incrementally (SURVEY.md §7)."""
+"""Scalar-function operators (SURVEY.md §2 H1-H9): string / regex /
+date / math / conditional / array / map / JSON surfaces.
+
+All expressions are built-in ``pyspark.sql.functions`` — JVM-side,
+inside WholeStageCodegen; no Python UDFs in any of these paths.
+Engine-divergent corners are avoided per SURVEY.md §5.3 rule 6
+(no negative modulo, explicit datediff argument order, 1-indexed
+array access on both sides, RE2-safe regex only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clj_kinesis_to_firehose_spark.registry import register
+from clj_kinesis_to_firehose_spark.sources import load_table
+
+
+@register(
+    "str_funcs",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_name) AS name_upper,
+           LOWER(p_brand) AS brand_lower,
+           TRIM(CONCAT('  ', p_name, '  ')) AS name_trimmed,
+           SUBSTRING(p_name, 1, 5) AS name_head,
+           LENGTH(p_name) AS name_len,
+           CONCAT(p_brand, ':', p_type) AS brand_type,
+           REPLACE(p_name, ' ', '_') AS name_snake,
+           LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size_padded
+    FROM part
+    """,
+)
+def str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("name_trimmed"),
+        F.substring("p_name", 1, 5).alias("name_head"),
+        F.length("p_name").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+    )
+
+
+@register(
+    "str_split_explode",
+    oracle="""
+    SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
+    FROM documents
+    WHERE doc_id < 100
+    """,
+)
+def str_split_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+
+
+@register(
+    "str_regexp",
+    oracle="""
+    SELECT p_partkey, p_brand,
+           REGEXP_EXTRACT(p_brand, 'Brand#([0-9]+)', 1) AS brand_num
+    FROM part
+    WHERE REGEXP_MATCHES(p_name, '^(small|red) ')
+    """,
+)
+def str_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.filter(F.col("p_name").rlike("^(small|red) ")).select(
+        "p_partkey",
+        "p_brand",
+        F.regexp_extract("p_brand", "Brand#([0-9]+)", 1).alias("brand_num"),
+    )
+
+
+@register(
+    "date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           YEAR(o_orderdate) AS order_year,
+           MONTH(o_orderdate) AS order_month,
+           DAY(o_orderdate) AS order_day,
+           DATE_TRUNC('month', o_orderdate) AS order_month_start,
+           DATEDIFF('day', o_orderdate, TIMESTAMP '2002-01-01') AS days_to_2002,
+           CAST(CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS VARCHAR) AS due_day
+    FROM orders WHERE o_orderkey < 3000
+    """,
+)
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DuckDB DATEDIFF('day', start, end) == Spark datediff(end, start);
+    # both truncate to whole days (arguments deliberately ordered per
+    # SURVEY.md §5.3 rule 6)
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("order_month_start"),
+        F.datediff(F.lit("2002-01-01").cast("timestamp"), F.col("o_orderdate"))
+        .cast("long")
+        .alias("days_to_2002"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .cast("date")
+        .cast("string")
+        .alias("due_day"),
+    )
+
+
+@register(
+    "math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice, 1) AS price_r1,
+           CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+           CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil,
+           ABS(l_quantity - 25.0) AS qty_dev,
+           ROUND(POW(l_discount, 2), 6) AS disc_sq,
+           ROUND(LN(l_extendedprice), 6) AS price_ln,
+           ROUND(SQRT(l_quantity), 6) AS qty_sqrt,
+           MOD(CAST(l_quantity AS BIGINT), 7) AS qty_mod7
+    FROM lineitem WHERE l_orderkey < 1500
+    """,
+)
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark FLOOR/CEIL(double) → long natively; oracle casts to match.
+    # MOD runs on non-negative ints only (engine semantics diverge on
+    # negatives). Quantities are integral doubles → BIGINT cast exact.
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1500)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.abs(F.col("l_quantity") - 25.0).alias("qty_dev"),
+        F.round(F.pow("l_discount", F.lit(2)), 6).alias("disc_sq"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        (F.col("l_quantity").cast("long") % 7).alias("qty_mod7"),
+    )
+
+
+@register(
+    "cond_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 300000.0 THEN 'large'
+                WHEN o_totalprice >= 100000.0 THEN 'medium'
+                ELSE 'small' END AS size_bucket,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_filled,
+           GREATEST(o_totalprice, 100000.0) AS price_floor100k,
+           LEAST(o_totalprice, 300000.0) AS price_cap300k
+    FROM orders
+    """,
+)
+def cond_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 300000.0, "large")
+        .when(F.col("o_totalprice") >= 100000.0, "medium")
+        .otherwise("small")
+        .alias("size_bucket"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")).alias(
+            "status_filled"
+        ),
+        F.greatest(F.col("o_totalprice"), F.lit(100000.0)).alias("price_floor100k"),
+        F.least(F.col("o_totalprice"), F.lit(300000.0)).alias("price_cap300k"),
+    )
+
+
+@register(
+    "array_funcs",
+    oracle="""
+    SELECT vec_id,
+           LEN(embedding) AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
+           LEN(embedding[1:8]) AS head_len,
+           ROUND(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE))), 3)
+             AS elem_sum
+    FROM embeddings
+    """,
+)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # both engines 1-index here: Spark element_at / DuckDB [1]; the
+    # element sum accumulates in double on both sides (float32 inputs
+    # widened first) and rounds at 3 dp
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_elem"),
+        F.size(F.slice("embedding", 1, 8)).cast("long").alias("head_len"),
+        F.round(
+            F.aggregate(
+                "embedding",
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x.cast("double"),
+            ),
+            3,
+        ).alias("elem_sum"),
+    )
+
+
+@register(
+    "json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS prop_k,
+           (CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) >= 50) AS k_high
+    FROM events
+    """,
+)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the bridge's payload-inspection analog: schema-on-read projection
+    # of the JSON props column (SURVEY.md §1.2)
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select(
+        "event_id", k.alias("prop_k"), (k >= 50).alias("k_high")
+    )
+
+
+@register(
+    "map_funcs",
+    oracle="""
+    SELECT event_id,
+           'k' AS only_key,
+           CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k_value,
+           1 AS n_keys
+    FROM events WHERE event_id < 5000
+    """,
+)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # full MapType round-trip on the Spark side (from_json → map<string,
+    # long> → keys/values/size); the oracle projects the same scalars via
+    # JSON since the fixture maps are single-key by construction
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+    m = F.from_json("props", "map<string,long>")
+    return ev.select(
+        "event_id",
+        F.element_at(F.map_keys(m), 1).alias("only_key"),
+        F.element_at(m, "k").alias("k_value"),
+        F.size(F.map_keys(m)).cast("long").alias("n_keys"),
+    )

@@ -1,1 +1,60 @@
-"""placeholder — operators land incrementally (SURVEY.md §7)."""
+"""Set operators (SURVEY.md §2 G1-G4).
+
+Spark's set ops match ANSI bag/set semantics directly: unionByName =
+UNION ALL, union+distinct = UNION, intersect = INTERSECT (distinct),
+exceptAll = EXCEPT ALL. Distinct variants shuffle on the full row —
+fine for the projected narrow columns used here; at scale prefer the
+bag forms plus explicit aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clj_kinesis_to_firehose_spark.registry import register
+from clj_kinesis_to_firehose_spark.sources import load_table
+
+
+def _high_balance(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 7000.0)
+        .select("c_nationkey", "c_mktsegment")
+    )
+
+
+def _building_segment(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_nationkey", "c_mktsegment")
+    )
+
+
+_HIGH_SQL = "SELECT c_nationkey, c_mktsegment FROM customer WHERE c_acctbal > 7000.0"
+_BUILDING_SQL = (
+    "SELECT c_nationkey, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'"
+)
+
+
+@register("set_union_all", oracle=f"{_HIGH_SQL} UNION ALL {_BUILDING_SQL}")
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _high_balance(spark, sf_dir).unionByName(_building_segment(spark, sf_dir))
+
+
+@register("set_union_distinct", oracle=f"{_HIGH_SQL} UNION {_BUILDING_SQL}")
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _high_balance(spark, sf_dir).union(_building_segment(spark, sf_dir)).distinct()
+    )
+
+
+@register("set_intersect", oracle=f"{_HIGH_SQL} INTERSECT {_BUILDING_SQL}")
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _high_balance(spark, sf_dir).intersect(_building_segment(spark, sf_dir))
+
+
+@register("set_except", oracle=f"{_HIGH_SQL} EXCEPT ALL {_BUILDING_SQL}")
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _high_balance(spark, sf_dir).exceptAll(_building_segment(spark, sf_dir))

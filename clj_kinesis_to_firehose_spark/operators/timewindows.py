@@ -1,1 +1,123 @@
-"""placeholder — operators land incrementally (SURVEY.md §7)."""
+"""Event-time window operators, batch form (SURVEY.md §2 I1-I3).
+
+These are the DuckDB-checkable twins of the streaming operators in
+``streaming/`` — Spark's ``window()`` / ``session_window()`` work
+identically on batch DataFrames, so the exact same grouping logic is
+verified here and reused under ``readStream`` with watermarks (I4+).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clj_kinesis_to_firehose_spark.registry import register
+from clj_kinesis_to_firehose_spark.sources import load_table
+
+
+@register(
+    "window_tumbling",
+    oracle="""
+    SELECT DATE_TRUNC('hour', ts) AS wstart, event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY DATE_TRUNC('hour', ts), event_type
+    """,
+)
+def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("wstart"), "event_type", "n_events", "sum_value"
+        )
+    )
+
+
+@register(
+    "window_sliding",
+    oracle="""
+    SELECT wstart, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    FROM (
+        SELECT value,
+               MAKE_TIMESTAMP((EPOCH_US(ts) // 1800000000) * 1800000000) AS wstart
+        FROM events
+        UNION ALL
+        SELECT value,
+               MAKE_TIMESTAMP((EPOCH_US(ts) // 1800000000) * 1800000000 - 1800000000)
+                 AS wstart
+        FROM events
+    )
+    GROUP BY wstart
+    """,
+)
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 1-hour window sliding every 30 min: each event lands in exactly
+    # two windows — the one starting at its floor-to-30min mark and the
+    # one 30 min earlier. The oracle materializes that expansion as a
+    # UNION ALL of the two alignments.
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("wstart"), "n_events", "sum_value")
+    )
+
+
+@register(
+    "window_session",
+    oracle="""
+    WITH marks AS (
+        SELECT user_id, ts, value,
+               CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         IS NULL
+                     OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         >= INTERVAL 10 MINUTE
+                    THEN 1 ELSE 0 END AS is_new_session
+        FROM events
+    ), numbered AS (
+        SELECT user_id, ts, value,
+               SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM marks
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 10 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 10-minute inactivity gap.
+
+    Spark's session_window closes a session at last_event + gap
+    (end-exclusive), so an event arriving exactly at the gap boundary
+    starts a NEW session — hence ``>= INTERVAL 10 MINUTE`` in the
+    oracle's gaps-and-islands reconstruction.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
