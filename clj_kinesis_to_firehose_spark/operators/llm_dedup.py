@@ -1,1 +1,285 @@
-"""placeholder — operators land incrementally (SURVEY.md §7)."""
+"""Deduplication operators for LLM training-data pipelines
+(SURVEY.md §2 J1-J2 plus the brief's SimHash, n-gram-Jaccard, and
+embedding-cosine near-dup variants).
+
+Scale design: every near-dup path is candidate-generation-first —
+a bucketing key (LSH band, shared shingle, norm bucket) bounds the
+pair space before any pairwise similarity is computed. Nothing here
+materializes the O(n²) cross product at corpus scale; the exact-oracle
+variants restrict doc ranges only so the DuckDB twin stays cheap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clj_kinesis_to_firehose_spark.registry import register
+from clj_kinesis_to_firehose_spark.sources import load_table
+
+# MinHash parameters: 16 permutations in 4 bands of 4 rows. With
+# banding, P(candidate) = 1 - (1 - j^4)^4 — ~0.9 at jaccard 0.7,
+# ~0.04 at jaccard 0.2: the standard LSH S-curve tradeoff.
+MINHASH_PERMS = 16
+MINHASH_BANDS = 4
+MINHASH_ROWS = MINHASH_PERMS // MINHASH_BANDS
+SHINGLE_WIDTH = 3
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies,
+           MD5(text) AS text_hash
+    FROM documents
+    GROUP BY text
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hash-groupBy exact dedup with a deterministic winner (min doc_id)
+    # — preferred over dropDuplicates, whose surviving row is
+    # partition-order-dependent. Grouping by the text itself keeps the
+    # shuffle key exact; the md5 in the output is just a compact id.
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count("*").alias("n_copies"),
+        F.md5("text").alias("text_hash"),
+    ).drop("text")
+
+
+def shingles(col, width: int = SHINGLE_WIDTH):
+    """Token w-shingles as strings: sliding windows over the token array,
+    built from pure column expressions (transform over an index range)."""
+    toks = F.split(col, " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - width, F.lit(0)))
+    return F.when(n >= width, F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, width))
+    )).otherwise(F.array(col))
+
+
+def minhash_signature(doc_shingles):
+    """MinHash over xxhash64(shingle, seed) for MINHASH_PERMS seeds.
+
+    xxhash64 with distinct seeds is the permutation family; min over
+    the shingle set per seed is the signature row — all JVM built-ins,
+    no UDF, so the signature computation stays in codegen.
+    """
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(doc_shingles, lambda s, seed=seed: F.xxhash64(s, F.lit(seed)))
+            )
+            for seed in range(MINHASH_PERMS)
+        ]
+    )
+
+
+@register("dedup_near_minhash")
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash + LSH banding (weak:
+    hash functions are engine-specific, so no SQL oracle — pytest
+    verifies planted near-dups are recovered).
+
+    Pipeline: shingle → 16-perm minhash signature → 4 band keys →
+    self-join per band bucket → distinct candidate pairs → exact
+    jaccard verify on the candidates only. The band-bucket join is the
+    scale path: pair cost is per-bucket, never corpus².
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = docs.select(
+        "doc_id",
+        F.col("text"),
+        minhash_signature(shingles(F.col("text"))).alias("sig"),
+    )
+    banded = sigs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * MINHASH_ROWS + r + 1)
+                                    for r in range(MINHASH_ROWS)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "text", "bk.band", "bk.bucket")
+    left = banded.alias("a")
+    right = banded.alias("b")
+    candidates = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.text").alias("text_a"),
+            F.col("b.text").alias("text_b"),
+        )
+        .distinct()
+    )
+    sh_a = F.array_distinct(shingles(F.col("text_a")))
+    sh_b = F.array_distinct(shingles(F.col("text_b")))
+    inter = F.size(F.array_intersect(sh_a, sh_b)).cast("double")
+    union = F.size(F.array_union(sh_a, sh_b)).cast("double")
+    return (
+        candidates.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+@register("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (weak: xxhash64 is engine-specific).
+
+    Each token hashes to 64 bits; per bit the document accumulates ±1;
+    the sign pattern is the fingerprint. Computed as an explode over
+    (token × bit) then two hash aggregations — shuffle-friendly and
+    linear, no per-doc Python. Near-dup = small Hamming distance
+    between fingerprints; the pytest asserts identical texts collide
+    and distinct texts don't.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    ).withColumn("h", F.xxhash64("token"))
+    bits = tok.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(62))).alias("bit"),
+        "h",
+    ).withColumn(
+        "vote",
+        F.when(F.expr("shiftright(h, bit) & 1") == 1, 1).otherwise(-1),
+    )
+    return (
+        bits.groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("balance"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("balance") > 0, F.expr("shiftleft(1L, cast(bit as int))"))
+                .otherwise(F.lit(0).cast("long"))
+            ).alias("simhash")
+        )
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH grams AS (
+        SELECT doc_id,
+               LIST_DISTINCT([STRING_SPLIT(text, ' ')[i] || ' ' ||
+                              STRING_SPLIT(text, ' ')[i+1] || ' ' ||
+                              STRING_SPLIT(text, ' ')[i+2]
+                              FOR i IN RANGE(1, LEN(STRING_SPLIT(text, ' ')) - 1)])
+                 AS gset
+        FROM documents
+        WHERE doc_id < 150 AND LEN(STRING_SPLIT(text, ' ')) >= 3
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               LEN(LIST_FILTER(a.gset, g -> LIST_CONTAINS(b.gset, g))) AS n_shared,
+               LEN(a.gset) AS n_a, LEN(b.gset) AS n_b
+        FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared), 6) AS jaccard
+    FROM pairs
+    WHERE CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) >= 0.1
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard similarity on a bounded doc range (the
+    DuckDB-checkable twin of the MinHash path — at corpus scale the
+    MinHash bands generate the candidates and this formula verifies)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .filter(F.size(F.split("text", " ")) >= 3)
+        .select(
+            "doc_id",
+            F.array_distinct(shingles(F.col("text"), 3)).alias("gset"),
+        )
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    pairs = a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.size(F.array_intersect("a.gset", "b.gset")).cast("double").alias("n_shared"),
+        F.size("a.gset").alias("n_a"),
+        F.size("b.gset").alias("n_b"),
+    )
+    jac = F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+    return pairs.filter(jac >= 0.1).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings WHERE vec_id < 250
+    ), pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               LIST_SUM(LIST_TRANSFORM(RANGE(1, 65),
+                        i -> a.e[i] * b.e[i])) AS dot,
+               SQRT(LIST_SUM(LIST_TRANSFORM(a.e, x -> x * x))) AS norm_a,
+               SQRT(LIST_SUM(LIST_TRANSFORM(b.e, x -> x * x))) AS norm_b
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, ROUND(dot / (norm_a * norm_b), 4) AS cosine
+    FROM pairs
+    WHERE dot / (norm_a * norm_b) >= 0.3
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs on a bounded id range.
+
+    The pairwise formula is the exactness baseline; at corpus scale the
+    same expression runs only on LSH-bucketed candidates (see
+    sim_ann_lsh), never on the full cross product.
+    """
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 250)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        )
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    dot = F.aggregate(
+        F.zip_with("a.e", "b.e", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(side, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        (dot / (norm(F.col("a.e")) * norm(F.col("b.e")))).alias("raw_cosine"),
+    )
+    return pairs.filter(F.col("raw_cosine") >= 0.3).select(
+        "vec_a", "vec_b", F.round("raw_cosine", 4).alias("cosine")
+    )

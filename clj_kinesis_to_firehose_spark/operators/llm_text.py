@@ -1,1 +1,231 @@
-"""placeholder — operators land incrementally (SURVEY.md §7)."""
+"""Text-analysis operators for LLM training-data pipelines
+(SURVEY.md §2 J5-J7 plus the brief's language-ID, quality-scoring,
+token-counting, and fingerprinting operators).
+
+Everything is built-in column expressions (split / explode / regexp /
+md5) — JVM-side and codegen-friendly, so at 100 TB these run as one
+scan + one or two hash aggregations; there is no Python in the path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from clj_kinesis_to_firehose_spark.registry import register
+from clj_kinesis_to_firehose_spark.sources import load_table
+
+#: tiny deterministic "stopword" list for quality scoring — drawn from
+#: the fixture vocabulary so the ratios are non-degenerate
+STOPWORDS = ["a", "the", "value", "table"]
+
+
+@register(
+    "text_wordcount",
+    oracle="""
+    SELECT token, n_occurrences, freq_rank FROM (
+        SELECT token, COUNT(*) AS n_occurrences,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS freq_rank
+        FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents)
+        GROUP BY token
+    ) WHERE freq_rank <= 50
+    """,
+)
+def text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus token frequencies, top-50 with deterministic (count, token)
+    # tie-break so the SET is stable across engines
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    return counts.select(
+        "token", "n_occurrences", F.row_number().over(w).alias("freq_rank")
+    ).filter(F.col("freq_rank") <= 50)
+
+
+@register(
+    "text_lang_stats",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           ROUND(AVG(n_chars), 4) AS avg_chars,
+           COUNT(DISTINCT source) AS n_sources
+    FROM documents GROUP BY lang
+    """,
+)
+def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@register(
+    "text_tfidf_topterms",
+    oracle="""
+    WITH tokens AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM tokens GROUP BY doc_id, term
+    ), df AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM tokens GROUP BY term
+    ), n AS (
+        SELECT COUNT(*) AS n_docs FROM documents
+    ), scored AS (
+        SELECT tf.doc_id, tf.term,
+               ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term AS top_term, tfidf FROM (
+        SELECT doc_id, term, tfidf,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, term) AS rnk
+        FROM scored
+    ) WHERE rnk = 1
+    """,
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with the top-scoring term per document.
+
+    Two hash aggregations (term frequency per doc, document frequency
+    per term) + a broadcastable DF-side join: the df table is ~|vocab|
+    rows, tiny relative to the corpus, so the scale plan broadcasts it
+    and the only large shuffle is the per-doc window.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar; corpus cardinality, driver-side once
+    tokens = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tokens.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tokens.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
+            "tfidf"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("doc_id", F.col("term").alias("top_term"), "tfidf")
+    )
+
+
+@register(
+    "text_langid",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN REGEXP_MATCHES(text, '[一-鿿]') THEN 'zh'
+                WHEN REGEXP_MATCHES(text, '[àâçéèêëîïôùûüÿœ]') THEN 'fr'
+                WHEN REGEXP_MATCHES(text, '[áéíóúñ¿¡]') THEN 'es'
+                WHEN REGEXP_MATCHES(text, '[äöüß]') THEN 'de'
+                ELSE 'en' END AS predicted_lang
+    FROM documents
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic character-class language ID (charset n-gram tier of a
+    real lang-ID cascade). The fixture corpus is ASCII so predictions
+    collapse to 'en'; the operator's value is the deterministic,
+    pushdown-friendly rule shape — a real corpus exercises every arm.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(F.col("text").rlike("[一-鿿]"), "zh")
+        .when(F.col("text").rlike("[àâçéèêëîïôùûüÿœ]"), "fr")
+        .when(F.col("text").rlike("[áéíóúñ¿¡]"), "es")
+        .when(F.col("text").rlike("[äöüß]"), "de")
+        .otherwise("en")
+        .alias("predicted_lang"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+    SELECT doc_id,
+           LENGTH(text) AS n_chars_actual,
+           LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+           ROUND(CAST(LENGTH(text) AS DOUBLE) / LEN(STRING_SPLIT(text, ' ')), 4)
+             AS avg_token_len,
+           ROUND(CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                       t -> LIST_CONTAINS(['a','the','value','table'], t)))
+                 AS DOUBLE) / LEN(STRING_SPLIT(text, ' ')), 4) AS stopword_ratio,
+           ROUND(CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)
+                 / LEN(STRING_SPLIT(text, ' ')), 4) AS distinct_ratio
+    FROM documents
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features: length, average token length,
+    stopword ratio, lexical diversity — the standard cheap filters in a
+    pretraining-data pipeline. Single scan, no shuffle, all codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_actual"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(F.length("text").cast("double") / n_tok, 4).alias("avg_token_len"),
+        F.round(n_stop.cast("double") / n_tok, 4).alias("stopword_ratio"),
+        F.round(F.size(F.array_distinct(toks)).cast("double") / n_tok, 4).alias(
+            "distinct_ratio"
+        ),
+    )
+
+
+@register(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           LEN(STRING_SPLIT(text, ' ')) AS ws_tokens,
+           LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # whitespace tokens + a BPE-ish regex segmentation (alpha runs,
+    # digit runs, residual symbols) — the cheap token-budget estimator
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0))
+        .cast("long")
+        .alias("bpe_ish_tokens"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           MD5(text) AS exact_fp,
+           MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))), ' '))
+             AS bag_fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: exact-content MD5 and an order/multiplicity-
+    insensitive bag-of-words MD5 (dedup key robust to token shuffling).
+    MD5 is bit-identical across engines, unlike xxhash64/hash()."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("exact_fp"),
+        F.md5(F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " ")).alias(
+            "bag_fp"
+        ),
+    )

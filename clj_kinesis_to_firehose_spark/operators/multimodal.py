@@ -1,1 +1,139 @@
-"""placeholder — operators land incrementally (SURVEY.md §7)."""
+"""Multimodal-column operators (SURVEY.md §2 J8 plus the brief's
+binary-payload plumbing: decode / feature-extract / resize / frame-
+sample as Arrow-batched Pandas functions over opaque binary columns).
+
+The container has no image/audio codecs, so the decode kernel is a
+clearly-marked deterministic fake (`_fake_decode`) — the Spark-side
+contract (binary column + typed metadata struct, mapInPandas batch
+shape, partition-preserving schema) is real and tested; swapping in
+a PIL/ffmpeg kernel changes one function body, no plan changes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clj_kinesis_to_firehose_spark.registry import register
+from clj_kinesis_to_firehose_spark.sources import load_table
+
+
+@register(
+    "multimodal_join",
+    oracle="""
+    SELECT d.doc_id, d.lang, d.n_chars,
+           LEN(e.embedding) AS dim,
+           ROUND(LIST_SUM(LIST_TRANSFORM(e.embedding, x -> CAST(x AS DOUBLE))), 3)
+             AS vec_sum,
+           ROUND(SQRT(LIST_SUM(LIST_TRANSFORM(e.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS vec_norm
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # text + vector modalities joined on the shared id: one result row
+    # carries scalar text features and vector statistics together
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    return docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size("e").cast("long").alias("dim"),
+        F.round(F.aggregate("e", F.lit(0.0), lambda s, x: s + x), 3).alias("vec_sum"),
+        F.round(
+            F.sqrt(F.aggregate("e", F.lit(0.0), lambda s, x: s + x * x)), 4
+        ).alias("vec_norm"),
+    )
+
+
+#: schema of the decoded-feature output — binary in, typed features out
+_DECODE_SCHEMA = (
+    "doc_id long, media_type string, n_bytes long, "
+    "width int, height int, n_frames int, feature_mean double"
+)
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:
+    """Deterministic stand-in for an image/video decode kernel.
+
+    STUB: no codec libraries exist in this container. Derives fake
+    (width, height, n_frames, feature_mean) purely from the payload
+    bytes so results are reproducible; a real kernel (PIL, ffmpeg,
+    torchaudio) replaces this body without touching the Spark plan.
+    """
+    n = len(payload)
+    width = 16 + (n % 64)
+    height = 16 + ((n // 64) % 64)
+    n_frames = 1 + (payload[0] % 4) if n else 1
+    feature_mean = round(sum(payload[:256]) / max(min(n, 256), 1) / 255.0, 6)
+    return width, height, n_frames, feature_mean
+
+
+def decode_media_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: Arrow batches of (doc_id, media_type, payload)
+    → typed feature rows. Runs once per Arrow batch, vectorized over
+    rows inside the batch — the 100 TB decode path (one Python worker
+    per core, Arrow transfer, no per-row py4j)."""
+    for pdf in batches:
+        decoded = [_fake_decode(p) for p in pdf["payload"]]
+        out = pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "media_type": pdf["media_type"],
+                "n_bytes": pdf["payload"].map(len).astype("int64"),
+                "width": [d[0] for d in decoded],
+                "height": [d[1] for d in decoded],
+                "n_frames": [d[2] for d in decoded],
+                "feature_mean": [d[3] for d in decoded],
+            }
+        )
+        yield out
+
+
+@register("multimodal_decode")
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column → decoded feature columns via mapInPandas
+    (weak: the decode kernel is a deterministic fake, see _fake_decode).
+
+    The binary payloads are manufactured from document text (utf-8
+    bytes) — opaque binary + metadata struct, exactly the layout a
+    real image/audio table would have."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return media.mapInPandas(decode_media_batches, schema=_DECODE_SCHEMA)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id, frame_idx FROM (
+        SELECT doc_id, UNNEST(RANGE(0, n_chars % 7 + 1)) AS frame_idx
+        FROM documents
+    ) WHERE doc_id < 100
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # frame-sampling plumbing: one row per sampled frame index, fanned
+    # out JVM-side with sequence+explode (a real video table would carry
+    # n_frames in metadata; here n_chars stands in deterministically)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), (F.col("n_chars") % 7))).alias("frame_idx"),
+    ).select("doc_id", F.col("frame_idx").cast("long").alias("frame_idx"))

@@ -1,0 +1,133 @@
+"""Behavioral checks for operators whose oracle is weak (no
+SQL-expressible DuckDB twin): HLL accuracy, MinHash/SimHash planted
+near-duplicates, LSH recall vs the exact top-k baseline."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+
+from clj_kinesis_to_firehose_spark import registry
+from tests.conftest import SF_DIR
+
+QUERIES = registry.queries()
+
+
+def test_approx_distinct_within_5pct(spark, oracle_con):
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in QUERIES["agg_approx_distinct"](spark, SF_DIR).collect()
+    }
+    exact = dict(
+        oracle_con.execute(
+            "SELECT event_type, COUNT(DISTINCT user_id) FROM events GROUP BY event_type"
+        ).fetchall()
+    )
+    assert set(approx) == set(exact)
+    for et, n in exact.items():
+        assert abs(approx[et] - n) / n <= 0.05, (et, approx[et], n)
+
+
+@pytest.fixture(scope="module")
+def planted_docs_dir(spark):
+    """documents.parquet with planted near-duplicates: docs 9000-9009 are
+    copies of 0-9 with one token changed; 9100 is an exact copy of 0."""
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50).collect()
+    rows = [r.asDict() for r in base]
+    for i in range(10):
+        near = dict(rows[i])
+        toks = near["text"].split(" ")
+        toks[len(toks) // 2] = "zzmutatedzz"
+        near.update(doc_id=9000 + i, text=" ".join(toks))
+        rows.append(near)
+    exact_copy = dict(rows[0])
+    exact_copy["doc_id"] = 9100
+    rows.append(exact_copy)
+    alien = dict(rows[0])
+    alien.update(
+        doc_id=9200,
+        text=" ".join(f"alien{i} xenon{i*7%13} quark{i*3%11}" for i in range(30)),
+    )
+    rows.append(alien)
+    out = tempfile.mkdtemp(prefix="kf_planted_")
+    spark.createDataFrame(rows).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet")
+    )
+    return out
+
+
+def test_minhash_finds_planted_near_dups(spark, planted_docs_dir):
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["dedup_near_minhash"](spark, planted_docs_dir).collect()
+    }
+    found = sum((i, 9000 + i) in pairs for i in range(10))
+    assert (0, 9100) in pairs, "exact copy must always be a candidate pair"
+    # banding is probabilistic per pair; one-token mutations have very
+    # high jaccard, so nearly all must surface
+    assert found >= 8, f"only {found}/10 planted near-dups found: {sorted(pairs)}"
+
+
+def test_simhash_collides_on_near_dups(spark, planted_docs_dir):
+    hashes = {
+        r["doc_id"]: r["simhash"]
+        for r in QUERIES["dedup_simhash"](spark, planted_docs_dir).collect()
+    }
+    assert hashes[0] == hashes[9100], "identical text must produce identical simhash"
+    ham = bin(hashes[0] ^ hashes[9000]).count("1")
+    assert ham <= 10, f"near-dup hamming distance too large: {ham}"
+    # a doc with a fully disjoint vocabulary must be much farther than a
+    # one-token mutation (fixture docs share one tiny vocabulary, so
+    # ordinary pairs are legitimately close in simhash space)
+    far = bin(hashes[0] ^ hashes[9200]).count("1")
+    assert far > ham + 5, (far, ham)
+
+
+@pytest.fixture(scope="module")
+def planted_vecs_dir(spark):
+    """embeddings.parquet where vec_ids 9000-9004 are near-duplicates of
+    probes 0-4 (tiny deterministic perturbation ⇒ cosine ≈ 0.999)."""
+    base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    rows = [r.asDict() for r in base]
+    for i in range(5):
+        near = dict(rows[i])
+        emb = list(near["embedding"])
+        emb[0] += 0.01
+        emb[1] -= 0.01
+        near.update(vec_id=9000 + i, embedding=emb)
+        rows.append(near)
+    out = tempfile.mkdtemp(prefix="kf_planted_vecs_")
+    spark.createDataFrame(rows).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "embeddings.parquet")
+    )
+    return out
+
+
+def test_lsh_finds_planted_near_dup_vectors(spark, planted_vecs_dir):
+    # the dedup regime LSH is built for: each probe's planted twin
+    # (cosine ≈ 0.999) must be retrieved as its top neighbor
+    approx = QUERIES["sim_ann_lsh"](spark, planted_vecs_dir).collect()
+    top = {
+        r["probe_id"]: r["neighbor_id"] for r in approx if r["nn_rank"] == 1
+    }
+    hits = sum(top.get(i) == 9000 + i for i in range(5))
+    assert hits >= 4, f"planted twins found for only {hits}/5 probes: {top}"
+
+
+def test_lsh_corpus_recall_floor(spark):
+    # random embeddings (best cosine ~0.37) are worst-case for LSH; the
+    # floor just guards against the candidate generation going dark
+    exact = QUERIES["sim_topk_exact"](spark, SF_DIR).collect()
+    approx = QUERIES["sim_ann_lsh"](spark, SF_DIR).collect()
+    exact_sets: dict[int, set[int]] = {}
+    for r in exact:
+        exact_sets.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+    approx_sets: dict[int, set[int]] = {}
+    for r in approx:
+        approx_sets.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(exact_sets[p] & approx_sets.get(p, set())) for p in exact_sets)
+    total = sum(len(s) for s in exact_sets.values())
+    recall = hits / total
+    assert recall >= 0.2, f"LSH corpus recall {recall:.2f} below floor"
