@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline query set at
+$SPARK_GRAFT_SF_DIR (default sf0.1) on local[$SPARK_GRAFT_CPUS] and
+prints ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Protocol (BASELINE.md): 3 runs per query, median wall-clock, session
+startup excluded. Queries are materialized through the noop sink so
+every column is computed but nothing is collected to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from clj_kinesis_to_firehose_spark import registry  # noqa: E402
+from clj_kinesis_to_firehose_spark.session import build_spark  # noqa: E402
+
+#: headline set: one representative per operator family, weighted
+#: toward the scale-critical paths (fact-fact join, wide agg, window,
+#: as-of, top-k, dedup, similarity, tf-idf)
+HEADLINE = [
+    "join_star_multiway",
+    "agg_groupby",
+    "join_inner",
+    "join_asof",
+    "win_running_sum",
+    "topk_per_group",
+    "window_session",
+    "agg_percentile",
+    "dedup_exact",
+    "dedup_near_minhash",
+    "sim_topk_exact",
+    "text_tfidf_topterms",
+    "text_quality_score",
+    "json_extract",
+]
+
+N_RUNS = 3
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = build_spark("kf-bench")
+    queries = registry.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        runs = []
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_median_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -26,6 +26,11 @@ RUNTIME_CONFS = {
     "spark.sql.session.timeZone": "UTC",
     # Arrow for all pandas-UDF / toPandas interchange.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Right-size shuffles when running inside a foreign session (the
+    # driver harness's default of 200 makes local streaming state and
+    # small aggregations latency-bound); AQE coalesces further.
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.adaptive.enabled": "true",
 }
 
 

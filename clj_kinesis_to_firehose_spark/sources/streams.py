@@ -1,0 +1,92 @@
+"""Streaming sources (SURVEY.md §2 A4/A5): the file-source replay
+double for Kinesis, and the rate source for synthetic smoke.
+
+No Kinesis connector exists offline (SURVEY.md §7.5); in production
+the swap is config-level — ``format("aws-kinesis")`` (EFO connector)
+with the same downstream plan — because everything after ``load()``
+is connector-agnostic DataFrame code.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clj_kinesis_to_firehose_spark.session import ensure_configs
+
+#: events schema as the raw parquet carries it (ts = long nanos under
+#: the nanosAsLong conf; the shim converts after readStream)
+EVENTS_RAW_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def write_replay_slices(
+    spark: SparkSession, sf_dir: str, n_slices: int = 4, dup_event_ids: int = 0
+) -> str:
+    """Materialize the events fixture as N parquet files in a fresh
+    directory — a Kinesis shard-drop replay double: the file stream
+    source picks slices up as separate micro-batches
+    (maxFilesPerTrigger=1).
+
+    Slices are TIME-ordered (ntile over ts): each micro-batch advances
+    event time monotonically, as a replayed Kinesis shard would — if
+    slices interleaved the full time range, the first batch would drag
+    the watermark to max(ts)-delay and every later slice would be
+    dropped as late by stateful operators.
+
+    ``dup_event_ids``: re-append the LAST K rows (latest ts) as a
+    trailing slice, emulating Kinesis at-least-once redelivery close to
+    the head of the stream — within the watermark, so dedup state (not
+    late-row dropping) is what has to remove them.
+    """
+    from pyspark.sql.window import Window
+
+    ensure_configs(spark)
+    replay_dir = tempfile.mkdtemp(prefix="kf_replay_")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")  # ts stays long nanos
+    slices = raw.withColumn(
+        "__slice", F.ntile(n_slices).over(Window.orderBy("ts", "event_id")) - 1
+    )
+    for i in range(n_slices):
+        (
+            slices.filter(F.col("__slice") == i)
+            .drop("__slice")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(replay_dir, f"slice={i}"))
+        )
+    if dup_event_ids:
+        (
+            raw.orderBy(F.desc("ts"), F.desc("event_id"))
+            .limit(dup_event_ids)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(replay_dir, f"slice={n_slices}"))
+        )
+    return replay_dir
+
+
+def read_event_stream(spark: SparkSession, replay_dir: str) -> DataFrame:
+    """File-source event stream with the ns→µs timestamp shim applied —
+    the streaming twin of ``sources.loader.load_table('events')``."""
+    ensure_configs(spark)
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(replay_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def read_rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )

@@ -1,0 +1,204 @@
+"""Firehose-batched delivery sink (SURVEY.md §2 A6, §3.4) — the
+reference pipeline's core operation re-expressed for Structured
+Streaming.
+
+Public AWS Firehose ``PutRecordBatch`` quotas (the invariants the
+reference existed to honor, public AWS docs — BASELINE.md):
+
+* ≤ 500 records per call
+* ≤ 4 MiB total per call
+* ≤ 1000 KiB per record (pre-base64)
+* the API returns per-record failures → resubmit only the failed
+  subset, with capped backoff
+* payloads are newline-terminated so Firehose→S3 output is JSON-lines
+
+The chunker and retry loop are pure Python over one partition's
+records (driver-free, executor-local); the client is pluggable — a
+local directory double here, the real ``boto3`` Firehose client in
+production (same interface, config-level swap).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from collections.abc import Callable, Iterable, Iterator
+
+MAX_RECORDS_PER_BATCH = 500
+MAX_BATCH_BYTES = 4 * 1024 * 1024
+MAX_RECORD_BYTES = 1000 * 1024
+
+
+class RecordTooLargeError(ValueError):
+    pass
+
+
+def newline_terminate(payload: bytes) -> bytes:
+    return payload if payload.endswith(b"\n") else payload + b"\n"
+
+
+def chunk_records(records: Iterable[bytes]) -> Iterator[list[bytes]]:
+    """Split newline-terminated payloads into PutRecordBatch-legal
+    batches: ≤500 records AND ≤4 MiB per batch; each record ≤1000 KiB.
+
+    Pure generator — property-tested (tests/test_firehose_sink.py):
+    every emitted batch satisfies both caps and the concatenation of
+    all batches equals the input multiset in order.
+    """
+    batch: list[bytes] = []
+    batch_bytes = 0
+    for rec in records:
+        rec = newline_terminate(rec)
+        if len(rec) > MAX_RECORD_BYTES:
+            raise RecordTooLargeError(
+                f"record of {len(rec)} bytes exceeds {MAX_RECORD_BYTES}"
+            )
+        if batch and (
+            len(batch) >= MAX_RECORDS_PER_BATCH
+            or batch_bytes + len(rec) > MAX_BATCH_BYTES
+        ):
+            yield batch
+            batch, batch_bytes = [], 0
+        batch.append(rec)
+        batch_bytes += len(rec)
+    if batch:
+        yield batch
+
+
+class FirehoseClient:
+    """Interface of the delivery client (mirrors PutRecordBatch).
+
+    ``put_record_batch`` returns the indices of records that FAILED —
+    empty list means the whole batch was accepted."""
+
+    def put_record_batch(self, stream_name: str, batch: list[bytes]) -> list[int]:
+        raise NotImplementedError
+
+
+class LocalDirFirehoseClient(FirehoseClient):
+    """Test double: a delivery stream backed by a local directory.
+
+    Each accepted batch becomes one file (JSON-lines), named by an
+    idempotency key when provided — re-delivery of the same batch id
+    overwrites rather than duplicates, which is what makes the
+    foreachBatch sink exactly-once under retries.
+
+    ``fail_first_attempt_every``: inject per-record failures — every
+    Nth record of a batch fails on its first sighting (succeeds on
+    resubmit), emulating Firehose partial failures.
+    """
+
+    def __init__(self, out_dir: str, fail_first_attempt_every: int = 0) -> None:
+        self.out_dir = out_dir
+        self.fail_first_attempt_every = fail_first_attempt_every
+        self._seen: set[bytes] = set()
+        os.makedirs(out_dir, exist_ok=True)
+
+    def put_record_batch(
+        self, stream_name: str, batch: list[bytes], idempotency_key: str | None = None
+    ) -> list[int]:
+        failed: list[int] = []
+        accepted: list[bytes] = []
+        for i, rec in enumerate(batch):
+            if (
+                self.fail_first_attempt_every
+                and (i + 1) % self.fail_first_attempt_every == 0
+                and rec not in self._seen
+            ):
+                self._seen.add(rec)
+                failed.append(i)
+            else:
+                accepted.append(rec)
+        if accepted:
+            name = idempotency_key or uuid.uuid4().hex
+            path = os.path.join(self.out_dir, f"{stream_name}-{name}.jsonl")
+            with open(path, "wb") as f:
+                f.writelines(accepted)
+        return failed
+
+
+def deliver_records(
+    records: Iterable[bytes],
+    client: FirehoseClient,
+    stream_name: str,
+    max_retries: int = 5,
+    backoff_base_s: float = 0.05,
+    sleep: Callable[[float], None] = time.sleep,
+    idempotency_prefix: str | None = None,
+) -> dict[str, int]:
+    """Chunk → put → resubmit failed subset with capped exponential
+    backoff. Returns delivery counters. At-least-once overall; paired
+    with idempotent batch naming it is effectively-once."""
+    n_records = n_batches = n_retried = 0
+    for batch_idx, batch in enumerate(chunk_records(records)):
+        attempt = 0
+        pending = batch
+        key = f"{idempotency_prefix}-{batch_idx}" if idempotency_prefix else None
+        while pending:
+            kwargs = {"idempotency_key": f"{key}-a{attempt}"} if key else {}
+            failed = client.put_record_batch(stream_name, pending, **kwargs)
+            delivered = len(pending) - len(failed)
+            n_records += delivered
+            if failed:
+                if attempt >= max_retries:
+                    raise RuntimeError(
+                        f"{len(failed)} records undeliverable after {max_retries} retries"
+                    )
+                pending = [pending[i] for i in failed]
+                n_retried += len(pending)
+                sleep(min(backoff_base_s * (2**attempt), 2.0))
+                attempt += 1
+            else:
+                pending = []
+        n_batches += 1
+    return {"n_records": n_records, "n_batches": n_batches, "n_retried": n_retried}
+
+
+def firehose_foreach_batch(
+    out_dir: str,
+    stream_name_col: str = "event_type",
+    fail_first_attempt_every: int = 0,
+):
+    """Build a ``foreachBatch`` function implementing the full bridge:
+    route by ``stream_name_col`` → JSON-lines serialize → chunk under
+    the PutRecordBatch caps → deliver with per-record retry.
+
+    Runs per partition on executors (``foreachPartition``); batch files
+    are keyed by (epoch, partition) so micro-batch replays after a
+    failure overwrite instead of duplicating — exactly-once with the
+    streaming checkpoint WAL (SURVEY.md §3.4).
+    """
+    from pyspark.sql import functions as F
+
+    def handle(batch_df, epoch_id: int) -> None:
+        serialized = batch_df.select(
+            F.col(stream_name_col).alias("__stream"),
+            F.to_json(F.struct(*batch_df.columns)).alias("__payload"),
+        )
+
+        def per_partition(rows):
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+            client = LocalDirFirehoseClient(
+                out_dir, fail_first_attempt_every=fail_first_attempt_every
+            )
+            by_stream: dict[str, list[bytes]] = {}
+            for row in rows:
+                by_stream.setdefault(row["__stream"], []).append(
+                    row["__payload"].encode("utf-8")
+                )
+            for stream, records in by_stream.items():
+                deliver_records(
+                    records,
+                    client,
+                    stream,
+                    sleep=lambda s: None,
+                    idempotency_prefix=f"e{epoch_id}-p{pid}",
+                )
+
+        serialized.foreachPartition(per_partition)
+
+    return handle

@@ -1,0 +1,215 @@
+"""Structured Streaming pipelines (SURVEY.md §2 I4-I7, A4-A7):
+the reference's Kinesis→transform→Firehose job re-expressed as
+readStream → event-time operators → batched sink.
+
+Each pipeline runs bounded here (file replay + availableNow /
+processAllAvailable) and returns the materialized result so the
+driver's rows-only check and pytest can assert on it; the identical
+plan runs unbounded against a Kinesis source in production.
+
+Scale notes: state is always bounded — watermarks expire window and
+dedup state; the stateful counter keeps one row per user. Shuffle
+partitions for streaming state default to the session setting; on a
+cluster, state store instances scale with partitions, checkpointed
+incrementally (RocksDB provider configured in session.py).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from clj_kinesis_to_firehose_spark.sources.streams import (
+    read_event_stream,
+    write_replay_slices,
+)
+from clj_kinesis_to_firehose_spark.streaming.firehose_sink import (
+    firehose_foreach_batch,
+)
+
+
+def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Run a bounded stream into a memory sink, return the result table."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    chk = tempfile.mkdtemp(prefix="kf_chk_")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.table(name)
+
+
+def stream_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: replayed micro-batch ingestion — counts per event_type over
+    the full replay must equal the batch answer."""
+    replay = write_replay_slices(spark, sf_dir, n_slices=4)
+    ev = read_event_stream(spark, replay)
+    out = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_records"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    return _run_to_memory(out, "complete")
+
+
+def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: synthetic rate-source smoke — bounded by one micro-batch."""
+    from clj_kinesis_to_firehose_spark.sources.streams import read_rate_stream
+
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    stream = read_rate_stream(spark, rows_per_second=500).select(
+        "timestamp", "value"
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).agg(
+        F.count("*").alias("n_rows"),
+        F.min("value").alias("min_value"),
+    )
+
+
+def stream_tumbling_watermark(
+    spark: SparkSession, sf_dir: str, replay_dir: str | None = None
+) -> DataFrame:
+    """I4: 1-hour tumbling windows under a 15-minute watermark, append
+    mode — only windows the watermark has passed are emitted; late rows
+    beyond the watermark are dropped (asserted with a crafted late
+    slice in tests/test_streaming.py)."""
+    replay = replay_dir or write_replay_slices(spark, sf_dir, n_slices=4)
+    ev = read_event_stream(spark, replay)
+    out = (
+        ev.withWatermark("ts", "15 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("wstart"), "event_type", "n_events")
+    )
+    return _run_to_memory(out, "append")
+
+
+def stream_dedup(
+    spark: SparkSession, sf_dir: str, replay_dir: str | None = None
+) -> DataFrame:
+    """I5: at-least-once → effectively-once. Kinesis redelivery double:
+    the replay appends duplicate event_ids; dropDuplicates within the
+    watermark removes them, so per-type counts equal the batch answer."""
+    replay = replay_dir or write_replay_slices(
+        spark, sf_dir, n_slices=4, dup_event_ids=200
+    )
+    ev = read_event_stream(spark, replay)
+    deduped = ev.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    out = deduped.groupBy("event_type").agg(F.count("*").alias("n_unique"))
+    return _run_to_memory(out, "complete")
+
+
+_COUNTER_SCHEMA = "user_id long, n_events long, sum_value double"
+_COUNTER_STATE_SCHEMA = "n long, s double"
+
+
+def _count_per_user(key, pdf_iter, state: GroupState):
+    n, s = state.get if state.exists else (0, 0.0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        s += float(pdf["value"].sum())
+    state.update((n, s))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 2)]}
+    )
+
+
+def stream_stateful_counter(
+    spark: SparkSession, sf_dir: str, replay_dir: str | None = None
+) -> DataFrame:
+    """I6: arbitrary stateful processing — running per-user event count
+    and value sum across micro-batches via applyInPandasWithState.
+    Update mode: the memory table's LAST row per user is the final
+    running total (equals the batch groupBy at end of replay)."""
+    replay = replay_dir or write_replay_slices(spark, sf_dir, n_slices=4)
+    ev = read_event_stream(spark, replay)
+    counted = ev.groupBy("user_id").applyInPandasWithState(
+        _count_per_user,
+        outputStructType=_COUNTER_SCHEMA,
+        stateStructType=_COUNTER_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    chk = tempfile.mkdtemp(prefix="kf_chk_")
+    q = (
+        counted.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update-mode memory sink appends every emitted update; keep the
+    # final (largest) running total per user
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("sum_value").alias("sum_value"),
+        )
+    )
+
+
+def stream_firehose_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str | None = None,
+    fail_first_attempt_every: int = 0,
+) -> DataFrame:
+    """I7 + A6 + A7: the complete reference job — replayed Kinesis
+    double → payload inspection/filter → route by event_type → Firehose
+    PutRecordBatch sink (≤500 rec / ≤4 MiB batches, newline-terminated
+    JSON, per-record retry, idempotent batch files) with checkpointed
+    foreachBatch for exactly-once.
+
+    Returns per-stream delivered counts read back from the delivery
+    directory — the at-least-once/effectively-once audit surface.
+    """
+    replay = write_replay_slices(spark, sf_dir, n_slices=4)
+    delivery_dir = out_dir or tempfile.mkdtemp(prefix="kf_firehose_")
+    chk = tempfile.mkdtemp(prefix="kf_chk_")
+    ev = read_event_stream(spark, replay)
+    routed = ev.withColumn(
+        "prop_k", F.get_json_object("props", "$.k").cast("long")
+    ).filter(F.col("event_type") != "error")  # the bridge's drop-filter
+    q = (
+        routed.writeStream.foreachBatch(
+            firehose_foreach_batch(
+                delivery_dir, fail_first_attempt_every=fail_first_attempt_every
+            )
+        )
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    delivered = spark.read.json(os.path.join(delivery_dir, "*.jsonl"))
+    return delivered.groupBy("event_type").agg(
+        F.count("*").alias("n_delivered"),
+        F.countDistinct("event_id").alias("n_unique"),
+    )

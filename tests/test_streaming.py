@@ -1,0 +1,120 @@
+"""Streaming-semantics tests (SURVEY.md §5.2): late-data dropping
+under watermarks, at-least-once dedup, end-to-end Firehose pipeline
+with injected partial failures."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from clj_kinesis_to_firehose_spark.sources.streams import EVENTS_RAW_SCHEMA
+from clj_kinesis_to_firehose_spark.streaming import pipelines
+from tests.conftest import SF_DIR
+
+
+def _write_slice(spark, rows, path):
+    df = spark.createDataFrame(rows, schema=EVENTS_RAW_SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    time.sleep(1.05)  # file-source orders slices by modification time
+
+
+NS = 1_000_000_000
+T0 = 1_704_067_200 * NS  # 2024-01-01 00:00:00 UTC in nanos
+
+
+def _ev(i, ts_ns, etype="click", user=1, value=1.0):
+    return (i, ts_ns, user, etype, value, '{"k": 1}')
+
+
+@pytest.fixture(scope="module")
+def late_replay_dir(spark):
+    """Replay with an event arriving 2h late — far beyond the 15-minute
+    watermark by the time its slice is processed."""
+    d = tempfile.mkdtemp(prefix="kf_late_")
+    # slice 0: hours 0-1 (closes window [0,1h) once watermark passes)
+    _write_slice(
+        spark,
+        [_ev(0, T0 + 10 * 60 * NS), _ev(1, T0 + 70 * 60 * NS)],
+        os.path.join(d, "s0"),
+    )
+    # slice 1: hour 4 → watermark jumps to ~3h55m, hour-0/1 windows emit
+    _write_slice(spark, [_ev(2, T0 + 250 * 60 * NS)], os.path.join(d, "s1"))
+    # slice 2: advance again — hour-0 state is evicted THIS batch (Spark
+    # drops a late row only once its window was evicted in a PRIOR
+    # batch: merge happens before eviction within a batch)
+    _write_slice(spark, [_ev(4, T0 + 310 * 60 * NS)], os.path.join(d, "s2"))
+    # slice 3: the LATE row back in hour 0 — beyond watermark, state
+    # gone ⇒ dropped; plus a fresh row keeping the stream moving
+    _write_slice(
+        spark,
+        [_ev(3, T0 + 20 * 60 * NS), _ev(5, T0 + 320 * 60 * NS)],
+        os.path.join(d, "s3"),
+    )
+    return d
+
+
+def test_watermark_drops_late_rows(spark, late_replay_dir):
+    out = pipelines.stream_tumbling_watermark(
+        spark, SF_DIR, replay_dir=late_replay_dir
+    ).collect()
+    counts = {(r["wstart"].hour, r["event_type"]): r["n_events"] for r in out}
+    # window [00:00,01:00) closed with exactly 1 event: the late event 3
+    # (also hour 0, arriving after the watermark passed) must NOT count
+    assert counts.get((0, "click")) == 1, counts
+    # hour-1 window emitted with its single on-time event
+    assert counts.get((1, "click")) == 1, counts
+
+
+def test_stream_dedup_removes_injected_duplicates(spark, oracle_con):
+    res = {
+        r["event_type"]: r["n_unique"]
+        for r in pipelines.stream_dedup(spark, SF_DIR).collect()
+    }
+    exact = dict(
+        oracle_con.execute(
+            "SELECT event_type, COUNT(DISTINCT event_id) FROM events GROUP BY event_type"
+        ).fetchall()
+    )
+    assert res == exact
+
+
+def test_stateful_counter_matches_batch(spark, oracle_con):
+    res = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in pipelines.stream_stateful_counter(spark, SF_DIR).collect()
+    }
+    exact = {
+        u: (n, s)
+        for u, n, s in oracle_con.execute(
+            "SELECT user_id, COUNT(*), ROUND(SUM(value), 2) FROM events GROUP BY user_id"
+        ).fetchall()
+    }
+    assert res == exact
+
+
+def test_firehose_pipeline_with_partial_failures(spark, oracle_con):
+    # inject a failure on every 5th record's first attempt; retry must
+    # recover every record exactly once (idempotent batch naming)
+    out_dir = tempfile.mkdtemp(prefix="kf_e2e_")
+    res = pipelines.stream_firehose_pipeline(
+        spark, SF_DIR, out_dir=out_dir, fail_first_attempt_every=5
+    )
+    got = {r["event_type"]: (r["n_delivered"], r["n_unique"]) for r in res.collect()}
+    exact = {
+        t: (n, n)
+        for t, n in oracle_con.execute(
+            "SELECT event_type, COUNT(*) FROM events WHERE event_type != 'error' GROUP BY event_type"
+        ).fetchall()
+    }
+    assert got == exact
+    assert "error" not in got  # routed/dropped by the bridge filter
+    # every delivery file honors the record cap
+    for f in os.listdir(out_dir):
+        with open(os.path.join(out_dir, f), "rb") as fh:
+            lines = fh.read().splitlines()
+        assert len(lines) <= 500
