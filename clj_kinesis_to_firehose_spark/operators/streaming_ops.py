@@ -68,3 +68,66 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     # weak: delivery-side audit (counts of newline-terminated JSON
     # records landed per stream); batch invariants are property-tested
     return pipelines.stream_firehose_pipeline(spark, sf_dir)
+
+
+@register(
+    "sink_firehose_batched",
+    oracle="""
+    SELECT event_type AS stream, COUNT(*) AS n_delivered
+    FROM events GROUP BY event_type
+    """,
+)
+def sink_firehose_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 standalone (batch form): serialize events to JSON-lines and
+    deliver through the PutRecordBatch chunker per partition; returns
+    the per-partition delivery audit (weak: asserts live in
+    tests/test_firehose_sink.py — every batch ≤500 records/≤4 MiB,
+    at-least-once counts equal input).
+
+    This is THE reference operation (SURVEY.md §2 A6): batching under
+    the Firehose service quotas with per-record retry. The streaming
+    composition is stream_foreachbatch_sink.
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from clj_kinesis_to_firehose_spark.sources import load_table
+    from clj_kinesis_to_firehose_spark.streaming.firehose_sink import (
+        LocalDirFirehoseClient,
+        deliver_records,
+    )
+
+    out_dir = tempfile.mkdtemp(prefix="kf_sink_a6_")
+    ev = load_table(spark, sf_dir, "events")
+    serialized = ev.select(
+        F.col("event_type").alias("__stream"),
+        F.to_json(F.struct(*ev.columns)).alias("__payload"),
+    )
+
+    def per_partition(rows):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        client = LocalDirFirehoseClient(out_dir)
+        by_stream: dict[str, list[bytes]] = {}
+        for row in rows:
+            by_stream.setdefault(row["__stream"], []).append(
+                row["__payload"].encode("utf-8")
+            )
+        for stream, records in by_stream.items():
+            stats = deliver_records(
+                records,
+                client,
+                stream,
+                sleep=lambda s: None,
+                idempotency_prefix=f"batch-p{pid}-{stream}",
+            )
+            yield (stream, pid, stats["n_records"], stats["n_batches"])
+
+    delivered = serialized.rdd.mapPartitions(per_partition).toDF(
+        ["stream", "partition_id", "n_records", "n_batches"]
+    )
+    # delivered-record counts are deterministic (exact oracle); batch
+    # counts depend on partitioning and are audited in tests instead
+    return delivered.groupBy("stream").agg(F.sum("n_records").alias("n_delivered"))

@@ -29,6 +29,7 @@ _OPERATOR_MODULES = [
     "sorts",
     "setops",
     "scalars",
+    "relational_ext",
     "timewindows",
     "llm_dedup",
     "llm_similarity",

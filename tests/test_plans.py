@@ -1,0 +1,67 @@
+"""Plan-shape audits (SURVEY.md §4, §7.7): the 100 TB contract is that
+these properties hold regardless of data size — filters reach the
+parquet scan, dimension lookups broadcast instead of shuffling the
+fact table, projections prune the read schema, hot paths stay in
+whole-stage codegen."""
+
+from __future__ import annotations
+
+from clj_kinesis_to_firehose_spark import registry
+from clj_kinesis_to_firehose_spark.plans import audit
+from tests.conftest import SF_DIR
+
+QUERIES = registry.queries()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = QUERIES["filter_basic"](spark, SF_DIR)
+    pushed = " ".join(audit.pushed_filters(df))
+    assert "l_quantity" in pushed and "l_discount" in pushed, pushed
+
+
+def test_projection_prunes_read_schema(spark):
+    df = QUERIES["project_select"](spark, SF_DIR)
+    schemas = audit.read_schemas(df)
+    assert schemas, "no scan found"
+    # part has 6 columns; the query needs only 3
+    assert all("p_brand" not in s and "p_size" not in s for s in schemas), schemas
+
+
+def test_star_join_broadcasts_all_dimensions(spark):
+    df = QUERIES["join_star_multiway"](spark, SF_DIR)
+    # customer, nation, region are broadcast; only lineitem⋈orders may
+    # shuffle — so ≥3 broadcast joins and at most 1 join-input exchange
+    # pair plus the final aggregation exchange
+    assert audit.n_broadcast_joins(df) >= 3, audit.plan_report(df)
+    assert audit.n_shuffles(df) <= 3, audit.plan_report(df)
+
+
+def test_star_join_pushes_date_filter_to_orders_scan(spark):
+    df = QUERIES["join_star_multiway"](spark, SF_DIR)
+    pushed = " ".join(audit.pushed_filters(df))
+    assert "o_orderdate" in pushed, pushed
+
+
+def test_broadcast_join_has_no_shuffle(spark):
+    df = QUERIES["join_broadcast"](spark, SF_DIR)
+    assert audit.n_broadcast_joins(df) == 1
+    assert audit.n_shuffles(df) == 0, audit.plan_report(df)
+
+
+def test_hot_paths_stay_in_codegen(spark):
+    for name in ["agg_groupby", "filter_basic", "join_star_multiway"]:
+        df = QUERIES[name](spark, SF_DIR)
+        assert audit.has_whole_stage_codegen(df), name
+
+
+def test_asof_join_is_single_shuffle(spark):
+    # the as-of union-window trick must cost one partition shuffle (by
+    # user_id), not a per-row subquery — that is its whole point
+    df = QUERIES["join_asof"](spark, SF_DIR)
+    assert audit.n_shuffles(df) <= 1, audit.plan_report(df)
+
+
+def test_events_scan_prunes_to_needed_columns(spark):
+    df = QUERIES["json_extract"](spark, SF_DIR)
+    schemas = audit.read_schemas(df)
+    assert all("value" not in s and "user_id" not in s for s in schemas), schemas
