@@ -255,6 +255,53 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_skew_salted",
+    oracle="""
+    WITH hot AS (
+        SELECT user_id % 10 AS hot_key, COUNT(*) AS key_rows,
+               ROUND(AVG(value), 4) AS key_avg
+        FROM events GROUP BY user_id % 10
+    )
+    SELECT e.event_id, h.hot_key, h.key_rows,
+           ROUND(e.value - h.key_avg, 4) AS value_dev
+    FROM events e JOIN hot h ON e.user_id % 10 = h.hot_key
+    WHERE e.event_id < 4000
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant join: fact rows salted across SALT_BUCKETS
+    sub-keys, the (small) build side exploded once per salt value, so
+    one hot key spreads over many partitions instead of pinning a
+    single reducer.
+
+    The 10-way key here makes every key hot by construction. Salting
+    changes only the partitioning — results are identical to the plain
+    join the oracle runs. (AQE's skew-join split handles moderate skew
+    automatically; explicit salting is the deterministic fallback when
+    a single key exceeds what one executor can hold.)
+    """
+    SALT_BUCKETS = 8
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "hot_key", F.col("user_id") % 10
+    )
+    hot = events.groupBy("hot_key").agg(
+        F.count("*").alias("key_rows"), F.round(F.avg("value"), 4).alias("key_avg")
+    )
+    salted_fact = events.filter(F.col("event_id") < 4000).withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(SALT_BUCKETS)).cast("int")
+    )
+    salted_build = hot.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(SALT_BUCKETS - 1)))
+    )
+    return salted_fact.join(salted_build, ["hot_key", "salt"]).select(
+        "event_id",
+        "hot_key",
+        "key_rows",
+        F.round(F.col("value") - F.col("key_avg"), 4).alias("value_dev"),
+    )
+
+
+@register(
     "join_cross",
     oracle="""
     SELECT n_name, r_name AS candidate_region

@@ -58,6 +58,41 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_formats_roundtrip",
+    oracle="""
+    SELECT 'csv' AS fmt, COUNT(*) AS n_rows,
+           ROUND(SUM(value), 2) AS sum_value FROM events
+    UNION ALL
+    SELECT 'jsonl' AS fmt, COUNT(*) AS n_rows,
+           ROUND(SUM(value), 2) AS sum_value FROM events
+    """,
+)
+def scan_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV and JSON-lines source support (the bridge's wire formats):
+    write the events projection out in both formats, read each back
+    with an explicit schema, and prove losslessness of counts/sums.
+    Explicit schemas keep reads single-pass at scale (no inference
+    scan); JSON-lines is exactly the Firehose→S3 delivery layout."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    base = tempfile.mkdtemp(prefix="kf_formats_")
+    csv_dir, json_dir = os.path.join(base, "csv"), os.path.join(base, "jsonl")
+    ev.write.mode("overwrite").option("header", True).csv(csv_dir)
+    ev.write.mode("overwrite").json(json_dir)
+    schema = "event_id long, user_id long, value double"
+    csv_back = spark.read.schema(schema).option("header", True).csv(csv_dir)
+    json_back = spark.read.schema(schema).json(json_dir)
+    return (
+        csv_back.agg(
+            F.count("*").alias("n_rows"), F.round(F.sum("value"), 2).alias("sum_value")
+        ).select(F.lit("csv").alias("fmt"), "n_rows", "sum_value")
+    ).unionByName(
+        json_back.agg(
+            F.count("*").alias("n_rows"), F.round(F.sum("value"), 2).alias("sum_value")
+        ).select(F.lit("jsonl").alias("fmt"), "n_rows", "sum_value")
+    )
+
+
+@register(
     "route_by_event_type",
     oracle="""
     SELECT event_type, COUNT(*) AS n_records,

@@ -1,0 +1,45 @@
+"""Edge-case tests for the events TIMESTAMP(NANOS) shim — the one
+piece of I/O the whole engine routes through (SURVEY.md §1.2)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+
+def test_ns_shim_truncates_like_duckdb_on_edges(spark, oracle_con):
+    # crafted nanos: zero, sub-µs remainders, end-of-range fixture-era
+    # values; the shim (integer div 1000) must equal DuckDB's ns→µs
+    # truncation exactly
+    nanos = [
+        0,
+        999,            # < 1 µs → truncates to epoch
+        1000,
+        1_704_067_199_999_999_999,  # 2023-12-31 23:59:59.999999999
+        1_704_067_200_000_000_001,  # 2024-01-01 00:00:00.000000001
+        1_706_571_839_123_456_789,
+    ]
+    df = spark.createDataFrame([(n,) for n in nanos], "ts long").select(
+        F.expr("timestamp_micros(ts div 1000)").alias("ts")
+    )
+    got = [r["ts"] for r in df.collect()]
+    expected = [
+        oracle_con.execute(
+            "SELECT make_timestamp(CAST(? AS BIGINT) // 1000)", [n]
+        ).fetchone()[0]
+        for n in nanos
+    ]
+    assert got == expected
+
+
+def test_events_loader_schema(spark):
+    from clj_kinesis_to_firehose_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    # a sanity row: value verified against DuckDB in scan_events_ns;
+    # here just prove the column is a usable timestamp
+    row = ev.filter(F.col("event_id") == 0).collect()[0]
+    assert isinstance(row["ts"], datetime.datetime)
