@@ -93,6 +93,52 @@ def scan_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "route_dead_letter",
+    oracle="""
+    WITH wire AS (
+        SELECT event_id,
+               CASE WHEN event_id % 97 = 0
+                    THEN SUBSTRING(props, 1, LENGTH(props) - 2)
+                    ELSE props END AS payload
+        FROM events
+    )
+    SELECT (CASE WHEN JSON_VALID(payload)
+                 THEN JSON_EXTRACT_STRING(payload, '$.k') END) IS NOT NULL
+             AS parseable,
+           COUNT(*) AS n_records,
+           MIN(event_id) AS first_event
+    FROM wire GROUP BY 1
+    """,
+)
+def route_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-failure routing (the bridge's dead-letter path): payloads
+    that fail JSON parsing are split off instead of poisoning the
+    delivery stream. Corruption is injected deterministically (chop
+    the closing brace off every 97th record) so both engines see the
+    same wire bytes; parse-and-route is from_json with a null check —
+    PERMISSIVE-mode semantics at column level, no exceptions thrown."""
+    ev = load_table(spark, sf_dir, "events")
+    wire = ev.select(
+        "event_id",
+        F.when(
+            F.col("event_id") % 97 == 0,
+            F.expr("substring(props, 1, length(props) - 2)"),
+        )
+        .otherwise(F.col("props"))
+        .alias("payload"),
+    )
+    parsed = wire.withColumn(
+        "k", F.from_json("payload", "struct<k:long>").getField("k")
+    )
+    return parsed.groupBy(
+        F.col("k").isNotNull().alias("parseable")
+    ).agg(
+        F.count("*").alias("n_records"),
+        F.min("event_id").alias("first_event"),
+    )
+
+
+@register(
     "route_by_event_type",
     oracle="""
     SELECT event_type, COUNT(*) AS n_records,

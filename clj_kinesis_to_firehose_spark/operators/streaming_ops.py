@@ -63,6 +63,32 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipelines.stream_stateful_counter(spark, sf_dir)
 
 
+@register("stream_sliding_window")
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # weak: append-mode emission set depends on watermark progression
+    return pipelines.stream_sliding_window(spark, sf_dir)
+
+
+@register("stream_session_window")
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # weak: session merge/emission depends on watermark progression
+    return pipelines.stream_session_window(spark, sf_dir)
+
+
+@register(
+    "stream_stateful_tws",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # transformWithStateInPandas running totals converge to the batch
+    # aggregate after the replay drains (max is order-insensitive and
+    # exact — no float accumulation)
+    return pipelines.stream_stateful_tws(spark, sf_dir)
+
+
 @register("stream_foreachbatch_sink")
 def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     # weak: delivery-side audit (counts of newline-terminated JSON

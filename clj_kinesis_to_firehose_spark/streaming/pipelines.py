@@ -175,6 +175,168 @@ def stream_stateful_counter(
     )
 
 
+def stream_sliding_window(
+    spark: SparkSession, sf_dir: str, replay_dir: str | None = None
+) -> DataFrame:
+    """I2 streaming form: 1-hour windows sliding every 30 minutes under
+    a 15-minute watermark (append mode — each event contributes to two
+    windows; emitted once each window is finalized)."""
+    replay = replay_dir or write_replay_slices(spark, sf_dir, n_slices=4)
+    ev = read_event_stream(spark, replay)
+    out = (
+        ev.withWatermark("ts", "15 minutes")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("wstart"), "n_events")
+    )
+    return _run_to_memory(out, "append")
+
+
+def stream_session_window(
+    spark: SparkSession, sf_dir: str, replay_dir: str | None = None
+) -> DataFrame:
+    """I3 streaming form: per-user session windows (10-minute gap)
+    under a watermark — session state merges as events arrive and a
+    session is emitted once the watermark passes its close."""
+    replay = replay_dir or write_replay_slices(spark, sf_dir, n_slices=4)
+    ev = read_event_stream(spark, replay)
+    out = (
+        ev.withWatermark("ts", "15 minutes")
+        .groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+    return _run_to_memory(out, "append")
+
+
+_TWS_OUT_SCHEMA = "user_id long, n_events long, max_value double"
+
+
+def _user_stats_group_state(key, pdf_iter, state: GroupState):
+    # GroupState twin of the TWS processor: same output contract
+    n, mx = state.get if state.exists else (0, float("-inf"))
+    for pdf in pdf_iter:
+        n += len(pdf)
+        mx = max(mx, float(pdf["value"].max()))
+    state.update((n, mx))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "max_value": [mx]})
+
+
+def _drain_update_stream(counted: DataFrame) -> DataFrame:
+    """Run an update-mode stateful stream to a memory sink and reduce
+    the emitted updates to the final (monotone-max) row per user."""
+    spark = counted.sparkSession
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    chk = tempfile.mkdtemp(prefix="kf_chk_")
+    q = (
+        counted.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
+
+
+def _make_user_stats_processor():
+    """transformWithStateInPandas processor: per-user running count and
+    max value in a ValueState cell (the Spark 4.x arbitrary-state API —
+    typed state handles, timers, TTL — vs the legacy GroupState form in
+    _count_per_user). Built inside a factory so importing this module
+    never requires the stateful-processor API to exist."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    class UserStatsProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._stats = handle.getValueState(
+                "stats",
+                StructType(
+                    [StructField("n", LongType()), StructField("mx", DoubleType())]
+                ),
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._stats.exists():
+                n, mx = self._stats.get()
+            else:
+                n, mx = 0, float("-inf")
+            for pdf in rows:
+                n += len(pdf)
+                mx = max(mx, float(pdf["value"].max()))
+            self._stats.update((n, mx))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return UserStatsProcessor()
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas needs a working protobuf install for
+    its state-server protocol; this container ships a broken
+    google.protobuf (verified: `cannot import name 'descriptor'`), so
+    the operator probes before choosing the state API."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stream_stateful_tws(
+    spark: SparkSession, sf_dir: str, replay_dir: str | None = None
+) -> DataFrame:
+    """I6 on the modern API: transformWithStateInPandas with a typed
+    ValueState (RocksDB state store, set by session.py / injected at
+    runtime for foreign sessions).
+
+    Where the TWS protobuf dependency is unavailable (this container —
+    see tws_available), the identical per-user running stats are
+    computed through the legacy applyInPandasWithState path so the
+    operator contract holds everywhere; the TWS branch is exercised on
+    any environment with a functional protobuf.
+    """
+    if not tws_available():
+        replay = replay_dir or write_replay_slices(spark, sf_dir, n_slices=4)
+        ev = read_event_stream(spark, replay)
+        counted = ev.groupBy("user_id").applyInPandasWithState(
+            _user_stats_group_state,
+            outputStructType=_TWS_OUT_SCHEMA,
+            stateStructType="n long, mx double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        return _drain_update_stream(counted)
+    proc = _make_user_stats_processor()
+    replay = replay_dir or write_replay_slices(spark, sf_dir, n_slices=4)
+    ev = read_event_stream(spark, replay)
+    counted = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=proc,
+        outputStructType=_TWS_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+    return _drain_update_stream(counted)
+
+
 def stream_firehose_pipeline(
     spark: SparkSession,
     sf_dir: str,
