@@ -186,7 +186,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                               FOR i IN RANGE(1, LEN(STRING_SPLIT(text, ' ')) - 1)])
                  AS gset
         FROM documents
-        WHERE doc_id < 150 AND LEN(STRING_SPLIT(text, ' ')) >= 3
+        WHERE doc_id < 300 AND LEN(STRING_SPLIT(text, ' ')) >= 3
     ), pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                LEN(LIST_FILTER(a.gset, g -> LIST_CONTAINS(b.gset, g))) AS n_shared,
@@ -196,7 +196,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_a, doc_b,
            ROUND(CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared), 6) AS jaccard
     FROM pairs
-    WHERE CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) >= 0.1
+    WHERE CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) >= 0.05
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -205,7 +205,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash bands generate the candidates and this formula verifies)."""
     docs = (
         load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 150)
+        .filter(F.col("doc_id") < 300)
         .filter(F.size(F.split("text", " ")) >= 3)
         .select(
             "doc_id",
@@ -221,7 +221,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("b.gset").alias("n_b"),
     )
     jac = F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
-    return pairs.filter(jac >= 0.1).select(
+    return pairs.filter(jac >= 0.05).select(
         "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     )
 
