@@ -244,6 +244,29 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_bitwise",
+    oracle="""
+    SELECT event_type,
+           BIT_AND(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS k_and,
+           BIT_OR(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS k_or,
+           BIT_XOR(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS k_xor
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bitwise aggregates over the JSON payload field — order-insensitive
+    # by algebra, so exact across engines with no rounding discipline
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("long")
+    )
+    return ev.groupBy("event_type").agg(
+        F.bit_and("k").alias("k_and"),
+        F.bit_or("k").alias("k_or"),
+        F.bit_xor("k").alias("k_xor"),
+    )
+
+
+@register(
     "agg_collect_sorted",
     oracle="""
     SELECT l_returnflag, l_linestatus,

@@ -89,6 +89,25 @@ def stream_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipelines.stream_stateful_tws(spark, sf_dir)
 
 
+@register(
+    "stream_stream_join",
+    oracle="""
+    SELECT p.user_id, COUNT(*) AS n_pairs,
+           COUNT(DISTINCT p.event_id) AS n_purchases_with_click
+    FROM events p
+    JOIN events c ON p.user_id = c.user_id
+                 AND c.ts > p.ts
+                 AND c.ts <= p.ts + INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    GROUP BY p.user_id
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # after the replay drains, the state-bounded stream-stream join
+    # must equal the batch self-join with the same event-time bound
+    return pipelines.stream_stream_join(spark, sf_dir)
+
+
 @register("stream_foreachbatch_sink")
 def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     # weak: delivery-side audit (counts of newline-terminated JSON

@@ -139,6 +139,29 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "win_percent_rank_cume",
+    oracle="""
+    SELECT c_custkey,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY c_acctbal, c_custkey), 6)
+             AS bal_pct_rank,
+           ROUND(CUME_DIST() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY c_acctbal, c_custkey), 6)
+             AS bal_cume_dist
+    FROM customer
+    """,
+)
+def win_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+    )
+
+
+@register(
     "win_first_last",
     oracle="""
     SELECT user_id, event_id,

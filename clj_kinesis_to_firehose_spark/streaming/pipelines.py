@@ -337,6 +337,52 @@ def stream_stateful_tws(
     return _drain_update_stream(counted)
 
 
+def stream_stream_join(
+    spark: SparkSession, sf_dir: str, replay_dir: str | None = None
+) -> DataFrame:
+    """Stream-stream inner join with event-time bounds: each purchase
+    joined to the same user's clicks within the following hour.
+
+    Both sides carry watermarks and the join condition bounds the event-
+    time skew, so Spark retains exactly the state window it needs
+    (purchase state lives 1h + watermark, then is evicted) — the
+    stream-stream join is state-bounded and equals the batch join once
+    the replay drains. Aggregated per user so the exact oracle hashes a
+    compact, deterministic result.
+    """
+    replay = replay_dir or write_replay_slices(spark, sf_dir, n_slices=4)
+    ev = read_event_stream(spark, replay)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_event"),
+        )
+        .withWatermark("p_ts", "15 minutes")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("c_event"),
+        )
+        .withWatermark("c_ts", "15 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("p_ts"))
+        & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(F.col("p_user").alias("user_id"), "p_event", "c_event")
+    pairs = _run_to_memory(joined, "append")
+    return pairs.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("p_event").alias("n_purchases_with_click"),
+    )
+
+
 def stream_firehose_pipeline(
     spark: SparkSession,
     sf_dir: str,
