@@ -175,6 +175,35 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bounded_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .filter(F.size(F.split("text", " ")) >= 3)
+    )
+
+
+def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs (doc_a < doc_b, jaccard ≥ 0.05) on
+    the bounded doc range shared by dedup_ngram_jaccard and the
+    clustering operator."""
+    docs = _bounded_docs(spark, sf_dir).select(
+        "doc_id", F.array_distinct(shingles(F.col("text"), 3)).alias("gset")
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    pairs = a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.size(F.array_intersect("a.gset", "b.gset")).cast("double").alias("n_shared"),
+        F.size("a.gset").alias("n_a"),
+        F.size("b.gset").alias("n_b"),
+    )
+    jac = F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+    return pairs.filter(jac >= 0.05).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle="""
@@ -203,27 +232,79 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard similarity on a bounded doc range (the
     DuckDB-checkable twin of the MinHash path — at corpus scale the
     MinHash bands generate the candidates and this formula verifies)."""
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 300)
-        .filter(F.size(F.split("text", " ")) >= 3)
-        .select(
-            "doc_id",
-            F.array_distinct(shingles(F.col("text"), 3)).alias("gset"),
+    return _ngram_pairs(spark, sf_dir)
+
+
+@register(
+    "dedup_cluster_components",
+    oracle="""
+    WITH RECURSIVE grams AS (
+        SELECT doc_id,
+               LIST_DISTINCT([STRING_SPLIT(text, ' ')[i] || ' ' ||
+                              STRING_SPLIT(text, ' ')[i+1] || ' ' ||
+                              STRING_SPLIT(text, ' ')[i+2]
+                              FOR i IN RANGE(1, LEN(STRING_SPLIT(text, ' ')) - 1)])
+                 AS gset
+        FROM documents
+        WHERE doc_id < 300 AND LEN(STRING_SPLIT(text, ' ')) >= 3
+    ), rawpairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               LEN(LIST_FILTER(a.gset, g -> LIST_CONTAINS(b.gset, g))) AS n_shared,
+               LEN(a.gset) AS n_a, LEN(b.gset) AS n_b
+        FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+    ), pairs AS (
+        SELECT doc_a, doc_b FROM rawpairs
+        WHERE CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) >= 0.05
+    ), edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ), reach(s, d) AS (
+        SELECT doc_id, doc_id FROM grams
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    )
+    SELECT s AS doc_id, MIN(d) AS component_id FROM reach GROUP BY s
+    """,
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the
+    near-dup pair graph, each doc labeled with the min doc_id of its
+    component (the canonical representative a dedup pass would keep).
+
+    Iterative min-label propagation: labels start as doc_id; each round
+    every node takes the min of its own label and its neighbors', until
+    a fixpoint (driver-controlled loop, data stays distributed — the
+    standard Spark shape for iterative graph algorithms; rounds needed
+    = graph diameter, so near-dup clusters converge in 2-3 rounds).
+    The oracle is a DuckDB recursive-CTE transitive closure.
+    """
+    docs = _bounded_docs(spark, sf_dir).select("doc_id")
+    pairs = _ngram_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.selectExpr("doc_a AS s", "doc_b AS d").unionByName(
+        pairs.selectExpr("doc_b AS s", "doc_a AS d")
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("component_id"))
+    edges = edges.localCheckpoint(eager=True)  # pairs are reused every round
+    for _ in range(10):  # diameter bound; fixture clusters are tiny
+        msgs = edges.join(
+            labels, edges.s == labels.doc_id
+        ).select(F.col("d").alias("doc_id"), "component_id")
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("component_id").alias("component_id"))
+        ).localCheckpoint(eager=True)  # truncate the iterative lineage
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component_id") != F.col("o.component_id"))
+            .count()
         )
-    )
-    a, b = docs.alias("a"), docs.alias("b")
-    pairs = a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.size(F.array_intersect("a.gset", "b.gset")).cast("double").alias("n_shared"),
-        F.size("a.gset").alias("n_a"),
-        F.size("b.gset").alias("n_b"),
-    )
-    jac = F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
-    return pairs.filter(jac >= 0.05).select(
-        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
-    )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
 
 
 @register(

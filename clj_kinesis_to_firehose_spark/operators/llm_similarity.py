@@ -134,6 +134,43 @@ def _signature_udf():
     return signatures
 
 
+@register(
+    "vector_normalize",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    )
+    SELECT vec_id,
+           ROUND(SQRT(LIST_SUM(LIST_TRANSFORM(e, x -> x * x))), 4) AS l2_norm,
+           ROUND(e[1] / SQRT(LIST_SUM(LIST_TRANSFORM(e, x -> x * x))), 6)
+             AS first_unit,
+           ROUND(SQRT(LIST_SUM(LIST_TRANSFORM(
+                 LIST_TRANSFORM(e, x -> x / SQRT(LIST_SUM(LIST_TRANSFORM(e, y -> y * y)))),
+                 x -> x * x))), 6) AS norm_after
+    FROM v
+    """,
+)
+def vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization of the embedding column — the prep step every
+    cosine pipeline wants (normalized vectors turn cosine into a plain
+    dot product, halving the pairwise arithmetic at scale)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    norm = F.sqrt(F.aggregate("e", F.lit(0.0), lambda s, x: s + x * x))
+    with_norm = emb.withColumn("l2_norm_raw", norm)
+    unit = F.transform("e", lambda x: x / F.col("l2_norm_raw"))
+    return with_norm.select(
+        "vec_id",
+        F.round("l2_norm_raw", 4).alias("l2_norm"),
+        F.round(F.element_at("e", 1) / F.col("l2_norm_raw"), 6).alias("first_unit"),
+        F.round(
+            F.sqrt(F.aggregate(unit, F.lit(0.0), lambda s, x: s + x * x)), 6
+        ).alias("norm_after"),
+    )
+
+
 @register("sim_ann_lsh")
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via multi-table random-hyperplane LSH (weak

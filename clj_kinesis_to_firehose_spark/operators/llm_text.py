@@ -208,6 +208,35 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_clean_redact",
+    oracle="""
+    SELECT doc_id,
+           REGEXP_REPLACE(
+             REGEXP_REPLACE(text, '[0-9]+', '<NUM>', 'g'),
+             '(key|value)', '<KW>', 'g') AS redacted,
+           LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g'))
+             AS n_digit_chars
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def text_clean_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text cleaning / redaction pass (the PII-scrub shape of a
+    pretraining pipeline): pattern classes replaced by placeholder
+    tokens, with a digit-count audit column. Pure regexp_replace —
+    single scan, codegen, pushdown-friendly."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", "[0-9]+", "<NUM>"), "(key|value)", "<KW>"
+        ).alias("redacted"),
+        (
+            F.length("text") - F.length(F.regexp_replace("text", "[0-9]", ""))
+        ).cast("long").alias("n_digit_chars"),
+    )
+
+
+@register(
     "text_fingerprint",
     oracle="""
     SELECT doc_id,

