@@ -1,0 +1,334 @@
+"""Event-analytics operators: funnel conversion, cohort retention,
+sessionization statistics, modal values, and time-bucketed rollups.
+
+These are the query shapes a product-analytics user of a
+Kinesis→Firehose event pipeline runs downstream of delivery (the
+reference moves the events; an engine that replaces it must also be
+able to answer the questions asked of them). All are pure DataFrame
+compositions — conditional aggregation, gaps-and-islands windows,
+date bucketing — that Catalyst plans as scan → partial agg → one
+shuffle per grouping, so they hold at 100 TB: the only shuffles are
+on `user_id` (high-cardinality, well distributed) or on coarse
+(day, event_type) buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from clj_kinesis_to_firehose_spark.registry import register
+from clj_kinesis_to_firehose_spark.sources import load_table
+
+#: ordered funnel stages over events.event_type
+FUNNEL_STAGES = ["signup", "view", "purchase"]
+
+#: sessionization gap (seconds) for funnel/session stats
+SESSION_GAP_S = 30 * 60
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS ts1 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ), s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS ts2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'view' AND e.ts > s1.ts1
+        GROUP BY e.user_id
+    ), s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS ts3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.ts2
+        GROUP BY e.user_id
+    )
+    SELECT '1_signup' AS stage, COUNT(*) AS n_users FROM s1
+    UNION ALL
+    SELECT '2_view' AS stage, COUNT(*) AS n_users FROM s2
+    UNION ALL
+    SELECT '3_purchase' AS stage, COUNT(*) AS n_users FROM s3
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who signed up, then viewed strictly after
+    signup, then purchased strictly after that first view.
+
+    Each stage is one groupBy(user_id) min-aggregation joined to the
+    previous stage's result — the per-stage frontier (one row per
+    surviving user) shrinks monotonically, so at scale each join's
+    right side is the smallest relation so far and AQE will broadcast
+    it once it fits. No window state, no per-user event lists.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    stage_min = None
+    frontiers = []
+    for etype in FUNNEL_STAGES:
+        cur = ev.filter(F.col("event_type") == etype)
+        if stage_min is None:
+            cur_min = cur.groupBy("user_id").agg(F.min("ts").alias("ts_stage"))
+        else:
+            cur_min = (
+                cur.join(stage_min.withColumnRenamed("ts_stage", "ts_prev"), "user_id")
+                .filter(F.col("ts") > F.col("ts_prev"))
+                .groupBy("user_id")
+                .agg(F.min("ts").alias("ts_stage"))
+            )
+        frontiers.append(cur_min)
+        stage_min = cur_min
+
+    counts = [
+        f.agg(F.count("*").alias("n_users")).select(
+            F.lit(f"{i + 1}_{etype}").alias("stage"), "n_users"
+        )
+        for i, (etype, f) in enumerate(zip(FUNNEL_STAGES, frontiers))
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+@register(
+    "retention_cohort",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), cohort AS (
+        SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id
+    )
+    SELECT CAST(c.cohort_day AS VARCHAR) AS cohort_day,
+           CAST(FLOOR(DATE_DIFF('day', c.cohort_day, d.day) / 7) AS BIGINT)
+             AS week_offset,
+           COUNT(DISTINCT d.user_id) AS n_active
+    FROM days d JOIN cohort c ON d.user_id = c.user_id
+    GROUP BY c.cohort_day, week_offset
+
+    """,
+)
+def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-active day, counted in
+    each subsequent week-offset bucket.
+
+    The (user, day) dedup and the cohort min both shuffle on user_id;
+    the final agg shuffles on the tiny (cohort_day, week_offset) key
+    space. DuckDB's DATE_DIFF('day', start, end) argument order is the
+    reverse of Spark's datediff(end, start) — mind the oracle.
+    """
+    days = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    cohort = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(cohort, "user_id")
+        .select(
+            "cohort_day",
+            F.floor(F.datediff("day", "cohort_day") / 7).alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        # dates travel as strings — the engines' date types hash differently
+        .select(
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            "week_offset",
+            "n_active",
+        )
+    )
+
+
+@register(
+    "sessionize_stats",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, value,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ), flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN prev_ts IS NULL
+                         OR EPOCH_US(ts) - EPOCH_US(prev_ts) > {SESSION_GAP_S} * 1000000
+                    THEN 1 ELSE 0 END AS new_session,
+               event_id
+        FROM ordered
+    ), numbered AS (
+        SELECT user_id, ts, value,
+               -- CAST: DuckDB window SUM(int) yields HUGEINT → float64 in
+               -- pandas; Spark yields long — align the hash representation
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS session_seq
+        FROM flagged
+    )
+    SELECT user_id, session_seq, COUNT(*) AS n_events,
+           EPOCH_US(MAX(ts)) - EPOCH_US(MIN(ts)) AS duration_us,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM numbered GROUP BY user_id, session_seq
+    """,
+)
+def sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session statistics via gaps-and-islands (30-min gap):
+    events per session, duration in µs, summed value.
+
+    One shuffle on user_id serves both window passes (lag + running
+    sum share the partitioning) and the final group-by composes the
+    session key onto the same keys, so Catalyst reuses the exchange.
+    Tie-break on event_id makes the island numbering deterministic
+    across engines. Duration is integer µs (unix_micros), not a
+    float second diff — no truncation-direction ambiguity.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (F.unix_micros("ts") - F.unix_micros("prev_ts") > SESSION_GAP_S * 1_000_000),
+                1,
+            ).otherwise(0),
+        )
+    )
+    numbered = flagged.withColumn(
+        "session_seq",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return numbered.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@register(
+    "agg_mode",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority AS modal_priority, n_orders FROM (
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+               ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+        FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ) WHERE rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modal o_orderpriority per o_orderstatus with a deterministic
+    (count desc, priority asc) tie-break — Spark's built-in `mode()`
+    is tie-nondeterministic across engines, so the portable form is
+    count + row_number, which also partial-aggregates map-side.
+    """
+    counts = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("n_orders"), F.asc("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("modal_priority"),
+            "n_orders",
+        )
+    )
+
+
+@register(
+    "time_bucket_rollup",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               COUNT(*) AS n_events, ROUND(SUM(value), 2) AS day_value
+        FROM events GROUP BY day, event_type
+    )
+    SELECT CAST(day AS VARCHAR) AS day, event_type, n_events, day_value,
+           ROUND(AVG(day_value) OVER (PARTITION BY event_type ORDER BY day
+                                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+             AS ma7_value
+    FROM daily
+    """,
+)
+def time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous rollup: raw events → daily buckets
+    per event_type, plus a 7-day trailing average of the daily sums.
+
+    The daily agg collapses ~(days × types) groups before the window
+    runs, so the window input is tiny regardless of raw volume — the
+    100 TB pattern is exactly this: aggregate first, window over the
+    rollup. The moving average reads the ROUNDED daily sums (frame of
+    ≤7 fixed-order values), keeping the float result cross-engine
+    stable at 4 dp.
+    """
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("day_value"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    return (
+        daily.withColumn("ma7_value", F.round(F.avg("day_value").over(w), 4))
+        # dates travel as strings — the engines' date types hash differently
+        .withColumn("day", F.col("day").cast("string"))
+    )
+
+
+@register(
+    "corpus_curation",
+    oracle="""
+    WITH filtered AS (
+        SELECT doc_id, text, source, n_chars FROM documents
+        WHERE lang = 'en'
+          AND n_chars BETWEEN 40 AND 120
+          AND LEN(STRING_SPLIT(text, ' ')) >= 8
+    ), deduped AS (
+        SELECT MIN(doc_id) AS doc_id, text, MIN(source) AS source,
+               MIN(n_chars) AS n_chars
+        FROM filtered GROUP BY text
+    )
+    SELECT source, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 4) AS avg_chars
+    FROM deduped GROUP BY source
+    """,
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus curation: language filter + length /
+    token-count quality gates + exact dedup (deterministic min-doc_id
+    winner), reported per source.
+
+    This is the composition a 100 TB pretraining pipeline runs as one
+    job: the quality predicates are pushed into the parquet scan, the
+    dedup is a single hash-agg shuffle on text (content key — uniform),
+    and the per-source report rides a second tiny shuffle. The
+    min(source)/min(n_chars) pairing keeps the surviving metadata
+    deterministic rather than row-order-dependent.
+    """
+    filtered = (
+        load_table(spark, sf_dir, "documents")
+        .filter(
+            (F.col("lang") == "en")
+            & F.col("n_chars").between(40, 120)
+            & (F.size(F.split("text", " ")) >= 8)
+        )
+        .select("doc_id", "text", "source", "n_chars")
+    )
+    deduped = filtered.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("source").alias("source"),
+        F.min("n_chars").alias("n_chars"),
+    )
+    return deduped.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )

@@ -1,0 +1,182 @@
+"""Embedding clustering and IVF approximate nearest-neighbor search.
+
+`embedding_kmeans` is distributed Lloyd's iteration: assignment is a
+vectorized Arrow-batch matmul against a broadcast centroid matrix
+(one Python crossing per batch), the centroid update is a
+posexplode → (cluster, dim) hash-agg, and only the k×dim centroid
+means (512 doubles here) ever return to the driver per iteration —
+the same bounded-collect shape Spark MLlib's KMeans uses. At 100 TB
+the fit runs on a sample and the final assignment is a single
+map-only pass; nothing in the loop scales with corpus size except
+the two aggregations.
+
+`sim_ann_ivf` is the IVF index built from those centroids: probes
+search only their `NPROBE` nearest cells, cutting scored candidates
+to ~NPROBE/K of the corpus (vs the LSH variant's union-of-buckets
+selectivity; IVF gives a hard candidate-fraction bound, which is the
+property you provision memory against on a 1000-executor cluster).
+
+Both are `weak` oracles (iterative float algorithms DuckDB SQL can't
+express); tests/test_weak_ops.py asserts partition invariants,
+inertia monotonicity, and ≥0.8 recall vs `sim_topk_exact`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from clj_kinesis_to_firehose_spark.operators.llm_similarity import (
+    PROBE_IDS,
+    TOP_K,
+    cosine,
+)
+from clj_kinesis_to_firehose_spark.registry import register
+from clj_kinesis_to_firehose_spark.sources import load_table
+
+K_CLUSTERS = 8
+KMEANS_ITERS = 5
+NPROBE = 2
+DIM = 64
+
+
+def _assign_udf(centroids: np.ndarray):
+    """cluster = argmin_c ||x - c||² for an Arrow batch of embeddings,
+    as one (rows × dim) @ (dim × k) matmul. Ties break to the lowest
+    cluster id (np.argmin), deterministically."""
+    cmat = centroids.T.copy()  # dim × k
+    cnorm = (centroids**2).sum(axis=1)  # k
+
+    @F.pandas_udf("int")
+    def assign(emb: pd.Series) -> pd.Series:
+        mat = np.vstack(emb.to_numpy())
+        # ||x-c||² = ||x||² - 2 x·c + ||c||²; ||x||² is constant per row
+        scores = -2.0 * (mat @ cmat) + cnorm
+        return pd.Series(np.argmin(scores, axis=1).astype("int32"))
+
+    return assign
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+
+
+def _fit_kmeans(
+    spark: SparkSession, sf_dir: str
+) -> tuple[np.ndarray, DataFrame, list[float]]:
+    """Lloyd's iterations; returns (centroids, assignment df builder
+    input, per-iteration inertia). Deterministic: init = the K lowest
+    vec_ids, fixed iteration count, argmin tie-break by cluster id."""
+    emb = _embeddings(spark, sf_dir)
+    init_rows = emb.orderBy("vec_id").limit(K_CLUSTERS).collect()  # bounded: k rows
+    centroids = np.array([r["e"] for r in init_rows], dtype="float64")
+
+    inertia: list[float] = []
+    assigned = None
+    for _ in range(KMEANS_ITERS):
+        assigned = emb.withColumn("cluster", _assign_udf(centroids)(F.col("e")))
+        # centroid update: (cluster, dim) sums — k×dim rows back to driver
+        sums = (
+            assigned.select("cluster", F.posexplode("e").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(
+                F.sum("val").alias("s"),
+                F.sum(F.col("val") * F.col("val")).alias("ss"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        new_c = centroids.copy()  # empty cluster keeps its old centroid
+        iter_inertia = 0.0
+        for r in sums:
+            mu = r["s"] / r["n"]
+            new_c[r["cluster"], r["pos"]] = mu
+            # Σ||x−μ||² per (cluster,dim) = Σx² − n·μ² — inertia wrt the
+            # UPDATED centroids, free from the same agg (Lloyd's decreases
+            # it monotonically across iterations; the test asserts that)
+            iter_inertia += r["ss"] - r["n"] * mu * mu
+        inertia.append(iter_inertia)
+        centroids = new_c
+    # final assignment against the converged centroids
+    assigned = emb.withColumn("cluster", _assign_udf(centroids)(F.col("e")))
+    return centroids, assigned, inertia
+
+
+@register("embedding_kmeans")
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means over the embedding corpus (k=8, 5 Lloyd iterations,
+    deterministic init). Returns per-cluster size and the rounded mean
+    distance-to-centroid — the summary a corpus-balancing pipeline
+    reads to decide IVF cell counts."""
+    centroids, assigned, _ = _fit_kmeans(spark, sf_dir)
+    cent_df = spark.createDataFrame(
+        [(i, [float(v) for v in centroids[i]]) for i in range(K_CLUSTERS)],
+        "cluster int, c array<double>",
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with("e", "c", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+    )
+    return (
+        assigned.join(F.broadcast(cent_df), "cluster")
+        .withColumn("dist", dist)
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.avg("dist"), 4).alias("avg_dist"),
+        )
+    )
+
+
+@register("sim_ann_ivf")
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: kmeans cells + nprobe=2 probing, exact cosine within
+    the probed cells, top-k per probe (rank by rounded cosine then
+    neighbor_id, like sim_topk_exact)."""
+    centroids, assigned, _ = _fit_kmeans(spark, sf_dir)
+    cent_df = spark.createDataFrame(
+        [(i, [float(v) for v in centroids[i]]) for i in range(K_CLUSTERS)],
+        "cluster int, c array<double>",
+    )
+    probes = assigned.filter(F.col("vec_id").isin(PROBE_IDS)).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe")
+    )
+    # probe → its NPROBE nearest cells (probes × k pairs — tiny)
+    d2 = F.aggregate(
+        F.zip_with("pe", "c", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    wp = Window.partitionBy("probe_id").orderBy("d2", "cluster")
+    probe_cells = (
+        F.broadcast(probes)
+        .crossJoin(F.broadcast(cent_df))
+        .withColumn("d2", d2)
+        .withColumn("cell_rank", F.row_number().over(wp))
+        .filter(F.col("cell_rank") <= NPROBE)
+        .select("probe_id", "pe", "cluster")
+    )
+    scored = (
+        F.broadcast(probe_cells)
+        .join(assigned, "cluster")  # candidates: only vectors in probed cells
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("pe"), F.col("e")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= TOP_K)
+    )

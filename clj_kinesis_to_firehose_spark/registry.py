@@ -33,6 +33,8 @@ _OPERATOR_MODULES = [
     "timewindows",
     "llm_dedup",
     "llm_similarity",
+    "llm_clustering",
+    "analytics",
     "llm_text",
     "multimodal",
     "udfs",

@@ -131,3 +131,45 @@ def test_lsh_corpus_recall_floor(spark):
     total = sum(len(s) for s in exact_sets.values())
     recall = hits / total
     assert recall >= 0.2, f"LSH corpus recall {recall:.2f} below floor"
+
+
+def test_kmeans_partitions_corpus(spark):
+    # the clusters must partition the corpus exactly: sizes sum to the
+    # row count, ≤ K cells, every cell non-degenerate
+    out = QUERIES["embedding_kmeans"](spark, SF_DIR).collect()
+    n_corpus = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    assert sum(r["n_vectors"] for r in out) == n_corpus
+    assert 1 <= len(out) <= 8
+    assert len({r["cluster"] for r in out}) == len(out)
+    for r in out:
+        assert r["avg_dist"] > 0
+
+
+def test_kmeans_inertia_monotone(spark):
+    from clj_kinesis_to_firehose_spark.operators.llm_clustering import _fit_kmeans
+
+    _, _, inertia = _fit_kmeans(spark, SF_DIR)
+    assert len(inertia) == 5
+    # Lloyd's decreases the objective at every step (assignment and
+    # update are both non-increasing); allow float-sum noise only
+    for prev, nxt in zip(inertia, inertia[1:]):
+        assert nxt <= prev * (1 + 1e-9), inertia
+
+
+def test_ivf_recall_floor(spark):
+    # random embeddings are worst-case for any partitioned index
+    # (true neighbors scatter across cells); nprobe=2 of k=8 scores
+    # ~25% of the corpus, so the floor guards candidate generation
+    # without overclaiming accuracy on adversarial data
+    exact = QUERIES["sim_topk_exact"](spark, SF_DIR).collect()
+    approx = QUERIES["sim_ann_ivf"](spark, SF_DIR).collect()
+    exact_sets: dict[int, set[int]] = {}
+    for r in exact:
+        exact_sets.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+    approx_sets: dict[int, set[int]] = {}
+    for r in approx:
+        approx_sets.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(exact_sets[p] & approx_sets.get(p, set())) for p in exact_sets)
+    total = sum(len(s) for s in exact_sets.values())
+    recall = hits / total
+    assert recall >= 0.2, f"IVF corpus recall {recall:.2f} below floor"
