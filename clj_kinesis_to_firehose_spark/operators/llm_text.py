@@ -101,7 +101,10 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = docs.count()  # scalar; corpus cardinality, driver-side once
     tokens = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = tokens.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df = tokens.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # df falls out of tf (one row per doc×term), so deriving it there
+    # reuses tf's shuffle (ReusedExchange) instead of re-exploding and
+    # re-shuffling the full token stream through a countDistinct expand
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = tf.join(F.broadcast(df), "term").select(
         "doc_id",
         "term",

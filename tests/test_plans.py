@@ -101,3 +101,40 @@ def test_events_scan_prunes_to_needed_columns(spark):
     df = QUERIES["json_extract"](spark, SF_DIR)
     schemas = audit.read_schemas(df)
     assert all("value" not in s and "user_id" not in s for s in schemas), schemas
+
+def test_sessionize_single_shuffle(spark):
+    # both window passes (lag, running sum) and the final group-by share
+    # the hash(user_id) exchange — HashPartitioning(user_id) satisfies
+    # ClusteredDistribution(user_id, session_seq) by the subset rule, so
+    # the whole gaps-and-islands pipeline is one shuffle end-to-end
+    df = QUERIES["sessionize_stats"](spark, SF_DIR)
+    assert audit.n_shuffles(df) == 1, audit.formatted_plan(df)
+
+
+def test_corpus_curation_pushes_quality_gates(spark):
+    # the sargable quality gates (lang equality, n_chars bounds) must
+    # reach the parquet scan; only the token-count predicate stays in
+    # the post-scan filter
+    df = QUERIES["corpus_curation"](spark, SF_DIR)
+    pushed = " ".join(audit.pushed_filters(df))
+    assert "EqualTo(lang,en)" in pushed, pushed
+    assert "GreaterThanOrEqual(n_chars,40)" in pushed, pushed
+    assert "LessThanOrEqual(n_chars,120)" in pushed, pushed
+
+
+def test_funnel_pushes_stage_filters_and_broadcasts_frontiers(spark):
+    # each stage's event_type equality prunes at the scan, and the
+    # shrinking per-user frontier joins are all broadcast — the fact
+    # scan never reshuffles for a frontier lookup
+    df = QUERIES["funnel_conversion"](spark, SF_DIR)
+    pushed = " ".join(audit.pushed_filters(df))
+    for stage in ("signup", "view", "purchase"):
+        assert f"EqualTo(event_type,{stage})" in pushed, pushed
+    assert audit.n_broadcast_joins(df) >= 3, audit.formatted_plan(df)
+
+
+def test_time_bucket_rollup_aggregates_before_window(spark):
+    # two shuffles: the daily rollup agg, then the tiny window input —
+    # the window must consume the aggregate, never the raw events
+    df = QUERIES["time_bucket_rollup"](spark, SF_DIR)
+    assert audit.n_shuffles(df) == 2, audit.formatted_plan(df)
