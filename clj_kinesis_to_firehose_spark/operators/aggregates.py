@@ -287,3 +287,30 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.col("l_quantity").cast("long"))), ","
         ).alias("qty_list")
     )
+
+
+@register("agg_approx_quantile")
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p90/p99 of o_totalprice per o_orderstatus via
+    approx_percentile (Greenwald-Khanna sketch, accuracy 1/1000).
+
+    Weak oracle: the sketch's merge order is engine- and
+    partitioning-dependent, so no SQL twin — tests/test_weak_ops.py
+    bounds the relative error against the exact interpolating
+    percentile instead. The sketch is the 100 TB path: fixed-size
+    state per partition, one merge per key, no full sort — exact
+    percentiles (agg_percentile) need a per-group sort that the
+    sketch avoids entirely.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    q = orders.groupBy("o_orderstatus").agg(
+        F.percentile_approx(
+            "o_totalprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 1000
+        ).alias("qs")
+    )
+    return q.select(
+        "o_orderstatus",
+        F.round(F.element_at("qs", 1), 2).alias("p50_approx"),
+        F.round(F.element_at("qs", 2), 2).alias("p90_approx"),
+        F.round(F.element_at("qs", 3), 2).alias("p99_approx"),
+    )

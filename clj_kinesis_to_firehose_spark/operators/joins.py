@@ -316,3 +316,64 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nation.crossJoin(F.broadcast(region)).select(
         "n_name", F.col("r_name").alias("candidate_region")
     )
+
+
+@register(
+    "join_range_bucketed",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS n_matches,
+           ROUND(AVG(l_extendedprice), 2) AS avg_price
+    FROM lineitem JOIN part
+      ON l_extendedprice BETWEEN p_retailprice - 50 AND p_retailprice + 50
+    GROUP BY p_brand
+    """,
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (interval-overlap predicate) executed as an equi-join
+    on integer buckets plus a refining filter — the standard rewrite
+    that keeps a pure-inequality join off the nested-loop path.
+
+    Each part lands in bucket floor(price/W); each lineitem's match
+    interval [v-50, v+50] spans at most ceil(2·50/W)+1 = 2 buckets at
+    W=100, so the fact side replicates ≤2× (array_distinct keeps the
+    pair space duplicate-free when both endpoints share a bucket).
+    Catalyst then plans a hash join on the bucket key instead of
+    BroadcastNestedLoopJoin, which is the difference between O(n·m)
+    compares and O(n+m) hashing at 100 TB — pick W ≈ the interval
+    width so replication stays ≤2× while buckets stay selective.
+    """
+    W = 100.0
+    HALF = 50.0
+    part = load_table(spark, sf_dir, "part").select(
+        "p_brand",
+        "p_retailprice",
+        F.floor(F.col("p_retailprice") / W).alias("bucket"),
+    )
+    line = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_extendedprice")
+        .select(
+            "l_extendedprice",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.floor((F.col("l_extendedprice") - HALF) / W),
+                        F.floor((F.col("l_extendedprice") + HALF) / W),
+                    )
+                )
+            ).alias("bucket"),
+        )
+    )
+    return (
+        line.join(F.broadcast(part), "bucket")
+        .filter(
+            F.col("l_extendedprice").between(
+                F.col("p_retailprice") - HALF, F.col("p_retailprice") + HALF
+            )
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_matches"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        )
+    )

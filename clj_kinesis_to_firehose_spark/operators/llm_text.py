@@ -261,3 +261,53 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bag_fp"
         ),
     )
+
+
+@register(
+    "text_ngram_freq",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+    ), bigrams AS (
+        -- RANGE(1, LEN(t)) is empty for single-token docs, so no
+        -- degenerate bigrams (DuckDB 1.0 has no WITH ORDINALITY)
+        SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t)),
+                                     i -> t[i] || ' ' || t[i + 1])) AS bigram
+        FROM toks
+    )
+    SELECT bigram, n_occurrences, freq_rank FROM (
+        SELECT bigram, COUNT(*) AS n_occurrences,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, bigram) AS freq_rank
+        FROM bigrams GROUP BY bigram
+    ) WHERE freq_rank <= 40
+    """,
+)
+def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequencies, top-40 with a deterministic
+    (count desc, bigram) tie-break — the n-gram statistics pass of a
+    language-model data pipeline.
+
+    Bigrams come from one slice-transform over the token array (no
+    positional self-join like the SQL oracle needs): linear scan →
+    explode → one hash agg. The DuckDB twin builds the same windows
+    with LIST_TRANSFORM over an index range.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("bigram"))
+    return counts.select(
+        "bigram", "n_occurrences", F.row_number().over(w).alias("freq_rank")
+    ).filter(F.col("freq_rank") <= 40)

@@ -138,3 +138,13 @@ def test_time_bucket_rollup_aggregates_before_window(spark):
     # the window must consume the aggregate, never the raw events
     df = QUERIES["time_bucket_rollup"](spark, SF_DIR)
     assert audit.n_shuffles(df) == 2, audit.formatted_plan(df)
+
+
+def test_range_join_avoids_nested_loop(spark):
+    # the bucketed rewrite must give Catalyst an equi-key: the plan is
+    # a hash join on bucket, never BroadcastNestedLoopJoin over the
+    # raw interval predicate
+    df = QUERIES["join_range_bucketed"](spark, SF_DIR)
+    plan = audit.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert audit.n_broadcast_joins(df) >= 1, plan

@@ -173,3 +173,22 @@ def test_ivf_recall_floor(spark):
     total = sum(len(s) for s in exact_sets.values())
     recall = hits / total
     assert recall >= 0.2, f"IVF corpus recall {recall:.2f} below floor"
+
+
+def test_approx_quantile_within_1pct(spark, oracle_con):
+    approx = {
+        r["o_orderstatus"]: (r["p50_approx"], r["p90_approx"], r["p99_approx"])
+        for r in QUERIES["agg_approx_quantile"](spark, SF_DIR).collect()
+    }
+    exact = {
+        r[0]: (r[1], r[2], r[3])
+        for r in oracle_con.execute(
+            """SELECT o_orderstatus, QUANTILE_CONT(o_totalprice, 0.5),
+                      QUANTILE_CONT(o_totalprice, 0.9), QUANTILE_CONT(o_totalprice, 0.99)
+               FROM orders GROUP BY o_orderstatus"""
+        ).fetchall()
+    }
+    assert set(approx) == set(exact)
+    for st, (a50, a90, a99) in approx.items():
+        for a, e in zip((a50, a90, a99), exact[st]):
+            assert abs(a - e) / e <= 0.01, (st, a, e)
