@@ -377,3 +377,50 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
         )
     )
+
+
+@register(
+    "join_asof_forward",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts,
+           (SELECT p.value FROM events p
+            WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+              AND p.ts > e.ts
+            ORDER BY p.ts ASC, p.event_id ASC LIMIT 1) AS next_purchase_value
+    FROM events e
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: for every event, the value of the same
+    user's earliest strictly-later purchase — the mirror of join_asof,
+    same union-tag + single-sort plan, frame flipped to FOLLOWING.
+
+    Builds sort *before* probes on ts ties (desc(is_build)), so the
+    1-row-forward frame start excludes same-instant purchases and the
+    "strictly later" semantics fall out of the sort order; still one
+    shuffle on user_id and a linear scan per partition.
+    """
+    events = load_table(spark, sf_dir, "events")
+    probe = events.select(
+        "event_id", "user_id", "ts",
+        F.lit(0).alias("is_build"),
+        F.lit(None).cast("double").alias("pvalue"),
+    )
+    build = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts",
+        F.lit(1).alias("is_build"),
+        F.col("value").alias("pvalue"),
+    )
+    tagged = probe.unionByName(build)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.desc("is_build"), "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    return (
+        tagged.withColumn(
+            "next_purchase_value", F.first("pvalue", ignorenulls=True).over(w)
+        )
+        .filter(F.col("is_build") == 0)
+        .select("event_id", "user_id", "ts", "next_purchase_value")
+    )

@@ -188,3 +188,38 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("value").over(w).alias("first_in_hour"),
         F.last("value").over(w).alias("last_in_hour"),
     )
+
+
+@register(
+    "win_time_range_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY EPOCH_US(ts)
+                                  RANGE BETWEEN 3600000000 PRECEDING
+                                  AND CURRENT ROW), 2) AS trailing_1h_value
+    FROM events
+    """,
+)
+def win_time_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour sum of value per user — a RANGE frame over
+    event time (integer µs), the time-interval window Spark expresses
+    with rangeBetween on a numeric ordering column.
+
+    RANGE semantics make same-instant rows frame-equivalent on both
+    engines, so no tie-break is needed; one shuffle on user_id, and
+    the frame state at scale is bounded by events-per-user-per-hour,
+    not partition size.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("trailing_1h_value"),
+    )
