@@ -179,3 +179,93 @@ def string_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.groupBy("c_nationkey").agg(
         F.array_join(F.array_sort(F.collect_list("c_name")), "|").alias("member_names")
     )
+
+
+@register(
+    "merge_upsert",
+    oracle="""
+    WITH updates AS (
+        -- +100.0 and *0.5 are exact in IEEE double arithmetic, so the
+        -- merged values are bit-identical across engines with no rounding
+        SELECT o_orderkey, o_totalprice + 100.0 AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000 AS o_orderkey,
+               o_totalprice * 0.5 AS o_totalprice
+        FROM orders WHERE o_orderkey % 1000 = 0
+    )
+    SELECT COALESCE(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+           COALESCE(u.o_totalprice, b.o_totalprice) AS o_totalprice,
+           CASE WHEN b.o_orderkey IS NULL THEN 'inserted'
+                WHEN u.o_orderkey IS NULL THEN 'unchanged'
+                ELSE 'updated' END AS merge_action
+    FROM orders b FULL OUTER JOIN updates u ON b.o_orderkey = u.o_orderkey
+    """,
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE (SCD1 upsert) semantics in pure DataFrame ops: a batch of
+    updates + inserts applied to a base table via full outer join and
+    column-wise COALESCE preferring the update side.
+
+    This is the batch-maintenance primitive behind every warehouse
+    MERGE INTO; without a transactional table format it is exactly a
+    key-partitioned full outer join — one shuffle on the merge key for
+    each side, update side usually far smaller (AQE broadcasts it).
+    The update/insert sets here derive deterministically from the base
+    so the oracle can rebuild them.
+    """
+    base = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    updates = (
+        base.filter(F.col("o_orderkey") % 10 == 0)
+        .select("o_orderkey", (F.col("o_totalprice") + 100.0).alias("o_totalprice"))
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 1000 == 0).select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                (F.col("o_totalprice") * 0.5).alias("o_totalprice"),
+            )
+        )
+    )
+    b = base.alias("b")
+    u = updates.alias("u")
+    return b.join(u, F.col("b.o_orderkey") == F.col("u.o_orderkey"), "full").select(
+        F.coalesce(F.col("u.o_orderkey"), F.col("b.o_orderkey")).alias("o_orderkey"),
+        F.coalesce(F.col("u.o_totalprice"), F.col("b.o_totalprice")).alias(
+            "o_totalprice"
+        ),
+        F.when(F.col("b.o_orderkey").isNull(), "inserted")
+        .when(F.col("u.o_orderkey").isNull(), "unchanged")
+        .otherwise("updated")
+        .alias("merge_action"),
+    )
+
+
+@register(
+    "scd2_history",
+    oracle="""
+    SELECT user_id, value AS purchase_value, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS BIGINT) AS version
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history derivation: each
+    user's purchase stream becomes versioned rows with
+    [valid_from, valid_to) intervals — valid_to NULL marks the current
+    version. One shuffle on user_id; lead + row_number share the sort.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        F.col("value").alias("purchase_value"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.row_number().over(w).cast("long").alias("version"),
+    )
