@@ -314,3 +314,25 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("qs", 2), 2).alias("p90_approx"),
         F.round(F.element_at("qs", 3), 2).alias("p99_approx"),
     )
+
+
+@register("agg_hll_sketch")
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL distinct-count sketches (Apache DataSketches):
+    per-(day, event_type) partial sketches, then hll_union_agg rolls
+    them up to per-event_type totals without touching raw rows again.
+
+    This two-level shape is THE incremental pattern at 100 TB: daily
+    partials persist beside the data, and any rollup window is a
+    union of fixed-size sketches instead of a re-scan. Weak oracle
+    (sketch binaries are engine-specific); the behavioral test bounds
+    the estimate against exact countDistinct.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sketch")
+    )
+    return daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_users"),
+        F.count("*").alias("n_partials"),
+    )

@@ -358,3 +358,54 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(F.col("raw_cosine") >= 0.3).select(
         "vec_a", "vec_b", F.round("raw_cosine", 4).alias("cosine")
     )
+
+
+@register(
+    "dedup_fuzzy_levenshtein",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, text, SUBSTRING(text, 1, 12) AS block,
+               LENGTH(text) AS len FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(LEVENSHTEIN(a.text, b.text) AS BIGINT) AS edit_dist
+    FROM d a JOIN d b
+      ON a.block = b.block AND a.doc_id < b.doc_id
+     AND ABS(a.len - b.len) <= 16
+    WHERE LEVENSHTEIN(a.text, b.text) <= 24
+    """,
+)
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy near-dup pairs by edit distance with prefix blocking:
+    only documents sharing a 12-char prefix block (and similar length)
+    are compared, then Levenshtein ≤ 24 confirms.
+
+    Blocking is what makes edit-distance dedup feasible at scale —
+    the equi-join on the block key bounds the pair space the O(n·m)
+    Levenshtein kernel ever sees, the same candidate-first shape as
+    the MinHash path (there the block key is a band bucket). Exact
+    oracle: both engines implement classic unweighted edit distance.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.substring("text", 1, 12).alias("block"),
+        F.length("text").alias("len"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.abs(F.col("a.len") - F.col("b.len")) <= 16),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("a.text"), F.col("b.text")).cast("long").alias(
+                "edit_dist"
+            ),
+        )
+        .filter(F.col("edit_dist") <= 24)
+    )

@@ -192,3 +192,20 @@ def test_approx_quantile_within_1pct(spark, oracle_con):
     for st, (a50, a90, a99) in approx.items():
         for a, e in zip((a50, a90, a99), exact[st]):
             assert abs(a - e) / e <= 0.01, (st, a, e)
+
+
+def test_hll_sketch_close_to_exact(spark, oracle_con):
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in QUERIES["agg_hll_sketch"](spark, SF_DIR).collect()
+    }
+    exact = dict(
+        oracle_con.execute(
+            "SELECT event_type, COUNT(DISTINCT user_id) FROM events GROUP BY event_type"
+        ).fetchall()
+    )
+    assert set(approx) == set(exact)
+    # lgK=12 HLL: relative error ~1.6%/sqrt(2^12)≈2.5% at 3 sigma for
+    # these cardinalities; 5% bound keeps the test robust
+    for et, n in exact.items():
+        assert abs(approx[et] - n) / n <= 0.05, (et, approx[et], n)
