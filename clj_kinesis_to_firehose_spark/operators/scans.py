@@ -163,3 +163,41 @@ def route_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_records"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+@register("maintenance_compact")
+def maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction (weak check): rewrite a fragmented
+    dataset into target-sized files and report the before/after layout.
+
+    The small-files problem is a first-order 100 TB failure mode — a
+    streaming sink dribbling KB-scale parquet per trigger turns every
+    downstream scan into a metadata storm. The fix is this maintenance
+    pass: read the fragmented layout, repartition to ceil(bytes /
+    target_file_size) output partitions, rewrite, swap. Here the
+    fragmentation is simulated (64-way repartition of events), the
+    compaction targets ~4 output files, and the returned summary
+    proves row-losslessness plus the file-count collapse.
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    base = tempfile.mkdtemp(prefix="kf_compact_")
+    frag_dir = os.path.join(base, "fragmented")
+    compact_dir = os.path.join(base, "compacted")
+    events.repartition(64).write.mode("overwrite").parquet(frag_dir)
+
+    frag = spark.read.parquet(frag_dir)
+    n_frag_files = frag.select(F.input_file_name()).distinct().count()
+    # production sizing: n_out = ceil(dataset_bytes / 128 MiB); the
+    # fixture is tiny so target 4 to keep the assertion meaningful
+    frag.repartition(4).write.mode("overwrite").parquet(compact_dir)
+    back = spark.read.parquet(compact_dir)
+    n_compact_files = back.select(F.input_file_name()).distinct().count()
+
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.lit(n_frag_files).alias("n_files_before"),
+        F.lit(n_compact_files).alias("n_files_after"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )

@@ -209,3 +209,14 @@ def test_hll_sketch_close_to_exact(spark, oracle_con):
     # these cardinalities; 5% bound keeps the test robust
     for et, n in exact.items():
         assert abs(approx[et] - n) / n <= 0.05, (et, approx[et], n)
+
+
+def test_compaction_preserves_rows_and_collapses_files(spark, oracle_con):
+    row = QUERIES["maintenance_compact"](spark, SF_DIR).collect()[0]
+    exact_rows, exact_sum = oracle_con.execute(
+        "SELECT COUNT(*), ROUND(SUM(value), 2) FROM events"
+    ).fetchall()[0]
+    assert row["n_rows"] == exact_rows
+    assert row["n_files_after"] < row["n_files_before"]
+    assert row["n_files_after"] <= 4
+    assert abs(row["sum_value"] - exact_sum) < 0.05  # float-order tolerance
