@@ -201,3 +201,39 @@ def maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_compact_files).alias("n_files_after"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+@register("scan_schema_evolution")
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read (weak check): a dataset written in two
+    generations — generation 1 lacks a column that generation 2 adds —
+    reads back as one unified schema with NULL back-fill.
+
+    At 100 TB, schema drift across years of partitions is the norm,
+    not the exception; the contract is `mergeSchema` unioning parquet
+    footers plus NULL semantics for columns absent in old files (cheap
+    on read — no rewrite of historical partitions). The summary proves
+    both generations survive and the back-filled column is NULL exactly
+    for generation-1 rows.
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    base = tempfile.mkdtemp(prefix="kf_schema_evo_")
+    gen1 = events.filter(F.col("event_id") % 2 == 0)
+    gen2 = events.filter(F.col("event_id") % 2 == 1).withColumn(
+        "quality_tier",
+        F.when(F.col("value") > 100, "high").otherwise("standard"),
+    )
+    gen1.write.mode("overwrite").parquet(os.path.join(base, "gen=1"))
+    gen2.write.mode("overwrite").parquet(os.path.join(base, "gen=2"))
+
+    unified = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "gen=1"), os.path.join(base, "gen=2")
+    )
+    return unified.agg(
+        F.count("*").alias("n_rows"),
+        F.lit(len(unified.schema.fields)).alias("n_cols_unified"),
+        F.sum(F.col("quality_tier").isNull().cast("long")).alias("n_backfilled"),
+        F.sum((F.col("quality_tier") == "high").cast("long")).alias("n_high_tier"),
+    )

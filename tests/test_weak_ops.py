@@ -220,3 +220,14 @@ def test_compaction_preserves_rows_and_collapses_files(spark, oracle_con):
     assert row["n_files_after"] < row["n_files_before"]
     assert row["n_files_after"] <= 4
     assert abs(row["sum_value"] - exact_sum) < 0.05  # float-order tolerance
+
+
+def test_schema_evolution_backfills_old_generation(spark, oracle_con):
+    row = QUERIES["scan_schema_evolution"](spark, SF_DIR).collect()[0]
+    n_total, n_gen1 = oracle_con.execute(
+        "SELECT COUNT(*), SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) FROM events"
+    ).fetchall()[0]
+    assert row["n_rows"] == n_total
+    assert row["n_cols_unified"] == 5  # 4 base + evolved quality_tier
+    assert row["n_backfilled"] == n_gen1  # NULL exactly for gen-1 rows
+    assert 0 < row["n_high_tier"] < n_total - n_gen1
