@@ -180,3 +180,76 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("nn_rank", F.row_number().over(w))
         .filter(F.col("nn_rank") <= TOP_K)
     )
+
+
+def _pca_components(spark: SparkSession, sf_dir: str, n_comp: int = 2):
+    """Top principal components via distributed partial Gram matrices:
+    each Arrow batch contributes (count, Σx, XᵀX) — one numpy matmul —
+    and only those fixed-size partials (≤ #partitions rows of
+    64 + 64² doubles) reach the driver, where the d×d eigensolve is
+    trivial. This is the Spark MLlib PCA shape: nothing on the driver
+    scales with corpus size, only with dimension."""
+    emb = _embeddings(spark, sf_dir)
+
+    def gram_parts(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.vstack(pdf["e"].to_numpy())
+            yield pd.DataFrame(
+                {
+                    "n": [mat.shape[0]],
+                    "s": [mat.sum(axis=0).tolist()],
+                    "g": [(mat.T @ mat).ravel().tolist()],
+                }
+            )
+
+    parts = emb.select("e").mapInPandas(
+        gram_parts, "n long, s array<double>, g array<double>"
+    ).collect()  # bounded: one row per Arrow batch
+    n = sum(p["n"] for p in parts)
+    s = np.sum([p["s"] for p in parts], axis=0)
+    g = np.sum([p["g"] for p in parts], axis=0).reshape(DIM, DIM)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    comps = evecs[:, ::-1][:, :n_comp].T  # n_comp × dim, largest first
+    # eigenvector sign is arbitrary — normalize so the
+    # largest-magnitude coordinate is positive, for determinism
+    for i in range(n_comp):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mean, comps, evals[::-1][:n_comp]
+
+
+@register("embedding_pca_project")
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project the embedding corpus onto its top-2 principal
+    components (weak: iterative float eigensolve has no SQL twin;
+    the behavioral test checks variance ordering against the
+    eigenvalues).
+
+    Fit is one pass (partial Gram aggregation, see _pca_components);
+    projection is a second map-only pass with the 2×64 component
+    matrix closed over — the whole operator touches the corpus twice
+    and shuffles never, which is what makes PCA-whitening viable as a
+    pre-step for 100 TB embedding dedup/clustering pipelines.
+    """
+    mean, comps, _ = _pca_components(spark, sf_dir)
+    cmat = comps.T.copy()  # dim × 2
+    mu = mean.copy()
+
+    @F.pandas_udf("array<double>")
+    def project(emb: pd.Series) -> pd.Series:
+        mat = np.vstack(emb.to_numpy()) - mu
+        proj = mat @ cmat
+        return pd.Series(list(proj))
+
+    emb = _embeddings(spark, sf_dir)
+    out = emb.withColumn("pc", project(F.col("e")))
+    return out.select(
+        "vec_id",
+        F.round(F.element_at("pc", 1), 4).alias("pc1"),
+        F.round(F.element_at("pc", 2), 4).alias("pc2"),
+    )

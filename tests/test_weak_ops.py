@@ -231,3 +231,24 @@ def test_schema_evolution_backfills_old_generation(spark, oracle_con):
     assert row["n_cols_unified"] == 5  # 4 base + evolved quality_tier
     assert row["n_backfilled"] == n_gen1  # NULL exactly for gen-1 rows
     assert 0 < row["n_high_tier"] < n_total - n_gen1
+
+
+def test_pca_projection_matches_eigen_spectrum(spark):
+    from clj_kinesis_to_firehose_spark.operators.llm_clustering import (
+        _pca_components,
+    )
+
+    rows = QUERIES["embedding_pca_project"](spark, SF_DIR).collect()
+    n_corpus = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    assert len(rows) == n_corpus
+    import numpy as np
+
+    pc1 = np.array([r["pc1"] for r in rows])
+    pc2 = np.array([r["pc2"] for r in rows])
+    _, _, evals = _pca_components(spark, SF_DIR)
+    # projection variance along each component must equal its
+    # eigenvalue (population variance), and the spectrum must be ordered
+    assert evals[0] >= evals[1] > 0
+    assert abs(pc1.var() - evals[0]) / evals[0] < 0.02
+    assert abs(pc2.var() - evals[1]) / evals[1] < 0.02
+    assert pc1.var() >= pc2.var()
