@@ -332,3 +332,83 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
     )
+
+
+@register(
+    "event_pattern_match",
+    oracle="""
+    WITH purchases AS (
+        SELECT user_id, ts AS p_ts, event_id AS p_event_id, value
+        FROM events WHERE event_type = 'purchase'
+    ), views AS (
+        SELECT user_id, ts AS v_ts, event_id AS v_event_id
+        FROM events WHERE event_type = 'view'
+    )
+    SELECT v.user_id, v.v_event_id AS view_event_id,
+           p.p_event_id AS purchase_event_id,
+           EPOCH_US(p.p_ts) - EPOCH_US(v.v_ts) AS latency_us
+    FROM views v JOIN purchases p
+      ON v.user_id = p.user_id
+     AND p.p_ts > v.v_ts
+     -- literal, not 3600 * 1000000: DuckDB multiplies INT32 and overflows
+     AND EPOCH_US(p.p_ts) - EPOCH_US(v.v_ts) <= 3600000000
+    """,
+)
+def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern detection (MATCH_RECOGNIZE analog): every
+    view → purchase pair by the same user within one hour, with the
+    conversion latency.
+
+    The equi-key (user_id) carries the join; the temporal pattern is
+    a post-join range predicate — so this stays a hash join sized by
+    per-user event counts, not a nested loop. It is also the batch
+    twin of stream_stream_join's interval join, making the
+    batch/streaming parity of the pattern explicit.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_event_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_event_id"),
+    )
+    lat = F.unix_micros("p_ts") - F.unix_micros("v_ts")
+    return (
+        views.join(purchases, "user_id")
+        .filter((F.col("p_ts") > F.col("v_ts")) & (lat <= 3600 * 1_000_000))
+        .select(
+            "user_id", "view_event_id", "purchase_event_id", lat.alias("latency_us")
+        )
+    )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bin,
+           COUNT(*) AS n_orders,
+           ROUND(MIN(o_totalprice), 2) AS bin_min,
+           ROUND(MAX(o_totalprice), 2) AS bin_max
+    FROM orders GROUP BY bin
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (50k-wide bins): integer
+    bin arithmetic + one hash agg — the profile/summary scan every
+    data-quality pipeline runs first. Bin count is value-range-bounded
+    (independent of row count), so the shuffle is O(bins)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.floor(F.col("o_totalprice") / 50000).cast("long").alias("bin")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("bin_min"),
+            F.round(F.max("o_totalprice"), 2).alias("bin_max"),
+        )
+    )
