@@ -336,3 +336,32 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_users"),
         F.count("*").alias("n_partials"),
     )
+
+
+@register(
+    "agg_filtered",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_all,
+           COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+           COUNT(*) FILTER (WHERE l_quantity >= 25.0) AS n_bulk,
+           ROUND(SUM(l_quantity) FILTER (WHERE l_tax < 0.04), 2) AS qty_lowtax
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered aggregates (SQL FILTER clause): several differently-
+    conditioned aggregates in ONE scan + ONE hash aggregate, instead
+    of N self-joined subqueries — at 100 TB the difference between one
+    pass and four. Spark expresses FILTER as count/sum over CASE
+    (identical plan); the oracle uses the ANSI FILTER syntax.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+        F.count(F.when(F.col("l_quantity") >= 25.0, 1)).alias("n_bulk"),
+        F.round(
+            F.sum(F.when(F.col("l_tax") < 0.04, F.col("l_quantity"))), 2
+        ).alias("qty_lowtax"),
+    )

@@ -269,3 +269,37 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(w).alias("valid_to"),
         F.row_number().over(w).cast("long").alias("version"),
     )
+
+
+@register(
+    "join_lateral_topk",
+    oracle="""
+    SELECT n.n_name, c.c_custkey, ROUND(c.c_acctbal, 2) AS c_acctbal
+    FROM nation n, LATERAL (
+      SELECT c_custkey, c_acctbal FROM customer
+      WHERE c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+    ) c
+    """,
+)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT: the top-2
+    customers per nation, expressed at the SQL surface the way a
+    reference user would write it.
+
+    Catalyst decorrelates the lateral into a window (rank ≤ k) over a
+    single shuffle — same physical shape as topk_per_group — so the
+    SQL convenience costs nothing at scale.
+    """
+    nv = _temp_view(load_table(spark, sf_dir, "nation"), "lat_nation")
+    cv = _temp_view(load_table(spark, sf_dir, "customer"), "lat_cust")
+    return spark.sql(
+        f"""
+        SELECT n.n_name, c.c_custkey, ROUND(c.c_acctbal, 2) AS c_acctbal
+        FROM {nv} n, LATERAL (
+          SELECT c_custkey, c_acctbal FROM {cv}
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        ) c
+        """
+    )

@@ -251,3 +251,75 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "k").alias("k_value"),
         F.size(F.map_keys(m)).cast("long").alias("n_keys"),
     )
+
+
+@register(
+    "date_interval_arith",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS VARCHAR) AS plus_3m,
+           CAST(LAST_DAY(o_orderdate) AS VARCHAR) AS month_end,
+           QUARTER(o_orderdate) AS qtr,
+           DAYOFWEEK(o_orderdate) AS dow,
+           WEEKOFYEAR(o_orderdate) AS iso_week
+    FROM orders WHERE o_orderkey < 4000
+    """,
+)
+def date_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-interval arithmetic: month addition with end-of-month
+    clamping (Jan 31 + 3mo = Apr 30 on both engines), last_day,
+    quarter, day-of-week, ISO week.
+
+    DuckDB DAYOFWEEK is 0=Sunday; Spark dayofweek() is 1=Sunday, so
+    the Spark side subtracts 1. Both weekofyear() are ISO-8601.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 4000)
+    return orders.select(
+        "o_orderkey",
+        F.add_months("o_orderdate", 3).cast("string").alias("plus_3m"),
+        F.last_day("o_orderdate").cast("string").alias("month_end"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        (F.dayofweek("o_orderdate") - 1).cast("long").alias("dow"),
+        F.weekofyear("o_orderdate").cast("long").alias("iso_week"),
+    )
+
+
+@register(
+    "array_lambda_funcs",
+    oracle="""
+    SELECT vec_id,
+           LEN(LIST_FILTER(embedding, x -> x > 0)) AS n_pos,
+           ROUND(LIST_SUM(LIST_TRANSFORM(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS sum_sq,
+           LEN(LIST_FILTER(embedding, x -> x > 2.0)) > 0 AS any_big,
+           ROUND(LIST_MAX(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE))), 6)
+             AS max_elem
+    FROM embeddings
+    """,
+)
+def array_lambda_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (lambda forms): filter, transform,
+    exists, fold — the vector toolkit that keeps per-element work
+    JVM-side (codegen'd) instead of exploding rows or calling Python.
+
+    Fold accumulates float32 elements widened to double, left-to-right
+    on both engines; 4-dp round absorbs nothing here (same op order ⇒
+    bit-identical) but keeps the §5.3 discipline uniform.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > F.lit(0.0))).cast("long").alias("n_pos"),
+        F.round(
+            F.aggregate(
+                "embedding",
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            ),
+            4,
+        ).alias("sum_sq"),
+        F.exists("embedding", lambda x: x.cast("double") > F.lit(2.0)).alias("any_big"),
+        F.round(
+            F.array_max(F.transform("embedding", lambda x: x.cast("double"))), 6
+        ).alias("max_elem"),
+    )

@@ -223,3 +223,31 @@ def win_time_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(F.sum("value").over(w), 2).alias("trailing_1h_value"),
     )
+
+
+@register(
+    "win_nth_value",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(FIRST_VALUE(o_totalprice) OVER w, 2) AS first_price,
+           ROUND(NTH_VALUE(o_totalprice, 2) OVER w, 2) AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / nth_value(2) over the customer's order history.
+
+    Both engines default to RANGE UNBOUNDED PRECEDING..CURRENT ROW;
+    the (o_orderdate, o_orderkey) tiebreak makes rows peer-distinct so
+    the frame boundary is identical. nth_value is NULL until the
+    partition has seen 2 rows — same on both sides.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+        F.round(F.nth_value("o_totalprice", 2).over(w), 2).alias("second_price"),
+    )

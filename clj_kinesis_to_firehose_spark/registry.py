@@ -39,6 +39,7 @@ _OPERATOR_MODULES = [
     "multimodal",
     "udfs",
     "streaming_ops",
+    "quality",
 ]
 
 _loaded = False
