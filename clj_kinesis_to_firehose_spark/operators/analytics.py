@@ -412,3 +412,124 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("bin_max"),
         )
     )
+
+
+@register(
+    "ewma_smoothing",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, event_id, value,
+             LAG(value, 1) OVER w AS v1, LAG(value, 2) OVER w AS v2,
+             LAG(value, 3) OVER w AS v3, LAG(value, 4) OVER w AS v4
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, event_id,
+           ROUND((16.0 * value
+                  + 8.0 * COALESCE(v1, 0.0) + 4.0 * COALESCE(v2, 0.0)
+                  + 2.0 * COALESCE(v3, 0.0) + 1.0 * COALESCE(v4, 0.0))
+                 / (16.0
+                    + CASE WHEN v1 IS NULL THEN 0.0 ELSE 8.0 END
+                    + CASE WHEN v2 IS NULL THEN 0.0 ELSE 4.0 END
+                    + CASE WHEN v3 IS NULL THEN 0.0 ELSE 2.0 END
+                    + CASE WHEN v4 IS NULL THEN 0.0 ELSE 1.0 END), 4) AS ewma
+    FROM x
+    """,
+)
+def ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (α=1/2, 5-tap truncated
+    kernel) of event value per user — the smoothing pass a metrics
+    pipeline applies before anomaly thresholds.
+
+    Expressed as lag columns with explicit power-of-two weights and a
+    presence-normalized denominator: identical arithmetic order on
+    both engines (bit-exact before the 4-dp round), one shuffle on
+    user_id, and a fixed 5-row state per row regardless of history
+    length — unlike a recursive EWMA, this scales embarrassingly.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = [F.lag("value", i).over(w) for i in (1, 2, 3, 4)]
+    weights = [8.0, 4.0, 2.0, 1.0]
+    num = F.lit(16.0) * F.col("value")
+    den = F.lit(16.0)
+    for lg, wt in zip(lags, weights):
+        num = num + F.lit(wt) * F.coalesce(lg, F.lit(0.0))
+        den = den + F.when(lg.isNull(), F.lit(0.0)).otherwise(F.lit(wt))
+    return ev.select(
+        "user_id", "event_id", F.round(num / den, 4).alias("ewma")
+    )
+
+
+@register(
+    "ts_time_weighted_avg",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, value,
+             DATE_DIFF('microseconds', ts,
+                       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+               AS dt_us
+      FROM events)
+    SELECT user_id,
+           ROUND(SUM(value * dt_us) / SUM(dt_us), 4) AS twap
+    FROM x WHERE dt_us IS NOT NULL AND dt_us > 0 GROUP BY user_id
+    """,
+)
+def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of event value per user (TWAP): each
+    sample weighted by how long it was "current" (interval to the next
+    event). The standard irregular-time-series average — a plain AVG
+    over-weights bursts.
+
+    Intervals are exact integer microseconds (unix_micros difference),
+    so only the final weighted mean is floating; 4-dp round absorbs
+    partial-aggregation order drift. One window + one aggregate, both
+    shuffling on user_id.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dt = F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+    return (
+        ev.select("user_id", "value", dt.alias("dt_us"))
+        .filter(F.col("dt_us").isNotNull() & (F.col("dt_us") > 0))
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.col("value") * F.col("dt_us")) / F.sum("dt_us"), 4
+            ).alias("twap")
+        )
+    )
+
+
+@register(
+    "agg_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT user_id,
+           ROUND(-SUM((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))
+                      * LN(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))), 6)
+             AS type_entropy
+    FROM (SELECT user_id, event_type, n,
+                 SUM(n) OVER (PARTITION BY user_id) AS tot FROM c)
+    GROUP BY user_id
+    """,
+)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type distribution — the
+    behavioral-diversity signal a curation pipeline uses to separate
+    bots (near-zero entropy) from organic traffic.
+
+    Two-level aggregate: per-(user, type) counts, then a window total
+    and the -Σ p·ln p fold — at most |event_types| terms per user, so
+    the 6-dp round covers within-group order drift. Both shuffles are
+    on user_id.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = F.sum("n").over(Window.partitionBy("user_id"))
+    p = (F.col("n").cast("double") / tot.cast("double"))
+    return (
+        c.select("user_id", (p * F.log(p)).alias("term"))
+        .groupBy("user_id")
+        .agg(F.round(-F.sum("term"), 6).alias("type_entropy"))
+    )

@@ -1,0 +1,85 @@
+"""Graph operators over the star schema's implicit relationships.
+
+The purchase graph (customer —bought-from→ supplier, through
+orders⋈lineitem) gives a natural bipartite graph; PageRank over it is
+the representative *iterative* distributed algorithm — the class the
+oracle SQL can't express (recursive fixpoint with float damping), so
+it ships weak with a behavioral conservation/convergence test.
+
+Scale notes: the iterative loop is driver-CONTROLLED but data stays
+distributed; each round is one join + one aggregate on the edge
+relation, partitioned by src. `localCheckpoint` truncates lineage so
+round N's plan doesn't replay rounds 1..N-1 (the standard Spark
+iteration pattern; see also dedup_cluster_components).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clj_kinesis_to_firehose_spark.registry import register
+from clj_kinesis_to_firehose_spark.sources import load_table
+
+#: damping factor + fixed iteration count (diameter of the bipartite
+#: purchase graph is tiny; 8 rounds is well past convergence there)
+DAMPING = 0.85
+N_ITER = 8
+
+
+def purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customer→supplier edges via orders⋈lineitem, with
+    both endpoint sets namespaced (c_/s_ prefixes) so the graph is
+    properly bipartite."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), "o_custkey").alias("src"),
+            F.concat(F.lit("s"), "l_suppkey").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+@register("graph_pagerank")
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the undirected bipartite purchase graph (edges
+    traversed both ways so mass flows customer↔supplier and no node
+    is a sink). Returns the top-50 nodes by rounded rank.
+
+    Per round: rank/degree contribution join + sum-by-dst aggregate —
+    both shuffle only the edge relation on its join key. Total mass
+    is conserved at n_nodes (behavioral test asserts this and
+    convergence); ranks rounded 6 dp for a stable result set.
+    """
+    e = purchase_edges(spark, sf_dir)
+    edges = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = out_deg.select(F.col("src").alias("node"))
+    n_nodes = nodes.count()
+    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
+    for _ in range(N_ITER):
+        contrib = (
+            edges.join(out_deg, "src")
+            .join(ranks, edges.src == ranks.node)
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+        )
+        ranks = (
+            contrib.groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").alias("inflow"))
+            .select(
+                "node",
+                (F.lit(1.0 - DAMPING) + F.lit(DAMPING) * F.col("inflow")).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        ranks.select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), "node")
+        .limit(50)
+    )

@@ -297,3 +297,87 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(q).alias("q_min"),
         F.array_max(q).alias("q_max"),
     )
+
+
+@register(
+    "outlier_winsorize",
+    oracle="""
+    WITH p AS (
+      SELECT l_returnflag,
+             QUANTILE_CONT(l_quantity, 0.05) AS lo,
+             QUANTILE_CONT(l_quantity, 0.95) AS hi
+      FROM lineitem GROUP BY 1)
+    SELECT l.l_orderkey, l.l_linenumber,
+           ROUND(LEAST(GREATEST(l.l_quantity, p.lo), p.hi), 2) AS qty_winsorized
+    FROM lineitem l JOIN p USING (l_returnflag)
+    """,
+)
+def outlier_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clamp each value to its group's [p5, p95] band —
+    the outlier treatment that keeps rows (unlike filtering) while
+    bounding influence, standard before computing training statistics.
+
+    Group percentiles are a tiny aggregate (one row per returnflag)
+    broadcast back onto the fact scan: the fact table is never
+    shuffled. Spark's exact interpolating percentile matches DuckDB
+    QUANTILE_CONT (established by agg_percentile).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.05)).alias("lo"),
+        F.percentile("l_quantity", F.lit(0.95)).alias("hi"),
+    )
+    return (
+        li.join(F.broadcast(p), "l_returnflag")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(
+                F.least(F.greatest(F.col("l_quantity"), F.col("lo")), F.col("hi")), 2
+            ).alias("qty_winsorized"),
+        )
+    )
+
+
+@register(
+    "outlier_mad",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag, MEDIAN(l_quantity) AS med
+      FROM lineitem GROUP BY 1),
+    d AS (
+      SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+             l.l_quantity, m.med
+      FROM lineitem l JOIN m USING (l_returnflag)),
+    s AS (
+      SELECT l_returnflag, MEDIAN(ABS(l_quantity - med)) AS mad
+      FROM d GROUP BY 1)
+    SELECT d.l_orderkey, d.l_linenumber,
+           ROUND((d.l_quantity - d.med) / s.mad, 4) AS robust_z
+    FROM d JOIN s USING (l_returnflag)
+    WHERE ABS(ROUND((d.l_quantity - d.med) / s.mad, 4)) > 2.0
+    """,
+)
+def outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outliers via median absolute deviation: |x − median| /
+    MAD > 2 within each group. Unlike z-scores, a contaminated tail
+    cannot drag the threshold (median and MAD have 50% breakdown).
+
+    Two tiny per-group aggregates (median, then MAD) each broadcast
+    onto the fact scan; the filter compares the ROUNDED score (§5.3).
+    Spark MEDIAN == DuckDB MEDIAN (both exact interpolating).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.groupBy("l_returnflag").agg(F.median("l_quantity").alias("med"))
+    d = li.join(F.broadcast(m), "l_returnflag").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity", "med"
+    )
+    s = d.groupBy("l_returnflag").agg(
+        F.median(F.abs(F.col("l_quantity") - F.col("med"))).alias("mad")
+    )
+    z = F.round((F.col("l_quantity") - F.col("med")) / F.col("mad"), 4)
+    return (
+        d.join(F.broadcast(s), "l_returnflag")
+        .select("l_orderkey", "l_linenumber", z.alias("robust_z"))
+        .filter(F.abs(F.col("robust_z")) > 2.0)
+    )

@@ -40,6 +40,7 @@ _OPERATOR_MODULES = [
     "udfs",
     "streaming_ops",
     "quality",
+    "graph",
 ]
 
 _loaded = False

@@ -252,3 +252,34 @@ def test_pca_projection_matches_eigen_spectrum(spark):
     assert abs(pc1.var() - evals[0]) / evals[0] < 0.02
     assert abs(pc2.var() - evals[1]) / evals[1] < 0.02
     assert pc1.var() >= pc2.var()
+
+
+def test_bloom_prefilter_superset_of_exact_semi(spark, oracle_con):
+    passed = {
+        r["o_orderkey"]
+        for r in QUERIES["join_bloom_prefilter"](spark, SF_DIR).collect()
+    }
+    exact = {
+        r[0]
+        for r in oracle_con.execute(
+            """SELECT o_orderkey FROM orders o WHERE EXISTS
+               (SELECT 1 FROM customer c
+                WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 9000.0)"""
+        ).fetchall()
+    }
+    total = oracle_con.execute("SELECT COUNT(*) FROM orders").fetchone()[0]
+    # no false negatives; false-positive rate small vs the full table
+    assert exact <= passed
+    assert (len(passed) - len(exact)) / total <= 0.05, (len(passed), len(exact))
+
+
+def test_pagerank_mass_conserved_and_suppliers_ranked(spark):
+    rows = QUERIES["graph_pagerank"](spark, SF_DIR).collect()
+    assert len(rows) == 50
+    ranks = [r["rank"] for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
+    # suppliers (few, high-degree) dominate customers in a bipartite
+    # purchase graph; every top-10 node should be a supplier
+    assert all(r["node"].startswith("s") for r in rows[:10]), rows[:10]
+    # rank must exceed the teleport floor
+    assert all(r > 0.15 for r in ranks)
