@@ -365,3 +365,32 @@ def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("l_tax") < 0.04, F.col("l_quantity"))), 2
         ).alias("qty_lowtax"),
     )
+
+
+@register(
+    "agg_decimal_exact",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR)
+             AS sum_price_exact,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR)
+             AS sum_qty_exact
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-decimal aggregation: sums in DECIMAL instead of DOUBLE,
+    so the result is identical regardless of partial-aggregation
+    order — the money-column discipline at any scale (no §5.3
+    rounding needed; the VARCHAR projection is only for the
+    cross-engine hash). Same one-shuffle hash-agg plan as agg_groupby.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("string")
+        .alias("sum_price_exact"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+        .cast("string")
+        .alias("sum_qty_exact"),
+    )

@@ -533,3 +533,84 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.round(-F.sum("term"), 6).alias("type_entropy"))
     )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+      FROM events)
+    SELECT event_type, next_type, COUNT(*) AS n,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / CAST(SUM(COUNT(*)) OVER (PARTITION BY event_type) AS DOUBLE),
+                 6) AS p
+    FROM x WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types per user:
+    counts and row-normalized probabilities of A→B steps. The
+    behavioral fingerprint used for bot detection and journey
+    modeling. One window shuffle on user_id, then a tiny
+    (|types|²)-row aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    x = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    c = x.groupBy("event_type", "next_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = F.sum("n").over(Window.partitionBy("event_type"))
+    return c.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast("double") / tot.cast("double"), 6).alias("p"),
+    )
+
+
+@register(
+    "win_rolling_distinct",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    expanded AS (
+      SELECT CAST(UNNEST(GENERATE_SERIES(day, day + INTERVAL 6 DAY,
+                                         INTERVAL 1 DAY)) AS DATE) AS end_day,
+             user_id
+      FROM du),
+    bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM du)
+    SELECT CAST(end_day AS VARCHAR) AS day,
+           COUNT(DISTINCT user_id) AS users_7d
+    FROM expanded, bounds WHERE end_day BETWEEN d0 AND d1
+    GROUP BY end_day
+    """,
+)
+def win_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users per day (the DAU/WAU family).
+    COUNT(DISTINCT) over a sliding window isn't a window function in
+    either engine; the scalable trick is re-bucketing: each (day,
+    user) contributes to the 7 window-END days it falls in (bounded
+    7× amplification of the tiny distinct-pairs relation), then one
+    distinct-count per end day. No per-window re-scan, no state
+    explosion — this is also exactly how the streaming sliding
+    window (I2/window_sliding) distributes.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    bounds = du.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    expanded = du.select(
+        F.explode(F.sequence("day", F.date_add("day", 6))).alias("end_day"),
+        "user_id",
+    )
+    return (
+        expanded.join(F.broadcast(bounds))
+        .filter(F.col("end_day").between(F.col("d0"), F.col("d1")))
+        .groupBy("end_day")
+        .agg(F.countDistinct("user_id").alias("users_7d"))
+        .select(F.col("end_day").cast("string").alias("day"), "users_7d")
+    )

@@ -409,3 +409,51 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_dist") <= 24)
     )
+
+
+@register(
+    "dedup_containment",
+    oracle="""
+    WITH grams AS (
+        SELECT doc_id,
+               LIST_DISTINCT([STRING_SPLIT(text, ' ')[i] || ' ' ||
+                              STRING_SPLIT(text, ' ')[i+1] || ' ' ||
+                              STRING_SPLIT(text, ' ')[i+2]
+                              FOR i IN RANGE(1, LEN(STRING_SPLIT(text, ' ')) - 1)])
+                 AS gset
+        FROM documents
+        WHERE doc_id < 300 AND LEN(STRING_SPLIT(text, ' ')) >= 3
+    )
+    SELECT a.doc_id AS doc_contained, b.doc_id AS doc_container,
+           ROUND(CAST(LEN(LIST_FILTER(a.gset, g -> LIST_CONTAINS(b.gset, g)))
+                      AS DOUBLE) / LEN(a.gset), 6) AS containment
+    FROM grams a JOIN grams b ON a.doc_id != b.doc_id
+    WHERE CAST(LEN(LIST_FILTER(a.gset, g -> LIST_CONTAINS(b.gset, g)))
+               AS DOUBLE) / LEN(a.gset) >= 0.5
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup: |A∩B| / |A| ≥ 0.5 flags doc A as
+    (half-)contained in B — the case Jaccard misses when a short doc
+    is embedded in a much longer one (boilerplate wrappers, quote
+    chains). Directional, so both (A in B) and (B in A) can appear.
+
+    Same bounded-range shingle relation as dedup_ngram_jaccard; at
+    corpus scale the candidate pairs come from MinHash bands and this
+    formula is the verifier.
+    """
+    docs = _bounded_docs(spark, sf_dir).select(
+        "doc_id", F.array_distinct(shingles(F.col("text"), 3)).alias("gset")
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    pairs = a.join(b, F.col("a.doc_id") != F.col("b.doc_id")).select(
+        F.col("a.doc_id").alias("doc_contained"),
+        F.col("b.doc_id").alias("doc_container"),
+        (
+            F.size(F.array_intersect("a.gset", "b.gset")).cast("double")
+            / F.size("a.gset")
+        ).alias("c"),
+    )
+    return pairs.filter(F.col("c") >= 0.5).select(
+        "doc_contained", "doc_container", F.round("c", 6).alias("containment")
+    )

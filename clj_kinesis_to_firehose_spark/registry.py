@@ -41,6 +41,7 @@ _OPERATOR_MODULES = [
     "streaming_ops",
     "quality",
     "graph",
+    "composites",
 ]
 
 _loaded = False
