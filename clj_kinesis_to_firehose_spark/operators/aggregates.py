@@ -394,3 +394,37 @@ def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string")
         .alias("sum_qty_exact"),
     )
+
+
+@register(
+    "agg_min_by_max_by",
+    oracle="""
+    WITH ext AS (
+      SELECT l_returnflag,
+             MIN(l_extendedprice) AS mn,
+             MAX(l_extendedprice) AS mx
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l.l_returnflag,
+           MIN(CASE WHEN l_extendedprice = mn THEN l_orderkey END) AS cheapest_order,
+           MAX(CASE WHEN l_extendedprice = mx THEN l_orderkey END) AS priciest_order
+    FROM lineitem l JOIN ext ON l.l_returnflag = ext.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+)
+def agg_min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by (argmin/argmax) aggregates: the order key carrying
+    the extreme extended price per return flag. Ties on the price are
+    broken by the order key via a struct ordering key on the Spark side
+    (lexicographic struct compare); the oracle decorrelates into
+    extreme-value join + MIN/MAX over the tied keys — same winner, and
+    the double equality is safe because no arithmetic touches the
+    values (SURVEY.md §5.3)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.min_by(
+            "l_orderkey", F.struct("l_extendedprice", "l_orderkey")
+        ).alias("cheapest_order"),
+        F.max_by(
+            "l_orderkey", F.struct("l_extendedprice", "l_orderkey")
+        ).alias("priciest_order"),
+    )

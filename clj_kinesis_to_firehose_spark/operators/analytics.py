@@ -614,3 +614,164 @@ def win_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("users_7d"))
         .select(F.col("end_day").cast("string").alias("day"), "users_7d")
     )
+
+
+@register(
+    "ts_autocorr_lag1",
+    oracle="""
+    SELECT event_type, ROUND(CORR(value, pv), 4) AS autocorr_lag1
+    FROM (SELECT event_type, value,
+                 LAG(value) OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS pv
+          FROM events) t
+    GROUP BY event_type
+    """,
+)
+def ts_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of event values per type: pair each value
+    with the previous value in its (user, type) series, then correlate.
+    One shuffle on the window key; the corr aggregate is algebraic
+    (partial-aggregated map-side). Window ties broken by event_id so
+    both engines pick identical lag pairs."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        events.withColumn("pv", F.lag("value").over(w))
+        .groupBy("event_type")
+        .agg(F.round(F.corr("value", "pv"), 4).alias("autocorr_lag1"))
+    )
+
+
+@register(
+    "rfm_segmentation",
+    oracle="""
+    WITH ref AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS ref_date FROM orders),
+    rfm AS (
+      SELECT o_custkey AS c_custkey,
+             DATE_DIFF('day', MAX(CAST(o_orderdate AS DATE)),
+                       (SELECT ref_date FROM ref)) AS recency_days,
+             COUNT(*) AS frequency,
+             ROUND(SUM(o_totalprice), 2) AS monetary
+      FROM orders GROUP BY o_custkey),
+    bounds AS (
+      SELECT QUANTILE_CONT(monetary, 0.25) AS q1,
+             QUANTILE_CONT(monetary, 0.50) AS q2,
+             QUANTILE_CONT(monetary, 0.75) AS q3
+      FROM rfm)
+    SELECT c_custkey, recency_days, frequency, monetary,
+           CASE WHEN monetary <= q1 THEN 1
+                WHEN monetary <= q2 THEN 2
+                WHEN monetary <= q3 THEN 3
+                ELSE 4 END AS m_quartile
+    FROM rfm CROSS JOIN bounds
+    """,
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation with
+    quartile binning. The quartile boundaries come from a 1-row exact
+    percentile aggregate broadcast back over the per-customer rollup —
+    map-side bin assignment, NO global sort/ntile (the scale-correct
+    formulation: at 100 TB swap percentile for approx_percentile and
+    the plan is unchanged). Boundary floats are bit-identical across
+    engines because both interpolate over the same rounded monetary
+    values (same parity agg_percentile relies on)."""
+    orders = load_table(spark, sf_dir, "orders")
+    ref = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("ref_date"))
+    rfm = (
+        orders.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+        .join(F.broadcast(ref))
+        .select(
+            "c_custkey",
+            F.datediff("ref_date", "last_order").cast("long").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    bounds = rfm.agg(
+        F.percentile("monetary", 0.25).alias("q1"),
+        F.percentile("monetary", 0.50).alias("q2"),
+        F.percentile("monetary", 0.75).alias("q3"),
+    )
+    return rfm.join(F.broadcast(bounds)).select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.when(F.col("monetary") <= F.col("q1"), 1)
+        .when(F.col("monetary") <= F.col("q2"), 2)
+        .when(F.col("monetary") <= F.col("q3"), 3)
+        .otherwise(4)
+        .cast("int")
+        .alias("m_quartile"),
+    )
+
+
+@register(
+    "basket_copurchase_pairs",
+    oracle="""
+    SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_baskets
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY p1, p2
+    ORDER BY n_baskets DESC, p1, p2
+    LIMIT 20
+    """,
+)
+def basket_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-purchase mining: the 20 part pairs most often
+    ordered together. Distinct (order, part) first, then a self-join on
+    the order key with p1<p2 to emit each unordered pair once. The
+    expansion is quadratic in BASKET size (bounded ~7 lines/order at
+    every SF), not in table size, and the self-join co-partitions on
+    l_orderkey so it is one shuffle; top-k via TakeOrderedAndProject
+    with full tie-break."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p1"))
+    b = li.select(F.col("l_orderkey").alias("k2"), F.col("l_partkey").alias("p2"))
+    return (
+        a.join(b, (F.col("k") == F.col("k2")) & (F.col("p1") < F.col("p2")))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").alias("n_baskets"))
+        .orderBy(F.desc("n_baskets"), "p1", "p2")
+        .limit(20)
+    )
+
+
+@register(
+    "event_dau_rolling",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(DISTINCT user_id) AS dau
+      FROM events GROUP BY 1)
+    SELECT CAST(day AS VARCHAR) AS day, dau,
+           ROUND(AVG(dau) OVER (ORDER BY day
+                                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+                 4) AS dau_7d_avg
+    FROM daily
+    """,
+)
+def event_dau_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users with a 7-day trailing average. The distinct
+    count shuffles once on day; the trailing window then runs over the
+    POST-aggregate frame (one row per day — ~30 here, ~36.5k for a
+    century), so the unpartitioned window is safe at any raw volume."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        F.col("day").cast("string").alias("day"),
+        "dau",
+        F.round(F.avg("dau").over(w), 4).alias("dau_7d_avg"),
+    )

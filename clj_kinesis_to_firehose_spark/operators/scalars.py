@@ -323,3 +323,65 @@ def array_lambda_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_max(F.transform("embedding", lambda x: x.cast("double"))), 6
         ).alias("max_elem"),
     )
+
+
+@register(
+    "str_regexp_extract_all",
+    oracle="""
+    SELECT event_id,
+           ARRAY_TO_STRING(REGEXP_EXTRACT_ALL(props, '[0-9]+'), ',') AS nums,
+           CAST(LEN(REGEXP_EXTRACT_ALL(props, '[0-9]+')) AS BIGINT) AS n_nums
+    FROM events
+    """,
+)
+def str_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract_all: every digit run in the JSON props payload,
+    joined to a scalar so the value-hash sees the full array content
+    (array columns stringify differently across engines). Pure codegen
+    map work — zero shuffles at any scale."""
+    events = load_table(spark, sf_dir, "events")
+    # Spark's regexp_extract_all extracts capture group idx (default 1),
+    # so the pattern needs an explicit group; DuckDB's extracts the full
+    # match with no group — both yield the digit runs.
+    nums = F.regexp_extract_all("props", F.lit("([0-9]+)"))
+    return events.select(
+        "event_id",
+        F.array_join(nums, ",").alias("nums"),
+        F.size(nums).cast("long").alias("n_nums"),
+    )
+
+
+@register(
+    "array_setops",
+    oracle="""
+    SELECT doc_id,
+           COALESCE(ARRAY_TO_STRING(LIST_SORT(LIST_INTERSECT(
+               STRING_SPLIT(text, ' '),
+               ['the', 'a', 'join', 'scan', 'merge'])), ','), '') AS kw_hits,
+           CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+           COALESCE(ARRAY_TO_STRING(LIST_SORT(LIST_FILTER(
+               LIST_DISTINCT(STRING_SPLIT(text, ' ')),
+               t -> LEN(t) >= 6)), ','), '') AS long_tokens
+    FROM documents
+    """,
+)
+def array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra over tokenized documents: intersection with a
+    keyword list, distinct-cardinality, and a length-predicate filter.
+    array_intersect/array_distinct dedupe in both engines; results are
+    sorted and joined to scalars so the hash is order-insensitive.
+    Per-row lambda work stays in the JVM (no Python boundary)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.split("text", " ")
+    kw = F.array(*[F.lit(w) for w in ["the", "a", "join", "scan", "merge"]])
+    return docs.select(
+        "doc_id",
+        F.array_join(F.array_sort(F.array_intersect(tokens, kw)), ",").alias("kw_hits"),
+        F.size(F.array_distinct(tokens)).cast("long").alias("n_distinct_tokens"),
+        F.array_join(
+            F.array_sort(
+                F.filter(F.array_distinct(tokens), lambda t: F.length(t) >= 6)
+            ),
+            ",",
+        ).alias("long_tokens"),
+    )

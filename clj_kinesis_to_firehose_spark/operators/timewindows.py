@@ -121,3 +121,48 @@ def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@register(
+    "calendar_spine_monthly",
+    oracle="""
+    WITH spine AS (
+      SELECT UNNEST(GENERATE_SERIES(TIMESTAMP '1995-01-01',
+                                    TIMESTAMP '2001-08-01',
+                                    INTERVAL 1 MONTH)) AS m),
+    rev AS (
+      SELECT DATE_TRUNC('month', o_orderdate) AS m,
+             ROUND(SUM(o_totalprice), 2) AS revenue,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY 1)
+    SELECT CAST(CAST(spine.m AS DATE) AS VARCHAR) AS month,
+           COALESCE(revenue, 0.0) AS revenue,
+           COALESCE(n_orders, 0) AS n_orders
+    FROM spine LEFT JOIN rev ON spine.m = rev.m
+    """,
+)
+def calendar_spine_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-free monthly rollup against a generated calendar spine
+    (sequence + explode): months with zero orders still appear with
+    revenue 0. The spine is O(months) — trivially broadcast; the fact
+    aggregates once and the left join is spine⋈(80 rows), so the plan
+    is scale-independent past the first aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("timestamp"),
+                F.lit("2001-08-01").cast("timestamp"),
+                F.expr("interval 1 month"),
+            )
+        ).alias("m")
+    )
+    rev = orders.groupBy(F.date_trunc("month", "o_orderdate").alias("m")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+    return spine.join(rev, "m", "left").select(
+        F.col("m").cast("date").cast("string").alias("month"),
+        F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+    )
