@@ -148,3 +148,50 @@ def test_range_join_avoids_nested_loop(spark):
     plan = audit.formatted_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert audit.n_broadcast_joins(df) >= 1, plan
+
+
+def test_q18_preaggregates_fact_before_customer_join(spark):
+    # the quantity rollup must run BEFORE the customer join (join input
+    # is qualifying orders, not raw lineitem) — customer broadcasts
+    df = QUERIES["tpch_q18_large_orders"](spark, SF_DIR)
+    plan = audit.formatted_plan(df)
+    agg_pos = plan.find("HashAggregate")
+    bcast_pos = plan.find("BroadcastHashJoin")
+    assert agg_pos != -1 and bcast_pos != -1
+    assert audit.n_broadcast_joins(df) >= 1, audit.plan_report(df)
+
+
+def test_q7_q8_broadcast_all_dimensions(spark):
+    # Q7: supplier+nation and customer+nation sides broadcast; only
+    # lineitem⋈orders shuffles. Q8: all six dim lookups broadcast.
+    for name, min_bcast in [("tpch_q7_volume_shipping", 2),
+                            ("tpch_q8_market_share", 3)]:
+        df = QUERIES[name](spark, SF_DIR)
+        assert audit.n_broadcast_joins(df) >= min_bcast, (
+            name + "\n" + audit.plan_report(df)
+        )
+
+
+def test_q14_date_filter_pushed_to_fact_scan(spark):
+    df = QUERIES["tpch_q14_promo_revenue"](spark, SF_DIR)
+    pushed = " ".join(audit.pushed_filters(df))
+    assert "l_shipdate" in pushed, pushed
+
+
+def test_rfm_binning_avoids_global_sort(spark):
+    # quartile assignment must be a broadcast of 1-row bounds + CASE,
+    # never a global ntile sort over all customers
+    df = QUERIES["rfm_segmentation"](spark, SF_DIR)
+    plan = audit.formatted_plan(df)
+    assert "Window" not in plan, plan
+    assert "Sort " not in plan, plan
+    # the 1-row bounds/ref sides broadcast (nested-loop on a scalar row)
+    assert plan.count("BroadcastNestedLoopJoin") >= 2, plan
+
+
+def test_basket_pairs_single_fact_shuffle(spark):
+    # distinct + self-join + count co-partition on l_orderkey/pair keys;
+    # top-k is TakeOrderedAndProject, not a global sort
+    df = QUERIES["basket_copurchase_pairs"](spark, SF_DIR)
+    plan = audit.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
