@@ -428,3 +428,52 @@ def agg_min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey", F.struct("l_extendedprice", "l_orderkey")
         ).alias("priciest_order"),
     )
+
+
+@register(
+    "agg_regression",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 6) AS slope,
+           ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 4) AS intercept,
+           ROUND(REGR_R2(l_extendedprice, l_quantity), 6) AS r2,
+           ROUND(COVAR_SAMP(l_extendedprice, l_quantity), 4) AS covar
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (slope/intercept/R²/covariance) of
+    price vs quantity per return flag. All four are algebraic
+    (sum/sum-of-products sketches), so Spark partial-aggregates them
+    map-side — one tiny shuffle regardless of fact size."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("intercept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias("covar"),
+    )
+
+
+@register(
+    "agg_bool",
+    oracle="""
+    SELECT o_orderstatus,
+           BOOL_AND(o_totalprice > 1000)    AS all_over_1k,
+           BOOL_OR(o_totalprice > 400000)   AS any_over_400k,
+           COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n_over_100k
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (every/any) plus a filtered count per order
+    status — the COUNT(*) FILTER form maps to count_if. All algebraic,
+    partial-aggregated map-side."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_over_100k"),
+    )

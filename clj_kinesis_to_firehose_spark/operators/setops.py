@@ -58,3 +58,33 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("set_except", oracle=f"{_HIGH_SQL} EXCEPT ALL {_BUILDING_SQL}")
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _high_balance(spark, sf_dir).exceptAll(_building_segment(spark, sf_dir))
+
+
+@register(
+    "set_union_by_name",
+    oracle="""
+    SELECT k, bal, seg, price FROM (
+      SELECT c_custkey AS k, c_acctbal AS bal, c_mktsegment AS seg
+      FROM customer
+      UNION ALL BY NAME
+      SELECT o_custkey AS k, o_totalprice AS price
+      FROM orders)
+    """,
+)
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolved bag union: two projections with partially
+    overlapping columns unioned BY NAME, missing columns null-filled
+    (unionByName allowMissingColumns ↔ UNION ALL BY NAME). Pure
+    narrow concat — no shuffle."""
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+    )
+    return customer.unionByName(orders, allowMissingColumns=True).select(
+        "k", "bal", "seg", "price"
+    )

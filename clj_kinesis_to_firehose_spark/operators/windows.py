@@ -251,3 +251,36 @@ def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
         F.round(F.nth_value("o_totalprice", 2).over(w), 2).alias("second_price"),
     )
+
+
+@register(
+    "win_lag_ignore_nulls",
+    oracle="""
+    SELECT event_id,
+           LAST_VALUE(pv IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_purchase
+    FROM (SELECT event_id, user_id, ts,
+                 CASE WHEN event_type = 'purchase' THEN value END AS pv
+          FROM events) t
+    """,
+)
+def win_lag_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-skipping offset window: each event carries the value of the
+    user's most recent PRIOR purchase (non-purchase rows are NULL and
+    skipped). PySpark's lag() has no ignoreNulls, so the idiomatic form
+    is last(ignorenulls=True) over an unbounded-to-(-1) frame — the
+    same single shuffle on user_id as any per-user window."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return events.select(
+        "event_id",
+        F.last(pv, ignorenulls=True).over(w).alias("prev_purchase"),
+    )
