@@ -237,3 +237,55 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("quality_tier").isNull().cast("long")).alias("n_backfilled"),
         F.sum((F.col("quality_tier") == "high").cast("long")).alias("n_high_tier"),
     )
+
+
+@register(
+    "scan_dynamic_partition_pruning",
+    oracle="""
+    SELECT CAST(d AS VARCHAR) AS event_date,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM (SELECT CAST(ts AS DATE) AS d, value FROM events) t
+    WHERE d IN (DATE '2024-01-05', DATE '2024-01-12', DATE '2024-01-21')
+    GROUP BY 1
+    """,
+)
+def scan_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning over the (event_date)-partitioned 100 TB
+    sink layout: the fact side is a date-partitioned parquet write; the
+    probe side is a tiny date dimension that only becomes known at plan
+    time through a join — Catalyst injects a dynamicpruning subquery
+    into the fact scan's PartitionFilters, so only the 3 matching date
+    partitions are read (~30× fewer at this fixture, unbounded at
+    100 TB). tests/test_plans.py asserts the dynamicpruning expression
+    is present in the physical plan."""
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.col("ts").cast("date")
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="kf_dpp_"), "events_by_date")
+    events.select("event_id", "event_type", "value", "event_date").write.mode(
+        "overwrite"
+    ).partitionBy("event_date").parquet(out)
+    fact = spark.read.parquet(out)
+    # DPP only injects when the build side carries a selective predicate
+    # surviving optimization (PartitionPruning rule) — a literal dim
+    # folds into a LocalRelation and loses its filter, so the dim comes
+    # from a filtered scan instead: the 3 target dates as rows of a
+    # 1-column parquet written next to the fact
+    dim_path = os.path.join(os.path.dirname(out), "date_dim")
+    spark.createDataFrame(
+        [("2024-01-05", 1), ("2024-01-12", 1), ("2024-01-21", 1),
+         ("2024-01-08", 0), ("2024-01-15", 0)],
+        ["d", "keep"],
+    ).select(F.col("d").cast("date").alias("d"), "keep").write.mode(
+        "overwrite"
+    ).parquet(dim_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("keep") == 1).select("d")
+    return (
+        fact.join(F.broadcast(dim), fact.event_date == dim.d)
+        .groupBy(F.col("event_date").cast("string").alias("event_date"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

@@ -195,3 +195,12 @@ def test_basket_pairs_single_fact_shuffle(spark):
     df = QUERIES["basket_copurchase_pairs"](spark, SF_DIR)
     plan = audit.formatted_plan(df)
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_dynamic_partition_pruning_injected(spark):
+    # the broadcast date-dim join must inject a dynamicpruning subquery
+    # into the partitioned fact scan, so only matching date partitions
+    # are read
+    df = QUERIES["scan_dynamic_partition_pruning"](spark, SF_DIR)
+    plan = audit.formatted_plan(df)
+    assert "dynamicpruning" in plan.lower(), plan
