@@ -311,3 +311,41 @@ def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.select(
         "bigram", "n_occurrences", F.row_number().over(w).alias("freq_rank")
     ).filter(F.col("freq_rank") <= 40)
+
+
+@register(
+    "sample_hash_split",
+    oracle="""
+    SELECT lang,
+           CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(n_chars), 4) AS avg_chars
+    FROM (SELECT lang, n_chars,
+                 CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS UBIGINT) % 100 AS b
+          FROM documents) t
+    GROUP BY lang, split
+    """,
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test corpus split via
+    hash-mod bucketing (md5 of the stable doc id → bucket 0..99).
+    THE scale-safe split: no RNG state, no sampling pass, reproducible
+    on any engine/cluster/partitioning, new documents land in a stable
+    split. Cross-engine exact because md5 is standardized (verified:
+    Spark conv(substr(md5,1,8),16,10) == DuckDB '0x'||substr cast)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return docs.groupBy("lang", split.alias("split")).agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )

@@ -174,3 +174,67 @@ def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
     return docs.select("doc_id", "text").mapInPandas(tokenize, schema=out_schema)
+
+
+_COGROUP_SCHEMA = (
+    "c_custkey long, c_acctbal double, n_orders long, "
+    "total_spent double, max_order double"
+)
+
+
+def _customer_order_stats(key, cust: pd.DataFrame, orders: pd.DataFrame) -> pd.DataFrame:
+    if cust.empty:
+        return pd.DataFrame(
+            columns=["c_custkey", "c_acctbal", "n_orders", "total_spent", "max_order"]
+        )
+    return pd.DataFrame(
+        [
+            {
+                "c_custkey": key[0],
+                "c_acctbal": float(cust["c_acctbal"].iloc[0]),
+                "n_orders": len(orders),
+                # raw sums here; the deterministic HALF_UP rounding is
+                # applied JVM-side after the cogroup (python round() is
+                # half-even and would diverge from SQL ROUND)
+                "total_spent": float(orders["o_totalprice"].sum()) if len(orders) else 0.0,
+                "max_order": float(orders["o_totalprice"].max()) if len(orders) else 0.0,
+            }
+        ]
+    )
+
+
+@register(
+    "udf_cogrouped_map",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           COUNT(o_orderkey) AS n_orders,
+           ROUND(COALESCE(SUM(o_totalprice), 0.0), 2) AS total_spent,
+           ROUND(COALESCE(MAX(o_totalprice), 0.0), 2) AS max_order
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_acctbal
+    """,
+)
+def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map pandas UDF (K surface): customer and orders are
+    co-partitioned on the customer key, and each (customer-group,
+    order-group) pair arrives as two aligned pandas frames over Arrow.
+    The per-pair python is arbitrary (here: order-book stats); the
+    cogroup itself is one shuffle of each side on the key — the same
+    cost as the equivalent join+agg, with full imperative freedom
+    inside the group."""
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    out = (
+        customer.groupBy("c_custkey")
+        .cogroup(orders.groupBy("o_custkey"))
+        .applyInPandas(_customer_order_stats, schema=_COGROUP_SCHEMA)
+    )
+    return out.select(
+        "c_custkey",
+        "c_acctbal",
+        "n_orders",
+        F.round("total_spent", 2).alias("total_spent"),
+        F.round("max_order", 2).alias("max_order"),
+    )
