@@ -118,3 +118,47 @@ def test_firehose_pipeline_with_partial_failures(spark, oracle_con):
         with open(os.path.join(out_dir, f), "rb") as fh:
             lines = fh.read().splitlines()
         assert len(lines) <= 500
+
+
+def test_checkpoint_restart_delivers_exactly_once(spark):
+    """Stop/restart against the same checkpoint: slices delivered before
+    the stop must NOT be redelivered after restart (WAL offsets + the
+    idempotent sink = exactly-once across restarts — the property the
+    reference's at-least-once bridge cannot give)."""
+    from clj_kinesis_to_firehose_spark.sources.streams import read_event_stream
+    from clj_kinesis_to_firehose_spark.streaming.firehose_sink import (
+        firehose_foreach_batch,
+    )
+
+    base = tempfile.mkdtemp(prefix="kf_restart_")
+    replay = os.path.join(base, "replay")
+    delivery = os.path.join(base, "delivery")
+    chk = os.path.join(base, "chk")
+    os.makedirs(delivery)
+
+    def run_pipeline():
+        q = (
+            read_event_stream(spark, replay)
+            .writeStream.foreachBatch(firehose_foreach_batch(delivery))
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # phase 1: two slices, first run
+    _write_slice(spark, [_ev(i, T0 + i * 60 * NS) for i in range(10)],
+                 os.path.join(replay, "s0"))
+    _write_slice(spark, [_ev(i, T0 + i * 60 * NS) for i in range(10, 20)],
+                 os.path.join(replay, "s1"))
+    run_pipeline()
+    first = spark.read.json(os.path.join(delivery, "*.jsonl"))
+    assert first.count() == 20
+
+    # phase 2: one more slice lands, restart from the same checkpoint
+    _write_slice(spark, [_ev(i, T0 + i * 60 * NS) for i in range(20, 30)],
+                 os.path.join(replay, "s2"))
+    run_pipeline()
+    final = spark.read.json(os.path.join(delivery, "*.jsonl"))
+    assert final.count() == 30  # 20 old NOT redelivered + 10 new
+    assert final.select("event_id").distinct().count() == 30
