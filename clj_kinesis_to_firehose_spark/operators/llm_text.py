@@ -349,3 +349,88 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
     )
+
+
+@register(
+    "corpus_decontaminate",
+    oracle="""
+    WITH tok AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ts FROM documents),
+    grams AS (
+      SELECT doc_id, ARRAY_TO_STRING(ts[i:i+4], ' ') AS g
+      FROM tok, UNNEST(GENERATE_SERIES(1, LEN(ts) - 4)) AS t(i)),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 10)
+    SELECT g.doc_id, COUNT(DISTINCT g.g) AS n_shared_grams
+    FROM grams g JOIN bench b ON g.g = b.g
+    WHERE g.doc_id >= 10
+    GROUP BY g.doc_id
+    """,
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    5-gram with a held-out benchmark set (here: doc_id < 10 stands in
+    for the benchmark). The standard n-gram-overlap contamination
+    check: explode each doc into 5-grams, distinct the benchmark side,
+    hash-join on the gram. Benchmark gram sets are small → broadcast;
+    the corpus side is one explode+join pass, linear in corpus size."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ts")
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ts") - 4),
+                lambda i: F.concat_ws(" ", F.slice("ts", i, 5)),
+            )
+        ).alias("g"),
+    )
+    bench = (
+        grams.filter(F.col("doc_id") < 10).select("g").distinct()
+    )
+    return (
+        grams.filter(F.col("doc_id") >= 10)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_shared_grams"))
+    )
+
+
+@register(
+    "corpus_pack_sequences",
+    oracle="""
+    WITH t AS (SELECT doc_id, lang,
+                      LEN(STRING_SPLIT(text, ' ')) AS n_tok
+               FROM documents),
+    c AS (SELECT *, SUM(n_tok) OVER (PARTITION BY lang
+                                     ORDER BY doc_id) AS cum FROM t)
+    SELECT lang, CAST(FLOOR((cum - n_tok) / 512) AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
+    FROM c GROUP BY lang, bin_id
+    """,
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing for training batches: documents stream
+    into 512-token bins per language in stable doc_id order (a doc that
+    crosses a boundary belongs to the bin where it starts, so bins can
+    slightly overflow — the streaming-packer semantic). One running-sum
+    window per lang partition = one shuffle; deterministic because the
+    order key is unique."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    return (
+        docs.withColumn("cum", F.sum("n_tok").over(w))
+        .groupBy(
+            "lang",
+            F.floor((F.col("cum") - F.col("n_tok")) / 512)
+            .cast("long")
+            .alias("bin_id"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("bin_tokens"),
+        )
+    )
