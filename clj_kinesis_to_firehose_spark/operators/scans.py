@@ -289,3 +289,62 @@ def scan_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+@register(
+    "kinesis_record_envelope",
+    oracle="""
+    SELECT event_id,
+           CAST(user_id % 8 AS BIGINT) AS shard,
+           CAST(user_id AS VARCHAR) AS partition_key,
+           BASE64(CAST(props || CHR(10) AS BLOB)) AS payload_b64,
+           CAST(LENGTH(props) + 1 AS BIGINT) AS payload_bytes
+    FROM events
+    """,
+)
+def kinesis_record_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outbound Kinesis/Firehose record envelope: newline-terminated
+    payload, base64 wire encoding, explicit partition key, and the
+    shard a hash-on-key router would pick. This is the bridge's
+    serialization surface as a queryable operator (the streaming sink
+    applies the same framing in firehose_sink.py); base64 is
+    standardized so the oracle is exact. Stateless map work — zero
+    shuffles."""
+    events = load_table(spark, sf_dir, "events")
+    payload = F.concat(F.col("props"), F.lit("\n"))
+    return events.select(
+        "event_id",
+        (F.col("user_id") % 8).cast("long").alias("shard"),
+        F.col("user_id").cast("string").alias("partition_key"),
+        F.base64(payload.cast("binary")).alias("payload_b64"),
+        (F.length("props") + 1).cast("long").alias("payload_bytes"),
+    )
+
+
+@register("pipeline_observe_metrics")
+def pipeline_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-flight pipeline metrics via df.observe() (weak: the metric
+    collection itself is the operator): record counts, byte volume,
+    and drop counts accumulate DURING the delivery pass — no second
+    scan, the exact pattern a production bridge uses to emit
+    CloudWatch-style forwarding stats. The observed values are
+    returned as a 1-row DataFrame after a noop materialization."""
+    from pyspark.sql import Observation
+
+    events = load_table(spark, sf_dir, "events")
+    routed = events.filter(F.col("event_type") != "error")
+    obs = Observation("forwarding")
+    observed = routed.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_forwarded"),
+        F.sum(F.length("props") + 1).alias("payload_bytes"),
+        # observed metrics must be algebraic (no DISTINCT) — the HLL
+        # sketch form is also what a production bridge would emit
+        F.approx_count_distinct("event_type").alias("n_streams"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(int(m["n_forwarded"]), int(m["payload_bytes"]), int(m["n_streams"]))],
+        "n_forwarded long, payload_bytes long, n_streams long",
+    )
