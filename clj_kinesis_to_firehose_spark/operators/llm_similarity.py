@@ -222,3 +222,38 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("nn_rank", F.row_number().over(w))
         .filter(F.col("nn_rank") <= TOP_K)
     )
+
+
+@register("sim_recall_eval")
+def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of each ANN path against the exact brute-force oracle
+    (weak: depends on engine-specific hashing inside the ANN ops). One
+    row per (method, probe): |approx ∩ exact| / k. This is the eval
+    loop a production ANN deployment runs on a held-out probe sample
+    to tune K/L (LSH) or nlist/nprobe (IVF) before committing the
+    scale parameters — the same join works at any corpus size because
+    both sides are top-k-bounded per probe."""
+    from clj_kinesis_to_firehose_spark.operators.llm_clustering import sim_ann_ivf
+
+    exact = sim_topk_exact(spark, sf_dir).select("probe_id", "neighbor_id")
+    k_per_probe = exact.groupBy("probe_id").agg(F.count("*").alias("k"))
+    out = None
+    for method, fn in (("lsh", sim_ann_lsh), ("ivf", sim_ann_ivf)):
+        approx = fn(spark, sf_dir).select("probe_id", "neighbor_id")
+        hits = (
+            exact.join(approx, ["probe_id", "neighbor_id"])
+            .groupBy("probe_id")
+            .agg(F.count("*").alias("n_hits"))
+        )
+        per_probe = (
+            k_per_probe.join(hits, "probe_id", "left")
+            .select(
+                F.lit(method).alias("method"),
+                "probe_id",
+                F.round(
+                    F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("k"), 4
+                ).alias("recall_at_k"),
+            )
+        )
+        out = per_probe if out is None else out.unionByName(per_probe)
+    return out
