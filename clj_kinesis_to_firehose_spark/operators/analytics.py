@@ -775,3 +775,116 @@ def event_dau_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dau",
         F.round(F.avg("dau").over(w), 4).alias("dau_7d_avg"),
     )
+
+
+@register(
+    "event_hourly_heatmap",
+    oracle="""
+    SELECT CAST(EXTRACT(dow FROM ts) AS BIGINT) AS dow,
+           CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY dow, hr
+    """,
+)
+def event_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour activity heatmap. Spark's dayofweek() is
+    1=Sunday..7 while the oracle's EXTRACT(dow) is 0=Sunday..6 — the
+    Spark side subtracts 1. Output is ≤168 cells at any scale (single
+    partial-aggregated shuffle)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy(
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hr"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@register(
+    "orders_new_vs_returning",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, o_orderdate, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders)
+    SELECT CAST(CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS VARCHAR) AS month,
+           CASE WHEN rn = 1 THEN 'new' ELSE 'returning' END AS cust_kind,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM seq GROUP BY month, cust_kind
+    """,
+)
+def orders_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning revenue split per month: each order is tagged
+    as its customer's first (row_number over the per-customer order
+    sequence) or a repeat. One shuffle on o_custkey for the window,
+    one tiny rollup — the standard acquisition/retention business
+    lens."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").cast("string").alias("month"),
+            F.when(F.col("rn") == 1, "new").otherwise("returning").alias("cust_kind"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "funnel_time_to_convert",
+    oracle="""
+    WITH s AS (SELECT user_id, MIN(ts) AS signup_ts FROM events
+               WHERE event_type = 'signup' GROUP BY user_id),
+    p AS (SELECT user_id, MIN(ts) AS first_purchase_ts FROM events
+          WHERE event_type = 'purchase' GROUP BY user_id),
+    d AS (SELECT EXTRACT(EPOCH FROM (first_purchase_ts - signup_ts)) AS secs
+          FROM s JOIN p USING (user_id)
+          WHERE first_purchase_ts > signup_ts)
+    SELECT COUNT(*) AS n_converted,
+           CAST(ROUND(QUANTILE_CONT(secs, 0.5), 0) AS BIGINT) AS median_secs,
+           CAST(ROUND(QUANTILE_CONT(secs, 0.9), 0) AS BIGINT) AS p90_secs
+    FROM d
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→first-purchase conversion latency distribution. Two
+    filtered min-aggregates join on user (both shuffle once on
+    user_id); the latency is kept fractional-seconds double on both
+    engines (timestamp→double cast ↔ EXTRACT(EPOCH FROM interval)) so
+    the percentile interpolation sees identical inputs."""
+    events = load_table(spark, sf_dir, "events")
+    s = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    d = (
+        s.join(p, "user_id")
+        .filter(F.col("first_purchase_ts") > F.col("signup_ts"))
+        .select(
+            (
+                F.col("first_purchase_ts").cast("double")
+                - F.col("signup_ts").cast("double")
+            ).alias("secs")
+        )
+    )
+    return d.agg(
+        F.count("*").alias("n_converted"),
+        F.round(F.percentile("secs", F.lit(0.5)), 0).cast("long").alias("median_secs"),
+        F.round(F.percentile("secs", F.lit(0.9)), 0).cast("long").alias("p90_secs"),
+    )

@@ -434,3 +434,35 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").alias("bin_tokens"),
         )
     )
+
+
+@register(
+    "corpus_source_mix",
+    oracle="""
+    SELECT source, lang, COUNT(*) AS n_docs,
+           CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_tokens,
+           ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (), 6) AS doc_share
+    FROM documents GROUP BY source, lang
+    """,
+)
+def corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture report: documents and token mass per
+    (source, lang) cell with each cell's share of the corpus — the
+    table a data-mixing pipeline reads before reweighting sources.
+    Share = window-over-aggregate: the window input is |sources×langs|
+    rows, independent of corpus size."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    agg = docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+    )
+    total = Window.partitionBy()
+    return agg.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(total), 6).alias("doc_share"),
+    )

@@ -88,3 +88,44 @@ def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     return customer.unionByName(orders, allowMissingColumns=True).select(
         "k", "bal", "seg", "price"
     )
+
+
+@register(
+    "set_intersect_except_all",
+    oracle="""
+    SELECT 'intersect_all' AS op, l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM (
+      SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity > 45
+      INTERSECT ALL
+      SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_discount > 0.05)
+    GROUP BY l_returnflag, l_linestatus
+    UNION ALL
+    SELECT 'except_all' AS op, l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM (
+      SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity > 45
+      EXCEPT ALL
+      SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_discount > 0.05)
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def set_intersect_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set ops (INTERSECT ALL / EXCEPT ALL): multiplicity
+    min() and difference over duplicate rows, vs the distinct forms in
+    set_intersect/set_except. Spark plans both as an aggregate of
+    per-side counts — one shuffle on the row value, no join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") > 45).select("l_returnflag", "l_linestatus")
+    b = li.filter(F.col("l_discount") > 0.05).select("l_returnflag", "l_linestatus")
+    inter = (
+        a.intersectAll(b)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "l_returnflag", "l_linestatus", "n")
+    )
+    exc = (
+        a.exceptAll(b)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("except_all").alias("op"), "l_returnflag", "l_linestatus", "n")
+    )
+    return inter.unionByName(exc)
