@@ -176,3 +176,18 @@ def sink_firehose_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     # delivered-record counts are deterministic (exact oracle); batch
     # counts depend on partitioning and are audited in tests instead
     return delivered.groupBy("stream").agg(F.sum("n_records").alias("n_delivered"))
+
+
+@register(
+    "stream_static_enrich",
+    oracle="""
+    SELECT c_mktsegment, event_type, COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment, event_type
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # stream-static broadcast enrichment converges to the batch join
+    # over the full replay → exact oracle
+    return pipelines.stream_static_enrich(spark, sf_dir)

@@ -421,3 +421,29 @@ def stream_firehose_pipeline(
         F.count("*").alias("n_delivered"),
         F.countDistinct("event_id").alias("n_unique"),
     )
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the replayed event stream is enriched
+    per-micro-batch against a static dimension (customer segment,
+    keyed on the user id). The static side is planned fresh each
+    micro-batch and broadcast — no state, no watermark needed; this is
+    the bridge's "annotate records from a lookup table" path in
+    Structured Streaming form. Converges to the batch join, so the
+    registry gives it an exact oracle."""
+    from clj_kinesis_to_firehose_spark.sources import load_table
+
+    replay = write_replay_slices(spark, sf_dir, n_slices=4)
+    ev = read_event_stream(spark, replay)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    out = (
+        ev.join(F.broadcast(dim), "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    return _run_to_memory(out, "complete")
