@@ -303,3 +303,29 @@ def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) c
         """
     )
+
+
+_SQL_API_QUERY = """
+    WITH cust AS (
+      SELECT c_custkey, n_regionkey
+      FROM customer JOIN nation ON c_nationkey = n_nationkey)
+    SELECT r_name,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    JOIN cust   ON o_custkey = c_custkey
+    JOIN region ON cust.n_regionkey = r_regionkey
+    GROUP BY r_name
+"""
+
+
+@register("sql_api_query", oracle=_SQL_API_QUERY)
+def sql_api_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql() entry point: tables registered as temp views,
+    the query submitted as ANSI SQL text (identical to the oracle
+    string — one source of truth). Same Catalyst plan as the DataFrame
+    form; declared so users coming from a SQL-first tool can see the
+    engine's SQL front door is first-class."""
+    for t in ("customer", "nation", "orders", "region"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_API_QUERY)

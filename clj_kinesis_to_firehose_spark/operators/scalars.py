@@ -385,3 +385,34 @@ def array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("long_tokens"),
     )
+
+
+@register(
+    "try_functions_safe_cast",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k_num,
+           TRY_CAST(event_type AS BIGINT) AS bad_cast,
+           CASE WHEN (event_id % 10) = 0 THEN NULL
+                ELSE value / (event_id % 10) END AS safe_div
+    FROM events
+    """,
+)
+def try_functions_safe_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression surface (ANSI-mode hardening): try_cast
+    yields NULL instead of raising on malformed input, try_divide
+    yields NULL on a zero divisor. On a dirty 100 TB feed these keep a
+    single bad record from killing a stage — the column-level PERMISSIVE
+    posture, same family as route_dead_letter's parse handling."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.expr(
+            "try_cast(get_json_object(props, '$.k') AS BIGINT)"
+        ).alias("k_num"),
+        F.expr("try_cast(event_type AS BIGINT)").alias("bad_cast"),
+        # no rounding: the IEEE division is bit-identical across engines,
+        # while 2dp-inputs ÷ small ints land on exact half-ties where
+        # ROUND modes (HALF_UP vs half-even) diverge
+        F.try_divide("value", F.col("event_id") % 10).alias("safe_div"),
+    )
