@@ -42,6 +42,8 @@ _OPERATOR_MODULES = [
     "quality",
     "graph",
     "composites",
+    "composites_ext",
+    "analytics_ext",
 ]
 
 _loaded = False

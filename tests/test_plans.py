@@ -197,6 +197,57 @@ def test_basket_pairs_single_fact_shuffle(spark):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_q6_all_predicates_reach_fact_scan(spark):
+    # pure scan-filter-agg: every one of the four predicates must push
+    # into the parquet scan; the only exchange is the 1-row final agg
+    df = QUERIES["tpch_q6_forecast_revenue"](spark, SF_DIR)
+    pushed = " ".join(audit.pushed_filters(df))
+    for frag in ("l_shipdate", "GreaterThanOrEqual(l_discount,0.05)",
+                 "LessThan(l_quantity,24.0)"):
+        assert frag in pushed, pushed
+    assert audit.n_broadcast_joins(df) == 0
+    assert audit.n_shuffles(df) <= 1, audit.plan_report(df)
+
+
+def test_q19_derives_quantity_envelope_from_disjunction(spark):
+    # the mixed-table OR cannot move below the join as-is, but Catalyst
+    # must derive the per-table quantity envelope and push it into the
+    # lineitem scan; part broadcasts, never a nested-loop join
+    df = QUERIES["tpch_q19_disjunctive_revenue"](spark, SF_DIR)
+    pushed = " ".join(audit.pushed_filters(df))
+    assert "l_quantity" in pushed, pushed
+    plan = audit.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert audit.n_broadcast_joins(df) >= 1, audit.plan_report(df)
+
+
+def test_q4_semi_join_single_shuffle(spark):
+    # EXISTS = broadcast left-semi with the quarter filter pushed to
+    # the orders scan; only the priority agg shuffles
+    df = QUERIES["tpch_q4_order_priority"](spark, SF_DIR)
+    pushed = " ".join(audit.pushed_filters(df))
+    assert "o_orderdate" in pushed, pushed
+    assert audit.n_broadcast_joins(df) >= 1
+    assert audit.n_shuffles(df) <= 1, audit.plan_report(df)
+
+
+def test_q9_broadcasts_dims_single_fact_pass(spark):
+    # part/supplier/nation all broadcast; the fact is scanned once and
+    # only the (nation, year) agg shuffles
+    df = QUERIES["tpch_q9_product_profit"](spark, SF_DIR)
+    assert audit.n_broadcast_joins(df) >= 3, audit.plan_report(df)
+    assert audit.n_shuffles(df) <= 1, audit.plan_report(df)
+
+
+def test_q21_two_rollup_rewrite_bounds_shuffles(spark):
+    # the EXISTS/NOT-EXISTS pair must collapse into the pair-level +
+    # order-level rollup chain (one fact shuffle on l_orderkey + window
+    # + final agg), never three correlated fact scans
+    df = QUERIES["tpch_q21_waiting_suppliers"](spark, SF_DIR)
+    assert audit.n_broadcast_joins(df) >= 3, audit.plan_report(df)
+    assert audit.n_shuffles(df) <= 3, audit.plan_report(df)
+
+
 def test_dynamic_partition_pruning_injected(spark):
     # the broadcast date-dim join must inject a dynamicpruning subquery
     # into the partitioned fact scan, so only matching date partitions
