@@ -44,6 +44,7 @@ _OPERATOR_MODULES = [
     "composites",
     "composites_ext",
     "analytics_ext",
+    "ml_features",
 ]
 
 _loaded = False
