@@ -289,3 +289,59 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rate = F.when(F.col("lang") == "en", 10).otherwise(25)
     return docs.filter(bucket < rate).select("doc_id", "lang")
+
+
+@register(
+    "event_anomaly_zscore",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, DATE_TRUNC('hour', ts) AS hr, COUNT(*) AS n_events
+      FROM events GROUP BY event_type, hr
+    ), stats AS (
+      SELECT event_type,
+             AVG(n_events) AS mu,
+             STDDEV_SAMP(n_events) AS sd
+      FROM hourly GROUP BY event_type
+    ), scored AS (
+      SELECT h.event_type, hr, n_events,
+             ROUND((n_events - mu) / sd, 4) AS z
+      FROM hourly h JOIN stats s ON h.event_type = s.event_type
+      WHERE sd > 0
+    )
+    SELECT event_type, hr, n_events, z,
+           (z > 3.0 OR z < -3.0) AS is_anomaly
+    FROM scored
+    """,
+)
+def event_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: z-score of each (event_type, hour)
+    count against that type's own hourly distribution; |z| > 3 flags
+    the anomaly. The monitoring query a pipeline operator runs over
+    delivered event volumes to catch producer outages and floods.
+
+    Two tiny aggregations over the hourly rollup (thousands of rows at
+    any corpus size — the raw fact reduces in the first groupBy, which
+    is the only full-data shuffle). The anomaly flag is derived from
+    the ROUNDED z on both engines, so the boolean can only disagree
+    where the hash would already disagree (§5.3: stats rounded 4 dp,
+    same discipline as agg_stats)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count("*").alias("n_events"))
+    stats = hourly.groupBy(F.col("event_type").alias("s_type")).agg(
+        F.avg("n_events").alias("mu"),
+        F.stddev_samp("n_events").alias("sd"),
+    )
+    scored = (
+        hourly.join(F.broadcast(stats), hourly.event_type == F.col("s_type"))
+        .filter(F.col("sd") > 0)
+        .withColumn("z", F.round((F.col("n_events") - F.col("mu")) / F.col("sd"), 4))
+    )
+    return scored.select(
+        "event_type",
+        "hr",
+        "n_events",
+        "z",
+        ((F.col("z") > 3.0) | (F.col("z") < -3.0)).alias("is_anomaly"),
+    )

@@ -257,3 +257,67 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = per_probe if out is None else out.unionByName(per_probe)
     return out
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ), expl AS (
+        SELECT vec_id, i AS dim, e[i] AS x
+        FROM v, UNNEST(RANGE(1, 65)) AS t(i)
+    ), stats AS (
+        SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM expl GROUP BY dim
+    ), coded AS (
+        SELECT vec_id, dim, x, mn, mx,
+               CAST(LEAST(255, FLOOR((x - mn) / (mx - mn) * 256)) AS BIGINT)
+                 AS code
+        FROM expl JOIN stats USING (dim)
+        WHERE vec_id IN ({", ".join(str(i) for i in PROBE_IDS)})
+    )
+    SELECT vec_id, dim, code,
+           ROUND(ABS(x - (mn + (code + 0.5) * (mx - mn) / 256)), 6) AS qerr
+    FROM coded
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding corpus: per-dimension
+    [min, max] over the whole corpus → 256 uniform buckets → one byte
+    per dimension instead of four — the 4× storage/bandwidth reduction
+    that makes a 100 TB vector corpus scannable (codes live next to the
+    doc; the 64×2 stats table is a broadcast constant). Output is the
+    probe rows' codes plus per-value reconstruction error.
+
+    Determinism: bucket assignment uses FLOOR (unambiguous on any
+    double), never ROUND (half-way ties differ across engines); the
+    stats are exact MIN/MAX, not moments; qerr rounds an identically-
+    associated expression. One posexplode + one 64-row agg; the corpus
+    is scanned once."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    expl = emb.select(
+        "vec_id", F.posexplode("e").alias("pos", "x")
+    ).withColumn("dim", F.col("pos") + 1)
+    stats = expl.groupBy("dim").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    code = F.least(
+        F.lit(255),
+        F.floor((F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 256),
+    ).cast("long")
+    coded = (
+        expl.filter(F.col("vec_id").isin(PROBE_IDS))
+        .join(F.broadcast(stats), "dim")
+        .withColumn("code", code)
+    )
+    qerr = F.round(
+        F.abs(
+            F.col("x")
+            - (F.col("mn") + (F.col("code") + 0.5) * (F.col("mx") - F.col("mn")) / 256)
+        ),
+        6,
+    )
+    return coded.select("vec_id", "dim", "code", qerr.alias("qerr"))

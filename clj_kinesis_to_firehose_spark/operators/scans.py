@@ -348,3 +348,79 @@ def pipeline_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(m["n_forwarded"]), int(m["payload_bytes"]), int(m["n_streams"]))],
         "n_forwarded long, payload_bytes long, n_streams long",
     )
+
+
+@register("maintenance_sort_cluster")
+def maintenance_sort_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-clustering maintenance pass (weak check): rewrite a table
+    ordered by its dominant filter key and prove, from the parquet
+    footers, that zone maps became selective.
+
+    At 100 TB the cheapest scan is the one that never happens: parquet
+    row-group min/max stats prune groups whose [min, max] misses the
+    predicate, but only if writes cluster the key — a random layout
+    leaves every zone map spanning the full domain. This op rewrites
+    lineitem ordered by l_shipdate (sortWithinPartitions after a range
+    repartition — a total order across files, no global single-reducer
+    sort), then reads BOTH layouts' footers and counts row groups
+    overlapping a one-month predicate. The summary row reports the
+    prune ratio; the pytest asserts clustered ≪ unclustered.
+    """
+    import pyarrow.parquet as pq
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_quantity", "l_extendedprice"
+    )
+    base = tempfile.mkdtemp(prefix="kf_sortcluster_")
+    rand_dir = os.path.join(base, "random")
+    sort_dir = os.path.join(base, "sorted")
+    # small row groups so the fixture produces enough zone maps to count
+    li.repartition(4).write.mode("overwrite").option(
+        "parquet.block.size", 256 * 1024
+    ).parquet(rand_dir)
+    li.repartitionByRange(4, "l_shipdate").sortWithinPartitions(
+        "l_shipdate"
+    ).write.mode("overwrite").option(
+        "parquet.block.size", 256 * 1024
+    ).parquet(sort_dir)
+
+    lo = "1997-03-01"
+    hi = "1997-04-01"
+
+    def rowgroup_stats(d: str) -> tuple[int, int]:
+        total = overlap = 0
+        for fname in sorted(os.listdir(d)):
+            if not fname.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(d, fname)).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            ci = idx["l_shipdate"]
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(ci).statistics
+                total += 1
+                gmin = str(st.min)[:10]
+                gmax = str(st.max)[:10]
+                if gmax >= lo and gmin < hi:
+                    overlap += 1
+        return total, overlap
+
+    rand_total, rand_hit = rowgroup_stats(rand_dir)
+    sort_total, sort_hit = rowgroup_stats(sort_dir)
+    n_match = (
+        spark.read.parquet(sort_dir)
+        .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .count()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                rand_total,
+                rand_hit,
+                sort_total,
+                sort_hit,
+                n_match,
+            )
+        ],
+        "rg_random long, rg_random_overlap long, rg_sorted long, "
+        "rg_sorted_overlap long, n_rows_matching long",
+    )

@@ -302,3 +302,14 @@ def test_sim_recall_eval_floors(spark):
     for method, recalls in by_method.items():
         mean = sum(recalls) / len(recalls)
         assert mean >= floors[method], (method, recalls)
+
+
+def test_sort_cluster_prunes_row_groups(spark):
+    # the whole point of the sort-clustering rewrite: after ordering by
+    # l_shipdate, a one-month predicate overlaps a small fraction of
+    # row groups, while the random layout's zone maps are useless
+    # (every group spans the full date domain)
+    row = QUERIES["maintenance_sort_cluster"](spark, SF_DIR).collect()[0]
+    assert row.n_rows_matching > 0
+    assert row.rg_random_overlap == row.rg_random  # random layout: no pruning
+    assert row.rg_sorted_overlap * 2 <= row.rg_sorted, row  # clustered: ≥50% pruned
