@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from clj_kinesis_to_firehose_spark.registry import register
-from clj_kinesis_to_firehose_spark.sources import load_table
+from clj_kinesis_to_firehose_spark.sources import fan_out, load_table
 
 # MinHash parameters: 16 permutations in 4 bands of 4 rows. With
 # banding, P(candidate) = 1 - (1 - j^4)^4 — ~0.9 at jaccard 0.7,
@@ -78,7 +78,7 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     faster and is also the shape that scales.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    exploded = docs.select(
+    exploded = fan_out(spark, docs).select(
         "doc_id",
         F.explode(F.array_distinct(shingles(F.col("text")))).alias("shingle"),
     )

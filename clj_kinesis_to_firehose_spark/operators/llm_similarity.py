@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from clj_kinesis_to_firehose_spark.registry import register
-from clj_kinesis_to_firehose_spark.sources import load_table
+from clj_kinesis_to_firehose_spark.sources import fan_out, load_table
 
 PROBE_IDS = [0, 1, 2, 3, 4]
 TOP_K = 5
@@ -84,7 +84,9 @@ def sim_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ROUNDED similarity (then vec_id) so float noise below 1e-6
     cannot reorder the top-k set across engines.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = fan_out(
+        spark, load_table(spark, sf_dir, "embeddings")
+    ).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )
     probes = emb.filter(F.col("vec_id").isin(PROBE_IDS)).select(

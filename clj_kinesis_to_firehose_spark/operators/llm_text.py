@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from clj_kinesis_to_firehose_spark.registry import register
-from clj_kinesis_to_firehose_spark.sources import load_table
+from clj_kinesis_to_firehose_spark.sources import fan_out, load_table
 
 #: tiny deterministic "stopword" list for quality scoring — drawn from
 #: the fixture vocabulary so the ratios are non-degenerate
@@ -99,7 +99,9 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()  # scalar; corpus cardinality, driver-side once
-    tokens = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tokens = fan_out(spark, docs).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
     tf = tokens.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     # df falls out of tf (one row per doc×term), so deriving it there
     # reuses tf's shuffle (ReusedExchange) instead of re-exploding and

@@ -49,3 +49,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round-robin repartition to core count when a scan arrives with
+    fewer partitions — the local-fixture mitigation for single-file
+    single-row-group parquet, which otherwise serializes all scan-side
+    compute (shingling, tokenization, vector math) onto one core.
+
+    On a real layout (many files / row groups / a 1000-executor
+    cluster) the scan already parallelizes and this is a no-op, so the
+    extra exchange never appears at scale; locally the rows moved are
+    bounded by the fixture size. Apply only ahead of CPU-heavy per-row
+    work — cheap scans and plan-audited relational paths keep their
+    native scan parallelism."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
