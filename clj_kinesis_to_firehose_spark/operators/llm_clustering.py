@@ -36,7 +36,7 @@ from clj_kinesis_to_firehose_spark.operators.llm_similarity import (
     cosine,
 )
 from clj_kinesis_to_firehose_spark.registry import register
-from clj_kinesis_to_firehose_spark.sources import load_table
+from clj_kinesis_to_firehose_spark.sources import fan_out, load_table
 
 K_CLUSTERS = 8
 KMEANS_ITERS = 5
@@ -62,7 +62,9 @@ def _assign_udf(centroids: np.ndarray):
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings").select(
+    # fan_out: the pandas-UDF matmul kernels below parallelize per
+    # partition; a single-file scan would serialize them on one core
+    return fan_out(spark, load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )
 

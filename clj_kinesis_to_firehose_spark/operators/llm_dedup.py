@@ -151,7 +151,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     and distinct texts don't.
     """
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
+    tok = fan_out(spark, docs).select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
     ).withColumn("h", F.xxhash64("token"))
     bits = tok.select(

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from clj_kinesis_to_firehose_spark.registry import register
-from clj_kinesis_to_firehose_spark.sources import load_table
+from clj_kinesis_to_firehose_spark.sources import fan_out, load_table
 
 
 @register(
@@ -107,7 +107,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     The binary payloads are manufactured from document text (utf-8
     bytes) — opaque binary + metadata struct, exactly the layout a
     real image/audio table would have."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
     media = docs.select(
         "doc_id",
         F.when(F.col("doc_id") % 3 == 0, "image")
