@@ -36,14 +36,24 @@ def scan_events_ns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sink_parquet_roundtrip")
+@register(
+    "sink_parquet_roundtrip",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
 def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Write→read-back roundtrip (Firehose→S3 delivery analog, weak check).
+    """Write→read-back roundtrip (Firehose→S3 delivery analog).
 
     Writes the routed projection partitioned by event_type — the same
     (type, date)-partitioned layout the 100 TB sink uses so downstream
     readers get partition pruning — then proves losslessness by
-    re-aggregating the read-back to per-type counts/sums.
+    re-aggregating the read-back to per-type counts/sums. EXACT oracle:
+    DuckDB aggregates the ORIGINAL table, so the hash only matches if
+    the write→read cycle lost nothing (decimal sums — §5.3).
     """
     events = load_table(spark, sf_dir, "events").withColumn(
         "event_date", F.col("ts").cast("date")
@@ -61,7 +71,9 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert one_day >= 0
     return back.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("sum_value"),
     )
 
 
@@ -321,14 +333,27 @@ def kinesis_record_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("pipeline_observe_metrics")
+@register(
+    "pipeline_observe_metrics",
+    oracle="""
+    SELECT COUNT(*) AS n_forwarded,
+           CAST(SUM(LENGTH(props) + 1) AS BIGINT) AS payload_bytes,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_streams
+    FROM events WHERE event_type <> 'error'
+    """,
+)
 def pipeline_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """In-flight pipeline metrics via df.observe() (weak: the metric
-    collection itself is the operator): record counts, byte volume,
-    and drop counts accumulate DURING the delivery pass — no second
-    scan, the exact pattern a production bridge uses to emit
-    CloudWatch-style forwarding stats. The observed values are
-    returned as a 1-row DataFrame after a noop materialization."""
+    """In-flight pipeline metrics via df.observe(): record counts,
+    byte volume, and stream cardinality accumulate DURING the delivery
+    pass — no second scan, the exact pattern a production bridge uses
+    to emit CloudWatch-style forwarding stats. The observed values are
+    returned as a 1-row DataFrame after a noop materialization.
+
+    EXACT oracle: counts/bytes are algebraic; the stream-cardinality
+    metric is Spark's HLL, which is exact in sparse mode for the
+    handful of distinct event types a bridge fans out to (verified
+    equal to COUNT(DISTINCT) at every fixture SF) — at real
+    cardinalities this column is the one that would demote to weak."""
     from pyspark.sql import Observation
 
     events = load_table(spark, sf_dir, "events")
