@@ -457,3 +457,112 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(F.col("c") >= 0.5).select(
         "doc_contained", "doc_container", F.round("c", 6).alias("containment")
     )
+
+
+def _minhash_sigs(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """MinHash signature table for a doc set (doc_id + 16 mh columns);
+    the explode/agg form shared by batch and incremental dedup."""
+    exploded = fan_out(spark, docs).select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(F.col("text")))).alias("shingle"),
+    )
+    return exploded.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64("shingle", F.lit(seed))).alias(f"mh{seed}")
+            for seed in range(MINHASH_PERMS)
+        ]
+    )
+
+
+def _band_keys(sigs: DataFrame) -> DataFrame:
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"mh{b * MINHASH_ROWS + r}")
+                                    for r in range(MINHASH_ROWS)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bucket")
+
+
+@register("dedup_incremental_minhash")
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup: new documents check against a
+    PERSISTED signature index, never against each signature's source
+    text and never base-vs-base (weak: engine-specific hashes; the
+    pytest proves parity with the full batch run).
+
+    This is the shape that keeps a 100 TB corpus dedup affordable: the
+    index (doc_id + 16 longs ≈ 136 B/doc) is written once and appended
+    per ingest batch; each new batch costs O(|delta| + collisions) —
+    signatures for the delta, a band-bucket join against the index,
+    and exact-jaccard verification only on colliding pairs. Re-running
+    the full pairwise dedup per ingest would re-scan the corpus.
+
+    Here the split is md5(doc_id) bucket < 80 → "already indexed";
+    the base signature table round-trips through parquet (the index IS
+    storage, not lineage), the delta band-joins against base+delta
+    bands, and base×base pairs are excluded by construction.
+    """
+    import os
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    base_docs = docs.filter(bucket < 80)
+    delta_docs = docs.filter(bucket >= 80)
+
+    index_dir = os.path.join(tempfile.mkdtemp(prefix="kf_mh_index_"), "sigs")
+    _minhash_sigs(spark, base_docs).write.mode("overwrite").parquet(index_dir)
+    base_sigs = spark.read.parquet(index_dir)  # the persisted index
+    delta_sigs = _minhash_sigs(spark, delta_docs)
+
+    delta_bands = _band_keys(delta_sigs)
+    all_bands = _band_keys(base_sigs).unionByName(delta_bands)
+    candidate_ids = (
+        delta_bands.alias("d")
+        .join(
+            all_bands.alias("x"),
+            (F.col("d.band") == F.col("x.band"))
+            & (F.col("d.bucket") == F.col("x.bucket"))
+            & (F.col("d.doc_id") != F.col("x.doc_id")),
+        )
+        .select(
+            F.least(F.col("d.doc_id"), F.col("x.doc_id")).alias("doc_a"),
+            F.greatest(F.col("d.doc_id"), F.col("x.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    candidates = (
+        candidate_ids.join(docs, candidate_ids.doc_a == docs.doc_id)
+        .select("doc_a", "doc_b", F.col("text").alias("text_a"))
+        .join(docs, F.col("doc_b") == docs.doc_id)
+        .select("doc_a", "doc_b", "text_a", F.col("text").alias("text_b"))
+    )
+    sh_a = F.array_distinct(shingles(F.col("text_a")))
+    sh_b = F.array_distinct(shingles(F.col("text_b")))
+    inter = F.size(F.array_intersect(sh_a, sh_b)).cast("double")
+    union = F.size(F.array_union(sh_a, sh_b)).cast("double")
+    return (
+        candidates.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -313,3 +313,34 @@ def test_sort_cluster_prunes_row_groups(spark):
     assert row.n_rows_matching > 0
     assert row.rg_random_overlap == row.rg_random  # random layout: no pruning
     assert row.rg_sorted_overlap * 2 <= row.rg_sorted, row  # clustered: ≥50% pruned
+
+
+def test_incremental_minhash_matches_batch_on_delta_pairs(spark, planted_docs_dir):
+    # consistency contract: the incremental run (delta vs persisted
+    # index) must recover every batch-mode pair that involves at least
+    # one delta doc — same bands, same verify threshold, so equality,
+    # not just superset, on that slice
+    import pyspark.sql.functions as F
+
+    def bucket_of(doc_id: int) -> int:
+        import hashlib
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 100
+
+    batch = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_near_minhash"](spark, planted_docs_dir).collect()
+    }
+    batch_delta = {
+        (a, b) for a, b in batch if bucket_of(a) >= 80 or bucket_of(b) >= 80
+    }
+    incr = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_incremental_minhash"](
+            spark, planted_docs_dir
+        ).collect()
+    }
+    assert incr == batch_delta, (
+        f"incremental {sorted(incr)} != batch-delta slice {sorted(batch_delta)}"
+    )
+    # and the incremental path must itself see some of the planted dups
+    assert any(a >= 9000 or b >= 9000 for a, b in incr) or not batch_delta
