@@ -345,3 +345,91 @@ def event_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "z",
         ((F.col("z") > 3.0) | (F.col("z") < -3.0)).alias("is_anomaly"),
     )
+
+
+@register(
+    "basket_association_lift",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n AS (
+      SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM baskets
+    ), item AS (
+      SELECT l_partkey, COUNT(*) AS n_item FROM baskets GROUP BY l_partkey
+    ), pair AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_pair
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY p1, p2
+    )
+    SELECT p1, p2, n_pair,
+           CAST(ROUND(CAST(n_pair AS DECIMAL(18,9)) * n_orders
+                      / (i1.n_item * i2.n_item), 6) AS DOUBLE) AS lift,
+           CAST(ROUND(CAST(n_pair AS DECIMAL(18,9)) / i1.n_item, 6) AS DOUBLE)
+             AS confidence
+    FROM pair
+    JOIN item i1 ON p1 = i1.l_partkey
+    JOIN item i2 ON p2 = i2.l_partkey
+    CROSS JOIN n
+    WHERE n_pair >= 3
+    ORDER BY lift DESC, p1, p2
+    LIMIT 25
+    """,
+)
+def basket_association_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over order baskets: lift and confidence
+    for part pairs with support ≥ 3 — the classic market-basket model
+    (lift = P(a,b) / (P(a)·P(b))) on top of the co-purchase counts.
+
+    Three aggregates off ONE distinct-basket rollup: item supports
+    (|parts| rows — broadcast), pair supports (co-partitioned
+    self-join on l_orderkey, the only basket-scale shuffle), and the
+    1-row order count. Division happens once per surviving pair in
+    DECIMAL and rounds at 6 dp on both engines; the support floor and
+    top-k tie-break keep the result set deterministic (§5.3)."""
+    baskets = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = baskets.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    item = baskets.groupBy(F.col("l_partkey").alias("ip")).agg(
+        F.count("*").alias("n_item")
+    )
+    a = baskets.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p1"))
+    b = baskets.select(F.col("l_orderkey").alias("k2"), F.col("l_partkey").alias("p2"))
+    pair = (
+        a.join(b, (F.col("k") == F.col("k2")) & (F.col("p1") < F.col("p2")))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= 3)
+    )
+    i1 = item.alias("i1")
+    i2 = item.alias("i2")
+    return (
+        pair.join(F.broadcast(i1), F.col("p1") == F.col("i1.ip"))
+        .join(F.broadcast(i2), F.col("p2") == F.col("i2.ip"))
+        .join(F.broadcast(n_orders))
+        .select(
+            "p1",
+            "p2",
+            "n_pair",
+            F.round(
+                F.col("n_pair").cast("decimal(18,9)")
+                * F.col("n_orders")
+                / (F.col("i1.n_item") * F.col("i2.n_item")),
+                6,
+            )
+            .cast("double")
+            .alias("lift"),
+            F.round(
+                F.col("n_pair").cast("decimal(18,9)") / F.col("i1.n_item"), 6
+            )
+            .cast("double")
+            .alias("confidence"),
+        )
+        .orderBy(F.desc("lift"), "p1", "p2")
+        .limit(25)
+    )
