@@ -468,3 +468,50 @@ def corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.round(F.col("n_docs") / F.sum("n_docs").over(total), 6).alias("doc_share"),
     )
+
+
+@register(
+    "text_repetition_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS ts FROM documents
+      WHERE LEN(STRING_SPLIT(text, ' ')) >= 2
+    ), grams AS (
+      SELECT doc_id,
+             [ts[i] || ' ' || ts[i+1] FOR i IN RANGE(1, LEN(ts))] AS bg
+      FROM toks
+    )
+    SELECT doc_id,
+           LEN(bg) AS n_bigrams,
+           LEN(LIST_DISTINCT(bg)) AS n_distinct,
+           CAST(ROUND(1 - CAST(LEN(LIST_DISTINCT(bg)) AS DECIMAL(18,9))
+                          / LEN(bg), 6) AS DOUBLE) AS rep_ratio
+    FROM grams
+    """,
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-bigram ratio per document — the repetition signal of
+    C4/Gopher-style quality filtering (boilerplate, keyword stuffing,
+    and degenerate generations all spike it): 1 − distinct/total
+    bigrams. Pure per-row array expressions inside codegen — zero
+    shuffles, zero Python; the filterable score streams out of the
+    scan at any corpus size. Division in DECIMAL, rounded 6 dp (§5.3);
+    counts are exact integers."""
+    from clj_kinesis_to_firehose_spark.operators.llm_dedup import shingles
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.size(F.split("text", " ")) >= 2
+    )
+    bg = shingles(F.col("text"), 2)
+    return docs.select(
+        "doc_id",
+        F.size(bg).alias("n_bigrams"),
+        F.size(F.array_distinct(bg)).alias("n_distinct"),
+        F.round(
+            F.lit(1)
+            - F.size(F.array_distinct(bg)).cast("decimal(18,9)") / F.size(bg),
+            6,
+        )
+        .cast("double")
+        .alias("rep_ratio"),
+    )

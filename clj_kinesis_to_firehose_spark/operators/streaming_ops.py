@@ -191,3 +191,11 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stream-static broadcast enrichment converges to the batch join
     # over the full replay → exact oracle
     return pipelines.stream_static_enrich(spark, sf_dir)
+
+
+@register("stream_backpressure_trigger")
+def stream_backpressure_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # weak: batch boundaries are an execution property, not a query
+    # result — the pytest asserts the backlog drained as bounded
+    # micro-batches (see pipelines.stream_backpressure_trigger)
+    return pipelines.stream_backpressure_trigger(spark, sf_dir)

@@ -447,3 +447,34 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(out, "complete")
+
+
+def stream_backpressure_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion rate control: maxFilesPerTrigger=1 caps each
+    micro-batch at one replay slice, so a backlog drains as bounded
+    batches instead of one giant catch-up batch — the file-source
+    analog of Kinesis maxRecordsPerFetch / rate-limited resharding
+    recovery. Unbounded catch-up batches are the classic streaming
+    OOM at scale: state updates, shuffles, and sink batches all size
+    with the micro-batch, so bounding the trigger bounds memory.
+
+    foreachBatch records per-epoch row counts; the summary proves the
+    backlog split into >=n_slices batches, none exceeding one slice.
+    """
+    replay = write_replay_slices(spark, sf_dir, n_slices=4)
+    ev = read_event_stream(spark, replay)  # maxFilesPerTrigger=1 inside
+    seen: list[int] = []
+
+    def record(batch_df: DataFrame, epoch_id: int) -> None:
+        seen.append(batch_df.count())
+
+    q = ev.writeStream.foreachBatch(record).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    batches = [n for n in seen if n > 0]
+    return spark.createDataFrame(
+        [(len(batches), int(max(batches)), int(sum(batches)))],
+        "n_batches long, max_batch_rows long, total_rows long",
+    )

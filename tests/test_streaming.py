@@ -162,3 +162,12 @@ def test_checkpoint_restart_delivers_exactly_once(spark):
     final = spark.read.json(os.path.join(delivery, "*.jsonl"))
     assert final.count() == 30  # 20 old NOT redelivered + 10 new
     assert final.select("event_id").distinct().count() == 30
+
+
+def test_backpressure_bounds_microbatches(spark):
+    row = pipelines.stream_backpressure_trigger(spark, SF_DIR).collect()[0]
+    total = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert row.total_rows == total  # nothing lost draining the backlog
+    assert row.n_batches >= 4  # one slice per trigger, never a mega-batch
+    # no batch may exceed one time-ordered slice (ntile => ceil split)
+    assert row.max_batch_rows <= -(-total // 4)
