@@ -225,6 +225,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
         .distinct()
+        # edges feed degree counting, orientation, and triangle closing;
+        # materialize once (the persisted edge list of a real graph
+        # pipeline) instead of re-running the pair self-join per consumer
+        .localCheckpoint(eager=True)
     )
     deg = (
         edges.select(F.col("pa").alias("node"))
@@ -245,6 +249,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(lower_first, F.col("e.pa")).otherwise(F.col("e.pb")).alias("src"),
             F.when(lower_first, F.col("e.pb")).otherwise(F.col("e.pa")).alias("dst"),
         )
+        .localCheckpoint(eager=True)  # both wedge sides read this
     )
     o1 = oriented.alias("o1")
     o2 = oriented.alias("o2")
@@ -391,6 +396,10 @@ def basket_association_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        # four consumers (order count, item supports, both pair sides);
+        # materialize the basket rollup once — at scale this is the
+        # persisted distinct-basket table every rule pass reads
+        .localCheckpoint(eager=True)
     )
     n_orders = baskets.agg(
         F.countDistinct("l_orderkey").alias("n_orders")

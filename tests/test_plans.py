@@ -255,3 +255,36 @@ def test_dynamic_partition_pruning_injected(spark):
     df = QUERIES["scan_dynamic_partition_pruning"](spark, SF_DIR)
     plan = audit.formatted_plan(df)
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_repetition_score_is_pure_scan(spark):
+    # quality scoring must stream out of the scan: no shuffle, no
+    # Python, all array expressions in codegen
+    df = QUERIES["text_repetition_score"](spark, SF_DIR)
+    assert audit.n_shuffles(df) == 0, audit.plan_report(df)
+    assert audit.has_whole_stage_codegen(df)
+
+
+def test_stratified_sample_is_pure_scan(spark):
+    df = QUERIES["sample_stratified_hash"](spark, SF_DIR)
+    assert audit.n_shuffles(df) == 0, audit.plan_report(df)
+
+
+def test_target_encode_single_fact_pass(spark):
+    # the category rollup broadcasts back; the fact itself never
+    # reshuffles for the per-row encoded value
+    df = QUERIES["feature_target_encode_loo"](spark, SF_DIR)
+    assert audit.n_broadcast_joins(df) >= 1, audit.plan_report(df)
+    assert audit.n_shuffles(df) <= 1, audit.plan_report(df)
+
+
+def test_triangle_and_lift_bounded_shuffles(spark):
+    # reused intermediates (edge list, basket rollup) are materialized
+    # once, so the shuffle count stays bounded instead of multiplying
+    # per consumer
+    for name, max_shuffles in [("graph_triangle_count", 6),
+                               ("basket_association_lift", 6)]:
+        df = QUERIES[name](spark, SF_DIR)
+        assert audit.n_shuffles(df) <= max_shuffles, (
+            name + "\n" + audit.plan_report(df)
+        )
