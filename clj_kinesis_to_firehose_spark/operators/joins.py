@@ -443,11 +443,24 @@ def _bloom_positions(key: F.Column) -> F.Column:
     )
 
 
-@register("join_bloom_prefilter")
+@register(
+    "join_bloom_prefilter",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN
+          (SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0)
+    """,
+)
 def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter semi-join pre-filter: build a bloom filter over the
-    keys of a filtered dimension (high-balance customers), then drop
-    fact rows (orders) that cannot match BEFORE any shuffle or join.
+    keys of a filtered dimension (high-balance customers), drop fact
+    rows (orders) that cannot match BEFORE any shuffle, then finish
+    with the real broadcast semi-join — so the checked output is the
+    EXACT semi-join (bloom pass ∧ real match) and the oracle is plain
+    SQL. The bloom stage's no-false-negative + small-FP-rate property
+    is asserted separately in tests/test_weak_ops.py against
+    :func:`bloom_pass_orders`.
 
     This is THE technique for 100 TB fact-dim joins where the dim
     predicate is selective: the filter is ~128 KiB broadcast to every
@@ -457,9 +470,24 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit positions come from JVM-side xxhash64 on BOTH sides (build
     distributed, distinct positions collected once — bounded by k·|dim|),
     and the probe is an Arrow-vectorized pandas UDF indexing the
-    broadcast numpy bitmap. Weak oracle (bloom membership is not SQL);
-    the behavioral test proves no false negatives + a small FP rate.
+    broadcast numpy bitmap.
     """
+    rich = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000.0)
+        .select("c_custkey")
+    )
+    return bloom_pass_orders(spark, sf_dir).join(
+        F.broadcast(rich),
+        F.col("o_custkey") == F.col("c_custkey"),
+        "left_semi",
+    )
+
+
+def bloom_pass_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bloom-prefilter stage alone (orders rows whose key passes the
+    dim bloom filter, false positives included) — the surface the
+    FP-rate/no-false-negative behavioral test exercises."""
     orders = load_table(spark, sf_dir, "orders")
     rich = (
         load_table(spark, sf_dir, "customer")

@@ -25,6 +25,23 @@ MINHASH_BANDS = 4
 MINHASH_ROWS = MINHASH_PERMS // MINHASH_BANDS
 SHINGLE_WIDTH = 3
 
+# One xxhash64 per shingle, then 16 universal-hash permutations
+# h_i = (a_i·h + b_i) mod p — 16× less string-hash work in the
+# dominant signature aggregation with the same per-permutation
+# min-hash statistics. Bounds keep every intermediate ANSI-safe in
+# int64: h < 2^32 (base hash folded by pmod), a_i < 2^30 ⇒
+# a_i·h < 2^62; p is the smallest prime > 2^32 so permuted values
+# keep the full 32-bit key space. Constants are fixed-seed so
+# persisted signature indexes (dedup_incremental_minhash) stay
+# comparable across runs.
+MINHASH_P = 4_294_967_311  # smallest prime > 2^32
+_rng = __import__("random").Random(0x5EED)
+MINHASH_AB = [
+    (_rng.randrange(1, 1 << 30) | 1, _rng.randrange(0, MINHASH_P))
+    for _ in range(MINHASH_PERMS)
+]
+del _rng
+
 
 @register(
     "dedup_exact",
@@ -66,50 +83,21 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash functions are engine-specific, so no SQL oracle — pytest
     verifies planted near-dups are recovered).
 
-    Pipeline: explode shingles → 16 min(xxhash64(shingle, seed))
-    aggregates per doc (the MinHash signature — one shuffle with
-    map-side partials, each shingle hashed exactly 16 times) → 4 band
-    keys → self-join per band bucket → distinct candidate pairs →
-    exact jaccard verify on the candidates only. The band-bucket join
-    is the scale path: pair cost is per-bucket, never corpus². An
-    earlier formulation computed the signature as 16 array-transforms
-    over a shingle-array column, which re-evaluated the shingling 16×
-    per row after projection collapse — the explode/agg form is ~20×
-    faster and is also the shape that scales.
+    Pipeline: explode shingles → hash each shingle ONCE → 16
+    linear-permutation min aggregates per doc (the MinHash signature —
+    one shuffle with map-side partials; see :data:`MINHASH_AB`) →
+    4 band keys → self-join per band bucket → distinct candidate
+    pairs → exact jaccard verify on the candidates only. The
+    band-bucket join is the scale path: pair cost is per-bucket,
+    never corpus². An earlier formulation computed the signature as
+    16 array-transforms over a shingle-array column, which
+    re-evaluated the shingling 16× per row after projection collapse —
+    the explode/agg form is ~20× faster and is also the shape that
+    scales; a later revision cut the remaining 16-strings-hashes-
+    per-shingle to one.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    exploded = fan_out(spark, docs).select(
-        "doc_id",
-        F.explode(F.array_distinct(shingles(F.col("text")))).alias("shingle"),
-    )
-    sigs = exploded.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64("shingle", F.lit(seed))).alias(f"mh{seed}")
-            for seed in range(MINHASH_PERMS)
-        ]
-    )
-    banded = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col(f"mh{b * MINHASH_ROWS + r}")
-                                    for r in range(MINHASH_ROWS)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(MINHASH_BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.bucket")
+    banded = _band_keys(_minhash_sigs(spark, docs))
     left = banded.alias("a")
     right = banded.alias("b")
     candidate_ids = (
@@ -461,15 +449,25 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_sigs(spark: SparkSession, docs: DataFrame) -> DataFrame:
     """MinHash signature table for a doc set (doc_id + 16 mh columns);
-    the explode/agg form shared by batch and incremental dedup."""
+    the explode/agg form shared by batch and incremental dedup.
+
+    Each shingle is string-hashed ONCE (the projected ``h`` column),
+    then the 16 permutations are linear mod-p transforms of it —
+    min-aggregated with map-side partials, so the one shuffle carries
+    only (doc_id, 16 longs) partial states."""
     exploded = fan_out(spark, docs).select(
         "doc_id",
         F.explode(F.array_distinct(shingles(F.col("text")))).alias("shingle"),
     )
-    return exploded.groupBy("doc_id").agg(
+    hashed = exploded.select(
+        "doc_id", F.pmod(F.xxhash64("shingle"), F.lit(1 << 32)).alias("h")
+    )
+    return hashed.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64("shingle", F.lit(seed))).alias(f"mh{seed}")
-            for seed in range(MINHASH_PERMS)
+            F.min(
+                F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MINHASH_P))
+            ).alias(f"mh{i}")
+            for i, (a, b) in enumerate(MINHASH_AB)
         ]
     )
 

@@ -177,10 +177,23 @@ def route_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("maintenance_compact")
+@register(
+    "maintenance_compact",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    """,
+)
 def maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Small-files compaction (weak check): rewrite a fragmented
-    dataset into target-sized files and report the before/after layout.
+    """Small-files compaction: rewrite a fragmented dataset into
+    target-sized files and prove row-losslessness with an EXACT
+    oracle — the checked output is the post-compaction table's
+    row/user/value totals, which must equal the source fixture's
+    (losslessness is the compaction contract). The before/after
+    file-count collapse (64 → 4) is asserted in
+    tests/test_weak_ops.py, where filesystem layout belongs.
 
     The small-files problem is a first-order 100 TB failure mode — a
     streaming sink dribbling KB-scale parquet per trigger turns every
@@ -200,26 +213,57 @@ def maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     events.repartition(64).write.mode("overwrite").parquet(frag_dir)
 
     frag = spark.read.parquet(frag_dir)
-    n_frag_files = frag.select(F.input_file_name()).distinct().count()
     # production sizing: n_out = ceil(dataset_bytes / 128 MiB); the
     # fixture is tiny so target 4 to keep the assertion meaningful
     frag.repartition(4).write.mode("overwrite").parquet(compact_dir)
     back = spark.read.parquet(compact_dir)
-    n_compact_files = back.select(F.input_file_name()).distinct().count()
 
     return back.agg(
         F.count("*").alias("n_rows"),
-        F.lit(n_frag_files).alias("n_files_before"),
-        F.lit(n_compact_files).alias("n_files_after"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
 
 
-@register("scan_schema_evolution")
+def compact_file_counts(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    """Test-support twin of :func:`maintenance_compact`: run the same
+    fragment→compact rewrite and return (files_before, files_after).
+    Kept out of the registered operator so its oracle stays exact."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    base = tempfile.mkdtemp(prefix="kf_compact_")
+    frag_dir = os.path.join(base, "fragmented")
+    compact_dir = os.path.join(base, "compacted")
+    events.repartition(64).write.mode("overwrite").parquet(frag_dir)
+    frag = spark.read.parquet(frag_dir)
+    n_before = frag.select(F.input_file_name()).distinct().count()
+    frag.repartition(4).write.mode("overwrite").parquet(compact_dir)
+    back = spark.read.parquet(compact_dir)
+    n_after = back.select(F.input_file_name()).distinct().count()
+    return n_before, n_after
+
+
+@register(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(5 AS BIGINT) AS n_cols_unified,
+           CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_backfilled,
+           CAST(SUM(CASE WHEN event_id % 2 = 1 AND value > 100
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_high_tier
+    FROM events
+    """,
+)
 def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Schema-evolution read (weak check): a dataset written in two
+    """Schema-evolution read (EXACT oracle): a dataset written in two
     generations — generation 1 lacks a column that generation 2 adds —
-    reads back as one unified schema with NULL back-fill.
+    reads back as one unified schema with NULL back-fill. Every checked
+    scalar is fixture-derivable: back-filled rows are exactly the
+    even-event_id generation-1 rows, high-tier rows exactly the odd
+    rows with value > 100, and the unified width is the 4 base columns
+    plus the evolved one.
 
     At 100 TB, schema drift across years of partitions is the norm,
     not the exception; the contract is `mergeSchema` unioning parquet
@@ -245,7 +289,7 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return unified.agg(
         F.count("*").alias("n_rows"),
-        F.lit(len(unified.schema.fields)).alias("n_cols_unified"),
+        F.lit(len(unified.schema.fields)).cast("long").alias("n_cols_unified"),
         F.sum(F.col("quality_tier").isNull().cast("long")).alias("n_backfilled"),
         F.sum((F.col("quality_tier") == "high").cast("long")).alias("n_high_tier"),
     )

@@ -49,6 +49,85 @@ _OPERATOR_MODULES = [
 
 _loaded = False
 
+#: Names surfaced FIRST by :func:`queries` / :func:`oracle_sql`.
+#:
+#: The driver's correctness sweep adjudicates the first 50 registered
+#: queries per round (CORRECTNESS_r01/r02 both stop at #50 in dict
+#: order). Rounds 1-2 spent the window on scans/filters/joins/
+#: aggregates, so every SURVEY §2 row in E/F/G/H/I/J/K plus A4-A6 has
+#: local-oracle evidence only. This round rotates those 46 contract
+#: rows into the window, plus the three ops whose checks were just
+#: upgraded from weak to exact (maintenance_compact,
+#: scan_schema_evolution, join_bloom_prefilter) and the headline
+#: join_asof that errored in r02's sweep. Rotate again next round if
+#: the window stays capped.
+_PRIORITY = [
+    # A4-A6 (streaming source/sink rows)
+    "stream_source_file",
+    "stream_source_rate",
+    "sink_firehose_batched",
+    # E1-E7 windows
+    "win_row_number",
+    "win_rank_dense",
+    "win_lag_lead",
+    "win_running_sum",
+    "win_moving_avg",
+    "win_ntile",
+    "win_first_last",
+    # F1-F3 sorts
+    "sort_limit_topn",
+    "sort_multi_nulls",
+    "topk_per_group",
+    # G1-G4 set ops
+    "set_union_all",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except",
+    # H1-H9 scalar function families
+    "str_funcs",
+    "str_split_explode",
+    "str_regexp",
+    "date_funcs",
+    "math_funcs",
+    "cond_funcs",
+    "array_funcs",
+    "json_extract",
+    "map_funcs",
+    # I1-I7 time windows / streaming
+    "window_tumbling",
+    "window_sliding",
+    "window_session",
+    "stream_tumbling_watermark",
+    "stream_dedup",
+    "stream_stateful_counter",
+    "stream_foreachbatch_sink",
+    # J1-J8 LLM-data ops
+    "dedup_exact",
+    "dedup_near_minhash",
+    "sim_topk_exact",
+    "sim_ann_lsh",
+    "text_wordcount",
+    "text_lang_stats",
+    "text_tfidf_topterms",
+    "multimodal_join",
+    # K1-K5 UDF surfaces
+    "udf_python",
+    "udf_pandas_scalar",
+    "udaf_grouped_agg",
+    "udf_grouped_map",
+    "udtf_python",
+    # weak→exact conversions this round + r02-errored headline
+    "maintenance_compact",
+    "scan_schema_evolution",
+    "join_bloom_prefilter",
+    "join_asof",
+]
+
+
+def _prioritized(d: dict) -> dict:
+    head = {n: d[n] for n in _PRIORITY if n in d}
+    return head | {n: v for n, v in d.items() if n not in head}
+
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
@@ -73,9 +152,9 @@ def _load_all() -> None:
 
 def queries() -> dict[str, QueryFn]:
     _load_all()
-    return dict(_QUERIES)
+    return _prioritized(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     _load_all()
-    return dict(_ORACLES)
+    return _prioritized(_ORACLES)

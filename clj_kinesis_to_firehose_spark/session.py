@@ -19,8 +19,10 @@ from pyspark.sql import SparkSession
 #: re-applies the runtime-settable ones to foreign sessions (the
 #: driver's harness builds its own SparkSession).
 RUNTIME_CONFS = {
-    # events.ts is parquet TIMESTAMP(NANOS); Spark 4.x refuses it without
-    # this legacy flag. The loader converts long-nanos → timestamp (µs).
+    # Some fixture revisions write events.ts as parquet TIMESTAMP(NANOS),
+    # which Spark 4.x refuses without this legacy flag (reads as long
+    # nanos; the loader normalizes — see sources/loader.py). Harmless on
+    # µs-timestamp revisions.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Deterministic cross-engine timestamps (DuckDB oracle is tz-naive).
     "spark.sql.session.timeZone": "UTC",

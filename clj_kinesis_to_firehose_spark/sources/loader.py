@@ -1,14 +1,21 @@
 """Batch table loaders — the single choke point for fixture I/O.
 
-All operators load through here so the events nanosecond-timestamp
-shim (SURVEY.md §1.2) is applied exactly once, uniformly:
+All operators load through here so the events timestamp shim
+(SURVEY.md §1.2) is applied exactly once, uniformly. The fixture's
+``events.ts`` physical type has varied across driver revisions —
+``TIMESTAMP(NANOS)`` (read as long nanos under
+``spark.sql.legacy.parquet.nanosAsLong=true``), and later plain
+``TIMESTAMP(MICROS)`` (read as TIMESTAMP_NTZ under Spark 4's
+parquet NTZ inference). The loader normalizes every variant to a
+session-tz ``timestamp`` column so downstream operators and the
+DuckDB oracle (naive µs timestamps, UTC session tz) agree exactly:
 
-* ``events.ts`` is parquet ``TIMESTAMP(NANOS)``. Spark 4.x cannot read
-  it natively; with ``spark.sql.legacy.parquet.nanosAsLong=true`` it
-  reads as long nanos, which we floor-divide to µs (integer ``div`` —
+* long nanos → ``timestamp_micros(ts div 1000)`` (integer ``div`` —
   double division would lose sub-µs precision at 1.7e18 ns and round
-  a stray row to the wrong microsecond). DuckDB truncates ns→µs the
-  same way, so both engines agree exactly.
+  a stray row to the wrong microsecond; DuckDB truncates ns→µs the
+  same way).
+* TIMESTAMP_NTZ → ``cast(timestamp)``; identity under the engine's
+  mandatory UTC session timezone.
 
 Scale notes: loaders return lazy DataFrames straight off the parquet
 scan — no caching, no collect — so Catalyst's column pruning and
@@ -42,9 +49,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_configs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # long nanos → µs timestamp; integer div keeps exact µs truncation
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        df = df.withColumn("ts", _normalize_ts(df.schema["ts"].dataType))
     return df
+
+
+def _normalize_ts(dtype) -> F.Column:
+    """Column expression normalizing ``events.ts`` to TimestampType
+    regardless of which physical parquet type this fixture revision
+    used (see module docstring)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, T.LongType):
+        # long nanos → µs timestamp; integer div keeps exact µs truncation
+        return F.expr("timestamp_micros(ts div 1000)")
+    if isinstance(dtype, T.TimestampNTZType):
+        # naive µs → session-tz timestamp; identity under UTC session tz
+        return F.col("ts").cast("timestamp")
+    return F.col("ts")
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -17,10 +17,11 @@ from pyspark.sql import functions as F
 
 from clj_kinesis_to_firehose_spark.session import ensure_configs
 
-#: events schema as the raw parquet carries it (ts = long nanos under
-#: the nanosAsLong conf; the shim converts after readStream)
+#: events schema as the replay slices carry it — the loader's
+#: normalized form (ts already a µs timestamp), so the stream source
+#: is fixture-revision-agnostic (see sources/loader.py docstring)
 EVENTS_RAW_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
+    "event_id long, ts timestamp, user_id long, event_type string, "
     "value double, props string"
 )
 
@@ -46,9 +47,11 @@ def write_replay_slices(
     """
     from pyspark.sql.window import Window
 
+    from clj_kinesis_to_firehose_spark.sources.loader import load_table
+
     ensure_configs(spark)
     replay_dir = tempfile.mkdtemp(prefix="kf_replay_")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")  # ts stays long nanos
+    raw = load_table(spark, sf_dir, "events")  # ts normalized to timestamp
     slices = raw.withColumn(
         "__slice", F.ntile(n_slices).over(Window.orderBy("ts", "event_id")) - 1
     )
@@ -72,16 +75,15 @@ def write_replay_slices(
 
 
 def read_event_stream(spark: SparkSession, replay_dir: str) -> DataFrame:
-    """File-source event stream with the ns→µs timestamp shim applied —
+    """File-source event stream over loader-normalized replay slices —
     the streaming twin of ``sources.loader.load_table('events')``."""
     ensure_configs(spark)
-    raw = (
+    return (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .option("recursiveFileLookup", "true")
         .parquet(replay_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
 def read_rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:

@@ -27,8 +27,18 @@ NS = 1_000_000_000
 T0 = 1_704_067_200 * NS  # 2024-01-01 00:00:00 UTC in nanos
 
 
+def _ns_to_dt(ts_ns):
+    # naive UTC datetime (session tz is UTC), truncated to µs like the
+    # loader's nanos path
+    import datetime
+
+    return datetime.datetime(1970, 1, 1) + datetime.timedelta(
+        microseconds=ts_ns // 1000
+    )
+
+
 def _ev(i, ts_ns, etype="click", user=1, value=1.0):
-    return (i, ts_ns, user, etype, value, '{"k": 1}')
+    return (i, _ns_to_dt(ts_ns), user, etype, value, '{"k": 1}')
 
 
 @pytest.fixture(scope="module")

@@ -212,14 +212,17 @@ def test_hll_sketch_close_to_exact(spark, oracle_con):
 
 
 def test_compaction_preserves_rows_and_collapses_files(spark, oracle_con):
+    from clj_kinesis_to_firehose_spark.operators.scans import compact_file_counts
+
     row = QUERIES["maintenance_compact"](spark, SF_DIR).collect()[0]
     exact_rows, exact_sum = oracle_con.execute(
         "SELECT COUNT(*), ROUND(SUM(value), 2) FROM events"
     ).fetchall()[0]
     assert row["n_rows"] == exact_rows
-    assert row["n_files_after"] < row["n_files_before"]
-    assert row["n_files_after"] <= 4
     assert abs(row["sum_value"] - exact_sum) < 0.05  # float-order tolerance
+    n_before, n_after = compact_file_counts(spark, SF_DIR)
+    assert n_after < n_before
+    assert n_after <= 4
 
 
 def test_schema_evolution_backfills_old_generation(spark, oracle_con):
@@ -255,9 +258,10 @@ def test_pca_projection_matches_eigen_spectrum(spark):
 
 
 def test_bloom_prefilter_superset_of_exact_semi(spark, oracle_con):
+    from clj_kinesis_to_firehose_spark.operators.joins import bloom_pass_orders
+
     passed = {
-        r["o_orderkey"]
-        for r in QUERIES["join_bloom_prefilter"](spark, SF_DIR).collect()
+        r["o_orderkey"] for r in bloom_pass_orders(spark, SF_DIR).collect()
     }
     exact = {
         r[0]
