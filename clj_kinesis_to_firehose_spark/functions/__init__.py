@@ -1,0 +1,38 @@
+"""Shared column-expression helpers (the engine's "functions" layer).
+
+Pure JVM-side column builders reused across operator families —
+no UDFs, no actions, so every caller keeps whole-stage codegen and
+pushdown. Operator modules re-export these for their local idiom
+(``llm_dedup.shingles``, ``llm_similarity.cosine``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+__all__ = ["cosine", "shingles"]
+
+
+def cosine(a, b):
+    """Cosine similarity between two array<double> columns — built-in
+    zip_with/aggregate fold, JVM-side, no UDF."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, x: s + x * x))
+    return dot / (na * nb)
+
+
+def shingles(col, width: int = 3):
+    """Token w-shingles as strings: sliding windows over the token array,
+    built from pure column expressions (transform over an index range).
+    Documents shorter than ``width`` tokens degrade to one whole-text
+    shingle so they still participate in similarity."""
+    toks = F.split(col, " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - width, F.lit(0)))
+    return F.when(
+        n >= width,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, width))),
+    ).otherwise(F.array(col))

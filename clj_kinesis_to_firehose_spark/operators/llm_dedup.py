@@ -67,14 +67,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def shingles(col, width: int = SHINGLE_WIDTH):
-    """Token w-shingles as strings: sliding windows over the token array,
-    built from pure column expressions (transform over an index range)."""
-    toks = F.split(col, " ")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - width, F.lit(0)))
-    return F.when(n >= width, F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, width))
-    )).otherwise(F.array(col))
+    """Token w-shingles (shared helper in ``functions``; re-exported
+    here with this module's default width)."""
+    from clj_kinesis_to_firehose_spark.functions import shingles as _shingles
+
+    return _shingles(col, width)
 
 
 @register("dedup_near_minhash")

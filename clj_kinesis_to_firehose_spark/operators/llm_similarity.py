@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from clj_kinesis_to_firehose_spark.functions import cosine  # shared helper, re-exported for this module's callers
 from clj_kinesis_to_firehose_spark.registry import register
 from clj_kinesis_to_firehose_spark.sources import fan_out, load_table
 
@@ -38,15 +39,6 @@ def _hyperplanes(dim: int = 64, n: int = LSH_BITS * LSH_TABLES) -> list[list[flo
         state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
         vals.append(((state >> 11) / float(1 << 53)) * 2.0 - 1.0)
     return [vals[i * dim : (i + 1) * dim] for i in range(n)]
-
-
-def cosine(a, b):
-    """Cosine similarity between two array<double> columns — built-in
-    zip_with/aggregate fold, JVM-side, no UDF."""
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, x: s + x * x))
-    return dot / (na * nb)
 
 
 @register(

@@ -98,7 +98,9 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the only large shuffle is the per-doc window.
     """
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()  # scalar; corpus cardinality, driver-side once
+    # corpus cardinality as a broadcast 1-row aggregate — folded into
+    # the same job instead of a separate driver-side count() action
+    n = docs.agg(F.count("*").cast("double").alias("n_docs"))
     tokens = fan_out(spark, docs).select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     )
@@ -107,12 +109,16 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reuses tf's shuffle (ReusedExchange) instead of re-exploding and
     # re-shuffling the full token stream through a countDistinct expand
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
-    scored = tf.join(F.broadcast(df), "term").select(
-        "doc_id",
-        "term",
-        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
-            "tfidf"
-        ),
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (

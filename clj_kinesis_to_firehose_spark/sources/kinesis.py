@@ -26,6 +26,33 @@ class KinesisConnectorUnavailable(RuntimeError):
     pass
 
 
+#: JSON event payload carried in the envelope's ``data`` blob (ts =
+#: epoch nanos, as the producer serializes it on the wire)
+EVENT_PAYLOAD_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def decode_kinesis_envelope(envelope: DataFrame) -> DataFrame:
+    """Decode the Kinesis record envelope (schema fixed by the public
+    AWS API: data, streamName, partitionKey, sequenceNumber,
+    approximateArrivalTimestamp, shardId) into the engine's events
+    schema + arrival_ts. Shared by the production reader below and the
+    unit test, which builds the envelope DataFrame by hand — the only
+    part of this module that needs no connector jar."""
+    return (
+        envelope.select(
+            F.from_json(
+                F.col("data").cast("string"), EVENT_PAYLOAD_SCHEMA
+            ).alias("e"),
+            F.col("approximateArrivalTimestamp").alias("arrival_ts"),
+        )
+        .select("e.*", "arrival_ts")
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+
+
 def read_kinesis_stream(
     spark: SparkSession,
     stream_name: str,
@@ -55,13 +82,4 @@ def read_kinesis_stream(
             "no Kinesis connector available in this environment; use "
             "sources.streams.read_event_stream (file replay double)"
         ) from exc
-    return envelope.select(
-        F.from_json(
-            F.col("data").cast("string"),
-            "event_id long, ts long, user_id long, event_type string, "
-            "value double, props string",
-        ).alias("e"),
-        F.col("approximateArrivalTimestamp").alias("arrival_ts"),
-    ).select("e.*", "arrival_ts").withColumn(
-        "ts", F.expr("timestamp_micros(ts div 1000)")
-    )
+    return decode_kinesis_envelope(envelope)
