@@ -1,0 +1,271 @@
+"""Corpus-design operators for LLM training-data pipelines: source
+mixing with temperature, dedup-informed quality signals, the
+filter-retention funnel, and embedding-space label diagnostics.
+
+Scale design: every operator here is a constant number of shuffles on
+keys whose cardinality is either corpus-scale-with-map-side-combine
+(doc_id, shingle) or tiny (source, label, stage) — no O(n²) pair
+space, no driver-side loops, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from clj_kinesis_to_firehose_spark.functions import shingles
+from clj_kinesis_to_firehose_spark.registry import register
+from clj_kinesis_to_firehose_spark.sources import fan_out, load_table
+
+#: temperature for source re-weighting: share^ALPHA, renormalized.
+#: ALPHA < 1 flattens the mixture toward rare sources (the standard
+#: multilingual/multi-source corpus balancing knob).
+SAMPLE_TEMP_ALPHA = 0.5
+
+
+@register(
+    "sample_temperature_source",
+    oracle=f"""
+    WITH c AS (
+        SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ), t AS (
+        SELECT SUM(n_docs) AS n_total FROM c
+    ), w AS (
+        SELECT source, n_docs, n_total,
+               n_docs / CAST(n_total AS DOUBLE) AS raw_share,
+               POW(n_docs / CAST(n_total AS DOUBLE), {SAMPLE_TEMP_ALPHA})
+                   AS wt
+        FROM c CROSS JOIN t
+    )
+    SELECT source,
+           n_docs,
+           ROUND(raw_share, 6) AS raw_share,
+           ROUND(wt / SUM(wt) OVER (), 6) AS temp_share,
+           CAST(ROUND(wt / SUM(wt) OVER () * n_total) AS BIGINT)
+               AS target_docs
+    FROM w
+    """,
+)
+def sample_temperature_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture: re-weight each source's share
+    as share^α (α=0.5), renormalize, and emit the per-source document
+    budget a balanced training mix would sample.
+
+    One corpus aggregation (map-side combine on ``source``); everything
+    after operates on |sources| rows, so the global re-normalization
+    window is a deliberate single-partition pass over a tiny relation —
+    the same shape at 100 TB, where |sources| stays in the hundreds.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("n_total"))
+    w = counts.crossJoin(F.broadcast(total)).withColumn(
+        "raw_share", F.col("n_docs") / F.col("n_total").cast("double")
+    ).withColumn("wt", F.pow("raw_share", F.lit(SAMPLE_TEMP_ALPHA)))
+    everything = Window.partitionBy()
+    return w.select(
+        "source",
+        "n_docs",
+        F.round("raw_share", 6).alias("raw_share"),
+        F.round(F.col("wt") / F.sum("wt").over(everything), 6).alias("temp_share"),
+        F.round(
+            F.col("wt") / F.sum("wt").over(everything) * F.col("n_total")
+        ).cast("long").alias("target_docs"),
+    )
+
+
+@register(
+    "text_dup_ngram_coverage",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, STRING_SPLIT(text, ' ') AS t, text FROM documents
+    ), shl AS (
+        SELECT doc_id,
+               CASE WHEN LEN(t) >= 3
+                    THEN LIST_TRANSFORM(RANGE(LEN(t) - 2),
+                         i -> ARRAY_TO_STRING(LIST_SLICE(t, i + 1, i + 3), ' '))
+                    ELSE [text] END AS sh
+        FROM toks
+    ), sh AS (
+        SELECT DISTINCT doc_id, UNNEST(sh) AS shingle FROM shl
+    ), c AS (
+        SELECT shingle, COUNT(*) AS ndocs FROM sh GROUP BY shingle
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_ngrams,
+           ROUND(AVG(CASE WHEN ndocs >= 2 THEN 1.0 ELSE 0.0 END), 6)
+               AS dup_ngram_frac
+    FROM sh JOIN c USING (shingle)
+    GROUP BY doc_id
+    """,
+)
+def text_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-n-gram coverage per document: the fraction of a doc's
+    distinct 3-token shingles that also appear in at least one other
+    document — the corpus-level repetition signal quality pipelines
+    use alongside near-dedup (a doc can evade pair-level dedup while
+    being assembled from corpus boilerplate; this catches it).
+
+    Two aggregations on the exploded shingle relation: doc-frequency
+    per shingle (map-side combine), then a per-doc average after a
+    shingle-keyed join. The join is shingle↔shingle — both sides
+    shuffle-partition on the same key, and the frequency side is the
+    smaller post-agg relation. No pair space anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = fan_out(spark, docs).select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(F.col("text")))).alias("shingle"),
+    )
+    ndocs = sh.groupBy("shingle").agg(F.count("*").alias("ndocs"))
+    return (
+        sh.join(ndocs, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            F.round(
+                F.avg(F.when(F.col("ndocs") >= 2, 1.0).otherwise(0.0)), 6
+            ).alias("dup_ngram_frac"),
+        )
+    )
+
+
+@register(
+    "corpus_filter_funnel",
+    oracle="""
+    WITH flagged AS (
+        SELECT lang = 'en' AS s1,
+               lang = 'en' AND n_chars BETWEEN 100 AND 2000 AS s2,
+               lang = 'en' AND n_chars BETWEEN 100 AND 2000
+                   AND LEN(STRING_SPLIT(text, ' ')) >= 20 AS s3,
+               lang = 'en' AND n_chars BETWEEN 100 AND 2000
+                   AND LEN(STRING_SPLIT(text, ' ')) >= 20
+                   AND doc_id = MIN(doc_id) OVER (PARTITION BY text) AS s4
+        FROM documents
+    ), agg AS (
+        SELECT COUNT(*) AS n_input,
+               CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+               CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+               CAST(SUM(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+        FROM flagged
+    )
+    SELECT stage_idx, stage, n_docs,
+           ROUND(n_docs / CAST(n_input AS DOUBLE), 6) AS retention
+    FROM (
+        SELECT 0 AS stage_idx, 'input' AS stage, n_input AS n_docs, n_input FROM agg
+        UNION ALL SELECT 1, 'lang_en', n1, n_input FROM agg
+        UNION ALL SELECT 2, 'length_100_2000', n2, n_input FROM agg
+        UNION ALL SELECT 3, 'min_20_tokens', n3, n_input FROM agg
+        UNION ALL SELECT 4, 'exact_dedup', n4, n_input FROM agg
+    )
+    """,
+)
+def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-retention funnel: the survivor count after each stage of
+    a C4-style cleaning pipeline (language gate → length band → minimum
+    token count → exact dedup keeper), as one report — the first
+    artifact a corpus-construction run publishes.
+
+    Single corpus scan: stage predicates are cumulative boolean columns,
+    the dedup-keeper flag is one window over ``text`` (the only
+    shuffle), and the funnel is a conditional aggregation unpivoted via
+    ``stack`` — NOT four filtered re-scans, which is what makes this
+    shape affordable at 100 TB.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    keeper = F.min("doc_id").over(Window.partitionBy("text")) == F.col("doc_id")
+    s1 = F.col("lang") == "en"
+    s2 = s1 & F.col("n_chars").between(100, 2000)
+    s3 = s2 & (F.size(F.split("text", " ")) >= 20)
+    s4 = s3 & keeper
+    agg = docs.select(
+        s1.alias("s1"), s2.alias("s2"), s3.alias("s3"), s4.alias("s4")
+    ).agg(
+        F.count("*").alias("n_input"),
+        F.sum(F.col("s1").cast("long")).alias("n1"),
+        F.sum(F.col("s2").cast("long")).alias("n2"),
+        F.sum(F.col("s3").cast("long")).alias("n3"),
+        F.sum(F.col("s4").cast("long")).alias("n4"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(5, "
+            "0L, 'input', n_input, "
+            "1L, 'lang_en', n1, "
+            "2L, 'length_100_2000', n2, "
+            "3L, 'min_20_tokens', n3, "
+            "4L, 'exact_dedup', n4) AS (stage_idx, stage, n_docs)"
+        ),
+        "n_input",
+    ).select(
+        "stage_idx",
+        "stage",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("n_input").cast("double"), 6).alias(
+            "retention"
+        ),
+    )
+
+
+@register(
+    "embedding_centroid_distance",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, label,
+               LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ), pe AS (
+        SELECT vec_id, label, UNNEST(e) AS x,
+               GENERATE_SUBSCRIPTS(e, 1) AS pos
+        FROM v
+    ), cent AS (
+        SELECT label, pos, AVG(x) AS c FROM pe GROUP BY label, pos
+    )
+    SELECT pe.vec_id, pe.label,
+           ROUND(SQRT(SUM((pe.x - cent.c) * (pe.x - cent.c))), 4)
+               AS centroid_dist
+    FROM pe JOIN cent USING (label, pos)
+    GROUP BY pe.vec_id, pe.label
+    """,
+)
+def embedding_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid distance for every embedding — the
+    within-class scatter diagnostic that surfaces mislabeled or
+    outlier vectors before they poison contrastive training.
+
+    Centroids via posexplode → (label, pos) average (map-side combine;
+    |labels|·dim rows out), reassembled into arrays and BROADCAST back
+    — the full-corpus side is touched exactly once and the distance is
+    a JVM-side zip_with/aggregate fold, so the plan is one shuffle for
+    the centroid agg plus a map-only scoring pass at any corpus size.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    pe = emb.select("vec_id", "label", F.posexplode("e").alias("pos", "x"))
+    cent = (
+        pe.groupBy("label", "pos")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("centroid")
+        )
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with("e", "centroid", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        emb.join(F.broadcast(cent), "label")
+        .select("vec_id", "label", F.round(dist, 4).alias("centroid_dist"))
+    )

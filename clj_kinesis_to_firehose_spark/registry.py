@@ -45,6 +45,7 @@ _OPERATOR_MODULES = [
     "composites_ext",
     "analytics_ext",
     "ml_features",
+    "corpus_ops",
 ]
 
 _loaded = False
