@@ -288,3 +288,30 @@ def test_triangle_and_lift_bounded_shuffles(spark):
         assert audit.n_shuffles(df) <= max_shuffles, (
             name + "\n" + audit.plan_report(df)
         )
+
+
+def test_centroid_distance_broadcasts_centroids(spark):
+    # the full-corpus side is touched once; the (label, centroid)
+    # relation (|labels| rows) comes back as a broadcast — if this ever
+    # becomes a shuffle join, the scoring pass re-partitions the corpus
+    df = QUERIES["embedding_centroid_distance"](spark, SF_DIR)
+    assert audit.n_broadcast_joins(df) >= 1, audit.plan_report(df)
+
+
+def test_filter_funnel_single_scan(spark):
+    # the funnel must be ONE scan with cumulative flags + conditional
+    # aggregation, not a re-scan per stage: one window shuffle (dedup
+    # keeper over text) + the global aggregation
+    df = QUERIES["corpus_filter_funnel"](spark, SF_DIR)
+    assert audit.n_shuffles(df) <= 2, audit.plan_report(df)
+    schemas = audit.read_schemas(df)
+    assert len(schemas) == 1, schemas
+
+
+def test_temperature_sampling_aggregates_before_window(spark):
+    # the global re-normalization window runs on the post-agg
+    # |sources|-row relation; the corpus itself is touched by exactly
+    # one aggregation
+    df = QUERIES["sample_temperature_source"](spark, SF_DIR)
+    schemas = audit.read_schemas(df)
+    assert all("text" not in s for s in schemas), schemas  # column pruned
