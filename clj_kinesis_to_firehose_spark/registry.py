@@ -56,12 +56,17 @@ _loaded = False
 #: queries per round (CORRECTNESS_r01/r02 both stop at #50 in dict
 #: order). Rounds 1-2 spent the window on scans/filters/joins/
 #: aggregates, so every SURVEY §2 row in E/F/G/H/I/J/K plus A4-A6 has
-#: local-oracle evidence only. This round rotates those 46 contract
+#: local-oracle evidence only. This list rotates those 46 contract
 #: rows into the window, plus the three ops whose checks were just
 #: upgraded from weak to exact (maintenance_compact,
 #: scan_schema_evolution, join_bloom_prefilter) and the headline
-#: join_asof that errored in r02's sweep. Rotate again next round if
-#: the window stays capped.
+#: join_asof that errored in r02's sweep.
+#:
+#: On top of this static preference, :func:`_prioritized` reads the
+#: committed ``CORRECTNESS_r*.json`` records and pushes every query
+#: that already earned a driver-green row to the back, so the window
+#: self-rotates each round toward never-adjudicated queries without
+#: further edits.
 _PRIORITY = [
     # A4-A6 (streaming source/sink rows)
     "stream_source_file",
@@ -125,9 +130,47 @@ _PRIORITY = [
 ]
 
 
+def _adjudicated_names() -> set[str]:
+    """Queries with a conclusive driver row in any committed
+    CORRECTNESS_r*.json: an exact hash match, or a rows-only
+    ``no_oracle`` record for a query that still has no oracle (if an
+    oracle was added since, the op needs re-adjudication). Errored
+    rows never count — they must re-enter the window."""
+    import glob
+    import json
+    import os
+
+    seen: set[str] = set()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") is True:
+                seen.add(name)
+            elif row.get("err") == "no_oracle" and name not in _ORACLES:
+                seen.add(name)
+    return seen
+
+
 def _prioritized(d: dict) -> dict:
-    head = {n: d[n] for n in _PRIORITY if n in d}
-    return head | {n: v for n, v in d.items() if n not in head}
+    """Order ``d`` so the driver's fixed-size sweep window lands on the
+    queries that need adjudication most: (1) the static §2 preference
+    list, minus already-green entries; (2) every other query without a
+    driver-green row, in registration order; (3) the already-green
+    rest."""
+    seen = _adjudicated_names()
+    head = {n: d[n] for n in _PRIORITY if n in d and n not in seen}
+    mid = {n: v for n, v in d.items() if n not in head and n not in seen}
+    tail = {n: v for n, v in d.items() if n not in head and n not in mid}
+    return head | mid | tail
 
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:

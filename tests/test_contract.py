@@ -61,10 +61,23 @@ def test_priority_rotation_is_registered_and_window_sized():
     q = registry.queries()
     missing = [n for n in registry._PRIORITY if n not in q]
     assert not missing, f"_PRIORITY names not registered: {missing}"
-    # the driver adjudicates 50 queries/round; the rotation must fill
-    # exactly that window and actually lead the iteration order
+    # the driver adjudicates 50 queries/round; the static preference
+    # list is sized to that window
     assert len(registry._PRIORITY) == 50
-    assert list(q)[: len(registry._PRIORITY)] == registry._PRIORITY
+
+
+def test_rotation_puts_unadjudicated_queries_first():
+    q = registry.queries()
+    seen = registry._adjudicated_names()
+    names = list(q)
+    n_unseen = sum(1 for n in names if n not in seen)
+    window = names[: min(n_unseen, 50)]
+    # every slot of the driver's window goes to a query without a
+    # driver-green row (until none remain)
+    assert all(n not in seen for n in window), [n for n in window if n in seen]
+    # and priority names that still need adjudication lead the order
+    pri_unseen = [n for n in registry._PRIORITY if n not in seen]
+    assert names[: len(pri_unseen)] == pri_unseen
 
 
 def test_kinesis_envelope_decode_matches_event_stream_schema(spark):
