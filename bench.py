@@ -50,27 +50,36 @@ def main() -> None:
     spark = build_spark("kf-bench")
     queries = registry.queries()
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = queries[name]
         runs = []
-        for _ in range(N_RUNS):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(runs), 3)
+        try:
+            for _ in range(N_RUNS):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            timings[name] = round(statistics.median(runs), 3)
+        except Exception:  # one broken query must not zero the round's bench
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
+            errors[name] = traceback.format_exc(limit=1).strip().splitlines()[-1]
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_median_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_median_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        # explicit: the total above covers only the queries that ran
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
+    if errors:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
