@@ -72,7 +72,9 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:
     width = 16 + (n % 64)
     height = 16 + ((n // 64) % 64)
     n_frames = 1 + (payload[0] % 4) if n else 1
-    feature_mean = round(sum(payload[:256]) / max(min(n, 256), 1) / 255.0, 6)
+    # raw double — rounding happens JVM-side (F.round, HALF_UP) so the
+    # DuckDB oracle's ROUND agrees exactly (Python round() is banker's)
+    feature_mean = sum(payload[:256]) / max(min(n, 256), 1) / 255.0
     return width, height, n_frames, feature_mean
 
 
@@ -99,10 +101,36 @@ def decode_media_batches(
         yield out
 
 
-@register("multimodal_decode")
+@register(
+    "multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           CAST(LENGTH(text) AS BIGINT) AS n_bytes,
+           CAST(16 + LENGTH(text) % 64 AS INT) AS width,
+           CAST(16 + (LENGTH(text) // 64) % 64 AS INT) AS height,
+           CAST(1 + UNICODE(SUBSTR(text, 1, 1)) % 4 AS INT) AS n_frames,
+           ROUND(
+               CAST(LIST_SUM(LIST_TRANSFORM(
+                        RANGE(LEAST(LENGTH(text), 256)),
+                        i -> UNICODE(SUBSTR(text, i + 1, 1)))) AS DOUBLE)
+               / GREATEST(LEAST(LENGTH(text), 256), 1) / 255.0,
+               6) AS feature_mean
+    FROM documents
+    """,
+)
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary media column → decoded feature columns via mapInPandas
-    (weak: the decode kernel is a deterministic fake, see _fake_decode).
+    """Binary media column → decoded feature columns via mapInPandas.
+
+    The decode kernel is a deterministic fake (_fake_decode — no codec
+    libraries exist in this container; a real kernel replaces that one
+    function without touching the Spark plan), but because the fake is
+    pure arithmetic over the payload bytes and the fixture text is
+    ASCII (byte == codepoint, verified at every SF), the whole operator
+    gets an EXACT DuckDB oracle — the Arrow plumbing, batch shape, and
+    schema are all hash-checked, stub codec notwithstanding.
 
     The binary payloads are manufactured from document text (utf-8
     bytes) — opaque binary + metadata struct, exactly the layout a
@@ -116,7 +144,9 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("media_type"),
         F.encode("text", "utf-8").alias("payload"),
     )
-    return media.mapInPandas(decode_media_batches, schema=_DECODE_SCHEMA)
+    return media.mapInPandas(decode_media_batches, schema=_DECODE_SCHEMA).withColumn(
+        "feature_mean", F.round("feature_mean", 6)
+    )
 
 
 @register(

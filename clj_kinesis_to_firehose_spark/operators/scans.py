@@ -419,11 +419,25 @@ def pipeline_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("maintenance_sort_cluster")
+@register(
+    "maintenance_sort_cluster",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-03-01'
+                          AND l_shipdate < TIMESTAMP '1997-04-01'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_rows_matching,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    """,
+)
 def maintenance_sort_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sort-clustering maintenance pass (weak check): rewrite a table
-    ordered by its dominant filter key and prove, from the parquet
-    footers, that zone maps became selective.
+    """Sort-clustering maintenance pass: rewrite a table ordered by its
+    dominant filter key. EXACT oracle: the checked output is the
+    clustered rewrite's row/predicate-hit/value totals, which must
+    equal the source's (the rewrite reorders, never drops). The
+    zone-map selectivity evidence — parquet-footer row-group overlap
+    counts, which are layout- not data-derived — is asserted in
+    tests/test_weak_ops.py via :func:`sort_cluster_rowgroup_stats`.
 
     At 100 TB the cheapest scan is the one that never happens: parquet
     row-group min/max stats prune groups whose [min, max] misses the
@@ -435,8 +449,25 @@ def maintenance_sort_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlapping a one-month predicate. The summary row reports the
     prune ratio; the pytest asserts clustered ≪ unclustered.
     """
-    import pyarrow.parquet as pq
+    _, sort_dir = _sort_cluster_rewrite(spark, sf_dir)
+    back = spark.read.parquet(sort_dir)
+    in_month = (F.col("l_shipdate") >= SORT_CLUSTER_LO) & (
+        F.col("l_shipdate") < SORT_CLUSTER_HI
+    )
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(in_month.cast("long")).alias("n_rows_matching"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
 
+
+SORT_CLUSTER_LO = "1997-03-01"
+SORT_CLUSTER_HI = "1997-04-01"
+
+
+def _sort_cluster_rewrite(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write lineitem in a random layout and a shipdate-range-clustered
+    layout; return (random_dir, sorted_dir)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_shipdate", "l_quantity", "l_extendedprice"
     )
@@ -452,9 +483,19 @@ def maintenance_sort_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).write.mode("overwrite").option(
         "parquet.block.size", 256 * 1024
     ).parquet(sort_dir)
+    return rand_dir, sort_dir
 
-    lo = "1997-03-01"
-    hi = "1997-04-01"
+
+def sort_cluster_rowgroup_stats(
+    spark: SparkSession, sf_dir: str
+) -> tuple[int, int, int, int]:
+    """Test-support twin of :func:`maintenance_sort_cluster`: run the
+    same double rewrite and return parquet-footer zone-map overlap
+    counts (rand_total, rand_hit, sort_total, sort_hit) for the
+    one-month predicate."""
+    import pyarrow.parquet as pq
+
+    rand_dir, sort_dir = _sort_cluster_rewrite(spark, sf_dir)
 
     def rowgroup_stats(d: str) -> tuple[int, int]:
         total = overlap = 0
@@ -469,27 +510,10 @@ def maintenance_sort_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
                 total += 1
                 gmin = str(st.min)[:10]
                 gmax = str(st.max)[:10]
-                if gmax >= lo and gmin < hi:
+                if gmax >= SORT_CLUSTER_LO and gmin < SORT_CLUSTER_HI:
                     overlap += 1
         return total, overlap
 
     rand_total, rand_hit = rowgroup_stats(rand_dir)
     sort_total, sort_hit = rowgroup_stats(sort_dir)
-    n_match = (
-        spark.read.parquet(sort_dir)
-        .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
-        .count()
-    )
-    return spark.createDataFrame(
-        [
-            (
-                rand_total,
-                rand_hit,
-                sort_total,
-                sort_hit,
-                n_match,
-            )
-        ],
-        "rg_random long, rg_random_overlap long, rg_sorted long, "
-        "rg_sorted_overlap long, n_rows_matching long",
-    )
+    return rand_total, rand_hit, sort_total, sort_hit

@@ -313,10 +313,17 @@ def test_sort_cluster_prunes_row_groups(spark):
     # l_shipdate, a one-month predicate overlaps a small fraction of
     # row groups, while the random layout's zone maps are useless
     # (every group spans the full date domain)
+    from clj_kinesis_to_firehose_spark.operators.scans import (
+        sort_cluster_rowgroup_stats,
+    )
+
     row = QUERIES["maintenance_sort_cluster"](spark, SF_DIR).collect()[0]
     assert row.n_rows_matching > 0
-    assert row.rg_random_overlap == row.rg_random  # random layout: no pruning
-    assert row.rg_sorted_overlap * 2 <= row.rg_sorted, row  # clustered: ≥50% pruned
+    rand_total, rand_hit, sort_total, sort_hit = sort_cluster_rowgroup_stats(
+        spark, SF_DIR
+    )
+    assert rand_hit == rand_total  # random layout: no pruning
+    assert sort_hit * 2 <= sort_total, (sort_hit, sort_total)  # ≥50% pruned
 
 
 def test_incremental_minhash_matches_batch_on_delta_pairs(spark, planted_docs_dir):
