@@ -43,7 +43,35 @@ def purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("graph_pagerank")
+@register(
+    "graph_pagerank",
+    oracle="""
+    WITH RECURSIVE base AS (
+        SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+    ), edges AS (
+        SELECT src, dst FROM base
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM base
+    ), deg AS (
+        SELECT src, COUNT(*) AS deg FROM edges GROUP BY src
+    ), pr AS (
+        SELECT 0 AS it, src AS node, CAST(1.0 AS DOUBLE) AS rank FROM deg
+        UNION ALL
+        SELECT it + 1, dst AS node,
+               CAST(0.15 AS DOUBLE)
+                   + CAST(0.85 AS DOUBLE) * SUM(rank / deg) AS rank
+        FROM pr
+        JOIN edges ON pr.node = edges.src
+        JOIN deg ON edges.src = deg.src
+        WHERE it < 8
+        GROUP BY it + 1, dst
+    )
+    SELECT node, ROUND(rank, 6) AS rank FROM pr WHERE it = 8
+    ORDER BY rank DESC, node LIMIT 50
+    """,
+)
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the undirected bipartite purchase graph (edges
     traversed both ways so mass flows customer↔supplier and no node
@@ -52,7 +80,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per round: rank/degree contribution join + sum-by-dst aggregate —
     both shuffle only the edge relation on its join key. Total mass
     is conserved at n_nodes (behavioral test asserts this and
-    convergence); ranks rounded 6 dp for a stable result set.
+    convergence).
+
+    EXACT oracle: DuckDB runs the identical 8 fixed Jacobi iterations
+    as a recursive CTE (same damping, same init, same double
+    arithmetic); ranks round to 6 dp, far above the ~1e-12 summation-
+    order drift 8 iterations can accumulate, so the hashes agree. If a
+    fixture revision ever lands a rank on a rounding boundary, demote
+    back to weak rather than loosening the compare (SURVEY §5.3).
     """
     e = purchase_edges(spark, sf_dir)
     edges = (
