@@ -63,15 +63,54 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipelines.stream_stateful_counter(spark, sf_dir)
 
 
-@register("stream_sliding_window")
+@register(
+    "stream_sliding_window",
+    oracle="""
+    SELECT wstart, COUNT(*) AS n_events FROM (
+        SELECT TIME_BUCKET(INTERVAL 30 MINUTES, ts) AS wstart FROM events
+        UNION ALL
+        SELECT TIME_BUCKET(INTERVAL 30 MINUTES, ts) - INTERVAL 30 MINUTES
+        FROM events
+    ) GROUP BY wstart
+    """,
+)
 def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # weak: append-mode emission set depends on watermark progression
+    # EXACT: the flush-sentinel replay finalizes (and evicts) every
+    # real window, so append-mode output equals the batch expansion of
+    # each event into its two 1h/30min window alignments
     return pipelines.stream_sliding_window(spark, sf_dir)
 
 
-@register("stream_session_window")
+@register(
+    "stream_session_window",
+    oracle="""
+    WITH marks AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) IS NULL
+                     OR ts - LAG(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id)
+                        >= INTERVAL 10 MINUTE
+                    THEN 1 ELSE 0 END AS is_new_session
+        FROM events
+    ), numbered AS (
+        SELECT user_id, ts,
+               SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM marks
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # weak: session merge/emission depends on watermark progression
+    # EXACT: flush-sentinel replay ⇒ every session emitted+evicted ⇒
+    # output equals the batch gaps-and-islands reconstruction (the
+    # same oracle shape as the batch twin window_session)
     return pipelines.stream_session_window(spark, sf_dir)
 
 

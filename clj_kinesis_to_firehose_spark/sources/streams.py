@@ -26,8 +26,16 @@ EVENTS_RAW_SCHEMA = (
 )
 
 
+#: sentinel event_id for the watermark-flush row (see flush_sentinel)
+FLUSH_SENTINEL_ID = -1
+
+
 def write_replay_slices(
-    spark: SparkSession, sf_dir: str, n_slices: int = 4, dup_event_ids: int = 0
+    spark: SparkSession,
+    sf_dir: str,
+    n_slices: int = 4,
+    dup_event_ids: int = 0,
+    flush_sentinel: bool = False,
 ) -> str:
     """Materialize the events fixture as N parquet files in a fresh
     directory — a Kinesis shard-drop replay double: the file stream
@@ -44,6 +52,21 @@ def write_replay_slices(
     trailing slice, emulating Kinesis at-least-once redelivery close to
     the head of the stream — within the watermark, so dedup state (not
     late-row dropping) is what has to remove them.
+
+    ``flush_sentinel``: append one synthetic far-future row
+    (event_id = FLUSH_SENTINEL_ID, ts = max(ts) + 2 days) as the final
+    slice. Its micro-batch advances the watermark past every real
+    window, so append-mode windowed aggregations EMIT all real windows
+    — their post-replay result then equals the batch aggregate and
+    gets an exact oracle — while the sentinel's own window (the only
+    one the final watermark never passes) stays withheld, so no
+    filtering is needed. Watermark-driven state eviction still runs
+    for real.
+
+    Micro-batch order: Spark's file source processes discovered files
+    in modification-time order; slice mtimes are stamped explicitly
+    (base + slice-index seconds) so ordering never depends on write
+    timing.
     """
     from pyspark.sql.window import Window
 
@@ -71,7 +94,36 @@ def write_replay_slices(
             .write.mode("overwrite")
             .parquet(os.path.join(replay_dir, f"slice={n_slices}"))
         )
+    if flush_sentinel:
+        sentinel = raw.orderBy(F.desc("ts")).limit(1).select(
+            F.lit(FLUSH_SENTINEL_ID).cast("long").alias("event_id"),
+            F.expr("ts + INTERVAL 2 DAYS").alias("ts"),
+            F.lit(FLUSH_SENTINEL_ID).cast("long").alias("user_id"),
+            F.lit("__flush__").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        sentinel.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(replay_dir, f"slice={n_slices + 1}")
+        )
+    _stamp_slice_order(replay_dir)
     return replay_dir
+
+
+def _stamp_slice_order(replay_dir: str) -> None:
+    """Give every slice directory's files explicit, strictly-increasing
+    modification times (base + index seconds) so the file stream source
+    replays slices in index order regardless of how fast they were
+    written."""
+    base = 1_700_000_000  # arbitrary fixed epoch base; only order matters
+    for name in sorted(os.listdir(replay_dir)):
+        if not name.startswith("slice="):
+            continue
+        idx = int(name.split("=", 1)[1])
+        d = os.path.join(replay_dir, name)
+        for fname in os.listdir(d):
+            t = base + idx
+            os.utime(os.path.join(d, fname), (t, t))
 
 
 def read_event_stream(spark: SparkSession, replay_dir: str) -> DataFrame:

@@ -180,8 +180,18 @@ def stream_sliding_window(
 ) -> DataFrame:
     """I2 streaming form: 1-hour windows sliding every 30 minutes under
     a 15-minute watermark (append mode — each event contributes to two
-    windows; emitted once each window is finalized)."""
-    replay = replay_dir or write_replay_slices(spark, sf_dir, n_slices=4)
+    windows; a window is emitted only once the watermark finalizes it,
+    and its state is then evicted).
+
+    The replay ends with a far-future flush sentinel
+    (write_replay_slices flush_sentinel): the watermark passes every
+    real window, so the append-mode output converges to the batch
+    aggregate — EXACT oracle — while eviction still runs. The
+    sentinel's own window is the one window the final watermark never
+    reaches, so it is withheld automatically and never appears."""
+    replay = replay_dir or write_replay_slices(
+        spark, sf_dir, n_slices=4, flush_sentinel=True
+    )
     ev = read_event_stream(spark, replay)
     out = (
         ev.withWatermark("ts", "15 minutes")
@@ -197,8 +207,13 @@ def stream_session_window(
 ) -> DataFrame:
     """I3 streaming form: per-user session windows (10-minute gap)
     under a watermark — session state merges as events arrive and a
-    session is emitted once the watermark passes its close."""
-    replay = replay_dir or write_replay_slices(spark, sf_dir, n_slices=4)
+    session is emitted (then evicted) once the watermark passes its
+    close. Flush-sentinel replay ⇒ every real session emits ⇒ the
+    result equals the batch gaps-and-islands answer — EXACT oracle
+    (see stream_sliding_window)."""
+    replay = replay_dir or write_replay_slices(
+        spark, sf_dir, n_slices=4, flush_sentinel=True
+    )
     ev = read_event_stream(spark, replay)
     out = (
         ev.withWatermark("ts", "15 minutes")
