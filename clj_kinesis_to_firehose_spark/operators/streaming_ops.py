@@ -30,10 +30,22 @@ def stream_source_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipelines.stream_rate_source(spark, sf_dir)
 
 
-@register("stream_tumbling_watermark")
+@register(
+    "stream_tumbling_watermark",
+    oracle="""
+    SELECT TIME_BUCKET(INTERVAL 1 HOUR, ts) AS wstart,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
 def stream_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # weak: append-mode emission depends on watermark advancement
-    # across micro-batches (late-data drop asserted in tests)
+    # EXACT: the time-ordered flush-sentinel replay finalizes every
+    # real window, so append-mode output equals the batch tumbling
+    # aggregate; the late-data DROP semantics (the watermark's other
+    # half) are asserted with a crafted late slice in
+    # tests/test_streaming.py::test_watermark_drops_late_rows
     return pipelines.stream_tumbling_watermark(spark, sf_dir)
 
 

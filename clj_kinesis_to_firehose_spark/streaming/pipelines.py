@@ -94,8 +94,13 @@ def stream_tumbling_watermark(
     """I4: 1-hour tumbling windows under a 15-minute watermark, append
     mode — only windows the watermark has passed are emitted; late rows
     beyond the watermark are dropped (asserted with a crafted late
-    slice in tests/test_streaming.py)."""
-    replay = replay_dir or write_replay_slices(spark, sf_dir, n_slices=4)
+    slice in tests/test_streaming.py). The default fixture replay is
+    time-ordered with a flush sentinel, so every real window finalizes
+    and the output converges to the batch tumbling aggregate — EXACT
+    oracle (see stream_sliding_window)."""
+    replay = replay_dir or write_replay_slices(
+        spark, sf_dir, n_slices=4, flush_sentinel=True
+    )
     ev = read_event_stream(spark, replay)
     out = (
         ev.withWatermark("ts", "15 minutes")
