@@ -159,10 +159,23 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipelines.stream_stream_join(spark, sf_dir)
 
 
-@register("stream_foreachbatch_sink")
+@register(
+    "stream_foreachbatch_sink",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_delivered,
+           COUNT(DISTINCT event_id) AS n_unique
+    FROM events WHERE event_type <> 'error'
+    GROUP BY event_type
+    """,
+)
 def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # weak: delivery-side audit (counts of newline-terminated JSON
-    # records landed per stream); batch invariants are property-tested
+    # EXACT: the delivery-side audit (newline-terminated JSON records
+    # read back from the batch files) must equal the non-error source
+    # counts — the replay is duplicate-free and the sink idempotent, so
+    # delivered == unique == source. Batch-size caps, partial-failure
+    # retry, and redelivery dedup stay property-tested in
+    # tests/test_firehose_sink.py and tests/test_streaming.py.
     return pipelines.stream_firehose_pipeline(spark, sf_dir)
 
 
