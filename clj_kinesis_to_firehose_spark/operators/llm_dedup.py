@@ -561,3 +561,64 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+@register(
+    "dedup_semantic_prune",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, label,
+               LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ), dups AS (
+        SELECT DISTINCT b.vec_id
+        FROM v a JOIN v b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> a.e[i] * b.e[i]))
+              / (SQRT(LIST_SUM(LIST_TRANSFORM(a.e, x -> x * x)))
+                 * SQRT(LIST_SUM(LIST_TRANSFORM(b.e, x -> x * x)))) >= 0.35
+    )
+    SELECT v.vec_id, v.label FROM v
+    WHERE v.vec_id NOT IN (SELECT vec_id FROM dups)
+    """,
+)
+def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic pruning: within each embedding cluster,
+    drop every vector whose cosine to a lower-id clustermate reaches
+    the threshold, keeping the lowest-id representative of each
+    semantic neighborhood (Abbas et al. 2023, "SemDeDup" — public
+    paper; the keep-one-representative-per-near-group recipe).
+
+    The cluster key is what makes this scale: pairwise cosine runs
+    ONLY inside a cluster (here the fixture's `label`; at 100 TB the
+    assignment comes from `embedding_kmeans`, composed upstream), so
+    pair cost is sum of per-cluster squares, never corpus n². The
+    equi-join on the cluster key is an ordinary shuffle join; AQE
+    splits any oversized cluster, and the threshold filter runs
+    JVM-side (zip_with/aggregate fold, no Python)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    dot = F.aggregate(
+        F.zip_with("a.e", "b.e", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    norm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(side, F.lit(0.0), lambda s, x: s + x * x)
+    )
+    cos = dot / (norm(F.col("a.e")) * norm(F.col("b.e")))
+    dups = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= 0.35)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return emb.join(dups, "vec_id", "left_anti").select("vec_id", "label")

@@ -315,3 +315,151 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     return coded.select("vec_id", "dim", "code", qerr.alias("qerr"))
+
+
+# Product quantization (Jégou et al. 2011, public paper): split the
+# 64-dim vector into PQ_SUBSPACES contiguous subvectors, k-means each
+# subspace to PQ_K centroids, store one byte-sized code per subspace.
+# ADC (asymmetric distance computation) scores a probe against a coded
+# vector with S table lookups instead of D multiplies. Codebook
+# training is deterministic: fixed training slice, first-K init, fixed
+# Lloyd iteration count.
+PQ_SUBSPACES = 8
+PQ_K = 16
+PQ_TRAIN_IDS = 256  # training slice bound: vec_id < 256 (bounded collect)
+PQ_SHORTLIST = 64
+PQ_ITERS = 5
+
+
+def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list[np.ndarray]:
+    """Train per-subspace codebooks on a bounded, deterministic slice.
+
+    The collect is PQ_TRAIN_IDS×64 doubles (~128 KiB) regardless of
+    corpus size — codebook training is a constant-size driver-side
+    step, exactly like kmeans centroid pulls; encoding (the corpus-
+    sized work) stays distributed."""
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < PQ_TRAIN_IDS)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    sub = X.shape[1] // PQ_SUBSPACES
+    books: list[np.ndarray] = []
+    for s in range(PQ_SUBSPACES):
+        Xs = X[:, s * sub : (s + 1) * sub]
+        C = Xs[:PQ_K].copy()  # deterministic first-K init
+        for _ in range(PQ_ITERS):
+            d = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            assign = d.argmin(1)
+            for k in range(PQ_K):
+                members = Xs[assign == k]
+                if len(members):
+                    C[k] = members.mean(0)
+        books.append(C)
+    return books
+
+
+@register("sim_ann_pq")
+def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via product quantization + exact rerank (weak
+    oracle: pytest checks planted-twin retrieval and a corpus recall
+    floor vs sim_topk_exact).
+
+    Pipeline: (1) train subspace codebooks on a constant-size slice,
+    (2) encode the corpus once with a vectorized numpy pandas_udf —
+    8 bytes per vector, a 32× compression of the 64-float embedding,
+    which is what lets a 100 TB vector corpus live in memory-speed
+    storage; (3) score probes against codes with ADC lookup tables
+    (8 adds per candidate, no float multiply against the raw vector);
+    (4) shortlist top PQ_SHORTLIST per probe, then exact-cosine rerank
+    the shortlist only — the standard two-stage retrieval shape, so
+    full-precision vectors are touched for 64 rows per probe, not the
+    corpus."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    books = _pq_codebooks(spark, sf_dir)
+    sub = 64 // PQ_SUBSPACES
+    # per-(subspace, code) reconstruction norm², shared by every probe
+    cnorm2 = np.stack([(C**2).sum(1) for C in books])  # (S, K)
+
+    @F.pandas_udf("array<int>")
+    def encode(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype=object)
+        X = np.array(col.tolist(), dtype=np.float64)
+        codes = np.empty((len(X), PQ_SUBSPACES), dtype=np.int32)
+        for s, C in enumerate(books):
+            Xs = X[:, s * sub : (s + 1) * sub]
+            codes[:, s] = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+        return pd.Series(list(codes))
+
+    coded = fan_out(spark, emb).withColumn("codes", encode("e"))
+
+    probe_rows = sorted(
+        emb.filter(F.col("vec_id").isin(PROBE_IDS)).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    luts = {}
+    pnorm = {}
+    for r in probe_rows:
+        p = np.array(r["e"], dtype=np.float64)
+        pnorm[r["vec_id"]] = float(np.sqrt((p**2).sum()))
+        luts[r["vec_id"]] = np.stack(
+            [books[s] @ p[s * sub : (s + 1) * sub] for s in range(PQ_SUBSPACES)]
+        )  # (S, K) partial dots
+
+    s_idx = np.arange(PQ_SUBSPACES)
+
+    @F.pandas_udf("double")
+    def adc(pid: pd.Series, codes: pd.Series) -> pd.Series:
+        if len(pid) == 0:
+            return pd.Series([], dtype=float)
+        C = np.array(codes.tolist(), dtype=np.int64)  # (n, S)
+        out = np.empty(len(pid), dtype=np.float64)
+        for p in pid.unique():
+            mask = (pid == p).to_numpy()
+            idx = C[mask]
+            dots = luts[p][s_idx[None, :], idx].sum(1)
+            norms = np.sqrt(cnorm2[s_idx[None, :], idx].sum(1))
+            out[mask] = dots / (pnorm[p] * norms)
+        return pd.Series(out)
+
+    probes_df = spark.createDataFrame(
+        [(int(i),) for i in PROBE_IDS], "probe_id long"
+    )
+    scored = (
+        coded.crossJoin(F.broadcast(probes_df))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", adc("probe_id", "codes").alias("adc_cos"))
+    )
+    w_short = Window.partitionBy("probe_id").orderBy(
+        F.desc("adc_cos"), F.asc("vec_id")
+    )
+    shortlist = (
+        scored.withColumn("r", F.row_number().over(w_short))
+        .filter(F.col("r") <= PQ_SHORTLIST)
+        .select("probe_id", "vec_id")
+    )
+    # exact rerank on the shortlist only: probe vectors are a 5-row
+    # broadcast, neighbor vectors come from one join against the corpus
+    probes_full = emb.filter(F.col("vec_id").isin(PROBE_IDS)).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe")
+    )
+    reranked = (
+        shortlist.join(emb, "vec_id")
+        .join(F.broadcast(probes_full), "probe_id")
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("pe"), F.col("e")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        reranked.withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= TOP_K)
+    )

@@ -521,3 +521,69 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("rep_ratio"),
     )
+
+
+@register(
+    "text_ngram_perplexity",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+    ), bg AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM toks, UNNEST(RANGE(1, LEN(t))) AS r(i)
+    ), bgc AS (
+        SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2
+    ), uni AS (
+        SELECT w1, SUM(c12) AS c1 FROM bgc GROUP BY w1
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(AVG(-LN(CAST(c12 AS DOUBLE) / c1)), 6) AS avg_nll,
+           ROUND(EXP(AVG(-LN(CAST(c12 AS DOUBLE) / c1))), 4) AS perplexity
+    FROM bg JOIN bgc USING (w1, w2) JOIN uni USING (w1)
+    GROUP BY doc_id
+    """,
+)
+def text_ngram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under a corpus-trained word-bigram LM —
+    the CCNet/Gopher-style "train a small LM on the corpus, rank
+    documents by perplexity" quality filter, with the corpus itself as
+    training data so the score is fully self-contained and exact.
+
+    P(w2|w1) = c(w1,w2) / c(w1·) with counts from the whole corpus
+    (every scored bigram was observed, so no smoothing is needed);
+    score = mean negative log-likelihood over the doc's bigrams, plus
+    its exp (the perplexity).
+
+    Scale shape: bigram construction is a pure column transform over
+    the token array (no shuffle); the model is two hash aggregations —
+    bigram counts, then prefix counts derived FROM the bigram counts
+    (reusing that shuffle exactly like tf-idf's df-from-tf); scoring
+    joins the doc bigram stream against the model on the bigram key
+    and reduces per doc. Three shuffles total, all map-side-combined,
+    independent of corpus width. The model tables are |vocab²-seen|
+    and |vocab| rows — at 100 TB they stay joinable (hash join on the
+    bigram key); nothing is collected to the driver."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        fan_out(spark, docs)
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= 2)
+    )
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i + 1] AS w2))")
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    bgc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    uni = bgc.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    nll = -F.log(F.col("c12").cast("double") / F.col("c1"))
+    return (
+        bg.join(bgc, ["w1", "w2"]).join(uni, ["w1"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(nll), 6).alias("avg_nll"),
+            F.round(F.exp(F.avg(nll)), 4).alias("perplexity"),
+        )
+    )

@@ -46,6 +46,7 @@ EXECUTES_ON_BUILD = {
     "embedding_kmeans",
     "embedding_pca_project",
     "sim_ann_ivf",
+    "sim_ann_pq",
     "sim_recall_eval",
     "merge_upsert",
     "scd2_history",

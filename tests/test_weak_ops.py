@@ -175,6 +175,47 @@ def test_ivf_recall_floor(spark):
     assert recall >= 0.2, f"IVF corpus recall {recall:.2f} below floor"
 
 
+def test_pq_finds_planted_near_dup_vectors(spark, planted_vecs_dir):
+    # a cosine-0.999 twin quantizes to (nearly) the same codes as its
+    # probe, tops the ADC shortlist, and exact rerank must rank it #1
+    approx = QUERIES["sim_ann_pq"](spark, planted_vecs_dir).collect()
+    top = {r["probe_id"]: r["neighbor_id"] for r in approx if r["nn_rank"] == 1}
+    hits = sum(top.get(i) == 9000 + i for i in range(5))
+    assert hits >= 4, f"planted twins found for only {hits}/5 probes: {top}"
+
+
+def test_pq_corpus_recall_floor(spark):
+    # random embeddings are the worst case for quantized scoring; the
+    # shortlist+exact-rerank stage still lands 0.76 recall@5 on this
+    # fixture (deterministic pipeline), so 0.5 guards real regressions
+    exact = QUERIES["sim_topk_exact"](spark, SF_DIR).collect()
+    approx = QUERIES["sim_ann_pq"](spark, SF_DIR).collect()
+    exact_sets: dict[int, set[int]] = {}
+    for r in exact:
+        exact_sets.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+    approx_sets: dict[int, set[int]] = {}
+    for r in approx:
+        approx_sets.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(exact_sets[p] & approx_sets.get(p, set())) for p in exact_sets)
+    total = sum(len(s) for s in exact_sets.values())
+    recall = hits / total
+    assert recall >= 0.5, f"PQ corpus recall {recall:.2f} below floor"
+
+
+def test_pq_codes_are_compact(spark):
+    # the operator's storage contract: 8 subspace codes, each < 16
+    from clj_kinesis_to_firehose_spark.operators.llm_similarity import (
+        PQ_K,
+        PQ_SUBSPACES,
+        _pq_codebooks,
+    )
+
+    books = _pq_codebooks(spark, SF_DIR)
+    assert len(books) == PQ_SUBSPACES
+    for C in books:
+        assert C.shape == (PQ_K, 64 // PQ_SUBSPACES)
+
+
 def test_approx_quantile_within_1pct(spark, oracle_con):
     approx = {
         r["o_orderstatus"]: (r["p50_approx"], r["p90_approx"], r["p99_approx"])
