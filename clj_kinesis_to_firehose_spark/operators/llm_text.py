@@ -554,15 +554,19 @@ def text_ngram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = mean negative log-likelihood over the doc's bigrams, plus
     its exp (the perplexity).
 
-    Scale shape: bigram construction is a pure column transform over
-    the token array (no shuffle); the model is two hash aggregations —
-    bigram counts, then prefix counts derived FROM the bigram counts
-    (reusing that shuffle exactly like tf-idf's df-from-tf); scoring
-    joins the doc bigram stream against the model on the bigram key
-    and reduces per doc. Three shuffles total, all map-side-combined,
-    independent of corpus width. The model tables are |vocab²-seen|
-    and |vocab| rows — at 100 TB they stay joinable (hash join on the
-    bigram key); nothing is collected to the driver."""
+    Scale shape: two pruned corpus passes, audited. Pass 1 builds the
+    model — Catalyst collapses the docbg→bgc agg-of-agg into a single
+    (w1,w2) count, so the model side is one partial-agg shuffle plus a
+    model-sized window for the prefix totals. Pass 2 scores: the join
+    probes per-(doc, bigram) multiplicities (docbg), not the raw
+    bigram stream, so join traffic is bounded by distinct bigrams per
+    doc, and the per-doc average is the n-weighted mean (identical
+    value, asserted against the plain-AVG oracle). The model is
+    broadcast (|seen-bigrams| rows, vocab-scale — far smaller than the
+    corpus); at 100 TB, where an unpruned model could outgrow
+    broadcast, swap in a pruned top-k model (the standard LM-filter
+    deployment) or drop the hint and take the shuffle hash join.
+    Nothing hits the driver."""
     docs = load_table(spark, sf_dir, "documents")
     toks = (
         fan_out(spark, docs)
@@ -575,15 +579,20 @@ def text_ngram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i + 1] AS w2))")
         ).alias("b"),
     ).select("doc_id", "b.w1", "b.w2")
-    bgc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    uni = bgc.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    # one corpus pass: per-document bigram multiplicities (tf analog)
+    docbg = bg.groupBy("w1", "w2", "doc_id").agg(F.count("*").alias("n"))
+    bgc = docbg.groupBy("w1", "w2").agg(F.sum("n").alias("c12"))
+    model = bgc.withColumn(
+        "c1", F.sum("c12").over(Window.partitionBy("w1"))
+    )
     nll = -F.log(F.col("c12").cast("double") / F.col("c1"))
+    n_bg = F.sum("n")
     return (
-        bg.join(bgc, ["w1", "w2"]).join(uni, ["w1"])
+        docbg.join(F.broadcast(model), ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_bigrams"),
-            F.round(F.avg(nll), 6).alias("avg_nll"),
-            F.round(F.exp(F.avg(nll)), 4).alias("perplexity"),
+            n_bg.cast("long").alias("n_bigrams"),
+            F.round(F.sum(F.col("n") * nll) / n_bg, 6).alias("avg_nll"),
+            F.round(F.exp(F.sum(F.col("n") * nll) / n_bg), 4).alias("perplexity"),
         )
     )

@@ -315,3 +315,28 @@ def test_temperature_sampling_aggregates_before_window(spark):
     df = QUERIES["sample_temperature_source"](spark, SF_DIR)
     schemas = audit.read_schemas(df)
     assert all("text" not in s for s in schemas), schemas  # column pruned
+
+
+def test_semantic_prune_joins_only_on_cluster_key(spark):
+    # the pairwise cosine must run inside a cluster-key equi join —
+    # a CartesianProduct here means the label predicate fell out of
+    # the join condition and the op went corpus-n²
+    df = QUERIES["dedup_semantic_prune"](spark, SF_DIR)
+    report = audit.plan_report(df)
+    assert "CartesianProduct" not in report, report
+    assert audit.n_shuffles(df) <= 4, report
+
+
+def test_ngram_perplexity_two_pruned_scans_broadcast_model(spark):
+    # exactly two corpus passes (model build + scoring), both pruned
+    # to (doc_id, text); the model comes back as a broadcast so the
+    # scoring side never reshuffles on the bigram key; no Python, no
+    # cartesian
+    df = QUERIES["text_ngram_perplexity"](spark, SF_DIR)
+    report = audit.plan_report(df)
+    assert "CartesianProduct" not in report, report
+    assert "BatchEvalPython" not in report, report
+    schemas = audit.read_schemas(df)
+    assert len(schemas) <= 2, schemas
+    assert all(set(s.split(",")) <= {"struct<doc_id:bigint", "text:string>"} for s in schemas), schemas
+    assert audit.n_broadcast_joins(df) >= 1, report
