@@ -232,7 +232,7 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = sim_topk_exact(spark, sf_dir).select("probe_id", "neighbor_id")
     k_per_probe = exact.groupBy("probe_id").agg(F.count("*").alias("k"))
     out = None
-    for method, fn in (("lsh", sim_ann_lsh), ("ivf", sim_ann_ivf)):
+    for method, fn in (("lsh", sim_ann_lsh), ("ivf", sim_ann_ivf), ("pq", sim_ann_pq)):
         approx = fn(spark, sf_dir).select("probe_id", "neighbor_id")
         hits = (
             exact.join(approx, ["probe_id", "neighbor_id"])
