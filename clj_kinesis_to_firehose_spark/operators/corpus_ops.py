@@ -269,3 +269,58 @@ def embedding_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.join(F.broadcast(cent), "label")
         .select("vec_id", "label", F.round(dist, 4).alias("centroid_dist"))
     )
+
+
+@register(
+    "corpus_chunk_documents",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, STRING_SPLIT(text, ' ') AS t,
+               LEN(STRING_SPLIT(text, ' ')) AS n
+        FROM documents
+    )
+    SELECT doc_id, CAST(s / 24 AS BIGINT) AS chunk_id, s AS chunk_start,
+           CAST(LEAST(32, n - s) AS BIGINT) AS n_tokens,
+           t[s + 1] AS first_token,
+           t[LEAST(s + 32, n)] AS last_token,
+           MD5(ARRAY_TO_STRING(t[s + 1 : LEAST(s + 32, n)], ' ')) AS chunk_md5
+    FROM toks, UNNEST(RANGE(0, n, 24)) AS r(s)
+    """,
+)
+def corpus_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size context-window chunking with overlap — the step that
+    turns variable-length documents into training/RAG windows: 32-token
+    chunks on a 24-token stride (8-token overlap), the last chunk
+    truncated at the document tail. Every chunk carries its boundary
+    tokens plus an md5 of the joined chunk text, so the oracle pins
+    content, not just offsets.
+
+    Pure column expressions end to end: token split, a `sequence` of
+    chunk starts, one explode — no shuffle at all until a downstream
+    consumer aggregates, no Python, and chunking parallelizes with the
+    scan (each doc's chunks are produced where the doc is read). At
+    100 TB this is exactly the map-only pass you want; the stride/size
+    constants become tokenizer-budget parameters."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = fan_out(spark, docs).select(
+        "doc_id",
+        F.split("text", " ").alias("t"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    chunks = toks.select(
+        "doc_id",
+        "n",
+        "t",
+        F.explode(F.expr("sequence(0, n - 1, 24)")).alias("s"),
+    )
+    n_tok = F.least(F.lit(32), F.col("n") - F.col("s"))
+    chunk_arr = F.slice("t", F.col("s") + 1, n_tok)
+    return chunks.select(
+        "doc_id",
+        (F.col("s") / 24).cast("long").alias("chunk_id"),
+        F.col("s").alias("chunk_start"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.element_at("t", F.col("s") + 1).alias("first_token"),
+        F.element_at("t", F.least(F.col("s") + 32, F.col("n"))).alias("last_token"),
+        F.md5(F.concat_ws(" ", chunk_arr)).alias("chunk_md5"),
+    )

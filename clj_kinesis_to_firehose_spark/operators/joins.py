@@ -514,3 +514,64 @@ def bloom_pass_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(bloom_contains(F.col("_pos")))
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_lineitems,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact⋈fact join via bucketed tables — the
+    "pre-partition once, join many times for free" pattern that at
+    100 TB amortizes ONE layout write across every subsequent join on
+    the same key.
+
+    Both sides are written with ``bucketBy(8, orderkey)`` +
+    ``sortBy`` into external tables; a sort-merge join of two tables
+    bucketed identically on the join key needs NO Exchange on either
+    side (asserted in tests/test_plans.py) — bucket i of lineitem
+    joins bucket i of orders in place. The merge hint pins SMJ so the
+    demonstration can't silently degrade to a broadcast. Output is
+    revenue per order priority, exact against the plain-join oracle
+    (bucketing is pure physical layout; results must be identical).
+    """
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="kf_bucketed_")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    for name, df, key in (
+        ("kf_bucketed_lineitem", li, "l_orderkey"),
+        ("kf_bucketed_orders", orders, "o_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.mode("overwrite")
+            .option("path", f"{base}/{name}")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    lb = spark.table("kf_bucketed_lineitem").hint("merge")
+    ob = spark.table("kf_bucketed_orders")
+    return (
+        lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )

@@ -51,6 +51,7 @@ EXECUTES_ON_BUILD = {
     "merge_upsert",
     "scd2_history",
     "join_bloom_prefilter",
+    "join_bucketed_colocated",
     "graph_pagerank",
     "graph_triangle_count",
     "basket_association_lift",

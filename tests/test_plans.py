@@ -340,3 +340,17 @@ def test_ngram_perplexity_two_pruned_scans_broadcast_model(spark):
     assert len(schemas) <= 2, schemas
     assert all(set(s.split(",")) <= {"struct<doc_id:bigint", "text:string>"} for s in schemas), schemas
     assert audit.n_broadcast_joins(df) >= 1, report
+
+
+def test_bucketed_join_has_no_join_exchange(spark):
+    # the whole point of bucketing: identical bucket layout on the
+    # join key means SMJ reads bucket i ⋈ bucket i in place. The only
+    # allowed exchange is the final aggregation's — an exchange on the
+    # orderkey side means the bucketed layout was ignored
+    import re
+
+    df = QUERIES["join_bucketed_colocated"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    joins_ex = re.findall(r"Exchange hashpartitioning\((?:l_orderkey|o_orderkey)", plan)
+    assert not joins_ex, plan
