@@ -324,3 +324,55 @@ def corpus_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("t", F.least(F.col("s") + 32, F.col("n"))).alias("last_token"),
         F.md5(F.concat_ws(" ", chunk_arr)).alias("chunk_md5"),
     )
+
+
+@register(
+    "sample_importance_weighted",
+    oracle="""
+    WITH scored AS (
+        SELECT source,
+               LEAST(1.0, GREATEST(0.1, n_chars / 120.0)) AS w,
+               CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS UBIGINT) % 10000 AS b
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN b < w * 10000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sampled,
+           ROUND(SUM(w), 4) AS expected_sample
+    FROM scored GROUP BY source
+    """,
+)
+def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic importance-weighted subsampling: each document's
+    acceptance probability is a quality proxy (here a clipped length
+    score; in production a perplexity/classifier score), and the
+    accept decision is hash(doc_id) mod 10⁴ < w·10⁴ — no RNG state, so
+    the SAME documents are kept on any cluster, any partitioning, any
+    re-run, and incremental corpus additions don't reshuffle earlier
+    decisions. This is how a 100 TB pipeline does quality-weighted
+    corpus mixing reproducibly (cf. the temperature-mix operator,
+    which reweights at source granularity; this one acts per
+    document). One scan, one aggregation; the md5→bucket expression is
+    cross-engine exact (same parity trick as sample_hash_split).
+    Output reports per-source totals, the realized sample size, and
+    the expected size Σw so the hash sampler's calibration is visible.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.least(F.lit(1.0), F.greatest(F.lit(0.1), F.col("n_chars") / 120.0))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 10000
+    )
+    scored = docs.select(
+        "source", w.alias("w"), bucket.alias("b")
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("b") < F.col("w") * 10000, 1).otherwise(0)).alias(
+            "n_sampled"
+        ),
+        F.round(F.sum("w"), 4).alias("expected_sample"),
+    )

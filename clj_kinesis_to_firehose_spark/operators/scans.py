@@ -517,3 +517,145 @@ def sort_cluster_rowgroup_stats(
     rand_total, rand_hit = rowgroup_stats(rand_dir)
     sort_total, sort_hit = rowgroup_stats(sort_dir)
     return rand_total, rand_hit, sort_total, sort_hit
+
+
+ZORDER_BITS = 10
+#: the 2-D box predicate used by the zone-map audit: a mid-domain
+#: value band, which a user_id-sorted layout cannot prune at all
+ZORDER_VALUE_LO, ZORDER_VALUE_HI = 100.0, 140.0
+ZORDER_USER_LO, ZORDER_USER_HI = 40, 70
+
+
+def _zvalue(ux, vy):
+    """Bit-interleave two 10-bit quantized columns into a 20-bit
+    Z-curve value — pure shift/and/or column arithmetic, JVM-side."""
+    z = F.lit(0).cast("long")
+    for i in range(ZORDER_BITS):
+        z = z + F.shiftleft(F.shiftright(ux, i).bitwiseAND(F.lit(1)), 2 * i)
+        z = z + F.shiftleft(F.shiftright(vy, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+    return z
+
+
+def _zorder_rewrite(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
+    """Write events in three layouts: random, user_id-sorted (1-D
+    clustering), and Z-ordered on (user_id, value). Returns the three
+    directories."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    stats = ev.agg(
+        F.min("user_id").alias("u_mn"),
+        F.max("user_id").alias("u_mx"),
+        F.min("value").alias("v_mn"),
+        F.max("value").alias("v_mx"),
+    )
+    scale = 1 << ZORDER_BITS
+    quant = ev.crossJoin(F.broadcast(stats)).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        _zvalue(
+            F.least(
+                F.lit(scale - 1),
+                F.floor(
+                    (F.col("user_id") - F.col("u_mn"))
+                    / (F.col("u_mx") - F.col("u_mn") + 1)
+                    * scale
+                ).cast("long"),
+            ),
+            F.least(
+                F.lit(scale - 1),
+                F.floor(
+                    (F.col("value") - F.col("v_mn"))
+                    / (F.col("v_mx") - F.col("v_mn") + 1e-9)
+                    * scale
+                ).cast("long"),
+            ),
+        ).alias("zval"),
+    )
+    base = tempfile.mkdtemp(prefix="kf_zorder_")
+    rand_dir = os.path.join(base, "random")
+    user_dir = os.path.join(base, "user_sorted")
+    z_dir = os.path.join(base, "zordered")
+    opts = {"parquet.block.size": str(128 * 1024)}
+    # 16 output files per layout: enough zone maps that the value-band
+    # audit can distinguish layouts (4 z-range splits = 2 bits per dim)
+    ev.repartition(16).write.mode("overwrite").options(**opts).parquet(rand_dir)
+    ev.repartitionByRange(16, "user_id").sortWithinPartitions("user_id").write.mode(
+        "overwrite"
+    ).options(**opts).parquet(user_dir)
+    quant.repartitionByRange(16, "zval").sortWithinPartitions("zval").drop(
+        "zval"
+    ).write.mode("overwrite").options(**opts).parquet(z_dir)
+    return rand_dir, user_dir, z_dir
+
+
+@register(
+    "maintenance_zorder",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN user_id BETWEEN 40 AND 70
+                          AND value >= 100.0 AND value < 140.0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_in_box,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    """,
+)
+def maintenance_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) multi-dimensional clustering rewrite —
+    the layout that lets zone maps prune on EITHER of two filter
+    columns, where 1-D sort-clustering (maintenance_sort_cluster)
+    serves only its lead column. Both dimensions are quantized to 10
+    bits against their corpus min/max (one broadcast stats row — no
+    second scan), bit-interleaved into a 20-bit Z-value with pure
+    shift/and arithmetic, then range-repartitioned + sorted by Z so
+    every output file covers a compact square-ish region of
+    (user_id, value) space.
+
+    The checked output is the rewritten table's totals plus the 2-D
+    box-predicate count — exact against the source fixture, proving
+    the rewrite is lossless (layout is pure physics). The pruning
+    payoff is asserted from parquet footers in tests/test_weak_ops.py:
+    for a value-band predicate the user-sorted layout overlaps ~all
+    row groups while the Z-ordered layout skips a multiple of them.
+    At 100 TB this is the periodic maintenance job that keeps
+    multi-dimension dashboards off full scans."""
+    _, _, z_dir = _zorder_rewrite(spark, sf_dir)
+    back = spark.read.parquet(z_dir)
+    in_box = (
+        F.col("user_id").between(ZORDER_USER_LO, ZORDER_USER_HI)
+        & (F.col("value") >= ZORDER_VALUE_LO)
+        & (F.col("value") < ZORDER_VALUE_HI)
+    )
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(in_box.cast("long")).alias("n_in_box"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def zorder_rowgroup_stats(spark: SparkSession, sf_dir: str) -> dict[str, tuple[int, int]]:
+    """Test-support twin of :func:`maintenance_zorder`: rewrite all
+    three layouts and return {layout: (total_rowgroups, overlapping)}
+    for the value-band predicate [ZORDER_VALUE_LO, ZORDER_VALUE_HI)."""
+    import pyarrow.parquet as pq
+
+    rand_dir, user_dir, z_dir = _zorder_rewrite(spark, sf_dir)
+
+    def stats(d: str) -> tuple[int, int]:
+        total = overlap = 0
+        for fname in sorted(os.listdir(d)):
+            if not fname.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(d, fname)).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            ci = idx["value"]
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(ci).statistics
+                total += 1
+                if st.max >= ZORDER_VALUE_LO and st.min < ZORDER_VALUE_HI:
+                    overlap += 1
+        return total, overlap
+
+    return {"random": stats(rand_dir), "user_sorted": stats(user_dir), "zordered": stats(z_dir)}

@@ -52,6 +52,19 @@ def assert_frames_match(sp: pd.DataFrame, du: pd.DataFrame, name: str = "") -> N
                 f"row {i}: spark={av[i]!r} oracle={bv[i]!r}" for i in bad
             )
             raise AssertionError(f"{name}: column {c!r} differs — {detail}")
+        # the driver hashes string renderings, so an int64-vs-float64
+        # column pair ("23" vs "23.0") fails its gate even when values
+        # compare equal numerically — e.g. DuckDB SUM(CASE…) returning
+        # HUGEINT→float64. Catch that here instead of in CORRECTNESS:
+        # fix is CAST(… AS BIGINT) in the oracle SQL.
+        sa, sb = a[c].astype(str), b[c].astype(str)
+        if not (sa == sb).all():
+            i = int(np.where(sa != sb)[0][0])
+            raise AssertionError(
+                f"{name}: column {c!r} renders differently (dtype "
+                f"spark={a[c].dtype} vs oracle={b[c].dtype}) — driver's "
+                f"string-hash would mismatch: row {i}: {sa.iloc[i]!r} vs {sb.iloc[i]!r}"
+            )
 
 
 def assert_oracle_match(spark_df, sql: str, con, name: str = "") -> None:

@@ -39,6 +39,7 @@ EXECUTES_ON_BUILD = {
     "scan_formats_roundtrip",
     "maintenance_compact",
     "maintenance_sort_cluster",
+    "maintenance_zorder",
     "scan_schema_evolution",
     "scan_dynamic_partition_pruning",
     "pipeline_observe_metrics",

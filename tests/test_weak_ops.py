@@ -398,3 +398,20 @@ def test_incremental_minhash_matches_batch_on_delta_pairs(spark, planted_docs_di
     )
     # and the incremental path must itself see some of the planted dups
     assert any(a >= 9000 or b >= 9000 for a, b in incr) or not batch_delta
+
+
+def test_zorder_prunes_on_second_dimension(spark):
+    # the whole point of Z-ordering vs 1-D sort: a predicate on the
+    # NON-lead dimension (value band) finds useful zone maps. The
+    # user-sorted layout leaves every row group spanning the full
+    # value domain (zero pruning); the Z-ordered layout must skip a
+    # majority of them
+    from clj_kinesis_to_firehose_spark.operators.scans import zorder_rowgroup_stats
+
+    stats = zorder_rowgroup_stats(spark, SF_DIR)
+    rand_total, rand_hit = stats["random"]
+    user_total, user_hit = stats["user_sorted"]
+    z_total, z_hit = stats["zordered"]
+    assert rand_hit == rand_total, stats  # random layout: no pruning
+    assert user_hit == user_total, stats  # 1-D sort on user_id: none either
+    assert z_hit <= z_total // 2, stats   # Z-order: majority skipped
