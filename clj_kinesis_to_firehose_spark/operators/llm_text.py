@@ -596,3 +596,99 @@ def text_ngram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.exp(F.sum(F.col("n") * nll) / n_bg), 4).alias("perplexity"),
         )
     )
+
+
+#: fixed lexical query for the BM25 operator — terms drawn from the
+#: fixture vocabulary so tf/df statistics are non-degenerate
+BM25_QUERY = ["data", "stream", "value"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 10
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH dl AS (
+        SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS dl FROM documents
+    ), stats AS (
+        SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ), tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM (
+            SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
+            FROM documents
+        ) WHERE token IN ({", ".join(f"'{t}'" for t in BM25_QUERY)})
+        GROUP BY doc_id, token
+    ), df AS (
+        SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+    ), scored AS (
+        SELECT tf.doc_id,
+               SUM(LN((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+                   * tf.tf * ({BM25_K1} + 1)
+                   / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+                      + {BM25_B} * dl.dl / s.avgdl))) AS score
+        FROM tf
+        JOIN df USING (token)
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats s
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, bm25, rnk FROM (
+        SELECT doc_id, ROUND(score, 6) AS bm25,
+               ROW_NUMBER() OVER (ORDER BY ROUND(score, 6) DESC, doc_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= {BM25_TOP}
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval over the corpus for a fixed query — the
+    workhorse scorer behind decontamination lookups, dedup candidate
+    retrieval, and quality-targeted corpus search (Robertson/Zaragoza's
+    published Okapi BM25 with the Lucene idf variant).
+
+    Scale shape: the token stream is filtered to the query terms AT
+    THE EXPLODE (so the tf aggregation shuffles only query-term hits —
+    for a q-term query that is a vanishing fraction of the corpus);
+    df derives from tf (model-sized); doc lengths are a second pruned
+    corpus pass whose join to tf is on doc_id over tf-sized rows; the
+    corpus stats (N, avgdl) are a broadcast 1-row aggregate. Ranking
+    sorts the scored docs — |docs matching ≥1 term| rows, not the
+    corpus — and keeps top-10 via TakeOrderedAndProject semantics.
+    Ties rank on the ROUNDED score with a doc_id tiebreak so the
+    result set is deterministic across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    dl = fan_out(spark, docs).select(
+        "doc_id", F.size(F.split("text", " ")).alias("dl")
+    )
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        fan_out(spark, docs)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token").isin(BM25_QUERY))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    denom = F.col("tf") + BM25_K1 * (
+        1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * F.col("tf") * (BM25_K1 + 1) / denom).alias("score"))
+    )
+    w = Window.orderBy(F.desc(F.round("score", 6)), F.asc("doc_id"))
+    return (
+        scored.select(
+            "doc_id",
+            F.round("score", 6).alias("bm25"),
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= BM25_TOP)
+    )
