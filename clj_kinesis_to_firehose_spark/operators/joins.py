@@ -575,3 +575,60 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts,
+           (SELECT p.value FROM events p
+            WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+              AND p.ts < e.ts
+              AND p.ts >= e.ts - INTERVAL 6 HOUR
+            ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS recent_purchase_value
+    FROM events e
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness tolerance: the latest strictly-prior
+    purchase by the same user, but only if it happened within the last
+    6 hours — the `merge_asof(tolerance=...)` semantics that real
+    feature pipelines need ("most recent reading, unless it's stale").
+
+    Same single-shuffle union-tag shape as join_asof (one sort per
+    user partition, no correlated subquery); the tolerance is a pure
+    post-window column guard: the carried build timestamp rides along
+    with the carried value, and the value is nulled when the gap
+    exceeds the bound. Cost is identical to the unbounded as-of; at
+    100 TB the window state per user is still one row."""
+    events = load_table(spark, sf_dir, "events")
+    probe = events.select(
+        "event_id", "user_id", "ts",
+        F.lit(0).alias("is_build"),
+        F.lit(None).cast("double").alias("pvalue"),
+        F.lit(None).cast("timestamp").alias("pts"),
+    )
+    build = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts",
+        F.lit(1).alias("is_build"),
+        F.col("value").alias("pvalue"),
+        F.col("ts").alias("pts"),
+    )
+    tagged = probe.unionByName(build)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_build", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    fresh = F.col("last_pts") >= F.expr("ts - INTERVAL 6 HOURS")
+    return (
+        tagged.withColumn("last_pvalue", F.last("pvalue", ignorenulls=True).over(w))
+        .withColumn("last_pts", F.last("pts", ignorenulls=True).over(w))
+        .filter(F.col("is_build") == 0)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.when(fresh, F.col("last_pvalue")).alias("recent_purchase_value"),
+        )
+    )
