@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from clj_kinesis_to_firehose_spark.registry import register
 from clj_kinesis_to_firehose_spark.sources import load_table
@@ -476,4 +477,52 @@ def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
         F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
         F.count_if(F.col("o_totalprice") > 100000).alias("n_over_100k"),
+    )
+
+
+@register(
+    "agg_weighted_percentile",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_orderpriority, o_totalprice,
+               SUM(o_totalprice) OVER (PARTITION BY o_orderpriority
+                                       ORDER BY o_totalprice, o_orderkey) AS cum_w,
+               SUM(o_totalprice) OVER (PARTITION BY o_orderpriority) AS tot_w
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           ROUND(MIN(o_totalprice), 4) AS weighted_median
+    FROM ranked
+    WHERE cum_w >= tot_w / 2
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median per group (weight = the value itself here;
+    any weight column works): the smallest value whose running weight
+    share reaches 50% — "the order price below which half the revenue
+    sits", the inventory-style percentile plain `percentile` can't
+    express.
+
+    One window pass over each group's sort (running weight + group
+    total share the same partition sort) and a min-aggregate over the
+    qualifying suffix. The (value, key) tie-break makes the cumulative
+    sum deterministic across engines. At 100 TB this is one shuffle on
+    the group key; for a global weighted median swap the partition for
+    a range-partitioned sort or go approximate."""
+    orders = load_table(spark, sf_dir, "orders")
+    wsort = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    wall = Window.partitionBy("o_orderpriority")
+    ranked = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.sum("o_totalprice").over(wsort).alias("cum_w"),
+        F.sum("o_totalprice").over(wall).alias("tot_w"),
+    )
+    return (
+        ranked.filter(F.col("cum_w") >= F.col("tot_w") / 2)
+        .groupBy("o_orderpriority")
+        .agg(F.round(F.min("o_totalprice"), 4).alias("weighted_median"))
     )
