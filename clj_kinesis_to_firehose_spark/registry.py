@@ -127,6 +127,18 @@ _PRIORITY = [
     "scan_schema_evolution",
     "join_bloom_prefilter",
     "join_asof",
+    # round-3-session additions: surface for adjudication right after
+    # the §2 contract rows clear the window
+    "dedup_semantic_prune",
+    "text_ngram_perplexity",
+    "text_bm25_topk",
+    "sim_ann_pq",
+    "join_bucketed_colocated",
+    "join_asof_tolerance",
+    "maintenance_zorder",
+    "corpus_chunk_documents",
+    "sample_importance_weighted",
+    "agg_weighted_percentile",
 ]
 
 
