@@ -61,9 +61,18 @@ def test_priority_rotation_is_registered_and_window_sized():
     q = registry.queries()
     missing = [n for n in registry._PRIORITY if n not in q]
     assert not missing, f"_PRIORITY names not registered: {missing}"
-    # the driver adjudicates 50 queries/round; the static preference
-    # list is sized to that window
-    assert len(registry._PRIORITY) == 50
+    # the driver adjudicates 50 queries/round; the §2 contract block
+    # (first 50 entries) fills one window, and later entries queue for
+    # the next round's rotation — the list may exceed one window but
+    # must never leave a contract row outside the first 50
+    assert len(registry._PRIORITY) >= 50
+    unadjudicated_head = [
+        n for n in registry._PRIORITY[:50] if n not in registry._adjudicated_names()
+    ]
+    window = list(registry.queries())[:50]
+    assert all(n in window for n in unadjudicated_head), (
+        "contract rows displaced from the driver window"
+    )
 
 
 def test_rotation_puts_unadjudicated_queries_first():
