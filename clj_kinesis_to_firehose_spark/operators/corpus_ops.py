@@ -376,3 +376,130 @@ def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.sum("w"), 4).alias("expected_sample"),
     )
+
+
+@register(
+    "corpus_cap_per_source",
+    oracle="""
+    SELECT doc_id, source, keep_rank FROM (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS keep_rank
+        FROM documents
+    ) WHERE keep_rank <= 20
+    """,
+)
+def corpus_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-domination cap: keep at most K=20 documents per source,
+    chosen by deterministic hash order — the guard that stops one
+    crawler dump from dominating a mixed corpus. Hash order (not
+    doc_id order) makes the kept subset an unbiased sample of each
+    source, yet identical on every cluster and re-run, and stable
+    under corpus growth except where new docs hash below the cap.
+
+    One window shuffle on the source key; the md5 rank key is the same
+    cross-engine-exact trick as sample_hash_split. At 100 TB, per-key
+    top-K via window + early filter is AQE-friendly (rank predicate
+    pushes into the sort as a per-partition limit)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("keep_rank"))
+        .filter(F.col("keep_rank") <= 20)
+    )
+
+
+@register(
+    "corpus_realize_mixture",
+    oracle=f"""
+    WITH c AS (
+        SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ), t AS (
+        SELECT SUM(n_docs) AS n_total FROM c
+    ), w AS (
+        SELECT source, n_docs,
+               CAST(ROUND(
+                   POW(n_docs / CAST(n_total AS DOUBLE), {SAMPLE_TEMP_ALPHA})
+                   / SUM(POW(n_docs / CAST(n_total AS DOUBLE),
+                             {SAMPLE_TEMP_ALPHA})) OVER () * n_total
+               ) AS BIGINT) AS target_docs
+        FROM c CROSS JOIN t
+    ), perdoc AS (
+        SELECT d.doc_id, d.source,
+               w.target_docs / CAST(w.n_docs AS DOUBLE) AS k,
+               CAST(('0x' || SUBSTRING(MD5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                    AS UBIGINT) % 10000 AS b
+        FROM documents d JOIN w USING (source)
+    ), copies AS (
+        SELECT doc_id, source,
+               CAST(FLOOR(k) AS BIGINT)
+               + CASE WHEN b < (k - FLOOR(k)) * 10000 THEN 1 ELSE 0 END AS m
+        FROM perdoc
+    ), realized AS (
+        SELECT source, doc_id, m
+        FROM copies, UNNEST(RANGE(1, m + 1)) AS r(i)
+    )
+    SELECT source,
+           COUNT(DISTINCT doc_id) AS n_source_docs,
+           COUNT(*) AS n_copies
+    FROM realized GROUP BY source
+    """,
+)
+def corpus_realize_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the temperature-scaled source mixture: turn
+    sample_temperature_source's per-source budgets into an actual
+    training stream by repeating each document floor(k) times plus one
+    stochastic-rounding extra copy decided by a deterministic hash
+    threshold (k = source target ÷ source size). Σ copies per source
+    lands within n_docs·1 of the budget, with zero RNG state — the
+    same realized corpus on any cluster, any partitioning, any rerun.
+
+    Scale shape: one corpus aggregation builds the |sources|-row
+    budget table (broadcast back), the copy multiplier is map-side
+    arithmetic, and the explode multiplies rows where they already
+    live — no shuffle of the realized stream at all until a consumer
+    aggregates. k derives from the ROUNDED integer budget over the
+    integer source count, so the double division is exact and no
+    pow-ulp divergence can flip floor/fraction between engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("n_total"))
+    wt = F.pow(F.col("n_docs") / F.col("n_total").cast("double"), SAMPLE_TEMP_ALPHA)
+    everything = Window.partitionBy()
+    budget = (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("wt", wt)
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("wt") / F.sum("wt").over(everything) * F.col("n_total"))
+            .cast("long")
+            .alias("target_docs"),
+        )
+    )
+    k = F.col("target_docs") / F.col("n_docs").cast("double")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 10000
+    )
+    m = F.floor(k).cast("long") + F.when(
+        bucket < (k - F.floor(k)) * 10000, 1
+    ).otherwise(0)
+    realized = (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(budget), "source")
+        .withColumn("m", m)
+        .filter(F.col("m") > 0)
+        .select(
+            "source", "doc_id", F.explode(F.expr("sequence(1, m)")).alias("copy_i")
+        )
+    )
+    return realized.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_source_docs"),
+        F.count("*").alias("n_copies"),
+    )
