@@ -139,6 +139,8 @@ _PRIORITY = [
     "corpus_chunk_documents",
     "sample_importance_weighted",
     "agg_weighted_percentile",
+    "corpus_cap_per_source",
+    "corpus_realize_mixture",
 ]
 
 
