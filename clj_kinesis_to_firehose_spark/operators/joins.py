@@ -632,3 +632,63 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(fresh, F.col("last_pvalue")).alias("recent_purchase_value"),
         )
     )
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+    WITH activity AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               MIN(ts) AS a_start, MAX(ts) AS a_end
+        FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ), incidents AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               MIN(ts) AS i_start, MAX(ts) AS i_end
+        FROM events WHERE event_type IN ('error', 'purchase')
+        GROUP BY event_type, CAST(ts AS DATE)
+    )
+    SELECT a.user_id, i.event_type, CAST(a.day AS VARCHAR) AS day,
+           CAST((EPOCH_US(LEAST(a.a_end, i.i_end))
+                 - EPOCH_US(GREATEST(a.a_start, i.i_start))) AS BIGINT)
+             AS overlap_us
+    FROM activity a JOIN incidents i
+      ON a.day = i.day
+     AND a.a_start <= i.i_end AND i.i_start <= a.a_end
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join — the range-join variant where
+    BOTH sides are time spans (user activity windows × incident
+    windows), with the overlap duration per pair. join_range_bucketed
+    covers point-in-range; this covers span-meets-span.
+
+    The scale mechanism is the same bucketed-equi-key trick: both
+    interval sets carry a day bucket, the join is a hash join on that
+    key, and the overlap inequality is a post-join filter over
+    bucket-bounded pairs — never a BroadcastNestedLoopJoin over raw
+    inequalities. Intervals here are within-day by construction; a
+    general interval set explodes each interval to every bucket it
+    touches first (≤ span/bucket copies), same as the range join.
+    Days travel as strings for cross-engine hashing; the overlap
+    width is exact integer microseconds."""
+    events = load_table(spark, sf_dir, "events")
+    activity = events.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.min("ts").alias("a_start"), F.max("ts").alias("a_end"))
+    incidents = (
+        events.filter(F.col("event_type").isin("error", "purchase"))
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.min("ts").alias("i_start"), F.max("ts").alias("i_end"))
+    )
+    joined = activity.join(incidents, "day").filter(
+        (F.col("a_start") <= F.col("i_end")) & (F.col("i_start") <= F.col("a_end"))
+    )
+    overlap = F.unix_micros(F.least("a_end", "i_end")) - F.unix_micros(
+        F.greatest("a_start", "i_start")
+    )
+    return joined.select(
+        "user_id",
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        overlap.alias("overlap_us"),
+    )

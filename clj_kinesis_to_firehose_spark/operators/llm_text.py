@@ -692,3 +692,79 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= BM25_TOP)
     )
+
+
+@register(
+    "text_collocation_pmi",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+    ), bg AS (
+        SELECT t[i] AS w1, t[i + 1] AS w2
+        FROM toks, UNNEST(RANGE(1, LEN(t))) AS r(i)
+    ), bgc AS (
+        SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2
+    ), m1 AS (
+        SELECT w1, SUM(c12) AS c1 FROM bgc GROUP BY w1
+    ), m2 AS (
+        SELECT w2, SUM(c12) AS c2 FROM bgc GROUP BY w2
+    ), n AS (
+        SELECT SUM(c12) AS n_bg FROM bgc
+    )
+    SELECT w1, w2, c12,
+           ROUND(LN(c12 * CAST(n_bg AS DOUBLE) / (c1 * c2)), 6) AS pmi,
+           rnk
+    FROM (
+        SELECT w1, w2, c12, c1, c2, n_bg,
+               ROW_NUMBER() OVER (
+                   ORDER BY ROUND(LN(c12 * CAST(n_bg AS DOUBLE) / (c1 * c2)), 6)
+                            DESC, w1, w2) AS rnk
+        FROM bgc JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN n
+        WHERE c12 >= 5
+    ) WHERE rnk <= 30
+    """,
+)
+def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction by pointwise mutual information: the
+    word pairs that co-occur far more than their marginals predict —
+    the classic corpus-linguistics signal for multiword expressions
+    (and a cheap tokenizer-merge candidate generator). PMI =
+    ln(c₁₂·N / (c₁·c₂)) over the bigram stream, floored at 5
+    occurrences so rare-pair noise can't top the list; top-30 with a
+    (rounded-PMI, pair) tie-break so the set is cross-engine stable.
+
+    Scale shape: one corpus pass into bigram counts; BOTH marginals
+    and the grand total derive from that model-sized table (no second
+    corpus scan, unlike naive PMI implementations that re-count
+    unigrams from raw text); the marginal joins are vocab-sized and
+    broadcastable. The final ranking sorts |filtered bigrams| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        fan_out(spark, docs)
+        .select(F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= 2)
+    )
+    bg = toks.select(
+        F.explode(
+            F.expr("transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i + 1] AS w2))")
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    bgc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    m1 = bgc.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    m2 = bgc.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    n = bgc.agg(F.sum("c12").cast("double").alias("n_bg"))
+    pmi = F.round(
+        F.log(F.col("c12") * F.col("n_bg") / (F.col("c1") * F.col("c2"))), 6
+    )
+    scored = (
+        bgc.filter(F.col("c12") >= 5)
+        .join(F.broadcast(m1), "w1")
+        .join(F.broadcast(m2), "w2")
+        .crossJoin(F.broadcast(n))
+        .select("w1", "w2", "c12", pmi.alias("pmi"))
+    )
+    w = Window.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 30)
+    )

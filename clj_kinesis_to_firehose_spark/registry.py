@@ -141,6 +141,8 @@ _PRIORITY = [
     "agg_weighted_percentile",
     "corpus_cap_per_source",
     "corpus_realize_mixture",
+    "join_interval_overlap",
+    "text_collocation_pmi",
 ]
 
 
