@@ -888,3 +888,63 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("secs", F.lit(0.5)), 0).cast("long").alias("median_secs"),
         F.round(F.percentile("secs", F.lit(0.9)), 0).cast("long").alias("p90_secs"),
     )
+
+
+@register(
+    "ts_changepoint_cusum",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               SUM(value) AS day_value
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), dev AS (
+        SELECT event_type, day, day_value,
+               day_value - AVG(day_value) OVER (PARTITION BY event_type) AS d
+        FROM daily
+    ), cusum AS (
+        SELECT event_type, day,
+               SUM(d) OVER (PARTITION BY event_type ORDER BY day) AS s
+        FROM dev
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS changepoint_day,
+           ROUND(max_abs_s, 4) AS max_abs_s
+    FROM (
+        SELECT event_type, day, ABS(s) AS max_abs_s,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY ROUND(ABS(s), 4) DESC, day) AS rnk
+        FROM cusum
+    ) WHERE rnk = 1
+    """,
+)
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event-type series: cumulative
+    sum of deviations from the series mean, with the day of maximum
+    |S| as the most likely level-shift point (Page's CUSUM statistic,
+    the textbook drift detector behind pipeline-health monitors).
+
+    Scale shape: the raw stream collapses to a (type × day) rollup in
+    one aggregation; the mean, the running sum, and the argmax all run
+    as windows over that rollup — days × types rows, independent of
+    raw event volume. The tie-break ranks on the ROUNDED statistic so
+    float-sum noise can't flip the winning day between engines."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum("value").alias("day_value"))
+    w_all = Window.partitionBy("event_type")
+    w_ord = Window.partitionBy("event_type").orderBy("day")
+    cusum = daily.withColumn(
+        "d", F.col("day_value") - F.avg("day_value").over(w_all)
+    ).withColumn("s", F.sum("d").over(w_ord))
+    w_rank = Window.partitionBy("event_type").orderBy(
+        F.desc(F.round(F.abs("s"), 4)), F.asc("day")
+    )
+    return (
+        cusum.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "event_type",
+            F.col("day").cast("string").alias("changepoint_day"),
+            F.round(F.abs("s"), 4).alias("max_abs_s"),
+        )
+    )

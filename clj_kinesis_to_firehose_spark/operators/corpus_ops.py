@@ -503,3 +503,44 @@ def corpus_realize_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").alias("n_source_docs"),
         F.count("*").alias("n_copies"),
     )
+
+
+@register(
+    "corpus_shard_manifest",
+    oracle="""
+    SELECT shard_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+           MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+    FROM (
+        SELECT doc_id, n_chars,
+               CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS UBIGINT) % 64 AS shard_id
+        FROM documents
+    ) GROUP BY shard_id
+    """,
+)
+def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard manifest: assign every document to one of
+    64 shards by content-stable hash and emit per-shard counts and
+    byte totals — the layout step that feeds distributed dataloaders
+    (each worker streams its own shard files; the manifest is how the
+    trainer plans epochs). Hash sharding balances shards without a
+    sort and keeps assignment stable as the corpus grows; the manifest
+    itself is one aggregation (64 rows at any corpus size). At 100 TB
+    the same expression is the partitionBy key of the shard write."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 64
+    )
+    return (
+        docs.select("doc_id", "n_chars", shard.alias("shard_id"))
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("n_chars_total"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )

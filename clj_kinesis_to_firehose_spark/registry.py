@@ -143,6 +143,9 @@ _PRIORITY = [
     "corpus_realize_mixture",
     "join_interval_overlap",
     "text_collocation_pmi",
+    "corpus_shard_manifest",
+    "ts_changepoint_cusum",
+    "graph_link_prediction_jaccard",
 ]
 
 
