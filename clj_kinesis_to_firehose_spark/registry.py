@@ -68,6 +68,25 @@ _loaded = False
 #: self-rotates each round toward never-adjudicated queries without
 #: further edits.
 _PRIORITY = [
+    # r02 fixture-crash stale-ERR ops: these were green in r01, errored
+    # in r02's sweep (fixture ts-type change, since fixed in
+    # sources/loader.py), and their latest driver record is still the
+    # error. They go FIRST so the r04 window re-adjudicates them.
+    "scan_events_ns",
+    "sink_parquet_roundtrip",
+    "route_by_event_type",
+    "join_asof",
+    "agg_count_distinct",
+    "agg_approx_distinct",
+    "agg_bitwise",
+    "agg_hll_sketch",
+    "join_asof_forward",
+    "join_skew_salted",
+    "kinesis_record_envelope",
+    "pipeline_observe_metrics",
+    "route_dead_letter",
+    "scan_dynamic_partition_pruning",
+    "scan_formats_roundtrip",
     # A4-A6 (streaming source/sink rows)
     "stream_source_file",
     "stream_source_rate",
@@ -126,7 +145,6 @@ _PRIORITY = [
     "maintenance_compact",
     "scan_schema_evolution",
     "join_bloom_prefilter",
-    "join_asof",
     # round-3-session additions: surface for adjudication right after
     # the §2 contract rows clear the window
     "dedup_semantic_prune",
@@ -150,16 +168,18 @@ _PRIORITY = [
 
 
 def _adjudicated_names() -> set[str]:
-    """Queries with a conclusive driver row in any committed
-    CORRECTNESS_r*.json: an exact hash match, or a rows-only
-    ``no_oracle`` record for a query that still has no oracle (if an
-    oracle was added since, the op needs re-adjudication). Errored
-    rows never count — they must re-enter the window."""
+    """Queries whose LATEST driver record across the committed
+    CORRECTNESS_r*.json files (read in round order) is conclusive: an
+    exact hash match, or a rows-only ``no_oracle`` record for a query
+    that still has no oracle (if an oracle was added since, the op
+    needs re-adjudication). A name that was green in an early round
+    but whose most recent record is an error is NOT adjudicated — it
+    must re-enter the window so the driver can clear the red row."""
     import glob
     import json
     import os
 
-    seen: set[str] = set()
+    latest: dict[str, dict] = {}
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
@@ -170,12 +190,15 @@ def _adjudicated_names() -> set[str]:
         if not isinstance(data, dict):
             continue
         for name, row in data.items():
-            if not isinstance(row, dict):
-                continue
-            if row.get("hash_match") is True:
-                seen.add(name)
-            elif row.get("err") == "no_oracle" and name not in _ORACLES:
-                seen.add(name)
+            if isinstance(row, dict):
+                latest[name] = row
+
+    seen: set[str] = set()
+    for name, row in latest.items():
+        if row.get("hash_match") is True:
+            seen.add(name)
+        elif row.get("err") == "no_oracle" and name not in _ORACLES:
+            seen.add(name)
     return seen
 
 
