@@ -47,6 +47,15 @@ N_RUNS = 3
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    # Quiesce check: BASELINE.md notes ±20% drift under background load.
+    # Record the 1-min load average at start so round-over-round numbers
+    # carry their own noise context; quiesced = load below half the
+    # cores this bench is about to use.
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:
+        load1 = -1.0
+    ncpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     spark = build_spark("kf-bench")
     queries = registry.queries()
     timings: dict[str, float] = {}
@@ -72,6 +81,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "load_avg_start": load1,
+        "quiesced": bool(0 <= load1 < 0.5 * ncpus),
     }
     if errors:
         # explicit: the total above covers only the queries that ran

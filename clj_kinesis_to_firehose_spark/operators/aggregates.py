@@ -493,7 +493,7 @@ def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority,
            ROUND(MIN(o_totalprice), 4) AS weighted_median
     FROM ranked
-    WHERE cum_w >= tot_w / 2
+    WHERE ROUND(cum_w, 4) >= ROUND(tot_w / 2, 4)
     GROUP BY o_orderpriority
     """,
 )
@@ -522,7 +522,10 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o_totalprice").over(wall).alias("tot_w"),
     )
     return (
-        ranked.filter(F.col("cum_w") >= F.col("tot_w") / 2)
+        # round both sides before comparing: the two engines may
+        # associate the running-sum additions differently, and a row at
+        # the exact 50% boundary must not flip between them (§5.3)
+        ranked.filter(F.round(F.col("cum_w"), 4) >= F.round(F.col("tot_w") / 2, 4))
         .groupBy("o_orderpriority")
         .agg(F.round(F.min("o_totalprice"), 4).alias("weighted_median"))
     )

@@ -540,31 +540,59 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     demonstration can't silently degrade to a broadcast. Output is
     revenue per order priority, exact against the plain-join oracle
     (bucketing is pure physical layout; results must be identical).
-    """
+
+    Layout reuse: the bucketed files live at a stable per-sf_dir path
+    and are written AT MOST ONCE per fixture — later invocations (and
+    later sessions) register an external bucketed table over the
+    existing files instead of rewriting, so disk usage is bounded and
+    the amortize-one-write story is actually exercised. Table names
+    carry the application id so two sessions sharing a metastore never
+    race on DROP/CREATE of the same name."""
+    import hashlib
+    import os
     import tempfile
 
-    base = tempfile.mkdtemp(prefix="kf_bucketed_")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"kf_bucketed_{tag}")
+    app = spark.sparkContext.applicationId.replace("-", "_").replace(".", "_")
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
     )
-    for name, df, key in (
-        ("kf_bucketed_lineitem", li, "l_orderkey"),
-        ("kf_bucketed_orders", orders, "o_orderkey"),
+    names: dict[str, str] = {}
+    for short, df, key in (
+        ("lineitem", li, "l_orderkey"),
+        ("orders", orders, "o_orderkey"),
     ):
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-        (
-            df.write.mode("overwrite")
-            .option("path", f"{base}/{name}")
-            .bucketBy(8, key)
-            .sortBy(key)
-            .format("parquet")
-            .saveAsTable(name)
-        )
-    lb = spark.table("kf_bucketed_lineitem").hint("merge")
-    ob = spark.table("kf_bucketed_orders")
+        name = f"kf_bucketed_{short}_{tag}_{app}"
+        names[short] = name
+        path = os.path.join(base, short)
+        if spark.catalog.tableExists(name):
+            continue  # this session already registered it
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            # files already bucketed by a previous session: register an
+            # external bucketed table over them, no rewrite
+            cols = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+            )
+            spark.sql(
+                f"CREATE TABLE {name} ({cols}) USING PARQUET "
+                f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO 8 BUCKETS "
+                f"LOCATION '{path}'"
+            )
+        else:
+            (
+                df.write.mode("overwrite")
+                .option("path", path)
+                .bucketBy(8, key)
+                .sortBy(key)
+                .format("parquet")
+                .saveAsTable(name)
+            )
+    lb = spark.table(names["lineitem"]).hint("merge")
+    ob = spark.table(names["orders"])
     return (
         lb.join(ob, lb.l_orderkey == ob.o_orderkey)
         .groupBy("o_orderpriority")

@@ -574,9 +574,9 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT b.vec_id
         FROM v a JOIN v b
           ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> a.e[i] * b.e[i]))
+        WHERE ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> a.e[i] * b.e[i]))
               / (SQRT(LIST_SUM(LIST_TRANSFORM(a.e, x -> x * x)))
-                 * SQRT(LIST_SUM(LIST_TRANSFORM(b.e, x -> x * x)))) >= 0.35
+                 * SQRT(LIST_SUM(LIST_TRANSFORM(b.e, x -> x * x)))), 6) >= 0.35
     )
     SELECT v.vec_id, v.label FROM v
     WHERE v.vec_id NOT IN (SELECT vec_id FROM dups)
@@ -610,7 +610,9 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = lambda side: F.sqrt(  # noqa: E731
         F.aggregate(side, F.lit(0.0), lambda s, x: s + x * x)
     )
-    cos = dot / (norm(F.col("a.e")) * norm(F.col("b.e")))
+    # round before thresholding so a pair within ulps of 0.35 can't be
+    # pruned in one engine only (fold order differs across engines)
+    cos = F.round(dot / (norm(F.col("a.e")) * norm(F.col("b.e"))), 6)
     dups = (
         a.join(
             b,

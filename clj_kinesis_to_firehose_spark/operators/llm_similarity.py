@@ -403,11 +403,16 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id").isin(PROBE_IDS)).collect(),
         key=lambda r: r["vec_id"],
     )
+    missing = set(PROBE_IDS) - {r["vec_id"] for r in probe_rows}
+    if missing:  # a LUT KeyError inside the UDF would be opaque
+        raise ValueError(f"probe vec_ids not in corpus: {sorted(missing)}")
     luts = {}
     pnorm = {}
     for r in probe_rows:
         p = np.array(r["e"], dtype=np.float64)
-        pnorm[r["vec_id"]] = float(np.sqrt((p**2).sum()))
+        # clamp: a zero probe (all-zero embedding) must degrade to
+        # cosine 0, not NaN-corrupt the shortlist ranking
+        pnorm[r["vec_id"]] = max(float(np.sqrt((p**2).sum())), 1e-12)
         luts[r["vec_id"]] = np.stack(
             [books[s] @ p[s * sub : (s + 1) * sub] for s in range(PQ_SUBSPACES)]
         )  # (S, K) partial dots
@@ -424,7 +429,9 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             mask = (pid == p).to_numpy()
             idx = C[mask]
             dots = luts[p][s_idx[None, :], idx].sum(1)
-            norms = np.sqrt(cnorm2[s_idx[None, :], idx].sum(1))
+            # clamp: a degenerate all-origin codebook reconstruction
+            # would otherwise yield 0-norm → NaN scores
+            norms = np.maximum(np.sqrt(cnorm2[s_idx[None, :], idx].sum(1)), 1e-12)
             out[mask] = dots / (pnorm[p] * norms)
         return pd.Series(out)
 

@@ -83,8 +83,20 @@ def fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
     extra exchange never appears at scale; locally the rows moved are
     bounded by the fixture size. Apply only ahead of CPU-heavy per-row
     work — cheap scans and plan-audited relational paths keep their
-    native scan parallelism."""
+    native scan parallelism.
+
+    The few-partitions probe reads the scan's input-file listing
+    (plan metadata only) instead of ``df.rdd.getNumPartitions()`` —
+    converting to RDD forced a full plan analysis per call on the hot
+    registration path. Small parquet files never split below file
+    granularity, so ``len(inputFiles) < cores`` is exactly the
+    "scan can't use every core" condition; a real partitioned layout
+    has ≥ cores files and stays untouched."""
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    if files and len(files) < target:
         return df.repartition(target)
     return df

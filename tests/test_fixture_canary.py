@@ -56,6 +56,54 @@ EXPECTED = {
 }
 
 
+def _write_events_variant(tmpdir: str, unit: str) -> str:
+    """Synthesize a tiny events.parquet with ``ts`` in the given
+    physical unit ('us' → TIMESTAMP_NTZ revision, 'ns' →
+    TIMESTAMP(NANOS) revision, read as long nanos under the engine's
+    nanosAsLong conf). Returns the directory usable as ``sf_dir``."""
+    import pyarrow as pa
+
+    # 1.7e18 ns epoch ≈ 2023-11; the +1500 ns tail on row 2 must
+    # truncate (not round) to the same µs in both loader paths
+    ns_values = [1_700_000_000_000_000_000, 1_700_000_000_000_001_500]
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array(
+                [v // 1000 if unit == "us" else v for v in ns_values],
+                pa.timestamp(unit),
+            ),
+            "user_id": pa.array([10, 20], pa.int64()),
+            "event_type": pa.array(["click", "view"]),
+            "value": pa.array([1.5, 2.5], pa.float64()),
+            "props": pa.array(['{"a":1}', '{"b":2}']),
+        }
+    )
+    pq.write_table(table, f"{tmpdir}/events.parquet", version="2.6")
+    return tmpdir
+
+
+@pytest.mark.parametrize("unit", ["us", "ns"])
+def test_loader_normalizes_both_ts_revisions(spark, tmp_path, unit):
+    """Drill for the r02 incident: regenerated fixtures flipped
+    events.ts between TIMESTAMP(NANOS) and TIMESTAMP(MICROS)/NTZ and
+    crashed 17 ops mid-sweep. Exercise BOTH loader normalization paths
+    (sources/loader.py::_normalize_ts) against synthesized files so the
+    next fixture flip fails here before a driver sweep burns a round."""
+    from clj_kinesis_to_firehose_spark.sources.loader import load_table
+
+    sf_dir = _write_events_variant(str(tmp_path), unit)
+    df = load_table(spark, sf_dir, "events")
+    assert str(df.schema["ts"].dataType) == "TimestampType()", (
+        f"{unit} revision: loader produced {df.schema['ts'].dataType}, "
+        "oracles assume session-tz TimestampType"
+    )
+    rows = {r["event_id"]: r["ts"] for r in df.select("event_id", "ts").collect()}
+    # both revisions must land on identical µs instants (ns truncates)
+    assert rows[1].isoformat() == "2023-11-14T22:13:20"
+    assert rows[2].isoformat() == "2023-11-14T22:13:20.000001"
+
+
 @pytest.mark.parametrize("table", sorted(EXPECTED))
 def test_fixture_schema_matches_oracle_assumptions(table):
     schema = pq.read_schema(f"{SF_DIR}/{table}.parquet")
