@@ -46,6 +46,7 @@ _OPERATOR_MODULES = [
     "analytics_ext",
     "ml_features",
     "corpus_ops",
+    "snapshot_ops",
 ]
 
 _loaded = False

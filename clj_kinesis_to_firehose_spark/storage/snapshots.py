@@ -1,0 +1,336 @@
+"""Minimal snapshot/upsert table layer — the transactional-table-format
+analog (Iceberg/Delta-style, reimplemented from the public papers'
+architecture, not their code) that raw parquet directories lack.
+
+A table is a directory:
+
+    <path>/data/commit-<version>/part-*.parquet   immutable data files
+    <path>/_manifest/v<version>.json              snapshot = active file list
+
+Each manifest names the complete set of active data files for that
+version plus per-file stats (row count, min/max of the merge key) and
+the operation that produced it. Readers pick a manifest version (latest
+by default) and read exactly its files — writers never mutate a data
+file, so a reader holding version N is isolated from every later
+commit (snapshot isolation) and any retained version stays readable
+forever (time travel).
+
+Commits are optimistic: a writer prepares data files, then publishes
+``v<N+1>.json`` via write-temp + ``os.rename`` — atomic on POSIX, and
+the rename FAILS if a concurrent writer already published N+1 (flagged
+as :class:`CommitConflictError`; the caller re-reads and retries). This
+is the same single-atomic-swap protocol Iceberg uses against an object
+store's rename/conditional-put.
+
+Scale design (100 TB):
+
+* **Stats-pruned copy-on-write.** ``merge_upsert`` joins the manifest's
+  per-file key ranges (a files-count-sized DataFrame, broadcast)
+  against the update batch to find the touched files; only those are
+  rewritten, every other file entry is carried into the new manifest
+  untouched. A 1000-file table taking a 0.1%-key-range update rewrites
+  ~1 file, not the table. Clustering the layout by key
+  (``repartitionByRange`` at create/compact time) is what makes the
+  ranges disjoint and the pruning sharp.
+* **No listing on read.** The manifest IS the file listing — readers
+  never glob the data directory, so reads don't degrade as old
+  versions accumulate (the classic S3-listing bottleneck).
+* **Bounded driver state.** The only collects are the manifest itself
+  (one row per file) and the touched-file name list. Row data never
+  visits the driver.
+* **Compaction as a commit.** ``compact`` rewrites the current file
+  set into target-count range-clustered files and publishes it as a
+  normal version — old versions keep their old files, so compaction
+  never blocks readers.
+
+Local filesystem paths only in this sandbox; the atomic-publish seam
+(:meth:`SnapshotTable._publish`) is the single place an object-store
+conditional-put would slot in.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer published this version first — re-read and retry."""
+
+
+@dataclass(frozen=True)
+class FileEntry:
+    path: str
+    rows: int
+    min_key: int | None
+    max_key: int | None
+
+    def to_json(self) -> dict:
+        return {
+            "path": self.path,
+            "rows": self.rows,
+            "min_key": self.min_key,
+            "max_key": self.max_key,
+        }
+
+
+class SnapshotTable:
+    """Handle on a snapshot table rooted at ``path`` keyed by the
+    integer column ``key`` (the upsert/merge identity)."""
+
+    def __init__(self, spark: SparkSession, path: str, key: str):
+        self.spark = spark
+        self.path = path
+        self.key = key
+
+    # ---------------------------------------------------------- layout
+
+    @property
+    def _manifest_dir(self) -> str:
+        return os.path.join(self.path, "_manifest")
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self._manifest_dir, f"v{version:06d}.json")
+
+    def latest_version(self) -> int:
+        try:
+            names = os.listdir(self._manifest_dir)
+        except FileNotFoundError:
+            return 0
+        versions = [
+            int(n[1:-5]) for n in names if n.startswith("v") and n.endswith(".json")
+        ]
+        return max(versions, default=0)
+
+    def _read_manifest(self, version: int | None = None) -> dict:
+        v = version if version is not None else self.latest_version()
+        if v < 1:
+            raise FileNotFoundError(f"no committed version in {self.path}")
+        with open(self._manifest_path(v)) as fh:
+            return json.load(fh)
+
+    def history(self) -> list[dict]:
+        """One dict per committed version: version, op, n_files, n_rows."""
+        out = []
+        for v in range(1, self.latest_version() + 1):
+            m = self._read_manifest(v)
+            out.append(
+                {
+                    "version": v,
+                    "op": m["op"],
+                    "n_files": len(m["files"]),
+                    "n_rows": sum(f["rows"] for f in m["files"]),
+                }
+            )
+        return out
+
+    # ---------------------------------------------------------- commit
+
+    def _publish(self, version: int, manifest: dict) -> None:
+        """Atomic publish of ``v<version>.json``; loses the race to any
+        concurrent writer of the same version. Single seam for an
+        object-store conditional-put swap in production."""
+        os.makedirs(self._manifest_dir, exist_ok=True)
+        final = self._manifest_path(version)
+        if os.path.exists(final):
+            raise CommitConflictError(
+                f"version {version} already committed in {self.path}"
+            )
+        tmp = final + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=1, sort_keys=True)
+        try:
+            # exclusive link+unlink = fail-if-exists rename on POSIX
+            os.link(tmp, final)
+        except FileExistsError as e:
+            raise CommitConflictError(
+                f"version {version} already committed in {self.path}"
+            ) from e
+        finally:
+            os.unlink(tmp)
+
+    def _write_data_files(self, df: DataFrame, version: int, n_files: int) -> list[FileEntry]:
+        """Write ``df`` as ``n_files`` range-clustered parquet files
+        under the version's data directory and return their entries
+        with footer-derived stats (metadata reads only — no data
+        re-scan for stats)."""
+        out_dir = os.path.join(self.path, "data", f"commit-{version:06d}")
+        writer = (
+            df.repartitionByRange(n_files, F.col(self.key))
+            if n_files > 1
+            else df.coalesce(1)
+        )
+        writer.write.mode("overwrite").parquet(out_dir)
+        return [
+            self._file_entry(os.path.join(out_dir, n))
+            for n in sorted(os.listdir(out_dir))
+            if n.endswith(".parquet")
+        ]
+
+    def _file_entry(self, fpath: str) -> FileEntry:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(fpath).metadata
+        key_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[
+            self.key
+        ]
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(key_idx).statistics
+            if st is not None and st.has_min_max:
+                mins.append(st.min)
+                maxs.append(st.max)
+        return FileEntry(
+            path=fpath,
+            rows=md.num_rows,
+            min_key=min(mins) if mins else None,
+            max_key=max(maxs) if maxs else None,
+        )
+
+    def _commit(self, op: str, files: list[FileEntry], parent: int) -> int:
+        version = parent + 1
+        self._publish(
+            version,
+            {
+                "version": version,
+                "op": op,
+                "key": self.key,
+                "parent": parent or None,
+                "files": [f.to_json() for f in files],
+            },
+        )
+        return version
+
+    # ------------------------------------------------------ operations
+
+    def create(self, df: DataFrame, n_files: int = 8) -> int:
+        """Initialize version 1 from ``df`` (caller guarantees the key
+        is unique — the table invariant every merge preserves)."""
+        if self.latest_version() != 0:
+            raise CommitConflictError(f"table already exists at {self.path}")
+        files = self._write_data_files(df, 1, n_files)
+        return self._commit("create", files, parent=0)
+
+    def read(self, version: int | None = None) -> DataFrame:
+        m = self._read_manifest(version)
+        paths = [f["path"] for f in m["files"]]
+        if not paths:
+            raise FileNotFoundError(f"version {m['version']} has no files")
+        return self.spark.read.parquet(*paths)
+
+    def _touched_files(self, m: dict, keys: DataFrame) -> list[str]:
+        """File paths whose [min_key, max_key] may contain an update
+        key: manifest-stats DataFrame (one row per file, broadcast)
+        range-joined against the update keys. Conservative — a file
+        with no stats is always touched."""
+        stats = [
+            (f["path"], f["min_key"], f["max_key"])
+            for f in m["files"]
+            if f["min_key"] is not None
+        ]
+        no_stats = [f["path"] for f in m["files"] if f["min_key"] is None]
+        if not stats:
+            return no_stats
+        sdf = self.spark.createDataFrame(
+            stats, "path string, min_key long, max_key long"
+        )
+        hit = (
+            keys.select(F.col(self.key).alias("k"))
+            .join(
+                F.broadcast(sdf),
+                (F.col("k") >= F.col("min_key")) & (F.col("k") <= F.col("max_key")),
+            )
+            .select("path")
+            .distinct()
+            .collect()
+        )
+        return no_stats + [r["path"] for r in hit]
+
+    def merge_upsert(self, updates: DataFrame) -> int:
+        """MERGE INTO (SCD1): rows in ``updates`` replace same-key rows
+        and insert new keys, copy-on-write on the touched files only."""
+        parent = self.latest_version()
+        m = self._read_manifest(parent)
+        touched = set(self._touched_files(m, updates))
+        carried = [
+            FileEntry(f["path"], f["rows"], f["min_key"], f["max_key"])
+            for f in m["files"]
+            if f["path"] not in touched
+        ]
+        base = (
+            self.spark.read.parquet(*sorted(touched))
+            if touched
+            else self.spark.createDataFrame([], updates.schema)
+        )
+        b, u = base.alias("b"), updates.alias("u")
+        cols = updates.columns
+        merged = b.join(u, F.col(f"b.{self.key}") == F.col(f"u.{self.key}"), "full").select(
+            *[
+                F.coalesce(F.col(f"u.{c}"), F.col(f"b.{c}")).alias(c)
+                for c in cols
+            ]
+        )
+        version = parent + 1
+        n_files = max(1, len(touched))
+        new_files = self._write_data_files(merged, version, n_files)
+        return self._commit("merge", carried + new_files, parent)
+
+    def delete_where(self, predicate: str) -> int:
+        """DELETE: rewrite only the files that actually contain a
+        matching row (found by one pushdown-filtered scan over
+        ``input_file_name``), keeping every clean file as-is."""
+        parent = self.latest_version()
+        m = self._read_manifest(parent)
+        all_paths = [f["path"] for f in m["files"]]
+        cur = self.spark.read.parquet(*all_paths)
+        touched = {
+            r["f"]
+            for r in cur.filter(predicate)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        }
+        # input_file_name returns URIs; manifest stores raw paths
+        touched = {t[len("file://"):] if t.startswith("file://") else t for t in touched}
+        carried = [
+            FileEntry(f["path"], f["rows"], f["min_key"], f["max_key"])
+            for f in m["files"]
+            if f["path"] not in touched
+        ]
+        version = parent + 1
+        if not touched:
+            return self._commit("delete", carried, parent)
+        kept = self.spark.read.parquet(*sorted(touched)).filter(f"NOT ({predicate})")
+        new_files = self._write_data_files(kept, version, max(1, len(touched)))
+        return self._commit("delete", carried + new_files, parent)
+
+    def compact(self, n_files: int = 4) -> int:
+        """Rewrite the current snapshot into ``n_files`` range-clustered
+        files — resets small-file fragmentation and re-sharpens the
+        key ranges merge pruning depends on."""
+        parent = self.latest_version()
+        cur = self.read(parent)
+        version = parent + 1
+        files = self._write_data_files(cur, version, n_files)
+        return self._commit("compact", files, parent)
+
+
+def fresh_table_dir(sf_dir: str, op_name: str, spark: SparkSession) -> str:
+    """Stable scratch root for a registered snapshot query: keyed by
+    fixture + application id (no cross-session collisions), wiped on
+    every call so repeat invocations are idempotent and disk stays
+    bounded."""
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    app = spark.sparkContext.applicationId.replace("-", "_").replace(".", "_")
+    d = os.path.join(tempfile.gettempdir(), f"kf_snap_{tag}_{app}", op_name)
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    return d

@@ -1,0 +1,128 @@
+"""Snapshot table layer (storage/snapshots.py): the storage-contract
+properties the registered queries can't show — stats-based file
+pruning, optimistic-commit conflicts, old-version immutability,
+compaction layout collapse."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from clj_kinesis_to_firehose_spark.storage import CommitConflictError, SnapshotTable
+
+
+def _mk(spark, tmp_path, n=1000, n_files=8):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), key="id")
+    df = spark.range(n).select(
+        F.col("id"), (F.col("id") * 2.0).alias("val")
+    )
+    t.create(df, n_files=n_files)
+    return t
+
+
+def test_create_read_roundtrip(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    got = t.read().orderBy("id").collect()
+    assert len(got) == 1000
+    assert got[7]["val"] == 14.0
+    assert t.history() == [
+        {"version": 1, "op": "create", "n_files": 8, "n_rows": 1000}
+    ]
+
+
+def test_merge_prunes_untouched_files(spark, tmp_path):
+    """A narrow-key-range update must rewrite ONE of the 8 range-
+    clustered files; the other 7 entries carry over by path identity —
+    the property that makes merge cost track the touched range, not
+    the table size."""
+    t = _mk(spark, tmp_path)
+    v1_files = {f["path"] for f in t._read_manifest(1)["files"]}
+    updates = spark.createDataFrame([(3, -1.0), (5, -2.0)], "id long, val double")
+    t.merge_upsert(updates)
+    v2 = t._read_manifest(2)["files"]
+    carried = {f["path"] for f in v2} & v1_files
+    assert len(carried) == 7, "narrow merge should carry 7 of 8 files untouched"
+    got = {r["id"]: r["val"] for r in t.read().collect()}
+    assert got[3] == -1.0 and got[5] == -2.0 and got[4] == 8.0
+    assert len(got) == 1000
+
+
+def test_merge_inserts_new_keys(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=100)
+    updates = spark.createDataFrame(
+        [(50, 0.5), (5000, 1.5)], "id long, val double"
+    )
+    t.merge_upsert(updates)
+    got = {r["id"]: r["val"] for r in t.read().collect()}
+    assert len(got) == 101
+    assert got[50] == 0.5 and got[5000] == 1.5
+
+
+def test_time_travel_isolated_from_later_commits(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=100)
+    t.merge_upsert(spark.createDataFrame([(1, 9.9)], "id long, val double"))
+    t.delete_where("id >= 90")
+    v1 = {r["id"]: r["val"] for r in t.read(version=1).collect()}
+    assert len(v1) == 100 and v1[1] == 2.0, "v1 must be bit-identical pre-merge"
+    latest = {r["id"] for r in t.read().collect()}
+    assert len(latest) == 90 and 95 not in latest
+
+
+def test_delete_rewrites_only_matching_files(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    v1_files = {f["path"] for f in t._read_manifest(1)["files"]}
+    # ids 0..124 live in the first range-clustered file only
+    t.delete_where("id < 100")
+    v2 = t._read_manifest(2)["files"]
+    carried = {f["path"] for f in v2} & v1_files
+    assert len(carried) == 7
+    assert t.read().count() == 900
+
+
+def test_delete_no_match_is_metadata_only(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    v1_files = {f["path"] for f in t._read_manifest(1)["files"]}
+    t.delete_where("id > 999999")
+    v2_files = {f["path"] for f in t._read_manifest(2)["files"]}
+    assert v2_files == v1_files, "no-match delete must not rewrite any file"
+
+
+def test_compact_collapses_files_and_preserves_rows(spark, tmp_path):
+    t = _mk(spark, tmp_path, n_files=8)
+    t.compact(n_files=2)
+    m = t._read_manifest(2)
+    assert m["op"] == "compact" and len(m["files"]) == 2
+    assert t.read().count() == 1000
+    # old layout still fully readable
+    assert t.read(version=1).count() == 1000
+    assert len(t._read_manifest(1)["files"]) == 8
+
+
+def test_commit_conflict_detected(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=10, n_files=1)
+    # a concurrent writer publishes v2 first
+    other = SnapshotTable(spark, t.path, key="id")
+    other.compact(n_files=1)
+    with pytest.raises(CommitConflictError):
+        t._publish(2, {"version": 2, "op": "merge", "key": "id", "files": [],
+                       "parent": 1})
+
+
+def test_create_twice_refused(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=10, n_files=1)
+    with pytest.raises(CommitConflictError):
+        t.create(spark.range(5).select("id", F.lit(0.0).alias("val")))
+
+
+def test_data_files_immutable_across_commits(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=100, n_files=2)
+    before = {
+        f["path"]: os.path.getmtime(f["path"])
+        for f in t._read_manifest(1)["files"]
+    }
+    t.merge_upsert(spark.createDataFrame([(1, 9.9)], "id long, val double"))
+    t.compact(n_files=1)
+    for p, mtime in before.items():
+        assert os.path.exists(p) and os.path.getmtime(p) == mtime
