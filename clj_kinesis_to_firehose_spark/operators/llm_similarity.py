@@ -228,11 +228,17 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale parameters — the same join works at any corpus size because
     both sides are top-k-bounded per probe."""
     from clj_kinesis_to_firehose_spark.operators.llm_clustering import sim_ann_ivf
+    from clj_kinesis_to_firehose_spark.operators.llm_graph_ann import sim_ann_graph
 
     exact = sim_topk_exact(spark, sf_dir).select("probe_id", "neighbor_id")
     k_per_probe = exact.groupBy("probe_id").agg(F.count("*").alias("k"))
     out = None
-    for method, fn in (("lsh", sim_ann_lsh), ("ivf", sim_ann_ivf), ("pq", sim_ann_pq)):
+    for method, fn in (
+        ("lsh", sim_ann_lsh),
+        ("ivf", sim_ann_ivf),
+        ("pq", sim_ann_pq),
+        ("graph", sim_ann_graph),
+    ):
         approx = fn(spark, sf_dir).select("probe_id", "neighbor_id")
         hits = (
             exact.join(approx, ["probe_id", "neighbor_id"])

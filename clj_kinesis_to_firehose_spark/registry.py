@@ -47,6 +47,7 @@ _OPERATOR_MODULES = [
     "ml_features",
     "corpus_ops",
     "snapshot_ops",
+    "llm_graph_ann",
 ]
 
 _loaded = False

@@ -335,7 +335,7 @@ def test_sim_recall_eval_floors(spark):
     # fraction of the exact top-5 on the fixture probes — the eval op
     # is the tuning surface, these floors are the regression tripwire
     rows = QUERIES["sim_recall_eval"](spark, SF_DIR).collect()
-    assert len(rows) == 15  # 3 methods × 5 probes
+    assert len(rows) == 20  # 4 methods × 5 probes
     by_method: dict[str, list[float]] = {}
     for r in rows:
         by_method.setdefault(r.method, []).append(r.recall_at_k)
@@ -345,10 +345,69 @@ def test_sim_recall_eval_floors(spark):
     # its floor is the observed-regime tripwire, not a quality target
     # PQ shortlists 64 of 500 then exact-reranks, so its floor sits
     # between IVF's hard cell coverage and LSH's high-cosine-only bias
-    floors = {"ivf": 0.5, "lsh": 0.15, "pq": 0.5}
+    # graph searches EVERY shard with an exact-kNN base graph, so its
+    # recall is bounded only by beam truncation — the family's
+    # high-recall selling point, hence the highest floor
+    floors = {"ivf": 0.5, "lsh": 0.15, "pq": 0.5, "graph": 0.7}
     for method, recalls in by_method.items():
         mean = sum(recalls) / len(recalls)
         assert mean >= floors[method], (method, recalls)
+
+
+def test_graph_ann_finds_planted_near_dup_vectors(spark, planted_vecs_dir):
+    # twin 9000+i lands in the same shard as probe i (both ≡ i mod 8);
+    # a cosine-0.999 twin must surface as the top graph neighbor
+    approx = QUERIES["sim_ann_graph"](spark, planted_vecs_dir).collect()
+    top = {
+        r["probe_id"]: r["neighbor_id"] for r in approx if r["nn_rank"] == 1
+    }
+    hits = sum(top.get(i) == 9000 + i for i in range(5))
+    assert hits >= 4, f"planted twins found for only {hits}/5 probes: {top}"
+
+
+def test_graph_ann_corpus_recall_floor(spark):
+    exact = QUERIES["sim_topk_exact"](spark, SF_DIR).collect()
+    approx = QUERIES["sim_ann_graph"](spark, SF_DIR).collect()
+    exact_sets: dict[int, set[int]] = {}
+    for r in exact:
+        exact_sets.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+    approx_sets: dict[int, set[int]] = {}
+    for r in approx:
+        approx_sets.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(exact_sets[p] & approx_sets.get(p, set())) for p in exact_sets)
+    total = sum(len(s) for s in exact_sets.values())
+    recall = hits / total
+    assert recall >= 0.7, f"graph ANN corpus recall {recall:.2f} below floor"
+
+
+def test_graph_ann_beam_visits_bounded_fraction(spark):
+    # the graph-index property: the beam must NOT brute-force the
+    # shard. The fixture's shards (~60 vectors) are smaller than the
+    # beam itself, so synthesize a corpus where shard size (500) well
+    # exceeds ef (48) — visited nodes must stay a fraction of the shard
+    import numpy as np
+
+    from clj_kinesis_to_firehose_spark.operators.llm_graph_ann import (
+        graph_search_stats,
+    )
+
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((4000, 64)).astype("float32")
+    out = tempfile.mkdtemp(prefix="kf_graph_corpus_")
+    spark.createDataFrame(
+        [(i, vecs[i].tolist(), 0) for i in range(4000)],
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "embeddings.parquet")
+    )
+    rows = graph_search_stats(spark, out).collect()
+    assert rows, "no shards searched"
+    mean_frac = sum(r["n_visited"] / r["n_shard"] for r in rows) / len(rows)
+    assert all(r["n_shard"] == 500 for r in rows)
+    assert mean_frac <= 0.75, (
+        f"beam visited {mean_frac:.0%} of each 500-node shard on average — "
+        "not meaningfully better than brute force"
+    )
 
 
 def test_sort_cluster_prunes_row_groups(spark):
