@@ -160,6 +160,112 @@ def snapshot_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_changes_feed",
+    oracle="""
+    SELECT o_orderkey, o_totalprice + 100.0 AS o_totalprice,
+           'update_postimage' AS change_type
+    FROM orders WHERE o_orderkey % 10 = 0
+    UNION ALL
+    SELECT o_orderkey + 10000000 AS o_orderkey,
+           o_totalprice * 0.5 AS o_totalprice,
+           'insert' AS change_type
+    FROM orders WHERE o_orderkey % 1000 = 0
+    """,
+)
+def snapshot_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed between table versions: exactly the rows the
+    v1→v2 merge changed, each tagged insert / update_postimage — the
+    incremental-consumer surface (downstream sync, cache invalidation,
+    training-set refresh) every transactional format exposes.
+
+    The CDF scan is manifest-diff-pruned: only files added or replaced
+    between the versions are read, unchanged rewrite copies cancel in
+    an all-columns anti-join — so feed cost tracks the churn, not the
+    table. The oracle is the deterministic merge batch itself: the
+    feed must reproduce it exactly, nothing more (no false changes
+    from rewritten-but-identical rows), nothing less. Delete tagging
+    is covered by the layer pytest (the fixture merge deletes
+    nothing)."""
+    t = _merged_table(spark, sf_dir, "changes_feed")
+    return t.changes(1, 2)
+
+
+@register(
+    "snapshot_stream_upsert",
+    oracle="""
+    WITH u1 AS (
+        SELECT o_orderkey, o_totalprice + 100.0 AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 0
+    ), u2 AS (
+        SELECT o_orderkey + 10000000 AS o_orderkey,
+               o_totalprice * 0.5 AS o_totalprice
+        FROM orders WHERE o_orderkey % 1000 = 0
+    ), u3 AS (
+        SELECT o_orderkey, o_totalprice + 200.0 AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 5
+    ), upd AS (
+        SELECT * FROM u1 UNION ALL SELECT * FROM u2 UNION ALL SELECT * FROM u3
+    )
+    SELECT COALESCE(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+           COALESCE(u.o_totalprice, b.o_totalprice) AS o_totalprice
+    FROM orders b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey
+    """,
+)
+def snapshot_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming upsert sink: a file-source stream of MERGE
+    batches lands in the snapshot table via ``foreachBatch`` →
+    ``merge_upsert``, one ACID commit per micro-batch — the
+    stream-to-warehouse bridge (Kinesis → snapshot table) done with
+    table-format guarantees instead of blind appends.
+
+    Exactly-once story: each micro-batch commit is an atomic manifest
+    publish, and re-merging an identical batch is state-idempotent, so
+    a foreachBatch retry converges instead of double-applying (the
+    at-least-once → effectively-once upgrade, this time at the storage
+    layer). The three batches touch disjoint key sets, so the final
+    state — which the oracle recomputes relationally — is independent
+    of micro-batch arrival order."""
+    import os
+
+    t = SnapshotTable(
+        spark, fresh_table_dir(sf_dir, "stream_upsert", spark), key="o_orderkey"
+    )
+    base = _base_orders(spark, sf_dir)
+    t.create(base, n_files=8)
+
+    batch_dir = fresh_table_dir(sf_dir, "stream_upsert_batches", spark)
+    batches = [
+        base.filter(F.col("o_orderkey") % 10 == 0).select(
+            "o_orderkey", (F.col("o_totalprice") + 100.0).alias("o_totalprice")
+        ),
+        base.filter(F.col("o_orderkey") % 1000 == 0).select(
+            (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+            (F.col("o_totalprice") * 0.5).alias("o_totalprice"),
+        ),
+        base.filter(F.col("o_orderkey") % 10 == 5).select(
+            "o_orderkey", (F.col("o_totalprice") + 200.0).alias("o_totalprice")
+        ),
+    ]
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(batch_dir, f"slice={i}")
+        )
+    stream = (
+        spark.readStream.schema("o_orderkey long, o_totalprice double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(batch_dir, "slice=*"))
+    )
+    q = stream.writeStream.foreachBatch(
+        lambda bdf, _bid: None if bdf.isEmpty() else t.merge_upsert(bdf)
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return t.read()
+
+
+@register(
     "snapshot_history_log",
     oracle="""
     WITH base AS (SELECT COUNT(*) AS n FROM orders),

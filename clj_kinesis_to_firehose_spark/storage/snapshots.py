@@ -309,6 +309,58 @@ class SnapshotTable:
         new_files = self._write_data_files(kept, version, max(1, len(touched)))
         return self._commit("delete", carried + new_files, parent)
 
+    def changes(self, v_from: int, v_to: int) -> DataFrame:
+        """Change data feed between two committed versions: one row per
+        changed key with a ``change_type`` of ``insert`` /
+        ``update_postimage`` / ``delete`` (deletes carry the pre-image
+        values).
+
+        Scans are manifest-diff-pruned: only files ADDED since
+        ``v_from`` (new + rewritten) and files REMOVED since ``v_from``
+        (the replaced ones) are read — carried files are provably
+        unchanged, so CDF cost tracks the churn between the versions,
+        never the table size. Rewritten-but-identical rows cancel in
+        the all-columns anti-join (parquet round-trips doubles
+        bit-exactly, so unchanged copies compare equal). Key identity
+        relies on the table's unique-key invariant: a key lives in
+        exactly one active file per version, so a key whose old file
+        was replaced and which appears in no added file was deleted."""
+        mf = self._read_manifest(v_from)
+        mt = self._read_manifest(v_to)
+        from_paths = {f["path"] for f in mf["files"]}
+        to_paths = {f["path"] for f in mt["files"]}
+        added = sorted(to_paths - from_paths)
+        removed = sorted(from_paths - to_paths)
+        fields = self.read(v_to).schema.fields
+        cols = [f.name for f in fields]
+        out_schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in fields
+        )
+        empty = self.spark.createDataFrame([], out_schema)
+        added_df = self.spark.read.parquet(*added) if added else empty
+        removed_df = self.spark.read.parquet(*removed) if removed else empty
+        removed_keys = removed_df.select(
+            F.col(self.key).alias("__removed_key")
+        ).distinct()
+        upserts = (
+            added_df.join(removed_df, on=cols, how="left_anti")
+            .join(
+                removed_keys,
+                F.col(self.key) == F.col("__removed_key"),
+                "left",
+            )
+            .select(
+                *cols,
+                F.when(F.col("__removed_key").isNotNull(), "update_postimage")
+                .otherwise("insert")
+                .alias("change_type"),
+            )
+        )
+        deletes = removed_df.join(
+            added_df.select(self.key), self.key, "left_anti"
+        ).select(*cols, F.lit("delete").alias("change_type"))
+        return upserts.unionByName(deletes)
+
     def compact(self, n_files: int = 4) -> int:
         """Rewrite the current snapshot into ``n_files`` range-clustered
         files — resets small-file fragmentation and re-sharpens the

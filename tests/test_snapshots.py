@@ -116,6 +116,37 @@ def test_create_twice_refused(spark, tmp_path):
         t.create(spark.range(5).select("id", F.lit(0.0).alias("val")))
 
 
+def test_changes_feed_excludes_rewrite_copies(spark, tmp_path):
+    """A merge rewriting a 125-row file for a 2-key update must feed
+    exactly 2 changes — the 123 bit-identical rewrite copies cancel."""
+    t = _mk(spark, tmp_path)
+    updates = spark.createDataFrame(
+        [(3, -1.0), (5000, 7.0)], "id long, val double"
+    )
+    t.merge_upsert(updates)
+    ch = {(r["id"], r["change_type"]): r["val"] for r in t.changes(1, 2).collect()}
+    assert ch == {(3, "update_postimage"): -1.0, (5000, "insert"): 7.0}
+
+
+def test_changes_feed_tags_deletes_with_preimage(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=100, n_files=2)
+    t.delete_where("id < 10")
+    ch = t.changes(1, 2).collect()
+    assert len(ch) == 10
+    assert all(r["change_type"] == "delete" for r in ch)
+    assert {r["id"] for r in ch} == set(range(10))
+    assert {r["val"] for r in ch} == {float(2 * i) for i in range(10)}
+
+
+def test_changes_feed_spans_multiple_versions(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=100, n_files=2)
+    t.merge_upsert(spark.createDataFrame([(1, 9.0)], "id long, val double"))
+    t.merge_upsert(spark.createDataFrame([(1, 11.0)], "id long, val double"))
+    ch = {r["change_type"]: r["val"] for r in t.changes(1, 3).collect()}
+    # cumulative feed collapses to the net change with the final value
+    assert ch == {"update_postimage": 11.0}
+
+
 def test_data_files_immutable_across_commits(spark, tmp_path):
     t = _mk(spark, tmp_path, n=100, n_files=2)
     before = {
