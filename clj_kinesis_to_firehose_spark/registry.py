@@ -89,6 +89,17 @@ _PRIORITY = [
     "route_dead_letter",
     "scan_dynamic_partition_pruning",
     "scan_formats_roundtrip",
+    # round-4 additions: snapshot table layer + graph ANN — adjudicate
+    # right behind the red-clearing re-runs (they are themselves
+    # never-adjudicated, so this costs no union coverage)
+    "snapshot_merge_upsert",
+    "snapshot_time_travel",
+    "snapshot_delete_where",
+    "snapshot_compact_roundtrip",
+    "snapshot_changes_feed",
+    "snapshot_stream_upsert",
+    "snapshot_history_log",
+    "sim_ann_graph",
     # A4-A6 (streaming source/sink rows)
     "stream_source_file",
     "stream_source_rate",
