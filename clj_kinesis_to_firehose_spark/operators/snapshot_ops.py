@@ -266,6 +266,68 @@ def snapshot_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_rollback",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    """,
+)
+def snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instant rollback: after a merge lands a bad batch, one
+    metadata-only commit restores version 1's exact file list — no
+    data is read or rewritten (O(1) at any table size), and the bad
+    version stays in history for forensics. The checked output is the
+    post-rollback table state, which must be bit-identical to the
+    original base table."""
+    t = _merged_table(spark, sf_dir, "rollback")
+    t.rollback(1)
+    return t.read()
+
+
+@register(
+    "snapshot_schema_evolution",
+    oracle="""
+    WITH flagged AS (
+        SELECT o_orderkey, o_totalprice + 100.0 AS o_totalprice,
+               TRUE AS priority_flag
+        FROM orders WHERE o_orderkey % 100 = 0
+    )
+    SELECT b.o_orderkey,
+           COALESCE(f.o_totalprice, b.o_totalprice) AS o_totalprice,
+           COALESCE(f.priority_flag, FALSE) AS priority_flag
+    FROM orders b LEFT JOIN flagged f ON b.o_orderkey = f.o_orderkey
+    """,
+)
+def snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution through MERGE: the update batch
+    carries a column the table never had (`priority_flag`); the merge
+    writes it into the rewritten files, carried old-schema files stay
+    untouched on disk, and the mergeSchema read nulls the column for
+    every row that never saw it — add-a-column without rewriting the
+    table, the evolution contract every transactional format ships.
+    Checked output: full post-merge state with the evolved schema (the
+    final projection coalesces the flag to false — a null boolean
+    stringifies differently in the two engines' pandas bridges; the
+    null-read semantics themselves are pinned in
+    tests/test_snapshots.py::test_schema_evolution_nulls_untouched_rows)."""
+    t = SnapshotTable(
+        spark, fresh_table_dir(sf_dir, "schema_evo", spark), key="o_orderkey"
+    )
+    base = _base_orders(spark, sf_dir)
+    t.create(base, n_files=8)
+    evolved = base.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 100.0).alias("o_totalprice"),
+        F.lit(True).alias("priority_flag"),
+    )
+    t.merge_upsert(evolved)
+    return t.read().select(
+        "o_orderkey",
+        "o_totalprice",
+        F.coalesce("priority_flag", F.lit(False)).alias("priority_flag"),
+    )
+
+
+@register(
     "snapshot_history_log",
     oracle="""
     WITH base AS (SELECT COUNT(*) AS n FROM orders),

@@ -99,6 +99,8 @@ _PRIORITY = [
     "snapshot_changes_feed",
     "snapshot_stream_upsert",
     "snapshot_history_log",
+    "snapshot_rollback",
+    "snapshot_schema_evolution",
     "sim_ann_graph",
     # A4-A6 (streaming source/sink rows)
     "stream_source_file",

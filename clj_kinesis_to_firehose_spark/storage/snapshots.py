@@ -221,7 +221,10 @@ class SnapshotTable:
         paths = [f["path"] for f in m["files"]]
         if not paths:
             raise FileNotFoundError(f"version {m['version']} has no files")
-        return self.spark.read.parquet(*paths)
+        # mergeSchema: after an add-column merge, carried files keep the
+        # old schema — the union read nulls the missing column, which
+        # is exactly the schema-evolution read contract
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def _touched_files(self, m: dict, keys: DataFrame) -> list[str]:
         """File paths whose [min_key, max_key] may contain an update
@@ -263,18 +266,37 @@ class SnapshotTable:
             if f["path"] not in touched
         ]
         base = (
-            self.spark.read.parquet(*sorted(touched))
+            self.spark.read.option("mergeSchema", "true").parquet(*sorted(touched))
             if touched
             else self.spark.createDataFrame([], updates.schema)
         )
         b, u = base.alias("b"), updates.alias("u")
-        cols = updates.columns
-        merged = b.join(u, F.col(f"b.{self.key}") == F.col(f"u.{self.key}"), "full").select(
-            *[
-                F.coalesce(F.col(f"u.{c}"), F.col(f"b.{c}")).alias(c)
-                for c in cols
-            ]
-        )
+        # schema evolution: a column new in `updates` doesn't exist on
+        # the base side yet — null there (carried files get the null on
+        # read via mergeSchema); a base column absent from `updates`
+        # passes through unchanged
+        base_cols = set(base.columns)
+        upd_cols = set(updates.columns)
+        cols = list(updates.columns) + [
+            c for c in base.columns if c not in upd_cols
+        ]
+
+        def side(c: str) -> F.Column:
+            uc = (
+                F.col(f"u.{c}")
+                if c in upd_cols
+                else F.lit(None).cast(base.schema[c].dataType)
+            )
+            bc = (
+                F.col(f"b.{c}")
+                if c in base_cols
+                else F.lit(None).cast(updates.schema[c].dataType)
+            )
+            return F.coalesce(uc, bc).alias(c)
+
+        merged = b.join(
+            u, F.col(f"b.{self.key}") == F.col(f"u.{self.key}"), "full"
+        ).select(*[side(c) for c in cols])
         version = parent + 1
         n_files = max(1, len(touched))
         new_files = self._write_data_files(merged, version, n_files)
@@ -370,6 +392,20 @@ class SnapshotTable:
         version = parent + 1
         files = self._write_data_files(cur, version, n_files)
         return self._commit("compact", files, parent)
+
+    def rollback(self, to_version: int) -> int:
+        """Instant rollback: commit a NEW version whose file list is
+        ``to_version``'s — pure metadata (no data read or write, O(1)
+        regardless of table size), history preserved (the bad commits
+        stay inspectable), and it composes with every later operation
+        because it IS an ordinary commit."""
+        target = self._read_manifest(to_version)
+        parent = self.latest_version()
+        files = [
+            FileEntry(f["path"], f["rows"], f["min_key"], f["max_key"])
+            for f in target["files"]
+        ]
+        return self._commit("rollback", files, parent)
 
 
 def fresh_table_dir(sf_dir: str, op_name: str, spark: SparkSession) -> str:

@@ -147,6 +147,36 @@ def test_changes_feed_spans_multiple_versions(spark, tmp_path):
     assert ch == {"update_postimage": 11.0}
 
 
+def test_rollback_is_metadata_only_and_preserves_history(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=100, n_files=2)
+    v1_files = [f["path"] for f in t._read_manifest(1)["files"]]
+    t.merge_upsert(spark.createDataFrame([(1, -5.0)], "id long, val double"))
+    t.rollback(1)
+    m3 = t._read_manifest(3)
+    assert m3["op"] == "rollback"
+    assert [f["path"] for f in m3["files"]] == v1_files, "rollback = v1 file list"
+    got = {r["id"]: r["val"] for r in t.read().collect()}
+    assert got[1] == 2.0 and len(got) == 100
+    # bad version stays inspectable
+    assert t._read_manifest(2)["op"] == "merge"
+    assert {r["id"]: r["val"] for r in t.read(version=2).collect()}[1] == -5.0
+
+
+def test_schema_evolution_nulls_untouched_rows(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=100, n_files=2)
+    t.merge_upsert(
+        spark.createDataFrame([(1, 9.0, "gold")], "id long, val double, tier string")
+    )
+    rows = {r["id"]: (r["val"], r["tier"]) for r in t.read().collect()}
+    assert rows[1] == (9.0, "gold")
+    assert rows[2] == (4.0, None), "old rows read the new column as null"
+    assert len(rows) == 100
+    # a later merge WITHOUT the new column must not erase it
+    t.merge_upsert(spark.createDataFrame([(1, 10.0)], "id long, val double"))
+    rows = {r["id"]: (r["val"], r["tier"]) for r in t.read().collect()}
+    assert rows[1] == (10.0, "gold"), "missing-column merge preserves prior value"
+
+
 def test_data_files_immutable_across_commits(spark, tmp_path):
     t = _mk(spark, tmp_path, n=100, n_files=2)
     before = {
