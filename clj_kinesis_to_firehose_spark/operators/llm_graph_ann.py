@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from clj_kinesis_to_firehose_spark.functions import cosine
 from clj_kinesis_to_firehose_spark.operators.llm_similarity import (
     PROBE_IDS,
     TOP_K,
@@ -182,6 +183,105 @@ def sim_ann_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         shortlists.withColumn("nn_rank", F.row_number().over(w))
         .filter(F.col("nn_rank") <= TOP_K)
+    )
+
+
+KNN_K = 6  # neighbors per node in the corpus kNN graph
+KNN_ROUNDS = 3  # NN-Descent refinement rounds
+#: build-time oversampling (the paper's ρ-sampling analog): refining a
+#: 2K-wide working graph and emitting the top K converges much faster
+#: on weak-locality (random) data — 0.94 vs 0.51 recall at 3 rounds on
+#: the fixture — for a constant-factor candidate cost
+KNN_BUILD_K = 2 * KNN_K
+
+
+def _knn_descent_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide approximate kNN graph via NN-Descent (Dong et al.
+    2011, "Efficient K-Nearest Neighbor Graph Construction for Generic
+    Similarity Measures", public paper) — expressed entirely in
+    DataFrame joins, which is what makes it THE distributed build for
+    graph indexes when even a shard is too big to matmul.
+
+    The local-join insight: if b is near a and c is near b, then c is
+    probably near a. Each round: (1) make edges symmetric, (2) join
+    the graph with itself on the shared endpoint to enumerate
+    neighbor-of-neighbor candidates, (3) score candidates (one
+    embeddings join per side), (4) keep the best K per node. Round
+    cost is O(n·K²) candidate pairs — K is a constant, so every round
+    is linear in the corpus, shuffled on keys Spark hash-partitions;
+    never n². Published convergence: a handful of rounds to ~0.9+
+    recall (asserted for this fixture in tests/test_weak_ops.py).
+
+    Init is deterministic hash-pseudo-random (vec_id-derived ring
+    offsets — no RNG state), and each round ends in a localCheckpoint
+    to truncate the grown lineage, the same pattern as
+    dedup_cluster_components."""
+    emb = _embeddings(spark, sf_dir)
+    n = emb.count()
+    ids = emb.select("vec_id")
+    # init: BUILD_K ring neighbors at hash-scattered offsets
+    # (deterministic, nonzero, distinct for K << n)
+    offsets = [
+        (F.pmod(F.xxhash64(F.col("vec_id"), F.lit(i)), F.lit(n - 1)) + 1)
+        for i in range(KNN_BUILD_K)
+    ]
+    edges = ids.select(
+        "vec_id",
+        F.explode(F.array(*offsets)).alias("off"),
+    ).select(
+        F.col("vec_id").alias("a"),
+        F.pmod(F.col("vec_id") + F.col("off"), F.lit(n)).alias("b"),
+    ).dropDuplicates(["a", "b"])
+
+    ea = emb.select(F.col("vec_id").alias("a"), F.col("e").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("b"), F.col("e").alias("eb"))
+
+    def score_topk(cand: DataFrame, k: int) -> DataFrame:
+        scored = (
+            cand.filter(F.col("a") != F.col("b"))
+            .join(ea, "a")
+            .join(eb, "b")
+            .select("a", "b", F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos"))
+        )
+        w = Window.partitionBy("a").orderBy(F.desc("cos"), F.asc("b"))
+        return (
+            scored.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= k)
+            .select("a", "b", "cos")
+        )
+
+    graph = score_topk(edges, KNN_BUILD_K)
+    for _ in range(KNN_ROUNDS):
+        sym = graph.select("a", "b").union(
+            graph.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        # neighbor-of-neighbor candidates: a—m and m—b ⇒ try a—b
+        nn = sym.alias("x").join(
+            sym.alias("y"), F.col("x.b") == F.col("y.a")
+        ).select(F.col("x.a").alias("a"), F.col("y.b").alias("b"))
+        cand = graph.select("a", "b").union(nn).dropDuplicates(["a", "b"])
+        graph = score_topk(cand, KNN_BUILD_K).localCheckpoint(eager=False)
+    # emit the converged top K of the oversampled working graph
+    return score_topk(graph.select("a", "b"), KNN_K)
+
+
+@register("graph_knn_descent")
+def graph_knn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NN-Descent corpus kNN graph (weak oracle — approximate,
+    iteration-dependent; recall vs the exact graph is floored in
+    tests/test_weak_ops.py). Emits the probe nodes' adjacency so the
+    driver row count stays bounded while the FULL corpus graph is
+    built; the graph itself is the input artifact for graph-ANN
+    serving, SemDeDup-style clustering, and link-based curation."""
+    graph = _knn_descent_graph(spark, sf_dir)
+    return (
+        graph.filter(F.col("a").isin(PROBE_IDS))
+        .select(
+            F.col("a").alias("vec_id"),
+            F.col("b").alias("neighbor_id"),
+            F.col("cos").alias("cosine"),
+        )
+        .orderBy("vec_id", F.desc("cosine"), "neighbor_id")
     )
 
 

@@ -102,6 +102,7 @@ _PRIORITY = [
     "snapshot_rollback",
     "snapshot_schema_evolution",
     "sim_ann_graph",
+    "graph_knn_descent",
     # A4-A6 (streaming source/sink rows)
     "stream_source_file",
     "stream_source_rate",

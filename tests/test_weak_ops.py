@@ -410,6 +410,35 @@ def test_graph_ann_beam_visits_bounded_fraction(spark):
     )
 
 
+def test_knn_descent_converges_to_exact_graph(spark):
+    # NN-Descent must recover most of the EXACT kNN graph in 3 rounds
+    # (paper: a handful of rounds to high recall on generic metrics)
+    import numpy as np
+
+    from clj_kinesis_to_firehose_spark.operators.llm_graph_ann import (
+        KNN_K,
+        _knn_descent_graph,
+    )
+
+    rows = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    sims = Xn @ Xn.T
+    np.fill_diagonal(sims, -np.inf)
+    order = np.argsort(-sims, axis=1)[:, :KNN_K]
+    exact = {
+        int(ids[i]): {int(ids[j]) for j in order[i]} for i in range(len(ids))
+    }
+    approx: dict[int, set[int]] = {}
+    for r in _knn_descent_graph(spark, SF_DIR).collect():
+        approx.setdefault(r["a"], set()).add(r["b"])
+    hits = sum(len(exact[v] & approx.get(v, set())) for v in exact)
+    total = sum(len(s) for s in exact.values())
+    recall = hits / total
+    assert recall >= 0.85, f"kNN-graph recall {recall:.3f} below floor"
+
+
 def test_sort_cluster_prunes_row_groups(spark):
     # the whole point of the sort-clustering rewrite: after ordering by
     # l_shipdate, a one-month predicate overlaps a small fraction of
