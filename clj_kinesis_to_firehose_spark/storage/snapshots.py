@@ -393,6 +393,27 @@ class SnapshotTable:
         files = self._write_data_files(cur, version, n_files)
         return self._commit("compact", files, parent)
 
+    def merge_upsert_with_retry(
+        self, updates: DataFrame, max_retries: int = 3
+    ) -> int:
+        """Optimistic-concurrency MERGE: on a commit conflict (another
+        writer published our target version first), re-read the NEW
+        latest manifest and re-run the merge against it — the standard
+        transactional-format retry loop. Each attempt re-plans against
+        the fresh file list, so a concurrent writer's rows are never
+        lost or double-applied; the data files a losing attempt wrote
+        are simply never referenced by any manifest (orphans, swept by
+        a vacuum pass in production). Raises after ``max_retries``
+        conflicts so pathological contention surfaces instead of
+        spinning."""
+        last: CommitConflictError | None = None
+        for _ in range(max_retries + 1):
+            try:
+                return self.merge_upsert(updates)
+            except CommitConflictError as e:
+                last = e
+        raise last  # type: ignore[misc]
+
     def rollback(self, to_version: int) -> int:
         """Instant rollback: commit a NEW version whose file list is
         ``to_version``'s — pure metadata (no data read or write, O(1)

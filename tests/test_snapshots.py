@@ -177,6 +177,52 @@ def test_schema_evolution_nulls_untouched_rows(spark, tmp_path):
     assert rows[1] == (10.0, "gold"), "missing-column merge preserves prior value"
 
 
+def test_merge_retry_survives_concurrent_writer(spark, tmp_path):
+    """Two writers, one table: writer B lands a commit between writer
+    A's read and publish; A's retry must re-plan against B's version so
+    BOTH changes survive."""
+    t = _mk(spark, tmp_path, n=100, n_files=2)
+    a = SnapshotTable(spark, t.path, key="id")
+
+    # simulate the interleave: A's first publish loses because B commits
+    # version 2 first
+    original_publish = a._publish
+    interleaved = {"done": False}
+
+    def racing_publish(version, manifest):
+        if not interleaved["done"]:
+            interleaved["done"] = True
+            other = SnapshotTable(spark, t.path, key="id")
+            other.merge_upsert(
+                spark.createDataFrame([(7, 70.0)], "id long, val double")
+            )
+        return original_publish(version, manifest)
+
+    a._publish = racing_publish
+    a.merge_upsert_with_retry(
+        spark.createDataFrame([(3, 30.0)], "id long, val double")
+    )
+    got = {r["id"]: r["val"] for r in t.read().collect()}
+    assert got[7] == 70.0, "concurrent writer's change lost"
+    assert got[3] == 30.0, "retrying writer's change lost"
+    assert len(got) == 100
+
+
+def test_merge_retry_gives_up_after_max(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=10, n_files=1)
+    a = SnapshotTable(spark, t.path, key="id")
+
+    def always_conflict(version, manifest):
+        raise CommitConflictError("simulated contention")
+
+    a._publish = always_conflict
+    with pytest.raises(CommitConflictError):
+        a.merge_upsert_with_retry(
+            spark.createDataFrame([(1, 1.0)], "id long, val double"),
+            max_retries=2,
+        )
+
+
 def test_data_files_immutable_across_commits(spark, tmp_path):
     t = _mk(spark, tmp_path, n=100, n_files=2)
     before = {
