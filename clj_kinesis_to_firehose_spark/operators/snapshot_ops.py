@@ -328,6 +328,33 @@ def snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_vacuum_lifecycle",
+    oracle=f"""
+    WITH {_MERGED_SQL}
+    SELECT COUNT(*) AS n_rows,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM merged
+    """,
+)
+def snapshot_vacuum_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full table lifecycle: create → merge → compact → vacuum
+    expired versions — then prove the LIVE table is untouched by the
+    cleanup: post-vacuum totals must equal the merged state exactly.
+    Orphan/expired physical deletion and history pruning are asserted
+    in tests/test_snapshots.py; the oracle checks what matters to a
+    reader — vacuum never changes query results."""
+    t = _merged_table(spark, sf_dir, "vacuum_lifecycle")
+    t.compact(n_files=4)
+    t.vacuum(retain_last=2)
+    return t.read().agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("o_orderkey").cast("long").alias("n_keys"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@register(
     "snapshot_history_log",
     oracle="""
     WITH base AS (SELECT COUNT(*) AS n FROM orders),

@@ -101,6 +101,7 @@ _PRIORITY = [
     "snapshot_history_log",
     "snapshot_rollback",
     "snapshot_schema_evolution",
+    "snapshot_vacuum_lifecycle",
     "sim_ann_graph",
     "graph_knn_descent",
     # A4-A6 (streaming source/sink rows)

@@ -118,7 +118,10 @@ class SnapshotTable:
         """One dict per committed version: version, op, n_files, n_rows."""
         out = []
         for v in range(1, self.latest_version() + 1):
-            m = self._read_manifest(v)
+            try:
+                m = self._read_manifest(v)
+            except FileNotFoundError:  # expired by vacuum
+                continue
             out.append(
                 {
                     "version": v,
@@ -413,6 +416,51 @@ class SnapshotTable:
             except CommitConflictError as e:
                 last = e
         raise last  # type: ignore[misc]
+
+    def vacuum(self, retain_last: int = 2) -> dict:
+        """Physical cleanup: delete every data file not referenced by
+        the ``retain_last`` most recent manifests — expired time-travel
+        versions and orphans from losing optimistic-commit attempts —
+        and drop the expired manifests. Returns counts for the audit
+        log. Retained versions stay fully readable; the latest version
+        is always retained (``retain_last`` is clamped to ≥1).
+
+        Scale notes: the live-file set is manifest union (metadata
+        only, one row per file — no directory listing of data paths is
+        needed to decide liveness, only to find deletion candidates,
+        and that listing is per-commit-directory). Production would
+        add a grace period (don't delete files younger than the
+        longest-running reader); the sandbox layer keeps the policy
+        purely version-count-based."""
+        retain_last = max(1, retain_last)
+        latest = self.latest_version()
+        keep_versions = list(range(max(1, latest - retain_last + 1), latest + 1))
+        live: set[str] = set()
+        for v in keep_versions:
+            live.update(f["path"] for f in self._read_manifest(v)["files"])
+        data_root = os.path.join(self.path, "data")
+        removed_files = 0
+        if os.path.isdir(data_root):
+            for commit_dir in sorted(os.listdir(data_root)):
+                d = os.path.join(data_root, commit_dir)
+                for name in sorted(os.listdir(d)):
+                    p = os.path.join(d, name)
+                    if name.endswith(".parquet") and p not in live:
+                        os.unlink(p)
+                        removed_files += 1
+                if not any(n.endswith(".parquet") for n in os.listdir(d)):
+                    shutil.rmtree(d, ignore_errors=True)
+        removed_manifests = 0
+        for v in range(1, keep_versions[0]):
+            mp = self._manifest_path(v)
+            if os.path.exists(mp):
+                os.unlink(mp)
+                removed_manifests += 1
+        return {
+            "removed_files": removed_files,
+            "removed_manifests": removed_manifests,
+            "retained_versions": keep_versions,
+        }
 
     def rollback(self, to_version: int) -> int:
         """Instant rollback: commit a NEW version whose file list is

@@ -223,6 +223,34 @@ def test_merge_retry_gives_up_after_max(spark, tmp_path):
         )
 
 
+def test_vacuum_removes_expired_and_orphans_keeps_live(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=100, n_files=2)
+    t.merge_upsert(spark.createDataFrame([(1, 9.0)], "id long, val double"))
+    t.compact(n_files=1)  # v3; v1's replaced files now expired
+    # plant an orphan (losing optimistic-commit attempt's data file)
+    orphan = os.path.join(t.path, "data", "commit-000099")
+    os.makedirs(orphan)
+    spark.range(5).coalesce(1).write.mode("overwrite").parquet(orphan)
+
+    stats = t.vacuum(retain_last=2)
+    assert stats["removed_files"] > 0
+    assert stats["retained_versions"] == [2, 3]
+    # latest + retained versions still fully readable
+    assert t.read().count() == 100
+    assert t.read(version=2).count() == 100
+    # expired version gone, physically and from history
+    with pytest.raises(FileNotFoundError):
+        t.read(version=1)
+    assert [h["version"] for h in t.history()] == [2, 3]
+    assert not os.path.exists(orphan)
+
+
+def test_vacuum_always_retains_latest(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=50, n_files=1)
+    t.vacuum(retain_last=0)  # clamped to 1
+    assert t.read().count() == 50
+
+
 def test_data_files_immutable_across_commits(spark, tmp_path):
     t = _mk(spark, tmp_path, n=100, n_files=2)
     before = {
