@@ -355,6 +355,36 @@ def snapshot_vacuum_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_pruned_scan",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS sum_price,
+           MIN(o_orderkey) AS min_key,
+           MAX(o_orderkey) AS max_key
+    FROM orders WHERE o_orderkey BETWEEN 3000 AND 4500
+    """,
+)
+def snapshot_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest zone-map file skipping: a key-range read over the
+    range-clustered snapshot table opens only the files whose min/max
+    stats overlap the range — decided driver-side from the manifest
+    before any task launches, one level above parquet row-group
+    pruning. The residual filter keeps correctness stats-independent;
+    the file-count collapse itself is asserted in
+    tests/test_snapshots.py::test_read_pruned_skips_files."""
+    t = SnapshotTable(
+        spark, fresh_table_dir(sf_dir, "pruned_scan", spark), key="o_orderkey"
+    )
+    t.create(_base_orders(spark, sf_dir), n_files=8)
+    return t.read_pruned(3000, 4500).agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+@register(
     "snapshot_history_log",
     oracle="""
     WITH base AS (SELECT COUNT(*) AS n FROM orders),

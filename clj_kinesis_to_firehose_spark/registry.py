@@ -102,6 +102,7 @@ _PRIORITY = [
     "snapshot_rollback",
     "snapshot_schema_evolution",
     "snapshot_vacuum_lifecycle",
+    "snapshot_pruned_scan",
     "sim_ann_graph",
     "graph_knn_descent",
     # A4-A6 (streaming source/sink rows)

@@ -229,6 +229,30 @@ class SnapshotTable:
         # is exactly the schema-evolution read contract
         return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
+    def read_pruned(
+        self, lo: int, hi: int, version: int | None = None
+    ) -> DataFrame:
+        """Key-range read with manifest zone-map pruning: only files
+        whose [min_key, max_key] overlaps [lo, hi] are opened — file
+        skipping decided from manifest stats alone, before any task
+        launches (Iceberg's min/max file skipping; one step earlier
+        than parquet row-group pruning, which still needs a task per
+        file to read footers). The residual predicate is applied on
+        the surviving files, so correctness never depends on the
+        stats; a stats-less file is conservatively read. On a
+        range-clustered layout the overlap set is |range|/|table| of
+        the files — the manifest turns a full scan into a seek."""
+        m = self._read_manifest(version)
+        paths = [
+            f["path"]
+            for f in m["files"]
+            if f["min_key"] is None or (f["min_key"] <= hi and f["max_key"] >= lo)
+        ]
+        if not paths:
+            return self.read(version).limit(0)
+        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        return df.filter((F.col(self.key) >= lo) & (F.col(self.key) <= hi))
+
     def _touched_files(self, m: dict, keys: DataFrame) -> list[str]:
         """File paths whose [min_key, max_key] may contain an update
         key: manifest-stats DataFrame (one row per file, broadcast)

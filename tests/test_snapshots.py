@@ -251,6 +251,29 @@ def test_vacuum_always_retains_latest(spark, tmp_path):
     assert t.read().count() == 50
 
 
+def test_read_pruned_skips_files(spark, tmp_path):
+    t = _mk(spark, tmp_path)  # 1000 rows, 8 range-clustered files
+    pruned = t.read_pruned(100, 200)
+    opened = set(pruned.inputFiles())
+    all_files = {f["path"] for f in t._read_manifest(1)["files"]}
+    assert len(opened) < len(all_files), "zone-map pruning opened every file"
+    assert len(opened) <= 2  # a 10% range on 8 range-clustered files
+    got = sorted(r["id"] for r in pruned.collect())
+    assert got == list(range(100, 201)), "residual filter must keep exactness"
+
+
+def test_read_pruned_conservative_without_stats(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=50, n_files=1)
+    m = t._read_manifest(1)
+    m["files"][0]["min_key"] = None  # simulate a stats-less writer
+    import json
+
+    with open(t._manifest_path(1), "w") as fh:
+        json.dump(m, fh)
+    got = sorted(r["id"] for r in t.read_pruned(10, 20).collect())
+    assert got == list(range(10, 21)), "stats-less file must still be read"
+
+
 def test_data_files_immutable_across_commits(spark, tmp_path):
     t = _mk(spark, tmp_path, n=100, n_files=2)
     before = {
