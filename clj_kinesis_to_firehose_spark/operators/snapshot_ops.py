@@ -385,6 +385,37 @@ def snapshot_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_bloom_lookup",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey = (SELECT MIN(o_custkey) FROM orders)
+    """,
+)
+def snapshot_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup on a NON-clustered column via per-file bloom
+    filters carried in the manifest: the layout is range-clustered on
+    o_orderkey, so zone maps are useless for an o_custkey probe (its
+    values scatter across every key range) — the write-time bloom
+    gives most files a definite "not here" before any task launches.
+    The residual equality filter keeps the result exact under bloom
+    false positives; the file-skip count is asserted in
+    tests/test_snapshots.py."""
+    t = SnapshotTable(
+        spark,
+        fresh_table_dir(sf_dir, "bloom_lookup", spark),
+        key="o_orderkey",
+        bloom_cols=("o_custkey",),
+    )
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    t.create(base, n_files=8)
+    probe = base.agg(F.min("o_custkey")).collect()[0][0]  # 1-value collect
+    return t.read_point_lookup("o_custkey", probe)
+
+
+@register(
     "snapshot_history_log",
     oracle="""
     WITH base AS (SELECT COUNT(*) AS n FROM orders),

@@ -103,6 +103,7 @@ _PRIORITY = [
     "snapshot_schema_evolution",
     "snapshot_vacuum_lifecycle",
     "snapshot_pruned_scan",
+    "snapshot_bloom_lookup",
     "sim_ann_graph",
     "graph_knn_descent",
     # A4-A6 (streaming source/sink rows)

@@ -274,6 +274,42 @@ def test_read_pruned_conservative_without_stats(spark, tmp_path):
     assert got == list(range(10, 21)), "stats-less file must still be read"
 
 
+def test_bloom_lookup_skips_files_and_stays_exact(spark, tmp_path):
+    # cat has 20 distinct values; each appears in ~all ranges of id, so
+    # range clustering can't prune it — the bloom must
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), key="id", bloom_cols=("cat",))
+    df = spark.range(2000).select(
+        F.col("id"), (F.col("id") % 500).alias("cat"), (F.col("id") * 1.5).alias("val")
+    )
+    t.create(df, n_files=8)
+    hit = t.read_point_lookup("cat", 123)
+    got = sorted(r["id"] for r in hit.collect())
+    assert got == [123, 623, 1123, 1623], "bloom pruning changed the answer"
+    # 4 matching rows live in 4 of 8 range-clustered files; the bloom
+    # (2000/8=250 values per file at m=16k) must rule out most others
+    assert len(set(hit.inputFiles())) <= 6
+
+
+def test_bloom_missing_value_reads_nothing_or_stays_exact(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), key="id", bloom_cols=("cat",))
+    df = spark.range(100).select("id", (F.col("id") % 10).alias("cat"))
+    t.create(df, n_files=2)
+    assert t.read_point_lookup("cat", 99).count() == 0
+
+
+def test_bloom_survives_carry_through_merge(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), key="id", bloom_cols=("cat",))
+    df = spark.range(1000).select("id", (F.col("id") % 100).alias("cat"))
+    t.create(df, n_files=8)
+    t.merge_upsert(spark.createDataFrame([(3, 77)], "id long, cat long"))
+    m = t._read_manifest(2)
+    assert all(
+        f.get("blooms", {}).get("cat") for f in m["files"]
+    ), "carried or rewritten file lost its bloom"
+    got = sorted(r["id"] for r in t.read_point_lookup("cat", 77).collect())
+    assert 3 in got and 77 in got
+
+
 def test_data_files_immutable_across_commits(spark, tmp_path):
     t = _mk(spark, tmp_path, n=100, n_files=2)
     before = {
