@@ -416,6 +416,42 @@ def snapshot_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_write_audit_publish",
+    oracle=f"""
+    WITH {_MERGED_SQL}
+    SELECT o_orderkey, o_totalprice FROM merged
+    """,
+)
+def snapshot_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish: the merge lands in an invisible staged
+    snapshot, audit queries run against that staged state (row-count
+    delta and a no-negative-prices constraint here), and only a
+    passing audit promotes it — metadata-only — to the live version.
+    A failing audit discards the stage and production readers never
+    saw a row of it (asserted in tests/test_snapshots.py). Checked
+    output: the published table state, which must equal the direct
+    merge exactly — staging must add isolation, not drift."""
+    t = SnapshotTable(
+        spark, fresh_table_dir(sf_dir, "wap", spark), key="o_orderkey"
+    )
+    base = _base_orders(spark, sf_dir)
+    t.create(base, n_files=8)
+    t.stage_merge(_updates(base), staged_id="audit1")
+    staged = t.read_staged("audit1")
+    audit_ok = (
+        staged.agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("mn"),
+        ).collect()[0]
+    )
+    if audit_ok["n"] <= base.count() - 1 or audit_ok["mn"] < 0:
+        t.discard_staged("audit1")
+        raise AssertionError("staged merge failed audit")
+    t.publish_staged("audit1")
+    return t.read()
+
+
+@register(
     "snapshot_history_log",
     oracle="""
     WITH base AS (SELECT COUNT(*) AS n FROM orders),

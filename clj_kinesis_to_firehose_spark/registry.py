@@ -104,6 +104,7 @@ _PRIORITY = [
     "snapshot_vacuum_lifecycle",
     "snapshot_pruned_scan",
     "snapshot_bloom_lookup",
+    "snapshot_write_audit_publish",
     "sim_ann_graph",
     "graph_knn_descent",
     # A4-A6 (streaming source/sink rows)

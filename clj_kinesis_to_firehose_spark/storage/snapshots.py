@@ -374,11 +374,19 @@ class SnapshotTable:
             if touched
             else self.spark.createDataFrame([], updates.schema)
         )
+        merged = self._merge_plan(base, updates)
+        version = parent + 1
+        n_files = max(1, len(touched))
+        new_files = self._write_data_files(merged, version, n_files)
+        return self._commit("merge", carried + new_files, parent)
+
+    def _merge_plan(self, base: DataFrame, updates: DataFrame) -> DataFrame:
+        """The SCD1 merge as a DataFrame: full outer join on the key,
+        update side wins column-wise. Schema evolution: a column new in
+        ``updates`` doesn't exist on the base side yet — null there
+        (carried files get the null on read via mergeSchema); a base
+        column absent from ``updates`` passes through unchanged."""
         b, u = base.alias("b"), updates.alias("u")
-        # schema evolution: a column new in `updates` doesn't exist on
-        # the base side yet — null there (carried files get the null on
-        # read via mergeSchema); a base column absent from `updates`
-        # passes through unchanged
         base_cols = set(base.columns)
         upd_cols = set(updates.columns)
         cols = list(updates.columns) + [
@@ -398,13 +406,9 @@ class SnapshotTable:
             )
             return F.coalesce(uc, bc).alias(c)
 
-        merged = b.join(
+        return b.join(
             u, F.col(f"b.{self.key}") == F.col(f"u.{self.key}"), "full"
         ).select(*[side(c) for c in cols])
-        version = parent + 1
-        n_files = max(1, len(touched))
-        new_files = self._write_data_files(merged, version, n_files)
-        return self._commit("merge", carried + new_files, parent)
 
     def delete_where(self, predicate: str) -> int:
         """DELETE: rewrite only the files that actually contain a
@@ -562,6 +566,99 @@ class SnapshotTable:
             "removed_manifests": removed_manifests,
             "retained_versions": keep_versions,
         }
+
+    # --------------------------------------------- write-audit-publish
+
+    @property
+    def _staging_dir(self) -> str:
+        return os.path.join(self.path, "_staging")
+
+    def stage_merge(self, updates: DataFrame, staged_id: str) -> str:
+        """Write-audit-publish, step 1: run the full copy-on-write
+        merge but park the resulting manifest under ``_staging/``
+        instead of committing a version. The staged snapshot is a
+        first-class readable table state (:meth:`read_staged`) that NO
+        production reader can see — audit queries (row counts,
+        constraint checks, distribution diffs) run against it before
+        the data is ever live. Data files are written once; publish is
+        metadata-only."""
+        parent = self.latest_version()
+        m = self._read_manifest(parent)
+        touched = set(self._touched_files(m, updates))
+        carried = [
+            FileEntry(f["path"], f["rows"], f["min_key"], f["max_key"], f.get("blooms"))
+            for f in m["files"]
+            if f["path"] not in touched
+        ]
+        base = (
+            self.spark.read.option("mergeSchema", "true").parquet(*sorted(touched))
+            if touched
+            else self.spark.createDataFrame([], updates.schema)
+        )
+        merged = self._merge_plan(base, updates)
+        out_dir = os.path.join(self.path, "data", f"staged-{staged_id}")
+        writer = merged.repartitionByRange(max(1, len(touched)), F.col(self.key))
+        writer.write.mode("overwrite").parquet(out_dir)
+        new_files = [
+            self._file_entry(os.path.join(out_dir, n))
+            for n in sorted(os.listdir(out_dir))
+            if n.endswith(".parquet")
+        ]
+        os.makedirs(self._staging_dir, exist_ok=True)
+        with open(os.path.join(self._staging_dir, f"{staged_id}.json"), "w") as fh:
+            json.dump(
+                {
+                    "staged_id": staged_id,
+                    "op": "merge",
+                    "key": self.key,
+                    "parent": parent,
+                    "files": [f.to_json() for f in carried + new_files],
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+        return staged_id
+
+    def _read_staging_manifest(self, staged_id: str) -> dict:
+        with open(os.path.join(self._staging_dir, f"{staged_id}.json")) as fh:
+            return json.load(fh)
+
+    def read_staged(self, staged_id: str) -> DataFrame:
+        m = self._read_staging_manifest(staged_id)
+        paths = [f["path"] for f in m["files"]]
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+
+    def publish_staged(self, staged_id: str) -> int:
+        """Write-audit-publish, step 3: promote the audited staging
+        manifest to the next version — metadata-only, atomic, and
+        refused if the table advanced since staging (the staged state
+        was audited against a parent that is no longer latest; the
+        caller re-stages on the new base rather than silently
+        clobbering concurrent commits)."""
+        m = self._read_staging_manifest(staged_id)
+        parent = self.latest_version()
+        if m["parent"] != parent:
+            raise CommitConflictError(
+                f"staged on v{m['parent']} but table is at v{parent} — re-stage"
+            )
+        files = [
+            FileEntry(f["path"], f["rows"], f["min_key"], f["max_key"], f.get("blooms"))
+            for f in m["files"]
+        ]
+        version = self._commit("merge", files, parent)
+        os.unlink(os.path.join(self._staging_dir, f"{staged_id}.json"))
+        return version
+
+    def discard_staged(self, staged_id: str) -> None:
+        """Failed audit: drop the staging manifest; the staged data
+        files are orphans from this moment and a vacuum sweeps them.
+        The live table was never touched."""
+        os.unlink(os.path.join(self._staging_dir, f"{staged_id}.json"))
+        shutil.rmtree(
+            os.path.join(self.path, "data", f"staged-{staged_id}"),
+            ignore_errors=True,
+        )
 
     def rollback(self, to_version: int) -> int:
         """Instant rollback: commit a NEW version whose file list is

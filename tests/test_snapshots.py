@@ -310,6 +310,49 @@ def test_bloom_survives_carry_through_merge(spark, tmp_path):
     assert 3 in got and 77 in got
 
 
+def test_wap_staged_state_invisible_until_publish(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=100, n_files=2)
+    t.stage_merge(
+        spark.createDataFrame([(1, 9.0), (500, 5.0)], "id long, val double"),
+        staged_id="s1",
+    )
+    # live table untouched while staged
+    assert t.latest_version() == 1
+    live = {r["id"]: r["val"] for r in t.read().collect()}
+    assert live[1] == 2.0 and 500 not in live
+    # staged state is the full merged table
+    staged = {r["id"]: r["val"] for r in t.read_staged("s1").collect()}
+    assert staged[1] == 9.0 and staged[500] == 5.0 and len(staged) == 101
+    # publish promotes it metadata-only
+    v = t.publish_staged("s1")
+    assert v == 2
+    now = {r["id"]: r["val"] for r in t.read().collect()}
+    assert now == staged
+
+
+def test_wap_discard_leaves_table_untouched(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=50, n_files=1)
+    t.stage_merge(
+        spark.createDataFrame([(1, -1.0)], "id long, val double"), staged_id="bad"
+    )
+    t.discard_staged("bad")
+    assert t.latest_version() == 1
+    assert {r["id"]: r["val"] for r in t.read().collect()}[1] == 2.0
+    with pytest.raises(FileNotFoundError):
+        t.read_staged("bad")
+
+
+def test_wap_publish_refused_if_table_advanced(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=50, n_files=1)
+    t.stage_merge(
+        spark.createDataFrame([(1, 9.0)], "id long, val double"), staged_id="s1"
+    )
+    # concurrent commit moves the table past the staged parent
+    t.merge_upsert(spark.createDataFrame([(2, 7.0)], "id long, val double"))
+    with pytest.raises(CommitConflictError, match="re-stage"):
+        t.publish_staged("s1")
+
+
 def test_data_files_immutable_across_commits(spark, tmp_path):
     t = _mk(spark, tmp_path, n=100, n_files=2)
     before = {
