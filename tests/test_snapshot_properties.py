@@ -1,0 +1,83 @@
+"""Model-based property test for the snapshot table layer: a random
+sequence of merges / deletes / compactions / rollbacks must keep
+``read()`` equal to a trivial in-memory dict model, and every
+historical version must keep matching the model's recorded history.
+This is the test that catches cross-operation interactions
+(merge-after-rollback, delete-after-compact, carry-through stats) that
+single-op tests can't."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from clj_kinesis_to_firehose_spark.storage import SnapshotTable
+
+N0 = 40  # initial rows; small keeps each Spark round-trip fast
+
+op_strategy = st.one_of(
+    st.tuples(
+        st.just("merge"),
+        st.lists(
+            st.tuples(st.integers(0, 60), st.floats(-5, 5, allow_nan=False)),
+            min_size=1,
+            max_size=4,
+            unique_by=lambda kv: kv[0],
+        ),
+    ),
+    st.tuples(st.just("delete"), st.integers(0, 60)),
+    st.tuples(st.just("compact"), st.integers(1, 3)),
+    st.tuples(st.just("rollback"), st.none()),
+)
+
+
+@pytest.fixture(scope="module")
+def table_root(tmp_path_factory):
+    return tmp_path_factory.mktemp("snap_props")
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(op_strategy, min_size=1, max_size=5), seq=st.integers(0, 10**9))
+def test_random_op_sequences_match_dict_model(spark, table_root, ops, seq):
+    t = SnapshotTable(spark, str(table_root / f"t{seq}_{len(ops)}"), key="id")
+    if t.latest_version():  # hypothesis reused a seq collision — skip
+        return
+    t.create(
+        spark.range(N0).select("id", (F.col("id") * 2.0).alias("val")),
+        n_files=3,
+    )
+    model: dict[int, float] = {i: float(2 * i) for i in range(N0)}
+    model_history: list[dict[int, float]] = [dict(model)]
+
+    for op, arg in ops:
+        if op == "merge":
+            t.merge_upsert(
+                spark.createDataFrame(
+                    [(int(k), float(v)) for k, v in arg], "id long, val double"
+                )
+            )
+            model.update({int(k): float(v) for k, v in arg})
+        elif op == "delete":
+            t.delete_where(f"id >= {arg}")
+            model = {k: v for k, v in model.items() if k < arg}
+        elif op == "compact":
+            t.compact(n_files=arg)
+        elif op == "rollback":
+            v = max(1, t.latest_version() - 1)
+            t.rollback(v)
+            model = dict(model_history[v - 1])
+        model_history.append(dict(model))
+
+        got = {r["id"]: r["val"] for r in t.read().collect()}
+        assert got == model, f"after {op}({arg}): table diverged from model"
+
+    # every historical version still matches what the model was then
+    for v, snapshot in enumerate(model_history, start=1):
+        got = {r["id"]: r["val"] for r in t.read(version=v).collect()}
+        assert got == snapshot, f"time travel to v{v} diverged"
