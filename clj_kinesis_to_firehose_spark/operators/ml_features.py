@@ -204,3 +204,63 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top2.join(
         F.broadcast(cust), top2.o_custkey == cust.c_custkey
     ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+@register(
+    "feature_point_in_time_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts,
+           (SELECT p.value FROM events p
+            WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+              AND p.ts <= e.ts
+            ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS feat_last_purchase,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM events p
+            WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+              AND p.ts <= e.ts) AS feat_purchase_version
+    FROM events e WHERE e.event_type = 'click'
+    """,
+)
+def feature_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature join: each training example (a
+    click) is annotated with the feature version that was VALID AT THE
+    EXAMPLE'S TIMESTAMP — the last purchase value at-or-before the
+    click, plus the SCD2-style version counter — never a later one.
+    This is the feature-store join that prevents label leakage; a
+    plain latest-value join silently trains on the future.
+
+    Plan shape: the union-tag as-of machinery (one shuffle on user_id,
+    one window sort shared by the carried value AND the running
+    version count) — NOT the per-row correlated subquery the oracle
+    uses; Spark executes the whole dimension lookup as a single
+    linear pass per user partition, which is the shape that holds at
+    100 TB of training examples."""
+    events = load_table(spark, sf_dir, "events")
+    probe = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts",
+        F.lit(0).alias("is_build"),
+        F.lit(None).cast("double").alias("pvalue"),
+    )
+    build = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts",
+        F.lit(1).alias("is_build"),
+        F.col("value").alias("pvalue"),
+    )
+    # at-or-before: build rows sort BEFORE probes at equal ts (desc on
+    # is_build), so a same-instant purchase is visible to the click
+    tagged = probe.unionByName(build)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.desc("is_build"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "is_build",
+        F.last("pvalue", ignorenulls=True).over(w).alias("feat_last_purchase"),
+        F.sum("is_build").over(w).cast("long").alias("feat_purchase_version"),
+    )
+    return carried.filter(F.col("is_build") == 0).select(
+        "event_id", "user_id", "ts", "feat_last_purchase", "feat_purchase_version"
+    )
