@@ -543,6 +543,14 @@ class SnapshotTable:
         live: set[str] = set()
         for v in keep_versions:
             live.update(f["path"] for f in self._read_manifest(v)["files"])
+        # un-published staged snapshots are live roots too: their data
+        # files appear in no committed manifest yet, but deleting them
+        # would corrupt a pending write-audit-publish
+        if os.path.isdir(self._staging_dir):
+            for name in os.listdir(self._staging_dir):
+                if name.endswith(".json"):
+                    m = self._read_staging_manifest(name[:-5])
+                    live.update(f["path"] for f in m["files"])
         data_root = os.path.join(self.path, "data")
         removed_files = 0
         if os.path.isdir(data_root):

@@ -245,6 +245,21 @@ def test_vacuum_removes_expired_and_orphans_keeps_live(spark, tmp_path):
     assert not os.path.exists(orphan)
 
 
+def test_vacuum_spares_staged_snapshots(spark, tmp_path):
+    """A vacuum racing a write-audit-publish must not delete the
+    staged (not-yet-committed) data files — they're live roots."""
+    t = _mk(spark, tmp_path, n=100, n_files=2)
+    t.stage_merge(
+        spark.createDataFrame([(1, 9.0)], "id long, val double"), staged_id="s1"
+    )
+    t.merge_upsert(spark.createDataFrame([(2, 7.0)], "id long, val double"))
+    t.compact(n_files=1)
+    t.vacuum(retain_last=1)
+    # the staged snapshot survived the vacuum intact and fully readable
+    staged = {r["id"]: r["val"] for r in t.read_staged("s1").collect()}
+    assert staged[1] == 9.0 and len(staged) == 100
+
+
 def test_vacuum_always_retains_latest(spark, tmp_path):
     t = _mk(spark, tmp_path, n=50, n_files=1)
     t.vacuum(retain_last=0)  # clamped to 1
