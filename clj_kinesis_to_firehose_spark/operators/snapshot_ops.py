@@ -452,6 +452,51 @@ def snapshot_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_merge_cdc_apply",
+    oracle="""
+    WITH updates AS (
+        SELECT o_orderkey, o_totalprice + 100.0 AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000 AS o_orderkey,
+               o_totalprice * 0.5 AS o_totalprice
+        FROM orders WHERE o_orderkey % 1000 = 0
+    )
+    SELECT COALESCE(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+           COALESCE(u.o_totalprice, b.o_totalprice) AS o_totalprice
+    FROM orders b FULL OUTER JOIN updates u ON b.o_orderkey = u.o_orderkey
+    WHERE COALESCE(b.o_orderkey, u.o_orderkey) % 10 != 3
+    """,
+)
+def snapshot_merge_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-arm MERGE (the full CDC apply): updates, inserts, and
+    tombstone deletes land in ONE atomic commit — the shape a Debezium
+    /binlog consumer needs, where splitting upserts and deletes across
+    two commits lets a reader observe a state that never existed
+    upstream. Tombstones ride the update batch as a boolean column
+    (``WHEN MATCHED AND _del THEN DELETE``) that never reaches the
+    table. Checked output: the post-apply table state."""
+    t = SnapshotTable(
+        spark, fresh_table_dir(sf_dir, "cdc_apply", spark), key="o_orderkey"
+    )
+    base = _base_orders(spark, sf_dir)
+    t.create(base, n_files=8)
+    batch = (
+        _updates(base)
+        .withColumn("_del", F.lit(False))
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 10 == 3).select(
+                "o_orderkey",
+                F.lit(None).cast("double").alias("o_totalprice"),
+                F.lit(True).alias("_del"),
+            )
+        )
+    )
+    t.merge_upsert(batch, tombstone_col="_del")
+    return t.read()
+
+
+@register(
     "snapshot_history_log",
     oracle="""
     WITH base AS (SELECT COUNT(*) AS n FROM orders),

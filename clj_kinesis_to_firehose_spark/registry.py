@@ -105,6 +105,7 @@ _PRIORITY = [
     "snapshot_pruned_scan",
     "snapshot_bloom_lookup",
     "snapshot_write_audit_publish",
+    "snapshot_merge_cdc_apply",
     "sim_ann_graph",
     "graph_knn_descent",
     # A4-A6 (streaming source/sink rows)

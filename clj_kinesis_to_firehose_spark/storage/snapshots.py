@@ -358,9 +358,18 @@ class SnapshotTable:
         )
         return no_stats + [r["path"] for r in hit]
 
-    def merge_upsert(self, updates: DataFrame) -> int:
+    def merge_upsert(
+        self, updates: DataFrame, tombstone_col: str | None = None
+    ) -> int:
         """MERGE INTO (SCD1): rows in ``updates`` replace same-key rows
-        and insert new keys, copy-on-write on the touched files only."""
+        and insert new keys, copy-on-write on the touched files only.
+
+        ``tombstone_col`` enables the full three-arm MERGE: an update
+        row with that boolean column true DELETES its key instead
+        (``WHEN MATCHED AND cond THEN DELETE``) — update, insert, and
+        delete land in ONE atomic commit, which is what keeps a CDC
+        apply (upserts + deletes interleaved) from tearing across
+        versions. The column itself never reaches the table."""
         parent = self.latest_version()
         m = self._read_manifest(parent)
         touched = set(self._touched_files(m, updates))
@@ -374,22 +383,29 @@ class SnapshotTable:
             if touched
             else self.spark.createDataFrame([], updates.schema)
         )
-        merged = self._merge_plan(base, updates)
+        merged = self._merge_plan(base, updates, tombstone_col)
         version = parent + 1
         n_files = max(1, len(touched))
         new_files = self._write_data_files(merged, version, n_files)
         return self._commit("merge", carried + new_files, parent)
 
-    def _merge_plan(self, base: DataFrame, updates: DataFrame) -> DataFrame:
+    def _merge_plan(
+        self,
+        base: DataFrame,
+        updates: DataFrame,
+        tombstone_col: str | None = None,
+    ) -> DataFrame:
         """The SCD1 merge as a DataFrame: full outer join on the key,
-        update side wins column-wise. Schema evolution: a column new in
-        ``updates`` doesn't exist on the base side yet — null there
-        (carried files get the null on read via mergeSchema); a base
-        column absent from ``updates`` passes through unchanged."""
+        update side wins column-wise; tombstoned keys are dropped
+        post-join (a delete arm, not a null-out). Schema evolution: a
+        column new in ``updates`` doesn't exist on the base side yet —
+        null there (carried files get the null on read via
+        mergeSchema); a base column absent from ``updates`` passes
+        through unchanged."""
         b, u = base.alias("b"), updates.alias("u")
         base_cols = set(base.columns)
-        upd_cols = set(updates.columns)
-        cols = list(updates.columns) + [
+        upd_cols = set(updates.columns) - {tombstone_col}
+        cols = [c for c in updates.columns if c != tombstone_col] + [
             c for c in base.columns if c not in upd_cols
         ]
 
@@ -406,9 +422,14 @@ class SnapshotTable:
             )
             return F.coalesce(uc, bc).alias(c)
 
-        return b.join(
+        joined = b.join(
             u, F.col(f"b.{self.key}") == F.col(f"u.{self.key}"), "full"
-        ).select(*[side(c) for c in cols])
+        )
+        if tombstone_col is not None:
+            joined = joined.filter(
+                ~F.coalesce(F.col(f"u.{tombstone_col}"), F.lit(False))
+            )
+        return joined.select(*[side(c) for c in cols])
 
     def delete_where(self, predicate: str) -> int:
         """DELETE: rewrite only the files that actually contain a
