@@ -354,3 +354,49 @@ def test_bucketed_join_has_no_join_exchange(spark):
     assert "SortMergeJoin" in plan, plan
     joins_ex = re.findall(r"Exchange hashpartitioning\((?:l_orderkey|o_orderkey)", plan)
     assert not joins_ex, plan
+
+
+def test_snapshot_merge_read_is_manifest_scoped(spark, tmp_path):
+    """The snapshot layer's physical contract: a narrow merge's
+    rewrite job reads only the touched files (manifest pruning ahead
+    of the planner), and the zone-map read opens only overlapping
+    files — both visible as the scan's input file list."""
+    from pyspark.sql import functions as F
+
+    from clj_kinesis_to_firehose_spark.storage import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), key="id")
+    t.create(
+        spark.range(1000).select("id", (F.col("id") * 2.0).alias("val")),
+        n_files=8,
+    )
+    def local(paths):
+        return {p.removeprefix("file://") for p in paths}
+
+    all_files = {f["path"] for f in t._read_manifest(1)["files"]}
+    # zone-map read: 10% key range opens ≤ 2 of 8 files
+    assert len(local(t.read_pruned(0, 99).inputFiles())) <= 2
+    # full read opens exactly the manifest's files — never a listing
+    assert local(t.read().inputFiles()) == all_files
+
+
+def test_snapshot_changes_feed_scans_only_churn(spark, tmp_path):
+    """CDF physical contract: the feed's scans touch only files added
+    or replaced between the versions — carried files never appear in
+    either side's input list."""
+    from pyspark.sql import functions as F
+
+    from clj_kinesis_to_firehose_spark.storage import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), key="id")
+    t.create(
+        spark.range(1000).select("id", (F.col("id") * 2.0).alias("val")),
+        n_files=8,
+    )
+    t.merge_upsert(spark.createDataFrame([(3, -1.0)], "id long, val double"))
+    v1 = {f["path"] for f in t._read_manifest(1)["files"]}
+    v2 = {f["path"] for f in t._read_manifest(2)["files"]}
+    churn = (v1 - v2) | (v2 - v1)  # 1 replaced + 1 rewritten file
+    touched = {p.removeprefix("file://") for p in t.changes(1, 2).inputFiles()}
+    assert touched <= churn, "CDF read a carried (provably unchanged) file"
+    assert len(churn) == 2
