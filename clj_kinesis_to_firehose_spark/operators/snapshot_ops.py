@@ -497,6 +497,60 @@ def snapshot_merge_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_replica_sync",
+    oracle="""
+    WITH updates AS (
+        SELECT o_orderkey, o_totalprice + 100.0 AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000 AS o_orderkey,
+               o_totalprice * 0.5 AS o_totalprice
+        FROM orders WHERE o_orderkey % 1000 = 0
+    ), merged AS (
+        SELECT COALESCE(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+               COALESCE(u.o_totalprice, b.o_totalprice) AS o_totalprice
+        FROM orders b FULL OUTER JOIN updates u ON b.o_orderkey = u.o_orderkey
+    )
+    SELECT o_orderkey, o_totalprice FROM merged
+    WHERE NOT (o_totalprice < 50000.0)
+    """,
+)
+def snapshot_replica_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downstream replica maintained PURELY from the change feed: the
+    source table takes a merge then a delete; the replica starts from
+    version 1 and applies each version's CDF as a three-arm MERGE
+    (upsert rows as-is, delete rows as tombstones). The checked output
+    is the REPLICA's final state, which must equal the source — the
+    end-to-end proof that the feed is complete (no missed change, no
+    false change from rewrite copies) and that CDF + tombstone-MERGE
+    compose into exactly-once downstream sync. This is the
+    incremental-consumer loop (cache/search-index/feature-store sync)
+    every transactional format exists to serve; at 100 TB each sync
+    step moves only the churn."""
+    src = SnapshotTable(
+        spark, fresh_table_dir(sf_dir, "replica_src", spark), key="o_orderkey"
+    )
+    base = _base_orders(spark, sf_dir)
+    src.create(base, n_files=8)
+    src.merge_upsert(_updates(base))  # v2
+    src.delete_where("o_totalprice < 50000.0")  # v3
+
+    replica = SnapshotTable(
+        spark, fresh_table_dir(sf_dir, "replica_dst", spark), key="o_orderkey"
+    )
+    replica.create(src.read(version=1), n_files=8)
+    for v in range(1, src.latest_version()):
+        feed = src.changes(v, v + 1)
+        batch = feed.select(
+            "o_orderkey",
+            "o_totalprice",
+            (F.col("change_type") == "delete").alias("_del"),
+        )
+        replica.merge_upsert(batch, tombstone_col="_del")
+    return replica.read()
+
+
+@register(
     "snapshot_history_log",
     oracle="""
     WITH base AS (SELECT COUNT(*) AS n FROM orders),

@@ -106,6 +106,7 @@ _PRIORITY = [
     "snapshot_bloom_lookup",
     "snapshot_write_audit_publish",
     "snapshot_merge_cdc_apply",
+    "snapshot_replica_sync",
     "sim_ann_graph",
     "graph_knn_descent",
     # A4-A6 (streaming source/sink rows)
