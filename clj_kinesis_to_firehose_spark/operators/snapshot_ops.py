@@ -551,6 +551,71 @@ def snapshot_replica_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_corpus_pipeline",
+    oracle="""
+    WITH filtered AS (
+        SELECT doc_id, text, source, n_chars FROM documents
+        WHERE lang = 'en'
+          AND n_chars BETWEEN 40 AND 120
+          AND LEN(STRING_SPLIT(text, ' ')) >= 8
+    ), deduped AS (
+        SELECT MIN(doc_id) AS doc_id, text, MIN(source) AS source,
+               MIN(n_chars) AS n_chars
+        FROM filtered GROUP BY text
+    ), incr AS (
+        SELECT doc_id, source, n_chars FROM deduped
+        UNION ALL
+        SELECT doc_id, source, n_chars FROM documents
+        WHERE lang = 'en' AND n_chars BETWEEN 121 AND 200
+          AND doc_id NOT IN (SELECT doc_id FROM deduped)
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(n_chars), 4) AS avg_chars
+    FROM incr GROUP BY source
+    """,
+)
+def snapshot_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data loop landing in the ACID store: curate
+    (language + quality gates + exact dedup) → CREATE the corpus table
+    → a later incremental batch (the next crawl slice: longer docs not
+    already kept) MERGEs in atomically → report per source from the
+    committed table. Readers of the corpus table see either the old
+    curation or the new one, never a half-applied batch — the property
+    a multi-day pretraining data refresh needs. Checked output: the
+    per-source stats of the POST-MERGE table vs a relational oracle of
+    the same two-step pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    filtered = docs.filter(
+        (F.col("lang") == "en")
+        & F.col("n_chars").between(40, 120)
+        & (F.size(F.split("text", " ")) >= 8)
+    ).select("doc_id", "text", "source", "n_chars")
+    deduped = filtered.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("source").alias("source"),
+        F.min("n_chars").alias("n_chars"),
+    ).select("doc_id", "source", "n_chars")
+
+    t = SnapshotTable(
+        spark, fresh_table_dir(sf_dir, "corpus_pipeline", spark), key="doc_id"
+    )
+    t.create(deduped, n_files=4)
+    kept = deduped.select("doc_id")
+    incremental = (
+        docs.filter(
+            (F.col("lang") == "en") & F.col("n_chars").between(121, 200)
+        )
+        .join(kept, "doc_id", "left_anti")
+        .select("doc_id", "source", "n_chars")
+    )
+    t.merge_upsert(incremental)
+    return t.read().groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+@register(
     "snapshot_history_log",
     oracle="""
     WITH base AS (SELECT COUNT(*) AS n FROM orders),

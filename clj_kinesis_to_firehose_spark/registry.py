@@ -107,6 +107,7 @@ _PRIORITY = [
     "snapshot_write_audit_publish",
     "snapshot_merge_cdc_apply",
     "snapshot_replica_sync",
+    "snapshot_corpus_pipeline",
     "sim_ann_graph",
     "graph_knn_descent",
     # A4-A6 (streaming source/sink rows)
