@@ -190,20 +190,22 @@ _PRIORITY = [
 ]
 
 
-def _adjudicated_names() -> set[str]:
+def _adjudicated_names(root: str | None = None) -> set[str]:
     """Queries whose LATEST driver record across the committed
     CORRECTNESS_r*.json files (read in round order) is conclusive: an
     exact hash match, or a rows-only ``no_oracle`` record for a query
     that still has no oracle (if an oracle was added since, the op
     needs re-adjudication). A name that was green in an early round
     but whose most recent record is an error is NOT adjudicated — it
-    must re-enter the window so the driver can clear the red row."""
+    must re-enter the window so the driver can clear the red row.
+    ``root`` overrides the record directory (tests); default repo root."""
     import glob
     import json
     import os
 
     latest: dict[str, dict] = {}
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
