@@ -708,13 +708,34 @@ def fresh_table_dir(sf_dir: str, op_name: str, spark: SparkSession) -> str:
     """Stable scratch root for a registered snapshot query: keyed by
     fixture + application id (no cross-session collisions), wiped on
     every call so repeat invocations are idempotent and disk stays
-    bounded."""
+    bounded. Scratch roots left behind by PAST sessions (same fixture
+    tag, different app id, untouched for hours) are swept here too —
+    the age guard keeps a concurrently-running session's fresh dirs
+    safe, so growth across many sessions stays bounded without a
+    cross-session lock."""
     import hashlib
     import tempfile
+    import time
 
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     app = spark.sparkContext.applicationId.replace("-", "_").replace(".", "_")
-    d = os.path.join(tempfile.gettempdir(), f"kf_snap_{tag}_{app}", op_name)
+    tmp = tempfile.gettempdir()
+    prefix = f"kf_snap_{tag}_"
+    mine = f"{prefix}{app}"
+    cutoff = time.time() - 6 * 3600
+    try:
+        for name in os.listdir(tmp):
+            if not name.startswith(prefix) or name == mine:
+                continue
+            stale = os.path.join(tmp, name)
+            try:
+                if os.path.getmtime(stale) < cutoff:
+                    shutil.rmtree(stale, ignore_errors=True)
+            except OSError:
+                pass
+    except OSError:
+        pass
+    d = os.path.join(tmp, mine, op_name)
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d, exist_ok=True)
     return d
