@@ -616,6 +616,79 @@ def snapshot_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_incremental_aggregate",
+    oracle="""
+    WITH updates AS (
+        SELECT o_orderkey, o_totalprice + 100.0 AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000 AS o_orderkey,
+               o_totalprice * 0.5 AS o_totalprice
+        FROM orders WHERE o_orderkey % 1000 = 0
+    ), merged AS (
+        SELECT COALESCE(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+               COALESCE(u.o_totalprice, b.o_totalprice) AS o_totalprice
+        FROM orders b FULL OUTER JOIN updates u ON b.o_orderkey = u.o_orderkey
+    ), final AS (
+        SELECT * FROM merged WHERE NOT (o_totalprice < 50000.0)
+    )
+    SELECT o_orderkey % 5 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS sum_price
+    FROM final GROUP BY o_orderkey % 5
+    """,
+)
+def snapshot_incremental_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance from the change feed:
+    a per-bucket (COUNT, SUM) aggregate is initialized at version 1
+    and then updated ONLY from each commit's CDF deltas — inserts and
+    update-postimages add, deletes and update-PREIMAGES retract — with
+    no rescan of the table, across a merge commit and a delete commit.
+    Checked output: the maintained aggregate, which must equal a full
+    recompute of the final table state exactly (sums in DECIMAL so the
+    retraction arithmetic is order-independent; cast back at the end).
+    At 100 TB this is the difference between refreshing a dashboard
+    from gigabytes of churn and from the whole table."""
+    src = SnapshotTable(
+        spark, fresh_table_dir(sf_dir, "ivm", spark), key="o_orderkey"
+    )
+    base = _base_orders(spark, sf_dir)
+    src.create(base, n_files=8)
+    src.merge_upsert(_updates(base))  # v2
+    src.delete_where("o_totalprice < 50000.0")  # v3
+
+    def grouped(df: DataFrame, sign: int):
+        return df.groupBy((F.col("o_orderkey") % 5).alias("bucket")).agg(
+            (F.lit(sign) * F.count("*")).alias("d_n"),
+            F.sum(
+                F.lit(sign) * F.col("o_totalprice").cast("decimal(18,4)")
+            ).alias("d_sum"),
+        )
+
+    agg = grouped(src.read(version=1), +1)
+    for v in range(1, src.latest_version()):
+        feed = src.changes(v, v + 1, include_preimages=True)
+        additions = feed.filter(
+            F.col("change_type").isin("insert", "update_postimage")
+        )
+        retractions = feed.filter(
+            F.col("change_type").isin("delete", "update_preimage")
+        )
+        delta = grouped(additions, +1).unionByName(grouped(retractions, -1))
+        agg = (
+            agg.unionByName(delta)
+            .groupBy("bucket")
+            .agg(F.sum("d_n").alias("d_n"), F.sum("d_sum").alias("d_sum"))
+        )
+    return agg.filter(F.col("d_n") > 0).select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("d_n").cast("long").alias("n_orders"),
+        F.round(F.col("d_sum").cast("double"), 2).alias("sum_price"),
+    )
+
+
+@register(
     "snapshot_history_log",
     oracle="""
     WITH base AS (SELECT COUNT(*) AS n FROM orders),

@@ -108,6 +108,7 @@ _PRIORITY = [
     "snapshot_merge_cdc_apply",
     "snapshot_replica_sync",
     "snapshot_corpus_pipeline",
+    "snapshot_incremental_aggregate",
     "sim_ann_graph",
     "graph_knn_descent",
     # A4-A6 (streaming source/sink rows)

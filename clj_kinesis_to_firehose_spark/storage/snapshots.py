@@ -460,11 +460,16 @@ class SnapshotTable:
         new_files = self._write_data_files(kept, version, max(1, len(touched)))
         return self._commit("delete", carried + new_files, parent)
 
-    def changes(self, v_from: int, v_to: int) -> DataFrame:
+    def changes(
+        self, v_from: int, v_to: int, include_preimages: bool = False
+    ) -> DataFrame:
         """Change data feed between two committed versions: one row per
         changed key with a ``change_type`` of ``insert`` /
         ``update_postimage`` / ``delete`` (deletes carry the pre-image
-        values).
+        values). With ``include_preimages``, each update additionally
+        emits its ``update_preimage`` row — the old values — which is
+        what downstream INCREMENTAL consumers need to retract before
+        applying (aggregate maintenance: new = old − pre + post).
 
         Scans are manifest-diff-pruned: only files ADDED since
         ``v_from`` (new + rewritten) and files REMOVED since ``v_from``
@@ -510,7 +515,16 @@ class SnapshotTable:
         deletes = removed_df.join(
             added_df.select(self.key), self.key, "left_anti"
         ).select(*cols, F.lit("delete").alias("change_type"))
-        return upserts.unionByName(deletes)
+        feed = upserts.unionByName(deletes)
+        if include_preimages:
+            upd_keys = upserts.filter(
+                F.col("change_type") == "update_postimage"
+            ).select(self.key)
+            preimages = removed_df.join(upd_keys, self.key).select(
+                *cols, F.lit("update_preimage").alias("change_type")
+            )
+            feed = feed.unionByName(preimages)
+        return feed
 
     def compact(self, n_files: int = 4) -> int:
         """Rewrite the current snapshot into ``n_files`` range-clustered

@@ -138,6 +138,23 @@ def test_changes_feed_tags_deletes_with_preimage(spark, tmp_path):
     assert {r["val"] for r in ch} == {float(2 * i) for i in range(10)}
 
 
+def test_changes_feed_preimages_pair_with_postimages(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.merge_upsert(
+        spark.createDataFrame([(3, -1.0), (5000, 7.0)], "id long, val double")
+    )
+    ch = t.changes(1, 2, include_preimages=True).collect()
+    by_type = {}
+    for r in ch:
+        by_type.setdefault(r["change_type"], {})[r["id"]] = r["val"]
+    # the updated key emits BOTH images; the insert and the unchanged
+    # rewrite copies emit none
+    assert by_type["update_preimage"] == {3: 6.0}
+    assert by_type["update_postimage"] == {3: -1.0}
+    assert by_type["insert"] == {5000: 7.0}
+    assert "delete" not in by_type
+
+
 def test_changes_feed_spans_multiple_versions(spark, tmp_path):
     t = _mk(spark, tmp_path, n=100, n_files=2)
     t.merge_upsert(spark.createDataFrame([(1, 9.0)], "id long, val double"))
