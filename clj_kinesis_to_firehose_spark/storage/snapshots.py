@@ -63,6 +63,11 @@ class CommitConflictError(RuntimeError):
     """Another writer published this version first — re-read and retry."""
 
 
+class ConstraintViolationError(ValueError):
+    """A write batch violated the table's declared constraints — the
+    commit was refused and the table state is unchanged."""
+
+
 @dataclass(frozen=True)
 class FileEntry:
     path: str
@@ -95,6 +100,7 @@ class SnapshotTable:
         path: str,
         key: str,
         bloom_cols: tuple[str, ...] = (),
+        check: str | None = None,
     ):
         self.spark = spark
         self.path = path
@@ -104,6 +110,12 @@ class SnapshotTable:
         #: can't help with (zone maps are useless for a value scattered
         #: across every key range)
         self.bloom_cols = tuple(bloom_cols)
+        #: optional CHECK constraint (a SQL boolean expression over the
+        #: row): every create/merge batch is validated BEFORE its
+        #: commit — a violating batch raises ConstraintViolationError
+        #: and the table state is untouched (the write never publishes).
+        #: The key is additionally always NOT NULL.
+        self.check = check
 
     # ---------------------------------------------------------- layout
 
@@ -264,11 +276,34 @@ class SnapshotTable:
 
     # ------------------------------------------------------ operations
 
+    def _validate(self, batch: DataFrame, tombstone_col: str | None = None) -> None:
+        """Refuse a write batch violating the table's constraints: the
+        key must be NOT NULL on every row, and non-tombstone rows must
+        satisfy the declared CHECK expression. One bounded pass over
+        the BATCH (never the table); only a single offending row is
+        collected for the error message."""
+        bad_cond = F.col(self.key).isNull()
+        if self.check is not None:
+            check_fail = ~F.coalesce(F.expr(self.check), F.lit(False))
+            if tombstone_col is not None and tombstone_col in batch.columns:
+                check_fail = check_fail & ~F.coalesce(
+                    F.col(tombstone_col), F.lit(False)
+                )
+            bad_cond = bad_cond | check_fail
+        bad = batch.filter(bad_cond).limit(1).collect()
+        if bad:
+            raise ConstraintViolationError(
+                f"write batch violates table constraints "
+                f"(key NOT NULL{' AND CHECK (' + self.check + ')' if self.check else ''}); "
+                f"first offending row: {bad[0].asDict()}"
+            )
+
     def create(self, df: DataFrame, n_files: int = 8) -> int:
         """Initialize version 1 from ``df`` (caller guarantees the key
         is unique — the table invariant every merge preserves)."""
         if self.latest_version() != 0:
             raise CommitConflictError(f"table already exists at {self.path}")
+        self._validate(df)
         files = self._write_data_files(df, 1, n_files)
         return self._commit("create", files, parent=0)
 
@@ -370,6 +405,7 @@ class SnapshotTable:
         delete land in ONE atomic commit, which is what keeps a CDC
         apply (upserts + deletes interleaved) from tearing across
         versions. The column itself never reaches the table."""
+        self._validate(updates, tombstone_col)
         parent = self.latest_version()
         m = self._read_manifest(parent)
         touched = set(self._touched_files(m, updates))
@@ -625,6 +661,7 @@ class SnapshotTable:
         constraint checks, distribution diffs) run against it before
         the data is ever live. Data files are written once; publish is
         metadata-only."""
+        self._validate(updates)
         parent = self.latest_version()
         m = self._read_manifest(parent)
         touched = set(self._touched_files(m, updates))

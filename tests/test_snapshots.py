@@ -385,6 +385,47 @@ def test_wap_publish_refused_if_table_advanced(spark, tmp_path):
         t.publish_staged("s1")
 
 
+def test_check_constraint_refuses_bad_batches(spark, tmp_path):
+    from clj_kinesis_to_firehose_spark.storage.snapshots import (
+        ConstraintViolationError,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), key="id", check="val >= 0")
+    t.create(spark.range(10).select("id", (F.col("id") * 1.0).alias("val")))
+    with pytest.raises(ConstraintViolationError, match="CHECK"):
+        t.merge_upsert(spark.createDataFrame([(1, -3.0)], "id long, val double"))
+    # the refused commit left no trace
+    assert t.latest_version() == 1
+    assert {r["id"]: r["val"] for r in t.read().collect()}[1] == 1.0
+    # a clean batch still lands
+    t.merge_upsert(spark.createDataFrame([(1, 3.0)], "id long, val double"))
+    assert {r["id"]: r["val"] for r in t.read().collect()}[1] == 3.0
+
+
+def test_null_key_always_refused(spark, tmp_path):
+    from clj_kinesis_to_firehose_spark.storage.snapshots import (
+        ConstraintViolationError,
+    )
+
+    t = _mk(spark, tmp_path, n=10, n_files=1)
+    with pytest.raises(ConstraintViolationError, match="NOT NULL"):
+        t.merge_upsert(
+            spark.createDataFrame([(None, 1.0)], "id long, val double")
+        )
+
+
+def test_tombstone_rows_exempt_from_check(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), key="id", check="val >= 0")
+    t.create(spark.range(10).select("id", (F.col("id") * 1.0).alias("val")))
+    # tombstone carries a null val — must not trip the CHECK
+    batch = spark.createDataFrame(
+        [(2, 5.0, False), (3, None, True)], "id long, val double, _del boolean"
+    )
+    t.merge_upsert(batch, tombstone_col="_del")
+    got = {r["id"]: r["val"] for r in t.read().collect()}
+    assert got[2] == 5.0 and 3 not in got
+
+
 def test_data_files_immutable_across_commits(spark, tmp_path):
     t = _mk(spark, tmp_path, n=100, n_files=2)
     before = {
