@@ -166,3 +166,63 @@ def calendar_spine_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
         F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
     )
+
+
+@register(
+    "window_session_dynamic_gap",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN event_type = 'purchase' THEN INTERVAL 30 MINUTE
+                    ELSE INTERVAL 10 MINUTE END AS gap
+        FROM events
+    ), marks AS (
+        SELECT *, CASE WHEN MAX(ts + gap) OVER w IS NULL
+                        OR ts >= MAX(ts + gap) OVER w
+                  THEN 1 ELSE 0 END AS is_new
+        FROM g
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), numbered AS (
+        SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marks
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts + gap) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM numbered GROUP BY user_id, sid
+    """,
+)
+def window_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows whose inactivity gap depends on the EVENT: a
+    purchase holds the session open 30 minutes, anything else 10 — the
+    engagement-modeling semantics ("a conversion keeps the visit
+    alive") a fixed-gap sessionizer can't express. Uses Spark's native
+    dynamic-gap ``session_window`` (a gap COLUMN, evaluated per row).
+
+    Cross-engine contract, verified empirically: Spark merges the
+    per-event intervals [ts, ts+gap) and a session's end is
+    MAX(ts+gap) over its events, with an event landing exactly on the
+    running end starting a NEW session (end-exclusive) — exactly the
+    running-max gaps-and-islands reconstruction in the oracle. Same
+    single user_id shuffle as the fixed-gap form; at 100 TB the gap
+    column is free (scan-side expression, no extra pass)."""
+    ev = load_table(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "purchase", "30 minutes").otherwise(
+        "10 minutes"
+    )
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
