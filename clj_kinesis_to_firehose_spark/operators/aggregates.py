@@ -529,3 +529,38 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.round(F.min("o_totalprice"), 4).alias("weighted_median"))
     )
+
+
+@register("agg_cms_heavyhitters")
+def agg_cms_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch frequency estimates (weak: the sketch binary is
+    engine-specific; tests/test_weak_ops.py pins the CMS guarantees —
+    estimate ≥ true count, overestimate ≤ ε·N at the configured
+    confidence — against exact counts).
+
+    One ``count_min_sketch`` aggregate per event_type builds the
+    mergeable sketch distributedly (map-side partial sketches merge
+    associatively — THE property that makes CMS the streaming/
+    distributed frequency structure; ~d·w counters regardless of key
+    cardinality). Only the fixed-size sketch binaries reach the
+    driver, where a constant probe set of user ids is queried. At
+    100 TB the sketch is the same few KB; nothing scales with the
+    number of distinct users."""
+    ev = load_table(spark, sf_dir, "events")
+    sketches = ev.groupBy("event_type").agg(
+        F.count_min_sketch(
+            F.col("user_id"), F.lit(0.001), F.lit(0.99), F.lit(42)
+        ).alias("cms")
+    ).collect()  # bounded: one ~KB sketch per event type
+    jvm = spark.sparkContext._jvm
+    probe_users = list(range(1, 21))
+    rows = []
+    for r in sketches:
+        sk = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+            bytes(r["cms"])
+        )
+        for u in probe_users:
+            rows.append((r["event_type"], u, int(sk.estimateCount(u))))
+    return spark.createDataFrame(
+        rows, "event_type string, user_id long, est_count long"
+    )

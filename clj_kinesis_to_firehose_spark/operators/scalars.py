@@ -416,3 +416,39 @@ def try_functions_safe_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ROUND modes (HALF_UP vs half-even) diverge
         F.try_divide("value", F.col("event_id") % 10).alias("safe_div"),
     )
+
+
+@register(
+    "json_variant_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(JSON_EXTRACT(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           MAX(CAST(JSON_EXTRACT(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    WHERE CAST(JSON_EXTRACT(props, '$.k') AS BIGINT) IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type:
+    ``try_parse_json`` ingests the payload once into the binary
+    variant encoding, ``try_variant_get`` does typed path extraction —
+    the open-schema ingestion path (vs ``get_json_object``, which
+    re-parses the JSON text per extraction). At 100 TB the difference
+    is parse-once-shred-many: variant columns store a parsed binary
+    form, so N path reads cost one parse, and malformed payloads
+    degrade to null instead of failing the pipeline (try_ semantics).
+    The oracle reads the same paths with DuckDB's JSON extraction."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.try_parse_json("props"), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

@@ -410,6 +410,34 @@ def test_graph_ann_beam_visits_bounded_fraction(spark):
     )
 
 
+def test_cms_estimates_honor_sketch_guarantees(spark, oracle_con):
+    # Count-Min guarantees: estimate never undercounts, and
+    # overestimates by at most ε·N with the configured confidence
+    # (ε=0.001, so ~10 on a 10k-row stream per type; use 3ε·N slack to
+    # keep the probabilistic bound from flaking)
+    est = {
+        (r["event_type"], r["user_id"]): r["est_count"]
+        for r in QUERIES["agg_cms_heavyhitters"](spark, SF_DIR).collect()
+    }
+    true = {
+        (et, u): n
+        for et, u, n in oracle_con.execute(
+            "SELECT event_type, user_id, COUNT(*) FROM events "
+            "WHERE user_id BETWEEN 1 AND 20 GROUP BY 1, 2"
+        ).fetchall()
+    }
+    totals = dict(
+        oracle_con.execute(
+            "SELECT event_type, COUNT(*) FROM events GROUP BY 1"
+        ).fetchall()
+    )
+    assert len(est) == 5 * 20
+    for (et, u), e in est.items():
+        t = true.get((et, u), 0)
+        assert e >= t, f"CMS undercounted {(et, u)}: {e} < {t}"
+        assert e <= t + 3 * 0.001 * totals[et], f"CMS overshoot {(et, u)}"
+
+
 def test_knn_descent_converges_to_exact_graph(spark):
     # NN-Descent must recover most of the EXACT kNN graph in 3 rounds
     # (paper: a handful of rounds to high recall on generic metrics)
