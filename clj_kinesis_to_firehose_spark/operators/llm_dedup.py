@@ -25,9 +25,9 @@ MINHASH_BANDS = 4
 MINHASH_ROWS = MINHASH_PERMS // MINHASH_BANDS
 SHINGLE_WIDTH = 3
 
-# One xxhash64 per shingle, then 16 universal-hash permutations
-# h_i = (a_i·h + b_i) mod p — 16× less string-hash work in the
-# dominant signature aggregation with the same per-permutation
+# One portable 60-bit hash per shingle, then 16 universal-hash
+# permutations h_i = (a_i·h + b_i) mod p — 16× less string-hash work
+# in the dominant signature aggregation with the same per-permutation
 # min-hash statistics. Bounds keep every intermediate ANSI-safe in
 # int64: h < 2^32 (base hash folded by pmod), a_i < 2^30 ⇒
 # a_i·h < 2^62; p is the smallest prime > 2^32 so permuted values
@@ -41,6 +41,112 @@ MINHASH_AB = [
     for _ in range(MINHASH_PERMS)
 ]
 del _rng
+
+
+def portable_hash60(col):
+    """60-bit integer hash computable IDENTICALLY in Spark and DuckDB:
+    the first 15 hex chars of md5, parsed base-16. Spark:
+    ``conv(substr(md5(x),1,15),16,10)::long``; DuckDB twin:
+    ``('0x' || substr(md5(x),1,15))::BIGINT``. 15 hex digits = 60 bits,
+    so the value always fits a signed int64 in both engines. This is
+    what upgrades the MinHash/SimHash family from weak (engine-specific
+    xxhash64) to exact-oracle: the entire candidate-generation pipeline
+    becomes bit-for-bit reproducible in SQL. md5 is ~2-3× slower per
+    call than xxhash64 but both are JVM-codegen'd and each shingle is
+    hashed exactly once, so the signature stage stays scan-dominated."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+#: DuckDB expression twin of :func:`portable_hash60` (format with the
+#: column/expression to hash).
+SQL_HASH60 = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+
+
+def _sql_shingle_ctes(doc_filter: str = "") -> str:
+    """Shared DuckDB CTE block reproducing the Spark MinHash pipeline
+    exactly: w-shingles (with the short-doc degrade to one whole-text
+    shingle), the portable 60-bit shingle hash folded to 32 bits, the
+    16 linear-permutation signature minima, and the 4 band bucket keys
+    (comma-joined row minima, matching Spark's ``concat_ws``)."""
+    sp = "STRING_SPLIT(text, ' ')"
+    gram = " || ' ' || ".join(f"{sp}[i+{k}]" for k in range(SHINGLE_WIDTH))
+    mins = ",\n               ".join(
+        f"MIN((h * {a} + {b}) % {MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_AB)
+    )
+    band_rows = "\n        UNION ALL\n        ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || ',' || ".join(
+            f"mh{b * MINHASH_ROWS + r}::VARCHAR" for r in range(MINHASH_ROWS)
+        )
+        + " AS bucket FROM sigs"
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+    WITH grams AS (
+        SELECT doc_id,
+               CASE WHEN LEN({sp}) >= {SHINGLE_WIDTH}
+                    THEN LIST_DISTINCT([{gram}
+                         FOR i IN RANGE(1, LEN({sp}) - {SHINGLE_WIDTH - 2})])
+                    ELSE [text] END AS gset
+        FROM documents {doc_filter}
+    ), hashed AS (
+        SELECT doc_id, {SQL_HASH60.format(x="shingle")} % 4294967296 AS h
+        FROM (SELECT doc_id, UNNEST(gset) AS shingle FROM grams)
+    ), sigs AS (
+        SELECT doc_id,
+               {mins}
+        FROM hashed GROUP BY doc_id
+    ), bands AS (
+        {band_rows}
+    )"""
+
+
+#: Shared oracle tail: exact-jaccard verification of candidate pairs
+#: against the distinct shingle sets, with the same round-then-filter
+#: the Spark side applies.
+_SQL_VERIFY_TAIL = """
+    , verify AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(LEN(LIST_FILTER(ga.gset, g -> LIST_CONTAINS(gb.gset, g)))
+                    AS DOUBLE) AS n_shared,
+               LEN(ga.gset) AS n_a, LEN(gb.gset) AS n_b
+        FROM cand c
+        JOIN grams ga ON c.doc_a = ga.doc_id
+        JOIN grams gb ON c.doc_b = gb.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(n_shared / (n_a + n_b - n_shared), 6) AS jaccard
+    FROM verify
+    WHERE ROUND(n_shared / (n_a + n_b - n_shared), 6) >= 0.5
+"""
+
+_MINHASH_ORACLE = _sql_shingle_ctes() + """
+    , cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                     AND a.doc_id < b.doc_id
+    )""" + _SQL_VERIFY_TAIL
+
+_INCREMENTAL_MINHASH_ORACLE = _sql_shingle_ctes() + """
+    , split AS (
+        SELECT doc_id,
+               (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT) % 100
+                 AS bkt
+        FROM documents
+    )
+    , dbands AS (
+        SELECT b.* FROM bands b JOIN split s ON b.doc_id = s.doc_id
+        WHERE s.bkt >= 80
+    )
+    , cand AS (
+        SELECT DISTINCT LEAST(d.doc_id, x.doc_id) AS doc_a,
+                        GREATEST(d.doc_id, x.doc_id) AS doc_b
+        FROM dbands d
+        JOIN bands x ON d.band = x.band AND d.bucket = x.bucket
+                     AND d.doc_id != x.doc_id
+    )""" + _SQL_VERIFY_TAIL
 
 
 @register(
@@ -74,11 +180,14 @@ def shingles(col, width: int = SHINGLE_WIDTH):
     return _shingles(col, width)
 
 
-@register("dedup_near_minhash")
+@register("dedup_near_minhash", oracle=_MINHASH_ORACLE)
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate candidate pairs via MinHash + LSH banding (weak:
-    hash functions are engine-specific, so no SQL oracle — pytest
-    verifies planted near-dups are recovered).
+    """Near-duplicate candidate pairs via MinHash + LSH banding, with
+    an EXACT DuckDB oracle: the shingle hash is :func:`portable_hash60`
+    (md5-derived, bit-identical in both engines), so the whole
+    signature → band → candidate → jaccard-verify pipeline is
+    reproduced verbatim in SQL. Pytest additionally verifies planted
+    near-dups are recovered.
 
     Pipeline: explode shingles → hash each shingle ONCE → 16
     linear-permutation min aggregates per doc (the MinHash signature —
@@ -124,11 +233,35 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash")
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (weak: xxhash64 is engine-specific).
+_SIMHASH_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               UNNEST(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS token
+        FROM documents
+    ), hashed AS (
+        SELECT doc_id, {SQL_HASH60.format(x="token")} AS h FROM toks
+    ), bits AS (
+        SELECT doc_id, UNNEST(RANGE(0, 60)) AS bit, h FROM hashed
+    ), votes AS (
+        SELECT doc_id, bit,
+               SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS balance
+        FROM bits GROUP BY doc_id, bit
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN balance > 0
+                         THEN (1::BIGINT << CAST(bit AS INTEGER))
+                         ELSE 0::BIGINT END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+"""
 
-    Each token hashes to 64 bits; per bit the document accumulates ±1;
+
+@register("dedup_simhash", oracle=_SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document, exact oracle: the token hash is
+    :func:`portable_hash60`, so DuckDB reproduces every bit vote and
+    the final fingerprint integer exactly.
+
+    Each token hashes to 60 bits; per bit the document accumulates ±1;
     the sign pattern is the fingerprint. Computed as an explode over
     (token × bit) then two hash aggregations — shuffle-friendly and
     linear, no per-doc Python. Near-dup = small Hamming distance
@@ -138,10 +271,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = fan_out(spark, docs).select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
-    ).withColumn("h", F.xxhash64("token"))
+    ).withColumn("h", portable_hash60(F.col("token")))
     bits = tok.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(62))).alias("bit"),
+        F.explode(F.sequence(F.lit(0), F.lit(59))).alias("bit"),
         "h",
     ).withColumn(
         "vote",
@@ -457,7 +590,7 @@ def _minhash_sigs(spark: SparkSession, docs: DataFrame) -> DataFrame:
         F.explode(F.array_distinct(shingles(F.col("text")))).alias("shingle"),
     )
     hashed = exploded.select(
-        "doc_id", F.pmod(F.xxhash64("shingle"), F.lit(1 << 32)).alias("h")
+        "doc_id", F.pmod(portable_hash60(F.col("shingle")), F.lit(1 << 32)).alias("h")
     )
     return hashed.groupBy("doc_id").agg(
         *[
@@ -477,14 +610,18 @@ def _band_keys(sigs: DataFrame) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col(f"mh{b * MINHASH_ROWS + r}")
-                                    for r in range(MINHASH_ROWS)
-                                ],
-                            )
+                        # comma-joined row minima as the bucket key —
+                        # portable across engines (the DuckDB oracle
+                        # reproduces it verbatim). At 100 TB re-hash the
+                        # string to a long (xxhash64) to shrink the
+                        # shuffle key; collisions only ADD candidates,
+                        # never lose them, so recall is unaffected.
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"mh{b * MINHASH_ROWS + r}")
+                                for r in range(MINHASH_ROWS)
+                            ],
                         ).alias("bucket"),
                     )
                     for b in range(MINHASH_BANDS)
@@ -494,12 +631,15 @@ def _band_keys(sigs: DataFrame) -> DataFrame:
     ).select("doc_id", "bk.band", "bk.bucket")
 
 
-@register("dedup_incremental_minhash")
+@register("dedup_incremental_minhash", oracle=_INCREMENTAL_MINHASH_ORACLE)
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup dedup: new documents check against a
     PERSISTED signature index, never against each signature's source
-    text and never base-vs-base (weak: engine-specific hashes; the
-    pytest proves parity with the full batch run).
+    text and never base-vs-base. Exact oracle: both the md5-bucket
+    base/delta split and the portable-hash signature pipeline are
+    engine-independent, so DuckDB reproduces the delta-vs-index
+    candidate set exactly; the pytest additionally proves parity with
+    the full batch run.
 
     This is the shape that keeps a 100 TB corpus dedup affordable: the
     index (doc_id + 16 longs ≈ 136 B/doc) is written once and appended
