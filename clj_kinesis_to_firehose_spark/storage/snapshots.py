@@ -474,7 +474,10 @@ class SnapshotTable:
         parent = self.latest_version()
         m = self._read_manifest(parent)
         all_paths = [f["path"] for f in m["files"]]
-        cur = self.spark.read.parquet(*all_paths)
+        # mergeSchema: after an add-column merge the carried files lack
+        # the new column — without the union schema a predicate on that
+        # column would fail against the old-schema files
+        cur = self.spark.read.option("mergeSchema", "true").parquet(*all_paths)
         touched = {
             r["f"]
             for r in cur.filter(predicate)
@@ -492,7 +495,15 @@ class SnapshotTable:
         version = parent + 1
         if not touched:
             return self._commit("delete", carried, parent)
-        kept = self.spark.read.parquet(*sorted(touched)).filter(f"NOT ({predicate})")
+        # keep every row where the predicate is NOT definitely true:
+        # `NOT (pred)` alone would also drop rows where pred evaluates
+        # to NULL (e.g. a NULL in a schema-evolved column), silently
+        # deleting rows the DELETE never matched
+        kept = (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(*sorted(touched))
+            .filter(~F.coalesce(F.expr(predicate), F.lit(False)))
+        )
         new_files = self._write_data_files(kept, version, max(1, len(touched)))
         return self._commit("delete", carried + new_files, parent)
 
@@ -529,13 +540,49 @@ class SnapshotTable:
             f"{f.name} {f.dataType.simpleString()}" for f in fields
         )
         empty = self.spark.createDataFrame([], out_schema)
-        added_df = self.spark.read.parquet(*added) if added else empty
-        removed_df = self.spark.read.parquet(*removed) if removed else empty
+
+        def conform(df: DataFrame) -> DataFrame:
+            # null-fill columns a file set predates (add-column merges:
+            # removed files may carry the OLD schema) so the
+            # all-columns anti-join below never references a missing
+            # column; an unchanged row still cancels because its new
+            # column is null on both sides
+            have = set(df.columns)
+            return df.select(
+                *[
+                    F.col(f.name)
+                    if f.name in have
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in fields
+                ]
+            )
+
+        added_df = (
+            conform(self.spark.read.option("mergeSchema", "true").parquet(*added))
+            if added
+            else empty
+        )
+        removed_df = (
+            conform(self.spark.read.option("mergeSchema", "true").parquet(*removed))
+            if removed
+            else empty
+        )
         removed_keys = removed_df.select(
             F.col(self.key).alias("__removed_key")
         ).distinct()
+        # null-SAFE row equality for the cancellation: with plain `=`
+        # an unchanged row carrying a NULL in any column would never
+        # match its copy and surface as a spurious update. eqNullSafe
+        # keys still plan as a hash join.
+        import functools
+
+        a, r = added_df.alias("__a"), removed_df.alias("__r")
+        same_row = functools.reduce(
+            lambda x, y: x & y,
+            [F.col(f"__a.{c}").eqNullSafe(F.col(f"__r.{c}")) for c in cols],
+        )
         upserts = (
-            added_df.join(removed_df, on=cols, how="left_anti")
+            a.join(r, same_row, "left_anti")
             .join(
                 removed_keys,
                 F.col(self.key) == F.col("__removed_key"),

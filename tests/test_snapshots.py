@@ -436,3 +436,45 @@ def test_data_files_immutable_across_commits(spark, tmp_path):
     t.compact(n_files=1)
     for p, mtime in before.items():
         assert os.path.exists(p) and os.path.getmtime(p) == mtime
+
+
+def test_cdf_cancels_unchanged_rows_with_nulls(spark, tmp_path):
+    """Rewritten-but-identical rows carrying NULLs must cancel in the
+    change feed (null-SAFE row equality — plain `=` would surface
+    every null-bearing carried row as a spurious update)."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), key="k")
+    t.create(
+        spark.createDataFrame(
+            [(1, None), (2, "b"), (3, None)], "k long, v string"
+        ),
+        n_files=2,
+    )
+    t.merge_upsert(spark.createDataFrame([(2, "B")], "k long, v string"))
+    feed = sorted(
+        (r["k"], r["change_type"]) for r in t.changes(1, 2).collect()
+    )
+    assert feed == [(2, "update_postimage")]
+
+
+def test_delete_where_null_predicate_rows_survive(spark, tmp_path):
+    """A DELETE predicate that evaluates to NULL on a row (e.g. a NULL
+    in a schema-evolved column) must NOT delete that row: only
+    definitely-true matches go. Also exercises delete/changes reads
+    across an add-column evolution boundary (mergeSchema)."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), key="k")
+    t.create(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k long, v string"
+        ),
+        n_files=2,
+    )
+    t.merge_upsert(
+        spark.createDataFrame([(2, "B", 99)], "k long, v string, score int")
+    )
+    t.delete_where("score > 50")
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 3, 4]
+    feed = [(r["k"], r["change_type"]) for r in t.changes(1, 2).collect()]
+    assert (2, "update_postimage") in feed
+    # key 1 shares the rewritten file with key 2 but its row is
+    # unchanged (null-filled new column) — it must not appear at all
+    assert 1 not in [k for k, _ in feed]
