@@ -204,3 +204,95 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 25)
     )
+
+
+@register(
+    "graph_hierarchy_rollup",
+    oracle="""
+    WITH RECURSIVE nodes AS (
+        SELECT p_partkey AS node,
+               CASE WHEN p_partkey >= 10 THEN p_partkey // 10 END AS parent,
+               p_retailprice AS cost
+        FROM part
+    ), closure(node, anc) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT c.node, n.parent
+        FROM closure c JOIN nodes n ON c.anc = n.node
+        WHERE n.parent IS NOT NULL
+    ), depths AS (
+        SELECT node, CAST(COUNT(*) - 1 AS BIGINT) AS depth
+        FROM closure GROUP BY node
+    ), rollup AS (
+        SELECT c.anc AS node,
+               CAST(COUNT(*) AS BIGINT) AS n_subtree,
+               CAST(ROUND(SUM(CAST(n2.cost AS DECIMAL(18,4))), 2) AS DOUBLE)
+                 AS subtree_cost
+        FROM closure c JOIN nodes n2 ON c.node = n2.node
+        GROUP BY c.anc
+    )
+    SELECT r.node, d.depth, r.n_subtree, r.subtree_cost
+    FROM rollup r JOIN depths d ON r.node = d.node
+    """,
+)
+def graph_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical (BOM-style) transitive rollup: every node's subtree
+    size and total cost, plus its depth — the WITH RECURSIVE workload
+    (org charts, bills of materials, category trees) expressed
+    Spark-first. The part table carries the hierarchy: parent(k) =
+    k div 10 (a forest with roots 1..9, depth ~log10 n).
+
+    Spark has no recursive CTE; the scalable replacement is
+    **pointer doubling**: keep the (node, ancestor) reachability set
+    and self-join it each round, so covered path length DOUBLES per
+    round — O(log depth) shuffle rounds instead of the O(depth) a
+    parent-at-a-time loop costs (4 rounds covers depth 16, i.e.
+    10^16 keys here). Each round ends in localCheckpoint to truncate
+    lineage (the dedup_cluster_components pattern). The closure is
+    |nodes|·avg-depth rows — linear-ish, partitioned on node; the
+    rollup is then one join + one aggregate on it. Subtree sums run
+    in DECIMAL so addition order can't drift between engines."""
+    part = load_table(spark, sf_dir, "part")
+    nodes = part.select(
+        F.col("p_partkey").alias("node"),
+        F.when(F.col("p_partkey") >= 10, F.expr("p_partkey div 10")).alias(
+            "parent"
+        ),
+        F.col("p_retailprice").alias("cost"),
+    )
+    edges = nodes.filter(F.col("parent").isNotNull()).select(
+        "node", F.col("parent").alias("anc")
+    )
+    reach = edges  # proper ancestors within distance 2^r after r rounds
+    for _ in range(4):
+        nxt = (
+            reach.alias("a")
+            .join(reach.alias("b"), F.col("a.anc") == F.col("b.node"))
+            .select(F.col("a.node").alias("node"), F.col("b.anc").alias("anc"))
+        )
+        reach = (
+            reach.union(nxt)
+            .dropDuplicates(["node", "anc"])
+            .localCheckpoint(eager=False)
+        )
+    closure = nodes.select("node", F.col("node").alias("anc")).union(reach)
+    depths = closure.groupBy("node").agg(
+        (F.count("*") - 1).cast("long").alias("depth")
+    )
+    rollup = (
+        closure.join(
+            nodes.select(F.col("node").alias("c_node"), "cost"),
+            F.col("node") == F.col("c_node"),
+        )
+        .groupBy("anc")
+        .agg(
+            F.count("*").cast("long").alias("n_subtree"),
+            F.round(F.sum(F.col("cost").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("subtree_cost"),
+        )
+        .select(F.col("anc").alias("node"), "n_subtree", "subtree_cost")
+    )
+    return rollup.join(depths, "node").select(
+        "node", "depth", "n_subtree", "subtree_cost"
+    )

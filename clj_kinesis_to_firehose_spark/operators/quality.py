@@ -381,3 +381,99 @@ def outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_linenumber", z.alias("robust_z"))
         .filter(F.abs(F.col("robust_z")) > 2.0)
     )
+
+
+@register(
+    "ts_interpolate_linear",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    obs AS (SELECT * FROM d WHERE DAY(day) % 3 = 0),
+    b AS (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1 FROM obs GROUP BY 1),
+    cal AS (
+      SELECT b.event_type,
+             CAST(UNNEST(GENERATE_SERIES(b.d0, b.d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM b),
+    j AS (
+      SELECT cal.event_type, cal.day, obs.n
+      FROM cal LEFT JOIN obs USING (event_type, day)),
+    f AS (
+      SELECT event_type, day, n,
+        LAST_VALUE(n IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        LAST_VALUE(CASE WHEN n IS NOT NULL THEN day END IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        FIRST_VALUE(n IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        FIRST_VALUE(CASE WHEN n IS NOT NULL THEN day END IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM j)
+    SELECT event_type, CAST(day AS VARCHAR) AS day,
+           n IS NOT NULL AS is_observed,
+           ROUND(CASE WHEN n IS NOT NULL THEN CAST(n AS DOUBLE)
+                 ELSE pv + (nv - pv) *
+                      (CAST(DATEDIFF('day', pd, day) AS DOUBLE)
+                       / DATEDIFF('day', pd, nd)) END, 4) AS value
+    FROM f
+    """,
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation across time-series gaps — the numeric
+    companion to ts_gap_fill's zero-fill: a sparse sensor-style series
+    (only every observation day whose day-of-month % 3 == 0 is kept,
+    so gaps exist by construction) is densified over the calendar and
+    each missing day gets prev + (next-prev) * elapsed-fraction.
+
+    One pass: calendar explode (bounded: types × days) left-joined to
+    observations, then four IGNORE NULLS window fields (previous/next
+    observed value and day) over the per-type day sort — a single
+    window shuffle on event_type; the interpolation itself is
+    map-side arithmetic. The same expression tree runs in both
+    engines, so doubles match bit-for-bit (no aggregation-order
+    drift: the formula is a scalar expression, not a float fold)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    obs = daily.filter(F.dayofmonth("day") % 3 == 0)
+    cal = (
+        obs.groupBy("event_type")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select("event_type", F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    j = F.broadcast(cal).join(obs, ["event_type", "day"], "left")
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("n").isNotNull(), F.col("day"))
+    f = j.select(
+        "event_type",
+        "day",
+        "n",
+        F.last("n", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(w_prev).alias("pd"),
+        F.first("n", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(w_next).alias("nd"),
+    )
+    frac = F.datediff("day", "pd").cast("double") / F.datediff("nd", "pd")
+    value = F.when(
+        F.col("n").isNotNull(), F.col("n").cast("double")
+    ).otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+    return f.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        F.col("n").isNotNull().alias("is_observed"),
+        F.round(value, 4).alias("value"),
+    )
