@@ -160,6 +160,37 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_join_outer",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, ts AS p_ts, event_id AS p_event
+        FROM events WHERE event_type = 'purchase'
+    ), c AS (
+        SELECT user_id, ts AS c_ts, event_id AS c_event
+        FROM events WHERE event_type = 'click'
+    ), j AS (
+        SELECT p.user_id, p.p_event, c.c_event
+        FROM p LEFT JOIN c ON p.user_id = c.user_id
+                           AND c.c_ts > p.p_ts
+                           AND c.c_ts <= p.p_ts + INTERVAL 1 HOUR
+    )
+    SELECT user_id,
+           CAST(COUNT(c_event) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT p_event) AS BIGINT) AS n_purchases,
+           CAST(COUNT(DISTINCT CASE WHEN c_event IS NULL THEN p_event END)
+                AS BIGINT) AS n_unmatched
+    FROM j GROUP BY user_id
+    """,
+)
+def stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EXACT: flush-sentinel replay advances BOTH watermarks past every
+    # real purchase's join window, so all unmatched-left state evicts
+    # and emits its null rows — the streaming outer join then equals
+    # the batch LEFT JOIN with the same event-time bound
+    return pipelines.stream_stream_join_outer(spark, sf_dir)
+
+
+@register(
     "stream_foreachbatch_sink",
     oracle="""
     SELECT event_type,

@@ -403,6 +403,65 @@ def stream_stream_join(
     )
 
 
+def stream_stream_join_outer(
+    spark: SparkSession, sf_dir: str, replay_dir: str | None = None
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join with watermark state eviction:
+    every purchase pairs with the same user's clicks in the following
+    hour, and a purchase with NO such click still emits — with nulls —
+    once the watermark proves no matching click can arrive. That
+    null-emission-on-eviction is the semantically hard part of
+    streaming outer joins (an unmatched row is only *known* unmatched
+    when event time has passed its whole join window).
+
+    Exactness comes from the flush-sentinel replay: the sentinel rides
+    BOTH filtered sides (its `__flush__` type is kept in each filter),
+    so both watermarks advance past every real purchase's join window,
+    every real unmatched purchase is evicted and emitted, and the
+    post-replay result equals the batch LEFT JOIN exactly. The
+    sentinel's own row is the only state the final watermark never
+    expires, so it is withheld and needs no filtering — the same
+    convergence trick as stream_tumbling_watermark. State stays
+    bounded at (1 h + watermark) per side at any scale."""
+    replay = replay_dir or write_replay_slices(
+        spark, sf_dir, n_slices=4, flush_sentinel=True
+    )
+    ev = read_event_stream(spark, replay)
+    purchases = (
+        ev.filter(F.col("event_type").isin("purchase", "__flush__"))
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_event"),
+        )
+        .withWatermark("p_ts", "15 minutes")
+    )
+    clicks = (
+        ev.filter(F.col("event_type").isin("click", "__flush__"))
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("c_event"),
+        )
+        .withWatermark("c_ts", "15 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("p_ts"))
+        & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).select(F.col("p_user").alias("user_id"), "p_event", "c_event")
+    pairs = _run_to_memory(joined, "append")
+    return pairs.groupBy("user_id").agg(
+        F.count("c_event").alias("n_pairs"),
+        F.countDistinct("p_event").alias("n_purchases"),
+        F.countDistinct(
+            F.when(F.col("c_event").isNull(), F.col("p_event"))
+        ).alias("n_unmatched"),
+    )
+
+
 def stream_firehose_pipeline(
     spark: SparkSession,
     sf_dir: str,
