@@ -191,6 +191,36 @@ def stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_join_then_window",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, ts AS p_ts, value AS p_value
+        FROM events WHERE event_type = 'purchase'
+    ), c AS (
+        SELECT user_id, ts AS c_ts
+        FROM events WHERE event_type = 'click'
+    ), j AS (
+        SELECT p.p_ts, p.p_value
+        FROM p JOIN c ON p.user_id = c.user_id
+                      AND c.c_ts > p.p_ts
+                      AND c.c_ts <= p.p_ts + INTERVAL 1 HOUR
+    )
+    SELECT TIME_BUCKET(INTERVAL 1 HOUR, p_ts) AS wstart,
+           COUNT(*) AS n_pairs,
+           CAST(ROUND(SUM(CAST(p_value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS sum_value
+    FROM j GROUP BY 1
+    """,
+)
+def stream_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EXACT: chained stateful ops (stream-stream join → tumbling agg)
+    # under one propagated watermark; the flush sentinel finalizes
+    # every real window, so the append output equals the batch
+    # join-then-group-by (DECIMAL sums keep the fold order-free)
+    return pipelines.stream_join_then_window(spark, sf_dir)
+
+
+@register(
     "stream_foreachbatch_sink",
     oracle="""
     SELECT event_type,

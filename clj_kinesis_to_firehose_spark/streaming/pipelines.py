@@ -462,6 +462,66 @@ def stream_stream_join_outer(
     )
 
 
+def stream_join_then_window(
+    spark: SparkSession, sf_dir: str, replay_dir: str | None = None
+) -> DataFrame:
+    """CHAINED stateful streaming operators in one append-mode query:
+    a watermarked stream-stream join whose output feeds a tumbling
+    window aggregation downstream — purchase⋈click pairs per hour.
+    Multiple stateful operators in a single streaming query is the
+    modern engine capability (Spark 3.4+) that previously forced a
+    two-job pipeline with an intermediate sink; here the join's state
+    eviction and the window's finalization share one propagated
+    watermark.
+
+    Exactness: the flush sentinel rides both join inputs, the global
+    watermark (min of both sides) passes every real pair's window, so
+    every real window finalizes and the output equals the batch
+    join-then-group-by. The sentinel row never matches (inner join),
+    so no window is polluted. State: join side 1 h + watermark, window
+    one row per open hour — both bounded at any scale."""
+    replay = replay_dir or write_replay_slices(
+        spark, sf_dir, n_slices=4, flush_sentinel=True
+    )
+    ev = read_event_stream(spark, replay)
+    purchases = (
+        ev.filter(F.col("event_type").isin("purchase", "__flush__"))
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", "15 minutes")
+    )
+    clicks = (
+        ev.filter(F.col("event_type").isin("click", "__flush__"))
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "15 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("p_ts"))
+        & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    out = (
+        joined.groupBy(F.window("p_ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            # DECIMAL sum: order-independent, so micro-batch addition
+            # order can't drift from the oracle's batch fold
+            F.round(F.sum(F.col("p_value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("wstart"), "n_pairs", "sum_value")
+    )
+    return _run_to_memory(out, "append")
+
+
 def stream_firehose_pipeline(
     spark: SparkSession,
     sf_dir: str,
