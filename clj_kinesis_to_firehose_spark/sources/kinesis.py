@@ -83,3 +83,106 @@ def read_kinesis_stream(
             "sources.streams.read_event_stream (file replay double)"
         ) from exc
     return decode_kinesis_envelope(envelope)
+
+
+# --------------------------------------------------------------- KPL
+# KPL record aggregation (public AWS wire format: the Kinesis Producer
+# Library packs many user records into one Kinesis record as
+#   magic 0xF3899AC2 | protobuf(AggregatedRecord) | md5(protobuf)
+# with AggregatedRecord { repeated string partition_key_table = 1;
+# repeated Record records = 3 } and Record { uint64 partition_key_index
+# = 1; bytes data = 3 }. Both codec halves are implemented here from
+# the published spec with a minimal varint coder — no protobuf
+# dependency — so the engine can deaggregate real KPL traffic and the
+# tests can synthesize it.
+
+KPL_MAGIC = b"\xf3\x89\x9a\xc2"
+
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = n = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        n |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return n, pos
+        shift += 7
+
+
+def kpl_aggregate(records: list[tuple[str, bytes]]) -> bytes:
+    """Pack (partition_key, data) user records into one KPL aggregated
+    blob. Keys are table-deduplicated in first-seen order, exactly as
+    the KPL does."""
+    import hashlib
+
+    key_index: dict[str, int] = {}
+    body = bytearray()
+    recs = bytearray()
+    for pk, data in records:
+        if pk not in key_index:
+            key_index[pk] = len(key_index)
+            kb = pk.encode()
+            body += b"\x0a" + _varint(len(kb)) + kb  # field 1: key table
+        rec = bytearray()
+        rec += b"\x08" + _varint(key_index[pk])  # field 1: key index
+        rec += b"\x1a" + _varint(len(data)) + data  # field 3: data
+        recs += b"\x1a" + _varint(len(rec)) + bytes(rec)  # field 3: record
+    payload = bytes(body + recs)
+    return KPL_MAGIC + payload + hashlib.md5(payload).digest()
+
+
+def kpl_deaggregate(blob: bytes) -> list[tuple[str, bytes]]:
+    """Unpack a KPL aggregated blob into (partition_key, data) user
+    records, verifying magic and md5 trailer — a corrupt or foreign
+    record fails loudly instead of decoding garbage."""
+    import hashlib
+
+    if blob[:4] != KPL_MAGIC:
+        raise ValueError("not a KPL aggregated record (bad magic)")
+    payload, digest = blob[4:-16], blob[-16:]
+    if hashlib.md5(payload).digest() != digest:
+        raise ValueError("KPL aggregated record failed md5 checksum")
+    keys: list[str] = []
+    recs: list[tuple[str, bytes]] = []
+    pos = 0
+    while pos < len(payload):
+        tag = payload[pos]
+        pos += 1
+        ln, pos = _read_varint(payload, pos)
+        field = bytes(payload[pos : pos + ln])
+        pos += ln
+        if tag == 0x0A:  # partition_key_table entry
+            keys.append(field.decode())
+        elif tag == 0x1A:  # Record submessage
+            rpos = 0
+            key_idx = 0
+            data = b""
+            while rpos < len(field):
+                rtag = field[rpos]
+                rpos += 1
+                if rtag == 0x08:
+                    key_idx, rpos = _read_varint(field, rpos)
+                elif rtag in (0x1A, 0x12):  # data / explicit hash key
+                    rlen, rpos = _read_varint(field, rpos)
+                    if rtag == 0x1A:
+                        data = bytes(field[rpos : rpos + rlen])
+                    rpos += rlen
+                else:  # unknown varint field (tags) — skip
+                    _, rpos = _read_varint(field, rpos)
+            recs.append((keys[key_idx], data))
+        else:
+            raise ValueError(f"unexpected KPL field tag {tag:#x}")
+    return recs

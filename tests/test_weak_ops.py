@@ -575,3 +575,24 @@ def test_interpolation_bounded_by_neighbors(spark):
                 assert lo - 1e-9 <= series[i]["value"] <= hi + 1e-9
                 n_interp += 1
     assert n_interp > 0, "fixture produced no gaps — op untested"
+
+
+def test_kpl_codec_roundtrip_and_guards():
+    """KPL wire codec: round-trip identity, key-table dedup, checksum
+    and magic guards (public AWS KPL format — magic + protobuf + md5)."""
+    from clj_kinesis_to_firehose_spark.sources.kinesis import (
+        KPL_MAGIC,
+        kpl_aggregate,
+        kpl_deaggregate,
+    )
+
+    recs = [("u1", b"a"), ("u2", b"bb"), ("u1", b"ccc"), ("u3", b"")]
+    blob = kpl_aggregate(recs)
+    assert blob[:4] == KPL_MAGIC
+    assert kpl_deaggregate(blob) == recs
+    # key table deduplicates: only 3 distinct keys serialized
+    assert blob.count(b"u1") == 1
+    with pytest.raises(ValueError, match="checksum"):
+        kpl_deaggregate(blob[:-1] + bytes([blob[-1] ^ 0xFF]))
+    with pytest.raises(ValueError, match="magic"):
+        kpl_deaggregate(b"XXXX" + blob[4:])
