@@ -241,6 +241,24 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sink_firehose_dynamic_partition",
+    oracle="""
+    SELECT event_type || '/' || STRFTIME(ts, '%Y/%m/%d') AS prefix,
+           COUNT(*) AS n_delivered,
+           CAST(0 AS BIGINT) AS n_misrouted
+    FROM events WHERE event_type <> 'error'
+    GROUP BY 1
+    """,
+)
+def sink_firehose_dynamic_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EXACT: per-prefix delivery counts derived from the FILE PATHS of
+    # the delivered records must equal the source's (type, day)
+    # partitioning, with zero payload-vs-path mismatches — physical
+    # proof of the dynamic-partitioning routing
+    return pipelines.stream_firehose_dynamic_partition(spark, sf_dir)
+
+
+@register(
     "sink_firehose_batched",
     oracle="""
     SELECT event_type AS stream, COUNT(*) AS n_delivered

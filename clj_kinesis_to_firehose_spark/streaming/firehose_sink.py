@@ -114,6 +114,9 @@ class LocalDirFirehoseClient(FirehoseClient):
         if accepted:
             name = idempotency_key or uuid.uuid4().hex
             path = os.path.join(self.out_dir, f"{stream_name}-{name}.jsonl")
+            # dynamic-partitioning prefixes ("type/yyyy/MM/dd") nest the
+            # delivery path — mirror Firehose's S3 prefix layout
+            os.makedirs(os.path.dirname(path), exist_ok=True)
             with open(path, "wb") as f:
                 f.writelines(accepted)
         return failed

@@ -562,6 +562,63 @@ def stream_firehose_pipeline(
     )
 
 
+def stream_firehose_dynamic_partition(
+    spark: SparkSession, sf_dir: str, out_dir: str | None = None
+) -> DataFrame:
+    """Firehose DYNAMIC PARTITIONING: the delivery prefix is computed
+    from payload fields (``event_type/yyyy/MM/dd``), so the sink lands
+    each record under its partition path — the Firehose feature that
+    makes delivered data directly queryable as a partitioned table
+    (partition-pruned scans, no post-delivery re-layout job).
+
+    The audit reads the delivered files back and derives each record's
+    prefix from its FILE PATH (not its payload), so the check proves
+    physical routing: per-prefix counts must equal the source
+    partitioning exactly, and a payload-vs-path mismatch count is
+    asserted zero. Routing is map-side column work; at scale each
+    partition's records group by prefix locally before delivery, so
+    batch caps apply per prefix exactly as per stream."""
+    replay = write_replay_slices(spark, sf_dir, n_slices=4)
+    delivery_dir = out_dir or tempfile.mkdtemp(prefix="kf_fh_dyn_")
+    chk = tempfile.mkdtemp(prefix="kf_chk_")
+    ev = read_event_stream(spark, replay)
+    routed = ev.filter(F.col("event_type") != "error").withColumn(
+        "__prefix",
+        F.concat_ws("/", "event_type", F.date_format("ts", "yyyy/MM/dd")),
+    )
+    q = (
+        routed.writeStream.foreachBatch(
+            firehose_foreach_batch(delivery_dir, stream_name_col="__prefix")
+        )
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    delivered = spark.read.json(
+        os.path.join(delivery_dir, "*", "*", "*", "*.jsonl")
+    )
+    file_prefix = F.regexp_extract(
+        F.input_file_name(), r"([^/]+/\d{4}/\d{2}/\d{2})-[^/]*\.jsonl$", 1
+    )
+    payload_prefix = F.concat_ws(
+        "/",
+        "event_type",
+        F.translate(F.substring("ts", 1, 10), "-", "/"),
+    )
+    return (
+        delivered.select(
+            file_prefix.alias("prefix"),
+            (file_prefix != payload_prefix).cast("long").alias("misrouted"),
+        )
+        .groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).alias("n_delivered"),
+            F.sum("misrouted").alias("n_misrouted"),
+        )
+    )
+
+
 def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the replayed event stream is enriched
     per-micro-batch against a static dimension (customer segment,
