@@ -259,6 +259,25 @@ def sink_firehose_dynamic_partition(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "sink_firehose_format_conversion",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_delivered,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_unique,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS sum_value
+    FROM events WHERE event_type <> 'error'
+    GROUP BY event_type
+    """,
+)
+def sink_firehose_format_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EXACT: the delivered PARQUET read back must reproduce per-stream
+    # counts, distinct ids, and value sums — lossless JSON→columnar
+    # conversion at the delivery boundary
+    return pipelines.stream_firehose_format_conversion(spark, sf_dir)
+
+
+@register(
     "sink_firehose_batched",
     oracle="""
     SELECT event_type AS stream, COUNT(*) AS n_delivered

@@ -163,6 +163,7 @@ def firehose_foreach_batch(
     out_dir: str,
     stream_name_col: str = "event_type",
     fail_first_attempt_every: int = 0,
+    client_factory=None,
 ):
     """Build a ``foreachBatch`` function implementing the full bridge:
     route by ``stream_name_col`` → JSON-lines serialize → chunk under
@@ -185,7 +186,8 @@ def firehose_foreach_batch(
             from pyspark import TaskContext
 
             pid = TaskContext.get().partitionId() if TaskContext.get() else 0
-            client = LocalDirFirehoseClient(
+            factory = client_factory or LocalDirFirehoseClient
+            client = factory(
                 out_dir, fail_first_attempt_every=fail_first_attempt_every
             )
             by_stream: dict[str, list[bytes]] = {}
@@ -205,3 +207,40 @@ def firehose_foreach_batch(
         serialized.foreachPartition(per_partition)
 
     return handle
+
+
+class ParquetConvertingFirehoseClient(LocalDirFirehoseClient):
+    """Record format conversion (the Firehose JSON→Parquet delivery
+    feature): each accepted batch is parsed from JSON-lines and written
+    as ONE columnar parquet file under the stream's path — what makes
+    delivered data cheap to scan (column pruning + predicate pushdown)
+    without a post-delivery conversion job. Executor-local pyarrow;
+    column order is fixed (sorted keys) so every delivered file carries
+    an identical schema."""
+
+    def put_record_batch(
+        self, stream_name: str, batch: list[bytes], idempotency_key: str | None = None
+    ) -> list[int]:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        failed: list[int] = []
+        accepted: list[dict] = []
+        for i, rec in enumerate(batch):
+            if (
+                self.fail_first_attempt_every
+                and (i + 1) % self.fail_first_attempt_every == 0
+                and rec not in self._seen
+            ):
+                self._seen.add(rec)
+                failed.append(i)
+            else:
+                accepted.append(json.loads(rec))
+        if accepted:
+            cols = sorted(accepted[0])
+            table = pa.table({c: [r.get(c) for r in accepted] for c in cols})
+            name = idempotency_key or uuid.uuid4().hex
+            path = os.path.join(self.out_dir, f"{stream_name}-{name}.parquet")
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            pq.write_table(table, path)
+        return failed
