@@ -166,6 +166,8 @@ def kpl_deaggregate(blob: bytes) -> list[tuple[str, bytes]]:
         pos += ln
         if tag == 0x0A:  # partition_key_table entry
             keys.append(field.decode())
+        elif tag == 0x12:  # explicit_hash_key_table entry — valid KPL,
+            pass  # not needed for deaggregation; skip
         elif tag == 0x1A:  # Record submessage
             rpos = 0
             key_idx = 0

@@ -596,3 +596,26 @@ def test_kpl_codec_roundtrip_and_guards():
         kpl_deaggregate(blob[:-1] + bytes([blob[-1] ^ 0xFF]))
     with pytest.raises(ValueError, match="magic"):
         kpl_deaggregate(b"XXXX" + blob[4:])
+
+
+def test_kpl_decoder_tolerates_explicit_hash_keys():
+    """Real KPL blobs may carry explicit_hash_key_table entries (field
+    2) and per-record explicit_hash_key_index — the decoder must skip
+    both, not reject the record."""
+    import hashlib
+
+    from clj_kinesis_to_firehose_spark.sources.kinesis import (
+        KPL_MAGIC,
+        _varint,
+        kpl_deaggregate,
+    )
+
+    pk, ehk, data = b"mykey", b"123456789", b"payload"
+    body = b"\x0a" + _varint(len(pk)) + pk          # partition_key_table
+    body += b"\x12" + _varint(len(ehk)) + ehk       # explicit_hash_key_table
+    rec = b"\x08" + _varint(0)                      # partition_key_index
+    rec += b"\x10" + _varint(0)                     # explicit_hash_key_index
+    rec += b"\x1a" + _varint(len(data)) + data      # data
+    body += b"\x1a" + _varint(len(rec)) + rec
+    blob = KPL_MAGIC + body + hashlib.md5(body).digest()
+    assert kpl_deaggregate(blob) == [("mykey", b"payload")]
