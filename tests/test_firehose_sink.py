@@ -96,3 +96,32 @@ def test_idempotent_redelivery_overwrites():
     assert len(files) == 1
     with open(os.path.join(out, files[0]), "rb") as fh:
         assert len(fh.read().splitlines()) == 2
+
+
+def test_kpl_codec_roundtrip_property():
+    """Property: deaggregate(aggregate(x)) == x for arbitrary record
+    lists — arbitrary unicode keys, arbitrary binary payloads,
+    repeated keys (table dedup must preserve per-record identity)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from clj_kinesis_to_firehose_spark.sources.kinesis import (
+        kpl_aggregate,
+        kpl_deaggregate,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.text(min_size=1, max_size=12),
+                st.binary(max_size=128),
+            ),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    def prop(recs):
+        assert kpl_deaggregate(kpl_aggregate(recs)) == recs
+
+    prop()
