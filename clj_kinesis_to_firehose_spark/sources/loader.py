@@ -88,15 +88,35 @@ def fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
     The few-partitions probe reads the scan's input-file listing
     (plan metadata only) instead of ``df.rdd.getNumPartitions()`` —
     converting to RDD forced a full plan analysis per call on the hot
-    registration path. Small parquet files never split below file
-    granularity, so ``len(inputFiles) < cores`` is exactly the
-    "scan can't use every core" condition; a real partitioned layout
-    has ≥ cores files and stays untouched."""
+    registration path. Few files alone doesn't mean few partitions,
+    though: Spark SPLITS large parquet files at
+    ``spark.sql.files.maxPartitionBytes``, so a handful of big files
+    already parallelizes — the estimate below counts per-file splits
+    (local sizes; a non-local path it can't stat counts as one split,
+    the conservative choice) and repartitions only when the scan truly
+    can't reach core count."""
+    import math
+    import os
+
     target = spark.sparkContext.defaultParallelism
     try:
         files = df.inputFiles()
     except Exception:
         return df
-    if files and len(files) < target:
+    if not files or len(files) >= target:
+        return df
+    try:
+        raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+        max_pb = int("".join(ch for ch in str(raw) if ch.isdigit()) or "134217728")
+    except Exception:
+        max_pb = 128 * 1024 * 1024
+    est_splits = 0
+    for f in files:
+        local = f[len("file:"):] if f.startswith("file:") else f
+        try:
+            est_splits += max(1, math.ceil(os.path.getsize(local) / max_pb))
+        except OSError:
+            est_splits += 1
+    if est_splits < target:
         return df.repartition(target)
     return df

@@ -4,8 +4,12 @@ architecture, not their code) that raw parquet directories lack.
 
 A table is a directory:
 
-    <path>/data/commit-<version>/part-*.parquet   immutable data files
+    <path>/data/commit-<version>-<attempt>/part-*.parquet   immutable data
     <path>/_manifest/v<version>.json              snapshot = active file list
+
+(the per-attempt suffix keeps two optimistic writers racing to the
+same version from sharing a directory — the loser's overwrite must
+never touch the winner's published files)
 
 Each manifest names the complete set of active data files for that
 version plus per-file stats (row count, min/max of the merge key) and
@@ -89,6 +93,12 @@ class FileEntry:
             d["blooms"] = self.blooms
         return d
 
+    @classmethod
+    def from_json(cls, d: dict) -> "FileEntry":
+        return cls(
+            d["path"], d["rows"], d["min_key"], d["max_key"], d.get("blooms")
+        )
+
 
 class SnapshotTable:
     """Handle on a snapshot table rooted at ``path`` keyed by the
@@ -167,13 +177,18 @@ class SnapshotTable:
         """Atomic publish of ``v<version>.json``; loses the race to any
         concurrent writer of the same version. Single seam for an
         object-store conditional-put swap in production."""
+        import uuid
+
         os.makedirs(self._manifest_dir, exist_ok=True)
         final = self._manifest_path(version)
         if os.path.exists(final):
             raise CommitConflictError(
                 f"version {version} already committed in {self.path}"
             )
-        tmp = final + ".tmp"
+        # tmp name is unique PER WRITER: a shared tmp path would let two
+        # concurrent committers overwrite each other's manifest bytes
+        # and publish the loser's content under the winner's commit
+        tmp = f"{final}.{uuid.uuid4().hex}.tmp"
         with open(tmp, "w") as fh:
             json.dump(manifest, fh, indent=1, sort_keys=True)
         try:
@@ -190,8 +205,24 @@ class SnapshotTable:
         """Write ``df`` as ``n_files`` range-clustered parquet files
         under the version's data directory and return their entries
         with footer-derived stats (metadata reads only — no data
-        re-scan for stats)."""
-        out_dir = os.path.join(self.path, "data", f"commit-{version:06d}")
+        re-scan for stats).
+
+        The directory carries a per-ATTEMPT unique suffix: two
+        optimistic writers racing to the same version must not share a
+        path, or the loser's ``mode("overwrite")`` would delete the
+        winner's already-published files (manifests reference explicit
+        paths, so uniqueness costs nothing; the loser's orphan dir is
+        swept by vacuum)."""
+        import uuid
+
+        out_dir = os.path.join(
+            self.path, "data", f"commit-{version:06d}-{uuid.uuid4().hex[:8]}"
+        )
+        return self._write_files_to(df, out_dir, n_files)
+
+    def _write_files_to(
+        self, df: DataFrame, out_dir: str, n_files: int
+    ) -> list[FileEntry]:
         writer = (
             df.repartitionByRange(n_files, F.col(self.key))
             if n_files > 1
@@ -393,6 +424,40 @@ class SnapshotTable:
         )
         return no_stats + [r["path"] for r in hit]
 
+    def _plan_cow_merge(
+        self, updates: DataFrame, tombstone_col: str | None = None
+    ) -> tuple[int, set[str], list[FileEntry], DataFrame]:
+        """Shared copy-on-write planning for :meth:`merge_upsert` and
+        :meth:`stage_merge`: validate the batch, stats-prune the
+        touched files, carry everything else, and build the merged
+        DataFrame. Returns (parent_version, touched_paths,
+        carried_entries, merged_df)."""
+        self._validate(updates, tombstone_col)
+        parent = self.latest_version()
+        m = self._read_manifest(parent)
+        touched = set(self._touched_files(m, updates))
+        carried = [
+            FileEntry.from_json(f)
+            for f in m["files"]
+            if f["path"] not in touched
+        ]
+        if touched:
+            base = self.spark.read.option("mergeSchema", "true").parquet(
+                *sorted(touched)
+            )
+        else:
+            # empty-base fallback must not inherit the tombstone column,
+            # or a pure-insert tombstone batch would write it into the
+            # table via the base-only column pass-through
+            schema_src = (
+                updates.drop(tombstone_col)
+                if tombstone_col is not None and tombstone_col in updates.columns
+                else updates
+            )
+            base = self.spark.createDataFrame([], schema_src.schema)
+        merged = self._merge_plan(base, updates, tombstone_col)
+        return parent, touched, carried, merged
+
     def merge_upsert(
         self, updates: DataFrame, tombstone_col: str | None = None
     ) -> int:
@@ -405,21 +470,9 @@ class SnapshotTable:
         delete land in ONE atomic commit, which is what keeps a CDC
         apply (upserts + deletes interleaved) from tearing across
         versions. The column itself never reaches the table."""
-        self._validate(updates, tombstone_col)
-        parent = self.latest_version()
-        m = self._read_manifest(parent)
-        touched = set(self._touched_files(m, updates))
-        carried = [
-            FileEntry(f["path"], f["rows"], f["min_key"], f["max_key"], f.get("blooms"))
-            for f in m["files"]
-            if f["path"] not in touched
-        ]
-        base = (
-            self.spark.read.option("mergeSchema", "true").parquet(*sorted(touched))
-            if touched
-            else self.spark.createDataFrame([], updates.schema)
+        parent, touched, carried, merged = self._plan_cow_merge(
+            updates, tombstone_col
         )
-        merged = self._merge_plan(base, updates, tombstone_col)
         version = parent + 1
         n_files = max(1, len(touched))
         new_files = self._write_data_files(merged, version, n_files)
@@ -431,32 +484,37 @@ class SnapshotTable:
         updates: DataFrame,
         tombstone_col: str | None = None,
     ) -> DataFrame:
-        """The SCD1 merge as a DataFrame: full outer join on the key,
-        update side wins column-wise; tombstoned keys are dropped
-        post-join (a delete arm, not a null-out). Schema evolution: a
-        column new in ``updates`` doesn't exist on the base side yet —
-        null there (carried files get the null on read via
-        mergeSchema); a base column absent from ``updates`` passes
-        through unchanged."""
+        """The SCD1 merge as a DataFrame: full outer join on the key;
+        where an update ROW exists (matched by the NOT-NULL key), its
+        values win for every column it carries — INCLUDING explicit
+        NULLs, so an upstream ``UPDATE … SET x = NULL`` lands
+        faithfully (a naive column-wise COALESCE would silently keep
+        the old value). Tombstoned keys are dropped post-join (a
+        delete arm, not a null-out). Schema evolution: a column new in
+        ``updates`` doesn't exist on the base side yet — null there
+        (carried files get the null on read via mergeSchema); a base
+        column absent from ``updates`` passes through unchanged."""
         b, u = base.alias("b"), updates.alias("u")
-        base_cols = set(base.columns)
+        base_cols = {c for c in base.columns if c != tombstone_col}
         upd_cols = set(updates.columns) - {tombstone_col}
         cols = [c for c in updates.columns if c != tombstone_col] + [
-            c for c in base.columns if c not in upd_cols
+            c for c in base.columns if c not in upd_cols and c != tombstone_col
         ]
+        # the key is NOT NULL by table constraint, so a non-null update
+        # key IS row existence — the correct "matched" predicate
+        upd_exists = F.col(f"u.{self.key}").isNotNull()
 
         def side(c: str) -> F.Column:
-            uc = (
-                F.col(f"u.{c}")
-                if c in upd_cols
-                else F.lit(None).cast(base.schema[c].dataType)
-            )
-            bc = (
-                F.col(f"b.{c}")
-                if c in base_cols
-                else F.lit(None).cast(updates.schema[c].dataType)
-            )
-            return F.coalesce(uc, bc).alias(c)
+            if c in upd_cols:
+                bc = (
+                    F.col(f"b.{c}")
+                    if c in base_cols
+                    else F.lit(None).cast(updates.schema[c].dataType)
+                )
+                return F.when(upd_exists, F.col(f"u.{c}")).otherwise(bc).alias(c)
+            # base-only column (absent from the update batch): passes
+            # through unchanged — null only for pure inserts
+            return F.col(f"b.{c}").alias(c)
 
         joined = b.join(
             u, F.col(f"b.{self.key}") == F.col(f"u.{self.key}"), "full"
@@ -488,7 +546,7 @@ class SnapshotTable:
         # input_file_name returns URIs; manifest stores raw paths
         touched = {t[len("file://"):] if t.startswith("file://") else t for t in touched}
         carried = [
-            FileEntry(f["path"], f["rows"], f["min_key"], f["max_key"], f.get("blooms"))
+            FileEntry.from_json(f)
             for f in m["files"]
             if f["path"] not in touched
         ]
@@ -682,7 +740,10 @@ class SnapshotTable:
                 if not any(n.endswith(".parquet") for n in os.listdir(d)):
                     shutil.rmtree(d, ignore_errors=True)
         removed_manifests = 0
-        for v in range(1, keep_versions[0]):
+        # keep_versions is empty on a never-committed table (vacuum of a
+        # path holding only orphans from a failed create) — nothing to
+        # expire then, but the orphan sweep above must still have run
+        for v in range(1, keep_versions[0] if keep_versions else 1):
             mp = self._manifest_path(v)
             if os.path.exists(mp):
                 os.unlink(mp)
@@ -699,7 +760,12 @@ class SnapshotTable:
     def _staging_dir(self) -> str:
         return os.path.join(self.path, "_staging")
 
-    def stage_merge(self, updates: DataFrame, staged_id: str) -> str:
+    def stage_merge(
+        self,
+        updates: DataFrame,
+        staged_id: str,
+        tombstone_col: str | None = None,
+    ) -> str:
         """Write-audit-publish, step 1: run the full copy-on-write
         merge but park the resulting manifest under ``_staging/``
         instead of committing a version. The staged snapshot is a
@@ -707,30 +773,14 @@ class SnapshotTable:
         production reader can see — audit queries (row counts,
         constraint checks, distribution diffs) run against it before
         the data is ever live. Data files are written once; publish is
-        metadata-only."""
-        self._validate(updates)
-        parent = self.latest_version()
-        m = self._read_manifest(parent)
-        touched = set(self._touched_files(m, updates))
-        carried = [
-            FileEntry(f["path"], f["rows"], f["min_key"], f["max_key"], f.get("blooms"))
-            for f in m["files"]
-            if f["path"] not in touched
-        ]
-        base = (
-            self.spark.read.option("mergeSchema", "true").parquet(*sorted(touched))
-            if touched
-            else self.spark.createDataFrame([], updates.schema)
+        metadata-only. Shares :meth:`_plan_cow_merge` with the direct
+        merge, so WAP merges can never drift semantically from direct
+        ones (tombstone deletes included)."""
+        parent, touched, carried, merged = self._plan_cow_merge(
+            updates, tombstone_col
         )
-        merged = self._merge_plan(base, updates)
         out_dir = os.path.join(self.path, "data", f"staged-{staged_id}")
-        writer = merged.repartitionByRange(max(1, len(touched)), F.col(self.key))
-        writer.write.mode("overwrite").parquet(out_dir)
-        new_files = [
-            self._file_entry(os.path.join(out_dir, n))
-            for n in sorted(os.listdir(out_dir))
-            if n.endswith(".parquet")
-        ]
+        new_files = self._write_files_to(merged, out_dir, max(1, len(touched)))
         os.makedirs(self._staging_dir, exist_ok=True)
         with open(os.path.join(self._staging_dir, f"{staged_id}.json"), "w") as fh:
             json.dump(
@@ -769,10 +819,7 @@ class SnapshotTable:
             raise CommitConflictError(
                 f"staged on v{m['parent']} but table is at v{parent} — re-stage"
             )
-        files = [
-            FileEntry(f["path"], f["rows"], f["min_key"], f["max_key"], f.get("blooms"))
-            for f in m["files"]
-        ]
+        files = [FileEntry.from_json(f) for f in m["files"]]
         version = self._commit("merge", files, parent)
         os.unlink(os.path.join(self._staging_dir, f"{staged_id}.json"))
         return version
@@ -795,10 +842,7 @@ class SnapshotTable:
         because it IS an ordinary commit."""
         target = self._read_manifest(to_version)
         parent = self.latest_version()
-        files = [
-            FileEntry(f["path"], f["rows"], f["min_key"], f["max_key"], f.get("blooms"))
-            for f in target["files"]
-        ]
+        files = [FileEntry.from_json(f) for f in target["files"]]
         return self._commit("rollback", files, parent)
 
 

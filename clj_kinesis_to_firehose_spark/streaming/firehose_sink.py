@@ -237,8 +237,16 @@ class ParquetConvertingFirehoseClient(LocalDirFirehoseClient):
             else:
                 accepted.append(json.loads(rec))
         if accepted:
-            cols = sorted(accepted[0])
-            table = pa.table({c: [r.get(c) for r in accepted] for c in cols})
+            # schema = UNION of keys across the batch: Spark's to_json
+            # omits null-valued fields, so the first record alone can
+            # miss columns later records carry (their values would be
+            # silently dropped). A column null in EVERY record of the
+            # batch stays omitted — parquet has no untyped-null column;
+            # the mergeSchema read nulls it back downstream.
+            cols = sorted(set().union(*accepted))
+            arrays = {c: [r.get(c) for r in accepted] for c in cols}
+            cols = [c for c in cols if any(v is not None for v in arrays[c])]
+            table = pa.table({c: arrays[c] for c in cols})
             name = idempotency_key or uuid.uuid4().hex
             path = os.path.join(self.out_dir, f"{stream_name}-{name}.parquet")
             os.makedirs(os.path.dirname(path), exist_ok=True)

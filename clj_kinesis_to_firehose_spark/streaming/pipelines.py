@@ -652,7 +652,9 @@ def stream_firehose_format_conversion(
         .start()
     )
     q.awaitTermination()
-    delivered = spark.read.parquet(os.path.join(delivery_dir, "*.parquet"))
+    delivered = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(delivery_dir, "*.parquet")
+    )
     return delivered.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_delivered"),
         F.countDistinct("event_id").cast("long").alias("n_unique"),

@@ -125,3 +125,25 @@ def test_kpl_codec_roundtrip_property():
         assert kpl_deaggregate(kpl_aggregate(recs)) == recs
 
     prop()
+
+
+def test_parquet_client_schema_unions_across_batch(tmp_path):
+    """to_json omits null fields, so the first record alone can miss
+    columns — the converted parquet must carry the union of keys and
+    later records' values must survive."""
+    import pyarrow.parquet as pq
+
+    from clj_kinesis_to_firehose_spark.streaming.firehose_sink import (
+        ParquetConvertingFirehoseClient,
+    )
+
+    client = ParquetConvertingFirehoseClient(str(tmp_path))
+    batch = [
+        b'{"event_id":1,"event_type":"click"}\n',          # value omitted (null)
+        b'{"event_id":2,"event_type":"click","value":7.5}\n',
+    ]
+    assert client.put_record_batch("click", batch, idempotency_key="k1") == []
+    [f] = [n for n in os.listdir(tmp_path) if n.endswith(".parquet")]
+    table = pq.read_table(os.path.join(tmp_path, f))
+    assert set(table.column_names) == {"event_id", "event_type", "value"}
+    assert table.column("value").to_pylist() == [None, 7.5]

@@ -43,3 +43,24 @@ def test_events_loader_schema(spark):
     # here just prove the column is a usable timestamp
     row = ev.filter(F.col("event_id") == 0).collect()[0]
     assert isinstance(row["ts"], datetime.datetime)
+
+
+def test_fan_out_trusts_splittable_large_files(spark, tmp_path):
+    """A single LARGE parquet file already splits at maxPartitionBytes —
+    fan_out must not add a full-shuffle repartition for it; a single
+    small file still fans out."""
+    from clj_kinesis_to_firehose_spark.sources.loader import fan_out
+
+    p = str(tmp_path / "one.parquet")
+    spark.range(50_000).selectExpr(
+        "id", "repeat('x', 64) AS pad"
+    ).coalesce(1).write.mode("overwrite").parquet(p)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    df = spark.read.parquet(p)
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+        assert fan_out(spark, df) is df, "splittable big file must not repartition"
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(1 << 40))
+        assert fan_out(spark, df) is not df, "unsplittable small-file scan fans out"
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)

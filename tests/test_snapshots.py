@@ -478,3 +478,79 @@ def test_delete_where_null_predicate_rows_survive(spark, tmp_path):
     # key 1 shares the rewritten file with key 2 but its row is
     # unchanged (null-filled new column) — it must not appear at all
     assert 1 not in [k for k, _ in feed]
+
+
+def test_merge_explicit_null_update_lands(spark, tmp_path):
+    """An update row that explicitly sets a column to NULL must null it
+    out (SCD1 'update wins'), not silently keep the old value — the
+    CDC shape `UPDATE ... SET val = NULL`."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), key="id")
+    t.create(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, val double")
+    )
+    t.merge_upsert(
+        spark.createDataFrame([(1, None)], "id long, val double")
+    )
+    got = {r["id"]: r["val"] for r in t.read().collect()}
+    assert got[1] is None and got[2] == 20.0
+
+
+def test_tombstone_col_never_written_on_pure_insert_batch(spark, tmp_path):
+    """A tombstone batch whose keys all fall OUTSIDE every file's key
+    range (touched = empty) must still not leak the tombstone column
+    into the table schema."""
+    t = _mk(spark, tmp_path, n=100, n_files=2)  # keys 0..99
+    batch = spark.createDataFrame(
+        [(1000, 1.0, False), (2000, 2.0, False)],
+        "id long, val double, _del boolean",
+    )
+    t.merge_upsert(batch, tombstone_col="_del")
+    out = t.read()
+    assert "_del" not in out.columns
+    assert out.count() == 102
+
+
+def test_losing_writer_cannot_clobber_winner_files(spark, tmp_path):
+    """Adversarial commit race: writer B plans against parent N, writer
+    A commits N+1 first, then B writes its data files and tries to
+    commit — B must get CommitConflictError AND A's published files
+    must survive B's write (per-attempt data directories)."""
+    path = str(tmp_path / "tbl")
+    a = SnapshotTable(spark, path, key="id")
+    a.create(spark.createDataFrame([(i, float(i)) for i in range(50)],
+                                   "id long, val double"), n_files=2)
+    b = SnapshotTable(spark, path, key="id")
+    # B plans its merge against parent=1
+    b_parent, b_touched, b_carried, b_merged = b._plan_cow_merge(
+        spark.createDataFrame([(1, -1.0)], "id long, val double")
+    )
+    # A wins the race: commits version 2
+    a.merge_upsert(spark.createDataFrame([(2, -2.0)], "id long, val double"))
+    # B writes its files (stale parent) and must lose the publish
+    b_files = b._write_data_files(b_merged, b_parent + 1, max(1, len(b_touched)))
+    with pytest.raises(CommitConflictError):
+        b._commit("merge", b_carried + b_files, b_parent)
+    # A's version 2 is fully readable — B's overwrite touched nothing
+    got = {r["id"]: r["val"] for r in a.read(version=2).collect()}
+    assert got[2] == -2.0 and got[1] == 1.0 and len(got) == 50
+
+
+def test_vacuum_on_empty_table_is_safe(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), key="id")
+    audit = t.vacuum(retain_last=2)
+    assert audit["removed_manifests"] == 0 and audit["retained_versions"] == []
+
+
+def test_wap_stage_merge_supports_tombstones(spark, tmp_path):
+    """stage_merge shares the COW planner with merge_upsert, so WAP
+    merges take tombstone deletes too."""
+    t = _mk(spark, tmp_path, n=20, n_files=1)
+    batch = spark.createDataFrame(
+        [(1, 9.9, False), (2, None, True)], "id long, val double, _del boolean"
+    )
+    t.stage_merge(batch, staged_id="s1", tombstone_col="_del")
+    staged = {r["id"]: r["val"] for r in t.read_staged("s1").collect()}
+    assert staged[1] == 9.9 and 2 not in staged and "_del" not in t.read_staged("s1").columns
+    t.publish_staged("s1")
+    live = {r["id"]: r["val"] for r in t.read().collect()}
+    assert live[1] == 9.9 and 2 not in live
