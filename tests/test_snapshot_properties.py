@@ -21,7 +21,15 @@ op_strategy = st.one_of(
     st.tuples(
         st.just("merge"),
         st.lists(
-            st.tuples(st.integers(0, 60), st.floats(-5, 5, allow_nan=False)),
+            st.tuples(
+                st.integers(0, 60),
+                # explicit NULL updates are part of the MERGE contract
+                # (UPDATE … SET val = NULL must land, not be coalesced
+                # away) — the model stores None like any other value
+                st.one_of(
+                    st.floats(-5, 5, allow_nan=False), st.none()
+                ),
+            ),
             min_size=1,
             max_size=4,
             unique_by=lambda kv: kv[0],
@@ -57,12 +65,13 @@ def test_random_op_sequences_match_dict_model(spark, table_root, ops, seq):
 
     for op, arg in ops:
         if op == "merge":
+            rows = [
+                (int(k), None if v is None else float(v)) for k, v in arg
+            ]
             t.merge_upsert(
-                spark.createDataFrame(
-                    [(int(k), float(v)) for k, v in arg], "id long, val double"
-                )
+                spark.createDataFrame(rows, "id long, val double")
             )
-            model.update({int(k): float(v) for k, v in arg})
+            model.update(dict(rows))
         elif op == "delete":
             t.delete_where(f"id >= {arg}")
             model = {k: v for k, v in model.items() if k < arg}
