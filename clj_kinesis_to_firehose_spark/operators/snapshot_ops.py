@@ -717,3 +717,31 @@ def snapshot_history_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(h["version"], h["op"], h["n_rows"]) for h in hist],
         "version int, op string, n_rows long",
     )
+
+
+@register(
+    "snapshot_compact_small",
+    oracle=f"""
+    WITH {_MERGED_SQL}
+    SELECT COUNT(*) AS n_rows,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM merged
+    """,
+)
+def snapshot_compact_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective OPTIMIZE: after the merge fragments the layout (8
+    rewritten files for a scattered-key batch), compacting ONLY the
+    sub-threshold fragments must leave the table state bit-identical —
+    the oracle recomputes the merged state; which files were touched
+    vs carried is asserted by path identity in
+    tests/test_snapshots.py::test_compact_small_leaves_big_files.
+    At 100 TB this is the steady-state maintenance loop: merge churn
+    produces small rewrite files, OPTIMIZE folds just those."""
+    t = _merged_table(spark, sf_dir, "compact_small")
+    t.compact_small(min_rows=10_000_000, n_files=2)  # fold everything small
+    return t.read().agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("o_orderkey").cast("long").alias("n_keys"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )

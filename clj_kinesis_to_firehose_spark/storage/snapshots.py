@@ -677,6 +677,35 @@ class SnapshotTable:
         files = self._write_data_files(cur, version, n_files)
         return self._commit("compact", files, parent)
 
+    def compact_small(self, min_rows: int = 200, n_files: int = 1) -> int:
+        """Selective compaction (OPTIMIZE semantics): only files below
+        ``min_rows`` are rewritten — binned together into ``n_files``
+        range-clustered files — while every right-sized file carries
+        into the new version by path identity. This is what keeps
+        steady-state maintenance cheap on a table taking frequent
+        narrow merges: each merge leaves a small rewrite file, and the
+        periodic OPTIMIZE touches only that fragmentation, never the
+        bulk of the table (a full :meth:`compact` rewrite is an
+        anti-pattern at 100 TB). A no-op commit if fewer than two
+        files qualify."""
+        parent = self.latest_version()
+        m = self._read_manifest(parent)
+        small = [f for f in m["files"] if f["rows"] < min_rows]
+        carried = [
+            FileEntry.from_json(f) for f in m["files"] if f["rows"] >= min_rows
+        ]
+        if len(small) < 2:
+            return self._commit(
+                "compact_small", carried + [FileEntry.from_json(f) for f in small],
+                parent,
+            )
+        merged = self.spark.read.option("mergeSchema", "true").parquet(
+            *sorted(f["path"] for f in small)
+        )
+        version = parent + 1
+        new_files = self._write_data_files(merged, version, n_files)
+        return self._commit("compact_small", carried + new_files, parent)
+
     def merge_upsert_with_retry(
         self, updates: DataFrame, max_retries: int = 3
     ) -> int:

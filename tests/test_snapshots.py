@@ -554,3 +554,28 @@ def test_wap_stage_merge_supports_tombstones(spark, tmp_path):
     t.publish_staged("s1")
     live = {r["id"]: r["val"] for r in t.read().collect()}
     assert live[1] == 9.9 and 2 not in live
+
+
+def test_compact_small_leaves_big_files(spark, tmp_path):
+    """OPTIMIZE semantics: only sub-threshold fragments are rewritten;
+    right-sized files carry by path identity; totals are unchanged."""
+    t = _mk(spark, tmp_path, n=1000, n_files=2)  # 2 big files (~500 rows)
+    # two out-of-range insert batches each land as a tiny new file —
+    # the steady-state fragmentation narrow merges produce
+    t.merge_upsert(spark.createDataFrame([(5000, -1.0)], "id long, val double"))
+    t.merge_upsert(spark.createDataFrame([(6000, -2.0)], "id long, val double"))
+    before = t._read_manifest(t.latest_version())["files"]
+    big_before = {f["path"] for f in before if f["rows"] >= 400}
+    small_before = [f for f in before if f["rows"] < 400]
+    assert big_before and len(small_before) >= 2
+    t.compact_small(min_rows=400, n_files=1)
+    after = t._read_manifest(t.latest_version())["files"]
+    assert big_before <= {f["path"] for f in after}, "big files must carry"
+    assert sum(f["rows"] for f in after) == 1002
+    assert len(after) == len(big_before) + 1, "fragments fold into one file"
+    got = {r["id"]: r["val"] for r in t.read().collect()}
+    assert got[5000] == -1.0 and got[6000] == -2.0 and len(got) == 1002
+    # fewer-than-two qualifying fragments → metadata-only commit
+    files_now = {f["path"] for f in after}
+    t.compact_small(min_rows=1, n_files=1)
+    assert {f["path"] for f in t._read_manifest(t.latest_version())["files"]} == files_now
