@@ -745,3 +745,29 @@ def snapshot_compact_small(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_orderkey").cast("long").alias("n_keys"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
     )
+
+
+@register(
+    "snapshot_tag_retention",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    """,
+)
+def snapshot_tag_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style TAGs pin versions through vacuum: tag version 1
+    ("as-shipped" audit snapshot), merge, compact, then vacuum with
+    retain_last=1 — count-based retention would expire v1, but the tag
+    keeps its manifest and files live, and reading the tag must return
+    the original base table bit-exactly. This is the
+    compliance-snapshot contract: steady-state cleanup keeps disk
+    bounded while named history stays readable forever."""
+    t = SnapshotTable(
+        spark, fresh_table_dir(sf_dir, "tag_retention", spark), key="o_orderkey"
+    )
+    base = _base_orders(spark, sf_dir)
+    t.create(base, n_files=8)
+    t.tag("as-shipped")  # pins v1
+    t.merge_upsert(_updates(base))
+    t.compact(n_files=4)
+    t.vacuum(retain_last=1)
+    return t.read_tag("as-shipped")

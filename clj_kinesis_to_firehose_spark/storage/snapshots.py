@@ -677,6 +677,53 @@ class SnapshotTable:
         files = self._write_data_files(cur, version, n_files)
         return self._commit("compact", files, parent)
 
+    # ------------------------------------------------------------ tags
+
+    @property
+    def _refs_dir(self) -> str:
+        return os.path.join(self.path, "_refs")
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Create an immutable named ref (Iceberg-style TAG) pinning a
+        committed version: ``read_tag(name)`` resolves it forever, and
+        :meth:`vacuum` treats tagged versions as live — their manifests
+        and data files survive count-based retention. This is how an
+        audit/compliance snapshot ("the table as shipped to the
+        regulator") stays readable while steady-state vacuuming keeps
+        disk bounded. Metadata-only; re-tagging an existing name is
+        refused (tags are immutable — delete + recreate is the
+        explicit escape hatch)."""
+        v = version if version is not None else self.latest_version()
+        self._read_manifest(v)  # must exist
+        os.makedirs(self._refs_dir, exist_ok=True)
+        ref = os.path.join(self._refs_dir, f"{name}.json")
+        if os.path.exists(ref):
+            raise CommitConflictError(f"tag {name!r} already exists")
+        tmp = f"{ref}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"name": name, "version": v}, fh)
+        os.rename(tmp, ref)
+        return v
+
+    def delete_tag(self, name: str) -> None:
+        os.unlink(os.path.join(self._refs_dir, f"{name}.json"))
+
+    def tags(self) -> dict[str, int]:
+        try:
+            names = os.listdir(self._refs_dir)
+        except FileNotFoundError:
+            return {}
+        out = {}
+        for n in sorted(names):
+            if n.endswith(".json"):
+                with open(os.path.join(self._refs_dir, n)) as fh:
+                    d = json.load(fh)
+                out[d["name"]] = d["version"]
+        return out
+
+    def read_tag(self, name: str) -> DataFrame:
+        return self.read(version=self.tags()[name])
+
     def compact_small(self, min_rows: int = 200, n_files: int = 1) -> int:
         """Selective compaction (OPTIMIZE semantics): only files below
         ``min_rows`` are rewritten — binned together into ``n_files``
@@ -745,6 +792,10 @@ class SnapshotTable:
         retain_last = max(1, retain_last)
         latest = self.latest_version()
         keep_versions = list(range(max(1, latest - retain_last + 1), latest + 1))
+        # tagged versions are pinned live regardless of count-based
+        # retention — the audit/compliance contract of a TAG
+        tagged = sorted(set(self.tags().values()) - set(keep_versions))
+        keep_versions = sorted(set(keep_versions) | set(tagged))
         live: set[str] = set()
         for v in keep_versions:
             live.update(f["path"] for f in self._read_manifest(v)["files"])
@@ -769,10 +820,14 @@ class SnapshotTable:
                 if not any(n.endswith(".parquet") for n in os.listdir(d)):
                     shutil.rmtree(d, ignore_errors=True)
         removed_manifests = 0
-        # keep_versions is empty on a never-committed table (vacuum of a
-        # path holding only orphans from a failed create) — nothing to
-        # expire then, but the orphan sweep above must still have run
-        for v in range(1, keep_versions[0] if keep_versions else 1):
+        # expire every manifest outside the retained window EXCEPT
+        # tagged ones; on a never-committed table (vacuum of a path
+        # holding only orphans from a failed create) there is nothing
+        # to expire, but the orphan sweep above must still have run
+        keep_set = set(keep_versions)
+        for v in range(1, max(1, latest - retain_last + 1)):
+            if v in keep_set:
+                continue  # tagged — pinned through retention
             mp = self._manifest_path(v)
             if os.path.exists(mp):
                 os.unlink(mp)

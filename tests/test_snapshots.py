@@ -579,3 +579,25 @@ def test_compact_small_leaves_big_files(spark, tmp_path):
     files_now = {f["path"] for f in after}
     t.compact_small(min_rows=1, n_files=1)
     assert {f["path"] for f in t._read_manifest(t.latest_version())["files"]} == files_now
+
+
+def test_tags_pin_versions_through_vacuum(spark, tmp_path):
+    """A tagged version survives count-based vacuum (manifest + files);
+    untagged expired versions are cleanly gone; tags are immutable."""
+    t = _mk(spark, tmp_path, n=100, n_files=2)
+    t.tag("audit")  # pins v1
+    t.merge_upsert(spark.createDataFrame([(1, -1.0)], "id long, val double"))
+    t.merge_upsert(spark.createDataFrame([(2, -2.0)], "id long, val double"))
+    t.compact(n_files=1)  # v4
+    audit = t.vacuum(retain_last=1)
+    assert 1 in audit["retained_versions"] and 4 in audit["retained_versions"]
+    # tagged v1 fully readable; untagged v2/v3 expired
+    v1 = {r["id"]: r["val"] for r in t.read_tag("audit").collect()}
+    assert len(v1) == 100 and v1[1] == 2.0
+    assert not os.path.exists(t._manifest_path(2))
+    assert not os.path.exists(t._manifest_path(3))
+    assert t.tags() == {"audit": 1}
+    with pytest.raises(CommitConflictError):
+        t.tag("audit", 4)
+    t.delete_tag("audit")
+    assert t.tags() == {}
