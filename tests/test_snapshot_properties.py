@@ -38,6 +38,21 @@ op_strategy = st.one_of(
     st.tuples(st.just("delete"), st.integers(0, 60)),
     st.tuples(st.just("compact"), st.integers(1, 3)),
     st.tuples(st.just("rollback"), st.none()),
+    # three-arm CDC merge: (key, value, tombstone) — tombstoned keys
+    # delete, the rest upsert, all in one commit
+    st.tuples(
+        st.just("cdc"),
+        st.lists(
+            st.tuples(
+                st.integers(0, 60),
+                st.floats(-5, 5, allow_nan=False),
+                st.booleans(),
+            ),
+            min_size=1,
+            max_size=4,
+            unique_by=lambda kvd: kvd[0],
+        ),
+    ),
 )
 
 
@@ -81,6 +96,21 @@ def test_random_op_sequences_match_dict_model(spark, table_root, ops, seq):
             v = max(1, t.latest_version() - 1)
             t.rollback(v)
             model = dict(model_history[v - 1])
+        elif op == "cdc":
+            rows = [
+                (int(k), float(v), bool(d)) for k, v, d in arg
+            ]
+            t.merge_upsert(
+                spark.createDataFrame(
+                    rows, "id long, val double, _del boolean"
+                ),
+                tombstone_col="_del",
+            )
+            for k, v, d in rows:
+                if d:
+                    model.pop(k, None)
+                else:
+                    model[k] = v
         model_history.append(dict(model))
 
         got = {r["id"]: r["val"] for r in t.read().collect()}
