@@ -771,3 +771,35 @@ def snapshot_tag_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.compact(n_files=4)
     t.vacuum(retain_last=1)
     return t.read_tag("as-shipped")
+
+
+@register(
+    "snapshot_zorder_pruning",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS sum_price,
+           MIN(o_orderkey) AS min_key,
+           MAX(o_orderkey) AS max_key
+    FROM orders WHERE o_totalprice >= 200000.0 AND o_totalprice <= 250000.0
+    """,
+)
+def snapshot_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER as a snapshot commit: the table is re-clustered
+    on the Z-curve of (o_orderkey, o_totalprice) so the manifest's
+    multi-column zone maps prune file reads on EITHER dimension —
+    here a price-band read on a column the original key clustering
+    cannot prune at all. The residual filter keeps the answer exact
+    (oracle recomputes the band from the base table); the file-skip
+    counts themselves are asserted in
+    tests/test_snapshots.py::test_zorder_prunes_both_dimensions."""
+    t = SnapshotTable(
+        spark, fresh_table_dir(sf_dir, "zorder_pruning", spark), key="o_orderkey"
+    )
+    t.create(_base_orders(spark, sf_dir), n_files=8)
+    t.cluster_zorder("o_totalprice", n_files=8)
+    return t.read_pruned_on("o_totalprice", 200000.0, 250000.0).agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )

@@ -81,6 +81,9 @@ class FileEntry:
     #: optional per-column bloom bitmaps (sorted set-bit indexes) for
     #: point-lookup file skipping on non-clustered columns
     blooms: dict[str, list[int]] | None = None
+    #: optional per-column [min, max] for every numeric column — the
+    #: multi-column zone map behind :meth:`SnapshotTable.read_pruned_on`
+    stats: dict[str, list] | None = None
 
     def to_json(self) -> dict:
         d = {
@@ -91,12 +94,19 @@ class FileEntry:
         }
         if self.blooms is not None:
             d["blooms"] = self.blooms
+        if self.stats is not None:
+            d["stats"] = self.stats
         return d
 
     @classmethod
     def from_json(cls, d: dict) -> "FileEntry":
         return cls(
-            d["path"], d["rows"], d["min_key"], d["max_key"], d.get("blooms")
+            d["path"],
+            d["rows"],
+            d["min_key"],
+            d["max_key"],
+            d.get("blooms"),
+            d.get("stats"),
         )
 
 
@@ -244,22 +254,34 @@ class SnapshotTable:
         import pyarrow.parquet as pq
 
         md = pq.ParquetFile(fpath).metadata
-        key_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[
-            self.key
-        ]
-        mins, maxs = [], []
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(key_idx).statistics
-            if st is not None and st.has_min_max:
-                mins.append(st.min)
-                maxs.append(st.max)
+        # footer-derived per-column min/max for EVERY numeric column —
+        # JSON-native, so the manifest becomes a multi-column zone map:
+        # read_pruned_on() can file-skip on any of them, not just the
+        # clustering key (what makes cluster_zorder's second dimension
+        # actually prunable)
+        col_stats: dict[str, list] = {}
+        for i in range(md.num_columns):
+            name = md.schema.column(i).name
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(i).statistics
+                if st is not None and st.has_min_max:
+                    if isinstance(st.min, (int, float)) and isinstance(
+                        st.max, (int, float)
+                    ):
+                        mins.append(st.min)
+                        maxs.append(st.max)
+            if mins:
+                col_stats[name] = [min(mins), max(maxs)]
+        key_range = col_stats.get(self.key)
         blooms = self._file_blooms(fpath) if self.bloom_cols else None
         return FileEntry(
             path=fpath,
             rows=md.num_rows,
-            min_key=min(mins) if mins else None,
-            max_key=max(maxs) if maxs else None,
+            min_key=key_range[0] if key_range else None,
+            max_key=key_range[1] if key_range else None,
             blooms=blooms,
+            stats=col_stats or None,
         )
 
     def _bloom_positions(self, value) -> list[int]:
@@ -371,6 +393,104 @@ class SnapshotTable:
             return self.read(version).limit(0)
         df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
         return df.filter((F.col(self.key) >= lo) & (F.col(self.key) <= hi))
+
+    def read_pruned_on(
+        self, col: str, lo, hi, version: int | None = None
+    ) -> DataFrame:
+        """Range read pruned on ANY numeric column via the manifest's
+        multi-column zone maps: only files whose [min, max] for ``col``
+        overlaps [lo, hi] are opened. On a key-clustered layout a
+        non-key column scatters across every file (no pruning); after
+        :meth:`cluster_zorder` on (key, col), both dimensions prune —
+        the Delta OPTIMIZE ZORDER payoff, decided driver-side before
+        any task launches. Conservative: a file without stats for
+        ``col`` is read; the residual filter keeps the answer exact."""
+        m = self._read_manifest(version)
+        paths = []
+        for f in m["files"]:
+            rng = (f.get("stats") or {}).get(col)
+            if rng is None or (rng[0] <= hi and rng[1] >= lo):
+                paths.append(f["path"])
+        if not paths:
+            return self.read(version).limit(0).filter(
+                (F.col(col) >= lo) & (F.col(col) <= hi)
+            )
+        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        return df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+
+    def files_overlapping(self, col: str, lo, hi, version: int | None = None) -> int:
+        """How many files a [lo, hi] read on ``col`` would open —
+        the layout-quality metric the clustering tests assert on."""
+        m = self._read_manifest(version)
+        return sum(
+            1
+            for f in m["files"]
+            if (rng := (f.get("stats") or {}).get(col)) is None
+            or (rng[0] <= hi and rng[1] >= lo)
+        )
+
+    ZORDER_BITS = 10
+
+    def cluster_zorder(self, col2: str, n_files: int = 8) -> int:
+        """Re-cluster the current snapshot on the Z-curve of
+        (key, ``col2``) and commit it — Delta's OPTIMIZE ZORDER as a
+        snapshot commit. Both columns quantize to 10 bits (min/max from
+        one bounded aggregate), bit-interleave into a 20-bit z-value
+        (pure shift/and/or column arithmetic, JVM-side), and the
+        rewrite range-partitions + sorts on it, so every file covers a
+        compact 2-D box: reads filtered on EITHER column now prune via
+        the multi-column zone maps. Old versions keep the old layout
+        (clustering is just a commit)."""
+        parent = self.latest_version()
+        cur = self.read(parent)
+        bounds = cur.agg(
+            F.min(self.key).alias("k_mn"),
+            F.max(self.key).alias("k_mx"),
+            F.min(col2).alias("c_mn"),
+            F.max(col2).alias("c_mx"),
+        )
+        scale = 1 << self.ZORDER_BITS
+
+        def q(c, mn, mx):
+            return F.least(
+                F.lit(scale - 1),
+                F.floor(
+                    (F.col(c) - F.col(mn))
+                    / (F.col(mx) - F.col(mn) + F.lit(1e-9))
+                    * scale
+                ).cast("long"),
+            )
+
+        z = F.lit(0).cast("long")
+        for i in range(self.ZORDER_BITS):
+            z = z + F.shiftleft(
+                F.shiftright(q(self.key, "k_mn", "k_mx"), i).bitwiseAND(F.lit(1)),
+                2 * i,
+            )
+            z = z + F.shiftleft(
+                F.shiftright(q(col2, "c_mn", "c_mx"), i).bitwiseAND(F.lit(1)),
+                2 * i + 1,
+            )
+        import uuid
+
+        zdf = (
+            cur.crossJoin(F.broadcast(bounds))
+            .withColumn("__z", z)
+            .repartitionByRange(n_files, F.col("__z"))
+            .sortWithinPartitions("__z")
+            .drop("__z", "k_mn", "k_mx", "c_mn", "c_mx")
+        )
+        version = parent + 1
+        out_dir = os.path.join(
+            self.path, "data", f"commit-{version:06d}-{uuid.uuid4().hex[:8]}"
+        )
+        zdf.write.mode("overwrite").parquet(out_dir)
+        new_files = [
+            self._file_entry(os.path.join(out_dir, n))
+            for n in sorted(os.listdir(out_dir))
+            if n.endswith(".parquet")
+        ]
+        return self._commit("cluster_zorder", new_files, parent)
 
     def read_point_lookup(
         self, col: str, value, version: int | None = None

@@ -601,3 +601,28 @@ def test_tags_pin_versions_through_vacuum(spark, tmp_path):
         t.tag("audit", 4)
     t.delete_tag("audit")
     assert t.tags() == {}
+
+
+def test_zorder_prunes_both_dimensions(spark, tmp_path):
+    """After cluster_zorder(key, val), a val-band read opens fewer
+    files than the key-clustered layout (where val scatters across
+    every file) AND key-range reads still prune."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), key="id")
+    df = spark.range(4000).select(
+        "id", ((F.col("id") * 7919) % 1000).cast("double").alias("val")
+    )
+    t.create(df, n_files=8)  # key-clustered: val scatters everywhere
+    before = t.files_overlapping("val", 100.0, 150.0)
+    assert before == 8, "key clustering cannot prune a val band"
+    t.cluster_zorder("val", n_files=8)
+    after = t.files_overlapping("val", 100.0, 150.0)
+    assert after < before, f"z-order must prune the val band ({after})"
+    # key dimension still prunes on the z layout
+    key_files = t.files_overlapping("id", 0, 400)
+    assert key_files < 8, f"z-order must keep key pruning ({key_files})"
+    # correctness: pruned read equals full-filter read
+    got = sorted(
+        r["id"] for r in t.read_pruned_on("val", 100.0, 150.0).collect()
+    )
+    want = sorted(r["id"] for r in df.filter("val BETWEEN 100 AND 150").collect())
+    assert got == want
