@@ -228,13 +228,15 @@ def _adjudicated_names(root: str | None = None) -> set[str]:
     return seen
 
 
-def _prioritized(d: dict) -> dict:
+def _prioritized(d: dict, seen: set[str] | None = None) -> dict:
     """Order ``d`` so the driver's fixed-size sweep window lands on the
     queries that need adjudication most: (1) the static §2 preference
     list, minus already-green entries; (2) every other query without a
     driver-green row, in registration order; (3) the already-green
-    rest."""
-    seen = _adjudicated_names()
+    rest. ``seen`` overrides the adjudicated set (tests pin a record
+    fixture via ``_adjudicated_names(root=...)``)."""
+    if seen is None:
+        seen = _adjudicated_names()
     head = {n: d[n] for n in _PRIORITY if n in d and n not in seen}
     mid = {n: v for n, v in d.items() if n not in head and n not in seen}
     tail = {n: v for n, v in d.items() if n not in head and n not in mid}

@@ -72,8 +72,15 @@ def test_priority_names_all_registered():
 
 def test_r04_window_contains_stale_err_ops():
     """The fix's acceptance check, as a regression test: with the
-    committed r01-r03 records, all 15 ops whose latest record is the
-    r02 fixture crash land in the first-50 window."""
+    PINNED r01-r03 record fixture (tests/fixtures/rotation_records_r03,
+    a snapshot of the repo records as of round 4's start), all 15 ops
+    whose latest record is the r02 fixture crash land in the first-50
+    window. Pinning via ``_adjudicated_names(root=...)`` keeps this
+    green as later driver rounds legitimately rotate those now-green
+    ops out of the live window (round-4 judge finding #1)."""
+    import pathlib
+
+    fixture = pathlib.Path(__file__).parent / "fixtures" / "rotation_records_r03"
     stale = [
         "scan_events_ns", "sink_parquet_roundtrip", "route_by_event_type",
         "join_asof", "agg_count_distinct", "agg_approx_distinct",
@@ -82,6 +89,8 @@ def test_r04_window_contains_stale_err_ops():
         "pipeline_observe_metrics", "route_dead_letter",
         "scan_dynamic_partition_pruning", "scan_formats_roundtrip",
     ]
-    window = list(registry.queries())[:50]
+    registry._load_all()
+    seen = registry._adjudicated_names(root=str(fixture))
+    window = list(registry._prioritized(registry._QUERIES, seen=seen))[:50]
     missing = [s for s in stale if s not in window]
     assert not missing, f"stale-ERR ops missing from window: {missing}"
