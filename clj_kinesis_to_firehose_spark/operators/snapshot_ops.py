@@ -140,7 +140,7 @@ def snapshot_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_MERGED_SQL}
     SELECT COUNT(*) AS n_rows,
            CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
-           ROUND(SUM(o_totalprice), 2) AS sum_price
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price
     FROM merged
     """,
 )
@@ -155,7 +155,7 @@ def snapshot_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().agg(
         F.count("*").alias("n_rows"),
         F.countDistinct("o_orderkey").cast("long").alias("n_keys"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2).cast("double").alias("sum_price"),
     )
 
 
@@ -333,7 +333,7 @@ def snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_MERGED_SQL}
     SELECT COUNT(*) AS n_rows,
            CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
-           ROUND(SUM(o_totalprice), 2) AS sum_price
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price
     FROM merged
     """,
 )
@@ -350,7 +350,7 @@ def snapshot_vacuum_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().agg(
         F.count("*").alias("n_rows"),
         F.countDistinct("o_orderkey").cast("long").alias("n_keys"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2).cast("double").alias("sum_price"),
     )
 
 
@@ -358,7 +358,7 @@ def snapshot_vacuum_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     "snapshot_pruned_scan",
     oracle="""
     SELECT COUNT(*) AS n_rows,
-           ROUND(SUM(o_totalprice), 2) AS sum_price,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price,
            MIN(o_orderkey) AS min_key,
            MAX(o_orderkey) AS max_key
     FROM orders WHERE o_orderkey BETWEEN 3000 AND 4500
@@ -378,7 +378,7 @@ def snapshot_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.create(_base_orders(spark, sf_dir), n_files=8)
     return t.read_pruned(3000, 4500).agg(
         F.count("*").alias("n_rows"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2).cast("double").alias("sum_price"),
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
     )
@@ -684,7 +684,7 @@ def snapshot_incremental_aggregate(spark: SparkSession, sf_dir: str) -> DataFram
     return agg.filter(F.col("d_n") > 0).select(
         F.col("bucket").cast("long").alias("bucket"),
         F.col("d_n").cast("long").alias("n_orders"),
-        F.round(F.col("d_sum").cast("double"), 2).alias("sum_price"),
+        F.round(F.col("d_sum"), 2).cast("double").alias("sum_price"),
     )
 
 
@@ -725,7 +725,7 @@ def snapshot_history_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_MERGED_SQL}
     SELECT COUNT(*) AS n_rows,
            CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
-           ROUND(SUM(o_totalprice), 2) AS sum_price
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price
     FROM merged
     """,
 )
@@ -743,7 +743,7 @@ def snapshot_compact_small(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().agg(
         F.count("*").alias("n_rows"),
         F.countDistinct("o_orderkey").cast("long").alias("n_keys"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2).cast("double").alias("sum_price"),
     )
 
 
@@ -777,7 +777,7 @@ def snapshot_tag_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     "snapshot_zorder_pruning",
     oracle="""
     SELECT COUNT(*) AS n_rows,
-           ROUND(SUM(o_totalprice), 2) AS sum_price,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price,
            MIN(o_orderkey) AS min_key,
            MAX(o_orderkey) AS max_key
     FROM orders WHERE o_totalprice >= 200000.0 AND o_totalprice <= 250000.0
@@ -799,7 +799,7 @@ def snapshot_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.cluster_zorder("o_totalprice", n_files=8)
     return t.read_pruned_on("o_totalprice", 200000.0, 250000.0).agg(
         F.count("*").alias("n_rows"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2).cast("double").alias("sum_price"),
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
     )

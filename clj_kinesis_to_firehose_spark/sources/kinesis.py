@@ -156,6 +156,7 @@ def kpl_deaggregate(blob: bytes) -> list[tuple[str, bytes]]:
     if hashlib.md5(payload).digest() != digest:
         raise ValueError("KPL aggregated record failed md5 checksum")
     keys: list[str] = []
+    pending: list[tuple[int, bytes]] = []
     recs: list[tuple[str, bytes]] = []
     pos = 0
     while pos < len(payload):
@@ -175,16 +176,32 @@ def kpl_deaggregate(blob: bytes) -> list[tuple[str, bytes]]:
             while rpos < len(field):
                 rtag = field[rpos]
                 rpos += 1
+                wire = rtag & 7
                 if rtag == 0x08:
                     key_idx, rpos = _read_varint(field, rpos)
-                elif rtag in (0x1A, 0x12):  # data / explicit hash key
+                elif wire == 2:  # length-delimited: data (0x1a),
+                    # explicit hash key (0x12), repeated Tag tags (0x22)
                     rlen, rpos = _read_varint(field, rpos)
                     if rtag == 0x1A:
                         data = bytes(field[rpos : rpos + rlen])
                     rpos += rlen
-                else:  # unknown varint field (tags) — skip
+                elif wire == 0:  # unknown varint field — skip
                     _, rpos = _read_varint(field, rpos)
-            recs.append((keys[key_idx], data))
+                else:
+                    raise ValueError(
+                        f"unsupported KPL record wire type {wire} (tag {rtag:#x})"
+                    )
+            # key table entries may legally arrive after the Record in
+            # protobuf field order — resolve indices only after the
+            # whole payload is walked
+            pending.append((key_idx, data))
         else:
             raise ValueError(f"unexpected KPL field tag {tag:#x}")
+    for key_idx, data in pending:
+        if key_idx >= len(keys):
+            raise ValueError(
+                f"KPL record references partition key index {key_idx} "
+                f"outside key table of size {len(keys)}"
+            )
+        recs.append((keys[key_idx], data))
     return recs

@@ -72,6 +72,21 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
 
+def _parse_byte_size(raw: str) -> int:
+    """Parse a Spark byte-size conf string (``134217728``, ``128m``,
+    ``1g``, ``512k``, ``134217728b``) to bytes. Stripping non-digits —
+    the previous approach — read ``128m`` as 128 bytes, inflating the
+    split estimate ~10^6× and silently disabling the small-file
+    fan-out repartition."""
+    s = raw.strip().lower()
+    units = {"b": 1, "k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4, "p": 1024**5}
+    mult = 1
+    if s and s[-1] in units:
+        mult = units[s[-1]]
+        s = s[:-1]
+    return int(s) * mult
+
+
 def fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Round-robin repartition to core count when a scan arrives with
     fewer partitions — the local-fixture mitigation for single-file
@@ -107,7 +122,7 @@ def fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
         return df
     try:
         raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
-        max_pb = int("".join(ch for ch in str(raw) if ch.isdigit()) or "134217728")
+        max_pb = _parse_byte_size(str(raw))
     except Exception:
         max_pb = 128 * 1024 * 1024
     est_splits = 0

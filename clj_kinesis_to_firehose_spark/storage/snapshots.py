@@ -853,8 +853,8 @@ class SnapshotTable:
         narrow merges: each merge leaves a small rewrite file, and the
         periodic OPTIMIZE touches only that fragmentation, never the
         bulk of the table (a full :meth:`compact` rewrite is an
-        anti-pattern at 100 TB). A no-op commit if fewer than two
-        files qualify."""
+        anti-pattern at 100 TB). Returns the current version without
+        committing when fewer than two files qualify."""
         parent = self.latest_version()
         m = self._read_manifest(parent)
         small = [f for f in m["files"] if f["rows"] < min_rows]
@@ -862,10 +862,11 @@ class SnapshotTable:
             FileEntry.from_json(f) for f in m["files"] if f["rows"] >= min_rows
         ]
         if len(small) < 2:
-            return self._commit(
-                "compact_small", carried + [FileEntry.from_json(f) for f in small],
-                parent,
-            )
+            # True no-op: publishing an identical-manifest version here
+            # would churn versions on every periodic maintenance pass
+            # and, under count-based vacuum retention, age real history
+            # out of the retained window.
+            return parent
         merged = self.spark.read.option("mergeSchema", "true").parquet(
             *sorted(f["path"] for f in small)
         )

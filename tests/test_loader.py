@@ -64,3 +64,36 @@ def test_fan_out_trusts_splittable_large_files(spark, tmp_path):
         assert fan_out(spark, df) is not df, "unsplittable small-file scan fans out"
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_parse_byte_size_unit_suffixes():
+    """Spark byte-size confs carry k/m/g suffixes ("128m" is 128 MiB,
+    not 128 bytes — advisor finding, round 4); fan_out's split estimate
+    must honor them or it silently never repartitions."""
+    from clj_kinesis_to_firehose_spark.sources.loader import _parse_byte_size
+
+    assert _parse_byte_size("134217728") == 128 * 1024 * 1024
+    assert _parse_byte_size("134217728b") == 128 * 1024 * 1024
+    assert _parse_byte_size("128m") == 128 * 1024 * 1024
+    assert _parse_byte_size("128M") == 128 * 1024 * 1024
+    assert _parse_byte_size("1g") == 1024 ** 3
+    assert _parse_byte_size("512k") == 512 * 1024
+    assert _parse_byte_size(" 64m ") == 64 * 1024 * 1024
+
+
+def test_fan_out_honors_suffixed_max_partition_bytes(spark, tmp_path):
+    """With maxPartitionBytes set via an "m" suffix, a small single
+    file is UNsplittable at that size and must still fan out (the old
+    digit-strip parse read "32m" as 32 bytes and skipped the
+    repartition)."""
+    from clj_kinesis_to_firehose_spark.sources.loader import fan_out
+
+    p = str(tmp_path / "small.parquet")
+    spark.range(1000).coalesce(1).write.mode("overwrite").parquet(p)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    df = spark.read.parquet(p)
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "32m")
+        assert fan_out(spark, df) is not df, "suffixed conf must parse as MiB"
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)

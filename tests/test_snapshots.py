@@ -575,9 +575,13 @@ def test_compact_small_leaves_big_files(spark, tmp_path):
     assert len(after) == len(big_before) + 1, "fragments fold into one file"
     got = {r["id"]: r["val"] for r in t.read().collect()}
     assert got[5000] == -1.0 and got[6000] == -2.0 and len(got) == 1002
-    # fewer-than-two qualifying fragments → metadata-only commit
+    # fewer-than-two qualifying fragments → true no-op: no new version
+    # (publishing an identical manifest would churn versions on every
+    # maintenance pass and age real history out of count-based vacuum)
     files_now = {f["path"] for f in after}
-    t.compact_small(min_rows=1, n_files=1)
+    v_now = t.latest_version()
+    assert t.compact_small(min_rows=1, n_files=1) == v_now
+    assert t.latest_version() == v_now
     assert {f["path"] for f in t._read_manifest(t.latest_version())["files"]} == files_now
 
 

@@ -619,3 +619,54 @@ def test_kpl_decoder_tolerates_explicit_hash_keys():
     body += b"\x1a" + _varint(len(rec)) + rec
     blob = KPL_MAGIC + body + hashlib.md5(body).digest()
     assert kpl_deaggregate(blob) == [("mykey", b"payload")]
+
+
+def _kpl_blob(body: bytes) -> bytes:
+    import hashlib
+
+    from clj_kinesis_to_firehose_spark.sources.kinesis import KPL_MAGIC
+
+    return KPL_MAGIC + body + hashlib.md5(body).digest()
+
+
+def test_kpl_decoder_skips_length_delimited_tags_field():
+    """KPL's ``repeated Tag tags = 4`` is LENGTH-DELIMITED (tag byte
+    0x22), not a varint — a wire-type-blind skip misparses the length
+    prefix as a varint value and desyncs the whole record (advisor
+    finding, round 4)."""
+    from clj_kinesis_to_firehose_spark.sources.kinesis import _varint, kpl_deaggregate
+
+    pk, data = b"pk", b"data-bytes"
+    tag_msg = b"\x0a" + _varint(3) + b"env" + b"\x12" + _varint(4) + b"prod"
+    rec = b"\x08" + _varint(0)
+    rec += b"\x1a" + _varint(len(data)) + data
+    rec += b"\x22" + _varint(len(tag_msg)) + tag_msg   # tags submessage
+    body = b"\x0a" + _varint(len(pk)) + pk
+    body += b"\x1a" + _varint(len(rec)) + rec
+    assert kpl_deaggregate(_kpl_blob(body)) == [("pk", b"data-bytes")]
+
+
+def test_kpl_decoder_accepts_record_before_key_table():
+    """Protobuf serializers may emit fields in any order: a Record
+    whose partition_key_index precedes its key-table entry is legal
+    and must resolve after the full payload is walked."""
+    from clj_kinesis_to_firehose_spark.sources.kinesis import _varint, kpl_deaggregate
+
+    pk, data = b"late-key", b"v"
+    rec = b"\x08" + _varint(0) + b"\x1a" + _varint(len(data)) + data
+    body = b"\x1a" + _varint(len(rec)) + rec            # Record first
+    body += b"\x0a" + _varint(len(pk)) + pk             # key table after
+    assert kpl_deaggregate(_kpl_blob(body)) == [("late-key", b"v")]
+
+
+def test_kpl_decoder_rejects_out_of_range_key_index():
+    """A key index beyond the key table must raise ValueError (bad
+    blob), not IndexError (decoder bug)."""
+    import pytest
+
+    from clj_kinesis_to_firehose_spark.sources.kinesis import _varint, kpl_deaggregate
+
+    rec = b"\x08" + _varint(7) + b"\x1a" + _varint(1) + b"x"
+    body = b"\x0a" + _varint(2) + b"pk" + b"\x1a" + _varint(len(rec)) + rec
+    with pytest.raises(ValueError, match="key index"):
+        kpl_deaggregate(_kpl_blob(body))
