@@ -341,6 +341,86 @@ def sink_firehose_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sink_firehose_dead_letter",
+    oracle="""
+    SELECT event_type AS stream,
+           CAST(COUNT(*) FILTER (WHERE event_type <> 'error') AS BIGINT)
+             AS n_delivered,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+             AS n_dead
+    FROM events GROUP BY event_type
+    """,
+)
+def sink_firehose_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poison-record dead-lettering (Firehose's S3 error-prefix backup
+    [PK]): 'error'-typed payloads fail delivery on EVERY attempt; after
+    retry exhaustion they divert to the DLQ and delivery CONTINUES —
+    one poison record must not block the rest of its batch or wedge a
+    checkpoint replay. The audit is physical, not counter-based: the
+    delivered and dead-letter files are read back, and
+    delivered + dead must equal the source exactly, per stream."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from clj_kinesis_to_firehose_spark.sources import load_table
+    from clj_kinesis_to_firehose_spark.streaming.firehose_sink import (
+        DeadLetterDir,
+        LocalDirFirehoseClient,
+        deliver_records,
+    )
+
+    out_dir = tempfile.mkdtemp(prefix="kf_sink_dlq_")
+    ev = load_table(spark, sf_dir, "events")
+    serialized = ev.select(
+        F.col("event_type").alias("__stream"),
+        F.to_json(F.struct(*ev.columns)).alias("__payload"),
+    )
+
+    def per_partition(rows):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        client = LocalDirFirehoseClient(
+            out_dir, poison_marker=b'"event_type":"error"'
+        )
+        dead_letter = DeadLetterDir(out_dir)
+        by_stream: dict[str, list[bytes]] = {}
+        for row in rows:
+            by_stream.setdefault(row["__stream"], []).append(
+                row["__payload"].encode("utf-8")
+            )
+        for stream, records in by_stream.items():
+            deliver_records(
+                records,
+                client,
+                stream,
+                max_retries=2,
+                sleep=lambda s: None,
+                idempotency_prefix=f"dlq-p{pid}-{stream}",
+                dead_letter=dead_letter,
+            )
+
+    serialized.foreachPartition(per_partition)
+    delivered = (
+        spark.read.json(os.path.join(out_dir, "*.jsonl"))
+        .groupBy(F.col("event_type").alias("stream"))
+        .agg(F.count("*").alias("n_delivered"))
+    )
+    dead = (
+        spark.read.json(os.path.join(out_dir, "errors", "*.jsonl"))
+        .groupBy(F.col("event_type").alias("stream"))
+        .agg(F.count("*").alias("n_dead"))
+    )
+    return (
+        delivered.join(dead, "stream", "full_outer")
+        .na.fill(0, ["n_delivered", "n_dead"])
+        .select("stream", "n_delivered", "n_dead")
+    )
+
+
+@register(
     "stream_static_enrich",
     oracle="""
     SELECT c_mktsegment, event_type, COUNT(*) AS n_events,

@@ -90,11 +90,31 @@ class LocalDirFirehoseClient(FirehoseClient):
     resubmit), emulating Firehose partial failures.
     """
 
-    def __init__(self, out_dir: str, fail_first_attempt_every: int = 0) -> None:
+    def __init__(
+        self,
+        out_dir: str,
+        fail_first_attempt_every: int = 0,
+        poison_marker: bytes | None = None,
+    ) -> None:
         self.out_dir = out_dir
         self.fail_first_attempt_every = fail_first_attempt_every
+        #: records containing this byte-substring fail EVERY attempt —
+        #: the permanently-undeliverable ("poison") record double
+        self.poison_marker = poison_marker
         self._seen: set[bytes] = set()
         os.makedirs(out_dir, exist_ok=True)
+
+    def _injected_failure(self, i: int, rec: bytes) -> bool:
+        if self.poison_marker is not None and self.poison_marker in rec:
+            return True
+        if (
+            self.fail_first_attempt_every
+            and (i + 1) % self.fail_first_attempt_every == 0
+            and rec not in self._seen
+        ):
+            self._seen.add(rec)
+            return True
+        return False
 
     def put_record_batch(
         self, stream_name: str, batch: list[bytes], idempotency_key: str | None = None
@@ -102,12 +122,7 @@ class LocalDirFirehoseClient(FirehoseClient):
         failed: list[int] = []
         accepted: list[bytes] = []
         for i, rec in enumerate(batch):
-            if (
-                self.fail_first_attempt_every
-                and (i + 1) % self.fail_first_attempt_every == 0
-                and rec not in self._seen
-            ):
-                self._seen.add(rec)
+            if self._injected_failure(i, rec):
                 failed.append(i)
             else:
                 accepted.append(rec)
@@ -122,6 +137,27 @@ class LocalDirFirehoseClient(FirehoseClient):
         return failed
 
 
+class DeadLetterDir:
+    """Dead-letter target modeling Firehose's S3 error-prefix backup
+    [PK: undeliverable records land under an ``errors/`` prefix instead
+    of failing the stream]: undeliverables are written as JSON-lines
+    under ``{out_dir}/errors/``, named by an idempotency key so a
+    micro-batch replay overwrites rather than duplicates — the DLQ is
+    exactly-once under the same checkpoint contract as the sink."""
+
+    def __init__(self, out_dir: str) -> None:
+        self.out_dir = os.path.join(out_dir, "errors")
+
+    def __call__(
+        self, stream_name: str, records: list[bytes], idempotency_key: str | None = None
+    ) -> None:
+        os.makedirs(self.out_dir, exist_ok=True)
+        name = idempotency_key or uuid.uuid4().hex
+        path = os.path.join(self.out_dir, f"{stream_name}-{name}.jsonl")
+        with open(path, "wb") as f:
+            f.writelines(records)
+
+
 def deliver_records(
     records: Iterable[bytes],
     client: FirehoseClient,
@@ -130,11 +166,18 @@ def deliver_records(
     backoff_base_s: float = 0.05,
     sleep: Callable[[float], None] = time.sleep,
     idempotency_prefix: str | None = None,
+    dead_letter: Callable[..., None] | None = None,
 ) -> dict[str, int]:
     """Chunk → put → resubmit failed subset with capped exponential
     backoff. Returns delivery counters. At-least-once overall; paired
-    with idempotent batch naming it is effectively-once."""
-    n_records = n_batches = n_retried = 0
+    with idempotent batch naming it is effectively-once.
+
+    On retry exhaustion: with a ``dead_letter`` target, the still-failed
+    subset is diverted there and delivery CONTINUES with the next batch
+    (counted in ``n_dead``) — a single poison record must not wedge the
+    stream (the checkpoint would replay the same micro-batch forever).
+    Without one, raises — the opt-in strict mode."""
+    n_records = n_batches = n_retried = n_dead = 0
     for batch_idx, batch in enumerate(chunk_records(records)):
         attempt = 0
         pending = batch
@@ -146,9 +189,17 @@ def deliver_records(
             n_records += delivered
             if failed:
                 if attempt >= max_retries:
-                    raise RuntimeError(
-                        f"{len(failed)} records undeliverable after {max_retries} retries"
-                    )
+                    undeliverable = [pending[i] for i in failed]
+                    if dead_letter is None:
+                        raise RuntimeError(
+                            f"{len(undeliverable)} records undeliverable "
+                            f"after {max_retries} retries"
+                        )
+                    dl_kwargs = {"idempotency_key": f"{key}-dead"} if key else {}
+                    dead_letter(stream_name, undeliverable, **dl_kwargs)
+                    n_dead += len(undeliverable)
+                    pending = []
+                    continue
                 pending = [pending[i] for i in failed]
                 n_retried += len(pending)
                 sleep(min(backoff_base_s * (2**attempt), 2.0))
@@ -156,7 +207,12 @@ def deliver_records(
             else:
                 pending = []
         n_batches += 1
-    return {"n_records": n_records, "n_batches": n_batches, "n_retried": n_retried}
+    return {
+        "n_records": n_records,
+        "n_batches": n_batches,
+        "n_retried": n_retried,
+        "n_dead": n_dead,
+    }
 
 
 def firehose_foreach_batch(
@@ -164,6 +220,7 @@ def firehose_foreach_batch(
     stream_name_col: str = "event_type",
     fail_first_attempt_every: int = 0,
     client_factory=None,
+    strict: bool = False,
 ):
     """Build a ``foreachBatch`` function implementing the full bridge:
     route by ``stream_name_col`` → JSON-lines serialize → chunk under
@@ -173,6 +230,12 @@ def firehose_foreach_batch(
     are keyed by (epoch, partition) so micro-batch replays after a
     failure overwrite instead of duplicating — exactly-once with the
     streaming checkpoint WAL (SURVEY.md §3.4).
+
+    By default retry-exhausted records divert to ``{out_dir}/errors/``
+    (:class:`DeadLetterDir`) and the stream keeps going — Firehose's
+    error-prefix behavior, and the only liveness-safe default: a raise
+    here makes the checkpoint replay the same poison micro-batch
+    forever. ``strict=True`` restores raise-on-exhaustion.
     """
     from pyspark.sql import functions as F
 
@@ -202,6 +265,7 @@ def firehose_foreach_batch(
                     stream,
                     sleep=lambda s: None,
                     idempotency_prefix=f"e{epoch_id}-p{pid}",
+                    dead_letter=None if strict else DeadLetterDir(out_dir),
                 )
 
         serialized.foreachPartition(per_partition)
@@ -227,12 +291,7 @@ class ParquetConvertingFirehoseClient(LocalDirFirehoseClient):
         failed: list[int] = []
         accepted: list[dict] = []
         for i, rec in enumerate(batch):
-            if (
-                self.fail_first_attempt_every
-                and (i + 1) % self.fail_first_attempt_every == 0
-                and rec not in self._seen
-            ):
-                self._seen.add(rec)
+            if self._injected_failure(i, rec):
                 failed.append(i)
             else:
                 accepted.append(json.loads(rec))

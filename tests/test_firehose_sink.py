@@ -147,3 +147,65 @@ def test_parquet_client_schema_unions_across_batch(tmp_path):
     table = pq.read_table(os.path.join(tmp_path, f))
     assert set(table.column_names) == {"event_id", "event_type", "value"}
     assert table.column("value").to_pylist() == [None, 7.5]
+
+
+def test_poison_record_diverts_to_dead_letter_and_delivery_continues():
+    """One permanently-failing record must not block the rest of its
+    batch: the poison subset diverts to the DLQ after retry exhaustion,
+    every other record delivers, and delivered + dead == source."""
+    from clj_kinesis_to_firehose_spark.streaming.firehose_sink import DeadLetterDir
+
+    out = tempfile.mkdtemp(prefix="kf_dlq_")
+    client = LocalDirFirehoseClient(out, poison_marker=b"POISON")
+    records = [f'{{"i": {i}}}'.encode() for i in range(100)]
+    records[37] = b'{"i": 37, "tag": "POISON"}'
+    stats = deliver_records(
+        records, client, "s", max_retries=2, sleep=lambda s: None,
+        idempotency_prefix="e0-p0", dead_letter=DeadLetterDir(out),
+    )
+    assert stats["n_dead"] == 1
+    assert stats["n_records"] == 99
+    delivered = []
+    for f in os.listdir(out):
+        p = os.path.join(out, f)
+        if os.path.isfile(p):
+            with open(p, "rb") as fh:
+                delivered += fh.read().splitlines()
+    assert len(delivered) == 99 and not any(b"POISON" in r for r in delivered)
+    err_dir = os.path.join(out, "errors")
+    dead = []
+    for f in os.listdir(err_dir):
+        with open(os.path.join(err_dir, f), "rb") as fh:
+            dead += fh.read().splitlines()
+    assert dead == [b'{"i": 37, "tag": "POISON"}']
+
+
+def test_dead_letter_replay_is_idempotent():
+    """A micro-batch replay re-dead-letters the same poison records
+    under the same idempotency key — the DLQ must not accumulate
+    duplicates (same exactly-once contract as the delivery files)."""
+    from clj_kinesis_to_firehose_spark.streaming.firehose_sink import DeadLetterDir
+
+    out = tempfile.mkdtemp(prefix="kf_dlq_")
+    records = [b'{"i": 1}', b'{"i": 2, "tag": "POISON"}']
+    for _ in range(3):
+        client = LocalDirFirehoseClient(out, poison_marker=b"POISON")
+        deliver_records(
+            records, client, "s", max_retries=1, sleep=lambda s: None,
+            idempotency_prefix="e5-p0", dead_letter=DeadLetterDir(out),
+        )
+    err_dir = os.path.join(out, "errors")
+    assert len(os.listdir(err_dir)) == 1
+    with open(os.path.join(err_dir, os.listdir(err_dir)[0]), "rb") as fh:
+        assert len(fh.read().splitlines()) == 1
+
+
+def test_strict_mode_still_raises_on_poison():
+    client = LocalDirFirehoseClient(
+        tempfile.mkdtemp(prefix="kf_dlq_"), poison_marker=b"POISON"
+    )
+    with pytest.raises(RuntimeError, match="undeliverable"):
+        deliver_records(
+            [b'{"tag": "POISON"}'], client, "s", max_retries=1,
+            sleep=lambda s: None,
+        )

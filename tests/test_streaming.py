@@ -181,3 +181,51 @@ def test_backpressure_bounds_microbatches(spark):
     assert row.n_batches >= 4  # one slice per trigger, never a mega-batch
     # no batch may exceed one time-ordered slice (ntile => ceil split)
     assert row.max_batch_rows <= -(-total // 4)
+
+
+def test_poison_record_does_not_wedge_stream(spark):
+    """Liveness under a permanently-failing record: with the default
+    dead-letter mode, the micro-batch COMPLETES (strict mode would
+    raise, the checkpoint would replay the same batch, and the stream
+    would wedge forever), the poison record lands under errors/, and
+    delivered + dead reconciles with the source exactly."""
+    from clj_kinesis_to_firehose_spark.sources.streams import read_event_stream
+    from clj_kinesis_to_firehose_spark.streaming.firehose_sink import (
+        LocalDirFirehoseClient,
+        firehose_foreach_batch,
+    )
+
+    base = tempfile.mkdtemp(prefix="kf_poison_")
+    replay = os.path.join(base, "replay")
+    delivery = os.path.join(base, "delivery")
+    chk = os.path.join(base, "chk")
+    os.makedirs(delivery)
+    rows = [_ev(i, T0 + i * 60 * NS) for i in range(19)]
+    rows.append(_ev(99, T0 + 99 * 60 * NS, etype="poison"))
+    _write_slice(spark, rows, os.path.join(replay, "s0"))
+
+    def factory(out_dir, fail_first_attempt_every=0):
+        return LocalDirFirehoseClient(
+            out_dir, poison_marker=b'"event_type":"poison"'
+        )
+
+    q = (
+        read_event_stream(spark, replay)
+        .writeStream.foreachBatch(
+            firehose_foreach_batch(delivery, client_factory=factory)
+        )
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()  # completes — no wedge
+
+    delivered = spark.read.json(os.path.join(delivery, "*.jsonl"))
+    assert delivered.count() == 19
+    assert delivered.filter(F.col("event_type") == "poison").count() == 0
+    dead = spark.read.json(os.path.join(delivery, "errors", "*.jsonl"))
+    assert dead.count() == 1
+    assert dead.collect()[0]["event_id"] == 99
+    # full reconciliation: every source record is accounted for exactly once
+    ids = {r["event_id"] for r in delivered.collect()} | {99}
+    assert ids == {i for i in range(19)} | {99}
