@@ -72,6 +72,20 @@ def has_whole_stage_codegen(df: DataFrame) -> bool:
     return "WholeStageCodegen" in executed or "*(" in executed
 
 
+def executed_plan(df: DataFrame) -> str:
+    """Final ADAPTIVE plan string — runs the query (collect; call on
+    test-scale frames only). Use for properties only AQE can decide,
+    e.g. an unhinted join that should broadcast at runtime."""
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+
+
+def n_broadcast_joins_executed(df: DataFrame) -> int:
+    import re
+
+    return len(re.findall(r"BroadcastHashJoin", executed_plan(df)))
+
+
 def plan_report(df: DataFrame) -> str:
     return (
         f"shuffles(Exchange): {n_shuffles(df)}\n"
