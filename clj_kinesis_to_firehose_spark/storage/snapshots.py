@@ -6,6 +6,7 @@ A table is a directory:
 
     <path>/data/commit-<version>-<attempt>/part-*.parquet   immutable data
     <path>/_manifest/v<version>.json              snapshot = active file list
+    <path>/_manifest/_latest                      O(1) latest-version pointer
 
 (the per-attempt suffix keeps two optimistic writers racing to the
 same version from sharing a directory — the loser's overwrite must
@@ -146,7 +147,31 @@ class SnapshotTable:
     def _manifest_path(self, version: int) -> str:
         return os.path.join(self._manifest_dir, f"v{version:06d}.json")
 
+    @property
+    def _pointer_path(self) -> str:
+        return os.path.join(self._manifest_dir, "_latest")
+
     def latest_version(self) -> int:
+        """Latest committed version in O(1), not O(#commits).
+
+        Reads the ``_latest`` pointer (Delta's ``_last_checkpoint``
+        analog [PK]) and probes FORWARD past any commits the pointer
+        has not caught up to — the pointer is a hint updated after
+        publish, so it may lag by a crashed writer or a concurrent
+        commit, never lead. A stale-high or missing pointer falls back
+        to the full directory listing (pre-pointer tables stay
+        readable). At 10^5 commits this turns the hottest metadata
+        call from a directory listing into one read + one stat."""
+        v = 0
+        try:
+            with open(self._pointer_path) as fh:
+                v = int(json.load(fh)["version"])
+        except (OSError, ValueError, KeyError):
+            v = 0
+        if v > 0 and os.path.exists(self._manifest_path(v)):
+            while os.path.exists(self._manifest_path(v + 1)):
+                v += 1
+            return v
         try:
             names = os.listdir(self._manifest_dir)
         except FileNotFoundError:
@@ -155,6 +180,29 @@ class SnapshotTable:
             int(n[1:-5]) for n in names if n.startswith("v") and n.endswith(".json")
         ]
         return max(versions, default=0)
+
+    def _update_pointer(self, version: int) -> None:
+        """Advance the ``_latest`` hint after a successful publish.
+        Monotonic (a slow writer finishing an older commit must not
+        move it backwards) and atomic (write-temp + ``os.replace``);
+        losing this update entirely is safe — the next reader probes
+        forward or falls back to the listing."""
+        import uuid
+
+        try:
+            with open(self._pointer_path) as fh:
+                cur = int(json.load(fh)["version"])
+            # monotonic only while the current target actually exists —
+            # a stale-HIGH pointer (no such manifest) is garbage and
+            # must be overwritten, not preserved
+            if cur >= version and os.path.exists(self._manifest_path(cur)):
+                return
+        except (OSError, ValueError, KeyError):
+            pass
+        tmp = f"{self._pointer_path}.{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"version": version}, fh)
+        os.replace(tmp, self._pointer_path)
 
     def _read_manifest(self, version: int | None = None) -> dict:
         v = version if version is not None else self.latest_version()
@@ -210,6 +258,7 @@ class SnapshotTable:
             ) from e
         finally:
             os.unlink(tmp)
+        self._update_pointer(version)
 
     def _write_data_files(self, df: DataFrame, version: int, n_files: int) -> list[FileEntry]:
         """Write ``df`` as ``n_files`` range-clustered parquet files

@@ -630,3 +630,79 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
     )
     want = sorted(r["id"] for r in df.filter("val BETWEEN 100 AND 150").collect())
     assert got == want
+
+
+def test_latest_pointer_makes_discovery_o1(spark, tmp_path):
+    """The _latest pointer (Delta _last_checkpoint analog) turns
+    latest-version discovery into one read + one stat: after any
+    commit the pointer is current, and read() never LISTS the manifest
+    directory — at 10^5 commits the listing is the read-path
+    bottleneck the layer otherwise avoids."""
+    import json
+    import os
+    from unittest import mock
+
+    t = _mk(spark, tmp_path)
+    t.merge_upsert(spark.createDataFrame([(1, -1.0)], "id long, val double"))
+    ptr = os.path.join(t._manifest_dir, "_latest")
+    with open(ptr) as fh:
+        assert json.load(fh)["version"] == t.latest_version() == 2
+
+    real_listdir = os.listdir
+    listed = []
+
+    def spy(path="."):
+        if os.path.abspath(str(path)) == os.path.abspath(t._manifest_dir):
+            listed.append(path)
+        return real_listdir(path)
+
+    with mock.patch("os.listdir", side_effect=spy):
+        assert t.read().count() == 1000
+    assert not listed, "read() must not list the manifest directory"
+
+
+def test_latest_pointer_lag_and_loss_are_safe(spark, tmp_path):
+    """The pointer is a HINT: a lagging pointer (crashed writer) is
+    healed by the forward probe, a missing pointer (pre-pointer table)
+    falls back to the listing, and a stale-high pointer (manual
+    manifest surgery) falls back rather than erroring."""
+    import json
+    import os
+
+    t = _mk(spark, tmp_path)
+    t.merge_upsert(spark.createDataFrame([(1, -1.0)], "id long, val double"))
+    t.merge_upsert(spark.createDataFrame([(2, -2.0)], "id long, val double"))
+    ptr = os.path.join(t._manifest_dir, "_latest")
+
+    with open(ptr, "w") as fh:  # lag: points at v1, v2/v3 committed
+        json.dump({"version": 1}, fh)
+    assert t.latest_version() == 3
+
+    os.unlink(ptr)  # loss: listing fallback
+    assert t.latest_version() == 3
+
+    with open(ptr, "w") as fh:  # stale-high: no such manifest
+        json.dump({"version": 99}, fh)
+    assert t.latest_version() == 3
+
+    # next commit heals the pointer
+    t.merge_upsert(spark.createDataFrame([(3, -3.0)], "id long, val double"))
+    with open(ptr) as fh:
+        assert json.load(fh)["version"] == 4
+
+
+def test_latest_pointer_survives_vacuum_and_rollback(spark, tmp_path):
+    import json
+    import os
+
+    t = _mk(spark, tmp_path)
+    for i in range(4):
+        t.merge_upsert(
+            spark.createDataFrame([(i, float(-i))], "id long, val double")
+        )
+    t.rollback(2)
+    t.vacuum(retain_last=2)
+    ptr = os.path.join(t._manifest_dir, "_latest")
+    with open(ptr) as fh:
+        assert json.load(fh)["version"] == t.latest_version() == 6
+    assert t.read().count() == 1000  # rollback target state, readable
