@@ -9,6 +9,7 @@ from __future__ import annotations
 import os
 import tempfile
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -374,6 +375,61 @@ def kinesis_record_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("string").alias("partition_key"),
         F.base64(payload.cast("binary")).alias("payload_b64"),
         (F.length("props") + 1).cast("long").alias("payload_bytes"),
+    )
+
+
+@register(
+    "kinesis_avro_envelope",
+    oracle="""
+    SELECT event_id, user_id, event_type, value, props, ts
+    FROM events
+    """,
+)
+def kinesis_avro_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro payload codec round-trip through the Kinesis envelope:
+    events are encoded to Avro BINARY under the fixed writer schema
+    (pure-Python codec, sources/kinesis.py — Kinesis ecosystems
+    commonly carry Avro [PK]), wrapped in the AWS envelope shape, and
+    decoded back via decode_kinesis_envelope(payload_format="avro").
+    EXACT oracle: the decode must reproduce every field bit-for-bit
+    (longs via zigzag varint, doubles via IEEE 754 LE, ns→µs timestamp
+    normalization identical to the JSON path). Both codec halves run
+    in Arrow-batched pandas UDFs — no driver-side rows."""
+    from pyspark.sql.functions import pandas_udf
+
+    from clj_kinesis_to_firehose_spark.sources.kinesis import (
+        avro_encode_event,
+        decode_kinesis_envelope,
+    )
+
+    @pandas_udf("binary")
+    def _enc(
+        event_id: pd.Series, ts_ns: pd.Series, user_id: pd.Series,
+        event_type: pd.Series, value: pd.Series, props: pd.Series,
+    ) -> pd.Series:
+        return pd.Series(
+            [
+                avro_encode_event(int(i), int(t), int(u), e, float(v), p)
+                for i, t, u, e, v, p in zip(
+                    event_id, ts_ns, user_id, event_type, value, props
+                )
+            ]
+        )
+
+    ev = load_table(spark, sf_dir, "events")
+    envelope = ev.select(
+        _enc(
+            F.col("event_id"),
+            F.expr("unix_micros(ts) * 1000"),  # wire carries epoch nanos
+            F.col("user_id"),
+            F.col("event_type"),
+            F.col("value"),
+            F.col("props"),
+        ).alias("data"),
+        F.col("ts").alias("approximateArrivalTimestamp"),
+    )
+    return decode_kinesis_envelope(envelope, payload_format="avro").select(
+        "event_id", "user_id", "event_type", "value", "props", "ts"
     )
 
 

@@ -341,6 +341,71 @@ def sink_firehose_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sink_firehose_compressed",
+    oracle="""
+    SELECT event_type AS stream, COUNT(*) AS n_delivered
+    FROM events GROUP BY event_type
+    """,
+)
+def sink_firehose_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GZIP delivery compression [PK: Firehose S3 compression option]:
+    each record is client-side gzipped (one deterministic gzip member),
+    the PutRecordBatch caps apply to the COMPRESSED bytes — the bytes
+    that actually cross the API, matching the public accounting — and
+    a delivery file is the concatenation of members, i.e. a valid
+    multi-member .jsonl.gz that Spark's reader decompresses natively.
+    EXACT oracle: per-stream counts of the records read back FROM THE
+    COMPRESSED FILES equal the source. Cap invariants on compressed
+    sizes are pinned in tests/test_firehose_sink.py."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from clj_kinesis_to_firehose_spark.sources import load_table
+    from clj_kinesis_to_firehose_spark.streaming.firehose_sink import (
+        LocalDirFirehoseClient,
+        deliver_records,
+        gzip_payload,
+        newline_terminate,
+    )
+
+    out_dir = tempfile.mkdtemp(prefix="kf_sink_gz_")
+    ev = load_table(spark, sf_dir, "events")
+    serialized = ev.select(
+        F.col("event_type").alias("__stream"),
+        F.to_json(F.struct(*ev.columns)).alias("__payload"),
+    )
+
+    def per_partition(rows):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        client = LocalDirFirehoseClient(out_dir, compression="gzip")
+        by_stream: dict[str, list[bytes]] = {}
+        for row in rows:
+            by_stream.setdefault(row["__stream"], []).append(
+                gzip_payload(newline_terminate(row["__payload"].encode("utf-8")))
+            )
+        for stream, records in by_stream.items():
+            deliver_records(
+                records,
+                client,
+                stream,
+                sleep=lambda s: None,
+                idempotency_prefix=f"gz-p{pid}-{stream}",
+                binary=True,  # opaque gzip members: no newline framing
+            )
+
+    serialized.foreachPartition(per_partition)
+    return (
+        spark.read.json(os.path.join(out_dir, "*.jsonl.gz"))
+        .groupBy(F.col("event_type").alias("stream"))
+        .agg(F.count("*").alias("n_delivered"))
+    )
+
+
+@register(
     "sink_firehose_dead_letter",
     oracle="""
     SELECT event_type AS stream,

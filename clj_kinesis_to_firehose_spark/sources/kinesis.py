@@ -13,6 +13,7 @@ connector artifact that matches the Spark distribution at deploy time.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -34,21 +35,50 @@ EVENT_PAYLOAD_SCHEMA = (
 )
 
 
-def decode_kinesis_envelope(envelope: DataFrame) -> DataFrame:
+def decode_kinesis_envelope(
+    envelope: DataFrame, payload_format: str = "json"
+) -> DataFrame:
     """Decode the Kinesis record envelope (schema fixed by the public
     AWS API: data, streamName, partitionKey, sequenceNumber,
     approximateArrivalTimestamp, shardId) into the engine's events
     schema + arrival_ts. Shared by the production reader below and the
     unit test, which builds the envelope DataFrame by hand — the only
-    part of this module that needs no connector jar."""
-    return (
-        envelope.select(
+    part of this module that needs no connector jar.
+
+    ``payload_format``: ``"json"`` (JSON-lines payloads, decoded
+    JVM-side via ``from_json``) or ``"avro"`` (Avro binary under the
+    fixed writer schema below, common in Kinesis ecosystems [PK];
+    decoded by the pure-Python codec in an Arrow-batched pandas UDF —
+    in a deployment with the spark-avro package loaded, swap this for
+    the JVM-side ``from_avro``, same schema)."""
+    if payload_format == "json":
+        decoded = envelope.select(
             F.from_json(
                 F.col("data").cast("string"), EVENT_PAYLOAD_SCHEMA
             ).alias("e"),
             F.col("approximateArrivalTimestamp").alias("arrival_ts"),
         )
-        .select("e.*", "arrival_ts")
+    elif payload_format == "avro":
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf(EVENT_PAYLOAD_SCHEMA)
+        def _decode(blobs: pd.Series) -> pd.DataFrame:
+            rows = [avro_decode_event(bytes(b)) for b in blobs]
+            return pd.DataFrame(
+                rows,
+                columns=[
+                    "event_id", "ts", "user_id", "event_type", "value", "props",
+                ],
+            )
+
+        decoded = envelope.select(
+            _decode(F.col("data")).alias("e"),
+            F.col("approximateArrivalTimestamp").alias("arrival_ts"),
+        )
+    else:
+        raise ValueError(f"unsupported payload format {payload_format!r}")
+    return (
+        decoded.select("e.*", "arrival_ts")
         .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     )
 
@@ -205,3 +235,89 @@ def kpl_deaggregate(blob: bytes) -> list[tuple[str, bytes]]:
             )
         recs.append((keys[key_idx], data))
     return recs
+
+
+# -------------------------------------------------------------- Avro
+# Minimal Avro BINARY codec for the event payload, from the public
+# Avro 1.x spec [PK]: long = zigzag varint, string/bytes = long length
+# + content, double = 8-byte little-endian IEEE 754, record = field
+# values in writer-schema order with no framing. Implemented here (no
+# avro dependency in this container) so Avro-carrying Kinesis traffic
+# decodes offline; production with the spark-avro package loaded uses
+# from_avro with the same writer schema.
+
+#: the fixed writer schema (ts = epoch nanos, matching the JSON path)
+EVENT_AVRO_WRITER_SCHEMA = {
+    "type": "record",
+    "name": "Event",
+    "fields": [
+        {"name": "event_id", "type": "long"},
+        {"name": "ts", "type": "long"},
+        {"name": "user_id", "type": "long"},
+        {"name": "event_type", "type": "string"},
+        {"name": "value", "type": "double"},
+        {"name": "props", "type": "string"},
+    ],
+}
+
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _unzigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def _avro_long(n: int) -> bytes:
+    return _varint(_zigzag(n) & 0xFFFFFFFFFFFFFFFF)
+
+
+def _avro_read_long(buf: bytes, pos: int) -> tuple[int, int]:
+    n, pos = _read_varint(buf, pos)
+    return _unzigzag(n), pos
+
+
+def _avro_str(s: str) -> bytes:
+    b = s.encode("utf-8")
+    return _avro_long(len(b)) + b
+
+
+def avro_encode_event(
+    event_id: int, ts: int, user_id: int, event_type: str, value: float, props: str
+) -> bytes:
+    import struct
+
+    return (
+        _avro_long(event_id)
+        + _avro_long(ts)
+        + _avro_long(user_id)
+        + _avro_str(event_type)
+        + struct.pack("<d", value)
+        + _avro_str(props)
+    )
+
+
+def avro_decode_event(blob: bytes) -> tuple[int, int, int, str, float, str]:
+    """Decode one Avro-binary event; raises ValueError on trailing or
+    truncated bytes (a foreign or corrupt payload fails loudly)."""
+    import struct
+
+    try:
+        pos = 0
+        event_id, pos = _avro_read_long(blob, pos)
+        ts, pos = _avro_read_long(blob, pos)
+        user_id, pos = _avro_read_long(blob, pos)
+        ln, pos = _avro_read_long(blob, pos)
+        event_type = blob[pos : pos + ln].decode("utf-8")
+        pos += ln
+        (value,) = struct.unpack_from("<d", blob, pos)
+        pos += 8
+        ln, pos = _avro_read_long(blob, pos)
+        props = blob[pos : pos + ln].decode("utf-8")
+        pos += ln
+    except (IndexError, struct.error) as e:
+        raise ValueError("truncated Avro event payload") from e
+    if pos != len(blob):
+        raise ValueError(f"{len(blob) - pos} trailing bytes after Avro event")
+    return (event_id, ts, user_id, event_type, value, props)

@@ -39,18 +39,51 @@ def newline_terminate(payload: bytes) -> bytes:
     return payload if payload.endswith(b"\n") else payload + b"\n"
 
 
-def chunk_records(records: Iterable[bytes]) -> Iterator[list[bytes]]:
+def gzip_payload(payload: bytes) -> bytes:
+    """Deterministic client-side gzip of ONE record payload (mtime
+    pinned to 0 so re-encoding the same payload yields the same bytes
+    — required for idempotent redelivery comparisons). Concatenated
+    members form a valid multi-member gzip stream, so a delivery file
+    of gzipped records decompresses to the plain JSON-lines file —
+    no per-record framing needed [PK: gzip RFC 1952 multi-member]."""
+    import gzip
+    import io
+
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+        gz.write(payload)
+    return buf.getvalue()
+
+
+def gunzip_payload(blob: bytes) -> bytes:
+    """Inverse of :func:`gzip_payload`; handles multi-member streams
+    (a whole delivery file decompresses in one call)."""
+    import gzip
+
+    return gzip.decompress(blob)
+
+
+def chunk_records(
+    records: Iterable[bytes], terminate: bool = True
+) -> Iterator[list[bytes]]:
     """Split newline-terminated payloads into PutRecordBatch-legal
     batches: ≤500 records AND ≤4 MiB per batch; each record ≤1000 KiB.
 
     Pure generator — property-tested (tests/test_firehose_sink.py):
     every emitted batch satisfies both caps and the concatenation of
     all batches equals the input multiset in order.
+
+    ``terminate=False`` skips newline termination for OPAQUE BINARY
+    records (e.g. client-side-gzipped payloads, where a trailing byte
+    would corrupt the stream); the caps then apply to the bytes as
+    submitted — compressed size, matching Firehose's accounting of
+    what actually crosses the API.
     """
     batch: list[bytes] = []
     batch_bytes = 0
     for rec in records:
-        rec = newline_terminate(rec)
+        if terminate:
+            rec = newline_terminate(rec)
         if len(rec) > MAX_RECORD_BYTES:
             raise RecordTooLargeError(
                 f"record of {len(rec)} bytes exceeds {MAX_RECORD_BYTES}"
@@ -95,12 +128,20 @@ class LocalDirFirehoseClient(FirehoseClient):
         out_dir: str,
         fail_first_attempt_every: int = 0,
         poison_marker: bytes | None = None,
+        compression: str | None = None,
     ) -> None:
+        if compression not in (None, "gzip"):
+            raise ValueError(f"unsupported compression {compression!r}")
         self.out_dir = out_dir
         self.fail_first_attempt_every = fail_first_attempt_every
         #: records containing this byte-substring fail EVERY attempt —
         #: the permanently-undeliverable ("poison") record double
         self.poison_marker = poison_marker
+        #: "gzip" = records arrive client-side-gzipped (one member per
+        #: record); delivery files get the .jsonl.gz suffix and their
+        #: concatenated members ARE a valid gzip file — Spark and S3
+        #: readers decompress them transparently
+        self.compression = compression
         self._seen: set[bytes] = set()
         os.makedirs(out_dir, exist_ok=True)
 
@@ -128,7 +169,8 @@ class LocalDirFirehoseClient(FirehoseClient):
                 accepted.append(rec)
         if accepted:
             name = idempotency_key or uuid.uuid4().hex
-            path = os.path.join(self.out_dir, f"{stream_name}-{name}.jsonl")
+            suffix = ".jsonl.gz" if self.compression == "gzip" else ".jsonl"
+            path = os.path.join(self.out_dir, f"{stream_name}-{name}{suffix}")
             # dynamic-partitioning prefixes ("type/yyyy/MM/dd") nest the
             # delivery path — mirror Firehose's S3 prefix layout
             os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -167,6 +209,7 @@ def deliver_records(
     sleep: Callable[[float], None] = time.sleep,
     idempotency_prefix: str | None = None,
     dead_letter: Callable[..., None] | None = None,
+    binary: bool = False,
 ) -> dict[str, int]:
     """Chunk → put → resubmit failed subset with capped exponential
     backoff. Returns delivery counters. At-least-once overall; paired
@@ -178,7 +221,7 @@ def deliver_records(
     stream (the checkpoint would replay the same micro-batch forever).
     Without one, raises — the opt-in strict mode."""
     n_records = n_batches = n_retried = n_dead = 0
-    for batch_idx, batch in enumerate(chunk_records(records)):
+    for batch_idx, batch in enumerate(chunk_records(records, terminate=not binary)):
         attempt = 0
         pending = batch
         key = f"{idempotency_prefix}-{batch_idx}" if idempotency_prefix else None

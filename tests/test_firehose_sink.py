@@ -209,3 +209,51 @@ def test_strict_mode_still_raises_on_poison():
             [b'{"tag": "POISON"}'], client, "s", max_retries=1,
             sleep=lambda s: None,
         )
+
+
+def test_gzip_delivery_roundtrip_and_caps_on_compressed_size():
+    """Client-side-gzipped records: the chunker caps apply to the
+    compressed bytes (what crosses the API), no newline framing is
+    injected into the binary stream, and a delivery file is a valid
+    multi-member gzip whose decompression equals the original
+    JSON-lines content."""
+    from clj_kinesis_to_firehose_spark.streaming.firehose_sink import (
+        chunk_records,
+        deliver_records,
+        gunzip_payload,
+        gzip_payload,
+        newline_terminate,
+    )
+
+    out = tempfile.mkdtemp(prefix="kf_gz_")
+    client = LocalDirFirehoseClient(out, compression="gzip")
+    raw = [newline_terminate(f'{{"i": {i}, "pad": "{"x" * 200}"}}'.encode())
+           for i in range(500)]
+    recs = [gzip_payload(r) for r in raw]
+    for b in chunk_records(recs, terminate=False):
+        assert sum(len(r) for r in b) <= MAX_BATCH_BYTES
+        assert all(not r.endswith(b"\n") or r == gzip_payload(
+            gunzip_payload(r)) for r in b)  # no injected framing bytes
+    stats = deliver_records(
+        recs, client, "s", sleep=lambda s: None,
+        idempotency_prefix="gz-0", binary=True,
+    )
+    assert stats["n_records"] == 500
+    files = [f for f in os.listdir(out) if f.endswith(".jsonl.gz")]
+    assert files, "compressed delivery must carry the .jsonl.gz suffix"
+    content = b""
+    for f in sorted(files):
+        with open(os.path.join(out, f), "rb") as fh:
+            content += gunzip_payload(fh.read())
+    assert sorted(content.splitlines()) == sorted(r.rstrip(b"\n") for r in raw)
+
+
+def test_gzip_payload_is_deterministic():
+    from clj_kinesis_to_firehose_spark.streaming.firehose_sink import (
+        gunzip_payload,
+        gzip_payload,
+    )
+
+    p = b'{"k": 1}\n'
+    assert gzip_payload(p) == gzip_payload(p)  # mtime pinned
+    assert gunzip_payload(gzip_payload(p)) == p

@@ -670,3 +670,40 @@ def test_kpl_decoder_rejects_out_of_range_key_index():
     body = b"\x0a" + _varint(2) + b"pk" + b"\x1a" + _varint(len(rec)) + rec
     with pytest.raises(ValueError, match="key index"):
         kpl_deaggregate(_kpl_blob(body))
+
+
+def test_avro_event_codec_roundtrip_property():
+    """Pure-Python Avro binary codec (public spec): zigzag longs,
+    length-prefixed UTF-8 strings, LE doubles — round-trips any event,
+    including negative longs and empty strings; trailing or truncated
+    bytes fail loudly."""
+    import math
+
+    import pytest
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from clj_kinesis_to_firehose_spark.sources.kinesis import (
+        avro_decode_event,
+        avro_encode_event,
+    )
+
+    longs = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+    texts = st.text(max_size=64)
+    doubles = st.floats(allow_nan=False, width=64)
+
+    @given(longs, longs, longs, texts, doubles, texts)
+    @settings(max_examples=200, deadline=None)
+    def roundtrip(event_id, ts, user_id, event_type, value, props):
+        blob = avro_encode_event(event_id, ts, user_id, event_type, value, props)
+        got = avro_decode_event(blob)
+        assert got[:4] == (event_id, ts, user_id, event_type)
+        assert got[4] == value or (math.isnan(got[4]) and math.isnan(value))
+        assert got[5] == props
+
+    roundtrip()
+    blob = avro_encode_event(1, 2, 3, "t", 4.0, "p")
+    with pytest.raises(ValueError):
+        avro_decode_event(blob + b"\x00")
+    with pytest.raises(ValueError):
+        avro_decode_event(blob[:-1])
