@@ -500,6 +500,44 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipelines.stream_static_enrich(spark, sf_dir)
 
 
+@register(
+    "stream_reshard_replay",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id,
+               NTILE(3) OVER (ORDER BY ts, event_id) AS epoch,
+               ('0x' || SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                 AS hb
+        FROM events
+    ), shards AS (
+        SELECT user_id,
+               CASE WHEN hb % 2 = 0 THEN 'shard-0'
+                    WHEN epoch = 1 THEN 'shard-1'
+                    WHEN epoch = 2 THEN
+                        CASE WHEN hb % 4 = 1 THEN 'shard-1a'
+                             ELSE 'shard-1b' END
+                    ELSE 'shard-2' END AS shard
+        FROM ordered
+    )
+    SELECT shard,
+           COUNT(*) AS n_records,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys,
+           CAST(0 AS BIGINT) AS n_order_violations,
+           CAST(0 AS BIGINT) AS n_lineage_crossings
+    FROM shards GROUP BY shard
+    """,
+)
+def stream_reshard_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EXACT: per-shard record/key counts across a shard split AND merge
+    # must equal the oracle's portable-hash routing of the source, and
+    # the oracle pins the per-key order-violation and lineage-crossing
+    # counters (measured from the stream's arrival log) to zero —
+    # Kinesis's per-partition-key ordering promise through a reshard.
+    # Checkpoint continuity across the reshard boundary is pinned in
+    # tests/test_streaming.py::test_checkpoint_survives_reshard.
+    return pipelines.stream_reshard_replay(spark, sf_dir)
+
+
 @register("stream_backpressure_trigger")
 def stream_backpressure_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
     # weak: batch boundaries are an execution property, not a query

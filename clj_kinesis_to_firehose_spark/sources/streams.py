@@ -110,6 +110,96 @@ def write_replay_slices(
     return replay_dir
 
 
+#: replay schema for the RESHARD double: envelope adds the shard id
+#: and the per-shard sequence number (continuous across the shard's
+#: whole lifetime, as Kinesis sequence numbers are)
+RESHARD_RAW_SCHEMA = EVENTS_RAW_SCHEMA + ", shard_id string, seq long"
+
+#: portable shard router (md5 60/32-bit bucket — identical in DuckDB,
+#: see llm_dedup.portable_hash60): which of the 2 epoch-1 shards /
+#: 4 post-split hash ranges a partition key routes to
+_SHARD_BUCKET = "conv(substring(md5(cast(user_id as string)), 1, 8), 16, 10)"
+
+
+def write_reshard_replay(spark: SparkSession, sf_dir: str) -> str:
+    """Kinesis RESHARDING replay double — shard split and merge, the
+    reference domain's hardest operational behavior [PK: Kinesis
+    UpdateShardCount/SplitShard/MergeShards semantics].
+
+    The events fixture is cut into three time epochs (ntile over ts —
+    the stream's lifetime) and each record routes to a shard by a
+    portable hash of its partition key (user_id):
+
+    * epoch 1: ``shard-0`` (bucket 0), ``shard-1`` (bucket 1)
+    * epoch 2: ``shard-1`` SPLITS → ``shard-1a`` / ``shard-1b``
+      (bucket 1 keys re-route by the finer hash range); shard-0
+      continues untouched
+    * epoch 3: the children MERGE → ``shard-2`` (all bucket-1 keys)
+
+    Kinesis guarantees per-partition-key order WITHIN a shard and
+    requires consumers to fully drain a closed parent before reading
+    its children (KCL lease ordering) — modeled here by slice
+    modification times: every epoch-1 slice precedes every epoch-2
+    slice, etc. Each (epoch, shard) is one slice; records carry
+    ``shard_id`` and a per-shard ``seq`` that is CONTINUOUS across the
+    shard's lifetime (shard-0 spans all three epochs), so checkpoint
+    continuity through the reshard is observable downstream.
+
+    The shard router is the portable md5 bucket, so per-shard record
+    and key counts are exactly reproducible in a DuckDB oracle."""
+    from pyspark.sql.window import Window
+
+    from clj_kinesis_to_firehose_spark.sources.loader import load_table
+
+    ensure_configs(spark)
+    replay_dir = tempfile.mkdtemp(prefix="kf_reshard_")
+    raw = load_table(spark, sf_dir, "events")
+    b2 = F.expr(_SHARD_BUCKET).cast("long") % 2
+    b4 = F.expr(_SHARD_BUCKET).cast("long") % 4
+    epoch = F.ntile(3).over(Window.orderBy("ts", "event_id"))
+    routed = raw.select(
+        "*",
+        epoch.alias("__epoch"),
+        F.when(b2 == 0, "shard-0")
+        .when(epoch == 1, "shard-1")
+        .when(epoch == 2, F.when(b4 == 1, "shard-1a").otherwise("shard-1b"))
+        .otherwise("shard-2")
+        .alias("shard_id"),
+    ).withColumn(
+        "seq",
+        F.row_number().over(
+            Window.partitionBy("shard_id").orderBy("ts", "event_id")
+        ).cast("long"),
+    )
+    slices = [
+        (1, "shard-0"), (1, "shard-1"),
+        (2, "shard-0"), (2, "shard-1a"), (2, "shard-1b"),
+        (3, "shard-0"), (3, "shard-2"),
+    ]
+    for i, (ep, shard) in enumerate(slices):
+        (
+            routed.filter(
+                (F.col("__epoch") == ep) & (F.col("shard_id") == shard)
+            )
+            .drop("__epoch")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(replay_dir, f"slice={i}"))
+        )
+    _stamp_slice_order(replay_dir)
+    return replay_dir
+
+
+def read_reshard_stream(spark: SparkSession, replay_dir: str) -> DataFrame:
+    ensure_configs(spark)
+    return (
+        spark.readStream.schema(RESHARD_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(replay_dir)
+    )
+
+
 def _stamp_slice_order(replay_dir: str) -> None:
     """Give every slice directory's files explicit, strictly-increasing
     modification times (base + index seconds) so the file stream source

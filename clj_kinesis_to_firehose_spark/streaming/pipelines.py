@@ -719,3 +719,72 @@ def stream_backpressure_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(len(batches), int(max(batches)), int(sum(batches)))],
         "n_batches long, max_batch_rows long, total_rows long",
     )
+
+
+def stream_reshard_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard split + merge replay (sources.streams.write_reshard_replay):
+    the stream is consumed through a checkpointed foreachBatch capture,
+    then the ARRIVAL LOG — not the source — is audited:
+
+    * ``n_records`` / ``n_keys`` per shard must equal the oracle's
+      portable-hash routing of the source table (nothing lost or
+      duplicated across the split and the merge);
+    * ``n_order_violations``: per partition key, arrival order
+      (micro-batch, then in-shard sequence number) must never run
+      backwards in event time — the per-key ordering Kinesis promises
+      across a reshard when parents are drained before children;
+    * ``n_lineage_crossings``: a key must never appear in a shard
+      outside its hash range's lineage.
+
+    The oracle pins both violation counters to ZERO, so they are
+    exact-checked, not just asserted locally."""
+    from pyspark.sql.window import Window
+
+    from clj_kinesis_to_firehose_spark.sources.streams import (
+        _SHARD_BUCKET,
+        read_reshard_stream,
+        write_reshard_replay,
+    )
+
+    replay = write_reshard_replay(spark, sf_dir)
+    cap_dir = os.path.join(tempfile.mkdtemp(prefix="kf_reshard_cap_"), "arrivals")
+    chk = tempfile.mkdtemp(prefix="kf_chk_")
+
+    def capture(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(int(epoch_id))).write.mode(
+            "append"
+        ).parquet(cap_dir)
+
+    q = (
+        read_reshard_stream(spark, replay)
+        .writeStream.foreachBatch(capture)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    arr = spark.read.parquet(cap_dir)
+    w = Window.partitionBy("user_id").orderBy("batch_id", "seq")
+    b2 = F.expr(_SHARD_BUCKET).cast("long") % 2
+    return (
+        arr.withColumn(
+            "viol",
+            F.when(F.col("ts") < F.lag("ts").over(w), 1).otherwise(0),
+        )
+        .withColumn(
+            "crossing",
+            F.when(
+                ((b2 == 0) & (F.col("shard_id") != "shard-0"))
+                | ((b2 == 1) & (F.col("shard_id") == "shard-0")),
+                1,
+            ).otherwise(0),
+        )
+        .groupBy(F.col("shard_id").alias("shard"))
+        .agg(
+            F.count("*").alias("n_records"),
+            F.countDistinct("user_id").alias("n_keys"),
+            F.sum("viol").cast("long").alias("n_order_violations"),
+            F.sum("crossing").cast("long").alias("n_lineage_crossings"),
+        )
+    )

@@ -229,3 +229,65 @@ def test_poison_record_does_not_wedge_stream(spark):
     # full reconciliation: every source record is accounted for exactly once
     ids = {r["event_id"] for r in delivered.collect()} | {99}
     assert ids == {i for i in range(19)} | {99}
+
+
+def test_checkpoint_survives_reshard(spark):
+    """Checkpoint continuity through a shard split+merge: the consumer
+    drains the pre-merge shards, STOPS, the merged child's slices land,
+    and a restart from the same checkpoint picks up exactly the new
+    shard — nothing redelivered, nothing lost, per-shard sequence
+    numbers still contiguous across the boundary."""
+    import shutil
+
+    from clj_kinesis_to_firehose_spark.sources.streams import (
+        read_reshard_stream,
+        write_reshard_replay,
+    )
+
+    replay = write_reshard_replay(spark, SF_DIR)
+    held = tempfile.mkdtemp(prefix="kf_held_")
+    for s in ["slice=5", "slice=6"]:  # epoch-3: post-merge arrivals
+        shutil.move(os.path.join(replay, s), os.path.join(held, s))
+    cap = os.path.join(tempfile.mkdtemp(prefix="kf_cap_"), "arrivals")
+    chk = tempfile.mkdtemp(prefix="kf_chk_")
+
+    def run():
+        def capture(bdf, epoch_id):
+            bdf.withColumn("batch_id", F.lit(int(epoch_id))).write.mode(
+                "append"
+            ).parquet(cap)
+
+        q = (
+            read_reshard_stream(spark, replay)
+            .writeStream.foreachBatch(capture)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    phase1 = spark.read.parquet(cap)
+    n1 = phase1.count()
+    assert phase1.filter(F.col("shard_id") == "shard-2").count() == 0
+    max_batch1 = phase1.agg(F.max("batch_id")).collect()[0][0]
+
+    for s in ["slice=5", "slice=6"]:
+        shutil.move(os.path.join(held, s), os.path.join(replay, s))
+    run()
+    arr = spark.read.parquet(cap)
+    total = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert arr.count() == total, "reshard must not lose or redeliver"
+    assert arr.select("event_id").distinct().count() == total
+    # restart continued, not restarted: new arrivals carry later batches
+    new = arr.filter(F.col("batch_id") > max_batch1)
+    assert new.count() == total - n1
+    assert {r["shard_id"] for r in new.select("shard_id").distinct().collect()} \
+        <= {"shard-0", "shard-2"}
+    # per-shard sequence numbers are contiguous across the boundary
+    for shard in ["shard-0", "shard-2"]:
+        seqs = sorted(
+            r["seq"] for r in arr.filter(F.col("shard_id") == shard)
+            .select("seq").collect()
+        )
+        assert seqs == list(range(1, len(seqs) + 1)), shard
