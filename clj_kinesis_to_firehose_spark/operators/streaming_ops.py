@@ -501,6 +501,25 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_kpl_firehose_bridge",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_delivered,
+           COUNT(DISTINCT event_id) AS n_unique
+    FROM events WHERE event_type <> 'error'
+    GROUP BY event_type
+    """,
+)
+def stream_kpl_firehose_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EXACT: the complete bridge at full wire fidelity — KPL-aggregated
+    # blobs stream in, deaggregate (checksum-verified mapInPandas ON
+    # the stream), route, deliver through the PutRecordBatch sink;
+    # delivered counts read back from the batch files must equal the
+    # non-error source (duplicate-free: exactly-once checkpointing).
+    return pipelines.stream_kpl_firehose_bridge(spark, sf_dir)
+
+
+@register(
     "stream_reshard_replay",
     oracle="""
     WITH ordered AS (

@@ -788,3 +788,100 @@ def stream_reshard_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("crossing").cast("long").alias("n_lineage_crossings"),
         )
     )
+
+
+def stream_kpl_firehose_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE reference bridge at full wire fidelity: KPL-AGGREGATED
+    Kinesis traffic in → checksum-verified deaggregation → payload
+    decode → route (drop 'error') → Firehose PutRecordBatch delivery,
+    exactly-once via checkpoint + idempotent batch files.
+
+    Producer simulation packs events into KPL blobs (public wire
+    format, sources/kinesis.py) grouped per (time-slice, batch) via
+    applyInPandas; the replay streams the BLOBS (one slice per
+    micro-batch), deaggregation runs as Arrow-batched mapInPandas ON
+    THE STREAM — stateless map work that parallelizes with ingestion,
+    exactly like a production KCL consumer — and the delivery audit
+    reads the batch files back. EXACT oracle: delivered per-stream
+    counts and distinct ids equal the non-error source."""
+    from pyspark.sql.window import Window
+
+    from clj_kinesis_to_firehose_spark.sources.kinesis import (
+        kpl_aggregate,
+        kpl_deaggregate,
+    )
+    from clj_kinesis_to_firehose_spark.sources.loader import load_table
+    from clj_kinesis_to_firehose_spark.sources.streams import _stamp_slice_order
+
+    raw = load_table(spark, sf_dir, "events")
+    sliced = raw.select(
+        (F.ntile(4).over(Window.orderBy("ts", "event_id")) - 1).alias("__slice"),
+        (F.col("event_id") % 16).alias("__batch"),
+        F.col("user_id").cast("string").alias("pk"),
+        F.to_json(
+            F.struct("event_id", "user_id", "event_type", "value")
+        ).alias("payload"),
+    )
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("payload")
+        blob = kpl_aggregate(
+            [(pk, p.encode()) for pk, p in zip(pdf["pk"], pdf["payload"])]
+        )
+        return pd.DataFrame({"slice": [int(pdf["__slice"].iloc[0])], "blob": [blob]})
+
+    blobs = sliced.groupBy("__slice", "__batch").applyInPandas(
+        encode, "slice int, blob binary"
+    )
+    replay_dir = tempfile.mkdtemp(prefix="kf_kpl_replay_")
+    for i in range(4):
+        (
+            blobs.filter(F.col("slice") == i)
+            .select("blob")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(replay_dir, f"slice={i}"))
+        )
+    _stamp_slice_order(replay_dir)
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for blob in pdf["blob"]:
+                rows.extend(
+                    (pk, data.decode())
+                    for pk, data in kpl_deaggregate(bytes(blob))
+                )
+            yield pd.DataFrame(rows, columns=["pk", "payload"])
+
+    stream = (
+        spark.readStream.schema("blob binary")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(replay_dir)
+    )
+    parsed = (
+        stream.mapInPandas(decode, "pk string, payload string")
+        .select(
+            F.from_json(
+                "payload",
+                "event_id long, user_id long, event_type string, value double",
+            ).alias("e")
+        )
+        .select("e.*")
+    )
+    routed = parsed.filter(F.col("event_type") != "error")
+    delivery_dir = tempfile.mkdtemp(prefix="kf_kpl_fh_")
+    chk = tempfile.mkdtemp(prefix="kf_chk_")
+    q = (
+        routed.writeStream.foreachBatch(firehose_foreach_batch(delivery_dir))
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    delivered = spark.read.json(os.path.join(delivery_dir, "*.jsonl"))
+    return delivered.groupBy("event_type").agg(
+        F.count("*").alias("n_delivered"),
+        F.countDistinct("event_id").alias("n_unique"),
+    )
