@@ -337,6 +337,11 @@ class ParquetConvertingFirehoseClient(LocalDirFirehoseClient):
             if self._injected_failure(i, rec):
                 failed.append(i)
             else:
+                # compression="gzip": records arrive client-side-gzipped;
+                # decompress before parsing, and the parquet output below
+                # uses the gzip codec so delivery stays compressed at rest
+                if self.compression == "gzip":
+                    rec = gunzip_payload(rec)
                 accepted.append(json.loads(rec))
         if accepted:
             # schema = UNION of keys across the batch: Spark's to_json
@@ -352,5 +357,9 @@ class ParquetConvertingFirehoseClient(LocalDirFirehoseClient):
             name = idempotency_key or uuid.uuid4().hex
             path = os.path.join(self.out_dir, f"{stream_name}-{name}.parquet")
             os.makedirs(os.path.dirname(path), exist_ok=True)
-            pq.write_table(table, path)
+            pq.write_table(
+                table,
+                path,
+                compression="gzip" if self.compression == "gzip" else "snappy",
+            )
         return failed

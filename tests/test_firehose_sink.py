@@ -257,3 +257,25 @@ def test_gzip_payload_is_deterministic():
     p = b'{"k": 1}\n'
     assert gzip_payload(p) == gzip_payload(p)  # mtime pinned
     assert gunzip_payload(gzip_payload(p)) == p
+
+
+def test_parquet_client_accepts_gzipped_records(tmp_path):
+    """Compression composes with format conversion: gzipped records
+    decompress before JSON parsing and the delivered parquet uses the
+    gzip codec — compressed on the wire AND at rest."""
+    import pyarrow.parquet as pq
+
+    from clj_kinesis_to_firehose_spark.streaming.firehose_sink import (
+        ParquetConvertingFirehoseClient,
+        gzip_payload,
+    )
+
+    client = ParquetConvertingFirehoseClient(str(tmp_path), compression="gzip")
+    recs = [gzip_payload(f'{{"i": {i}, "v": {i * 1.5}}}\n'.encode()) for i in range(10)]
+    assert client.put_record_batch("s", recs, idempotency_key="k0") == []
+    files = [f for f in os.listdir(tmp_path) if f.endswith(".parquet")]
+    assert len(files) == 1
+    pf = pq.ParquetFile(os.path.join(tmp_path, files[0]))
+    assert pf.metadata.row_group(0).column(0).compression == "GZIP"
+    got = pf.read().to_pylist()
+    assert sorted(r["i"] for r in got) == list(range(10))
