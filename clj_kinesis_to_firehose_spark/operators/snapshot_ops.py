@@ -551,6 +551,96 @@ def snapshot_replica_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_changes_stream",
+    oracle="""
+    WITH updates AS (
+        SELECT o_orderkey, o_totalprice + 100.0 AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000 AS o_orderkey,
+               o_totalprice * 0.5 AS o_totalprice
+        FROM orders WHERE o_orderkey % 1000 = 0
+    ), merged AS (
+        SELECT COALESCE(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+               COALESCE(u.o_totalprice, b.o_totalprice) AS o_totalprice
+        FROM orders b FULL OUTER JOIN updates u ON b.o_orderkey = u.o_orderkey
+    )
+    SELECT o_orderkey, o_totalprice FROM merged
+    WHERE NOT (o_totalprice < 50000.0)
+    """,
+)
+def snapshot_changes_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING change-feed consumption (the readChangeFeed-as-stream
+    pattern [PK: Delta CDF streaming source]): each source commit's CDF
+    is published as one replay slice, a CHECKPOINTED stream consumes
+    the slices in commit order (mtime-stamped — CDC application is
+    order-sensitive: replaying a delete before its parent update would
+    resurrect rows), and every micro-batch lands in the downstream
+    replica as a three-arm tombstone-MERGE. The foreachBatch body
+    applies each batch TWICE on purpose — the at-least-once retry
+    double — and the final replica must still equal the source's final
+    state (merge idempotence is what upgrades replay to
+    effectively-once at the storage layer). The oracle recomputes the
+    source's final state relationally. At 100 TB each sync step moves
+    only the churn, and the stream checkpoint carries the consumer's
+    position across restarts."""
+    import os
+    import tempfile
+
+    from clj_kinesis_to_firehose_spark.sources.streams import _stamp_slice_order
+
+    src = SnapshotTable(
+        spark, fresh_table_dir(sf_dir, "cdf_stream_src", spark), key="o_orderkey"
+    )
+    base = _base_orders(spark, sf_dir)
+    src.create(base, n_files=8)
+    src.merge_upsert(_updates(base))  # v2
+    src.delete_where("o_totalprice < 50000.0")  # v3
+
+    feed_dir = fresh_table_dir(sf_dir, "cdf_stream_feed", spark)
+    for v in range(1, src.latest_version()):
+        (
+            src.changes(v, v + 1)
+            .select(
+                "o_orderkey",
+                "o_totalprice",
+                (F.col("change_type") == "delete").alias("_del"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(feed_dir, f"slice={v - 1}"))
+        )
+    _stamp_slice_order(feed_dir)
+
+    replica = SnapshotTable(
+        spark, fresh_table_dir(sf_dir, "cdf_stream_replica", spark), key="o_orderkey"
+    )
+    replica.create(src.read(version=1), n_files=8)
+    chk = tempfile.mkdtemp(prefix="kf_chk_")
+    stream = (
+        spark.readStream.schema("o_orderkey long, o_totalprice double, _del boolean")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(feed_dir)
+    )
+
+    def apply(bdf: DataFrame, _bid: int) -> None:
+        if bdf.isEmpty():
+            return
+        replica.merge_upsert(bdf, tombstone_col="_del")
+        replica.merge_upsert(bdf, tombstone_col="_del")  # retry double
+
+    q = (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return replica.read()
+
+
+@register(
     "snapshot_corpus_pipeline",
     oracle="""
     WITH filtered AS (
