@@ -486,6 +486,106 @@ def sink_firehose_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sink_firehose_dlq_redrive",
+    oracle="""
+    SELECT event_type AS stream,
+           COUNT(*) AS n_delivered,
+           CAST(0 AS BIGINT) AS n_dead_remaining
+    FROM events GROUP BY event_type
+    """,
+)
+def sink_firehose_dlq_redrive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter REDRIVE — the second half of the DLQ lifecycle [PK:
+    SQS/Firehose redrive]: after the downstream fault clears, the
+    diverted records are re-read from the error prefix, routed by
+    their payload's stream again, and redelivered through the same
+    capped/batched/idempotent path; consumed DLQ files are removed
+    only after their records deliver. EXACT oracle: post-redrive,
+    EVERY source record (including the previously-poisoned ones) is
+    delivered exactly once and the DLQ is empty. Redrive is
+    distributed — the DLQ is read as an ordinary text source and
+    delivered per partition, no driver-side record loop."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from clj_kinesis_to_firehose_spark.sources import load_table
+    from clj_kinesis_to_firehose_spark.streaming.firehose_sink import (
+        DeadLetterDir,
+        LocalDirFirehoseClient,
+        deliver_records,
+    )
+
+    out_dir = tempfile.mkdtemp(prefix="kf_sink_redrive_")
+    ev = load_table(spark, sf_dir, "events")
+    serialized = ev.select(
+        F.col("event_type").alias("__stream"),
+        F.to_json(F.struct(*ev.columns)).alias("__payload"),
+    )
+
+    # phase 1: delivery with 'error' payloads permanently failing
+    def per_partition(rows):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        client = LocalDirFirehoseClient(
+            out_dir, poison_marker=b'"event_type":"error"'
+        )
+        dead_letter = DeadLetterDir(out_dir)
+        by_stream: dict[str, list[bytes]] = {}
+        for row in rows:
+            by_stream.setdefault(row["__stream"], []).append(
+                row["__payload"].encode("utf-8")
+            )
+        for stream, records in by_stream.items():
+            deliver_records(
+                records, client, stream, max_retries=1, sleep=lambda s: None,
+                idempotency_prefix=f"rd-p{pid}-{stream}", dead_letter=dead_letter,
+            )
+
+    serialized.foreachPartition(per_partition)
+
+    # phase 2: fault cleared — redrive the DLQ distributed, then
+    # remove consumed DLQ files (driver-side metadata op only)
+    err_dir = os.path.join(out_dir, "errors")
+    dlq = spark.read.text(os.path.join(err_dir, "*.jsonl")).select(
+        F.get_json_object("value", "$.event_type").alias("__stream"),
+        F.col("value").alias("__payload"),
+    )
+
+    def redrive(rows):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        client = LocalDirFirehoseClient(out_dir)  # healthy again
+        by_stream: dict[str, list[bytes]] = {}
+        for row in rows:
+            by_stream.setdefault(row["__stream"], []).append(
+                row["__payload"].encode("utf-8")
+            )
+        for stream, records in by_stream.items():
+            deliver_records(
+                records, client, stream, sleep=lambda s: None,
+                idempotency_prefix=f"redrive-p{pid}-{stream}",
+            )
+
+    dlq.foreachPartition(redrive)
+    for name in os.listdir(err_dir):
+        os.unlink(os.path.join(err_dir, name))
+
+    delivered = (
+        spark.read.json(os.path.join(out_dir, "*.jsonl"))
+        .groupBy(F.col("event_type").alias("stream"))
+        .agg(F.count("*").alias("n_delivered"))
+    )
+    n_dead = len(os.listdir(err_dir))
+    return delivered.withColumn(
+        "n_dead_remaining", F.lit(n_dead).cast("long")
+    )
+
+
+@register(
     "stream_static_enrich",
     oracle="""
     SELECT c_mktsegment, event_type, COUNT(*) AS n_events,
