@@ -51,6 +51,17 @@ Scale design (100 TB):
 Local filesystem paths only in this sandbox; the atomic-publish seam
 (:meth:`SnapshotTable._publish`) is the single place an object-store
 conditional-put would slot in.
+
+Interop boundary (documented tradeoff): the manifest format is this
+layer's own JSON, not Iceberg's Avro manifests or Delta's JSON action
+log — other engines cannot read these tables directly. The DATA files
+are plain parquet, so a one-shot export is ``read()`` → write to the
+target format; adopting a standard catalog format wholesale would
+trade the sandbox's zero-dependency testability for interop. The
+architecture (manifest-as-listing, stats pruning, atomic single-swap
+publish, ``_latest`` pointer) deliberately mirrors the public
+Iceberg/Delta designs so a production swap is a format change, not a
+redesign.
 """
 
 from __future__ import annotations
