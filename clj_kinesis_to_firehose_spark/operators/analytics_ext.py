@@ -442,3 +442,57 @@ def basket_association_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "p1", "p2")
         .limit(25)
     )
+
+
+@register(
+    "ts_resample_ohlc",
+    oracle="""
+    WITH w AS (
+        SELECT user_id, DATE_TRUNC('hour', ts) AS bucket, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, DATE_TRUNC('hour', ts)
+                   ORDER BY ts, event_id) AS rn_a,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, DATE_TRUNC('hour', ts)
+                   ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events
+    )
+    SELECT user_id, bucket,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           COUNT(*) AS n_ticks
+    FROM w GROUP BY user_id, bucket
+    """,
+)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling (the classic tick→bar resample of every
+    time-series store): per (series, hour bucket) the first/max/min/
+    last value with (ts, event_id) as the deterministic tick order.
+    Values pass through with NO arithmetic, so doubles hash exactly.
+
+    Scale shape: the open/close row-number windows partition by the
+    SAME keys the final groupBy uses, so Catalyst reuses one hash
+    partitioning for both (single shuffle, ReusedExchange); high/low/
+    count are ordinary partial-aggregated hash aggs on top. At 100 TB
+    this is one pass over the tick stream per bar width."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "bucket", F.date_trunc("hour", "ts")
+    )
+    wa = Window.partitionBy("user_id", "bucket").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id", "bucket").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn_a", F.row_number().over(wa))
+        .withColumn("rn_d", F.row_number().over(wd))
+        .groupBy("user_id", "bucket")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.count("*").alias("n_ticks"),
+        )
+    )

@@ -258,6 +258,92 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_asof_nearest",
+    oracle="""
+    WITH cand AS (
+        SELECT e.event_id, e.user_id, e.ts,
+            (SELECT EPOCH_US(e.ts) - EPOCH_US(p.ts) FROM events p
+             WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+               AND p.ts <= e.ts
+             ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS b_dt,
+            (SELECT p.event_id FROM events p
+             WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+               AND p.ts <= e.ts
+             ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS b_id,
+            (SELECT EPOCH_US(p.ts) - EPOCH_US(e.ts) FROM events p
+             WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+               AND p.ts > e.ts
+             ORDER BY p.ts ASC, p.event_id ASC LIMIT 1) AS f_dt,
+            (SELECT p.event_id FROM events p
+             WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+               AND p.ts > e.ts
+             ORDER BY p.ts ASC, p.event_id ASC LIMIT 1) AS f_id
+        FROM events e WHERE e.event_type = 'click'
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN f_dt IS NULL OR (b_dt IS NOT NULL AND b_dt <= f_dt)
+                THEN b_id ELSE f_id END AS nearest_purchase_id,
+           CASE WHEN f_dt IS NULL OR (b_dt IS NOT NULL AND b_dt <= f_dt)
+                THEN b_dt ELSE f_dt END AS delta_us
+    FROM cand
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join: for every click, the same user's
+    purchase closest in time in EITHER direction (|Δt| minimized;
+    equal-distance ties break toward the earlier/backward candidate —
+    the `direction="nearest"` mode time-series engines offer beside
+    backward/forward).
+
+    The oracle's four correlated subqueries are O(probe × build); the
+    Spark plan is the union-tag trick with ONE partitioning and ONE
+    sort serving BOTH directions: order by (ts, builds-before-probes,
+    id), the backward candidate is last-non-null over the preceding
+    frame (same-instant purchases included → Δ=0), the forward
+    candidate first-non-null over the following frame (strictly
+    later), then a scalar CASE picks the smaller microsecond distance.
+    Single shuffle on user_id, linear per partition."""
+    events = load_table(spark, sf_dir, "events")
+    probe = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts",
+        F.lit(0).alias("is_build"),
+        F.lit(None).cast("struct<ts:timestamp,event_id:bigint>").alias("p"),
+    )
+    build = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts",
+        F.lit(1).alias("is_build"),
+        F.struct(F.col("ts"), F.col("event_id")).alias("p"),
+    )
+    tagged = probe.unionByName(build)
+    order = [F.col("ts").asc(), F.desc("is_build"), F.col("event_id").asc()]
+    wb = (
+        Window.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wf = (
+        Window.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    picked = (
+        tagged.withColumn("b", F.last("p", ignorenulls=True).over(wb))
+        .withColumn("f", F.first("p", ignorenulls=True).over(wf))
+        .filter(F.col("is_build") == 0)
+        .withColumn("b_dt", F.unix_micros("ts") - F.unix_micros("b.ts"))
+        .withColumn("f_dt", F.unix_micros("f.ts") - F.unix_micros("ts"))
+    )
+    take_b = F.col("f_dt").isNull() | (
+        F.col("b_dt").isNotNull() & (F.col("b_dt") <= F.col("f_dt"))
+    )
+    return picked.select(
+        "event_id", "user_id", "ts",
+        F.when(take_b, F.col("b.event_id"))
+        .otherwise(F.col("f.event_id"))
+        .alias("nearest_purchase_id"),
+        F.when(take_b, F.col("b_dt")).otherwise(F.col("f_dt")).alias("delta_us"),
+    )
+
+
+@register(
     "join_skew_salted",
     oracle="""
     WITH hot AS (
