@@ -411,3 +411,14 @@ def test_unhinted_vocab_joins_broadcast_via_aqe(spark):
     for name in ["text_tfidf_topterms", "text_bm25_topk"]:
         df = QUERIES[name](spark, SF_DIR)
         assert audit.n_broadcast_joins_executed(df) >= 1, name
+
+
+def test_nearest_asof_and_ohlc_are_single_shuffle(spark):
+    """join_asof_nearest's two direction frames share one partitioning
+    and one sort; ts_resample_ohlc's open/close windows partition by
+    the final group keys so windows + aggregation reuse one exchange.
+    Either op degrading to a second shuffle would double its 100 TB
+    network cost."""
+    for name in ["join_asof_nearest", "ts_resample_ohlc"]:
+        df = QUERIES[name](spark, SF_DIR)
+        assert audit.n_shuffles(df) == 1, (name, audit.plan_report(df))
