@@ -706,3 +706,24 @@ def test_latest_pointer_survives_vacuum_and_rollback(spark, tmp_path):
     with open(ptr) as fh:
         assert json.load(fh)["version"] == t.latest_version() == 6
     assert t.read().count() == 1000  # rollback target state, readable
+
+
+def test_pointer_update_out_of_order_is_monotonic(spark, tmp_path):
+    """Two optimistic writers: the slower one finishes its pointer
+    update AFTER a later commit already advanced it — the stale update
+    must not move the pointer backwards (readers would pay the probe
+    but still resolve forward; the pointer itself should simply win
+    monotonically)."""
+    import json
+    import os
+
+    t = _mk(spark, tmp_path)
+    t.merge_upsert(spark.createDataFrame([(1, -1.0)], "id long, val double"))  # v2
+    t.merge_upsert(spark.createDataFrame([(2, -2.0)], "id long, val double"))  # v3
+    ptr = os.path.join(t._manifest_dir, "_latest")
+    with open(ptr) as fh:
+        assert json.load(fh)["version"] == 3
+    t._update_pointer(2)  # the slow writer's belated update
+    with open(ptr) as fh:
+        assert json.load(fh)["version"] == 3, "pointer must never move backwards"
+    assert t.latest_version() == 3
