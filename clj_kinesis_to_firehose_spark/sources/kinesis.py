@@ -63,7 +63,19 @@ def decode_kinesis_envelope(
 
         @pandas_udf(EVENT_PAYLOAD_SCHEMA)
         def _decode(blobs: pd.Series) -> pd.DataFrame:
-            rows = [avro_decode_event(bytes(b)) for b in blobs]
+            # PERMISSIVE like the from_json path: a corrupt payload
+            # yields an all-null row for dead-letter routing instead
+            # of failing the task — one bad record must not poison the
+            # batch (micro-batch replay would re-fail it forever).
+            # Envelope-level corruption still fails loud upstream (KPL
+            # md5); this is payload-level decode only.
+            nulls = (None,) * 6
+            rows = []
+            for b in blobs:
+                try:
+                    rows.append(avro_decode_event(bytes(b)))
+                except ValueError:
+                    rows.append(nulls)
             return pd.DataFrame(
                 rows,
                 columns=[

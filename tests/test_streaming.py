@@ -337,3 +337,54 @@ def test_reshard_double_construction_invariants(spark):
     assert keys(3).isdisjoint(keys(4)), "split children cover disjoint hash ranges"
     shard0_keys = keys(0) | keys(2) | keys(5)
     assert shard0_keys.isdisjoint(keys(1) | keys(3) | keys(4) | keys(6))
+
+
+def test_stateful_aggregation_state_survives_reshard(spark):
+    """Streaming aggregation STATE continuity through the reshard: a
+    per-user count accumulates over the pre-merge shards, the query
+    stops, the merged child's slices land, and the restart resumes
+    from checkpointed state — final counts must equal the batch
+    answer, proving no state was lost or double-counted when the
+    key→shard mapping changed under the aggregation."""
+    import shutil
+    import uuid
+
+    from clj_kinesis_to_firehose_spark.sources.streams import (
+        read_reshard_stream,
+        write_reshard_replay,
+    )
+
+    replay = write_reshard_replay(spark, SF_DIR)
+    held = tempfile.mkdtemp(prefix="kf_held2_")
+    for s in ["slice=5", "slice=6"]:
+        shutil.move(os.path.join(replay, s), os.path.join(held, s))
+    chk = tempfile.mkdtemp(prefix="kf_chk_")
+
+    def run():
+        name = f"reshard_counts_{uuid.uuid4().hex[:8]}"
+        q = (
+            read_reshard_stream(spark, replay)
+            .groupBy("user_id")
+            .count()
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {r["user_id"]: r["count"] for r in spark.table(name).collect()}
+
+    partial = run()
+    for s in ["slice=5", "slice=6"]:
+        shutil.move(os.path.join(held, s), os.path.join(replay, s))
+    final = run()
+
+    batch = {
+        r["user_id"]: r["n"]
+        for r in spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert final == batch, "restarted state must converge to the batch answer"
+    assert sum(partial.values()) < sum(final.values())

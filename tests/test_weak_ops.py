@@ -707,3 +707,26 @@ def test_avro_event_codec_roundtrip_property():
         avro_decode_event(blob + b"\x00")
     with pytest.raises(ValueError):
         avro_decode_event(blob[:-1])
+
+
+def test_avro_envelope_decode_is_permissive(spark):
+    """One corrupt Avro payload in the envelope must decode to an
+    all-null row (dead-letter routable), not fail the task — the same
+    poison-record liveness contract as the delivery sink; valid
+    records around it decode exactly."""
+    from clj_kinesis_to_firehose_spark.sources.kinesis import (
+        avro_encode_event,
+        decode_kinesis_envelope,
+    )
+
+    good = avro_encode_event(1, 1_700_000_000_000_000_000, 7, "click", 2.5, "{}")
+    rows = [(good, None), (b"\xff\x01garbage", None),
+            (avro_encode_event(2, 1_700_000_000_000_000_000, 8, "view", 1.0, "{}"), None)]
+    env = spark.createDataFrame(
+        rows, "data binary, approximateArrivalTimestamp timestamp"
+    )
+    got = {r["event_id"]: r for r in
+           decode_kinesis_envelope(env, payload_format="avro").collect()}
+    assert set(got) == {1, 2, None}
+    assert got[1]["event_type"] == "click" and got[1]["value"] == 2.5
+    assert got[None]["event_type"] is None and got[None]["ts"] is None
