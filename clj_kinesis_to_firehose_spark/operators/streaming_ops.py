@@ -486,6 +486,117 @@ def sink_firehose_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sink_firehose_transform",
+    oracle="""
+    SELECT event_type AS stream,
+           COUNT(*) FILTER (WHERE event_type <> 'error' AND value >= 1.0)
+             AS n_delivered,
+           CAST(COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                         FILTER (WHERE event_type <> 'error' AND value >= 1.0),
+                         0) AS BIGINT) AS sum_cents,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS n_failed,
+           COUNT(*) FILTER (WHERE event_type <> 'error' AND value < 1.0)
+             AS n_dropped
+    FROM events GROUP BY event_type
+    """,
+)
+def sink_firehose_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Firehose DATA TRANSFORMATION contract [PK: the per-record
+    transform returns Ok / Dropped / ProcessingFailed]: Ok records
+    deliver with the TRANSFORMED payload (here: a derived value_cents
+    field), Dropped records vanish silently (sub-threshold values),
+    and ProcessingFailed records ('error' type) divert to the error
+    prefix carrying their ORIGINAL payload — straight to the DLQ, no
+    retry loop, exactly as the transform contract specifies. The audit
+    is physical: delivered counts and the transformed-field sum are
+    read back from the batch files, failures from the DLQ, drops
+    reconciled against the source."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from clj_kinesis_to_firehose_spark.sources import load_table
+    from clj_kinesis_to_firehose_spark.streaming.firehose_sink import (
+        DeadLetterDir,
+        LocalDirFirehoseClient,
+        deliver_records,
+    )
+
+    out_dir = tempfile.mkdtemp(prefix="kf_sink_xform_")
+    ev = load_table(spark, sf_dir, "events")
+    serialized = ev.select(
+        F.col("event_type").alias("__stream"),
+        F.col("value").alias("__value"),
+        F.to_json(F.struct(*ev.columns)).alias("__orig"),
+        F.to_json(
+            F.struct(
+                "event_id", "user_id", "event_type",
+                F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+            )
+        ).alias("__transformed"),
+    )
+
+    def per_partition(rows):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        client = LocalDirFirehoseClient(out_dir)
+        dead_letter = DeadLetterDir(out_dir)
+        ok: dict[str, list[bytes]] = {}
+        failed: dict[str, list[bytes]] = {}
+        for row in rows:
+            if row["__stream"] == "error":  # ProcessingFailed
+                failed.setdefault(row["__stream"], []).append(
+                    (row["__orig"] + "\n").encode("utf-8")
+                )
+            elif row["__value"] < 1.0:  # Dropped
+                continue
+            else:  # Ok — transformed payload delivers
+                ok.setdefault(row["__stream"], []).append(
+                    row["__transformed"].encode("utf-8")
+                )
+        for stream, records in ok.items():
+            deliver_records(
+                records, client, stream, sleep=lambda s: None,
+                idempotency_prefix=f"xf-p{pid}-{stream}",
+            )
+        for stream, records in failed.items():
+            dead_letter(stream, records, idempotency_key=f"xf-p{pid}-fail")
+
+    serialized.foreachPartition(per_partition)
+    delivered = (
+        spark.read.json(os.path.join(out_dir, "*.jsonl"))
+        .groupBy(F.col("event_type").alias("stream"))
+        .agg(
+            F.count("*").alias("n_delivered"),
+            F.sum("value_cents").alias("sum_cents"),
+        )
+    )
+    dead = (
+        spark.read.json(os.path.join(out_dir, "errors", "*.jsonl"))
+        .groupBy(F.col("event_type").alias("stream"))
+        .agg(F.count("*").alias("n_failed"))
+    )
+    source = ev.groupBy(F.col("event_type").alias("stream")).agg(
+        F.count("*").alias("n_source")
+    )
+    return (
+        source.join(delivered, "stream", "left_outer")
+        .join(dead, "stream", "left_outer")
+        .na.fill(0, ["n_delivered", "sum_cents", "n_failed"])
+        .select(
+            "stream",
+            "n_delivered",
+            "sum_cents",
+            "n_failed",
+            (F.col("n_source") - F.col("n_delivered") - F.col("n_failed"))
+            .alias("n_dropped"),
+        )
+    )
+
+
+@register(
     "sink_firehose_dlq_redrive",
     oracle="""
     SELECT event_type AS stream,
