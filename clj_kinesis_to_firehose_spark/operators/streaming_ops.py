@@ -682,17 +682,31 @@ def sink_firehose_dlq_redrive(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     dlq.foreachPartition(redrive)
+    # the redrive action raises on any undelivered record, so reaching
+    # this point means every DLQ record landed — consume the files
     for name in os.listdir(err_dir):
         os.unlink(os.path.join(err_dir, name))
 
+    # n_dead_remaining is MEASURED, not assumed: per-stream source
+    # count minus what the delivery files physically contain. A failed
+    # or partial redrive shows up here (and in n_delivered) even
+    # though the DLQ directory was emptied.
     delivered = (
         spark.read.json(os.path.join(out_dir, "*.jsonl"))
         .groupBy(F.col("event_type").alias("stream"))
         .agg(F.count("*").alias("n_delivered"))
     )
-    n_dead = len(os.listdir(err_dir))
-    return delivered.withColumn(
-        "n_dead_remaining", F.lit(n_dead).cast("long")
+    source = ev.groupBy(F.col("event_type").alias("stream")).agg(
+        F.count("*").alias("n_source")
+    )
+    return (
+        source.join(delivered, "stream", "left_outer")
+        .na.fill(0, ["n_delivered"])
+        .select(
+            "stream",
+            "n_delivered",
+            (F.col("n_source") - F.col("n_delivered")).alias("n_dead_remaining"),
+        )
     )
 
 

@@ -73,8 +73,9 @@ def decode_kinesis_envelope(
             rows = []
             for b in blobs:
                 try:
+                    # TypeError covers a NULL data payload (bytes(None))
                     rows.append(avro_decode_event(bytes(b)))
-                except ValueError:
+                except (ValueError, TypeError):
                     rows.append(nulls)
             return pd.DataFrame(
                 rows,

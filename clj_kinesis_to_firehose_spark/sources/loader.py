@@ -80,6 +80,11 @@ def _parse_byte_size(raw: str) -> int:
     fan-out repartition."""
     s = raw.strip().lower()
     units = {"b": 1, "k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4, "p": 1024**5}
+    # Spark's byteStringAs accepts both one- and two-letter suffixes
+    # ("128m" and "128mb") — strip the trailing 'b' of a two-letter
+    # form first so "32mb" parses as 32 MiB, not a ValueError fallback
+    if len(s) >= 2 and s.endswith("b") and s[-2] in units and s[-2] != "b":
+        s = s[:-1]
     mult = 1
     if s and s[-1] in units:
         mult = units[s[-1]]

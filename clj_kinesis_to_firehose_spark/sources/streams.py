@@ -75,17 +75,23 @@ def write_replay_slices(
     ensure_configs(spark)
     replay_dir = tempfile.mkdtemp(prefix="kf_replay_")
     raw = load_table(spark, sf_dir, "events")  # ts normalized to timestamp
+    # persist: the per-slice writes would otherwise re-run the global
+    # ntile sort once per slice (this runs inside every streaming
+    # pipeline's setup, so the waste multiplies across the suite)
     slices = raw.withColumn(
         "__slice", F.ntile(n_slices).over(Window.orderBy("ts", "event_id")) - 1
-    )
-    for i in range(n_slices):
-        (
-            slices.filter(F.col("__slice") == i)
-            .drop("__slice")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(os.path.join(replay_dir, f"slice={i}"))
-        )
+    ).persist()
+    try:
+        for i in range(n_slices):
+            (
+                slices.filter(F.col("__slice") == i)
+                .drop("__slice")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(replay_dir, f"slice={i}"))
+            )
+    finally:
+        slices.unpersist()
     if dup_event_ids:
         (
             raw.orderBy(F.desc("ts"), F.desc("event_id"))
@@ -176,16 +182,22 @@ def write_reshard_replay(spark: SparkSession, sf_dir: str) -> str:
         (2, "shard-0"), (2, "shard-1a"), (2, "shard-1b"),
         (3, "shard-0"), (3, "shard-2"),
     ]
-    for i, (ep, shard) in enumerate(slices):
-        (
-            routed.filter(
-                (F.col("__epoch") == ep) & (F.col("shard_id") == shard)
+    # persist: the 7 per-slice writes would otherwise re-run the two
+    # global window sorts (epoch ntile + per-shard seq) once each
+    routed = routed.persist()
+    try:
+        for i, (ep, shard) in enumerate(slices):
+            (
+                routed.filter(
+                    (F.col("__epoch") == ep) & (F.col("shard_id") == shard)
+                )
+                .drop("__epoch")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(replay_dir, f"slice={i}"))
             )
-            .drop("__epoch")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(os.path.join(replay_dir, f"slice={i}"))
-        )
+    finally:
+        routed.unpersist()
     _stamp_slice_order(replay_dir)
     return replay_dir
 

@@ -177,8 +177,8 @@ class SnapshotTable:
         try:
             with open(self._pointer_path) as fh:
                 v = int(json.load(fh)["version"])
-        except (OSError, ValueError, KeyError):
-            v = 0
+        except (OSError, ValueError, KeyError, TypeError):
+            v = 0  # TypeError: non-dict JSON in a corrupt pointer file
         if v > 0 and os.path.exists(self._manifest_path(v)):
             while os.path.exists(self._manifest_path(v + 1)):
                 v += 1
@@ -208,7 +208,7 @@ class SnapshotTable:
             # must be overwritten, not preserved
             if cur >= version and os.path.exists(self._manifest_path(cur)):
                 return
-        except (OSError, ValueError, KeyError):
+        except (OSError, ValueError, KeyError, TypeError):
             pass
         tmp = f"{self._pointer_path}.{uuid.uuid4().hex}.tmp"
         with open(tmp, "w") as fh:

@@ -830,18 +830,23 @@ def stream_kpl_firehose_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return pd.DataFrame({"slice": [int(pdf["__slice"].iloc[0])], "blob": [blob]})
 
+    # persist: the per-slice writes below would otherwise re-execute
+    # the global ntile sort AND the Python KPL packing once per slice
     blobs = sliced.groupBy("__slice", "__batch").applyInPandas(
         encode, "slice int, blob binary"
-    )
+    ).persist()
     replay_dir = tempfile.mkdtemp(prefix="kf_kpl_replay_")
-    for i in range(4):
-        (
-            blobs.filter(F.col("slice") == i)
-            .select("blob")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(os.path.join(replay_dir, f"slice={i}"))
-        )
+    try:
+        for i in range(4):
+            (
+                blobs.filter(F.col("slice") == i)
+                .select("blob")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(replay_dir, f"slice={i}"))
+            )
+    finally:
+        blobs.unpersist()
     _stamp_slice_order(replay_dir)
 
     def decode(batches):

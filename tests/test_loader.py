@@ -97,3 +97,16 @@ def test_fan_out_honors_suffixed_max_partition_bytes(spark, tmp_path):
         assert fan_out(spark, df) is not df, "suffixed conf must parse as MiB"
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_parse_byte_size_two_letter_suffixes():
+    """Spark's byteStringAs also accepts two-letter forms ("32mb",
+    "1gb") — they must parse as MiB/GiB, not fall back to the default
+    through a ValueError (review finding, round 5)."""
+    from clj_kinesis_to_firehose_spark.sources.loader import _parse_byte_size
+
+    assert _parse_byte_size("32mb") == 32 * 1024 * 1024
+    assert _parse_byte_size("1gb") == 1024 ** 3
+    assert _parse_byte_size("512kb") == 512 * 1024
+    assert _parse_byte_size("2tb") == 2 * 1024 ** 4
+    assert _parse_byte_size("10B") == 10

@@ -408,7 +408,12 @@ def test_unhinted_vocab_joins_broadcast_via_aqe(spark):
     hint would OOM executors at 100 TB (round-4 judge finding). AQE
     must still pick the broadcast at test scale — the unhinted plan
     keeps the fast path exactly when the side is genuinely small."""
-    for name in ["text_tfidf_topterms", "text_bm25_topk"]:
+    for name in [
+        "text_tfidf_topterms",
+        "text_bm25_topk",
+        "text_ngram_perplexity",
+        "text_collocation_pmi",
+    ]:
         df = QUERIES[name](spark, SF_DIR)
         assert audit.n_broadcast_joins_executed(df) >= 1, name
 

@@ -727,3 +727,21 @@ def test_pointer_update_out_of_order_is_monotonic(spark, tmp_path):
     with open(ptr) as fh:
         assert json.load(fh)["version"] == 3, "pointer must never move backwards"
     assert t.latest_version() == 3
+
+
+def test_pointer_file_with_non_dict_json_falls_back(spark, tmp_path):
+    """A _latest file holding non-dict JSON (foreign tool, manual
+    surgery) must degrade to the listing fallback on read AND be
+    overwritten by the next commit — not crash with TypeError."""
+    import json
+    import os
+
+    t = _mk(spark, tmp_path)
+    ptr = os.path.join(t._manifest_dir, "_latest")
+    for garbage in ["5", "[5]", "null"]:
+        with open(ptr, "w") as fh:
+            fh.write(garbage)
+        assert t.latest_version() == 1
+    t.merge_upsert(spark.createDataFrame([(1, -1.0)], "id long, val double"))
+    with open(ptr) as fh:
+        assert json.load(fh)["version"] == 2

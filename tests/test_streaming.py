@@ -331,12 +331,23 @@ def test_reshard_double_construction_invariants(spark):
         slices[i].agg(F.min("ts")).collect()[0][0] for i in (5, 6)
     )
     assert e1_max <= e3_min
-    # split covers the parent's key space, merge reunites it
+    # routing honors the hash lineage: every key in the shard-1 family
+    # (parent, split children, merged child) is a bucket-1 key, every
+    # shard-0 key bucket-0, and the split children partition bucket 1
+    from clj_kinesis_to_firehose_spark.sources.streams import _SHARD_BUCKET
+
+    buckets = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "user_id", (F.expr(_SHARD_BUCKET).cast("long") % 2).alias("b2")
+    ).distinct()
+    bucket1 = {r["user_id"] for r in buckets.filter("b2 = 1").collect()}
+    bucket0 = {r["user_id"] for r in buckets.filter("b2 = 0").collect()}
     keys = lambda i: {r["user_id"] for r in slices[i].select("user_id").distinct().collect()}  # noqa: E731
-    assert keys(3) | keys(4) <= keys(1) | keys(3) | keys(4)
-    assert keys(3).isdisjoint(keys(4)), "split children cover disjoint hash ranges"
+    lineage1 = keys(1) | keys(3) | keys(4) | keys(6)
     shard0_keys = keys(0) | keys(2) | keys(5)
-    assert shard0_keys.isdisjoint(keys(1) | keys(3) | keys(4) | keys(6))
+    assert lineage1 <= bucket1, "shard-1 lineage must carry only bucket-1 keys"
+    assert shard0_keys <= bucket0, "shard-0 must carry only bucket-0 keys"
+    assert keys(3).isdisjoint(keys(4)), "split children cover disjoint hash ranges"
+    assert shard0_keys.isdisjoint(lineage1)
 
 
 def test_stateful_aggregation_state_survives_reshard(spark):

@@ -730,3 +730,21 @@ def test_avro_envelope_decode_is_permissive(spark):
     assert set(got) == {1, 2, None}
     assert got[1]["event_type"] == "click" and got[1]["value"] == 2.5
     assert got[None]["event_type"] is None and got[None]["ts"] is None
+
+
+def test_avro_envelope_decode_handles_null_payload(spark):
+    """A NULL data blob in the envelope must decode to an all-null row
+    like the JSON path does — not crash the task with TypeError."""
+    from clj_kinesis_to_firehose_spark.sources.kinesis import (
+        avro_encode_event,
+        decode_kinesis_envelope,
+    )
+
+    good = avro_encode_event(1, 1_700_000_000_000_000_000, 7, "click", 2.5, "{}")
+    env = spark.createDataFrame(
+        [(good, None), (None, None)],
+        "data binary, approximateArrivalTimestamp timestamp",
+    )
+    got = decode_kinesis_envelope(env, payload_format="avro").collect()
+    ids = sorted((r["event_id"] is None) for r in got)
+    assert ids == [False, True]
