@@ -48,6 +48,7 @@ _OPERATOR_MODULES = [
     "corpus_ops",
     "snapshot_ops",
     "llm_graph_ann",
+    "intervals_ext",
 ]
 
 _loaded = False

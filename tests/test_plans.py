@@ -427,3 +427,44 @@ def test_nearest_asof_and_ohlc_are_single_shuffle(spark):
     for name in ["join_asof_nearest", "ts_resample_ohlc"]:
         df = QUERIES[name](spark, SF_DIR)
         assert audit.n_shuffles(df) == 1, (name, audit.plan_report(df))
+
+
+def test_interval_ops_single_shuffle(spark):
+    """Gaps-and-islands interval coalescing and its gap-inverse: the
+    running-max window, the island-numbering window, and the final
+    aggregation all share the hash(user_id) exchange — one shuffle
+    end-to-end, same contract as sessionize above."""
+    for name in ["intervals_merge_overlapping", "intervals_gaps"]:
+        df = QUERIES[name](spark, SF_DIR)
+        assert audit.n_shuffles(df) == 1, (name, audit.formatted_plan(df))
+
+
+def test_map_in_arrow_is_pure_map_stage(spark):
+    """mapInArrow pipelines with the scan: zero shuffles, and the scan
+    reads only the four columns the batch function touches."""
+    df = QUERIES["udf_map_in_arrow"](spark, SF_DIR)
+    assert audit.n_shuffles(df) == 0, audit.formatted_plan(df)
+    schemas = audit.read_schemas(df)
+    assert schemas and all(
+        "l_tax" not in s and "l_shipdate" not in s for s in schemas
+    ), schemas
+
+
+def test_existence_mark_dedups_probe_before_join(spark):
+    """The EXISTS-column rewrite must key-deduplicate orders BEFORE
+    the join (shuffle carries distinct keys, not raw facts): the
+    distinct's exchange is the only shuffle allowed besides the join
+    itself, and a partial aggregate must sit below it."""
+    df = QUERIES["join_existence_mark"](spark, SF_DIR)
+    assert audit.n_shuffles(df) <= 2, audit.formatted_plan(df)
+    plan = audit.formatted_plan(df)
+    assert "HashAggregate" in plan, plan  # the partial distinct
+
+
+def test_ratio_to_report_windows_after_aggregate(spark):
+    """The region-share denominator is a window over ~25 post-agg rows;
+    nation broadcasts. Budget: fact join + agg + window ≤ 3 shuffles,
+    ≥1 broadcast join."""
+    df = QUERIES["win_ratio_to_report"](spark, SF_DIR)
+    assert audit.n_shuffles(df) <= 3, audit.formatted_plan(df)
+    assert audit.n_broadcast_joins(df) >= 1, audit.formatted_plan(df)
