@@ -452,6 +452,38 @@ def snapshot_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_branch_fast_forward",
+    oracle=f"""
+    WITH {_MERGED_SQL}
+    SELECT o_orderkey, o_totalprice FROM merged
+    WHERE NOT (o_totalprice < 25000.0)
+    """,
+)
+def snapshot_branch_fast_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style branch lifecycle [PK: Iceberg mutable refs]:
+    fork an ``audit`` branch off v1, land TWO commits on it (the
+    deterministic merge batch, then a delete) while main stays frozen
+    at v1, and fast-forward the branch head onto main as one
+    metadata-only squash commit. Checked output is MAIN's post-
+    fast-forward state, which must equal replaying both operations
+    directly — branching must add isolation, not drift (the
+    write-audit-publish contract, generalized from one staged
+    snapshot to a multi-commit line of development). Isolation,
+    conflict refusal, and branch-aware vacuum liveness are pinned in
+    tests/test_snapshots.py."""
+    t = SnapshotTable(
+        spark, fresh_table_dir(sf_dir, "branch_ff", spark), key="o_orderkey"
+    )
+    base = _base_orders(spark, sf_dir)
+    t.create(base, n_files=8)
+    b = t.create_branch("audit")
+    b.merge_upsert(_updates(base))
+    b.delete_where("o_totalprice < 25000.0")
+    t.fast_forward("audit")
+    return t.read()
+
+
+@register(
     "snapshot_merge_cdc_apply",
     oracle="""
     WITH updates AS (

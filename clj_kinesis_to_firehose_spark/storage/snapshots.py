@@ -988,6 +988,18 @@ class SnapshotTable:
                 if name.endswith(".json"):
                     m = self._read_staging_manifest(name[:-5])
                     live.update(f["path"] for f in m["files"])
+        # every branch head (and its history) is a live root: branch
+        # commits share main's data directory, so count-based retention
+        # on main must never delete a file only a branch references
+        if os.path.isdir(self._branches_root):
+            for bname in os.listdir(self._branches_root):
+                bdir = os.path.join(self._branches_root, bname)
+                for mn in os.listdir(bdir):
+                    if mn.startswith("v") and mn.endswith(".json"):
+                        with open(os.path.join(bdir, mn)) as fh:
+                            live.update(
+                                f["path"] for f in json.load(fh)["files"]
+                            )
         data_root = os.path.join(self.path, "data")
         removed_files = 0
         if os.path.isdir(data_root):
@@ -1109,6 +1121,132 @@ class SnapshotTable:
         parent = self.latest_version()
         files = [FileEntry.from_json(f) for f in target["files"]]
         return self._commit("rollback", files, parent)
+
+    # ------------------------------------------------------- branches
+
+    @property
+    def _branches_root(self) -> str:
+        return os.path.join(self.path, "_manifest", "branches")
+
+    def create_branch(self, name: str) -> "SnapshotTable":
+        """Iceberg-style BRANCH [PK: Iceberg spec's mutable refs]: an
+        independent line of commits sharing main's data files. The
+        branch gets its own manifest namespace
+        (``_manifest/branches/<name>/``) seeded with main's current
+        head, so every table operation — merge, delete, compact, time
+        travel — works on the returned handle unchanged while main
+        stays frozen at its own head. Unlike write-audit-publish
+        (single staged snapshot), a branch accumulates MANY commits
+        before :meth:`fast_forward` lands the final state on main.
+        Metadata-only to create: no data is copied."""
+        import re as _re
+
+        if not _re.fullmatch(r"[A-Za-z0-9._-]+", name):
+            raise ValueError(f"invalid branch name {name!r}")
+        base = self.latest_version()
+        if base < 1:
+            raise FileNotFoundError("cannot branch an empty table")
+        bdir = os.path.join(self._branches_root, name)
+        if os.path.isdir(bdir):
+            raise CommitConflictError(f"branch {name!r} already exists")
+        bm = self._read_manifest(base)
+        view = _BranchView(self, name)
+        view._publish(
+            1,
+            {
+                "version": 1,
+                "op": f"branch_from:{base}",
+                "key": self.key,
+                "parent": None,
+                "base_version": base,
+                "branch": name,
+                "files": bm["files"],
+            },
+        )
+        return view
+
+    def branch(self, name: str) -> "SnapshotTable":
+        """Handle on an existing branch (see :meth:`create_branch`)."""
+        bdir = os.path.join(self._branches_root, name)
+        if not os.path.isdir(bdir):
+            raise FileNotFoundError(f"no branch {name!r} in {self.path}")
+        return _BranchView(self, name)
+
+    def branches(self) -> list[str]:
+        try:
+            return sorted(os.listdir(self._branches_root))
+        except FileNotFoundError:
+            return []
+
+    def delete_branch(self, name: str) -> None:
+        """Drop the branch's manifest namespace. Its exclusive data
+        files become orphans swept by the next :meth:`vacuum`."""
+        bdir = os.path.join(self._branches_root, name)
+        if not os.path.isdir(bdir):
+            raise FileNotFoundError(f"no branch {name!r} in {self.path}")
+        shutil.rmtree(bdir)
+
+    def fast_forward(self, name: str) -> int:
+        """Land a branch on main — Iceberg's ``fast_forward`` ref
+        operation, expressed in this layer's linear-version model as
+        ONE squash commit whose file list is the branch head's (pure
+        metadata: the branch already wrote its data files into the
+        shared data directory). Refused with
+        :class:`CommitConflictError` if main advanced past the branch
+        base — the branch no longer descends from main's head, and
+        silently clobbering those commits would violate snapshot
+        isolation (resolve by re-branching and replaying, as with any
+        optimistic-concurrency loser)."""
+        view = self.branch(name)
+        base = view._read_manifest(1)["base_version"]
+        head = view.latest_version()
+        if self.latest_version() != base:
+            raise CommitConflictError(
+                f"main is at v{self.latest_version()}, branch {name!r} "
+                f"forked at v{base} — fast-forward is not a descendant"
+            )
+        bm = view._read_manifest(head)
+        files = [FileEntry.from_json(f) for f in bm["files"]]
+        return self._commit(f"fast_forward:{name}@{head}", files, parent=base)
+
+
+class _BranchView(SnapshotTable):
+    """A :class:`SnapshotTable` whose manifests live under the parent's
+    ``_manifest/branches/<name>/`` while data files share the parent's
+    data directory (commit dirs are uuid-suffixed, so same-numbered
+    branch and main versions never collide on disk)."""
+
+    def __init__(self, parent: SnapshotTable, name: str):
+        super().__init__(
+            parent.spark,
+            parent.path,
+            parent.key,
+            bloom_cols=parent.bloom_cols,
+            check=parent.check,
+        )
+        self.branch_name = name
+
+    @property
+    def _manifest_dir(self) -> str:
+        return os.path.join(self.path, "_manifest", "branches", self.branch_name)
+
+    def vacuum(self, retain_last: int = 2) -> dict:
+        """Refused on a branch: vacuum's liveness set is rooted at
+        MAIN's manifests (plus every branch's, see the base
+        implementation) — a branch-rooted sweep would treat main's
+        files as orphans and delete them."""
+        raise CommitConflictError(
+            "vacuum runs on the main table handle, not a branch"
+        )
+
+    def create_branch(self, name: str) -> "SnapshotTable":
+        """Branch-of-branch is refused: the single ``branches/``
+        namespace records base versions in MAIN's numbering, so a
+        nested fork would fast-forward against the wrong lineage."""
+        raise CommitConflictError("branch from the main table handle")
+
+    def fast_forward(self, name: str) -> int:
+        raise CommitConflictError("fast_forward runs on the main table handle")
 
 
 def fresh_table_dir(sf_dir: str, op_name: str, spark: SparkSession) -> str:

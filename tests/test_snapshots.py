@@ -745,3 +745,92 @@ def test_pointer_file_with_non_dict_json_falls_back(spark, tmp_path):
     t.merge_upsert(spark.createDataFrame([(1, -1.0)], "id long, val double"))
     with open(ptr) as fh:
         assert json.load(fh)["version"] == 2
+
+
+# ------------------------------------------------------------ branches
+
+
+def _upd(spark, keys_mod=10, bump=1.0):
+    return spark.range(1000).filter(F.col("id") % keys_mod == 0).select(
+        F.col("id"), (F.col("id") * 2.0 + bump).alias("val")
+    )
+
+
+def test_branch_commits_isolated_from_main(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    b = t.create_branch("audit")
+    b.merge_upsert(_upd(spark))
+    b.merge_upsert(_upd(spark, keys_mod=7, bump=2.0))
+    # main frozen at v1, branch advanced to v3 (seed + 2 merges)
+    assert t.latest_version() == 1
+    assert b.latest_version() == 3
+    assert t.read().filter("id = 10").collect()[0]["val"] == 20.0
+    assert b.read().filter("id = 10").collect()[0]["val"] == 21.0
+
+
+def test_fast_forward_lands_branch_state_on_main(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    b = t.create_branch("audit")
+    b.merge_upsert(_upd(spark))
+    b.delete_where("val < 100.0")
+    v = t.fast_forward("audit")
+    assert v == 2
+    main = {r["id"]: r["val"] for r in t.read().collect()}
+    branch = {r["id"]: r["val"] for r in b.read().collect()}
+    assert main == branch
+    # everything below val 100 is gone (incl. merged id 10 at 21.0);
+    # merged id 50 (val 101.0) and untouched id 51 (102.0) survive
+    assert 10 not in main and 20 not in main
+    assert main[50] == 101.0 and main[51] == 102.0
+    # fast-forward is metadata-only: the commit reuses branch files
+    assert t.history()[-1]["op"].startswith("fast_forward:audit@")
+
+
+def test_fast_forward_refused_if_main_advanced(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    b = t.create_branch("audit")
+    b.merge_upsert(_upd(spark))
+    t.merge_upsert(_upd(spark, keys_mod=13, bump=5.0))  # main moves on
+    with pytest.raises(CommitConflictError):
+        t.fast_forward("audit")
+
+
+def test_vacuum_keeps_branch_files_live(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    b = t.create_branch("audit")
+    b.merge_upsert(_upd(spark))
+    # churn main so count-based retention would expire v1 (the branch base)
+    t.merge_upsert(_upd(spark, keys_mod=11, bump=3.0))
+    t.merge_upsert(_upd(spark, keys_mod=17, bump=4.0))
+    t.vacuum(retain_last=1)
+    # branch must remain fully readable: its manifests root liveness
+    assert b.read().count() == 1000
+    assert b.read().filter("id = 10").collect()[0]["val"] == 21.0
+
+
+def test_delete_branch_then_vacuum_sweeps_exclusive_files(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    b = t.create_branch("audit")
+    b.merge_upsert(_upd(spark))
+    branch_files = {f["path"] for f in b._read_manifest()["files"]}
+    main_files = {f["path"] for f in t._read_manifest()["files"]}
+    exclusive = branch_files - main_files
+    assert exclusive  # the merge rewrote at least one file
+    t.delete_branch("audit")
+    assert t.branches() == []
+    t.vacuum(retain_last=2)
+    assert not any(os.path.exists(p) for p in exclusive)
+    assert t.read().count() == 1000  # main untouched
+
+
+def test_branch_guards(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    b = t.create_branch("audit")
+    with pytest.raises(CommitConflictError):
+        b.vacuum()
+    with pytest.raises(CommitConflictError):
+        b.create_branch("nested")
+    with pytest.raises(CommitConflictError):
+        t.create_branch("audit")  # duplicate name
+    with pytest.raises(FileNotFoundError):
+        t.branch("nope")
