@@ -167,3 +167,129 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.sequence(F.lit(0), (F.col("n_chars") % 7))).alias("frame_idx"),
     ).select("doc_id", F.col("frame_idx").cast("long").alias("frame_idx"))
+
+
+_RESIZE_SCHEMA = (
+    "doc_id long, width long, height long, "
+    "out_w long, out_h long, n_bytes_resized long"
+)
+
+#: resize target: longest edge scaled to this many "pixels"
+RESIZE_BOX = 64
+
+
+def resize_media_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: aspect-preserving resize planning. The
+    dimension arithmetic (scale longest edge to RESIZE_BOX, integer
+    floor on the short edge, resized byte budget = out_w*out_h) is the
+    real contract a thumbnailing pipeline schedules around; the pixel
+    resample itself would replace this body (STUB — no image libs in
+    this container)."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, _, _ = _fake_decode(payload)
+            m = max(w, h)
+            ow, oh = (w * RESIZE_BOX) // m, (h * RESIZE_BOX) // m
+            rows.append((int(doc_id), w, h, ow, oh, ow * oh))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "width", "height", "out_w", "out_h",
+                "n_bytes_resized",
+            ],
+        ).astype("int64")
+
+
+@register(
+    "multimodal_resize",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id,
+             16 + LENGTH(text) % 64 AS width,
+             16 + (LENGTH(text) // 64) % 64 AS height
+      FROM documents
+    )
+    SELECT doc_id, width, height,
+           (width * {RESIZE_BOX}) // GREATEST(width, height) AS out_w,
+           (height * {RESIZE_BOX}) // GREATEST(width, height) AS out_h,
+           ((width * {RESIZE_BOX}) // GREATEST(width, height))
+             * ((height * {RESIZE_BOX}) // GREATEST(width, height))
+             AS n_bytes_resized
+    FROM dims
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize planning over a binary media column (the brief's third
+    multimodal primitive beside decode and frame-sample): mapInPandas
+    computes source dims from the payload (the stubbed decode) and the
+    aspect-preserving target box — all-integer arithmetic, so the op
+    gets an EXACT oracle recomputing the same dims from the payload
+    length. Scale shape is identical to multimodal_decode: pure map
+    stage, Arrow batches, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return media.mapInPandas(resize_media_batches, schema=_RESIZE_SCHEMA)
+
+
+_FEATURE_DIM = 8
+
+_FEATURE_SCHEMA = "doc_id long, dim_idx long, feat double"
+
+
+def feature_extract_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: payload bytes → fixed-dim feature vector in
+    LONG form (one row per dimension). The kernel is a deterministic
+    byte-striping fake (dim k sums every 8th byte of the first 256 —
+    STUB for a real image/audio encoder); a learned encoder replaces
+    this body and the long-form schema, batching, and downstream joins
+    are unchanged."""
+    import numpy as np
+
+    for pdf in batches:
+        ids, dims, feats = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = np.frombuffer(payload[:256], dtype=np.uint8)
+            for k in range(_FEATURE_DIM):
+                ids.append(int(doc_id))
+                dims.append(k)
+                feats.append(float(b[k::_FEATURE_DIM].sum()) / 255.0)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "dim_idx": pd.Series(dims, dtype="int64"),
+                "feat": feats,
+            }
+        )
+
+
+@register(
+    "multimodal_feature_extract",
+    oracle=f"""
+    SELECT doc_id, k AS dim_idx,
+           ROUND(COALESCE(CAST(LIST_SUM(LIST_TRANSFORM(
+               LIST_FILTER(RANGE(LEAST(LENGTH(text), 256)),
+                           i -> i % {_FEATURE_DIM} = k),
+               i -> UNICODE(SUBSTR(text, i + 1, 1)))) AS DOUBLE), 0.0)
+             / 255.0, 6) AS feat
+    FROM documents, UNNEST(RANGE({_FEATURE_DIM})) AS t(k)
+    """,
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over a binary media column (the brief's
+    fourth multimodal primitive): mapInPandas turns each payload into
+    a fixed-dim (_FEATURE_DIM) vector, emitted in long form so the oracle
+    compare is flat-exact (array columns render differently across
+    engines). The fake encoder is pure byte arithmetic, so the whole
+    Arrow path — batch shape, striping, rounding discipline (JVM-side
+    HALF_UP after the kernel) — is hash-checked despite the stubbed
+    kernel. Pure map stage, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return media.mapInPandas(
+        feature_extract_batches, schema=_FEATURE_SCHEMA
+    ).withColumn("feat", F.round("feat", 6))
