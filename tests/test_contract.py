@@ -138,3 +138,38 @@ def test_kinesis_envelope_decode_matches_event_stream_schema(spark):
     # ns payload truncated to µs, exactly like the loader's nanos path
     assert row["ts"] == datetime.datetime(2024, 1, 1, 0, 0, 0, 123456)
     assert row["arrival_ts"] == arrival
+
+
+def test_intervals_and_gaps_tile_the_user_span(spark):
+    """Cross-operator invariant: per user, total island duration plus
+    total gap duration must equal the span from first event to last
+    interval end, and island event counts must sum to the user's event
+    count — the islands and gaps PARTITION the timeline. All integer
+    microsecond arithmetic (no float time math to drift)."""
+    from clj_kinesis_to_firehose_spark import registry
+    from tests.conftest import SF_DIR
+
+    registry._load_all()
+    q = registry.queries()
+    islands = q["intervals_merge_overlapping"](spark, SF_DIR).toPandas()
+    gaps = q["intervals_gaps"](spark, SF_DIR).toPandas()
+
+    islands["dur_us"] = (
+        islands["island_end"] - islands["island_start"]
+    ).dt.total_seconds().mul(1_000_000).round().astype("int64")
+    isl = islands.groupby("user_id").agg(
+        dur=("dur_us", "sum"), n=("n_events", "sum"),
+        start=("island_start", "min"), end=("island_end", "max"),
+    )
+    gap = gaps.groupby("user_id")["gap_us"].sum()
+
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet", columns=["user_id", "ts"])
+    counts = ev.groupby("user_id")["ts"].count()
+
+    for uid, row in isl.iterrows():
+        span_us = int((row["end"] - row["start"]).total_seconds() * 1_000_000)
+        g = int(gap.get(uid, 0))
+        assert row["dur"] + g == span_us, uid
+        assert row["n"] == counts[uid], uid
