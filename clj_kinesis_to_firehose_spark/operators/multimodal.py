@@ -262,7 +262,9 @@ def feature_extract_batches(
             {
                 "doc_id": pd.Series(ids, dtype="int64"),
                 "dim_idx": pd.Series(dims, dtype="int64"),
-                "feat": feats,
+                # explicit dtype: an empty partition's [] would infer
+                # object, not float64, and break the Arrow schema
+                "feat": pd.Series(feats, dtype="float64"),
             }
         )
 

@@ -1248,6 +1248,13 @@ class _BranchView(SnapshotTable):
     def fast_forward(self, name: str) -> int:
         raise CommitConflictError("fast_forward runs on the main table handle")
 
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Refused on a branch: the shared ``_refs`` namespace records
+        versions in MAIN's numbering — a tag created here would pin a
+        branch-local version number against main's lineage, and vacuum
+        would keep the wrong manifest alive."""
+        raise CommitConflictError("tags pin main versions — tag from main")
+
 
 def fresh_table_dir(sf_dir: str, op_name: str, spark: SparkSession) -> str:
     """Stable scratch root for a registered snapshot query: keyed by

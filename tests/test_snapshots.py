@@ -834,3 +834,10 @@ def test_branch_guards(spark, tmp_path):
         t.create_branch("audit")  # duplicate name
     with pytest.raises(FileNotFoundError):
         t.branch("nope")
+
+
+def test_branch_tag_refused(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    b = t.create_branch("audit")
+    with pytest.raises(CommitConflictError):
+        b.tag("pinned")
