@@ -20,13 +20,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from clj_kinesis_to_firehose_spark.operators.analytics_ext import (
+    ACTIVE_TTL_S as INTERVAL_TTL_S,
+)
 from clj_kinesis_to_firehose_spark.registry import register
 from clj_kinesis_to_firehose_spark.sources import load_table
-
-#: each event opens a [ts, ts + TTL) activity interval (seconds);
-#: mirrors analytics_ext.ACTIVE_TTL_S so the two interval families
-#: describe the same activity model.
-INTERVAL_TTL_S = 300
 
 
 @register(

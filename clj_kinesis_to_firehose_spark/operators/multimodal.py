@@ -227,9 +227,10 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes source dims from the payload (the stubbed decode) and the
     aspect-preserving target box — all-integer arithmetic, so the op
     gets an EXACT oracle recomputing the same dims from the payload
-    length. Scale shape is identical to multimodal_decode: pure map
-    stage, Arrow batches, no shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
+    length. Scale shape is identical to multimodal_decode: fan_out
+    spreads the single-file fixture scan across cores ahead of the
+    Python kernel, then a pure map stage over Arrow batches."""
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
     media = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
     return media.mapInPandas(resize_media_batches, schema=_RESIZE_SCHEMA)
 
@@ -289,8 +290,8 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines). The fake encoder is pure byte arithmetic, so the whole
     Arrow path — batch shape, striping, rounding discipline (JVM-side
     HALF_UP after the kernel) — is hash-checked despite the stubbed
-    kernel. Pure map stage, no shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
+    kernel. fan_out ahead of the kernel, then a pure map stage."""
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
     media = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
     return media.mapInPandas(
         feature_extract_batches, schema=_FEATURE_SCHEMA

@@ -1255,6 +1255,37 @@ class _BranchView(SnapshotTable):
         would keep the wrong manifest alive."""
         raise CommitConflictError("tags pin main versions — tag from main")
 
+    def read_tag(self, name: str) -> DataFrame:
+        """Refused on a branch: tags store MAIN version numbers; resolving
+        one against the branch's manifest numbering would silently read
+        the wrong snapshot."""
+        raise CommitConflictError("tags pin main versions — read from main")
+
+    def tags(self) -> dict[str, int]:
+        raise CommitConflictError("tags pin main versions — list from main")
+
+    def delete_tag(self, name: str) -> None:
+        raise CommitConflictError("tags pin main versions — delete from main")
+
+    def stage_merge(self, *a, **kw):
+        """Refused on a branch: staged snapshots record their parent in
+        the writer's version numbering inside a SHARED staging dir, so a
+        branch-staged snapshot could later publish onto main when the
+        per-lineage version numbers coincide — clobbering main's state
+        with no conflict error. A branch IS the multi-commit staging
+        mechanism; use ordinary branch commits + fast_forward."""
+        raise CommitConflictError("write-audit-publish runs on main; "
+                                  "a branch already is a staging line")
+
+    def publish_staged(self, staged_id: str) -> int:
+        raise CommitConflictError("publish_staged runs on the main handle")
+
+    def read_staged(self, staged_id: str) -> DataFrame:
+        raise CommitConflictError("read_staged runs on the main handle")
+
+    def discard_staged(self, staged_id: str) -> None:
+        raise CommitConflictError("discard_staged runs on the main handle")
+
 
 def fresh_table_dir(sf_dir: str, op_name: str, spark: SparkSession) -> str:
     """Stable scratch root for a registered snapshot query: keyed by

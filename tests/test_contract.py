@@ -154,22 +154,24 @@ def test_intervals_and_gaps_tile_the_user_span(spark):
     islands = q["intervals_merge_overlapping"](spark, SF_DIR).toPandas()
     gaps = q["intervals_gaps"](spark, SF_DIR).toPandas()
 
+    import pandas as pd
+
+    us = pd.Timedelta(microseconds=1)
     islands["dur_us"] = (
-        islands["island_end"] - islands["island_start"]
-    ).dt.total_seconds().mul(1_000_000).round().astype("int64")
+        (islands["island_end"] - islands["island_start"]) // us
+    ).astype("int64")
     isl = islands.groupby("user_id").agg(
         dur=("dur_us", "sum"), n=("n_events", "sum"),
         start=("island_start", "min"), end=("island_end", "max"),
     )
     gap = gaps.groupby("user_id")["gap_us"].sum()
 
-    import pandas as pd
-
     ev = pd.read_parquet(f"{SF_DIR}/events.parquet", columns=["user_id", "ts"])
     counts = ev.groupby("user_id")["ts"].count()
 
     for uid, row in isl.iterrows():
-        span_us = int((row["end"] - row["start"]).total_seconds() * 1_000_000)
+        # integer µs throughout — total_seconds() would truncate 1 µs low
+        span_us = int((row["end"] - row["start"]) // us)
         g = int(gap.get(uid, 0))
         assert row["dur"] + g == span_us, uid
         assert row["n"] == counts[uid], uid

@@ -841,3 +841,24 @@ def test_branch_tag_refused(spark, tmp_path):
     b = t.create_branch("audit")
     with pytest.raises(CommitConflictError):
         b.tag("pinned")
+
+
+def test_branch_staging_surface_refused(spark, tmp_path):
+    """Staged snapshots record parents in the writer's own version
+    numbering inside a SHARED staging dir — from a branch they could
+    later publish onto main when per-lineage numbers coincide, so the
+    whole WAP surface is refused on branch handles."""
+    t = _mk(spark, tmp_path)
+    b = t.create_branch("audit")
+    upd = _upd(spark)
+    for call in (
+        lambda: b.stage_merge(upd, staged_id="x"),
+        lambda: b.publish_staged("x"),
+        lambda: b.read_staged("x"),
+        lambda: b.discard_staged("x"),
+        lambda: b.read_tag("any"),
+        lambda: b.tags(),
+        lambda: b.delete_tag("any"),
+    ):
+        with pytest.raises(CommitConflictError):
+            call()
