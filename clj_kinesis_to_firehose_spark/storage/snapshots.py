@@ -655,8 +655,28 @@ class SnapshotTable:
         )
         version = parent + 1
         n_files = max(1, len(touched))
-        new_files = self._write_data_files(merged, version, n_files)
+        new_files = self._write_persisted(merged, version, n_files)
         return self._commit("merge", carried + new_files, parent)
+
+    def _write_persisted(
+        self, merged: DataFrame, version: int, n_files: int
+    ) -> list[FileEntry]:
+        """Write a JOIN-BACKED frame: range-clustered writes sample the
+        child first, so an unpersisted merge join executes TWICE (once
+        for the sampling pass, once for the write). Persisting caps it
+        at one; the footprint is the merged output of the TOUCHED files
+        only — the same bytes about to be written, so at any scale the
+        cache is bounded by the rewrite working set (MEMORY_AND_DISK:
+        spill, never recompute). Not used for create/compact/delete,
+        whose recompute is a cheap pushdown parquet re-scan, not a
+        join."""
+        from pyspark import StorageLevel
+
+        merged = merged.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            return self._write_data_files(merged, version, n_files)
+        finally:
+            merged.unpersist()
 
     def _merge_plan(
         self,
@@ -1057,7 +1077,15 @@ class SnapshotTable:
             updates, tombstone_col
         )
         out_dir = os.path.join(self.path, "data", f"staged-{staged_id}")
-        new_files = self._write_files_to(merged, out_dir, max(1, len(touched)))
+        from pyspark import StorageLevel
+
+        merged = merged.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            new_files = self._write_files_to(
+                merged, out_dir, max(1, len(touched))
+            )
+        finally:
+            merged.unpersist()
         os.makedirs(self._staging_dir, exist_ok=True)
         with open(os.path.join(self._staging_dir, f"{staged_id}.json"), "w") as fh:
             json.dump(
