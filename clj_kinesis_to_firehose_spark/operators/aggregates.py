@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from clj_kinesis_to_firehose_spark.operators.llm_dedup import portable_hash60
 from clj_kinesis_to_firehose_spark.registry import register
 from clj_kinesis_to_firehose_spark.sources import load_table
 
@@ -336,6 +337,96 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.groupBy("event_type").agg(
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_users"),
         F.count("*").alias("n_partials"),
+    )
+
+
+@register(
+    "agg_hll_portable",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT) AS hv
+      FROM events
+    ), b AS (
+      SELECT event_type, hv % 64 AS bucket, hv // 64 AS rest FROM h
+    ), r AS (
+      SELECT event_type, bucket,
+             MAX(CASE WHEN rest = 0 THEN 54
+                      ELSE LEAST(55 - length(format('{:b}', rest)), 54) END) AS reg
+      FROM b GROUP BY event_type, bucket
+    ), s AS (
+      SELECT event_type,
+             SUM((1::BIGINT << (54 - reg))) AS s_present,
+             COUNT(*) AS n_present
+      FROM r GROUP BY event_type
+    )
+    SELECT event_type,
+           ROUND(5.2314966193040286e+19
+                 / CAST(s_present + (64 - n_present) * 18014398509481984
+                        AS DOUBLE), 2) AS approx_ids,
+           CAST(n_present AS BIGINT) AS n_buckets_used
+    FROM s
+    """,
+)
+def agg_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog with an EXACT cross-engine oracle — the sketch
+    itself is reproduced bit-for-bit in DuckDB via the portable md5
+    hash (the same trick that upgraded the MinHash family), unlike
+    agg_hll_sketch whose DataSketches binaries are engine-specific.
+
+    m=64 registers: bucket = low 6 hash bits, rho = leading-zero rank
+    of the remaining 54 bits (integer-exact via binary-string length,
+    capped at 54). The register table is built TWO-LEVEL — daily
+    partial registers, then a max-merge per event_type — the 100 TB
+    incremental pattern: persisting 64 small ints per (day, group)
+    replaces any re-scan, and ANY rollup window is a max-merge of
+    fixed-size registers. Every aggregation is integer (max, bit-shift
+    sums in int64), so the raw-regime estimate is ONE double division
+    of bit-identical operands — no float accumulation, no libm calls
+    (the small-range ln correction is deliberately out of contract:
+    event_id cardinality per group is far above 2.5m at every fixture
+    SF, and ln() is not bit-portable across engines).
+
+    Estimator: E = alpha_64 * m^2 / sum(2^-reg); the numerator is the
+    precomputed double literal alpha_64*64*64*2^54 = 5.2314966193040286e19,
+    embedded identically in both engines. +-13 pct at m=64 (sigma =
+    1.04/sqrt(m)), bounded against exact countDistinct in pytest."""
+    ev = load_table(spark, sf_dir, "events")
+    hv = portable_hash60(F.col("event_id").cast("string"))
+    hashed = ev.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        hv.bitwiseAND(F.lit(63)).alias("bucket"),
+        F.shiftright(hv, 6).alias("rest"),
+    )
+    rho = F.when(F.col("rest") == 0, F.lit(54)).otherwise(
+        F.least(F.lit(55) - F.length(F.bin(F.col("rest"))), F.lit(54))
+    )
+    daily = hashed.groupBy("day", "event_type", "bucket").agg(
+        F.max(rho).alias("reg")
+    )
+    merged = daily.groupBy("event_type", "bucket").agg(
+        F.max("reg").alias("reg")
+    )
+    s = merged.groupBy("event_type").agg(
+        # python shiftleft() wants a literal bit count; the SQL form
+        # takes an expression
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 54 - reg)")).alias(
+            "s_present"
+        ),
+        F.count("*").alias("n_present"),
+    )
+    return s.select(
+        "event_type",
+        F.round(
+            F.lit(5.2314966193040286e19)
+            / (
+                F.col("s_present")
+                + (F.lit(64) - F.col("n_present")) * F.lit(18014398509481984)
+            ).cast("double"),
+            2,
+        ).alias("approx_ids"),
+        F.col("n_present").cast("long").alias("n_buckets_used"),
     )
 
 

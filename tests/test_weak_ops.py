@@ -748,3 +748,32 @@ def test_avro_envelope_decode_handles_null_payload(spark):
     got = decode_kinesis_envelope(env, payload_format="avro").collect()
     ids = sorted((r["event_id"] is None) for r in got)
     assert ids == [False, True]
+
+
+def test_portable_hll_estimate_within_bound(spark):
+    """agg_hll_portable's estimator quality: m=64 gives sigma ~ 13%;
+    assert every group lands within 20% of exact countDistinct (about
+    1.5 sigma — the fixture's observed worst case is ~13%). The op's
+    ORACLE already pins cross-engine exactness; this pins that the
+    exactly-reproduced number is also a GOOD estimate."""
+    from clj_kinesis_to_firehose_spark import registry
+    from tests.conftest import SF_DIR
+
+    registry._load_all()
+    est = {
+        r["event_type"]: r["approx_ids"]
+        for r in registry.queries()["agg_hll_portable"](spark, SF_DIR).collect()
+    }
+    from clj_kinesis_to_firehose_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("event_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for et, n in exact.items():
+        assert abs(est[et] - n) / n < 0.20, (et, est[et], n)
