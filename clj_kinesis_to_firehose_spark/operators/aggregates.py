@@ -622,6 +622,94 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_cms_portable",
+    oracle="""
+    WITH et AS (SELECT DISTINCT event_type FROM events),
+    js AS (SELECT UNNEST(RANGE(4)) AS j),
+    sketch AS (
+      SELECT event_type, j,
+             (('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+                || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT) % 256 AS bucket,
+             COUNT(*) AS cnt
+      FROM events, js GROUP BY 1, 2, 3
+    ),
+    probes AS (SELECT UNNEST(RANGE(1, 21)) AS user_id),
+    pb AS (
+      SELECT p.user_id, j.j,
+             (('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':'
+                || CAST(p.user_id AS VARCHAR)), 1, 15))::BIGINT) % 256 AS bucket
+      FROM probes p, js j
+    )
+    SELECT e.event_type, pb.user_id,
+           CAST(MIN(COALESCE(s.cnt, 0)) AS BIGINT) AS est_count
+    FROM et e CROSS JOIN pb
+    LEFT JOIN sketch s ON s.event_type = e.event_type
+                      AND s.j = pb.j AND s.bucket = pb.bucket
+    GROUP BY 1, 2
+    """,
+)
+def agg_cms_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch with an EXACT cross-engine oracle: d=4 hash
+    rows x w=256 buckets, bucket = portable md5 hash of (row-seed :
+    key) — all-integer counts, so DuckDB rebuilds the identical sketch
+    and the identical min-over-rows estimates (contrast
+    agg_cms_heavyhitters, whose built-in sketch binary is
+    engine-specific and therefore weak). Probing is fully distributed:
+    the probe x row bucket table broadcasts against the sketch — no
+    sketch binary ever reaches the driver.
+
+    Scale note: the d-row explode costs d x the scan's shuffle input;
+    the built-in count_min_sketch aggregate (see agg_cms_heavyhitters)
+    avoids that via map-side partial sketch merge and stays the 100 TB
+    default — THIS op trades the explode for bit-exact checkability of
+    the same structure (and its sketch table is still only
+    |groups| * d * w counters)."""
+    ev = load_table(spark, sf_dir, "events")
+    d, w = 4, 256
+    js = F.array(*[F.lit(j) for j in range(d)])
+
+    def bucket(j_col, key_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", j_col, key_col.cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % w
+        )
+
+    rows = ev.select(
+        "event_type", "user_id", F.explode(js).alias("j")
+    )
+    sketch = (
+        rows.withColumn("bucket", bucket(F.col("j"), F.col("user_id")))
+        .groupBy("event_type", "j", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    probes = spark.createDataFrame(
+        [(u, j) for u in range(1, 21) for j in range(d)],
+        "user_id long, j int",
+    ).withColumn("bucket", bucket(F.col("j"), F.col("user_id")))
+    ets = ev.select("event_type").distinct()
+    return (
+        ets.crossJoin(F.broadcast(probes))
+        .join(
+            sketch,
+            ["event_type", "j", "bucket"],
+            "left",
+        )
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est_count")
+        )
+    )
+
+
 @register("agg_cms_heavyhitters")
 def agg_cms_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min-Sketch frequency estimates (weak: the sketch binary is

@@ -777,3 +777,35 @@ def test_portable_hll_estimate_within_bound(spark):
     assert set(est) == set(exact)
     for et, n in exact.items():
         assert abs(est[et] - n) / n < 0.20, (et, est[et], n)
+
+
+def test_portable_cms_never_underestimates(spark):
+    """agg_cms_portable's structural guarantee: a CMS estimate is
+    always >= the true count (collisions only ADD), and with w=256 over
+    this fixture the overestimate stays within 2% of the stream size.
+    The oracle pins cross-engine exactness; this pins the sketch
+    property."""
+    from clj_kinesis_to_firehose_spark import registry
+    from tests.conftest import SF_DIR
+    from clj_kinesis_to_firehose_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    registry._load_all()
+    est = {
+        (r["event_type"], r["user_id"]): r["est_count"]
+        for r in registry.queries()["agg_cms_portable"](spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    exact = {
+        (r["event_type"], r["user_id"]): r["c"]
+        for r in ev.filter(F.col("user_id").between(1, 20))
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    n_stream = ev.count()
+    assert est, "probe set empty"
+    for k, e in est.items():
+        true = exact.get(k, 0)
+        assert e >= true, (k, e, true)
+        assert e - true <= 0.02 * n_stream, (k, e, true)
