@@ -399,3 +399,37 @@ def test_stateful_aggregation_state_survives_reshard(spark):
     }
     assert final == batch, "restarted state must converge to the batch answer"
     assert sum(partial.values()) < sum(final.values())
+
+
+def test_stateful_counter_on_rocksdb_state_store(spark, oracle_con):
+    """The 100 TB state backend: HDFSBackedStateStore keeps every key
+    in executor heap — at large keyspaces the scalable provider is
+    RocksDB (incremental checkpoints, state spills to local disk).
+    The engine's stateful ops must run unchanged on it: same pipeline,
+    same exact result as the batch aggregate, only the provider conf
+    differs."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, rocks)
+    try:
+        res = {
+            r["user_id"]: (r["n_events"], r["sum_value"])
+            for r in pipelines.stream_stateful_counter(spark, SF_DIR).collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    exact = {
+        u: (n, s)
+        for u, n, s in oracle_con.execute(
+            "SELECT user_id, COUNT(*), ROUND(SUM(value), 2)"
+            " FROM events GROUP BY user_id"
+        ).fetchall()
+    }
+    assert res == exact
