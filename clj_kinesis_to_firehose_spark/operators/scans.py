@@ -795,3 +795,31 @@ def kinesis_kpl_deaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+@register(
+    "scan_python_datasource",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props FROM events
+    """,
+)
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Kinesis connector seam made concrete: a PySpark 4 Python
+    DataSource (sources/pyds.py) registered as format
+    ``kinesis_replay`` — one InputPartition per shard slice, records
+    read executor-side via pyarrow, a micro-batch stream face whose
+    offsets are slice indexes (the shard-iterator checkpoint shape).
+    This op exercises the BATCH face: the full replay read back through
+    the connector must equal the events table exactly. The stream face
+    is exercised in tests/test_streaming.py (exact row parity through
+    a checkpointed streaming query, plus offset-window unit tests)."""
+    from clj_kinesis_to_firehose_spark.sources.pyds import (
+        register_replay_source,
+    )
+    from clj_kinesis_to_firehose_spark.sources.streams import (
+        write_replay_slices,
+    )
+
+    register_replay_source(spark)
+    replay = write_replay_slices(spark, sf_dir, n_slices=4)
+    return spark.read.format("kinesis_replay").option("path", replay).load()

@@ -433,3 +433,66 @@ def test_stateful_counter_on_rocksdb_state_store(spark, oracle_con):
         ).fetchall()
     }
     assert res == exact
+
+
+def test_python_datasource_stream_face_exact(spark, oracle_con):
+    """The kinesis_replay Python DataSource's STREAM face: a
+    checkpointed streaming query over the connector must deliver every
+    replay record exactly once (count + per-type parity with the
+    batch table)."""
+    import tempfile
+    import uuid
+
+    from clj_kinesis_to_firehose_spark.sources.pyds import register_replay_source
+    from clj_kinesis_to_firehose_spark.sources.streams import write_replay_slices
+
+    register_replay_source(spark)
+    replay = write_replay_slices(spark, SF_DIR, n_slices=4)
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("kinesis_replay")
+        .option("path", replay)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="kf_chk_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["event_type"]: r["n"]
+        for r in spark.table(name).groupBy("event_type").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    exact = dict(
+        oracle_con.execute(
+            "SELECT event_type, COUNT(*) FROM events GROUP BY event_type"
+        ).fetchall()
+    )
+    assert got == exact
+
+
+def test_python_datasource_offsets_window_correctly(spark):
+    """Offset semantics of the stream reader, unit-level: initial at
+    slice 0, latest at the replay head, and partitions(start, end)
+    fanning out exactly the uncommitted slice files — the contract a
+    checkpoint recovery relies on."""
+    from clj_kinesis_to_firehose_spark.sources.pyds import (
+        KinesisReplayStreamReader,
+    )
+    from clj_kinesis_to_firehose_spark.sources.streams import write_replay_slices
+
+    replay = write_replay_slices(spark, SF_DIR, n_slices=4)
+    r = KinesisReplayStreamReader({"path": replay})
+    assert r.initialOffset() == {"slice": 0}
+    assert r.latestOffset() == {"slice": 4}
+    all_parts = r.partitions({"slice": 0}, {"slice": 4})
+    assert len(all_parts) == 4
+    mid = r.partitions({"slice": 1}, {"slice": 3})
+    assert len(mid) == 2
+    assert [p.path for p in mid] == [p.path for p in all_parts[1:3]]
+    assert r.partitions({"slice": 2}, {"slice": 2}) == []
+    # every record is reachable through exactly one partition
+    n = sum(1 for p in all_parts for _ in r.read(p))
+    assert n == 10000
