@@ -788,3 +788,63 @@ def stream_backpressure_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
     # result — the pytest asserts the backlog drained as bounded
     # micro-batches (see pipelines.stream_backpressure_trigger)
     return pipelines.stream_backpressure_trigger(spark, sf_dir)
+
+
+@register(
+    "stream_pyds_connector_pair",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_records,
+           COUNT(DISTINCT event_id) AS n_ids,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_pyds_connector_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Python-DataSource connector pair end-to-end: replay →
+    ``kinesis_replay`` STREAM reader (slice-index offsets) → a
+    checkpointed streaming query → ``firehose_delivery`` STREAM writer
+    (PutRecordBatch-capped staged files, idempotent batch-named commit)
+    → delivered JSON-lines read back and aggregated. The oracle is the
+    original events table: whatever goes through both connector faces
+    must come out bit-equal in count, identity, and value mass."""
+    import glob
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from clj_kinesis_to_firehose_spark.sources.pyds import (
+        register_delivery_sink,
+        register_replay_source,
+    )
+    from clj_kinesis_to_firehose_spark.sources.streams import (
+        write_replay_slices,
+    )
+
+    register_replay_source(spark)
+    register_delivery_sink(spark)
+    replay = write_replay_slices(spark, sf_dir, n_slices=4)
+    out = tempfile.mkdtemp(prefix="kf_pyds_deliv_")
+    q = (
+        spark.readStream.format("kinesis_replay")
+        .option("path", replay)
+        .load()
+        .writeStream.format("firehose_delivery")
+        .option("path", out)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="kf_chk_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    delivered = spark.read.schema(
+        "event_id long, ts string, user_id long, "
+        "event_type string, value double, props string"
+    ).json(sorted(glob.glob(f"{out}/batch-*.jsonl")))
+    return delivered.groupBy("event_type").agg(
+        F.count("*").alias("n_records"),
+        F.countDistinct("event_id").cast("long").alias("n_ids"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("sum_value"),
+    )

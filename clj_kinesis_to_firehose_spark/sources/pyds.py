@@ -32,7 +32,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 #: the events stream schema (matches sources.streams.EVENTS_RAW_SCHEMA)
@@ -148,3 +150,116 @@ def register_replay_source(spark) -> None:
     session (re-registration overwrites, which is fine — the class is
     stateless)."""
     spark.dataSource.register(KinesisReplayDataSource)
+
+
+# ----------------------------------------------------------- writer face
+
+#: mirrors streaming.firehose_sink's PutRecordBatch caps [PK]
+_MAX_RECORDS_PER_BATCH = 500
+_MAX_BATCH_BYTES = 4 * 1024 * 1024
+_MAX_RECORD_BYTES = 1000 * 1024
+
+
+class DeliveryCommit(WriterCommitMessage):
+    """Per-task commit message: the staged delivery files this task
+    wrote, plus its partition id for the idempotent final names."""
+
+    def __init__(self, partition_id: int, staged: list[str]):
+        self.partition_id = partition_id
+        self.staged = staged
+
+
+class FirehoseDeliveryStreamWriter(DataSourceStreamWriter):
+    """The delivery half of the connector pair: each task chunks its
+    rows under the PutRecordBatch caps (500 records / 4 MiB, 1000 KiB
+    per record, newline-terminated JSON) into STAGED files; the
+    driver-side ``commit(messages, batchId)`` renames them to
+    idempotent ``batch-{batchId}-p{part}-c{chunk}.jsonl`` names — a
+    replayed micro-batch overwrites its own files instead of
+    duplicating, the same exactly-once mechanism as the foreachBatch
+    sink (streaming/firehose_sink.py), expressed through the Python
+    DataSource writer protocol (task write → commit message → atomic
+    driver publish, with ``abort`` sweeping the stage on failure). A
+    live PutRecordBatch client replaces the staged-file write with the
+    API call and commit with checkpoint bookkeeping."""
+
+    def __init__(self, options: dict):
+        self.out_dir = options["path"]
+
+    def write(self, rows) -> DeliveryCommit:
+        import json
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        stage_dir = os.path.join(self.out_dir, "_stage")
+        os.makedirs(stage_dir, exist_ok=True)
+        staged: list[str] = []
+        batch: list[bytes] = []
+        batch_bytes = 0
+
+        def flush():
+            nonlocal batch, batch_bytes
+            if not batch:
+                return
+            p = os.path.join(
+                stage_dir, f"p{pid}-c{len(staged)}-{uuid.uuid4().hex}.jsonl"
+            )
+            with open(p, "wb") as fh:
+                fh.writelines(batch)
+            staged.append(p)
+            batch, batch_bytes = [], 0
+
+        for row in rows:
+            rec = (json.dumps(row.asDict(), default=str) + "\n").encode()
+            if len(rec) > _MAX_RECORD_BYTES:
+                raise ValueError(
+                    f"record of {len(rec)} bytes exceeds {_MAX_RECORD_BYTES}"
+                )
+            if (
+                len(batch) >= _MAX_RECORDS_PER_BATCH
+                or batch_bytes + len(rec) > _MAX_BATCH_BYTES
+            ):
+                flush()
+            batch.append(rec)
+            batch_bytes += len(rec)
+        flush()
+        return DeliveryCommit(pid, staged)
+
+    def commit(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            for c, p in enumerate(m.staged):
+                final = os.path.join(
+                    self.out_dir,
+                    f"batch-{batchId:010d}-p{m.partition_id}-c{c}.jsonl",
+                )
+                os.replace(p, final)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages or []:
+            if m is None:
+                continue
+            for p in m.staged:
+                try:
+                    os.unlink(p)
+                except OSError:
+                    pass
+
+
+class FirehoseDeliveryDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "firehose_delivery"
+
+    def schema(self) -> str:
+        return EVENTS_DDL
+
+    def streamWriter(self, schema, overwrite: bool):
+        return FirehoseDeliveryStreamWriter(self.options)
+
+
+def register_delivery_sink(spark) -> None:
+    spark.dataSource.register(FirehoseDeliveryDataSource)

@@ -496,3 +496,59 @@ def test_python_datasource_offsets_window_correctly(spark):
     # every record is reachable through exactly one partition
     n = sum(1 for p in all_parts for _ in r.read(p))
     assert n == 10000
+
+
+def test_python_datasource_writer_caps_and_idempotence(spark):
+    """firehose_delivery writer: every delivered file honors the
+    PutRecordBatch caps, the stage dir is swept after commit, and a
+    REPLAYED micro-batch (same batchId) overwrites its own files
+    instead of duplicating records — the exactly-once contract."""
+    import glob
+    import os
+    import tempfile
+
+    from clj_kinesis_to_firehose_spark.sources.pyds import (
+        FirehoseDeliveryStreamWriter,
+        register_delivery_sink,
+        register_replay_source,
+    )
+    from clj_kinesis_to_firehose_spark.sources.streams import write_replay_slices
+
+    register_replay_source(spark)
+    register_delivery_sink(spark)
+    replay = write_replay_slices(spark, SF_DIR, n_slices=4)
+    out = tempfile.mkdtemp(prefix="kf_pyds_deliv_")
+    q = (
+        spark.readStream.format("kinesis_replay")
+        .option("path", replay)
+        .load()
+        .writeStream.format("firehose_delivery")
+        .option("path", out)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="kf_chk_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    files = sorted(glob.glob(out + "/batch-*.jsonl"))
+    assert files
+    total = 0
+    for f in files:
+        lines = open(f, "rb").readlines()
+        assert len(lines) <= 500, f
+        assert sum(len(ln) for ln in lines) <= 4 * 1024 * 1024, f
+        assert all(ln.endswith(b"\n") for ln in lines), f
+        total += len(lines)
+    assert total == 10000
+    assert os.listdir(out + "/_stage") == [], "stage not swept"
+
+    # replay batch 0: same partition/chunk names → overwrite, not dup
+    w = FirehoseDeliveryStreamWriter({"path": out})
+    class _Msg:  # what a task would have returned
+        pass
+    staged = os.path.join(out, "_stage", "p0-c0-replay.jsonl")
+    with open(staged, "wb") as fh:
+        fh.write(b'{"event_id": 1}\n')
+    m = _Msg(); m.partition_id = 0; m.staged = [staged]
+    w.commit([m], batchId=0)
+    files2 = sorted(glob.glob(out + "/batch-*.jsonl"))
+    assert files2 == files, "replayed batch must not create new files"
