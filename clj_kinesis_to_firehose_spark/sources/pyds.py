@@ -154,11 +154,6 @@ def register_replay_source(spark) -> None:
 
 # ----------------------------------------------------------- writer face
 
-#: mirrors streaming.firehose_sink's PutRecordBatch caps [PK]
-_MAX_RECORDS_PER_BATCH = 500
-_MAX_BATCH_BYTES = 4 * 1024 * 1024
-_MAX_RECORD_BYTES = 1000 * 1024
-
 
 class DeliveryCommit(WriterCommitMessage):
     """Per-task commit message: the staged delivery files this task
@@ -192,39 +187,26 @@ class FirehoseDeliveryStreamWriter(DataSourceStreamWriter):
 
         from pyspark import TaskContext
 
+        from clj_kinesis_to_firehose_spark.streaming.firehose_sink import (
+            chunk_records,
+        )
+
         pid = TaskContext.get().partitionId()
         stage_dir = os.path.join(self.out_dir, "_stage")
         os.makedirs(stage_dir, exist_ok=True)
         staged: list[str] = []
-        batch: list[bytes] = []
-        batch_bytes = 0
-
-        def flush():
-            nonlocal batch, batch_bytes
-            if not batch:
-                return
+        encoded = (
+            json.dumps(row.asDict(), default=str).encode() for row in rows
+        )
+        # chunk_records is the property-tested PutRecordBatch chunker
+        # the foreachBatch sink uses — one cap implementation everywhere
+        for batch in chunk_records(encoded):
             p = os.path.join(
                 stage_dir, f"p{pid}-c{len(staged)}-{uuid.uuid4().hex}.jsonl"
             )
             with open(p, "wb") as fh:
                 fh.writelines(batch)
             staged.append(p)
-            batch, batch_bytes = [], 0
-
-        for row in rows:
-            rec = (json.dumps(row.asDict(), default=str) + "\n").encode()
-            if len(rec) > _MAX_RECORD_BYTES:
-                raise ValueError(
-                    f"record of {len(rec)} bytes exceeds {_MAX_RECORD_BYTES}"
-                )
-            if (
-                len(batch) >= _MAX_RECORDS_PER_BATCH
-                or batch_bytes + len(rec) > _MAX_BATCH_BYTES
-            ):
-                flush()
-            batch.append(rec)
-            batch_bytes += len(rec)
-        flush()
         return DeliveryCommit(pid, staged)
 
     def commit(self, messages, batchId: int) -> None:
