@@ -387,7 +387,8 @@ def basket_association_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lift = P(a,b) / (P(a)·P(b))) on top of the co-purchase counts.
 
     Three aggregates off ONE distinct-basket rollup: item supports
-    (|parts| rows — broadcast), pair supports (co-partitioned
+    (|parts| rows — unhinted, planner-broadcast while it fits), pair
+    supports (co-partitioned
     self-join on l_orderkey, the only basket-scale shuffle), and the
     1-row order count. Division happens once per surviving pair in
     DECIMAL and rounds at 6 dp on both engines; the support floor and
@@ -418,8 +419,8 @@ def basket_association_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     i1 = item.alias("i1")
     i2 = item.alias("i2")
     return (
-        pair.join(F.broadcast(i1), F.col("p1") == F.col("i1.ip"))
-        .join(F.broadcast(i2), F.col("p2") == F.col("i2.ip"))
+        pair.join(i1, F.col("p1") == F.col("i1.ip"))
+        .join(i2, F.col("p2") == F.col("i2.ip"))
         .join(F.broadcast(n_orders))
         .select(
             "p1",

@@ -18,10 +18,20 @@ Q12/Q20/Q21 shapes are unrepresentable verbatim; the eight analogs
 here keep each original's plan shape on the available columns.
 
 Scale notes: both push their date/segment/flag filters into the
-scans, broadcast every dimension, shuffle the fact once on the join
-key, and finish with TakeOrderedAndProject (top-k never sorts the
-full result). Ranking keys are ROUNDED revenue + unique id so the
-result SET is deterministic cross-engine (SURVEY.md §5.3).
+scans, shuffle the fact once on the join key, and finish with
+TakeOrderedAndProject (top-k never sorts the full result).
+Broadcast discipline: explicit ``F.broadcast`` hints ONLY on
+O(1)-cardinality sides (nation 25 rows, region 5) and bounded
+1-row/scalar aggregates. Tables that grow linearly with the fact
+(customer/supplier/part, and per-partkey rollups like Q17's avg_qty)
+carry NO hint — Spark never demotes an explicit hint, so at the
+100 TB design point (customer ≈ 1-2 TB) a hinted plan OOMs instead
+of falling back. Unhinted, the static planner still broadcasts them
+at bench scale (parquet stats < autoBroadcastJoinThreshold) and AQE
+re-decides per-stage at runtime; tests/test_plans.py asserts the
+executed plans keep the broadcast at test scale. Ranking keys are
+ROUNDED revenue + unique id so the result SET is deterministic
+cross-engine (SURVEY.md §5.3).
 """
 
 from __future__ import annotations
@@ -67,7 +77,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
         .select(
@@ -111,7 +121,7 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
@@ -168,9 +178,9 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = supplier.join(F.broadcast(n1), supplier.s_nationkey == n1.s_nkey)
     cust = customer.join(F.broadcast(n2), customer.c_nationkey == n2.c_nkey)
     return (
-        lineitem.join(F.broadcast(supp), lineitem.l_suppkey == supp.s_suppkey)
+        lineitem.join(supp, lineitem.l_suppkey == supp.s_suppkey)
         .join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .filter(
             ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
             | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
@@ -233,10 +243,10 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
     vol = _revenue()
     return (
-        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), lineitem.l_suppkey == supp.s_suppkey)
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
+        .join(supp, lineitem.l_suppkey == supp.s_suppkey)
         .join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
             F.round(
@@ -271,7 +281,7 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vol = _revenue()
     return (
-        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
         .agg(
             F.round(
                 F.lit(100.0)
@@ -318,7 +328,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         revenue.join(
             F.broadcast(max_rev), F.col("total_revenue") == F.col("max_revenue")
         )
-        .join(F.broadcast(supplier), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(supplier, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -346,7 +356,7 @@ def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lineitem = load_table(spark, sf_dir, "lineitem")
     return (
-        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -372,13 +382,13 @@ def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11")
     lineitem = load_table(spark, sf_dir, "lineitem")
     branded = lineitem.join(
-        F.broadcast(part), lineitem.l_partkey == part.p_partkey
+        part, lineitem.l_partkey == part.p_partkey
     ).select("l_partkey", "l_quantity", "l_extendedprice")
     avg_qty = branded.groupBy(F.col("l_partkey").alias("avg_pkey")).agg(
         (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg_qty")
     )
     return (
-        branded.join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("avg_pkey"))
+        branded.join(avg_qty, F.col("l_partkey") == F.col("avg_pkey"))
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
@@ -415,7 +425,7 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .select(
             "c_custkey",
             "c_name",
@@ -554,8 +564,8 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
             F.broadcast(nation),
             (F.col("c_nationkey") == F.col("n_nationkey"))

@@ -23,9 +23,13 @@ plan shape on available columns:
   becomes "was the last (or tied-last) shipper on a multi-supplier
   finished order" via per-(order, supplier) max-shipdate aggregates.
 
-Scale notes (100 TB contract, SCALE.md): every dimension broadcasts;
-the lineitem fact is scanned once per query with filters/projections
-pushed into the parquet scan; Q21's self-join family is expressed as
+Scale notes (100 TB contract, SCALE.md): O(1) dimensions
+(nation/region) carry explicit broadcast hints; Θ(sf) sides
+(supplier/part and per-partkey rollups like Q2's min_cost) are
+UNHINTED — the planner/AQE broadcasts them while they fit and falls
+back to a shuffled join past the threshold, which a hard hint would
+forbid. The lineitem fact is scanned once per query with
+filters/projections pushed into the parquet scan; Q21's self-join family is expressed as
 two fact aggregations (pair-level then order-level) instead of three
 correlated fact scans, so the fact shuffles on l_orderkey once and the
 order-level rollup (|orders| rows) broadcasts back. Rounding discipline
@@ -96,7 +100,7 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     regional = costs.join(
-        F.broadcast(supplier), costs.l_suppkey == supplier.s_suppkey
+        supplier, costs.l_suppkey == supplier.s_suppkey
     )
     min_cost = regional.groupBy(F.col("l_partkey").alias("mc_pkey")).agg(
         F.min("unit_cost").alias("min_cost")
@@ -106,11 +110,11 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         regional.join(
-            F.broadcast(min_cost),
+            min_cost,
             (regional.l_partkey == min_cost.mc_pkey)
             & (regional.unit_cost == min_cost.min_cost),
         )
-        .join(F.broadcast(part), regional.l_partkey == part.p_partkey)
+        .join(part, regional.l_partkey == part.p_partkey)
         .select(
             F.round("s_acctbal", 2).alias("acctbal"),
             "s_name",
@@ -225,8 +229,8 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey", "n_name")
     amount = _revenue() - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
     return (
-        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), lineitem.l_suppkey == supp.s_suppkey)
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
+        .join(supp, lineitem.l_suppkey == supp.s_suppkey)
         .join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -275,7 +279,7 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vals = (
         load_table(spark, sf_dir, "lineitem")
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(F.sum(_revenue().cast("decimal(18,4)")).alias("pv_dec"))
     )
@@ -397,7 +401,7 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     the residual OR evaluates post-join in codegen."""
     part = load_table(spark, sf_dir, "part")
     lineitem = load_table(spark, sf_dir, "lineitem")
-    joined = lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+    joined = lineitem.join(part, lineitem.l_partkey == part.p_partkey)
     b = F.col("p_brand")
     s = F.col("p_size")
     q = F.col("l_quantity")
@@ -440,7 +444,7 @@ def tpch_q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     qualifying = (
-        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .filter(F.col("qty") > 30)
@@ -452,7 +456,7 @@ def tpch_q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
     )
     return supplier.join(
-        F.broadcast(qualifying), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        qualifying, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
     ).select("s_name", F.round("s_acctbal", 2).alias("acctbal"))
 
 
@@ -532,7 +536,7 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey")
     return (
-        lineitem.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        lineitem.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
             pair_rank,

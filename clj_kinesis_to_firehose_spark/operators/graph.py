@@ -193,8 +193,8 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
         6,
     )
     scored = (
-        common.join(F.broadcast(da), "cust_a")
-        .join(F.broadcast(db), "cust_b")
+        common.join(da, "cust_a")
+        .join(db, "cust_b")
         .select("cust_a", "cust_b", "n_common", jac.alias("jaccard"))
     )
     from pyspark.sql.window import Window

@@ -2,9 +2,15 @@
 
 Scale rationale per join (the 100 TB contract, SURVEY §7.7):
 
-* Dimension joins (region 5 rows, nation 25, customer 1.5k-15M at
-  scale) are **broadcast** — explicit ``F.broadcast`` hints so the
-  plan never shuffles the fact side just to pick up a dim column.
+* O(1) dimension joins (region 5 rows, nation 25) are **broadcast**
+  with explicit ``F.broadcast`` hints — their size is a constant of
+  the schema, so the hint is safe at any scale.
+* Θ(sf) lookup sides (customer/supplier/part — linear in the fact)
+  carry **no hint**: Spark never demotes an explicit hint, so hinting
+  them OOMs at the 100 TB design point. Unhinted, the static planner
+  broadcasts while parquet stats fit under
+  ``autoBroadcastJoinThreshold`` and AQE re-decides per-stage at
+  runtime (audited in tests/test_plans.py).
 * Fact-fact joins (lineitem⋈orders) shuffle on the join key; both
   sides hash-partition on ``l_orderkey``/``o_orderkey`` which is
   near-uniform (no skew salt needed); AQE handles residual skew.
@@ -195,7 +201,7 @@ def join_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region")
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name", "r_name")
@@ -454,7 +460,7 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        line.join(F.broadcast(part), "bucket")
+        line.join(part, "bucket")
         .filter(
             F.col("l_extendedprice").between(
                 F.col("p_retailprice") - HALF, F.col("p_retailprice") + HALF
@@ -564,7 +570,7 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey")
     )
     return bloom_pass_orders(spark, sf_dir).join(
-        F.broadcast(rich),
+        rich,
         F.col("o_custkey") == F.col("c_custkey"),
         "left_semi",
     )

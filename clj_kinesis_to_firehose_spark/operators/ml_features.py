@@ -184,9 +184,12 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     (4.x), but a per-customer correlated limit would execute as a
     nested loop — so the engine form is the decorrelated equivalent:
     semi-filtered orders → row_number window partitioned by o_custkey
-    → rank ≤ 2 → broadcast join back to the pruned customer dim. One
-    shuffle on o_custkey regardless of data size; ties broken by
-    o_orderkey so the top-2 SET is deterministic (§5.3)."""
+    → rank ≤ 2 → join back to the pruned customer dim. The customer
+    side is Θ(sf) (a 1/25 nation slice), so it carries NO broadcast
+    hint — the planner/AQE broadcasts it while it fits and shuffles
+    past the threshold. One shuffle on o_custkey regardless of data
+    size; ties broken by o_orderkey so the top-2 SET is deterministic
+    (§5.3)."""
     cust = load_table(spark, sf_dir, "customer").filter(F.col("c_nationkey") == 3)
     orders = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
@@ -194,7 +197,7 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     top2 = (
         orders.join(
-            F.broadcast(cust.select("c_custkey")),
+            cust.select("c_custkey"),
             orders.o_custkey == F.col("c_custkey"),
             "left_semi",
         )
@@ -202,7 +205,7 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 2)
     )
     return top2.join(
-        F.broadcast(cust), top2.o_custkey == cust.c_custkey
+        cust, top2.o_custkey == cust.c_custkey
     ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
 
 

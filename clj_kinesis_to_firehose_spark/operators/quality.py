@@ -88,9 +88,12 @@ def dq_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit: orphan counts for three FK edges
-    via left-anti joins. The dimension side of each anti join is
-    broadcast (customer/orders-keys/nation all ≪ fact), so each check
-    is a scan + broadcast-anti — no shuffle of the fact table.
+    via left-anti joins. The dimension sides are UNHINTED: nation is
+    O(1) but customer and the orders key set grow with the fact, so a
+    hard broadcast hint would OOM at 100 TB. The planner/AQE
+    broadcasts each anti-join build side while it fits (scan +
+    broadcast-anti, no fact shuffle) and degrades to a shuffled anti
+    join past the threshold.
     """
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
@@ -99,7 +102,7 @@ def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def orphans(fact: DataFrame, dim: DataFrame, cond, label: str) -> DataFrame:
         return (
-            fact.join(F.broadcast(dim), cond, "left_anti")
+            fact.join(dim, cond, "left_anti")
             .agg(F.count(F.lit(1)).alias("n_orphans"))
             .select(F.lit(label).alias("fk"), "n_orphans")
         )

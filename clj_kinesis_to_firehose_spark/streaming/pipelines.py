@@ -668,7 +668,10 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the replayed event stream is enriched
     per-micro-batch against a static dimension (customer segment,
     keyed on the user id). The static side is planned fresh each
-    micro-batch and broadcast — no state, no watermark needed; this is
+    micro-batch; it is UNHINTED (customer grows with the fact, so a
+    hard broadcast hint would OOM at 100 TB) and the planner
+    broadcasts it per-batch while its stats fit — no state, no
+    watermark needed; this is
     the bridge's "annotate records from a lookup table" path in
     Structured Streaming form. Converges to the batch join, so the
     registry gives it an exact oracle."""
@@ -680,7 +683,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
     out = (
-        ev.join(F.broadcast(dim), "user_id")
+        ev.join(dim, "user_id")
         .groupBy("c_mktsegment", "event_type")
         .agg(
             F.count("*").alias("n_events"),
