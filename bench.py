@@ -55,16 +55,33 @@ N_RUNS_EXT = 2
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
-    # Quiesce check: BASELINE.md notes ±20% drift under background load.
-    # Record the 1-min load average at start so round-over-round numbers
-    # carry their own noise context; quiesced = load below half the
-    # cores this bench is about to use.
-    try:
-        load1 = round(os.getloadavg()[0], 2)
-    except OSError:
-        load1 = -1.0
+    # Quiesce gate (round-6 verdict #2): BASELINE.md notes ±20% drift
+    # under background load, and the old `load1 < 0.5*ncpus` threshold
+    # carried no information (rounds stamped true at load 13/32 and
+    # false at the round's best total). Gate at 0.25×ncpus with a
+    # bounded sleep-retry: wait for the box to drain, but never stall
+    # the round — after the retry budget, run anyway and stamp
+    # quiesced=false so the number carries its own noise context.
     ncpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    quiesce_limit = 0.25 * ncpus
+    load1, attempts = -1.0, 0
+    max_attempts = int(os.environ.get("SPARK_GRAFT_QUIESCE_RETRIES", "12"))
+    while True:
+        try:
+            load1 = round(os.getloadavg()[0], 2)
+        except OSError:
+            break
+        attempts += 1
+        if load1 < quiesce_limit or attempts >= max_attempts:
+            break
+        time.sleep(10)
     spark = build_spark("kf-bench")
+    # Bench hygiene (round-6 verdict #4): WARN-level internal probes —
+    # FileStreamSink's "assume no metadata directory" check fires a
+    # full stack trace through DataFrameReader.json when reading the
+    # sink's staged files back — pollute the tail and mask real
+    # failures. The bench only needs ERROR+.
+    spark.sparkContext.setLogLevel("ERROR")
     queries = registry.queries()
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -124,7 +141,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "load_avg_start": load1,
-        "quiesced": bool(0 <= load1 < 0.5 * ncpus),
+        "quiesced": bool(0 <= load1 < quiesce_limit),
+        "quiesce_attempts": attempts,
         "extended": extended,  # non-gating (see EXTENDED above)
     }
     if errors:
