@@ -848,3 +848,53 @@ def stream_pyds_connector_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+@register(
+    "stream_source_faults",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_records,
+           COUNT(DISTINCT event_id) AS n_ids,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_source_faults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Kinesis consumer's defensive path end-to-end: the
+    ``kinesis_replay`` source with ``faults=true`` routes every slice
+    through the GetRecords fault gauntlet (sources/faults.py) — each
+    slice suffers at least one ProvisionedThroughputExceeded (capped
+    exponential backoff, same iterator), one expired iterator
+    (re-acquire AFTER the last sequence number), and one mid-slice
+    disconnect (backoff + re-acquire) before its records are all
+    delivered. The oracle is the untouched events table: surviving
+    the gauntlet must be invisible — exact count, identity, and value
+    mass per event_type, no duplicate and no dropped record. Retry
+    counts, backoff capping, and give-up-after-N are pinned separately
+    in tests/test_source_faults.py."""
+    from pyspark.sql import functions as F
+
+    from clj_kinesis_to_firehose_spark.sources.pyds import (
+        register_replay_source,
+    )
+    from clj_kinesis_to_firehose_spark.sources.streams import (
+        write_replay_slices,
+    )
+
+    register_replay_source(spark)
+    replay = write_replay_slices(spark, sf_dir, n_slices=4)
+    df = (
+        spark.read.format("kinesis_replay")
+        .option("path", replay)
+        .option("faults", "true")
+        .load()
+    )
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("n_records"),
+        F.countDistinct("event_id").cast("long").alias("n_ids"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("sum_value"),
+    )

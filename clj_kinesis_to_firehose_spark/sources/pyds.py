@@ -93,6 +93,12 @@ def _read_rows(path: str):
 class KinesisReplayBatchReader(DataSourceReader):
     def __init__(self, options: dict):
         self.root = options["path"]
+        # faults=true swaps the happy-path pyarrow read for the
+        # fault-gauntlet consumer loop (sources/faults.py): same rows,
+        # same order, after surviving throttle / expired-iterator /
+        # disconnect per slice — the tested shape of a live GetRecords
+        # consumer's defensive path.
+        self.faults = str(options.get("faults", "false")).lower() == "true"
 
     def partitions(self):
         return [
@@ -102,7 +108,14 @@ class KinesisReplayBatchReader(DataSourceReader):
         ]
 
     def read(self, partition: SlicePartition):
-        yield from _read_rows(partition.path)
+        if self.faults:
+            from clj_kinesis_to_firehose_spark.sources.faults import (
+                read_rows_with_faults,
+            )
+
+            yield from read_rows_with_faults(partition.path)
+        else:
+            yield from _read_rows(partition.path)
 
 
 class KinesisReplayStreamReader(DataSourceStreamReader):
