@@ -49,6 +49,10 @@ _OPERATOR_MODULES = [
     "snapshot_ops",
     "llm_graph_ann",
     "intervals_ext",
+    # keep new modules LAST: never-adjudicated names surface to the
+    # driver window in registration order, and appending preserves the
+    # standing backlog's order through its final two windows
+    "evolution",
 ]
 
 _loaded = False
