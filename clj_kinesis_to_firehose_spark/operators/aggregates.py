@@ -291,30 +291,117 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_quantile")
-def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate p50/p90/p99 of o_totalprice per o_orderstatus via
-    approx_percentile (Greenwald-Khanna sketch, accuracy 1/1000).
+#: histogram bin width for agg_approx_quantile (o_totalprice units).
+#: ~1000 bins over the price range — bounded sketch state, and the
+#: within-bin interpolation error (< one bin) is far inside the 1%
+#: accuracy bound pinned in tests/test_weak_ops.py.
+QUANTILE_BIN_WIDTH = 500.0
 
-    Weak oracle: the sketch's merge order is engine- and
-    partitioning-dependent, so no SQL twin — tests/test_weak_ops.py
-    bounds the relative error against the exact interpolating
-    percentile instead. The sketch is the 100 TB path: fixed-size
-    state per partition, one merge per key, no full sort — exact
-    percentiles (agg_percentile) need a per-group sort that the
-    sketch avoids entirely.
-    """
-    orders = load_table(spark, sf_dir, "orders")
-    q = orders.groupBy("o_orderstatus").agg(
-        F.percentile_approx(
-            "o_totalprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 1000
-        ).alias("qs")
+
+@register(
+    "agg_approx_quantile",
+    oracle="""
+    WITH h AS (
+      SELECT o_orderstatus AS st,
+             CAST(floor(o_totalprice / 500.0) AS BIGINT) AS bin,
+             COUNT(*) AS cnt
+      FROM orders GROUP BY 1, 2
+    ), c AS (
+      SELECT st, bin, cnt,
+             CAST(SUM(cnt) OVER (PARTITION BY st ORDER BY bin) AS BIGINT) AS cum,
+             CAST(SUM(cnt) OVER (PARTITION BY st) AS BIGINT) AS n
+      FROM h
+    ), t AS (
+      SELECT st, bin, cnt, cum,
+             CAST(ceil(0.50 * n) AS BIGINT) AS t50,
+             CAST(ceil(0.90 * n) AS BIGINT) AS t90,
+             CAST(ceil(0.99 * n) AS BIGINT) AS t99
+      FROM c
     )
-    return q.select(
-        "o_orderstatus",
-        F.round(F.element_at("qs", 1), 2).alias("p50_approx"),
-        F.round(F.element_at("qs", 2), 2).alias("p90_approx"),
-        F.round(F.element_at("qs", 3), 2).alias("p99_approx"),
+    SELECT st AS o_orderstatus,
+           ROUND(MIN(CASE WHEN cum >= t50 AND cum - cnt < t50
+                 THEN bin * 500 + 500.0 * (t50 - cum + cnt) / cnt END), 2)
+             AS p50_approx,
+           ROUND(MIN(CASE WHEN cum >= t90 AND cum - cnt < t90
+                 THEN bin * 500 + 500.0 * (t90 - cum + cnt) / cnt END), 2)
+             AS p90_approx,
+           ROUND(MIN(CASE WHEN cum >= t99 AND cum - cnt < t99
+                 THEN bin * 500 + 500.0 * (t99 - cum + cnt) / cnt END), 2)
+             AS p99_approx
+    FROM t GROUP BY st
+    """,
+)
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p90/p99 of o_totalprice per o_orderstatus via a
+    fixed-bin integer histogram sketch with an EXACT cross-engine
+    oracle — the same portability upgrade HLL and CMS got
+    (agg_hll_portable): where percentile_approx's Greenwald-Khanna
+    sketch is merge-order-dependent and engine-specific, a histogram
+    of integer counts is deterministic, so DuckDB rebuilds it
+    bit-for-bit and the interpolation is one double division of
+    bit-identical integer operands.
+
+    Built TWO-LEVEL like the other portable sketches — monthly partial
+    histograms, then an integer merge per status — the 100 TB
+    incremental pattern: persist ~1000 small counts per (month,
+    group) and ANY rollup window is a count-sum, never a re-scan.
+    Estimator: target rank t_q = ceil(q*n); the first bin whose
+    running count reaches t_q localizes the quantile and a linear
+    interpolation inside the bin refines it (error < one bin width;
+    the 1% bound vs the exact interpolating percentile stays pinned
+    in tests/test_weak_ops.py). Fixed-size state per partition, one
+    merge per key, no full sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    W = QUANTILE_BIN_WIDTH
+    monthly = (
+        orders.select(
+            F.col("o_orderstatus").alias("st"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("mon"),
+            F.floor(F.col("o_totalprice") / F.lit(W)).alias("bin"),
+        )
+        .groupBy("mon", "st", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt_partial"))
+    )
+    hist = monthly.groupBy("st", "bin").agg(
+        F.sum("cnt_partial").alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("st")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("st")
+    c = hist.select(
+        "st",
+        "bin",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+
+    def est(q: float, t):
+        # exactly one bin straddles the target rank: the first whose
+        # running count reaches t (cum >= t) having started below it
+        # (cum - cnt < t); MIN just collapses the other bins' NULLs
+        return F.min(
+            F.when(
+                (F.col("cum") >= t) & (F.col("cum") - F.col("cnt") < t),
+                F.col("bin") * F.lit(500)
+                + F.lit(500.0) * (t - F.col("cum") + F.col("cnt")) / F.col("cnt"),
+            )
+        )
+
+    t50 = F.ceil(F.lit(0.50) * F.col("n")).cast("long")
+    t90 = F.ceil(F.lit(0.90) * F.col("n")).cast("long")
+    t99 = F.ceil(F.lit(0.99) * F.col("n")).cast("long")
+    targeted = c.select(
+        "st", "bin", "cnt", "cum",
+        t50.alias("t50"), t90.alias("t90"), t99.alias("t99"),
+    )
+    return targeted.groupBy(F.col("st").alias("o_orderstatus")).agg(
+        F.round(est(0.50, F.col("t50")), 2).alias("p50_approx"),
+        F.round(est(0.90, F.col("t90")), 2).alias("p90_approx"),
+        F.round(est(0.99, F.col("t99")), 2).alias("p99_approx"),
     )
 
 
