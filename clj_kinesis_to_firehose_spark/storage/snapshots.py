@@ -48,6 +48,21 @@ Scale design (100 TB):
   normal version — old versions keep their old files, so compaction
   never blocks readers.
 
+* **Manifest scaling (manifest-list splitting).** A commit does not
+  re-serialize the whole file list: entries live in immutable
+  ``seg-*.json`` SEGMENT files of ~``SEGMENT_TARGET`` entries, and the
+  manifest holds a manifest LIST — per-segment summaries (path, count,
+  rows, key range). A commit reuses every intact parent segment by
+  reference and serializes only survivors of broken segments plus new
+  files, so commit metadata cost is O(changed files): at 10^6 files a
+  one-file upsert writes one segment and a ~4000-row list, not 10^6
+  entries (the bottleneck Iceberg splits manifests for and Delta
+  checkpoints around [PK]). Accumulated thin segments are folded back
+  into right-sized ones by the next commit (``SEGMENT_FOLD_AT``), and
+  vacuum sweeps segments referenced by no surviving manifest. Inline
+  ``files`` manifests (branch seeds, staged snapshots, pre-split
+  tables) stay readable unchanged.
+
 Local filesystem paths only in this sandbox; the atomic-publish seam
 (:meth:`SnapshotTable._publish`) is the single place an object-store
 conditional-put would slot in.
@@ -96,6 +111,11 @@ class FileEntry:
     #: optional per-column [min, max] for every numeric column — the
     #: multi-column zone map behind :meth:`SnapshotTable.read_pruned_on`
     stats: dict[str, list] | None = None
+    #: bookkeeping, never serialized: absolute path of the manifest
+    #: SEGMENT file this entry was loaded from (None for new files).
+    #: _commit reuses intact segments by reference instead of
+    #: re-serializing their entries — see "Manifest scaling" above.
+    segment: str | None = None
 
     def to_json(self) -> dict:
         d = {
@@ -119,6 +139,7 @@ class FileEntry:
             d["max_key"],
             d.get("blooms"),
             d.get("stats"),
+            d.get("_segment"),
         )
 
 
@@ -220,22 +241,48 @@ class SnapshotTable:
         if v < 1:
             raise FileNotFoundError(f"no committed version in {self.path}")
         with open(self._manifest_path(v)) as fh:
-            return json.load(fh)
+            raw = json.load(fh)
+        return self._resolve_manifest(raw, self._manifest_dir)
+
+    @staticmethod
+    def _resolve_manifest(raw: dict, manifest_dir: str) -> dict:
+        """Materialize a manifest's ``files`` list. An inline manifest
+        (legacy, branch seeds, staged snapshots) already carries it; a
+        SEGMENTED manifest carries a manifest LIST — per-segment
+        summaries naming immutable ``seg-*.json`` files that hold the
+        entries — which is resolved here. Entries are annotated with
+        their source segment (``_segment``) so a later commit can
+        carry intact segments forward by reference."""
+        if "files" in raw:
+            return raw
+        files: list[dict] = []
+        for seg in raw["segments"]:
+            seg_path = os.path.join(manifest_dir, seg["path"])
+            with open(seg_path) as fh:
+                entries = json.load(fh)
+            for e in entries:
+                e["_segment"] = seg_path
+            files.extend(entries)
+        return {**raw, "files": files}
 
     def history(self) -> list[dict]:
         """One dict per committed version: version, op, n_files, n_rows."""
         out = []
         for v in range(1, self.latest_version() + 1):
             try:
-                m = self._read_manifest(v)
+                with open(self._manifest_path(v)) as fh:
+                    m = json.load(fh)
             except FileNotFoundError:  # expired by vacuum
                 continue
+            if "n_files" not in m:  # inline manifest: totals from entries
+                m["n_files"] = len(m["files"])
+                m["n_rows"] = sum(f["rows"] for f in m["files"])
             out.append(
                 {
                     "version": v,
                     "op": m["op"],
-                    "n_files": len(m["files"]),
-                    "n_rows": sum(f["rows"] for f in m["files"]),
+                    "n_files": m["n_files"],
+                    "n_rows": m["n_rows"],
                 }
             )
         return out
@@ -373,8 +420,89 @@ class SnapshotTable:
             out[col] = sorted(bits)
         return out
 
+    #: entries per manifest segment file. Each commit serializes only
+    #: its CHANGED segments; intact ones are carried by reference, so
+    #: commit metadata cost is O(changed files), not O(table files) —
+    #: at 10^6 files (~4000 segments) a one-file upsert rewrites one
+    #: segment + the ~4000-row manifest list, not 10^6 entries.
+    SEGMENT_TARGET = 256
+    #: an intact segment thinner than this counts as FRAGMENTED…
+    SEGMENT_MIN_FILL = SEGMENT_TARGET // 4
+    #: …and once this many fragmented segments accumulate, a commit
+    #: folds them all into its rewrite pool — incremental commits
+    #: self-compact their manifest fragmentation (the job Iceberg
+    #: delegates to a rewrite-manifests action) while a mostly-static
+    #: table keeps carrying its few small segments by reference.
+    SEGMENT_FOLD_AT = 4
+
     def _commit(self, op: str, files: list[FileEntry], parent: int) -> int:
+        """Publish ``files`` as version ``parent``+1, reusing the
+        parent's intact manifest segments by reference (see
+        SEGMENT_TARGET). A segment is intact iff every entry it held
+        is still active — decided by count against the parent's
+        summary (entries are immutable and never resurrect, so equal
+        count means equal set). Survivors of broken segments, new
+        files, and under-filled segments are re-serialized into fresh
+        right-sized segments."""
+        import uuid
+
         version = parent + 1
+        parent_summaries: dict[str, dict] = {}
+        if parent >= 1:
+            try:
+                with open(self._manifest_path(parent)) as fh:
+                    praw = json.load(fh)
+                for s in praw.get("segments", []):
+                    parent_summaries[os.path.join(self._manifest_dir, s["path"])] = s
+            except FileNotFoundError:
+                pass
+
+        by_seg: dict[str, list[FileEntry]] = {}
+        pool: list[FileEntry] = []
+        for f in files:
+            if f.segment is not None and f.segment in parent_summaries:
+                by_seg.setdefault(f.segment, []).append(f)
+            else:
+                # new file, or an entry from a foreign manifest dir
+                # (e.g. fast_forward reading a branch's segments) —
+                # always re-serialized into THIS table's namespace
+                pool.append(f)
+
+        segments: list[dict] = []
+        thin: list[tuple[dict, list[FileEntry]]] = []
+        for seg_path, members in by_seg.items():
+            s = parent_summaries[seg_path]
+            if len(members) != s["n_files"]:
+                pool.extend(members)  # broken — survivors re-serialize
+            elif len(members) < self.SEGMENT_MIN_FILL:
+                thin.append((s, members))  # intact but fragmented
+            else:
+                segments.append(s)  # intact — carried by reference
+        if len(thin) >= self.SEGMENT_FOLD_AT:
+            for _, members in thin:
+                pool.extend(members)
+        else:
+            segments.extend(s for s, _ in thin)
+
+        os.makedirs(self._manifest_dir, exist_ok=True)
+        for i in range(0, len(pool), self.SEGMENT_TARGET):
+            chunk = pool[i : i + self.SEGMENT_TARGET]
+            # writer-unique name: a losing optimistic committer's
+            # segments become orphans swept by vacuum, never clobbered
+            name = f"seg-{uuid.uuid4().hex}.json"
+            with open(os.path.join(self._manifest_dir, name), "w") as fh:
+                json.dump([f.to_json() for f in chunk], fh, sort_keys=True)
+            keyed = [f for f in chunk if f.min_key is not None]
+            segments.append(
+                {
+                    "path": name,
+                    "n_files": len(chunk),
+                    "n_rows": sum(f.rows for f in chunk),
+                    "min_key": min((f.min_key for f in keyed), default=None),
+                    "max_key": max((f.max_key for f in keyed), default=None),
+                }
+            )
+
         self._publish(
             version,
             {
@@ -382,7 +510,9 @@ class SnapshotTable:
                 "op": op,
                 "key": self.key,
                 "parent": parent or None,
-                "files": [f.to_json() for f in files],
+                "n_files": sum(s["n_files"] for s in segments),
+                "n_rows": sum(s["n_rows"] for s in segments),
+                "segments": segments,
             },
         )
         return version
@@ -1017,9 +1147,8 @@ class SnapshotTable:
                 for mn in os.listdir(bdir):
                     if mn.startswith("v") and mn.endswith(".json"):
                         with open(os.path.join(bdir, mn)) as fh:
-                            live.update(
-                                f["path"] for f in json.load(fh)["files"]
-                            )
+                            bm = self._resolve_manifest(json.load(fh), bdir)
+                        live.update(f["path"] for f in bm["files"])
         data_root = os.path.join(self.path, "data")
         removed_files = 0
         if os.path.isdir(data_root):
@@ -1045,11 +1174,49 @@ class SnapshotTable:
             if os.path.exists(mp):
                 os.unlink(mp)
                 removed_manifests += 1
+        # segment files referenced by no surviving manifest — expired
+        # versions' exclusive segments plus losing-committer orphans —
+        # are dead metadata; sweep them like data files (this is the
+        # manifest-compaction half of retention: surviving segments
+        # were already right-sized by _commit's fold-under-fill rule)
+        removed_segments = self._sweep_orphan_segments(self._manifest_dir)
+        if os.path.isdir(self._branches_root):
+            for bname in os.listdir(self._branches_root):
+                removed_segments += self._sweep_orphan_segments(
+                    os.path.join(self._branches_root, bname)
+                )
         return {
             "removed_files": removed_files,
             "removed_manifests": removed_manifests,
+            "removed_segments": removed_segments,
             "retained_versions": keep_versions,
         }
+
+    @staticmethod
+    def _sweep_orphan_segments(manifest_dir: str) -> int:
+        """Delete ``seg-*.json`` files in ``manifest_dir`` referenced
+        by none of the manifest files still present there."""
+        if not os.path.isdir(manifest_dir):
+            return 0
+        referenced: set[str] = set()
+        seg_files: list[str] = []
+        for name in os.listdir(manifest_dir):
+            p = os.path.join(manifest_dir, name)
+            if name.startswith("seg-") and name.endswith(".json"):
+                seg_files.append(p)
+            elif name.startswith("v") and name.endswith(".json"):
+                try:
+                    with open(p) as fh:
+                        raw = json.load(fh)
+                except (OSError, ValueError):
+                    continue
+                referenced.update(s["path"] for s in raw.get("segments", []))
+        removed = 0
+        for p in seg_files:
+            if os.path.basename(p) not in referenced:
+                os.unlink(p)
+                removed += 1
+        return removed
 
     # --------------------------------------------- write-audit-publish
 
@@ -1188,7 +1355,13 @@ class SnapshotTable:
                 "parent": None,
                 "base_version": base,
                 "branch": name,
-                "files": bm["files"],
+                # inline seed, annotations stripped: main's segment
+                # files must not be referenced from the branch's
+                # namespace (they expire on main's schedule)
+                "files": [
+                    {k: v for k, v in f.items() if k != "_segment"}
+                    for f in bm["files"]
+                ],
             },
         )
         return view
