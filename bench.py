@@ -48,7 +48,7 @@ N_RUNS = 3
 #: the end-to-end streaming pipeline as records/s. The original 14
 #: HEADLINE queries stay frozen as the 2×-baseline gate; these are
 #: trend-tracked in BASELINE.md each round.
-EXTENDED = ["snapshot_merge_upsert", "sim_ann_lsh"]
+EXTENDED = ["snapshot_merge_upsert", "sim_ann_lsh", "snapshot_changes_stream"]
 N_RUNS_EXT = 2
 
 
@@ -117,23 +117,34 @@ def main() -> None:
 
             traceback.print_exc(file=sys.stderr)
             ext_errors[name] = traceback.format_exc(limit=1).strip().splitlines()[-1]
-    try:
-        # end-to-end streaming bridge throughput: replay → route →
-        # PutRecordBatch-batched delivery, measured as records/s over
-        # the whole bounded run (stream startup + checkpoint included —
-        # that IS the pipeline cost)
-        t0 = time.perf_counter()
-        delivered = queries["stream_foreachbatch_sink"](spark, sf_dir).collect()
-        dt = time.perf_counter() - t0
-        n = sum(r["n_delivered"] for r in delivered)
-        extended["stream_firehose_records_per_sec"] = round(n / dt, 1)
-    except Exception:
-        import traceback
+    def throughput(metric: str, qname: str, count_col: str) -> None:
+        # end-to-end streaming throughput as records/s over the whole
+        # bounded run (stream startup + checkpoint included — that IS
+        # the pipeline cost)
+        try:
+            t0 = time.perf_counter()
+            rows = queries[qname](spark, sf_dir).collect()
+            dt = time.perf_counter() - t0
+            extended[metric] = round(sum(r[count_col] for r in rows) / dt, 1)
+        except Exception:
+            import traceback
 
-        traceback.print_exc(file=sys.stderr)
-        ext_errors["stream_firehose_records_per_sec"] = (
-            traceback.format_exc(limit=1).strip().splitlines()[-1]
-        )
+            traceback.print_exc(file=sys.stderr)
+            ext_errors[metric] = (
+                traceback.format_exc(limit=1).strip().splitlines()[-1]
+            )
+
+    # replay → route → PutRecordBatch-batched delivery (foreachBatch)
+    throughput(
+        "stream_firehose_records_per_sec", "stream_foreachbatch_sink",
+        "n_delivered",
+    )
+    # the Python-DataSource connector pair: stream reader → checkpointed
+    # query → stream writer → delivered files read back
+    throughput(
+        "stream_pyds_records_per_sec", "stream_pyds_connector_pair",
+        "n_records",
+    )
     out = {
         "metric": "headline_median_total_sec",
         "value": total,
