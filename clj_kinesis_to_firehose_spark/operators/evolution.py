@@ -210,3 +210,98 @@ def kinesis_avro_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fwd.unionAll(bwd)
+
+
+@register(
+    "kinesis_avro_registry_mixed",
+    oracle="""
+    SELECT event_id,
+           CAST(1 + event_id % 2 AS BIGINT) AS writer_id,
+           user_id, event_type, value, props, ts
+    FROM events
+    """,
+)
+def kinesis_avro_registry_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One stream, interleaved writer versions — the mid-deploy wire
+    reality: producers on v1 and v2 share a shard, each record framed
+    with its registry schema id (magic byte + 4-byte big-endian id,
+    the public registry wire format). The consumer holds ONE v2 reader
+    and a :class:`RegistryDecoder` that resolves each record's writer
+    schema by id, building the (writer, reader) decode plan once per
+    DISTINCT version — per-record cost is a cached plan walk, so an
+    Arrow batch with a million records and two writer versions does
+    resolution twice, not a million times.
+
+    Records alternate writers on event_id parity (even → v1, odd →
+    v2). EXACT oracle: the decoded stream must reproduce the events
+    table regardless of which writer produced each record, and the
+    surfaced writer_id must be exactly the frame's id (1 + event_id%2).
+    """
+    from clj_kinesis_to_firehose_spark.sources.avro_schema import (
+        RegistryDecoder,
+        avro_encode,
+        frame_registry,
+    )
+
+    REGISTRY = {1: EVENT_SCHEMA_V1, 2: EVENT_SCHEMA_V2}
+
+    @F.pandas_udf("binary")
+    def _enc_mixed(
+        event_id: pd.Series, ts_ns: pd.Series, user_id: pd.Series,
+        event_type: pd.Series, value: pd.Series, props: pd.Series,
+    ) -> pd.Series:
+        out = []
+        for i, t, u, e, v, p in zip(
+            event_id, ts_ns, user_id, event_type, value, props
+        ):
+            if int(i) % 2 == 0:  # v1 producer
+                payload = avro_encode(
+                    EVENT_SCHEMA_V1,
+                    {
+                        "event_id": int(i), "ts": int(t), "user_id": int(u),
+                        "event_type": e, "value": float(v), "props": p,
+                    },
+                )
+                out.append(frame_registry(1, payload))
+            else:  # v2 producer
+                payload = avro_encode(
+                    EVENT_SCHEMA_V2,
+                    {
+                        "schema_ver": 2, "event_id": int(i), "kind": e,
+                        "user_id": int(u), "ts": int(t), "value": float(v),
+                        "props": p,
+                    },
+                )
+                out.append(frame_registry(2, payload))
+        return pd.Series(out)
+
+    @F.pandas_udf(
+        "writer_id long, schema_ver long, event_id long, kind string, "
+        "user_id long, ts long, value double, props string"
+    )
+    def _dec_mixed(blobs: pd.Series) -> pd.DataFrame:
+        dec = RegistryDecoder(REGISTRY, EVENT_SCHEMA_V2)
+        rows = []
+        for b in blobs:
+            sid, rec = dec.decode(bytes(b))
+            rows.append({"writer_id": sid, **rec})
+        return pd.DataFrame(rows)
+
+    ev = load_table(spark, sf_dir, "events")
+    wire_cols = [
+        F.col("event_id"),
+        F.expr("unix_micros(ts) * 1000"),
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("value"),
+        F.col("props"),
+    ]
+    return ev.select(_dec_mixed(_enc_mixed(*wire_cols)).alias("e")).select(
+        F.col("e.event_id").alias("event_id"),
+        F.col("e.writer_id").alias("writer_id"),
+        F.col("e.user_id").alias("user_id"),
+        F.col("e.kind").alias("event_type"),
+        F.col("e.value").alias("value"),
+        F.col("e.props").alias("props"),
+        F.expr("timestamp_micros(e.ts div 1000)").alias("ts"),
+    )

@@ -260,10 +260,69 @@ def avro_decode(blob: bytes, plan: list[tuple], reader: dict) -> dict:
     return {rf["name"]: out[rf["name"]] for rf in reader["fields"]}
 
 
+# ------------------------------------------------- registry framing
+# Schema-registry wire framing (public Confluent wire format [PK]):
+# one 0x00 magic byte + 4-byte big-endian schema id + Avro binary.
+# This is how a real stream carries PER-RECORD writer identity — one
+# Kinesis shard interleaves records from producers on different
+# schema versions during a deploy, and the consumer resolves each
+# record's writer schema (by id) against its single reader schema.
+# (AWS Glue Schema Registry frames differently — version byte +
+# compression byte + 16-byte UUID [PK] — but the resolution semantics
+# downstream of the frame are identical; the magic+id form is the
+# ecosystem's lingua franca and what this engine models.)
+
+REGISTRY_MAGIC = 0x00
+
+
+def frame_registry(schema_id: int, payload: bytes) -> bytes:
+    """Wrap an Avro-binary payload in registry wire framing."""
+    if not 0 <= schema_id <= 0xFFFFFFFF:
+        raise ValueError(f"schema id {schema_id} out of u32 range")
+    return bytes([REGISTRY_MAGIC]) + schema_id.to_bytes(4, "big") + payload
+
+
+def unframe_registry(blob: bytes) -> tuple[int, bytes]:
+    """Split registry framing into (schema_id, payload); a foreign or
+    truncated frame fails loudly."""
+    if len(blob) < 5:
+        raise ValueError("registry frame shorter than magic + schema id")
+    if blob[0] != REGISTRY_MAGIC:
+        raise ValueError(f"bad registry magic byte {blob[0]:#x}")
+    return int.from_bytes(blob[1:5], "big"), bytes(blob[5:])
+
+
+class RegistryDecoder:
+    """Per-record schema resolution against a writer-schema registry:
+    decode plans are built once per schema id on first sight and
+    cached, so a million-record Arrow batch pays resolution cost
+    proportional to the number of DISTINCT writer versions (a handful),
+    not the record count."""
+
+    def __init__(self, registry: dict[int, dict], reader: dict):
+        self.registry = registry
+        self.reader = reader
+        self._plans: dict[int, list[tuple]] = {}
+
+    def decode(self, blob: bytes) -> tuple[int, dict]:
+        """Returns (writer schema id, resolved record)."""
+        sid, payload = unframe_registry(blob)
+        plan = self._plans.get(sid)
+        if plan is None:
+            writer = self.registry.get(sid)
+            if writer is None:
+                raise SchemaResolutionError(f"unknown schema id {sid}")
+            plan = self._plans[sid] = resolve(writer, self.reader)
+        return sid, avro_decode(payload, plan, self.reader)
+
+
 __all__ = [
     "SchemaResolutionError",
+    "RegistryDecoder",
     "avro_encode",
     "avro_decode",
     "resolve",
+    "frame_registry",
+    "unframe_registry",
     "PROMOTIONS",
 ]

@@ -135,6 +135,45 @@ def test_trailing_and_truncated_bytes_fail_loud():
         avro_decode(blob2[:-3], resolve(w2, w2), w2)
 
 
+def test_registry_framing_roundtrip_and_corruption():
+    from clj_kinesis_to_firehose_spark.sources.avro_schema import (
+        frame_registry,
+        unframe_registry,
+    )
+
+    framed = frame_registry(7, b"payload")
+    assert unframe_registry(framed) == (7, b"payload")
+    with pytest.raises(ValueError, match="magic"):
+        unframe_registry(b"\x01" + framed[1:])
+    with pytest.raises(ValueError, match="shorter"):
+        unframe_registry(b"\x00\x00")
+    with pytest.raises(ValueError, match="u32"):
+        frame_registry(1 << 32, b"")
+
+
+def test_registry_decoder_resolves_per_record_writer():
+    from clj_kinesis_to_firehose_spark.sources.avro_schema import (
+        RegistryDecoder,
+        frame_registry,
+    )
+
+    v1 = _rec({"name": "a", "type": "long"})
+    v2 = _rec({"name": "a", "type": "long"},
+              {"name": "ver", "type": "int", "default": 2})
+    reader = v2
+    dec = RegistryDecoder({1: v1, 2: v2}, reader)
+    b1 = frame_registry(1, avro_encode(v1, {"a": 10}))
+    b2 = frame_registry(2, avro_encode(v2, {"a": 11, "ver": 2}))
+    assert dec.decode(b1) == (1, {"a": 10, "ver": 2})
+    assert dec.decode(b2) == (2, {"a": 11, "ver": 2})
+    # plans cached once per distinct id
+    assert set(dec._plans) == {1, 2}
+    dec.decode(b1)
+    assert set(dec._plans) == {1, 2}
+    with pytest.raises(SchemaResolutionError, match="unknown schema id"):
+        dec.decode(frame_registry(9, b""))
+
+
 def test_writer_default_fills_encode_side():
     w = _rec({"name": "a", "type": "long"},
              {"name": "ver", "type": "int", "default": 7})
