@@ -496,3 +496,23 @@ def test_dehinted_theta_sf_sides_still_broadcast(spark):
         df = QUERIES[name](spark, SF_DIR)
         got = audit.n_broadcast_joins_executed(df)
         assert got >= min_bcast, (name, got)
+
+
+def test_avro_evolution_is_shuffle_free(spark):
+    # both deploy directions are stateless encode->decode map work over
+    # the events scan; the union concatenates partitions without any
+    # exchange — evolution must not cost a shuffle
+    df = QUERIES["kinesis_avro_evolution"](spark, SF_DIR)
+    assert audit.n_shuffles(df) == 0, audit.plan_report(df)
+
+
+def test_avro_registry_mixed_is_shuffle_free(spark):
+    df = QUERIES["kinesis_avro_registry_mixed"](spark, SF_DIR)
+    assert audit.n_shuffles(df) == 0, audit.plan_report(df)
+
+
+def test_approx_quantile_histogram_single_fact_shuffle(spark):
+    # the fact crosses the network once (the monthly partial-histogram
+    # aggregate); everything after runs on the ~|bins x groups| sketch
+    df = QUERIES["agg_approx_quantile"](spark, SF_DIR)
+    assert audit.n_shuffles(df) <= 3, audit.plan_report(df)
