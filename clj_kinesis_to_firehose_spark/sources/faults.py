@@ -149,6 +149,18 @@ class FaultInjectingSliceClient:
         call = self._calls
         self._calls += 1
         if self._calls - iterator["born"] > self.iterator_ttl_calls:
+            # A TTL expiry can land on a call index that carried a
+            # scheduled fault; call indices never repeat, so re-home
+            # the unfired fault to the next index — otherwise slices
+            # longer than ~iterator_ttl_calls pages would silently
+            # drop scheduled faults and break the "at least one fault
+            # of EVERY kind per slice" contract.
+            deferred = self._plan.pop(call, None)
+            if deferred is not None:
+                slot = self._calls
+                while slot in self._plan:
+                    slot += 1
+                self._plan[slot] = deferred
             raise ExpiredIteratorError(f"iterator gen {iterator['gen']} aged out")
         kind = self._plan.pop(call, None)
         if kind == "throttle":

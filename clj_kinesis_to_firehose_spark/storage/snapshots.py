@@ -435,15 +435,29 @@ class SnapshotTable:
     #: table keeps carrying its few small segments by reference.
     SEGMENT_FOLD_AT = 4
 
+    @staticmethod
+    def _entries_digest(entries: list[FileEntry]) -> str:
+        """Order-independent content digest of a segment's entries.
+        Stored in the segment summary at write time and re-checked at
+        reuse time, so "same count as the parent summary" can never
+        silently publish stale contents if a future op commits a
+        content-modified copy of an entry that kept its ``.segment``
+        pointer — the reuse invariant is ENFORCED, not assumed."""
+        import hashlib
+
+        items = sorted(json.dumps(e.to_json(), sort_keys=True) for e in entries)
+        return hashlib.md5("\n".join(items).encode()).hexdigest()
+
     def _commit(self, op: str, files: list[FileEntry], parent: int) -> int:
         """Publish ``files`` as version ``parent``+1, reusing the
         parent's intact manifest segments by reference (see
         SEGMENT_TARGET). A segment is intact iff every entry it held
-        is still active — decided by count against the parent's
-        summary (entries are immutable and never resurrect, so equal
-        count means equal set). Survivors of broken segments, new
-        files, and under-filled segments are re-serialized into fresh
-        right-sized segments."""
+        is still active AND content-identical — decided by count plus
+        the summary's ``entries_digest`` (entries are immutable and
+        never resurrect, but the digest check makes that invariant
+        enforced rather than assumed). Survivors of broken segments,
+        new files, and under-filled segments are re-serialized into
+        fresh right-sized segments."""
         import uuid
 
         version = parent + 1
@@ -472,7 +486,9 @@ class SnapshotTable:
         thin: list[tuple[dict, list[FileEntry]]] = []
         for seg_path, members in by_seg.items():
             s = parent_summaries[seg_path]
-            if len(members) != s["n_files"]:
+            if len(members) != s["n_files"] or s.get(
+                "entries_digest"
+            ) != self._entries_digest(members):
                 pool.extend(members)  # broken — survivors re-serialize
             elif len(members) < self.SEGMENT_MIN_FILL:
                 thin.append((s, members))  # intact but fragmented
@@ -500,6 +516,7 @@ class SnapshotTable:
                     "n_rows": sum(f.rows for f in chunk),
                     "min_key": min((f.min_key for f in keyed), default=None),
                     "max_key": max((f.max_key for f in keyed), default=None),
+                    "entries_digest": self._entries_digest(chunk),
                 }
             )
 
@@ -1105,7 +1122,7 @@ class SnapshotTable:
                 last = e
         raise last  # type: ignore[misc]
 
-    def vacuum(self, retain_last: int = 2) -> dict:
+    def vacuum(self, retain_last: int = 2, grace_sec: float = 0.0) -> dict:
         """Physical cleanup: delete every data file not referenced by
         the ``retain_last`` most recent manifests — expired time-travel
         versions and orphans from losing optimistic-commit attempts —
@@ -1116,10 +1133,18 @@ class SnapshotTable:
         Scale notes: the live-file set is manifest union (metadata
         only, one row per file — no directory listing of data paths is
         needed to decide liveness, only to find deletion candidates,
-        and that listing is per-commit-directory). Production would
-        add a grace period (don't delete files younger than the
-        longest-running reader); the sandbox layer keeps the policy
-        purely version-count-based."""
+        and that listing is per-commit-directory).
+
+        ``grace_sec`` guards a vacuum racing an IN-FLIGHT commit: a
+        committer writes data files and ``seg-*.json`` segments BEFORE
+        :meth:`_publish` makes any manifest reference them, so an
+        "orphan" younger than the threshold may simply not be
+        published yet — both the data-file and the segment sweep skip
+        candidates with mtime inside the grace window. The sandbox
+        default is 0 (tests drive commits and vacuums from one
+        thread); production would set it above the longest plausible
+        commit (and reader) duration, the same policy Iceberg's
+        remove-orphan-files action mandates [PK]."""
         retain_last = max(1, retain_last)
         latest = self.latest_version()
         keep_versions = list(range(max(1, latest - retain_last + 1), latest + 1))
@@ -1149,6 +1174,9 @@ class SnapshotTable:
                         with open(os.path.join(bdir, mn)) as fh:
                             bm = self._resolve_manifest(json.load(fh), bdir)
                         live.update(f["path"] for f in bm["files"])
+        import time as _time
+
+        cutoff = _time.time() - grace_sec
         data_root = os.path.join(self.path, "data")
         removed_files = 0
         if os.path.isdir(data_root):
@@ -1156,7 +1184,11 @@ class SnapshotTable:
                 d = os.path.join(data_root, commit_dir)
                 for name in sorted(os.listdir(d)):
                     p = os.path.join(d, name)
-                    if name.endswith(".parquet") and p not in live:
+                    if (
+                        name.endswith(".parquet")
+                        and p not in live
+                        and os.path.getmtime(p) <= cutoff
+                    ):
                         os.unlink(p)
                         removed_files += 1
                 if not any(n.endswith(".parquet") for n in os.listdir(d)):
@@ -1179,11 +1211,11 @@ class SnapshotTable:
         # are dead metadata; sweep them like data files (this is the
         # manifest-compaction half of retention: surviving segments
         # were already right-sized by _commit's fold-under-fill rule)
-        removed_segments = self._sweep_orphan_segments(self._manifest_dir)
+        removed_segments = self._sweep_orphan_segments(self._manifest_dir, cutoff)
         if os.path.isdir(self._branches_root):
             for bname in os.listdir(self._branches_root):
                 removed_segments += self._sweep_orphan_segments(
-                    os.path.join(self._branches_root, bname)
+                    os.path.join(self._branches_root, bname), cutoff
                 )
         return {
             "removed_files": removed_files,
@@ -1193,9 +1225,13 @@ class SnapshotTable:
         }
 
     @staticmethod
-    def _sweep_orphan_segments(manifest_dir: str) -> int:
+    def _sweep_orphan_segments(manifest_dir: str, cutoff: float | None = None) -> int:
         """Delete ``seg-*.json`` files in ``manifest_dir`` referenced
-        by none of the manifest files still present there."""
+        by none of the manifest files still present there. Segments
+        with mtime after ``cutoff`` are skipped: an in-flight commit
+        writes its segments before publishing the manifest that
+        references them, so a young unreferenced segment may be a
+        pending commit, not garbage (see :meth:`vacuum` grace_sec)."""
         if not os.path.isdir(manifest_dir):
             return 0
         referenced: set[str] = set()
@@ -1213,7 +1249,9 @@ class SnapshotTable:
                 referenced.update(s["path"] for s in raw.get("segments", []))
         removed = 0
         for p in seg_files:
-            if os.path.basename(p) not in referenced:
+            if os.path.basename(p) not in referenced and (
+                cutoff is None or os.path.getmtime(p) <= cutoff
+            ):
                 os.unlink(p)
                 removed += 1
         return removed
@@ -1431,7 +1469,7 @@ class _BranchView(SnapshotTable):
     def _manifest_dir(self) -> str:
         return os.path.join(self.path, "_manifest", "branches", self.branch_name)
 
-    def vacuum(self, retain_last: int = 2) -> dict:
+    def vacuum(self, retain_last: int = 2, grace_sec: float = 0.0) -> dict:
         """Refused on a branch: vacuum's liveness set is rooted at
         MAIN's manifests (plus every branch's, see the base
         implementation) — a branch-rooted sweep would treat main's

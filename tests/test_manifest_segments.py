@@ -142,3 +142,45 @@ def test_inline_manifest_stays_readable(spark, tmp_path):
     t.merge_upsert(spark.createDataFrame([(3, -1.0)], "id long, val double"))
     assert "segments" in _raw(t, 3)
     assert t.read().count() == 100
+
+
+def test_segment_reuse_invariant_is_enforced_by_digest(spark, tmp_path):
+    # The reuse rule used to be "same entry COUNT as the parent summary
+    # means same set"; the digest makes it enforced (ADVICE r07): a
+    # content-modified entry that kept its .segment pointer must break
+    # reuse and re-serialize, never publish stale segment contents.
+    import dataclasses
+
+    from clj_kinesis_to_firehose_spark.storage.snapshots import FileEntry
+
+    def load(v):
+        return [FileEntry.from_json(f) for f in t._read_manifest(v)["files"]]
+
+    t = _mk(spark, tmp_path)
+    entries = load(1)
+    victim = next(e for e in entries if e.segment is not None)
+    forged = [
+        dataclasses.replace(e, rows=e.rows + 1) if e is victim else e
+        for e in entries
+    ]
+    v2 = t._commit("forge", forged, parent=1)
+    raw = _raw(t, v2)
+    # every segment the forged entry could have ridden must be fresh or
+    # digest-clean: reading back the manifest yields the FORGED rows
+    loaded = {e.path: e.rows for e in load(v2)}
+    assert loaded[victim.path] == victim.rows + 1
+    for s in raw["segments"]:
+        assert "entries_digest" in s
+
+
+def test_vacuum_grace_period_spares_young_orphan_segments(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    # fabricate a losing-committer orphan segment (referenced nowhere)
+    orphan = os.path.join(t._manifest_dir, "seg-deadbeef.json")
+    with open(orphan, "w") as fh:
+        json.dump([], fh)
+    rep = t.vacuum(retain_last=1, grace_sec=3600)
+    assert os.path.exists(orphan)  # young → pending-commit protection
+    assert rep["removed_segments"] == 0
+    rep = t.vacuum(retain_last=1)  # sandbox default: no grace
+    assert not os.path.exists(orphan)

@@ -165,3 +165,36 @@ def test_datasource_faults_option_end_to_end(spark):
     got = {tuple(r) for r in df.collect()}
     want = {tuple(r) for r in expect.collect()}
     assert got == want
+
+
+def test_ttl_expiry_on_scheduled_slot_defers_the_fault():
+    # A TTL expiry landing exactly on a call index that carries a
+    # scheduled fault must re-home that fault to a later index, not
+    # silently consume it — long slices (> iterator_ttl_calls pages)
+    # must still see at least one fault of every kind (ADVICE r07).
+    client = _client(iterator_ttl_calls=3)
+    # force the only scheduled fault onto the call the TTL will kill:
+    # born=0 iterator expires on its 4th get_records (call index 3)
+    client._plan = {3: "disconnect"}
+    it = client.get_shard_iterator()
+    for _ in range(3):
+        _, it = client.get_records(it)
+    with pytest.raises(ExpiredIteratorError):
+        client.get_records(it)
+    # the fault was NOT consumed by the TTL raise — it moved forward
+    assert "disconnect" in client._plan.values()
+    assert client.faults_fired["disconnect"] == 0
+    # and the full retry loop still fires + survives it
+    out, stats = _run(client)
+    assert out == ROWS
+    assert client.faults_fired["disconnect"] == 1
+
+
+def test_long_slice_past_ttl_still_fires_every_fault_kind():
+    # End-to-end version of the deferral contract: a slice long enough
+    # that TTL expiries occur organically still fires every kind.
+    client = _client(iterator_ttl_calls=4)
+    out, stats = _run(client)
+    assert out == ROWS
+    assert all(v >= 1 for v in client.faults_fired.values()), client.faults_fired
+    assert stats.expired >= 1  # organic or scheduled TTLs were exercised

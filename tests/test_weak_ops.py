@@ -410,11 +410,13 @@ def test_graph_ann_beam_visits_bounded_fraction(spark):
     )
 
 
-def test_cms_estimates_honor_sketch_guarantees(spark, oracle_con):
-    # Count-Min guarantees: estimate never undercounts, and
-    # overestimates by at most ε·N with the configured confidence
-    # (ε=0.001, so ~10 on a 10k-row stream per type; use 3ε·N slack to
-    # keep the probabilistic bound from flaking)
+def test_cms_heavyhitters_is_superset_with_bounded_overshoot(spark, oracle_con):
+    # Count-Min structural guarantees on the shortlist (now an EXACT
+    # oracle op, but the sketch math still deserves its own pins):
+    # every estimate ≥ its true count, the shortlist contains EVERY
+    # true φ=1% heavy hitter (no false negatives — CMS never
+    # undercounts), and overshoot is bounded by d=4/w=256 collisions
+    # (expected ≤ N/w per row; min over 4 rows — use 5·N/w slack).
     est = {
         (r["event_type"], r["user_id"]): r["est_count"]
         for r in QUERIES["agg_cms_heavyhitters"](spark, SF_DIR).collect()
@@ -422,8 +424,7 @@ def test_cms_estimates_honor_sketch_guarantees(spark, oracle_con):
     true = {
         (et, u): n
         for et, u, n in oracle_con.execute(
-            "SELECT event_type, user_id, COUNT(*) FROM events "
-            "WHERE user_id BETWEEN 1 AND 20 GROUP BY 1, 2"
+            "SELECT event_type, user_id, COUNT(*) FROM events GROUP BY 1, 2"
         ).fetchall()
     }
     totals = dict(
@@ -431,11 +432,15 @@ def test_cms_estimates_honor_sketch_guarantees(spark, oracle_con):
             "SELECT event_type, COUNT(*) FROM events GROUP BY 1"
         ).fetchall()
     )
-    assert len(est) == 5 * 20
+    assert est, "shortlist is empty at this SF — threshold too strict"
     for (et, u), e in est.items():
-        t = true.get((et, u), 0)
+        t = true[(et, u)]  # every shortlisted key was observed
         assert e >= t, f"CMS undercounted {(et, u)}: {e} < {t}"
-        assert e <= t + 3 * 0.001 * totals[et], f"CMS overshoot {(et, u)}"
+        assert e <= t + 5 * totals[et] / 256, f"CMS overshoot {(et, u)}"
+    # no false negatives: every true heavy hitter is shortlisted
+    for (et, u), t in true.items():
+        if t * 100 >= totals[et]:
+            assert (et, u) in est, f"true heavy hitter {(et, u)} missing"
 
 
 def test_knn_descent_converges_to_exact_graph(spark):
