@@ -1,0 +1,109 @@
+"""Registered queries for MERGE-ON-READ deletes on the snapshot table
+layer (storage/snapshots.py delete_where_mor / materialize_deletes) —
+the Iceberg-v2 deletion-vector pattern [PK]: a delete commits a small
+key-only DELETE FILE scoped to the data files that may hold the
+matched keys, readers anti-join the vector against exactly those
+files, and maintenance folds vectors back into plain files.
+
+Each op's oracle recomputes the POST-OPERATION TABLE STATE in DuckDB
+from the base fixture (the snapshot_ops.py discipline) — the driver's
+hash check therefore proves the vectors suppress exactly the deleted
+rows at read time, that a rewrite materializes rather than resurrects,
+and that a re-inserted key escapes its stale vector's scope.
+
+Scale story (SCALE.md has the measured numbers): a 1-row delete in a
+1 GB file costs ~1 GB under copy-on-write and ~a few KB under MoR;
+the read-side price is one broadcast-sized anti-join per vectored
+file group, retired by the next maintenance pass.
+
+This module registers LAST (registry._OPERATOR_MODULES) so the r08
+driver window adjudicates the standing backlog before these.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clj_kinesis_to_firehose_spark.operators.snapshot_ops import (
+    _MERGED_SQL,
+    _merged_table,
+)
+from clj_kinesis_to_firehose_spark.registry import register
+
+
+@register(
+    "snapshot_delete_mor",
+    oracle=f"""
+    WITH {_MERGED_SQL}
+    SELECT o_orderkey, o_totalprice FROM merged
+    WHERE NOT (o_totalprice < 50000.0)
+    """,
+)
+def snapshot_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE WHERE, merge-on-read: the same post-delete table state as
+    snapshot_delete_where (same oracle — byte-equal answers are the
+    point), but the commit writes a key-only delete file instead of
+    rewriting every matching data file. The checked output is the
+    table read back THROUGH the vectors."""
+    t = _merged_table(spark, sf_dir, "delete_mor")
+    t.delete_where_mor("o_totalprice < 50000.0")
+    return t.read()
+
+
+@register(
+    "snapshot_mor_materialize",
+    oracle=f"""
+    WITH {_MERGED_SQL}
+    SELECT o_orderkey, o_totalprice FROM merged
+    WHERE NOT (o_totalprice < 50000.0)
+    """,
+)
+def snapshot_mor_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MoR maintenance roundtrip: vector-delete, then fold the vectors
+    back into plain data files (materialize_deletes rewrites ONLY the
+    vectored files; clean files carry by reference) — the table state
+    must be unchanged by materialization, and the committed version
+    must carry zero vectors (asserted here; the oracle checks the
+    state)."""
+    t = _merged_table(spark, sf_dir, "mor_materialize")
+    t.delete_where_mor("o_totalprice < 50000.0")
+    v = t.materialize_deletes()
+    assert t._read_manifest(v)["deletes"] == []
+    return t.read()
+
+
+@register(
+    "snapshot_mor_reinsert",
+    oracle=f"""
+    WITH {_MERGED_SQL}
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 40 = 0 AND o_totalprice < 50000.0
+                THEN -1.0 ELSE o_totalprice END AS o_totalprice
+    FROM merged
+    WHERE NOT (o_totalprice < 50000.0)
+       OR o_orderkey % 40 = 0
+    """,
+)
+def snapshot_mor_reinsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stale-vector trap: MoR-delete the cheap rows, then re-insert
+    a deterministic subset of the DELETED keys (every 40th) with a
+    sentinel price via a normal merge. The re-inserted rows live in
+    the merge's new files — outside every vector's ``applies_to`` —
+    so they must be visible even though their keys sit in an active
+    delete file. Oracle: merged state minus the deletes, plus the
+    re-inserted keys at the sentinel (a deleted-and-reinserted key's
+    price is -1.0; an every-40th key that was never deleted keeps its
+    merged price)."""
+    t = _merged_table(spark, sf_dir, "mor_reinsert")
+    t.delete_where_mor("o_totalprice < 50000.0")
+    reinsert = (
+        t.read(2)  # merged pre-delete state: derive the deleted subset
+        .filter(
+            (F.col("o_orderkey") % 40 == 0)
+            & (F.col("o_totalprice") < 50000.0)
+        )
+        .select("o_orderkey", F.lit(-1.0).alias("o_totalprice"))
+    )
+    t.merge_upsert(reinsert)
+    return t.read()

@@ -53,6 +53,7 @@ _OPERATOR_MODULES = [
     # driver window in registration order, and appending preserves the
     # standing backlog's order through its final two windows
     "evolution",
+    "snapshot_mor",
 ]
 
 _loaded = False

@@ -47,6 +47,16 @@ Scale design (100 TB):
   set into target-count range-clustered files and publishes it as a
   normal version — old versions keep their old files, so compaction
   never blocks readers.
+* **Merge-on-read deletes.** ``delete_where_mor`` commits a small
+  key-only DELETE FILE scoped (``applies_to``) to the data files that
+  may hold the matched keys — write cost O(matched keys) instead of
+  copy-on-write's rewrite of every touched file (the Iceberg-v2
+  equality-delete / deletion-vector pattern [PK]). Readers anti-join
+  vectors against exactly their scoped files; merges/deletes/compacts
+  that rewrite a scoped file MATERIALIZE its vectors (the rewrite
+  output already excludes the rows), and ``materialize_deletes``
+  rewrites only vectored files off the commit path. High-churn point
+  deletes stop paying rewrite amplification per commit.
 
 * **Manifest scaling (manifest-list splitting).** A commit does not
   re-serialize the whole file list: entries live in immutable
@@ -410,9 +420,15 @@ class SnapshotTable:
         manifest carries only m-bit bitmaps per (file, column)."""
         import pyarrow.parquet as pq
 
-        table = pq.read_table(fpath, columns=list(self.bloom_cols))
+        # key-only MoR delete files (and schema-evolved old files) may
+        # lack a bloom column — build blooms for the columns present
+        present = set(pq.read_schema(fpath).names)
+        cols = [c for c in self.bloom_cols if c in present]
+        if not cols:
+            return {}
+        table = pq.read_table(fpath, columns=cols)
         out: dict[str, list[int]] = {}
-        for col in self.bloom_cols:
+        for col in cols:
             bits: set[int] = set()
             for v in table.column(col).unique().to_pylist():
                 if v is not None:
@@ -448,7 +464,13 @@ class SnapshotTable:
         items = sorted(json.dumps(e.to_json(), sort_keys=True) for e in entries)
         return hashlib.md5("\n".join(items).encode()).hexdigest()
 
-    def _commit(self, op: str, files: list[FileEntry], parent: int) -> int:
+    def _commit(
+        self,
+        op: str,
+        files: list[FileEntry],
+        parent: int,
+        deletes: list[dict] | None = None,
+    ) -> int:
         """Publish ``files`` as version ``parent``+1, reusing the
         parent's intact manifest segments by reference (see
         SEGMENT_TARGET). A segment is intact iff every entry it held
@@ -457,7 +479,13 @@ class SnapshotTable:
         never resurrect, but the digest check makes that invariant
         enforced rather than assumed). Survivors of broken segments,
         new files, and under-filled segments are re-serialized into
-        fresh right-sized segments."""
+        fresh right-sized segments.
+
+        ``deletes`` is the version's merge-on-read delete-vector list
+        (see :meth:`delete_where_mor`) — stored INLINE in the manifest,
+        never in segments: the active delete set is small by design
+        (maintenance materializes it back into data files), while the
+        data-file list is what grows to 10^6 entries."""
         import uuid
 
         version = parent + 1
@@ -528,8 +556,11 @@ class SnapshotTable:
                 "key": self.key,
                 "parent": parent or None,
                 "n_files": sum(s["n_files"] for s in segments),
+                # physical rows in the data files; MoR-deleted rows are
+                # still counted until maintenance materializes them
                 "n_rows": sum(s["n_rows"] for s in segments),
                 "segments": segments,
+                "deletes": deletes or [],
             },
         )
         return version
@@ -567,6 +598,71 @@ class SnapshotTable:
         files = self._write_data_files(df, 1, n_files)
         return self._commit("create", files, parent=0)
 
+    # --------------------------------------- merge-on-read delete I/O
+
+    @staticmethod
+    def _delete_scope(m: dict) -> dict[str, frozenset]:
+        """data-file path → frozenset of delete-file paths applying to
+        it, from the manifest's inline ``deletes`` list."""
+        scope: dict[str, set] = {}
+        for d in m.get("deletes") or []:
+            for p in d["applies_to"]:
+                scope.setdefault(p, set()).add(d["path"])
+        return {p: frozenset(s) for p, s in scope.items()}
+
+    def _read_with_deletes(self, m: dict, paths: list[str] | None = None) -> DataFrame:
+        """Read ``paths`` (default: all of ``m``'s data files) with the
+        manifest's merge-on-read delete vectors applied — the Iceberg
+        v2 read contract [PK], scoped STRICTLY per file: a delete
+        file's keys suppress rows only in the data files it names, so
+        a key deleted and later re-inserted (living in a newer file
+        outside the vector's scope) stays visible.
+
+        Plan shape: data files are grouped by their applicable
+        delete-file set (≤ |delete entries|+1 groups in practice, 1
+        after maintenance); each group is one parquet scan anti-joined
+        against its delete keys (a small key-only side — AQE
+        broadcasts it), then the groups union. On a table with no
+        active deletes this is exactly the old single-scan plan."""
+        if paths is None:
+            paths = [f["path"] for f in m["files"]]
+        scope = self._delete_scope(m)
+        groups: dict[frozenset, list[str]] = {}
+        for p in paths:
+            groups.setdefault(scope.get(p, frozenset()), []).append(p)
+        out: DataFrame | None = None
+        for dset in sorted(groups, key=sorted):
+            df = self.spark.read.option("mergeSchema", "true").parquet(
+                *sorted(groups[dset])
+            )
+            if dset:
+                keys = (
+                    self.spark.read.parquet(*sorted(dset))
+                    .select(self.key)
+                    .distinct()
+                )
+                df = df.join(keys, self.key, "left_anti")
+            out = df if out is None else out.unionByName(
+                df, allowMissingColumns=True
+            )
+        assert out is not None  # caller guarantees paths is non-empty
+        return out
+
+    @staticmethod
+    def _carry_deletes(m: dict, removed: set[str]) -> list[dict]:
+        """The parent's delete entries, re-scoped for a commit that
+        rewrites/removes ``removed`` data files: a rewrite MATERIALIZES
+        the vectors over those files (the rewritten output already
+        excludes the deleted rows), so they leave each entry's
+        ``applies_to``; an entry scoped to nothing is dropped and its
+        delete file becomes a vacuum-swept orphan."""
+        out = []
+        for d in m.get("deletes") or []:
+            keep = [p for p in d["applies_to"] if p not in removed]
+            if keep:
+                out.append({**d, "applies_to": keep})
+        return out
+
     def read(self, version: int | None = None) -> DataFrame:
         m = self._read_manifest(version)
         paths = [f["path"] for f in m["files"]]
@@ -575,7 +671,7 @@ class SnapshotTable:
         # mergeSchema: after an add-column merge, carried files keep the
         # old schema — the union read nulls the missing column, which
         # is exactly the schema-evolution read contract
-        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        return self._read_with_deletes(m, paths)
 
     def read_pruned(
         self, lo: int, hi: int, version: int | None = None
@@ -598,7 +694,7 @@ class SnapshotTable:
         ]
         if not paths:
             return self.read(version).limit(0)
-        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        df = self._read_with_deletes(m, paths)
         return df.filter((F.col(self.key) >= lo) & (F.col(self.key) <= hi))
 
     def read_pruned_on(
@@ -622,7 +718,7 @@ class SnapshotTable:
             return self.read(version).limit(0).filter(
                 (F.col(col) >= lo) & (F.col(col) <= hi)
             )
-        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        df = self._read_with_deletes(m, paths)
         return df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
 
     def files_overlapping(self, col: str, lo, hi, version: int | None = None) -> int:
@@ -720,7 +816,7 @@ class SnapshotTable:
                 paths.append(f["path"])
         if not paths:
             return self.read(version).limit(0).filter(F.col(col) == F.lit(value))
-        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        df = self._read_with_deletes(m, paths)
         return df.filter(F.col(col) == F.lit(value))
 
     def _touched_files(self, m: dict, keys: DataFrame) -> list[str]:
@@ -758,7 +854,11 @@ class SnapshotTable:
         :meth:`stage_merge`: validate the batch, stats-prune the
         touched files, carry everything else, and build the merged
         DataFrame. Returns (parent_version, touched_paths,
-        carried_entries, merged_df)."""
+        carried_entries, carried_deletes, merged_df). The base read
+        applies the parent's MoR delete vectors (a deleted key must
+        not resurrect through a merge that rewrites its file), and the
+        rewrite materializes those vectors — carried_deletes is the
+        parent list re-scoped off the touched files."""
         self._validate(updates, tombstone_col)
         parent = self.latest_version()
         m = self._read_manifest(parent)
@@ -768,10 +868,9 @@ class SnapshotTable:
             for f in m["files"]
             if f["path"] not in touched
         ]
+        carried_deletes = self._carry_deletes(m, touched)
         if touched:
-            base = self.spark.read.option("mergeSchema", "true").parquet(
-                *sorted(touched)
-            )
+            base = self._read_with_deletes(m, sorted(touched))
         else:
             # empty-base fallback must not inherit the tombstone column,
             # or a pure-insert tombstone batch would write it into the
@@ -783,7 +882,7 @@ class SnapshotTable:
             )
             base = self.spark.createDataFrame([], schema_src.schema)
         merged = self._merge_plan(base, updates, tombstone_col)
-        return parent, touched, carried, merged
+        return parent, touched, carried, carried_deletes, merged
 
     def merge_upsert(
         self, updates: DataFrame, tombstone_col: str | None = None
@@ -797,13 +896,15 @@ class SnapshotTable:
         delete land in ONE atomic commit, which is what keeps a CDC
         apply (upserts + deletes interleaved) from tearing across
         versions. The column itself never reaches the table."""
-        parent, touched, carried, merged = self._plan_cow_merge(
+        parent, touched, carried, carried_deletes, merged = self._plan_cow_merge(
             updates, tombstone_col
         )
         version = parent + 1
         n_files = max(1, len(touched))
         new_files = self._write_persisted(merged, version, n_files)
-        return self._commit("merge", carried + new_files, parent)
+        return self._commit(
+            "merge", carried + new_files, parent, deletes=carried_deletes
+        )
 
     def _write_persisted(
         self, merged: DataFrame, version: int, n_files: int
@@ -899,18 +1000,99 @@ class SnapshotTable:
         ]
         version = parent + 1
         if not touched:
-            return self._commit("delete", carried, parent)
+            return self._commit(
+                "delete", carried, parent, deletes=self._carry_deletes(m, set())
+            )
         # keep every row where the predicate is NOT definitely true:
         # `NOT (pred)` alone would also drop rows where pred evaluates
         # to NULL (e.g. a NULL in a schema-evolved column), silently
-        # deleting rows the DELETE never matched
-        kept = (
-            self.spark.read.option("mergeSchema", "true")
-            .parquet(*sorted(touched))
-            .filter(~F.coalesce(F.expr(predicate), F.lit(False)))
+        # deleting rows the DELETE never matched. The base read applies
+        # any MoR delete vectors (the rewrite materializes them).
+        kept = self._read_with_deletes(m, sorted(touched)).filter(
+            ~F.coalesce(F.expr(predicate), F.lit(False))
         )
         new_files = self._write_data_files(kept, version, max(1, len(touched)))
-        return self._commit("delete", carried + new_files, parent)
+        return self._commit(
+            "delete", carried + new_files, parent,
+            deletes=self._carry_deletes(m, touched),
+        )
+
+    def delete_where_mor(self, predicate: str) -> int:
+        """Merge-on-read DELETE (Iceberg v2 equality-delete pattern
+        [PK]): instead of rewriting every file containing a matching
+        row (copy-on-write rewrite amplification — a 1-row delete in a
+        1 GB file rewrites 1 GB), commit a small DELETE FILE holding
+        just the matched KEYS, scoped via ``applies_to`` to the data
+        files that may contain them. Readers anti-join the vector
+        against exactly those files (:meth:`_read_with_deletes`);
+        every other file's scan is untouched. Write cost is O(matched
+        keys), deferring the rewrite to :meth:`materialize_deletes` /
+        :meth:`compact`, which fold vectors back into plain files off
+        the commit path — the COW↔MoR tradeoff table formats expose as
+        ``write.delete.mode`` [PK].
+
+        The key-unique invariant makes equality deletes on the key
+        exact; re-inserting a deleted key later is safe because the
+        re-insert's file is never in the old vector's scope. A
+        predicate matching nothing commits a no-rewrite version (same
+        files, carried vectors), keeping "a delete always commits"
+        parity with :meth:`delete_where`."""
+        parent = self.latest_version()
+        m = self._read_manifest(parent)
+        hit_keys = (
+            self.read(parent)
+            .filter(F.coalesce(F.expr(predicate), F.lit(False)))
+            .select(self.key)
+            .distinct()
+        )
+        applies_to = sorted(self._touched_files(m, hit_keys))
+        carried = [FileEntry.from_json(f) for f in m["files"]]
+        deletes = self._carry_deletes(m, set())
+        if applies_to:
+            import uuid
+
+            out_dir = os.path.join(
+                self.path, "data",
+                f"commit-{parent + 1:06d}-mor-{uuid.uuid4().hex[:8]}",
+            )
+            entry = self._write_files_to(hit_keys, out_dir, 1)
+            if entry and entry[0].rows > 0:
+                fe = entry[0]
+                deletes.append(
+                    {
+                        "path": fe.path,
+                        "n_keys": fe.rows,
+                        "min_key": fe.min_key,
+                        "max_key": fe.max_key,
+                        "applies_to": applies_to,
+                    }
+                )
+        return self._commit("delete_mor", carried, parent, deletes=deletes)
+
+    def materialize_deletes(self) -> int:
+        """MoR maintenance: rewrite ONLY the data files named by any
+        active delete vector, with the vectors applied, and commit a
+        vector-free version — the targeted "rewrite position/equality
+        deletes" maintenance action [PK], cheaper than a full
+        :meth:`compact` because untouched files carry by reference.
+        Returns the current version unchanged when no vector is
+        active (true no-op: no version churn on idle maintenance)."""
+        parent = self.latest_version()
+        m = self._read_manifest(parent)
+        affected = {p for d in m.get("deletes") or [] for p in d["applies_to"]}
+        if not affected:
+            return parent
+        carried = [
+            FileEntry.from_json(f)
+            for f in m["files"]
+            if f["path"] not in affected
+        ]
+        kept = self._read_with_deletes(m, sorted(affected))
+        version = parent + 1
+        new_files = self._write_data_files(kept, version, max(1, len(affected)))
+        return self._commit(
+            "materialize_deletes", carried + new_files, parent, deletes=[]
+        )
 
     def changes(
         self, v_from: int, v_to: int, include_preimages: bool = False
@@ -937,8 +1119,21 @@ class SnapshotTable:
         mt = self._read_manifest(v_to)
         from_paths = {f["path"] for f in mf["files"]}
         to_paths = {f["path"] for f in mt["files"]}
-        added = sorted(to_paths - from_paths)
-        removed = sorted(from_paths - to_paths)
+        # Merge-on-read deletes change a CARRIED file's visible rows
+        # without touching its bytes: any carried file whose applicable
+        # delete-vector set differs between the versions joins BOTH
+        # diff sides (read with each version's own scoping below), so
+        # unchanged rows cancel in the anti-join and newly-vectored
+        # rows surface as deletes — the same machinery, no special
+        # delete-file diffing.
+        scope_f, scope_t = self._delete_scope(mf), self._delete_scope(mt)
+        vis_changed = {
+            p
+            for p in from_paths & to_paths
+            if scope_f.get(p, frozenset()) != scope_t.get(p, frozenset())
+        }
+        added = sorted((to_paths - from_paths) | vis_changed)
+        removed = sorted((from_paths - to_paths) | vis_changed)
         fields = self.read(v_to).schema.fields
         cols = [f.name for f in fields]
         out_schema = ", ".join(
@@ -963,14 +1158,10 @@ class SnapshotTable:
             )
 
         added_df = (
-            conform(self.spark.read.option("mergeSchema", "true").parquet(*added))
-            if added
-            else empty
+            conform(self._read_with_deletes(mt, added)) if added else empty
         )
         removed_df = (
-            conform(self.spark.read.option("mergeSchema", "true").parquet(*removed))
-            if removed
-            else empty
+            conform(self._read_with_deletes(mf, removed)) if removed else empty
         )
         removed_keys = removed_df.select(
             F.col(self.key).alias("__removed_key")
@@ -1094,12 +1285,14 @@ class SnapshotTable:
             # and, under count-based vacuum retention, age real history
             # out of the retained window.
             return parent
-        merged = self.spark.read.option("mergeSchema", "true").parquet(
-            *sorted(f["path"] for f in small)
-        )
+        small_paths = {f["path"] for f in small}
+        merged = self._read_with_deletes(m, sorted(small_paths))
         version = parent + 1
         new_files = self._write_data_files(merged, version, n_files)
-        return self._commit("compact_small", carried + new_files, parent)
+        return self._commit(
+            "compact_small", carried + new_files, parent,
+            deletes=self._carry_deletes(m, small_paths),
+        )
 
     def merge_upsert_with_retry(
         self, updates: DataFrame, max_retries: int = 3
@@ -1154,7 +1347,9 @@ class SnapshotTable:
         keep_versions = sorted(set(keep_versions) | set(tagged))
         live: set[str] = set()
         for v in keep_versions:
-            live.update(f["path"] for f in self._read_manifest(v)["files"])
+            m = self._read_manifest(v)
+            live.update(f["path"] for f in m["files"])
+            live.update(d["path"] for d in m.get("deletes") or [])
         # un-published staged snapshots are live roots too: their data
         # files appear in no committed manifest yet, but deleting them
         # would corrupt a pending write-audit-publish
@@ -1163,6 +1358,7 @@ class SnapshotTable:
                 if name.endswith(".json"):
                     m = self._read_staging_manifest(name[:-5])
                     live.update(f["path"] for f in m["files"])
+                    live.update(d["path"] for d in m.get("deletes") or [])
         # every branch head (and its history) is a live root: branch
         # commits share main's data directory, so count-based retention
         # on main must never delete a file only a branch references
@@ -1174,6 +1370,7 @@ class SnapshotTable:
                         with open(os.path.join(bdir, mn)) as fh:
                             bm = self._resolve_manifest(json.load(fh), bdir)
                         live.update(f["path"] for f in bm["files"])
+                        live.update(d["path"] for d in bm.get("deletes") or [])
         import time as _time
 
         cutoff = _time.time() - grace_sec
@@ -1278,7 +1475,7 @@ class SnapshotTable:
         metadata-only. Shares :meth:`_plan_cow_merge` with the direct
         merge, so WAP merges can never drift semantically from direct
         ones (tombstone deletes included)."""
-        parent, touched, carried, merged = self._plan_cow_merge(
+        parent, touched, carried, carried_deletes, merged = self._plan_cow_merge(
             updates, tombstone_col
         )
         out_dir = os.path.join(self.path, "data", f"staged-{staged_id}")
@@ -1300,6 +1497,7 @@ class SnapshotTable:
                     "key": self.key,
                     "parent": parent,
                     "files": [f.to_json() for f in carried + new_files],
+                    "deletes": carried_deletes,
                 },
                 fh,
                 indent=1,
@@ -1313,8 +1511,7 @@ class SnapshotTable:
 
     def read_staged(self, staged_id: str) -> DataFrame:
         m = self._read_staging_manifest(staged_id)
-        paths = [f["path"] for f in m["files"]]
-        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        return self._read_with_deletes(m)
 
     def publish_staged(self, staged_id: str) -> int:
         """Write-audit-publish, step 3: promote the audited staging
@@ -1330,7 +1527,9 @@ class SnapshotTable:
                 f"staged on v{m['parent']} but table is at v{parent} — re-stage"
             )
         files = [FileEntry.from_json(f) for f in m["files"]]
-        version = self._commit("merge", files, parent)
+        version = self._commit(
+            "merge", files, parent, deletes=self._carry_deletes(m, set())
+        )
         os.unlink(os.path.join(self._staging_dir, f"{staged_id}.json"))
         return version
 
@@ -1353,7 +1552,10 @@ class SnapshotTable:
         target = self._read_manifest(to_version)
         parent = self.latest_version()
         files = [FileEntry.from_json(f) for f in target["files"]]
-        return self._commit("rollback", files, parent)
+        return self._commit(
+            "rollback", files, parent,
+            deletes=self._carry_deletes(target, set()),
+        )
 
     # ------------------------------------------------------- branches
 
@@ -1400,6 +1602,9 @@ class SnapshotTable:
                     {k: v for k, v in f.items() if k != "_segment"}
                     for f in bm["files"]
                 ],
+                # delete vectors follow the files they scope: a branch
+                # read must not resurrect main's MoR-deleted rows
+                "deletes": self._carry_deletes(bm, set()),
             },
         )
         return view
@@ -1446,7 +1651,10 @@ class SnapshotTable:
             )
         bm = view._read_manifest(head)
         files = [FileEntry.from_json(f) for f in bm["files"]]
-        return self._commit(f"fast_forward:{name}@{head}", files, parent=base)
+        return self._commit(
+            f"fast_forward:{name}@{head}", files, parent=base,
+            deletes=self._carry_deletes(bm, set()),
+        )
 
 
 class _BranchView(SnapshotTable):

@@ -36,6 +36,14 @@ op_strategy = st.one_of(
         ),
     ),
     st.tuples(st.just("delete"), st.integers(0, 60)),
+    # merge-on-read deletes interleaved with every COW op: a point
+    # vector delete and a range vector delete, plus the maintenance
+    # fold — the cross-op interactions (vector → rewrite materializes,
+    # vector → rollback carries, vector → compact folds) are exactly
+    # what this model test exists to catch
+    st.tuples(st.just("delete_mor"), st.integers(0, 60)),
+    st.tuples(st.just("delete_mor_range"), st.integers(0, 60)),
+    st.tuples(st.just("materialize"), st.none()),
     st.tuples(st.just("compact"), st.integers(1, 3)),
     st.tuples(st.just("rollback"), st.none()),
     # three-arm CDC merge: (key, value, tombstone) — tombstoned keys
@@ -90,6 +98,14 @@ def test_random_op_sequences_match_dict_model(spark, table_root, ops, seq):
         elif op == "delete":
             t.delete_where(f"id >= {arg}")
             model = {k: v for k, v in model.items() if k < arg}
+        elif op == "delete_mor":
+            t.delete_where_mor(f"id = {arg}")
+            model.pop(arg, None)
+        elif op == "delete_mor_range":
+            t.delete_where_mor(f"id >= {arg}")
+            model = {k: v for k, v in model.items() if k < arg}
+        elif op == "materialize":
+            t.materialize_deletes()  # may be a true no-op (no commit)
         elif op == "compact":
             t.compact(n_files=arg)
         elif op == "rollback":
@@ -111,7 +127,10 @@ def test_random_op_sequences_match_dict_model(spark, table_root, ops, seq):
                     model.pop(k, None)
                 else:
                     model[k] = v
-        model_history.append(dict(model))
+        # record history only when the op actually committed a version
+        # (materialize_deletes with no active vector is a true no-op)
+        if t.latest_version() == len(model_history) + 1:
+            model_history.append(dict(model))
 
         got = {r["id"]: r["val"] for r in t.read().collect()}
         assert got == model, f"after {op}({arg}): table diverged from model"

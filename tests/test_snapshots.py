@@ -521,7 +521,7 @@ def test_losing_writer_cannot_clobber_winner_files(spark, tmp_path):
                                    "id long, val double"), n_files=2)
     b = SnapshotTable(spark, path, key="id")
     # B plans its merge against parent=1
-    b_parent, b_touched, b_carried, b_merged = b._plan_cow_merge(
+    b_parent, b_touched, b_carried, _b_deletes, b_merged = b._plan_cow_merge(
         spark.createDataFrame([(1, -1.0)], "id long, val double")
     )
     # A wins the race: commits version 2
