@@ -2,11 +2,16 @@
 binary-payload plumbing: decode / feature-extract / resize / frame-
 sample as Arrow-batched Pandas functions over opaque binary columns).
 
-The container has no image/audio codecs, so the decode kernel is a
-clearly-marked deterministic fake (`_fake_decode`) — the Spark-side
-contract (binary column + typed metadata struct, mapInPandas batch
-shape, partition-preserving schema) is real and tested; swapping in
-a PIL/ffmpeg kernel changes one function body, no plan changes.
+Decode and resize run REAL codecs (r08, retiring the r07 stub
+finding): pure-Python BMP and P6-PPM implementations from the public
+format specs (functions/imaging.py) — the payloads are genuinely
+encoded image bytes, the kernels parse headers / strip row padding /
+flip bottom-up rows / swap BGR, and the DuckDB oracles recompute the
+same pixel statistics analytically, so a decoder bug anywhere in the
+pixel math breaks the hash. Only the learned-encoder stand-in in
+feature_extract and the frame-count metadata in frame_sample remain
+deterministic fakes (no ML encoder / video container lib in this
+container); their Arrow plumbing is identically real.
 """
 
 from __future__ import annotations
@@ -53,99 +58,135 @@ def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: schema of the decoded-feature output — binary in, typed features out
+#: schema of the decoded output — binary in, pixel statistics out
 _DECODE_SCHEMA = (
-    "doc_id long, media_type string, n_bytes long, "
-    "width int, height int, n_frames int, feature_mean double"
+    "doc_id long, codec string, n_bytes long, "
+    "width int, height int, mean_r double, mean_g double, mean_b double"
 )
 
 
-def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:
-    """Deterministic stand-in for an image/video decode kernel.
+def encode_media_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel, encode side of the fixture: doc_id → REAL
+    encoded image bytes (even ids 24-bit BMP, odd ids binary PPM) of
+    the deterministic test image ``imaging.pixel_array`` — the
+    binary-column layout a production image table would carry, with
+    genuinely parseable payloads."""
+    from clj_kinesis_to_firehose_spark.functions.imaging import (
+        encode_bmp,
+        encode_ppm,
+        pixel_array,
+    )
 
-    STUB: no codec libraries exist in this container. Derives fake
-    (width, height, n_frames, feature_mean) purely from the payload
-    bytes so results are reproducible; a real kernel (PIL, ffmpeg,
-    torchaudio) replaces this body without touching the Spark plan.
-    """
-    n = len(payload)
-    width = 16 + (n % 64)
-    height = 16 + ((n // 64) % 64)
-    n_frames = 1 + (payload[0] % 4) if n else 1
-    # raw double — rounding happens JVM-side (F.round, HALF_UP) so the
-    # DuckDB oracle's ROUND agrees exactly (Python round() is banker's)
-    feature_mean = sum(payload[:256]) / max(min(n, 256), 1) / 255.0
-    return width, height, n_frames, feature_mean
+    for pdf in batches:
+        payloads = [
+            encode_bmp(pixel_array(d)) if d % 2 == 0 else encode_ppm(pixel_array(d))
+            for d in pdf["doc_id"]
+        ]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "payload": pd.Series(payloads, dtype="object"),
+            }
+        )
 
 
 def decode_media_batches(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: Arrow batches of (doc_id, media_type, payload)
-    → typed feature rows. Runs once per Arrow batch, vectorized over
-    rows inside the batch — the 100 TB decode path (one Python worker
-    per core, Arrow transfer, no per-row py4j)."""
+    """mapInPandas kernel: Arrow batches of (doc_id, payload) → decoded
+    pixel statistics via the REAL codecs (magic-byte dispatch). Runs
+    once per Arrow batch — the 100 TB decode path (one Python worker
+    per core, Arrow transfer, no per-row py4j). Channel means divide
+    an exact integer pixel sum by the pixel count; rounding happens
+    JVM-side (F.round, HALF_UP) so the DuckDB oracle's ROUND agrees
+    exactly (Python round() is banker's)."""
+    from clj_kinesis_to_firehose_spark.functions.imaging import decode_image
+
     for pdf in batches:
-        decoded = [_fake_decode(p) for p in pdf["payload"]]
-        out = pd.DataFrame(
+        ids, codecs, n_bytes, ws, hs = [], [], [], [], []
+        mr, mg, mb = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            data = bytes(payload)
+            arr = decode_image(data)
+            h, w = arr.shape[:2]
+            sums = arr.reshape(-1, 3).sum(axis=0, dtype="int64")
+            ids.append(int(doc_id))
+            codecs.append("bmp" if data[:2] == b"BM" else "ppm")
+            n_bytes.append(len(data))
+            ws.append(w)
+            hs.append(h)
+            mr.append(int(sums[0]) / (w * h))
+            mg.append(int(sums[1]) / (w * h))
+            mb.append(int(sums[2]) / (w * h))
+        yield pd.DataFrame(
             {
-                "doc_id": pdf["doc_id"].astype("int64"),
-                "media_type": pdf["media_type"],
-                "n_bytes": pdf["payload"].map(len).astype("int64"),
-                "width": [d[0] for d in decoded],
-                "height": [d[1] for d in decoded],
-                "n_frames": [d[2] for d in decoded],
-                "feature_mean": [d[3] for d in decoded],
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "codec": pd.Series(codecs, dtype="object"),
+                "n_bytes": pd.Series(n_bytes, dtype="int64"),
+                "width": pd.Series(ws, dtype="int32"),
+                "height": pd.Series(hs, dtype="int32"),
+                "mean_r": pd.Series(mr, dtype="float64"),
+                "mean_g": pd.Series(mg, dtype="float64"),
+                "mean_b": pd.Series(mb, dtype="float64"),
             }
         )
-        yield out
 
 
 @register(
     "multimodal_decode",
     oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             4 + doc_id % 13 AS w,
+             4 + (doc_id * 7) % 11 AS h
+      FROM documents
+    )
     SELECT doc_id,
-           CASE WHEN doc_id % 3 = 0 THEN 'image'
-                WHEN doc_id % 3 = 1 THEN 'audio'
-                ELSE 'video' END AS media_type,
-           CAST(LENGTH(text) AS BIGINT) AS n_bytes,
-           CAST(16 + LENGTH(text) % 64 AS INT) AS width,
-           CAST(16 + (LENGTH(text) // 64) % 64 AS INT) AS height,
-           CAST(1 + UNICODE(SUBSTR(text, 1, 1)) % 4 AS INT) AS n_frames,
-           ROUND(
-               CAST(LIST_SUM(LIST_TRANSFORM(
-                        RANGE(LEAST(LENGTH(text), 256)),
-                        i -> UNICODE(SUBSTR(text, i + 1, 1)))) AS DOUBLE)
-               / GREATEST(LEAST(LENGTH(text), 256), 1) / 255.0,
-               6) AS feature_mean
-    FROM documents
+           CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS codec,
+           CAST(CASE WHEN doc_id % 2 = 0
+                THEN 54 + ((w * 3 + 3) // 4) * 4 * h
+                ELSE LENGTH('P6' || CHR(10) || CAST(w AS VARCHAR) || ' '
+                     || CAST(h AS VARCHAR) || CHR(10) || '255' || CHR(10))
+                     + w * h * 3
+           END AS BIGINT) AS n_bytes,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           ROUND(CAST(LIST_SUM(LIST_TRANSFORM(RANGE(w * h),
+               i -> (doc_id * 31 + (i % w) * 7 + (i // w) * 13) % 256))
+             AS DOUBLE) / (w * h), 6) AS mean_r,
+           ROUND(CAST(LIST_SUM(LIST_TRANSFORM(RANGE(w * h),
+               i -> (doc_id * 31 + (i % w) * 7 + (i // w) * 13 + 101) % 256))
+             AS DOUBLE) / (w * h), 6) AS mean_g,
+           ROUND(CAST(LIST_SUM(LIST_TRANSFORM(RANGE(w * h),
+               i -> (doc_id * 31 + (i % w) * 7 + (i // w) * 13 + 202) % 256))
+             AS DOUBLE) / (w * h), 6) AS mean_b
+    FROM dims
     """,
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary media column → decoded feature columns via mapInPandas.
+    """Binary media column → decoded pixel statistics via mapInPandas
+    and REAL pure-Python codecs (functions/imaging.py): even doc_ids
+    carry 24-bit BMPs (bottom-up padded BGR rows), odd ones binary
+    PPMs — both encoded then re-parsed from their public wire formats.
+    The oracle recomputes header byte counts AND per-channel pixel
+    means analytically from the deterministic pixel formula, so the
+    hash check covers actual decoded pixel math end to end: a wrong
+    row flip, padding strip, BGR swap, or header-offset read breaks
+    it. (r08 — retires the r07 'stub codec' finding for this op.)
 
-    The decode kernel is a deterministic fake (_fake_decode — no codec
-    libraries exist in this container; a real kernel replaces that one
-    function without touching the Spark plan), but because the fake is
-    pure arithmetic over the payload bytes and the fixture text is
-    ASCII (byte == codepoint, verified at every SF), the whole operator
-    gets an EXACT DuckDB oracle — the Arrow plumbing, batch shape, and
-    schema are all hash-checked, stub codec notwithstanding.
-
-    The binary payloads are manufactured from document text (utf-8
-    bytes) — opaque binary + metadata struct, exactly the layout a
-    real image/audio table would have."""
+    Scale shape: fan_out spreads the scan across cores, then encode
+    and decode are two pure Arrow-batched map stages — no shuffle."""
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
-    media = docs.select(
-        "doc_id",
-        F.when(F.col("doc_id") % 3 == 0, "image")
-        .when(F.col("doc_id") % 3 == 1, "audio")
-        .otherwise("video")
-        .alias("media_type"),
-        F.encode("text", "utf-8").alias("payload"),
+    media = docs.select("doc_id").mapInPandas(
+        encode_media_batches, schema="doc_id long, payload binary"
     )
-    return media.mapInPandas(decode_media_batches, schema=_DECODE_SCHEMA).withColumn(
-        "feature_mean", F.round("feature_mean", 6)
+    return (
+        media.mapInPandas(decode_media_batches, schema=_DECODE_SCHEMA)
+        .withColumn("mean_r", F.round("mean_r", 6))
+        .withColumn("mean_g", F.round("mean_g", 6))
+        .withColumn("mean_b", F.round("mean_b", 6))
     )
 
 
@@ -170,37 +211,51 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _RESIZE_SCHEMA = (
-    "doc_id long, width long, height long, "
-    "out_w long, out_h long, n_bytes_resized long"
+    "doc_id long, width int, height int, "
+    "out_w int, out_h int, mean_r_resized double"
 )
 
-#: resize target: longest edge scaled to this many "pixels"
-RESIZE_BOX = 64
+#: resize target: longest edge scaled to this many pixels (small keeps
+#: the oracle's per-resized-pixel SQL list bounded at 16x16)
+RESIZE_BOX = 16
 
 
 def resize_media_batches(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: aspect-preserving resize planning. The
-    dimension arithmetic (scale longest edge to RESIZE_BOX, integer
-    floor on the short edge, resized byte budget = out_w*out_h) is the
-    real contract a thumbnailing pipeline schedules around; the pixel
-    resample itself would replace this body (STUB — no image libs in
-    this container)."""
+    """mapInPandas kernel: REAL decode → nearest-neighbor resample →
+    resized-pixel statistics. The sampling grid is pure integer math
+    (source x = out_x * w // out_w), which is what lets the oracle
+    recompute every resized pixel exactly — the resample itself, not
+    just the dimension planning, is hash-checked."""
+    from clj_kinesis_to_firehose_spark.functions.imaging import (
+        decode_image,
+        resize_nearest,
+    )
+
     for pdf in batches:
-        rows = []
+        ids, ws, hs, ows, ohs, means = [], [], [], [], [], []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            w, h, _, _ = _fake_decode(payload)
-            m = max(w, h)
-            ow, oh = (w * RESIZE_BOX) // m, (h * RESIZE_BOX) // m
-            rows.append((int(doc_id), w, h, ow, oh, ow * oh))
+            arr = decode_image(bytes(payload))
+            h, w = arr.shape[:2]
+            out = resize_nearest(arr, RESIZE_BOX)
+            oh, ow = out.shape[:2]
+            ids.append(int(doc_id))
+            ws.append(w)
+            hs.append(h)
+            ows.append(ow)
+            ohs.append(oh)
+            means.append(int(out[:, :, 0].sum(dtype="int64")) / (ow * oh))
         yield pd.DataFrame(
-            rows,
-            columns=[
-                "doc_id", "width", "height", "out_w", "out_h",
-                "n_bytes_resized",
-            ],
-        ).astype("int64")
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "width": pd.Series(ws, dtype="int32"),
+                "height": pd.Series(hs, dtype="int32"),
+                "out_w": pd.Series(ows, dtype="int32"),
+                "out_h": pd.Series(ohs, dtype="int32"),
+                "mean_r_resized": pd.Series(means, dtype="float64"),
+            }
+        )
 
 
 @register(
@@ -208,31 +263,44 @@ def resize_media_batches(
     oracle=f"""
     WITH dims AS (
       SELECT doc_id,
-             16 + LENGTH(text) % 64 AS width,
-             16 + (LENGTH(text) // 64) % 64 AS height
+             4 + doc_id % 13 AS w,
+             4 + (doc_id * 7) % 11 AS h
       FROM documents
+    ), od AS (
+      SELECT doc_id, w, h,
+             GREATEST(1, (w * {RESIZE_BOX}) // GREATEST(w, h)) AS ow,
+             GREATEST(1, (h * {RESIZE_BOX}) // GREATEST(w, h)) AS oh
+      FROM dims
     )
-    SELECT doc_id, width, height,
-           (width * {RESIZE_BOX}) // GREATEST(width, height) AS out_w,
-           (height * {RESIZE_BOX}) // GREATEST(width, height) AS out_h,
-           ((width * {RESIZE_BOX}) // GREATEST(width, height))
-             * ((height * {RESIZE_BOX}) // GREATEST(width, height))
-             AS n_bytes_resized
-    FROM dims
+    SELECT doc_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(ow AS INT) AS out_w, CAST(oh AS INT) AS out_h,
+           ROUND(CAST(LIST_SUM(LIST_TRANSFORM(RANGE(ow * oh),
+               i -> (doc_id * 31
+                     + (((i % ow) * w) // ow) * 7
+                     + (((i // ow) * h) // oh) * 13) % 256))
+             AS DOUBLE) / (ow * oh), 6) AS mean_r_resized
+    FROM od
     """,
 )
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize planning over a binary media column (the brief's third
-    multimodal primitive beside decode and frame-sample): mapInPandas
-    computes source dims from the payload (the stubbed decode) and the
-    aspect-preserving target box — all-integer arithmetic, so the op
-    gets an EXACT oracle recomputing the same dims from the payload
-    length. Scale shape is identical to multimodal_decode: fan_out
-    spreads the single-file fixture scan across cores ahead of the
-    Python kernel, then a pure map stage over Arrow batches."""
+    """Aspect-preserving resize over a binary media column (the
+    brief's third multimodal primitive): decode the REAL payload,
+    nearest-neighbor resample the longest edge to RESIZE_BOX, and
+    report the resized red-channel mean. The oracle reconstructs the
+    exact sampling grid (integer source coordinates) and the exact
+    resized pixel values, so the hash covers the resample arithmetic,
+    not just the output dims. (r08 — retires the r07 'stub codec'
+    finding for this op.) Scale shape is identical to
+    multimodal_decode: fan_out ahead of the kernels, then two pure
+    Arrow-batched map stages — no shuffle."""
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
-    media = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
-    return media.mapInPandas(resize_media_batches, schema=_RESIZE_SCHEMA)
+    media = docs.select("doc_id").mapInPandas(
+        encode_media_batches, schema="doc_id long, payload binary"
+    )
+    return media.mapInPandas(
+        resize_media_batches, schema=_RESIZE_SCHEMA
+    ).withColumn("mean_r_resized", F.round("mean_r_resized", 6))
 
 
 _FEATURE_DIM = 8
