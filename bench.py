@@ -18,7 +18,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from clj_kinesis_to_firehose_spark import registry  # noqa: E402
+from clj_kinesis_to_firehose_spark import bench_probe, registry  # noqa: E402
 from clj_kinesis_to_firehose_spark.session import build_spark  # noqa: E402
 
 #: headline set: one representative per operator family, weighted
@@ -112,6 +112,12 @@ def main() -> None:
                 ).save()
                 runs.append(time.perf_counter() - t0)
             extended[name] = round(statistics.median(runs), 3)
+            # setup vs steady-state split (round-7 verdict #5): the
+            # streaming metric is startup-dominated at small SF; the
+            # phase probe makes a steady-state regression visible
+            # beside the unchanged total (split is from the LAST run)
+            for ph, sec in bench_probe.phases(name).items():
+                extended[f"{name}_{ph}"] = sec
         except Exception:
             import traceback
 
@@ -126,6 +132,8 @@ def main() -> None:
             rows = queries[qname](spark, sf_dir).collect()
             dt = time.perf_counter() - t0
             extended[metric] = round(sum(r[count_col] for r in rows) / dt, 1)
+            for ph, sec in bench_probe.phases(qname).items():
+                extended[f"{qname}_{ph}"] = sec
         except Exception:
             import traceback
 
