@@ -54,6 +54,7 @@ _OPERATOR_MODULES = [
     # standing backlog's order through its final two windows
     "evolution",
     "snapshot_mor",
+    "kcl_ops",
 ]
 
 _loaded = False

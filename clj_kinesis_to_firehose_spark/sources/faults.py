@@ -120,6 +120,7 @@ class FaultInjectingSliceClient:
         page_size: int = 500,
         iterator_ttl_calls: int = 64,
         rows: list | None = None,
+        fault_plan: dict | None = None,
     ):
         from clj_kinesis_to_firehose_spark.sources.pyds import _read_rows
 
@@ -128,7 +129,14 @@ class FaultInjectingSliceClient:
         self.iterator_ttl_calls = iterator_ttl_calls
         self._rows = rows if rows is not None else list(_read_rows(path))
         n_pages = (len(self._rows) + page_size - 1) // page_size
-        self._plan = _fault_plan(path, n_pages)
+        # explicit plan override: {} turns the client into a clean pager
+        # (the lease double uses it — contention, not faults, is its
+        # subject), a custom dict scripts exact schedules in tests
+        self._plan = (
+            dict(fault_plan)
+            if fault_plan is not None
+            else _fault_plan(path, n_pages)
+        )
         self._calls = 0  # get_records attempts, successful or not
         self._iter_seq = 0  # iterator generation counter
         self.faults_fired: dict[str, int] = {k: 0 for k in _FAULTS}
