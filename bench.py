@@ -48,7 +48,14 @@ N_RUNS = 3
 #: the end-to-end streaming pipeline as records/s. The original 14
 #: HEADLINE queries stay frozen as the 2×-baseline gate; these are
 #: trend-tracked in BASELINE.md each round.
-EXTENDED = ["snapshot_merge_upsert", "sim_ann_lsh", "snapshot_changes_stream"]
+EXTENDED = [
+    "snapshot_merge_upsert",
+    "sim_ann_lsh",
+    "snapshot_changes_stream",
+    # round 8: merge-on-read delete — trend the vector-commit cost
+    # beside the COW merge so rewrite-amplification regressions show
+    "snapshot_delete_mor",
+]
 N_RUNS_EXT = 2
 
 

@@ -198,6 +198,18 @@ _PRIORITY = [
 ]
 
 
+#: queries whose OUTPUT CONTRACT changed in a later round than their
+#: last driver record: name → first round whose records count. A green
+#: hash from before the change proves the old semantics, so the query
+#: must re-enter the window until a record from >= that round lands.
+#: (r08: decode/resize went from stub-arithmetic outputs to real
+#: BMP/PPM pixel statistics — new schema, new values.)
+_REVALIDATE_AFTER: dict[str, int] = {
+    "multimodal_decode": 8,
+    "multimodal_resize": 8,
+}
+
+
 def _adjudicated_names(root: str | None = None) -> set[str]:
     """Queries whose LATEST driver record across the committed
     CORRECTNESS_r*.json files (read in round order) is conclusive: an
@@ -216,6 +228,10 @@ def _adjudicated_names(root: str | None = None) -> set[str]:
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
+            rnd = int(os.path.basename(path)[len("CORRECTNESS_r"):-len(".json")])
+        except ValueError:
+            rnd = 0
+        try:
             with open(path) as fh:
                 data = json.load(fh)
         except (OSError, ValueError):
@@ -223,7 +239,7 @@ def _adjudicated_names(root: str | None = None) -> set[str]:
         if not isinstance(data, dict):
             continue
         for name, row in data.items():
-            if isinstance(row, dict):
+            if isinstance(row, dict) and rnd >= _REVALIDATE_AFTER.get(name, 0):
                 latest[name] = row
 
     seen: set[str] = set()

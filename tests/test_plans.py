@@ -516,3 +516,37 @@ def test_approx_quantile_histogram_single_fact_shuffle(spark):
     # aggregate); everything after runs on the ~|bins x groups| sketch
     df = QUERIES["agg_approx_quantile"](spark, SF_DIR)
     assert audit.n_shuffles(df) <= 3, audit.plan_report(df)
+
+
+def test_mor_read_plan_shapes(spark, tmp_path):
+    """MoR physical contract: a vector-free table reads as ONE plain
+    scan (no join added by the delete plumbing); an active vector adds
+    exactly one anti-join whose build side is the tiny key file; and a
+    pruned read whose surviving files carry no vector pays no
+    anti-join at all."""
+    from pyspark.sql import functions as F
+
+    from clj_kinesis_to_firehose_spark.plans import audit
+    from clj_kinesis_to_firehose_spark.storage import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), key="id")
+    t.create(
+        spark.range(1000).select("id", (F.col("id") * 2.0).alias("val")),
+        n_files=8,
+    )
+    plain = audit.formatted_plan(t.read())
+    assert "Join" not in plain, plain
+    t.delete_where_mor("id = 3")  # one vector, scoped to one file
+    vdf = t.read()
+    vectored = audit.formatted_plan(vdf)
+    assert "LeftAnti" in vectored, vectored
+    # exactly one anti-join node, and AQE broadcasts the tiny key side
+    assert audit.n_broadcast_joins(vdf) == 1, vectored
+    # the vector's key file joins only its scoped group: a pruned read
+    # of an UNvectored key range stays join-free
+    clean = audit.formatted_plan(t.read_pruned(500, 599))
+    assert "Join" not in clean, clean
+    # materialization restores the single-scan plan
+    t.materialize_deletes()
+    folded = audit.formatted_plan(t.read())
+    assert "Join" not in folded, folded
