@@ -107,3 +107,28 @@ def snapshot_mor_reinsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.merge_upsert(reinsert)
     return t.read()
+
+
+@register(
+    "snapshot_mor_changes_feed",
+    oracle=f"""
+    WITH {_MERGED_SQL}
+    SELECT o_orderkey, o_totalprice, 'delete' AS change_type
+    FROM merged WHERE o_totalprice < 50000.0
+    """,
+)
+def snapshot_mor_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed across a merge-on-read delete: the commit
+    touches NO data file (only a vector landed), yet the CDF between
+    the versions must surface exactly the vectored rows as deletes
+    with their pre-image values — the carried-file-visibility case
+    the file-diff shortcut alone would miss (changes() folds files
+    whose APPLICABLE VECTOR SET changed into both diff sides, so
+    unchanged rows cancel and newly-vectored rows surface). Oracle:
+    the merged rows the predicate matched, labeled 'delete'."""
+    t = _merged_table(spark, sf_dir, "mor_changes_feed")
+    v2 = t.latest_version()
+    v3 = t.delete_where_mor("o_totalprice < 50000.0")
+    return t.changes(v2, v3).select(
+        "o_orderkey", "o_totalprice", "change_type"
+    )

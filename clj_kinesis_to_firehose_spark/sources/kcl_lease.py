@@ -35,7 +35,10 @@ from dataclasses import dataclass, field
 from decimal import Decimal
 
 from clj_kinesis_to_firehose_spark.sources.faults import (
+    ExpiredIteratorError,
     FaultInjectingSliceClient,
+    MidSliceDisconnect,
+    ProvisionedThroughputExceeded,
 )
 
 
@@ -135,29 +138,57 @@ class ShardSession:
         rows: list,
         counter: int,
         page_size: int = 200,
+        fault_plan: dict | None = None,
+        max_retries: int = 16,
     ):
         self.tab, self.worker, self.shard = lease_table, worker, shard
         self.counter = counter
         self.client = FaultInjectingSliceClient(
-            path, page_size=page_size, rows=rows, fault_plan={}
+            path,
+            page_size=page_size,
+            rows=rows,
+            # default {}: contention, not faults, is the double's
+            # subject — pass a plan (or None for the full gauntlet) to
+            # compose both (tests/test_kcl_lease.py does)
+            fault_plan={} if fault_plan is None else fault_plan,
         )
+        self.max_retries = max_retries
+        self._read_seq = lease_table.checkpoint_of(shard)
         self.iterator = self.client.get_shard_iterator(
-            after_sequence=lease_table.checkpoint_of(shard)
+            after_sequence=self._read_seq
         )
         self._page: list | None = None
         self._page_last_seq = -1
         self.done = lease_table.checkpoint_of(shard) >= len(rows) - 1
 
     def read_page(self) -> bool:
-        """Read (but do not commit) the next page. False at shard end."""
+        """Read (but do not commit) the next page, surviving the fault
+        gauntlet like the single-worker loop (sources/faults.py
+        consume_slice): throttle → retry the same iterator; expired
+        iterator / disconnect → re-acquire AFTER the last sequence
+        this session has read (NOT the lease checkpoint — an in-flight
+        uncommitted page must not be re-read by its own worker).
+        False at shard end."""
         if self.done or self.iterator is None:
             return False
-        page, self.iterator = self.client.get_records(self.iterator)
+        for _ in range(self.max_retries):
+            try:
+                page, self.iterator = self.client.get_records(self.iterator)
+                break
+            except ProvisionedThroughputExceeded:
+                continue  # same iterator; backoff elided (scripted time)
+            except (ExpiredIteratorError, MidSliceDisconnect):
+                self.iterator = self.client.get_shard_iterator(
+                    after_sequence=self._read_seq
+                )
+        else:
+            raise RuntimeError(f"shard {self.shard}: retry budget exhausted")
         if not page:
             self.done = True
             return False
         self._page = page
         self._page_last_seq = page[-1][0]
+        self._read_seq = self._page_last_seq
         if self.iterator is None:
             self.done = True  # closed-shard end reached WITH this page
         return True
@@ -189,6 +220,7 @@ def run_two_worker_replay(
     steal_shard: str,
     steal_after_pages: int = 2,
     page_size: int = 200,
+    fault_plans: dict | None = None,
 ):
     """Deterministic two-worker consumption of every shard with a
     scripted mid-shard lease steal on ``steal_shard``:
@@ -214,9 +246,11 @@ def run_two_worker_replay(
     assert steal_shard in shard_paths
     # phase 1-3: the contested shard
     c_a = tab.take("worker-a", steal_shard)
+    fault_plans = fault_plans or {}
     sess_a = ShardSession(
         tab, "worker-a", steal_shard, shard_paths[steal_shard],
         shard_rows[steal_shard], c_a, page_size,
+        fault_plan=fault_plans.get(steal_shard, {}),
     )
     for _ in range(steal_after_pages):
         if not sess_a.read_page():
@@ -234,6 +268,7 @@ def run_two_worker_replay(
     sess_b = ShardSession(
         tab, "worker-b", steal_shard, shard_paths[steal_shard],
         shard_rows[steal_shard], c_b, page_size,
+        fault_plan=fault_plans.get(steal_shard, {}),
     )
     while sess_b.read_page():
         sess_b.commit_page(counts, sums)
@@ -244,6 +279,7 @@ def run_two_worker_replay(
         sess = ShardSession(
             tab, worker, shard, shard_paths[shard],
             shard_rows[shard], c, page_size,
+            fault_plan=fault_plans.get(shard, {}),
         )
         while sess.read_page():
             sess.commit_page(counts, sums)

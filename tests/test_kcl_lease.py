@@ -114,3 +114,45 @@ def test_resume_at_shard_end_is_a_noop():
     sess2 = ShardSession(tab, "b", "s", "fake/s.parquet", rows, c2, 100)
     assert not sess2.read_page()  # checkpoint already at shard end
     assert sum(counts.values()) == 120
+
+
+def test_lease_handoff_composes_with_fault_gauntlet():
+    # contention AND network faults together: the contested shard also
+    # suffers a throttle, an expired iterator, and a mid-read
+    # disconnect, scheduled around the steal window — delivery must
+    # still be exactly-once
+    shard_rows = {f"slice={i}": _rows(i, 950) for i in range(2)}
+    shard_paths = {s: f"fake/{s}.parquet" for s in shard_rows}
+    plans = {
+        "slice=1": {0: "throttle", 3: "expired", 6: "disconnect"},
+        "slice=0": {1: "disconnect", 4: "throttle"},
+    }
+    counts, sums, tab = run_two_worker_replay(
+        shard_paths, shard_rows, steal_shard="slice=1",
+        steal_after_pages=2, page_size=100, fault_plans=plans,
+    )
+    want_counts, want_sums = _fold(shard_rows.values())
+    assert dict(counts) == want_counts
+    assert dict(sums) == want_sums
+    assert [e for e in tab.log if e[0] == "fenced"]
+
+
+def test_fault_during_in_flight_page_does_not_duplicate():
+    # an expired iterator AFTER a page was read but before the next
+    # read: the session must re-acquire after its LAST READ sequence,
+    # not the lease checkpoint, or its own uncommitted page would be
+    # read (and later delivered) twice
+    from collections import defaultdict
+
+    rows = _rows(0, 400)
+    tab = LeaseTable(["s"])
+    counts, sums = defaultdict(int), defaultdict(lambda: Decimal(0))
+    c = tab.take("a", "s")
+    sess = ShardSession(
+        tab, "a", "s", "fake/s.parquet", rows, c, 100,
+        fault_plan={1: "expired", 2: "disconnect"},
+    )
+    while sess.read_page():
+        sess.commit_page(counts, sums)
+    want_counts, want_sums = _fold([rows])
+    assert dict(counts) == want_counts and dict(sums) == want_sums
