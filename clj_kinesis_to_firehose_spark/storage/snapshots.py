@@ -458,10 +458,21 @@ class SnapshotTable:
         reuse time, so "same count as the parent summary" can never
         silently publish stale contents if a future op commits a
         content-modified copy of an entry that kept its ``.segment``
-        pointer — the reuse invariant is ENFORCED, not assumed."""
+        pointer — the reuse invariant is ENFORCED, not assumed.
+
+        Digests the cheap identity projection (path, rows, key range),
+        NOT the full entry: blooms/stats can run to tens of KB per
+        file, and serializing them per reused segment per commit would
+        put an O(table bytes) constant back on the commit path the
+        segment split exists to avoid. The projection is sufficient:
+        data files are immutable, so blooms/stats are a pure function
+        of ``path`` — an entry differing only in derived fields while
+        keeping its path is already corrupt upstream of the manifest."""
         import hashlib
 
-        items = sorted(json.dumps(e.to_json(), sort_keys=True) for e in entries)
+        items = sorted(
+            f"{e.path}|{e.rows}|{e.min_key}|{e.max_key}" for e in entries
+        )
         return hashlib.md5("\n".join(items).encode()).hexdigest()
 
     def _commit(
