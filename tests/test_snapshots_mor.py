@@ -199,3 +199,19 @@ def test_mor_write_amplification_is_o_keys(spark, tmp_path):
     assert delete_bytes < data_bytes / 5, (
         f"MoR delete wrote {delete_bytes}B vs smallest data file {data_bytes}B"
     )
+
+
+def test_stacked_vectors_on_one_file_compose(spark, tmp_path):
+    # two MoR deletes whose vectors both scope the same data file: the
+    # read must apply their UNION, and a later materialization folds
+    # both away at once
+    t = _mk(spark, tmp_path)
+    t.delete_where_mor("id = 3")
+    t.delete_where_mor("id = 5")  # same 0-124 range file
+    m = t._read_manifest(3)
+    assert len(m["deletes"]) == 2
+    got = _ids(t)
+    assert 3 not in got and 5 not in got and len(got) == 998
+    v = t.materialize_deletes()
+    assert t._read_manifest(v)["deletes"] == []
+    assert len(_ids(t)) == 998
