@@ -132,3 +132,35 @@ def snapshot_mor_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.changes(v2, v3).select(
         "o_orderkey", "o_totalprice", "change_type"
     )
+
+
+@register(
+    "snapshot_merge_upsert_mor",
+    oracle=f"""
+    WITH {_MERGED_SQL}
+    SELECT o_orderkey, o_totalprice FROM merged
+    """,
+)
+def snapshot_merge_upsert_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-row MERGE, merge-on-read: the SAME post-merge table state
+    as snapshot_merge_upsert (same oracle, same deterministic batch —
+    the fixture's updates carry complete rows, where blind replace and
+    COW merge coincide by construction), but committed as one delete
+    vector over the update keys plus one append file: no data file
+    read or rewritten, commit cost O(batch). The Kinesis-CDC
+    "latest full record wins" write path at high churn."""
+    from clj_kinesis_to_firehose_spark.operators.snapshot_ops import (
+        _base_orders,
+        _updates,
+    )
+    from clj_kinesis_to_firehose_spark.storage import SnapshotTable
+    from clj_kinesis_to_firehose_spark.storage.snapshots import fresh_table_dir
+
+    t = SnapshotTable(
+        spark, fresh_table_dir(sf_dir, "merge_upsert_mor", spark),
+        key="o_orderkey",
+    )
+    base = _base_orders(spark, sf_dir)
+    t.create(base, n_files=8)
+    t.merge_upsert_mor(_updates(base))
+    return t.read()

@@ -1080,6 +1080,68 @@ class SnapshotTable:
                 )
         return self._commit("delete_mor", carried, parent, deletes=deletes)
 
+    def merge_upsert_mor(
+        self, updates: DataFrame, tombstone_col: str | None = None
+    ) -> int:
+        """Merge-on-read FULL-ROW upsert (the deletion-vector + append
+        pattern [PK: Delta DVs / Iceberg v2 MERGE with merge-on-read
+        write mode]): commit (1) a delete vector holding every update
+        key, scoped to the stats-pruned files that may contain them —
+        suppressing the OLD copies — and (2) an append file with the
+        new rows (tombstoned keys appear in the vector only). No data
+        file is read or rewritten, so commit cost is O(batch), not
+        O(touched files) — the write path for high-churn narrow
+        upserts where COW rewrite amplification bites.
+
+        Semantics contract: this is a BLIND full-row replace (the
+        Kinesis CDC "latest record wins" model). The new row is the
+        update row verbatim — a base column absent from the batch
+        reads back NULL (mergeSchema), NOT the old value, because no
+        base read happens (that absence of a read is the entire point
+        of the fast path). Column-partial updates belong on
+        :meth:`merge_upsert`. Repeated MoR upserts compose: an append
+        file is a first-class entry with key stats, so a later
+        vector's ``applies_to`` covers it and suppresses the
+        now-stale copy; maintenance folds the accumulation away."""
+        self._validate(updates, tombstone_col)
+        parent = self.latest_version()
+        m = self._read_manifest(parent)
+        keys = updates.select(self.key)
+        applies_to = sorted(self._touched_files(m, keys))
+        carried = [FileEntry.from_json(f) for f in m["files"]]
+        deletes = self._carry_deletes(m, set())
+        version = parent + 1
+        if applies_to:
+            import uuid
+
+            out_dir = os.path.join(
+                self.path, "data",
+                f"commit-{version:06d}-mor-{uuid.uuid4().hex[:8]}",
+            )
+            entry = self._write_files_to(keys, out_dir, 1)
+            if entry and entry[0].rows > 0:
+                fe = entry[0]
+                deletes.append(
+                    {
+                        "path": fe.path,
+                        "n_keys": fe.rows,
+                        "min_key": fe.min_key,
+                        "max_key": fe.max_key,
+                        "applies_to": applies_to,
+                    }
+                )
+        live = updates
+        if tombstone_col is not None and tombstone_col in updates.columns:
+            live = updates.filter(
+                ~F.coalesce(F.col(tombstone_col), F.lit(False))
+            ).drop(tombstone_col)
+        new_files = [
+            f for f in self._write_data_files(live, version, 1) if f.rows > 0
+        ]
+        return self._commit(
+            "merge_mor", carried + new_files, parent, deletes=deletes
+        )
+
     def materialize_deletes(self) -> int:
         """MoR maintenance: rewrite ONLY the data files named by any
         active delete vector, with the vectors applied, and commit a

@@ -44,6 +44,20 @@ op_strategy = st.one_of(
     st.tuples(st.just("delete_mor"), st.integers(0, 60)),
     st.tuples(st.just("delete_mor_range"), st.integers(0, 60)),
     st.tuples(st.just("materialize"), st.none()),
+    # full-row MoR upsert: same model update as a COW merge (the model
+    # stores complete rows), entirely different physical commit
+    st.tuples(
+        st.just("merge_mor"),
+        st.lists(
+            st.tuples(
+                st.integers(0, 60),
+                st.one_of(st.floats(-5, 5, allow_nan=False), st.none()),
+            ),
+            min_size=1,
+            max_size=4,
+            unique_by=lambda kv: kv[0],
+        ),
+    ),
     st.tuples(st.just("compact"), st.integers(1, 3)),
     st.tuples(st.just("rollback"), st.none()),
     # three-arm CDC merge: (key, value, tombstone) — tombstoned keys
@@ -98,6 +112,12 @@ def test_random_op_sequences_match_dict_model(spark, table_root, ops, seq):
         elif op == "delete":
             t.delete_where(f"id >= {arg}")
             model = {k: v for k, v in model.items() if k < arg}
+        elif op == "merge_mor":
+            rows = [(int(k), None if v is None else float(v)) for k, v in arg]
+            t.merge_upsert_mor(
+                spark.createDataFrame(rows, "id long, val double")
+            )
+            model.update(dict(rows))
         elif op == "delete_mor":
             t.delete_where_mor(f"id = {arg}")
             model.pop(arg, None)

@@ -215,3 +215,47 @@ def test_stacked_vectors_on_one_file_compose(spark, tmp_path):
     v = t.materialize_deletes()
     assert t._read_manifest(v)["deletes"] == []
     assert len(_ids(t)) == 998
+
+
+def test_mor_upsert_rewrites_no_file_and_replaces_rows(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    v1_files = {f["path"] for f in t._read_manifest(1)["files"]}
+    batch = spark.createDataFrame(
+        [(3, -3.0), (5000, 1.5)], "id long, val double"
+    )
+    t.merge_upsert_mor(batch)
+    m2 = t._read_manifest(2)
+    assert v1_files <= {f["path"] for f in m2["files"]}, "no v1 file rewritten"
+    assert len(m2["files"]) == len(v1_files) + 1  # one append file
+    assert len(m2["deletes"]) == 1
+    got = {r["id"]: r["val"] for r in t.read().collect()}
+    assert got[3] == -3.0 and got[5000] == 1.5 and len(got) == 1001
+    assert got[4] == 8.0  # untouched row intact
+
+
+def test_mor_upsert_tombstones_delete_without_appending(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=100)
+    batch = spark.createDataFrame(
+        [(1, 9.9, False), (2, None, True)],
+        "id long, val double, _del boolean",
+    )
+    t.merge_upsert_mor(batch, tombstone_col="_del")
+    got = {r["id"]: r["val"] for r in t.read().collect()}
+    assert got[1] == 9.9 and 2 not in got and len(got) == 99
+    assert "_del" not in t.read().columns
+
+
+def test_repeated_mor_upserts_compose_last_writer_wins(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=200, n_files=2)
+    for i, v in enumerate([10.0, 20.0, 30.0]):
+        t.merge_upsert_mor(
+            spark.createDataFrame([(7, v)], "id long, val double")
+        )
+    got = {r["id"]: r["val"] for r in t.read().collect()}
+    assert got[7] == 30.0 and len(got) == 200
+    # a later vector scopes the earlier APPEND file too (it carries
+    # key stats like any entry), so stale copies are suppressed
+    v = t.materialize_deletes()
+    assert t._read_manifest(v)["deletes"] == []
+    got = {r["id"]: r["val"] for r in t.read().collect()}
+    assert got[7] == 30.0 and len(got) == 200
