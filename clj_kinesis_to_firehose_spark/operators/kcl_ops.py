@@ -58,11 +58,20 @@ def stream_kcl_lease_failover(spark: SparkSession, sf_dir: str) -> DataFrame:
         [pq] = glob.glob(os.path.join(d, "*.parquet"))
         shard_paths[os.path.basename(d)] = pq
     shard_rows = {s: list(_read_rows(p)) for s, p in shard_paths.items()}
+    # adaptive paging: ~8 pages per shard at ANY fixture SF, so the
+    # steal (after 3 committed pages) always lands mid-shard with an
+    # uncommitted page in flight — never vacuously after shard end
+    page_size = max(1, len(shard_rows["slice=1"]) // 8)
     counts, sums, tab = run_two_worker_replay(
-        shard_paths, shard_rows, steal_shard="slice=1", steal_after_pages=3
+        shard_paths, shard_rows, steal_shard="slice=1",
+        steal_after_pages=3, page_size=page_size,
     )
     fenced = [e for e in tab.log if e[0] == "fenced"]
-    assert fenced, "lease steal never fenced a checkpoint — double inert"
+    if not fenced:
+        # explicit raise, not a bare assert: the guard must hold under
+        # python -O too — an inert steal would otherwise vacuously pass
+        # the aggregate oracle
+        raise AssertionError("lease steal never fenced a checkpoint — double inert")
     rows = [
         (et, counts[et], float(sums[et])) for et in sorted(counts)
     ]

@@ -225,7 +225,9 @@ def run_two_worker_replay(
     """Deterministic two-worker consumption of every shard with a
     scripted mid-shard lease steal on ``steal_shard``:
 
-    1. worker-a takes every even shard, worker-b every odd one;
+    1. worker-a takes the contested shard; the UNCONTESTED shards
+       alternate worker-a / worker-b in sorted order (assignment is by
+       position in the filtered list, not shard-name parity);
     2. worker-a commits ``steal_after_pages`` pages of ``steal_shard``,
        then reads one more page and — before checkpointing it —
        worker-b STEALS the lease;

@@ -1048,6 +1048,8 @@ class SnapshotTable:
         predicate matching nothing commits a no-rewrite version (same
         files, carried vectors), keeping "a delete always commits"
         parity with :meth:`delete_where`."""
+        import uuid
+
         parent = self.latest_version()
         m = self._read_manifest(parent)
         hit_keys = (
@@ -1056,19 +1058,23 @@ class SnapshotTable:
             .select(self.key)
             .distinct()
         )
-        applies_to = sorted(self._touched_files(m, hit_keys))
         carried = [FileEntry.from_json(f) for f in m["files"]]
         deletes = self._carry_deletes(m, set())
-        if applies_to:
-            import uuid
-
-            out_dir = os.path.join(
-                self.path, "data",
-                f"commit-{parent + 1:06d}-mor-{uuid.uuid4().hex[:8]}",
+        # write the key file FIRST, then derive the vector's scope from
+        # the written file's rows: the matched-keys plan (a full
+        # vector-applied table scan) executes exactly once — scoping
+        # re-reads the tiny key file, not the table
+        out_dir = os.path.join(
+            self.path, "data",
+            f"commit-{parent + 1:06d}-mor-{uuid.uuid4().hex[:8]}",
+        )
+        entry = self._write_files_to(hit_keys, out_dir, 1)
+        if entry and entry[0].rows > 0:
+            fe = entry[0]
+            applies_to = sorted(
+                self._touched_files(m, self.spark.read.parquet(fe.path))
             )
-            entry = self._write_files_to(hit_keys, out_dir, 1)
-            if entry and entry[0].rows > 0:
-                fe = entry[0]
+            if applies_to:
                 deletes.append(
                     {
                         "path": fe.path,
@@ -1103,24 +1109,28 @@ class SnapshotTable:
         file is a first-class entry with key stats, so a later
         vector's ``applies_to`` covers it and suppresses the
         now-stale copy; maintenance folds the accumulation away."""
+        import uuid
+
         self._validate(updates, tombstone_col)
         parent = self.latest_version()
         m = self._read_manifest(parent)
-        keys = updates.select(self.key)
-        applies_to = sorted(self._touched_files(m, keys))
         carried = [FileEntry.from_json(f) for f in m["files"]]
         deletes = self._carry_deletes(m, set())
         version = parent + 1
-        if applies_to:
-            import uuid
-
-            out_dir = os.path.join(
-                self.path, "data",
-                f"commit-{version:06d}-mor-{uuid.uuid4().hex[:8]}",
+        # write the key file first (one execution of the batch plan for
+        # the vector), then scope it by re-reading the tiny key file —
+        # the batch plan's only other execution is the append write
+        out_dir = os.path.join(
+            self.path, "data",
+            f"commit-{version:06d}-mor-{uuid.uuid4().hex[:8]}",
+        )
+        entry = self._write_files_to(updates.select(self.key), out_dir, 1)
+        if entry and entry[0].rows > 0:
+            fe = entry[0]
+            applies_to = sorted(
+                self._touched_files(m, self.spark.read.parquet(fe.path))
             )
-            entry = self._write_files_to(keys, out_dir, 1)
-            if entry and entry[0].rows > 0:
-                fe = entry[0]
+            if applies_to:
                 deletes.append(
                     {
                         "path": fe.path,
