@@ -55,6 +55,7 @@ _OPERATOR_MODULES = [
     "evolution",
     "snapshot_mor",
     "kcl_ops",
+    "text_ext",
 ]
 
 _loaded = False

@@ -550,3 +550,26 @@ def test_mor_read_plan_shapes(spark, tmp_path):
     t.materialize_deletes()
     folded = audit.formatted_plan(t.read())
     assert "Join" not in folded, folded
+
+
+def test_line_dedup_two_shuffles_no_cartesian(spark):
+    """text_line_dedup's 100 TB contract: linear pipeline — segment
+    frequency agg + per-doc reassembly are the only exchanges (plus
+    AQE's broadcast of the tiny dup list for the anti-join); no
+    cartesian product anywhere."""
+    df = QUERIES["text_line_dedup"](spark, SF_DIR)
+    plan = audit.formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    # segment agg, doc-regroup agg, and the two join-key exchanges at
+    # most — the anti-join and final left join may each add one before
+    # AQE converts the small side to broadcast at runtime
+    assert audit.n_shuffles(df) <= 6, plan
+
+
+def test_moving_median_single_window_shuffle(spark):
+    """win_moving_median runs as one JVM window aggregate: a single
+    hashpartitioning exchange on event_type, no Python in the plan."""
+    df = QUERIES["win_moving_median"](spark, SF_DIR)
+    plan = audit.formatted_plan(df)
+    assert audit.n_shuffles(df) == 1, plan
+    assert "Python" not in plan, plan
