@@ -56,6 +56,7 @@ _OPERATOR_MODULES = [
     "snapshot_mor",
     "kcl_ops",
     "text_ext",
+    "snapshot_pe",
 ]
 
 _loaded = False

@@ -121,6 +121,13 @@ class FileEntry:
     #: optional per-column [min, max] for every numeric column — the
     #: multi-column zone map behind :meth:`SnapshotTable.read_pruned_on`
     stats: dict[str, list] | None = None
+    #: partition-spec lineage (Iceberg partition evolution [PK]): the
+    #: spec this file was written under, and its exact partition
+    #: values ({col: string value} parsed from the write layout).
+    #: Files written before any spec carry neither and are read
+    #: conservatively by :meth:`SnapshotTable.read_partition_pruned`.
+    spec_id: int | None = None
+    partition: dict | None = None
     #: bookkeeping, never serialized: absolute path of the manifest
     #: SEGMENT file this entry was loaded from (None for new files).
     #: _commit reuses intact segments by reference instead of
@@ -138,6 +145,10 @@ class FileEntry:
             d["blooms"] = self.blooms
         if self.stats is not None:
             d["stats"] = self.stats
+        if self.spec_id is not None:
+            d["spec_id"] = self.spec_id
+        if self.partition is not None:
+            d["partition"] = self.partition
         return d
 
     @classmethod
@@ -149,6 +160,8 @@ class FileEntry:
             d["max_key"],
             d.get("blooms"),
             d.get("stats"),
+            d.get("spec_id"),
+            d.get("partition"),
             d.get("_segment"),
         )
 
@@ -481,6 +494,7 @@ class SnapshotTable:
         files: list[FileEntry],
         parent: int,
         deletes: list[dict] | None = None,
+        extra: dict | None = None,
     ) -> int:
         """Publish ``files`` as version ``parent``+1, reusing the
         parent's intact manifest segments by reference (see
@@ -501,12 +515,18 @@ class SnapshotTable:
 
         version = parent + 1
         parent_summaries: dict[str, dict] = {}
+        # partition-spec lineage carries forward unchanged unless the
+        # committing op overrides it via ``extra`` (evolve_partition_spec)
+        specs = [{"spec_id": 0, "cols": []}]
+        default_spec_id = 0
         if parent >= 1:
             try:
                 with open(self._manifest_path(parent)) as fh:
                     praw = json.load(fh)
                 for s in praw.get("segments", []):
                     parent_summaries[os.path.join(self._manifest_dir, s["path"])] = s
+                specs = praw.get("specs") or specs
+                default_spec_id = praw.get("default_spec_id", 0)
             except FileNotFoundError:
                 pass
 
@@ -572,6 +592,9 @@ class SnapshotTable:
                 "n_rows": sum(s["n_rows"] for s in segments),
                 "segments": segments,
                 "deletes": deletes or [],
+                "specs": specs,
+                "default_spec_id": default_spec_id,
+                **(extra or {}),
             },
         )
         return version
@@ -741,6 +764,181 @@ class SnapshotTable:
             for f in m["files"]
             if (rng := (f.get("stats") or {}).get(col)) is None
             or (rng[0] <= hi and rng[1] >= lo)
+        )
+
+    # ------------------------------------ partition-spec evolution
+
+    def current_spec(self) -> dict:
+        """The table's default partition spec ``{"spec_id": int,
+        "cols": [str, ...]}`` (spec 0 / unpartitioned for tables that
+        never evolved)."""
+        try:
+            with open(self._manifest_path(self.latest_version())) as fh:
+                raw = json.load(fh)
+        except (FileNotFoundError, OSError):
+            return {"spec_id": 0, "cols": []}
+        specs = raw.get("specs") or [{"spec_id": 0, "cols": []}]
+        want = raw.get("default_spec_id", 0)
+        return next(s for s in specs if s["spec_id"] == want)
+
+    def evolve_partition_spec(self, cols: list[str]) -> int:
+        """Iceberg-style partition evolution [PK]: a METADATA-ONLY
+        commit that appends a new partition spec and makes it the
+        default for future writes. Existing data files are untouched
+        and keep their original spec lineage — no rewrite, O(changed
+        files)=0, every parent manifest segment carries by reference.
+        Readers handle the mixed layout per file (see
+        :meth:`read_partition_pruned`)."""
+        parent = self.latest_version()
+        m = self._read_manifest(parent)
+        specs = list(m.get("specs") or [{"spec_id": 0, "cols": []}])
+        new_id = max(s["spec_id"] for s in specs) + 1
+        specs.append({"spec_id": new_id, "cols": list(cols)})
+        carried = [FileEntry.from_json(f) for f in m["files"]]
+        return self._commit(
+            "evolve-spec",
+            carried,
+            parent,
+            deletes=self._carry_deletes(m, set()),
+            extra={"specs": specs, "default_spec_id": new_id},
+        )
+
+    def append(self, df: DataFrame, n_files: int = 8) -> int:
+        """Append-only commit (no key overlap enforced beyond the
+        CHECK constraint — caller guarantees key uniqueness, as with
+        :meth:`create`). Rows are laid out under the CURRENT default
+        partition spec: partitioned specs route rows with one
+        ``partitionBy`` write (Spark's dynamic partitioning — no
+        driver-side distinct/collect of partition values), so each
+        data file carries exact partition values in its manifest
+        entry and equality reads prune files driver-side even for
+        STRING columns, which numeric zone maps can never serve."""
+        parent = self.latest_version()
+        m = self._read_manifest(parent)
+        self._validate(df)
+        spec = self.current_spec()
+        version = parent + 1
+        if spec["cols"]:
+            new = self._write_partitioned_files(
+                df, version, spec["cols"], spec["spec_id"], n_files
+            )
+        else:
+            new = self._write_data_files(df, version, n_files)
+        carried = [FileEntry.from_json(f) for f in m["files"]]
+        return self._commit(
+            "append",
+            carried + new,
+            parent,
+            deletes=self._carry_deletes(m, set()),
+        )
+
+    def _write_partitioned_files(
+        self,
+        df: DataFrame,
+        version: int,
+        cols: list[str],
+        spec_id: int,
+        n_files: int,
+    ) -> list[FileEntry]:
+        """Write ``df`` hive-layout partitioned on ``cols``. The
+        partition columns are DUPLICATED into ``__p<i>`` writer
+        columns so the data files stay self-contained (Spark's
+        ``partitionBy`` drops the partitioning column from the file;
+        explicit-path manifest reads would silently lose it).
+        Partition values are parsed back from the directory names —
+        exact per file, no data re-scan."""
+        import uuid
+
+        out_dir = os.path.join(
+            self.path, "data", f"commit-{version:06d}-{uuid.uuid4().hex[:8]}"
+        )
+        pcols = [f"__p{i}" for i in range(len(cols))]
+        staged = df
+        for p, c in zip(pcols, cols):
+            staged = staged.withColumn(p, F.col(c).cast("string"))
+        # bound files per partition: rows for one partition tuple land
+        # in at most n_files tasks
+        staged.repartition(n_files, *[F.col(c) for c in cols]).write.mode(
+            "overwrite"
+        ).partitionBy(*pcols).parquet(out_dir)
+        entries: list[FileEntry] = []
+        for root, _dirs, names in os.walk(out_dir):
+            parts: dict[str, str] = {}
+            rel = os.path.relpath(root, out_dir)
+            if rel != ".":
+                for comp in rel.split(os.sep):
+                    k, _, v = comp.partition("=")
+                    if k in dict(zip(pcols, cols)):
+                        parts[dict(zip(pcols, cols))[k]] = v
+            for n in sorted(names):
+                if not n.endswith(".parquet"):
+                    continue
+                e = self._file_entry(os.path.join(root, n))
+                e = FileEntry(
+                    path=e.path,
+                    rows=e.rows,
+                    min_key=e.min_key,
+                    max_key=e.max_key,
+                    blooms=e.blooms,
+                    stats=e.stats,
+                    spec_id=spec_id,
+                    partition=dict(parts) or None,
+                )
+                entries.append(e)
+        return entries
+
+    def read_partition_pruned(
+        self, eq: dict[str, object], version: int | None = None
+    ) -> DataFrame:
+        """Equality read across a partition-evolved table: files
+        written under a spec covering a filter column are opened iff
+        their recorded partition value matches; pre-evolution files
+        fall back to numeric zone maps when possible and are
+        otherwise read conservatively. The residual filter keeps the
+        answer exact regardless of which metadata served each file —
+        correctness never depends on pruning, only cost does."""
+        m = self._read_manifest(version)
+        paths = self._partition_prune_paths(m, eq)
+        residual = None
+        for c, v in eq.items():
+            clause = F.col(c) == F.lit(v)
+            residual = clause if residual is None else (residual & clause)
+        if not paths:
+            return self.read(version).limit(0).filter(residual)
+        return self._read_with_deletes(m, paths).filter(residual)
+
+    @staticmethod
+    def _partition_prune_paths(m: dict, eq: dict[str, object]) -> list[str]:
+        paths = []
+        for f in m["files"]:
+            part = f.get("partition") or {}
+            keep = True
+            for c, v in eq.items():
+                if c in part:
+                    if part[c] != str(v):
+                        keep = False
+                        break
+                else:
+                    rng = (f.get("stats") or {}).get(c)
+                    if (
+                        rng is not None
+                        and isinstance(v, (int, float))
+                        and not (rng[0] <= v <= rng[1])
+                    ):
+                        keep = False
+                        break
+            if keep:
+                paths.append(f["path"])
+        return paths
+
+    def partition_files_matching(
+        self, eq: dict[str, object], version: int | None = None
+    ) -> int:
+        """How many files a :meth:`read_partition_pruned` on ``eq``
+        would open — decided from manifest metadata alone (no Spark
+        job); the layout-quality metric the evolution tests assert."""
+        return len(
+            self._partition_prune_paths(self._read_manifest(version), eq)
         )
 
     ZORDER_BITS = 10
