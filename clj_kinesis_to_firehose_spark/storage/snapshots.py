@@ -788,7 +788,10 @@ class SnapshotTable:
         and keep their original spec lineage — no rewrite, O(changed
         files)=0, every parent manifest segment carries by reference.
         Readers handle the mixed layout per file (see
-        :meth:`read_partition_pruned`)."""
+        :meth:`read_partition_pruned`). Spec lineage is monotonic
+        metadata: a data :meth:`rollback` restores FILES but keeps
+        the current spec list and default (Iceberg's rollback
+        likewise reverts snapshots, not spec history [PK])."""
         parent = self.latest_version()
         m = self._read_manifest(parent)
         specs = list(m.get("specs") or [{"spec_id": 0, "cols": []}])

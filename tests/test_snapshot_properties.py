@@ -60,6 +60,13 @@ op_strategy = st.one_of(
     ),
     st.tuples(st.just("compact"), st.integers(1, 3)),
     st.tuples(st.just("rollback"), st.none()),
+    # partition-spec evolution interleaved with everything else:
+    # evolve is metadata-only (model unchanged), append lands fresh
+    # keys under whatever spec is current — before an evolve they
+    # write plain, after it they write hive-partitioned on grp, and
+    # reads must stay model-equal across the mixed layout
+    st.tuples(st.just("evolve"), st.none()),
+    st.tuples(st.just("append"), st.integers(1, 3)),
     # three-arm CDC merge: (key, value, tombstone) — tombstoned keys
     # delete, the rest upsert, all in one commit
     st.tuples(
@@ -94,11 +101,17 @@ def test_random_op_sequences_match_dict_model(spark, table_root, ops, seq):
     if t.latest_version():  # hypothesis reused a seq collision — skip
         return
     t.create(
-        spark.range(N0).select("id", (F.col("id") * 2.0).alias("val")),
+        spark.range(N0).select(
+            "id",
+            (F.col("id") * 2.0).alias("val"),
+            # 3-value string column for partition-spec evolution
+            F.concat(F.lit("g"), (F.col("id") % 3).cast("string")).alias("grp"),
+        ),
         n_files=3,
     )
     model: dict[int, float] = {i: float(2 * i) for i in range(N0)}
     model_history: list[dict[int, float]] = [dict(model)]
+    next_append_id = 100  # fresh keys only: append never upserts
 
     for op, arg in ops:
         if op == "merge":
@@ -126,6 +139,20 @@ def test_random_op_sequences_match_dict_model(spark, table_root, ops, seq):
             model = {k: v for k, v in model.items() if k < arg}
         elif op == "materialize":
             t.materialize_deletes()  # may be a true no-op (no commit)
+        elif op == "evolve":
+            # metadata-only: repeated evolves just append specs
+            t.evolve_partition_spec(["grp"])
+        elif op == "append":
+            rows = [
+                (next_append_id + i, -1.0 * (next_append_id + i), f"g{i}")
+                for i in range(arg)
+            ]
+            next_append_id += arg
+            t.append(
+                spark.createDataFrame(rows, "id long, val double, grp string"),
+                n_files=2,
+            )
+            model.update({k: v for k, v, _ in rows})
         elif op == "compact":
             t.compact(n_files=arg)
         elif op == "rollback":
