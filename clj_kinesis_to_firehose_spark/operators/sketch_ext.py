@@ -1,0 +1,212 @@
+"""KMV / theta sketch set algebra — round-8 sketch extension.
+
+The portable-sketch family (agg_hll_portable, agg_cms_portable,
+agg_approx_quantile) covers cardinality, frequency, and quantiles,
+but HLL registers can only be MAX-merged — they answer unions, never
+intersections. The K-minimum-values / theta sketch [PK: Beyer et al.
+"On Synopses for Distinct-Value Estimation", SIGMOD'07; the Apache
+DataSketches theta family] closes that gap: keep the K smallest
+distinct hash values per set; the Kth value theta estimates density
+(est = (K-1)·R/theta for hash range R), and because every sketch is a
+uniform sample of the hash space below its theta, sketches COMPOSE —
+|A∪B| ≈ |{distinct sketch values ≤ min theta}|·R/θmin and |A∩B| ≈
+|{shared values}|·R/θmin. That is the one sketch algebra that gives
+audience-overlap / segment-intersection numbers without a COUNT
+DISTINCT over the raw pair.
+
+``agg_kmv_theta`` sketches USER-DAYS (user_id:yyyy-MM-dd) per
+event_type and emits, for every type pair, the KMV distinct estimates
+and the theta union/intersection estimates. Everything is built on
+the repo's portable md5-derived 60-bit hash, so the DuckDB oracle
+rebuilds the sketches bit-for-bit and the whole algebra — order
+statistics, theta selection, exact-mode fallback (k_n < K means the
+"sketch" is the exact set), pair composition — is hash-checked, not
+eyeballed.
+
+Scale shape: the only Θ(data) stage is the DISTINCT on
+(event_type, hv) — identical to agg_count_distinct's shuffle. After
+it, per-group cardinality is bounded and the top-K rank keeps 64
+values per group: sketch state is K×8 bytes per group, mergeable
+across partitions, days, or table snapshots (persist the K values,
+re-merge by re-ranking — the same incremental-rollup pattern as the
+HLL registers). Pair composition runs on ≤ 2K rows per pair — driver
+never sees the data, and nothing here is all-pairs over users.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from clj_kinesis_to_firehose_spark.operators.llm_dedup import portable_hash60
+from clj_kinesis_to_firehose_spark.registry import register
+from clj_kinesis_to_firehose_spark.sources import load_table
+
+#: sketch size (values kept per set) and hash range (60-bit md5 prefix)
+KMV_K = 64
+HASH_RANGE = 1 << 60
+
+
+@register(
+    "agg_kmv_theta",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             (('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':' ||
+                 strftime(ts, '%Y-%m-%d')), 1, 15))::BIGINT) AS hv
+      FROM events
+    ), rk AS (
+      SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM h
+    ), sk AS (
+      SELECT event_type, hv FROM rk WHERE rn <= 64
+    ), kt AS (
+      SELECT event_type, max(hv) AS theta, count(*) AS k_n
+      FROM sk GROUP BY event_type
+    ), kte AS (
+      SELECT event_type, k_n,
+             CASE WHEN k_n < 64 THEN 1152921504606846976
+                  ELSE theta END AS theta_eff,
+             CASE WHEN k_n < 64 THEN CAST(k_n AS DOUBLE)
+                  ELSE ROUND((63.0 * 1152921504606846976) / theta, 4)
+                  END AS est
+      FROM kt
+    ), pair AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.k_n AS k_a, b.k_n AS k_b,
+             LEAST(a.theta_eff, b.theta_eff) AS theta_min,
+             a.est AS est_a, b.est AS est_b
+      FROM kte a JOIN kte b ON a.event_type < b.event_type
+    ), com AS (
+      SELECT sa.event_type AS type_a, sb.event_type AS type_b,
+             COUNT(*) AS n_common
+      FROM sk sa JOIN sk sb
+        ON sa.hv = sb.hv AND sa.event_type < sb.event_type
+      GROUP BY 1, 2
+    ), uni AS (
+      SELECT p.type_a, p.type_b, COUNT(DISTINCT s.hv) AS n_union
+      FROM pair p
+      JOIN sk s ON s.event_type IN (p.type_a, p.type_b)
+              AND s.hv <= p.theta_min
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.k_a, p.k_b,
+           COALESCE(c.n_common, 0) AS n_common,
+           p.est_a, p.est_b,
+           ROUND((u.n_union * 1152921504606846976.0) / p.theta_min, 4)
+             AS est_union,
+           ROUND((COALESCE(c.n_common, 0) * 1152921504606846976.0)
+                 / p.theta_min, 4) AS est_intersect
+    FROM pair p
+    JOIN uni u ON u.type_a = p.type_a AND u.type_b = p.type_b
+    LEFT JOIN com c ON c.type_a = p.type_a AND c.type_b = p.type_b
+    """,
+)
+def agg_kmv_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # KMV sketch per event_type over user-days, then theta-sketch
+    # union/intersection per type pair. Inclusive-theta convention
+    # (region hv <= theta, theta itself the Kth member) on BOTH
+    # engines; the O(1/K) estimator bias that buys is irrelevant next
+    # to cross-engine determinism. Exact-mode fallback: a group with
+    # fewer than K distinct values IS its own sketch (theta_eff = R),
+    # and the pair estimators then return exact counts.
+    ev = load_table(spark, sf_dir, "events")
+    K, R = KMV_K, HASH_RANGE
+    item = F.concat(
+        F.col("user_id").cast("string"),
+        F.lit(":"),
+        F.date_format("ts", "yyyy-MM-dd"),
+    )
+    d = ev.select(
+        "event_type", portable_hash60(item).alias("hv")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("hv")
+    sk = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= K)
+        .select("event_type", "hv")
+    )
+    kt = sk.groupBy("event_type").agg(
+        F.max("hv").alias("theta"), F.count("*").alias("k_n")
+    )
+    kte = kt.select(
+        "event_type",
+        "k_n",
+        F.when(F.col("k_n") < K, F.lit(R))
+        .otherwise(F.col("theta"))
+        .alias("theta_eff"),
+        F.when(F.col("k_n") < K, F.col("k_n").cast("double"))
+        .otherwise(
+            F.round(
+                F.lit(63.0 * float(R)) / F.col("theta").cast("double"), 4
+            )
+        )
+        .alias("est"),
+    )
+    pa = kte.select(
+        F.col("event_type").alias("type_a"),
+        F.col("k_n").alias("k_a"),
+        F.col("theta_eff").alias("th_a"),
+        F.col("est").alias("est_a"),
+    )
+    pb = kte.select(
+        F.col("event_type").alias("type_b"),
+        F.col("k_n").alias("k_b"),
+        F.col("theta_eff").alias("th_b"),
+        F.col("est").alias("est_b"),
+    )
+    pair = pa.join(pb, F.col("type_a") < F.col("type_b")).withColumn(
+        "theta_min", F.least("th_a", "th_b")
+    )
+    sa = sk.select(F.col("event_type").alias("type_a"), "hv")
+    sb = sk.select(
+        F.col("event_type").alias("type_b"), F.col("hv").alias("hv_b")
+    )
+    com = (
+        sa.join(
+            sb,
+            (F.col("hv") == F.col("hv_b"))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    uni = (
+        pair.select("type_a", "type_b", "theta_min")
+        .join(
+            sk,
+            (sk["event_type"] == F.col("type_a"))
+            | (sk["event_type"] == F.col("type_b")),
+        )
+        .filter(F.col("hv") <= F.col("theta_min"))
+        .groupBy("type_a", "type_b")
+        .agg(F.countDistinct("hv").alias("n_union"))
+    )
+    est_union = F.round(
+        F.col("n_union").cast("double") * F.lit(float(R))
+        / F.col("theta_min").cast("double"),
+        4,
+    )
+    n_common = F.coalesce(F.col("n_common"), F.lit(0)).cast("long")
+    est_intersect = F.round(
+        n_common.cast("double") * F.lit(float(R))
+        / F.col("theta_min").cast("double"),
+        4,
+    )
+    return (
+        pair.join(uni, ["type_a", "type_b"])
+        .join(com, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            "k_a",
+            "k_b",
+            n_common.alias("n_common"),
+            "est_a",
+            "est_b",
+            est_union.alias("est_union"),
+            est_intersect.alias("est_intersect"),
+        )
+    )

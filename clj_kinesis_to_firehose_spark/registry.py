@@ -57,6 +57,9 @@ _OPERATOR_MODULES = [
     "kcl_ops",
     "text_ext",
     "snapshot_pe",
+    "curation_ext",
+    "sketch_ext",
+    "efo_ops",
 ]
 
 _loaded = False

@@ -99,6 +99,12 @@ class KinesisReplayBatchReader(DataSourceReader):
         # disconnect per slice — the tested shape of a live GetRecords
         # consumer's defensive path.
         self.faults = str(options.get("faults", "false")).lower() == "true"
+        # efo=true routes slices through the enhanced-fan-out push
+        # double instead (sources/efo.py): SubscribeToShard window
+        # expiries, heartbeats, one mid-subscription drop and one
+        # rate-limit rejection per slice — the push-model twin of the
+        # faults gauntlet. Mutually exclusive with faults; efo wins.
+        self.efo = str(options.get("efo", "false")).lower() == "true"
 
     def partitions(self):
         return [
@@ -108,7 +114,13 @@ class KinesisReplayBatchReader(DataSourceReader):
         ]
 
     def read(self, partition: SlicePartition):
-        if self.faults:
+        if self.efo:
+            from clj_kinesis_to_firehose_spark.sources.efo import (
+                read_rows_efo,
+            )
+
+            yield from read_rows_efo(partition.path)
+        elif self.faults:
             from clj_kinesis_to_firehose_spark.sources.faults import (
                 read_rows_with_faults,
             )

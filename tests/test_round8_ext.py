@@ -1,0 +1,66 @@
+"""Round-8 extension audits: URL canonicalization stays shuffle-free
+codegen, and the KMV/theta sketch estimates land within the published
+error bound against true cardinalities."""
+
+from __future__ import annotations
+
+import duckdb
+
+from clj_kinesis_to_firehose_spark import registry
+from clj_kinesis_to_firehose_spark.plans import audit
+from tests.conftest import SF_DIR
+
+QUERIES = registry.queries()
+
+
+def test_url_normalize_is_shuffle_free_codegen(spark):
+    # pure per-row string algebra: the canonical key must stream out
+    # of the scan — zero exchanges, whole-stage codegen
+    df = QUERIES["text_url_normalize"](spark, SF_DIR)
+    assert audit.n_shuffles(df) == 0, audit.plan_report(df)
+    assert audit.has_whole_stage_codegen(df)
+
+
+def test_url_normalize_key_collapses_crawl_variants(spark):
+    # the whole point: raw variants differ, canonical keys dedup
+    df = QUERIES["text_url_normalize"](spark, SF_DIR)
+    row = df.filter("doc_id = 0").collect()[0]
+    assert row.raw_url != row.norm_url
+    assert "utm_" in row.raw_url and "utm_" not in row.norm_url
+    assert "#" in row.raw_url and "#" not in row.norm_url
+    assert row.norm_url.startswith("http://cdn-")
+
+
+def test_kmv_estimates_within_error_bound(spark):
+    # KMV relative error ~ 1/sqrt(K-2) ≈ 12.7% at K=64; allow 3 sigma.
+    # True distinct user-days per type come straight from DuckDB.
+    df = QUERIES["agg_kmv_theta"](spark, SF_DIR)
+    rows = {(r.type_a, r.type_b): r for r in df.collect()}
+    con = duckdb.connect()
+    truth = dict(
+        con.execute(
+            f"""
+            SELECT event_type, COUNT(DISTINCT
+                CAST(user_id AS VARCHAR) || ':' || strftime(ts, '%Y-%m-%d'))
+            FROM read_parquet('{SF_DIR}/events.parquet') GROUP BY 1
+            """
+        ).fetchall()
+    )
+    tol = 3 * 0.127
+    for (ta, tb), r in rows.items():
+        for t, est in ((ta, r.est_a), (tb, r.est_b)):
+            assert abs(est - truth[t]) <= tol * truth[t], (t, est, truth[t])
+        # union estimate bounded by the pair's true union bracket
+        lo, hi = max(truth[ta], truth[tb]), truth[ta] + truth[tb]
+        assert r.est_union >= lo * (1 - tol)
+        assert r.est_union <= hi * (1 + tol)
+        # intersection consistency: est_inter <= est_union, both >= 0
+        assert 0 <= r.est_intersect <= r.est_union * (1 + 1e-9)
+
+
+def test_kmv_sketch_state_is_bounded(spark):
+    # the persistable sketch is K values per group — the op's pair
+    # rows expose k_n which must never exceed K
+    df = QUERIES["agg_kmv_theta"](spark, SF_DIR)
+    for r in df.collect():
+        assert r.k_a <= 64 and r.k_b <= 64
