@@ -37,6 +37,56 @@ from clj_kinesis_to_firehose_spark.registry import register
 from clj_kinesis_to_firehose_spark.sources import load_table
 
 
+def with_norm_url(df: DataFrame) -> DataFrame:
+    """Append ``norm_url`` to a frame carrying ``raw_url`` — the full
+    canonicalization rule set as pure codegen expressions (shared by
+    text_url_normalize and dedup_url_variants; the DuckDB oracles
+    spell the identical rules)."""
+    df = df.withColumn(
+        "_scheme", F.lower(F.regexp_extract("raw_url", r"^([A-Za-z]+)://", 1))
+    ).withColumn(
+        "_auth",
+        F.split(
+            F.regexp_extract("raw_url", r"^[A-Za-z]+://([^/?#]*)", 1), ":"
+        ),
+    )
+    host = F.regexp_replace(
+        F.lower(F.element_at("_auth", 1)), r"^www\.", ""
+    )
+    port_raw = F.when(F.size("_auth") < 2, F.lit("")).otherwise(
+        F.element_at("_auth", 2)
+    )
+    port = (
+        F.when(port_raw == "", F.lit(""))
+        .when((F.col("_scheme") == "http") & (port_raw == "80"), F.lit(""))
+        .when((F.col("_scheme") == "https") & (port_raw == "443"), F.lit(""))
+        .otherwise(F.concat(F.lit(":"), port_raw))
+    )
+    rawpath = F.regexp_extract("raw_url", r"^[A-Za-z]+://[^/?#]*([^?#]*)", 1)
+    stripped = F.regexp_replace(rawpath, r"/+$", "")
+    npath = F.when(stripped == "", F.lit("/")).otherwise(stripped)
+    nquery = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(F.regexp_extract("raw_url", r"\?([^#]*)", 1), "&"),
+                lambda x: ~x.startswith("utm_"),
+            )
+        ),
+        "&",
+    )
+    norm_url = F.concat(
+        F.col("_scheme"),
+        F.lit("://"),
+        host,
+        port,
+        npath,
+        F.when(nquery == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), nquery)
+        ),
+    )
+    return df.withColumn("norm_url", norm_url).drop("_scheme", "_auth")
+
+
 @register(
     "text_url_normalize",
     oracle="""
@@ -114,54 +164,152 @@ def text_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (did % 9).cast("string"),
     )
     with_raw = docs.select("doc_id", raw_url.alias("raw_url"))
-
-    scheme = F.lower(F.regexp_extract("raw_url", r"^([A-Za-z]+)://", 1))
-    authority = F.regexp_extract("raw_url", r"^[A-Za-z]+://([^/?#]*)", 1)
-    rawpath = F.regexp_extract("raw_url", r"^[A-Za-z]+://[^/?#]*([^?#]*)", 1)
-    rawquery = F.regexp_extract("raw_url", r"\?([^#]*)", 1)
-    parts = with_raw.select(
+    return with_norm_url(with_raw).select(
         "doc_id",
         "raw_url",
-        scheme.alias("scheme"),
-        F.split(authority, ":").alias("auth"),
-        rawpath.alias("rawpath"),
-        rawquery.alias("rawquery"),
+        "norm_url",
+        F.md5("norm_url").alias("url_key"),
     )
 
-    host = F.regexp_replace(
-        F.lower(F.element_at("auth", 1)), r"^www\.", ""
+
+#: the normalization CTE shared by this family's oracles — takes a
+#: `raws(doc_id, raw_url)` CTE as input and yields `norm(doc_id,
+#: raw_url, norm_url)`; rules identical to :func:`with_norm_url`.
+_ORACLE_NORM_CTE = """
+    parts AS (
+      SELECT doc_id, raw_url,
+        lower(regexp_extract(raw_url, '^([A-Za-z]+)://', 1)) AS scheme,
+        regexp_extract(raw_url, '^[A-Za-z]+://([^/?#]*)', 1) AS authority,
+        regexp_extract(raw_url, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1) AS rawpath,
+        regexp_extract(raw_url, '\\?([^#]*)', 1) AS rawquery
+      FROM raws
+    ), norm AS (
+      SELECT doc_id, raw_url,
+        scheme || '://'
+        || regexp_replace(lower(string_split(authority, ':')[1]),
+                          '^www\\.', '')
+        || CASE WHEN len(string_split(authority, ':')) < 2 THEN ''
+                WHEN scheme = 'http'
+                     AND string_split(authority, ':')[2] = '80' THEN ''
+                WHEN scheme = 'https'
+                     AND string_split(authority, ':')[2] = '443' THEN ''
+                ELSE ':' || string_split(authority, ':')[2] END
+        || CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
+                ELSE regexp_replace(rawpath, '/+$', '') END
+        || CASE WHEN array_to_string(list_sort(list_filter(
+                     string_split(rawquery, '&'),
+                     x -> NOT starts_with(x, 'utm_'))), '&') = '' THEN ''
+                ELSE '?' || array_to_string(list_sort(list_filter(
+                     string_split(rawquery, '&'),
+                     x -> NOT starts_with(x, 'utm_'))), '&') END AS norm_url
+      FROM parts
     )
-    port_raw = F.when(
-        F.size("auth") < 2, F.lit("")
-    ).otherwise(F.element_at("auth", 2))
+"""
+
+
+@register(
+    "dedup_url_variants",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, doc_id % 400 AS rid FROM documents
+    ), raws AS (
+      SELECT doc_id,
+        (CASE WHEN rid % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+        || '://WWW.Cdn-r' || rid || '.Example.COM'
+        || (CASE rid % 3 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+            ELSE ':8080' END)
+        || '/Docs/r/' || rid
+        || (CASE WHEN rid % 4 = 0 THEN '/' ELSE '' END)
+        || '?utm_source=feed&z=' || (rid % 7) || '&utm_campaign=news&a='
+        || (rid % 5) || '#Top' AS raw_url
+      FROM base
+      UNION ALL
+      SELECT doc_id,
+        (CASE WHEN rid % 2 = 0 THEN 'http' ELSE 'HTTPS' END)
+        || '://CDN-R' || rid || '.EXAMPLE.COM'
+        || (CASE rid % 3 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+            ELSE ':8080' END)
+        || '/Docs/r/' || rid
+        || (CASE WHEN rid % 4 = 2 THEN '/' ELSE '' END)
+        || '?a=' || (rid % 5) || '&utm_medium=social&z=' || (rid % 7)
+        || '#Bottom-' || (rid % 3) AS raw_url
+      FROM base
+    ), """
+    + _ORACLE_NORM_CTE.strip()
+    + """
+    SELECT norm_url, md5(norm_url) AS url_key,
+           COUNT(*) AS n_variants,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           MIN(doc_id) AS first_seen_doc
+    FROM norm GROUP BY norm_url
+    """,
+)
+def dedup_url_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The crawl-dedup use case end-to-end: every document is crawled
+    # twice with cosmetically different URLs (case, www., query
+    # order, utm params, trailing slash, fragment), and documents
+    # sharing a resource id collide across doc_ids too — group by the
+    # CANONICAL key and the variants collapse. Explode + normalize is
+    # map-side; the only shuffle is the final hash groupBy on
+    # norm_url: exactly dedup_exact's shape, which is the point — the
+    # canonicalization makes crawl dedup a plain exact dedup.
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 400).alias("rid")
+    )
+    rid = F.col("rid")
     port = (
-        F.when(port_raw == "", F.lit(""))
-        .when((F.col("scheme") == "http") & (port_raw == "80"), F.lit(""))
-        .when((F.col("scheme") == "https") & (port_raw == "443"), F.lit(""))
-        .otherwise(F.concat(F.lit(":"), port_raw))
+        F.when(rid % 3 == 0, F.lit(":80"))
+        .when(rid % 3 == 1, F.lit(":443"))
+        .otherwise(F.lit(":8080"))
     )
-    stripped = F.regexp_replace("rawpath", r"/+$", "")
-    npath = F.when(stripped == "", F.lit("/")).otherwise(stripped)
-    nquery = F.array_join(
-        F.array_sort(
-            F.filter(
-                F.split("rawquery", "&"),
-                lambda x: ~x.startswith("utm_"),
-            )
-        ),
-        "&",
-    )
-    norm_url = F.concat(
-        F.col("scheme"),
-        F.lit("://"),
-        host,
+    variant_a = F.concat(
+        F.when(rid % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+        F.lit("://WWW.Cdn-r"),
+        rid.cast("string"),
+        F.lit(".Example.COM"),
         port,
-        npath,
-        F.when(nquery == "", F.lit("")).otherwise(F.concat(F.lit("?"), nquery)),
+        F.lit("/Docs/r/"),
+        rid.cast("string"),
+        F.when(rid % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&z="),
+        (rid % 7).cast("string"),
+        F.lit("&utm_campaign=news&a="),
+        (rid % 5).cast("string"),
+        F.lit("#Top"),
     )
-    return parts.select(
+    variant_b = F.concat(
+        F.when(rid % 2 == 0, F.lit("http")).otherwise(F.lit("HTTPS")),
+        F.lit("://CDN-R"),
+        rid.cast("string"),
+        F.lit(".EXAMPLE.COM"),
+        port,
+        F.lit("/Docs/r/"),
+        rid.cast("string"),
+        F.when(rid % 4 == 2, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?a="),
+        (rid % 5).cast("string"),
+        F.lit("&utm_medium=social&z="),
+        (rid % 7).cast("string"),
+        F.lit("#Bottom-"),
+        (rid % 3).cast("string"),
+    )
+    raws = docs.select(
         "doc_id",
-        "raw_url",
-        norm_url.alias("norm_url"),
-        F.md5(norm_url).alias("url_key"),
+        F.explode(F.array(variant_a, variant_b)).alias("raw_url"),
+    )
+    return (
+        with_norm_url(raws)
+        .groupBy("norm_url")
+        .agg(
+            F.count("*").alias("n_variants"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_seen_doc"),
+        )
+        .select(
+            "norm_url",
+            F.md5("norm_url").alias("url_key"),
+            "n_variants",
+            "n_docs",
+            "first_seen_doc",
+        )
     )

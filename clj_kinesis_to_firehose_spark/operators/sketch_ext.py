@@ -210,3 +210,90 @@ def agg_kmv_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
             est_intersect.alias("est_intersect"),
         )
     )
+
+
+@register(
+    "agg_kmv_incremental",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day, event_type,
+             (('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':' ||
+                 strftime(ts, '%Y-%m-%d')), 1, 15))::BIGINT) AS hv
+      FROM events
+    ), dk AS (
+      SELECT day, event_type, hv,
+             row_number() OVER (PARTITION BY day, event_type
+                                ORDER BY hv) AS rn
+      FROM h
+    ), daily AS (
+      SELECT day, event_type, hv FROM dk WHERE rn <= 64
+    ), merged AS (
+      SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM (SELECT DISTINCT event_type, hv FROM daily)
+    ), sk AS (
+      SELECT event_type, hv FROM merged WHERE rn <= 64
+    ), kt AS (
+      SELECT event_type, max(hv) AS theta, count(*) AS k_n
+      FROM sk GROUP BY event_type
+    ), np AS (
+      SELECT event_type, count(DISTINCT day) AS n_days,
+             count(*) AS n_partial_values
+      FROM daily GROUP BY event_type
+    )
+    SELECT k.event_type, p.n_days, p.n_partial_values, k.k_n,
+           CASE WHEN k.k_n < 64 THEN CAST(k.k_n AS DOUBLE)
+                ELSE ROUND((63.0 * 1152921504606846976) / k.theta, 4)
+                END AS est_distinct
+    FROM kt k JOIN np p USING (event_type)
+    """,
+)
+def agg_kmv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The incremental-rollup pattern for the KMV sketch: build a
+    # partial sketch per (day, event_type) — the shape you would
+    # PERSIST alongside each daily partition — then merge partials by
+    # re-ranking the union of their values. The K smallest of the
+    # union of per-day K-smallest sets ARE the K smallest of the full
+    # set (any globally-top-K value is top-K within its own day), so
+    # the merged sketch is IDENTICAL to the direct one — pinned by
+    # tests/test_round8_ext.py, and the same argument covers merging
+    # across partitions, tables, or snapshots. Backfilling a new day
+    # touches one partial; the merge input is bounded by
+    # days × K × groups rows, never by raw volume.
+    ev = load_table(spark, sf_dir, "events")
+    K, R = KMV_K, HASH_RANGE
+    day = F.date_format("ts", "yyyy-MM-dd")
+    item = F.concat(F.col("user_id").cast("string"), F.lit(":"), day)
+    h = ev.select(
+        day.alias("day"), "event_type", portable_hash60(item).alias("hv")
+    ).distinct()
+    wd = Window.partitionBy("day", "event_type").orderBy("hv")
+    daily = (
+        h.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") <= K)
+        .select("day", "event_type", "hv")
+    )
+    wm = Window.partitionBy("event_type").orderBy("hv")
+    sk = (
+        daily.select("event_type", "hv")
+        .distinct()
+        .withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") <= K)
+    )
+    kt = sk.groupBy("event_type").agg(
+        F.max("hv").alias("theta"), F.count("*").alias("k_n")
+    )
+    np_ = daily.groupBy("event_type").agg(
+        F.countDistinct("day").alias("n_days"),
+        F.count("*").alias("n_partial_values"),
+    )
+    est = F.when(F.col("k_n") < K, F.col("k_n").cast("double")).otherwise(
+        F.round(F.lit(63.0 * float(R)) / F.col("theta").cast("double"), 4)
+    )
+    return kt.join(np_, "event_type").select(
+        "event_type",
+        "n_days",
+        "n_partial_values",
+        "k_n",
+        est.alias("est_distinct"),
+    )

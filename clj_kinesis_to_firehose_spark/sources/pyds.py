@@ -136,6 +136,11 @@ class KinesisReplayStreamReader(DataSourceStreamReader):
 
     def __init__(self, options: dict):
         self.root = options["path"]
+        # same consumer-mode switches as the batch reader: the
+        # micro-batch path must exercise the identical defensive code
+        # a live streaming consumer would run
+        self.faults = str(options.get("faults", "false")).lower() == "true"
+        self.efo = str(options.get("efo", "false")).lower() == "true"
 
     def initialOffset(self) -> dict:
         return {"slice": 0}
@@ -148,7 +153,20 @@ class KinesisReplayStreamReader(DataSourceStreamReader):
         return [SlicePartition(f) for d in dirs for f in _slice_files(d)]
 
     def read(self, partition: SlicePartition):
-        yield from _read_rows(partition.path)
+        if self.efo:
+            from clj_kinesis_to_firehose_spark.sources.efo import (
+                read_rows_efo,
+            )
+
+            yield from read_rows_efo(partition.path)
+        elif self.faults:
+            from clj_kinesis_to_firehose_spark.sources.faults import (
+                read_rows_with_faults,
+            )
+
+            yield from read_rows_with_faults(partition.path)
+        else:
+            yield from _read_rows(partition.path)
 
     def commit(self, end: dict) -> None:
         # checkpoint ack — a live consumer would trim its lease table

@@ -105,6 +105,41 @@ def test_single_page_slice_terminates():
     assert st.drops in (0, 1)
 
 
+def test_streaming_reader_efo_parity(spark):
+    # the micro-batch path must run the same push-model churn and
+    # still deliver exactly the batch rows
+    from tests.conftest import SF_DIR
+
+    from clj_kinesis_to_firehose_spark.sources.pyds import (
+        register_replay_source,
+    )
+    from clj_kinesis_to_firehose_spark.sources.streams import (
+        write_replay_slices,
+    )
+
+    register_replay_source(spark)
+    replay = write_replay_slices(spark, SF_DIR, n_slices=2)
+    q = (
+        spark.readStream.format("kinesis_replay")
+        .option("path", replay)
+        .option("efo", "true")
+        .load()
+        .writeStream.format("memory")
+        .queryName("efo_stream_parity")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql(
+        "SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS ids "
+        "FROM efo_stream_parity"
+    ).collect()[0]
+    want = (
+        spark.read.format("kinesis_replay").option("path", replay).load()
+    ).count()
+    assert got.n == want and got.ids == want
+
+
 def test_deterministic_across_runs():
     a = _consume(ROWS)
     b = _consume(ROWS)

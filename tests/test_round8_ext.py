@@ -58,6 +58,57 @@ def test_kmv_estimates_within_error_bound(spark):
         assert 0 <= r.est_intersect <= r.est_union * (1 + 1e-9)
 
 
+def test_kmv_incremental_merge_equals_direct(spark):
+    # the mergeability theorem the incremental op rests on: the K
+    # smallest of the union of per-day K-smallest sets ARE the K
+    # smallest of the full set — merged estimate must equal the
+    # direct sketch's estimate EXACTLY, not approximately
+    df = QUERIES["agg_kmv_incremental"](spark, SF_DIR)
+    merged = {r.event_type: (r.k_n, r.est_distinct) for r in df.collect()}
+    con = duckdb.connect()
+    direct = dict(
+        con.execute(
+            f"""
+            WITH h AS (
+              SELECT DISTINCT event_type,
+                     (('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':' ||
+                         strftime(ts, '%Y-%m-%d')), 1, 15))::BIGINT) AS hv
+              FROM read_parquet('{SF_DIR}/events.parquet')
+            ), rk AS (
+              SELECT event_type, hv,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY hv) AS rn
+              FROM h
+            ), kt AS (
+              SELECT event_type, max(hv) AS theta, count(*) AS k_n
+              FROM rk WHERE rn <= 64 GROUP BY event_type
+            )
+            SELECT event_type,
+                   CASE WHEN k_n < 64 THEN CAST(k_n AS DOUBLE)
+                        ELSE ROUND((63.0 * 1152921504606846976) / theta, 4)
+                        END
+            FROM kt
+            """
+        ).fetchall()
+    )
+    assert set(merged) == set(direct)
+    for t, (_, est) in merged.items():
+        assert est == direct[t], (t, est, direct[t])
+
+
+def test_url_variants_collapse_to_resources(spark):
+    # two crawls per doc + doc_id%400 resource collisions: every
+    # canonical group must hold >=2 variants and the winner is the
+    # smallest doc_id in the group
+    df = QUERIES["dedup_url_variants"](spark, SF_DIR)
+    rows = df.collect()
+    assert all(r.n_variants >= 2 for r in rows)
+    assert all(r.n_variants == 2 * r.n_docs for r in rows)
+    # canonical count = distinct resource ids present
+    n_docs = QUERIES["text_url_normalize"](spark, SF_DIR).count()
+    assert len(rows) == min(n_docs, 400)
+
+
 def test_kmv_sketch_state_is_bounded(spark):
     # the persistable sketch is K values per group — the op's pair
     # rows expose k_n which must never exceed K
