@@ -1,16 +1,73 @@
 """Round-8 extension audits: URL canonicalization stays shuffle-free
-codegen, and the KMV/theta sketch estimates land within the published
-error bound against true cardinalities."""
+codegen and is idempotent under Hypothesis-generated mess, and the
+KMV/theta sketch estimates land within the published error bound
+against true cardinalities."""
 
 from __future__ import annotations
 
 import duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from clj_kinesis_to_firehose_spark import registry
 from clj_kinesis_to_firehose_spark.plans import audit
 from tests.conftest import SF_DIR
 
 QUERIES = registry.queries()
+
+_label = st.from_regex(r"[a-z0-9][a-z0-9-]{0,6}", fullmatch=True).filter(
+    lambda s: s != "www"
+)
+_seg = st.from_regex(r"[A-Za-z0-9_.~-]{1,6}", fullmatch=True)
+_key = st.one_of(
+    st.sampled_from(["utm_source", "utm_medium", "utm_x"]),
+    st.from_regex(r"[a-z]{1,5}", fullmatch=True),
+)
+
+
+@st.composite
+def messy_url(draw):
+    scheme = draw(st.sampled_from(["http", "HTTP", "https", "HTTPS", "hTtPs"]))
+    www = draw(st.sampled_from(["", "www.", "WWW."]))
+    host = ".".join(draw(st.lists(_label, min_size=1, max_size=3)))
+    port = draw(st.sampled_from(["", ":80", ":443", ":8080", ":9000"]))
+    path = "".join("/" + draw(_seg) for _ in range(draw(st.integers(0, 3))))
+    path += "/" * draw(st.integers(0, 2))
+    params = draw(
+        st.lists(
+            st.tuples(_key, st.from_regex(r"[A-Za-z0-9]{0,4}", fullmatch=True)),
+            max_size=4,
+        )
+    )
+    query = "&".join(f"{k}={v}" for k, v in params)
+    frag = draw(st.sampled_from(["", "#x", "#Sec-1"]))
+    return (
+        scheme + "://" + www + host.upper() + port + path
+        + ("?" + query if query else "") + frag
+    )
+
+
+@given(st.lists(messy_url(), min_size=1, max_size=40))
+@settings(max_examples=3, deadline=None)
+def test_url_normalize_idempotent(spark, urls):
+    # canonicalization must be a projection onto its own image:
+    # norm(norm(u)) == norm(u) for arbitrary mess (hosts that are
+    # not themselves named 'www', which no canonicalizer can fix)
+    from clj_kinesis_to_firehose_spark.operators.curation_ext import (
+        with_norm_url,
+    )
+
+    df = spark.createDataFrame([(u,) for u in urls], "raw_url string")
+    once = with_norm_url(df).select("raw_url", "norm_url")
+    rows1 = {r.raw_url: r.norm_url for r in once.collect()}
+    again = with_norm_url(
+        spark.createDataFrame(
+            [(v,) for v in rows1.values()], "raw_url string"
+        )
+    )
+    rows2 = {r.raw_url: r.norm_url for r in again.collect()}
+    for norm in rows1.values():
+        assert rows2[norm] == norm, (norm, rows2[norm])
 
 
 def test_url_normalize_is_shuffle_free_codegen(spark):
@@ -107,6 +164,14 @@ def test_url_variants_collapse_to_resources(spark):
     # canonical count = distinct resource ids present
     n_docs = QUERIES["text_url_normalize"](spark, SF_DIR).count()
     assert len(rows) == min(n_docs, 400)
+
+
+def test_url_variant_dedup_is_two_phase_agg(spark):
+    # explode + canonicalize map-side; the only exchanges are the
+    # standard two-phase distinct-agg on the canonical key — the
+    # plan must never shuffle the raw crawl variants more than that
+    df = QUERIES["dedup_url_variants"](spark, SF_DIR)
+    assert audit.n_shuffles(df) <= 2, audit.plan_report(df)
 
 
 def test_kmv_sketch_state_is_bounded(spark):
