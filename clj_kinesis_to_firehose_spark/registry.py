@@ -60,6 +60,7 @@ _OPERATOR_MODULES = [
     "curation_ext",
     "sketch_ext",
     "efo_ops",
+    "routing_ops",
 ]
 
 _loaded = False

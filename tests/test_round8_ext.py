@@ -174,6 +174,26 @@ def test_url_variant_dedup_is_two_phase_agg(spark):
     assert audit.n_shuffles(df) <= 2, audit.plan_report(df)
 
 
+def test_shard_routing_ranges_cover_and_contain(spark):
+    # every record lands in exactly one shard, min/max stay inside
+    # the owned range, and load tracks range width (uniform hashing)
+    from clj_kinesis_to_firehose_spark.operators.routing_ops import SHARD_MAP
+
+    df = QUERIES["kinesis_shard_routing"](spark, SF_DIR)
+    rows = {r.shard_id: r for r in df.collect()}
+    total = sum(r.n_records for r in rows.values())
+    n_events = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF_DIR}/events.parquet')"
+    ).fetchone()[0]
+    assert total == n_events  # exactly-once coverage, no gaps/overlap
+    space = 1 << 60
+    for sid, lo, hi in SHARD_MAP:
+        r = rows[sid]
+        assert lo <= r.min_hk and r.max_hk < hi, (sid, r)
+        share, width = r.n_records / total, (hi - lo) / space
+        assert abs(share - width) < 0.12, (sid, share, width)
+
+
 def test_kmv_sketch_state_is_bounded(spark):
     # the persistable sketch is K values per group — the op's pair
     # rows expose k_n which must never exceed K
