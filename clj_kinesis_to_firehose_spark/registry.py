@@ -61,6 +61,7 @@ _OPERATOR_MODULES = [
     "sketch_ext",
     "efo_ops",
     "routing_ops",
+    "audio_ops",
 ]
 
 _loaded = False
