@@ -1,4 +1,5 @@
-"""Multimodal audio operators over REAL WAV bytes — round-8 extension.
+"""Multimodal audio/video operators over REAL container bytes —
+round-8 extension.
 
 The multimodal family treats media as binary columns with typed
 metadata; round 8 gave images real BMP/PPM codecs, and this module
@@ -212,4 +213,87 @@ def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sqrt(F.col("sum_sq").cast("double") / F.col("n_out")), 6
         ).alias("rms_out"),
+    )
+
+
+@register(
+    "multimodal_video_decode",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             4 + doc_id % 6 AS w,
+             4 + doc_id % 5 AS h,
+             2 + doc_id % 4 AS nf
+      FROM documents
+    ), frames AS (
+      SELECT doc_id, w, h, UNNEST(RANGE(nf)) AS f FROM dims
+    )
+    SELECT doc_id,
+           CAST(f AS INT) AS frame_idx,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           ROUND(CAST(LIST_SUM(LIST_TRANSFORM(RANGE(w * h),
+               i -> (doc_id * 31 + f * 19 + (i % w) * 7 + (i // w) * 13)
+                    % 256)) AS DOUBLE) / (w * h), 6) AS mean_y,
+           ROUND(CAST(LIST_SUM(LIST_TRANSFORM(RANGE(w * h),
+               i -> (doc_id * 31 + f * 19 + (i % w) * 7 + (i // w) * 13
+                     + 101) % 256)) AS DOUBLE) / (w * h), 6) AS mean_u,
+           ROUND(CAST(LIST_SUM(LIST_TRANSFORM(RANGE(w * h),
+               i -> (doc_id * 31 + f * 19 + (i % w) * 7 + (i // w) * 13
+                     + 202) % 256)) AS DOUBLE) / (w * h), 6) AS mean_v
+    FROM frames
+    """,
+)
+def multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary video column → one row of per-plane means PER FRAME via
+    mapInPandas and the REAL pure-Python Y4M codec
+    (functions/video.py): YUV4MPEG2 streams are encoded then
+    re-parsed from the public container format — the oracle
+    recomputes every frame's Y/U/V means analytically, so a FRAME
+    marker misparse, plane-order swap, or frame-offset error breaks
+    the hash. Completes the real-codec sweep across the media family
+    (BMP/PPM images, WAV audio, Y4M video)."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from clj_kinesis_to_firehose_spark.functions.video import encode_y4m
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [encode_y4m(d) for d in pdf["doc_id"]],
+                }
+            )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from clj_kinesis_to_firehose_spark.functions.video import decode_y4m
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames, w, h = decode_y4m(bytes(payload))
+                for f, planes in enumerate(frames):
+                    m = planes.astype(np.float64).mean(axis=(1, 2))
+                    rows.append(
+                        (doc_id, f, w, h, round(m[0], 6), round(m[1], 6),
+                         round(m[2], 6))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "width", "height",
+                         "mean_y", "mean_u", "mean_v"],
+            )
+
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    media = docs.select("doc_id").mapInPandas(
+        _encode, schema="doc_id long, payload binary"
+    )
+    return media.mapInPandas(
+        _decode,
+        schema=(
+            "doc_id long, frame_idx int, width int, height int, "
+            "mean_y double, mean_u double, mean_v double"
+        ),
     )

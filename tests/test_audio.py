@@ -82,3 +82,55 @@ def test_decimation_length_law(doc_id, k):
     out = decimate(arr, k)
     assert len(out) == (len(arr) - 1) // k + 1
     assert np.array_equal(out, arr[::k])
+
+
+# --------------------------------------------------------------- Y4M
+
+
+@given(st.integers(min_value=0, max_value=10_000))
+@settings(max_examples=150, deadline=None)
+def test_y4m_roundtrip_identity(doc_id):
+    from clj_kinesis_to_firehose_spark.functions.video import (
+        clip_shape,
+        decode_y4m,
+        encode_y4m,
+        frame_planes,
+    )
+
+    nf, h, w = clip_shape(doc_id)
+    frames, got_w, got_h = decode_y4m(encode_y4m(doc_id))
+    assert (got_w, got_h, len(frames)) == (w, h, nf)
+    for f, planes in enumerate(frames):
+        assert np.array_equal(planes, frame_planes(doc_id, f))
+
+
+def test_y4m_frame_params_are_skipped():
+    # per-frame parameters after the FRAME marker are legal Y4M; the
+    # chunk walk must honor the marker's own newline, not offset 5
+    from clj_kinesis_to_firehose_spark.functions.video import (
+        decode_y4m,
+        encode_y4m,
+        frame_planes,
+    )
+
+    data = encode_y4m(3)
+    patched = data.replace(b"FRAME\n", b"FRAME Xcustom\n", 1)
+    frames, _, _ = decode_y4m(patched)
+    assert np.array_equal(frames[0], frame_planes(3, 0))
+
+
+def test_y4m_malformed_rejected():
+    import pytest as _pytest
+
+    from clj_kinesis_to_firehose_spark.functions.video import (
+        decode_y4m,
+        encode_y4m,
+    )
+
+    data = encode_y4m(1)
+    with _pytest.raises(ValueError):
+        decode_y4m(b"MPEG4YUV2" + data[9:])
+    with _pytest.raises(ValueError):
+        decode_y4m(data.replace(b"C444", b"C420"))
+    with _pytest.raises(ValueError):
+        decode_y4m(data[:-5])  # truncated final frame
