@@ -129,3 +129,92 @@ def kinesis_shard_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("hk").alias("max_hk"),
         )
     )
+
+
+#: the stream after one split and one merge [PK: SplitShard bisects a
+#: parent's range into two NEW child shards; MergeShards unions two
+#: adjacent parents into one NEW child]: shardId-004 ([7,11)
+#: sixteenths) splits at 9 into -008/-009, shardId-005+006 ([11,14))
+#: merge into -010; every other range is untouched.
+SHARD_MAP_V2 = [
+    (sid, lo, hi)
+    for sid, lo, hi in SHARD_MAP
+    if sid not in ("shardId-004", "shardId-005", "shardId-006")
+] + [
+    ("shardId-008", 7 * _SIXTEENTH, 9 * _SIXTEENTH),
+    ("shardId-009", 9 * _SIXTEENTH, 11 * _SIXTEENTH),
+    ("shardId-010", 11 * _SIXTEENTH, 14 * _SIXTEENTH),
+]
+
+
+@register(
+    "kinesis_reshard_range_migration",
+    oracle="""
+    WITH routed AS (
+      SELECT user_id,
+             (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT)
+               AS hk
+      FROM events
+    ), v1 AS (
+      SELECT * FROM (VALUES
+        ('shardId-000', CAST(0 AS BIGINT), 1 * 72057594037927936),
+        ('shardId-001', 1 * 72057594037927936, 4 * 72057594037927936),
+        ('shardId-002', 4 * 72057594037927936, 6 * 72057594037927936),
+        ('shardId-003', 6 * 72057594037927936, 7 * 72057594037927936),
+        ('shardId-004', 7 * 72057594037927936, 11 * 72057594037927936),
+        ('shardId-005', 11 * 72057594037927936, 13 * 72057594037927936),
+        ('shardId-006', 13 * 72057594037927936, 14 * 72057594037927936),
+        ('shardId-007', 14 * 72057594037927936, 16 * 72057594037927936)
+      ) AS t(shard_id, lo, hi)
+    ), v2 AS (
+      SELECT * FROM (VALUES
+        ('shardId-000', CAST(0 AS BIGINT), 1 * 72057594037927936),
+        ('shardId-001', 1 * 72057594037927936, 4 * 72057594037927936),
+        ('shardId-002', 4 * 72057594037927936, 6 * 72057594037927936),
+        ('shardId-003', 6 * 72057594037927936, 7 * 72057594037927936),
+        ('shardId-007', 14 * 72057594037927936, 16 * 72057594037927936),
+        ('shardId-008', 7 * 72057594037927936, 9 * 72057594037927936),
+        ('shardId-009', 9 * 72057594037927936, 11 * 72057594037927936),
+        ('shardId-010', 11 * 72057594037927936, 14 * 72057594037927936)
+      ) AS t(shard_id, lo, hi)
+    )
+    SELECT a.shard_id AS shard_before, b.shard_id AS shard_after,
+           COUNT(*) AS n_records,
+           COUNT(DISTINCT r.user_id) AS n_keys
+    FROM routed r
+    JOIN v1 a ON r.hk >= a.lo AND r.hk < a.hi
+    JOIN v2 b ON r.hk >= b.lo AND r.hk < b.hi
+    GROUP BY a.shard_id, b.shard_id
+    """,
+)
+def kinesis_reshard_range_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # resharding IS range surgery: after a split+merge, a record's
+    # shard can change ONLY if its hash key lies in a bisected or
+    # unioned range — the transition matrix must be identity outside
+    # shardId-004/005/006 (pinned in tests/test_round8_ext.py), and
+    # at 100 TB that locality is why a reshard doesn't re-route the
+    # stream, it re-keys two ranges. Both maps broadcast (O(shards)).
+    ev = load_table(spark, sf_dir, "events")
+    routed = ev.select(
+        "user_id",
+        portable_hash60(F.col("user_id").cast("string")).alias("hk"),
+    )
+    v1 = spark.createDataFrame(SHARD_MAP, "shard_before string, lo1 long, hi1 long")
+    v2 = spark.createDataFrame(
+        SHARD_MAP_V2, "shard_after string, lo2 long, hi2 long"
+    )
+    return (
+        routed.join(
+            F.broadcast(v1),
+            (F.col("hk") >= F.col("lo1")) & (F.col("hk") < F.col("hi1")),
+        )
+        .join(
+            F.broadcast(v2),
+            (F.col("hk") >= F.col("lo2")) & (F.col("hk") < F.col("hi2")),
+        )
+        .groupBy("shard_before", "shard_after")
+        .agg(
+            F.count("*").alias("n_records"),
+            F.countDistinct("user_id").alias("n_keys"),
+        )
+    )

@@ -194,6 +194,21 @@ def test_shard_routing_ranges_cover_and_contain(spark):
         assert abs(share - width) < 0.12, (sid, share, width)
 
 
+def test_reshard_migration_is_range_local(spark):
+    # the transition matrix is identity outside the split/merged
+    # parents: only shardId-004 fans to -008/-009 and -005/-006
+    # collapse to -010
+    df = QUERIES["kinesis_reshard_range_migration"](spark, SF_DIR)
+    legal = {
+        "shardId-004": {"shardId-008", "shardId-009"},
+        "shardId-005": {"shardId-010"},
+        "shardId-006": {"shardId-010"},
+    }
+    for r in df.collect():
+        expected = legal.get(r.shard_before, {r.shard_before})
+        assert r.shard_after in expected, (r.shard_before, r.shard_after)
+
+
 def test_kmv_sketch_state_is_bounded(spark):
     # the persistable sketch is K values per group — the op's pair
     # rows expose k_n which must never exceed K
