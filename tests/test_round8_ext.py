@@ -194,6 +194,19 @@ def test_shard_routing_ranges_cover_and_contain(spark):
         assert abs(share - width) < 0.12, (sid, share, width)
 
 
+def test_shard_routing_broadcasts_the_map(spark):
+    # the interval lookup must be a BroadcastNestedLoopJoin (range
+    # predicates can't hash-join) — the fact side is NEVER sort-merge
+    # shuffled against an 8-row map; the only exchanges belong to the
+    # per-shard aggregation
+    for name in ["kinesis_shard_routing", "kinesis_reshard_range_migration"]:
+        df = QUERIES[name](spark, SF_DIR)
+        plan = audit.formatted_plan(df)
+        assert "BroadcastNestedLoopJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+        assert audit.n_shuffles(df) <= 2, audit.plan_report(df)
+
+
 def test_reshard_migration_is_range_local(spark):
     # the transition matrix is identity outside the split/merged
     # parents: only shardId-004 fans to -008/-009 and -005/-006
