@@ -172,9 +172,11 @@ def text_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: the normalization CTE shared by this family's oracles — takes a
-#: `raws(doc_id, raw_url)` CTE as input and yields `norm(doc_id,
-#: raw_url, norm_url)`; rules identical to :func:`with_norm_url`.
+#: the normalization CTE for oracles over a `raws(doc_id, raw_url)`
+#: input — yields `norm(doc_id, raw_url, norm_url)` with rules
+#: identical to :func:`with_norm_url`. text_url_normalize's oracle
+#: predates it and spells the same rules inline (kept verbatim so the
+#: adjudicated query text stays stable); new URL oracles compose this.
 _ORACLE_NORM_CTE = """
     parts AS (
       SELECT doc_id, raw_url,

@@ -4,6 +4,8 @@ delivery, and the registration lifecycle (sources/efo.py)."""
 from __future__ import annotations
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from clj_kinesis_to_firehose_spark.sources.efo import (
     EfoShardPusher,
@@ -149,3 +151,42 @@ def test_deterministic_across_runs():
         b[1].heartbeats,
         b[1].events,
     )
+
+
+@given(
+    n_rows=st.integers(min_value=0, max_value=300),
+    page_size=st.integers(min_value=1, max_value=50),
+    window=st.integers(min_value=1, max_value=10),
+    path_salt=st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=200, deadline=None)
+def test_exactly_once_under_arbitrary_geometry(
+    n_rows, page_size, window, path_salt
+):
+    # the delivery invariant must hold for EVERY (slice size, page
+    # size, window length, fault schedule) combination, not just the
+    # fixture shapes — path_salt varies the md5-derived heartbeat/
+    # drop schedule
+    rows = [(f"r{i}",) for i in range(n_rows)]
+    got, st_, _ = _consume_salted(rows, page_size, window, path_salt)
+    assert got == rows
+    assert st_.records == n_rows
+
+
+def _consume_salted(rows, page_size, window, salt):
+    pusher = EfoShardPusher(
+        f"fake/slice-{salt}.parquet",
+        page_size=page_size,
+        events_per_subscription=window,
+        rows=list(rows),
+    )
+    st_ = EfoStats()
+    got = list(
+        consume_shard_efo(
+            f"fake/slice-{salt}.parquet",
+            pusher=pusher,
+            sleep=lambda _: None,
+            stats=st_,
+        )
+    )
+    return got, st_, pusher
