@@ -297,3 +297,93 @@ def agg_kmv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k_n",
         est.alias("est_distinct"),
     )
+
+
+@register(
+    "stream_kmv_incremental",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             (('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':' ||
+                 strftime(ts, '%Y-%m-%d')), 1, 15))::BIGINT) AS hv
+      FROM events
+    ), rk AS (
+      SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM h
+    ), kt AS (
+      SELECT event_type, max(hv) AS theta, count(*) AS k_n
+      FROM rk WHERE rn <= 64 GROUP BY event_type
+    )
+    SELECT event_type, k_n,
+           CASE WHEN k_n < 64 THEN CAST(k_n AS DOUBLE)
+                ELSE ROUND((63.0 * 1152921504606846976) / theta, 4)
+                END AS est_distinct
+    FROM kt
+    """,
+)
+def stream_kmv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-merge law IN the streaming path: each replay
+    micro-batch reduces to a per-type partial sketch (distinct +
+    top-K rank, the same two-stage shape as the batch op), foreach-
+    Batch merges partials into K-value accumulator state, and the
+    final merged sketch must equal the DIRECT sketch of the whole
+    table — exactly, by the merge law the Hypothesis suite pins, and
+    regardless of micro-batch boundaries because set-union merging is
+    order-independent. Per-batch driver traffic is K × |types| longs
+    (metadata-sized, the repo's collect discipline); this is the
+    live-dashboard "distinct users so far" pattern where recomputing
+    the distinct from raw history every batch would be Θ(history)."""
+    import tempfile
+
+    from clj_kinesis_to_firehose_spark.sources.pyds import (
+        register_replay_source,
+    )
+    from clj_kinesis_to_firehose_spark.sources.streams import (
+        write_replay_slices,
+    )
+
+    K, R = KMV_K, HASH_RANGE
+    register_replay_source(spark)
+    replay = write_replay_slices(spark, sf_dir, n_slices=4)
+    state: dict[str, list[int]] = {}
+
+    def merge_batch(batch_df: DataFrame, _epoch: int) -> None:
+        item = F.concat(
+            F.col("user_id").cast("string"),
+            F.lit(":"),
+            F.date_format("ts", "yyyy-MM-dd"),
+        )
+        d = batch_df.select(
+            "event_type", portable_hash60(item).alias("hv")
+        ).distinct()
+        w = Window.partitionBy("event_type").orderBy("hv")
+        partial = (
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= K)
+            .groupBy("event_type")
+            .agg(F.collect_list("hv").alias("sk"))
+        )
+        for r in partial.collect():  # K × |types| longs per batch
+            merged = sorted(set(state.get(r.event_type, [])) | set(r.sk))
+            state[r.event_type] = merged[:K]
+
+    q = (
+        spark.readStream.format("kinesis_replay")
+        .option("path", replay)
+        .load()
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="kf_kmv_chk_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    res = spark.createDataFrame(
+        [(t, len(v), v[-1]) for t, v in state.items()],
+        "event_type string, k_n long, theta long",
+    )
+    est = F.when(F.col("k_n") < K, F.col("k_n").cast("double")).otherwise(
+        F.round(F.lit(63.0 * float(R)) / F.col("theta").cast("double"), 4)
+    )
+    return res.select("event_type", "k_n", est.alias("est_distinct"))
