@@ -142,6 +142,41 @@ def test_streaming_reader_efo_parity(spark):
     assert got.n == want and got.ids == want
 
 
+def test_streaming_reader_faults_parity(spark):
+    # the faults gauntlet must also hold on the micro-batch path
+    # (reader option added alongside efo) — same rows, no loss/dup
+    from tests.conftest import SF_DIR
+
+    from clj_kinesis_to_firehose_spark.sources.pyds import (
+        register_replay_source,
+    )
+    from clj_kinesis_to_firehose_spark.sources.streams import (
+        write_replay_slices,
+    )
+
+    register_replay_source(spark)
+    replay = write_replay_slices(spark, SF_DIR, n_slices=2)
+    q = (
+        spark.readStream.format("kinesis_replay")
+        .option("path", replay)
+        .option("faults", "true")
+        .load()
+        .writeStream.format("memory")
+        .queryName("faults_stream_parity")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql(
+        "SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS ids "
+        "FROM faults_stream_parity"
+    ).collect()[0]
+    want = (
+        spark.read.format("kinesis_replay").option("path", replay).load()
+    ).count()
+    assert got.n == want and got.ids == want
+
+
 def test_deterministic_across_runs():
     a = _consume(ROWS)
     b = _consume(ROWS)
