@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from clj_kinesis_to_firehose_spark.registry import register
 from clj_kinesis_to_firehose_spark.sources import load_table
@@ -172,6 +173,33 @@ def text_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _crawl_variant_a(rid):
+    """Crawl variant A of resource ``rid`` — shared by
+    dedup_url_variants and dedup_incremental_url so their URL mess
+    can't drift apart (the oracles hard-code the same construction)."""
+    port = (
+        F.when(rid % 3 == 0, F.lit(":80"))
+        .when(rid % 3 == 1, F.lit(":443"))
+        .otherwise(F.lit(":8080"))
+    )
+    return F.concat(
+        F.when(rid % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+        F.lit("://WWW.Cdn-r"),
+        rid.cast("string"),
+        F.lit(".Example.COM"),
+        port,
+        F.lit("/Docs/r/"),
+        rid.cast("string"),
+        F.when(rid % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&z="),
+        (rid % 7).cast("string"),
+        F.lit("&utm_campaign=news&a="),
+        (rid % 5).cast("string"),
+        F.lit("#Top"),
+    )
+
+
+
 #: the normalization CTE for oracles over a `raws(doc_id, raw_url)`
 #: input — yields `norm(doc_id, raw_url, norm_url)` with rules
 #: identical to :func:`with_norm_url`. text_url_normalize's oracle
@@ -264,21 +292,7 @@ def dedup_url_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(rid % 3 == 1, F.lit(":443"))
         .otherwise(F.lit(":8080"))
     )
-    variant_a = F.concat(
-        F.when(rid % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
-        F.lit("://WWW.Cdn-r"),
-        rid.cast("string"),
-        F.lit(".Example.COM"),
-        port,
-        F.lit("/Docs/r/"),
-        rid.cast("string"),
-        F.when(rid % 4 == 0, F.lit("/")).otherwise(F.lit("")),
-        F.lit("?utm_source=feed&z="),
-        (rid % 7).cast("string"),
-        F.lit("&utm_campaign=news&a="),
-        (rid % 5).cast("string"),
-        F.lit("#Top"),
-    )
+    variant_a = _crawl_variant_a(rid)
     variant_b = F.concat(
         F.when(rid % 2 == 0, F.lit("http")).otherwise(F.lit("HTTPS")),
         F.lit("://CDN-R"),
@@ -314,4 +328,99 @@ def dedup_url_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             "first_seen_doc",
         )
+    )
+
+
+@register(
+    "dedup_incremental_url",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, doc_id % 400 AS rid,
+             (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)
+               % 100 AS b
+      FROM documents
+    ), raws AS (
+      SELECT doc_id,
+        (CASE WHEN rid % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+        || '://WWW.Cdn-r' || rid || '.Example.COM'
+        || (CASE rid % 3 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+            ELSE ':8080' END)
+        || '/Docs/r/' || rid
+        || (CASE WHEN rid % 4 = 0 THEN '/' ELSE '' END)
+        || '?utm_source=feed&z=' || (rid % 7) || '&utm_campaign=news&a='
+        || (rid % 5) || '#Top' AS raw_url
+      FROM base
+    ), """
+    + _ORACLE_NORM_CTE.strip()
+    + """
+    , keyed AS (
+      SELECT n.doc_id, md5(n.norm_url) AS url_key, b.b
+      FROM norm n JOIN base b USING (doc_id)
+    ), idx AS (
+      SELECT DISTINCT url_key FROM keyed WHERE b < 80
+    ), delta AS (
+      SELECT doc_id, url_key FROM keyed WHERE b >= 80
+    ), ranked AS (
+      SELECT doc_id, url_key,
+             row_number() OVER (PARTITION BY url_key ORDER BY doc_id) AS rn
+      FROM delta
+    )
+    SELECT r.doc_id, r.url_key,
+           (r.url_key IN (SELECT url_key FROM idx)) AS in_index,
+           CAST(r.rn AS INT) AS delta_rank,
+           (r.url_key NOT IN (SELECT url_key FROM idx) AND r.rn = 1) AS keep
+    FROM ranked r
+    """,
+)
+def dedup_incremental_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crawl dedup: a new ingest batch checks its
+    CANONICAL keys against a persisted url_key index, never against
+    the historical corpus text — the URL-family twin of
+    dedup_incremental_minhash, and the reason canonicalization pays
+    at 100 TB: the index is 16 bytes/resource, appended per batch,
+    and each ingest costs O(|delta| + hits), not a corpus rescan.
+    Same split convention (md5(doc_id) bucket < 80 = already
+    indexed), and the index round-trips through parquet because the
+    index IS storage, not lineage. A delta doc survives iff its key
+    is absent from the index AND it is the first delta holder of
+    that key (min doc_id — the deterministic winner rule)."""
+    import os
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 400).alias("rid")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    keyed = with_norm_url(
+        docs.select(
+            "doc_id",
+            bucket.alias("b"),
+            _crawl_variant_a(F.col("rid")).alias("raw_url"),
+        )
+    ).select("doc_id", "b", F.md5("norm_url").alias("url_key"))
+
+    idx_dir = os.path.join(
+        tempfile.mkdtemp(prefix="kf_urlidx_"), "url_index"
+    )
+    keyed.filter(F.col("b") < 80).select("url_key").distinct().write.mode(
+        "overwrite"
+    ).parquet(idx_dir)
+    idx = spark.read.parquet(idx_dir).withColumn("in_index", F.lit(True))
+
+    delta = keyed.filter(F.col("b") >= 80).select("doc_id", "url_key")
+    w = Window.partitionBy("url_key").orderBy("doc_id")
+    ranked = delta.withColumn("delta_rank", F.row_number().over(w))
+    return ranked.join(idx, "url_key", "left").select(
+        "doc_id",
+        "url_key",
+        F.coalesce("in_index", F.lit(False)).alias("in_index"),
+        "delta_rank",
+        (
+            ~F.coalesce("in_index", F.lit(False))
+            & (F.col("delta_rank") == 1)
+        ).alias("keep"),
     )
