@@ -62,6 +62,10 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         cid = data[pos : pos + 4]
         (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
         payload = data[pos + 8 : pos + 8 + size]
+        if len(payload) != size:
+            # honor the DECLARED chunk size: a stream cut mid-chunk is
+            # corruption, not a shorter recording
+            raise ValueError("truncated chunk: declared size exceeds stream")
         if cid == b"fmt ":
             tag, channels, rate, _, _, bits = struct.unpack(
                 "<HHIIHH", payload[:16]

@@ -90,21 +90,48 @@ def _read_rows(path: str):
         yield from zip(*cols)
 
 
+def _consumer_modes(options: dict) -> tuple[bool, bool]:
+    """(efo, faults) consumer-mode switches, shared by the batch and
+    stream readers so the two paths cannot drift apart.
+
+    * ``faults=true`` swaps the happy-path pyarrow read for the
+      fault-gauntlet consumer loop (sources/faults.py): same rows,
+      same order, after surviving throttle / expired-iterator /
+      disconnect per slice — the tested shape of a live GetRecords
+      consumer's defensive path.
+    * ``efo=true`` routes slices through the enhanced-fan-out push
+      double instead (sources/efo.py): SubscribeToShard window
+      expiries, heartbeats, one mid-subscription drop and one
+      rate-limit rejection per slice — the push-model twin. Mutually
+      exclusive with faults; efo wins.
+    """
+    return (
+        str(options.get("efo", "false")).lower() == "true",
+        str(options.get("faults", "false")).lower() == "true",
+    )
+
+
+def _read_slice_rows(path: str, efo: bool, faults: bool):
+    """Executor-side dispatch over the consumer modes — the single
+    seam both readers' ``read`` methods call."""
+    if efo:
+        from clj_kinesis_to_firehose_spark.sources.efo import read_rows_efo
+
+        yield from read_rows_efo(path)
+    elif faults:
+        from clj_kinesis_to_firehose_spark.sources.faults import (
+            read_rows_with_faults,
+        )
+
+        yield from read_rows_with_faults(path)
+    else:
+        yield from _read_rows(path)
+
+
 class KinesisReplayBatchReader(DataSourceReader):
     def __init__(self, options: dict):
         self.root = options["path"]
-        # faults=true swaps the happy-path pyarrow read for the
-        # fault-gauntlet consumer loop (sources/faults.py): same rows,
-        # same order, after surviving throttle / expired-iterator /
-        # disconnect per slice — the tested shape of a live GetRecords
-        # consumer's defensive path.
-        self.faults = str(options.get("faults", "false")).lower() == "true"
-        # efo=true routes slices through the enhanced-fan-out push
-        # double instead (sources/efo.py): SubscribeToShard window
-        # expiries, heartbeats, one mid-subscription drop and one
-        # rate-limit rejection per slice — the push-model twin of the
-        # faults gauntlet. Mutually exclusive with faults; efo wins.
-        self.efo = str(options.get("efo", "false")).lower() == "true"
+        self.efo, self.faults = _consumer_modes(options)
 
     def partitions(self):
         return [
@@ -114,20 +141,7 @@ class KinesisReplayBatchReader(DataSourceReader):
         ]
 
     def read(self, partition: SlicePartition):
-        if self.efo:
-            from clj_kinesis_to_firehose_spark.sources.efo import (
-                read_rows_efo,
-            )
-
-            yield from read_rows_efo(partition.path)
-        elif self.faults:
-            from clj_kinesis_to_firehose_spark.sources.faults import (
-                read_rows_with_faults,
-            )
-
-            yield from read_rows_with_faults(partition.path)
-        else:
-            yield from _read_rows(partition.path)
+        yield from _read_slice_rows(partition.path, self.efo, self.faults)
 
 
 class KinesisReplayStreamReader(DataSourceStreamReader):
@@ -139,8 +153,7 @@ class KinesisReplayStreamReader(DataSourceStreamReader):
         # same consumer-mode switches as the batch reader: the
         # micro-batch path must exercise the identical defensive code
         # a live streaming consumer would run
-        self.faults = str(options.get("faults", "false")).lower() == "true"
-        self.efo = str(options.get("efo", "false")).lower() == "true"
+        self.efo, self.faults = _consumer_modes(options)
 
     def initialOffset(self) -> dict:
         return {"slice": 0}
@@ -153,20 +166,7 @@ class KinesisReplayStreamReader(DataSourceStreamReader):
         return [SlicePartition(f) for d in dirs for f in _slice_files(d)]
 
     def read(self, partition: SlicePartition):
-        if self.efo:
-            from clj_kinesis_to_firehose_spark.sources.efo import (
-                read_rows_efo,
-            )
-
-            yield from read_rows_efo(partition.path)
-        elif self.faults:
-            from clj_kinesis_to_firehose_spark.sources.faults import (
-                read_rows_with_faults,
-            )
-
-            yield from read_rows_with_faults(partition.path)
-        else:
-            yield from _read_rows(partition.path)
+        yield from _read_slice_rows(partition.path, self.efo, self.faults)
 
     def commit(self, end: dict) -> None:
         # checkpoint ack — a live consumer would trim its lease table
