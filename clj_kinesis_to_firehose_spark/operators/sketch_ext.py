@@ -387,3 +387,81 @@ def stream_kmv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(63.0 * float(R)) / F.col("theta").cast("double"), 4)
     )
     return res.select("event_type", "k_n", est.alias("est_distinct"))
+
+
+#: reservoir size for the streaming bottom-k row sample
+RESERVOIR_N = 100
+
+
+@register(
+    "stream_reservoir_sample",
+    oracle="""
+    SELECT event_id, event_type, value, hv
+    FROM (
+      SELECT event_id, event_type, value,
+             (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT)
+               AS hv,
+             row_number() OVER (ORDER BY
+               (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT),
+               event_id) AS rn
+      FROM events
+    ) WHERE rn <= 100
+    """,
+)
+def stream_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform stream sampling WITHOUT RNG: the sample
+    is the bottom-k ROWS by portable hash rank — a bottom-k sketch,
+    the row-carrying generalization of KMV, so the same merge law
+    applies: per batch, TakeOrderedAndProject yields the batch's
+    k smallest (per-partition heaps, k rows to the driver), the
+    accumulator keeps the k smallest of the union, and the final
+    reservoir is bit-equal to the batch-mode top-k of the whole
+    table regardless of micro-batch boundaries. This is how a
+    100 TB stream keeps a fixed-size uniform sample reproducibly —
+    any two runs, any repartitioning, any batch cadence give the
+    SAME rows, which classic random-reservoir sampling cannot."""
+    import tempfile
+
+    from clj_kinesis_to_firehose_spark.sources.pyds import (
+        register_replay_source,
+    )
+    from clj_kinesis_to_firehose_spark.sources.streams import (
+        write_replay_slices,
+    )
+
+    N = RESERVOIR_N
+    register_replay_source(spark)
+    replay = write_replay_slices(spark, sf_dir, n_slices=4)
+    state: list[tuple] = []  # rows sorted by (hv, event_id), len <= N
+
+    def merge_batch(batch_df: DataFrame, _epoch: int) -> None:
+        nonlocal state
+        hv = portable_hash60(F.col("event_id").cast("string"))
+        batch_top = (
+            batch_df.select(
+                "event_id", "event_type", "value", hv.alias("hv")
+            )
+            .orderBy("hv", "event_id")
+            .limit(N)
+            .collect()
+        )
+        merged = state + [
+            (r.event_id, r.event_type, r.value, r.hv) for r in batch_top
+        ]
+        merged.sort(key=lambda t: (t[3], t[0]))
+        state = merged[:N]
+
+    q = (
+        spark.readStream.format("kinesis_replay")
+        .option("path", replay)
+        .load()
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="kf_res_chk_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    return spark.createDataFrame(
+        state, "event_id long, event_type string, value double, hv long"
+    )
