@@ -62,15 +62,16 @@ N_RUNS_EXT = 2
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
-    # Quiesce gate (round-6 verdict #2): BASELINE.md notes ±20% drift
-    # under background load, and the old `load1 < 0.5*ncpus` threshold
-    # carried no information (rounds stamped true at load 13/32 and
-    # false at the round's best total). Gate at 0.25×ncpus with a
-    # bounded sleep-retry: wait for the box to drain, but never stall
-    # the round — after the retry budget, run anyway and stamp
-    # quiesced=false so the number carries its own noise context.
+    # Quiesce gate (round-8 verdict #1): the 0.25×ncpus threshold let a
+    # load-7.22 run stamp `quiesced: true` while the join family drifted
+    # +38-61% — the stamp carried no information at that level. Gate at
+    # 0.1×ncpus (3.2 on the 32-cpu box; r7's genuinely-quiet run started
+    # at 2.79) with a bounded sleep-retry: wait for the box to drain,
+    # but never stall the round — after the retry budget, run anyway
+    # and stamp quiesced=false so the number carries its own noise
+    # context.
     ncpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
-    quiesce_limit = 0.25 * ncpus
+    quiesce_limit = 0.1 * ncpus
     load1, attempts = -1.0, 0
     max_attempts = int(os.environ.get("SPARK_GRAFT_QUIESCE_RETRIES", "12"))
     while True:

@@ -71,15 +71,24 @@ def decode_y4m(data: bytes) -> tuple[list[np.ndarray], int, int]:
     if fields[0] != "YUV4MPEG2":
         raise ValueError("not a YUV4MPEG2 stream")
     w = h = None
+    chroma = None
     for tag in fields[1:]:
         if tag.startswith("W"):
             w = int(tag[1:])
         elif tag.startswith("H"):
             h = int(tag[1:])
-        elif tag.startswith("C") and tag != "C444":
-            raise ValueError("only C444 chroma supported")
+        elif tag.startswith("C"):
+            chroma = tag
+            if tag != "C444":
+                raise ValueError("only C444 chroma supported")
     if w is None or h is None:
         raise ValueError("missing W/H header tags")
+    # Per the Y4M spec a stream with NO C tag defaults to 4:2:0
+    # (1.5*w*h bytes per frame) — silently reading it as C444 would
+    # misparse the plane layout, so reject it like the WAV decoder
+    # rejects unsupported encodings.
+    if chroma is None:
+        raise ValueError("missing C tag (4:2:0 default unsupported)")
     frames, pos, plane = [], nl + 1, w * h
     while pos < len(data):
         marker_end = data.index(b"\n", pos)

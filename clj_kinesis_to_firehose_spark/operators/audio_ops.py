@@ -275,25 +275,38 @@ def multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 frames, w, h = decode_y4m(bytes(payload))
                 for f, planes in enumerate(frames):
-                    m = planes.astype(np.float64).mean(axis=(1, 2))
+                    # raw integer plane sums only — the mean/round
+                    # happens in the Spark plan with F.round so the
+                    # rounding mode (HALF_UP) matches the DuckDB
+                    # oracle's ROUND, same as multimodal_audio_decode
+                    s = planes.astype(np.int64).sum(axis=(1, 2))
                     rows.append(
-                        (doc_id, f, w, h, round(m[0], 6), round(m[1], 6),
-                         round(m[2], 6))
+                        (doc_id, f, w, h, int(s[0]), int(s[1]), int(s[2]))
                     )
             yield pd.DataFrame(
                 rows,
                 columns=["doc_id", "frame_idx", "width", "height",
-                         "mean_y", "mean_u", "mean_v"],
+                         "sum_y", "sum_u", "sum_v"],
             )
 
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
     media = docs.select("doc_id").mapInPandas(
         _encode, schema="doc_id long, payload binary"
     )
-    return media.mapInPandas(
+    sums = media.mapInPandas(
         _decode,
         schema=(
             "doc_id long, frame_idx int, width int, height int, "
-            "mean_y double, mean_u double, mean_v double"
+            "sum_y long, sum_u long, sum_v long"
         ),
+    )
+    npix = (F.col("width") * F.col("height")).cast("double")
+    return sums.select(
+        "doc_id",
+        "frame_idx",
+        "width",
+        "height",
+        F.round(F.col("sum_y") / npix, 6).alias("mean_y"),
+        F.round(F.col("sum_u") / npix, 6).alias("mean_u"),
+        F.round(F.col("sum_v") / npix, 6).alias("mean_v"),
     )

@@ -115,6 +115,7 @@ def with_norm_url(df: DataFrame) -> DataFrame:
         regexp_replace(lower(string_split(authority, ':')[1]),
                        '^www\\.', '') AS host,
         CASE WHEN len(string_split(authority, ':')) < 2 THEN ''
+             WHEN string_split(authority, ':')[2] = '' THEN ''
              WHEN scheme = 'http'
                   AND string_split(authority, ':')[2] = '80' THEN ''
              WHEN scheme = 'https'
@@ -219,6 +220,7 @@ _ORACLE_NORM_CTE = """
         || regexp_replace(lower(string_split(authority, ':')[1]),
                           '^www\\.', '')
         || CASE WHEN len(string_split(authority, ':')) < 2 THEN ''
+                WHEN string_split(authority, ':')[2] = '' THEN ''
                 WHEN scheme = 'http'
                      AND string_split(authority, ':')[2] = '80' THEN ''
                 WHEN scheme = 'https'
