@@ -1,0 +1,556 @@
+"""Round-10 corpus-curation operators — the five canonical
+LLM-training-data stages the engine still lacked (VERDICT.md r9 tasks
+1-5): cross-document substring-span dedup, benchmark decontamination,
+PII-class redaction, HTML/boilerplate extraction, and
+token-count-aware chunking.
+
+Scale design notes (per operator, also in each docstring):
+
+* every stage is tokenize/regex → explode → hash-keyed aggregation —
+  the same map-heavy, small-key-shuffle shape as the rest of the
+  dedup/text family; no pair space, no driver-side data collection,
+  no Python UDFs (all JVM codegen expressions).
+* fixtures contain no PII/HTML/eval-set, so the PII, HTML, and
+  decontamination operators first SYNTHESIZE their input column
+  deterministically from (doc_id, text) with expressions reproduced
+  verbatim in the DuckDB oracle — the plant is part of the contract,
+  so the detection logic is hash-verified end to end, not just
+  shape-tested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from clj_kinesis_to_firehose_spark.functions import shingles
+from clj_kinesis_to_firehose_spark.operators.llm_dedup import (
+    SQL_HASH60,
+    portable_hash60,
+)
+from clj_kinesis_to_firehose_spark.registry import register
+from clj_kinesis_to_firehose_spark.sources import fan_out, load_table
+
+# --- dedup_substring_spans -------------------------------------------------
+
+#: span width (tokens) for cross-document repeated-span detection.
+SPAN_WIDTH = 6
+#: anchor modulus: only spans with hash % SPAN_ANCHOR_MOD == 0 are
+#: indexed. Anchoring is on the SPAN hash, so a repeated span is
+#: either indexed in every document that contains it or in none —
+#: detection is consistent, and the index stays ~1/mod of the span
+#: stream at any corpus size (the suffix-array-scale knob).
+SPAN_ANCHOR_MOD = 4
+#: synthetic boilerplate prefix planted on doc_id % 5 == 0 — a
+#: 10-token repeated header so the fixture contains long guaranteed
+#: cross-document spans (the thing this operator exists to catch) in
+#: addition to the corpus's natural repeated phrases.
+SPAN_BOILERPLATE = "subscribe to our newsletter for daily updates and offers today"
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN '{SPAN_BOILERPLATE} ' || text
+                  ELSE text END AS text
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS t,
+             LEN(STRING_SPLIT(text, ' ')) AS n
+      FROM aug
+    ), spans AS (
+      SELECT doc_id, s AS span_start,
+             {SQL_HASH60.format(
+                 x=f"ARRAY_TO_STRING(t[s + 1 : s + {SPAN_WIDTH}], ' ')"
+             )} AS h
+      FROM toks, UNNEST(RANGE(0, n - {SPAN_WIDTH - 1})) AS r(s)
+      WHERE n >= {SPAN_WIDTH}
+    ), anch AS (
+      SELECT * FROM spans WHERE h % {SPAN_ANCHOR_MOD} = 0
+    ), clus AS (
+      SELECT h, COUNT(DISTINCT doc_id) AS n_docs
+      FROM anch GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT a.doc_id, a.span_start,
+           CAST({SPAN_WIDTH} AS BIGINT) AS span_len,
+           a.h AS cluster_hash, c.n_docs
+    FROM anch a JOIN clus c USING (h)
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup: find token spans repeated across
+    DOCUMENTS (not whole-document or whole-line duplicates — the
+    suffix-array-style stage that catches boilerplate headers, license
+    blocks, and templated sentences that survive doc-level dedup).
+    Emits one row per (document, anchored span position) whose
+    SPAN_WIDTH-token span also occurs in at least one other document,
+    with the span's cluster hash and cluster size.
+
+    Pipeline: deterministic boilerplate plant (fixture has no long
+    natural spans guaranteed) → token spans at stride 1 → portable
+    60-bit span hash (hashed once per span) → hash-anchored sampling
+    (h % mod == 0, so sampling is consistent per span VALUE) →
+    group-by-hash distinct-doc count → keep clusters ≥ 2 → join
+    positions back.
+
+    Scale: the span stream is |tokens| rows but map-generated with the
+    scan (explode of a sequence — no shuffle); anchoring cuts it 1/mod
+    before the ONE exchange, a hash partition on the span hash. The
+    cluster size then comes from two sort-based window functions over
+    that same partitioning (dense_rank over doc_id, then its max —
+    count-distinct without a second aggregation pass), so the span
+    stream is scanned, tokenized, and hashed exactly ONCE and there is
+    no self-join re-deriving it (the groupBy+join formulation plans as
+    two full scan pipelines). Sort-based windows spill, so a
+    mega-cluster (a span in millions of docs) skews one partition but
+    never OOMs — the deliberate trade vs collect_set. Never O(n²):
+    a bucket IS a span hash; membership is emitted directly, no pair
+    enumeration. At 100 TB, raise SPAN_ANCHOR_MOD to keep the index at
+    a fixed fraction of corpus tokens — detection stays
+    value-consistent by construction.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(SPAN_BOILERPLATE + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    toks = fan_out(spark, aug).select(
+        "doc_id",
+        F.split("text", " ").alias("t"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    spans = (
+        toks.filter(F.col("n") >= SPAN_WIDTH)
+        .select(
+            "doc_id",
+            "t",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n") - SPAN_WIDTH)
+            ).alias("span_start"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            portable_hash60(
+                F.concat_ws(
+                    " ", F.slice("t", F.col("span_start") + 1, SPAN_WIDTH)
+                )
+            ).alias("h"),
+        )
+    )
+    anch = spans.filter(F.pmod("h", F.lit(SPAN_ANCHOR_MOD)) == 0)
+    by_doc = Window.partitionBy("h").orderBy("doc_id")
+    whole = Window.partitionBy("h")
+    return (
+        anch.withColumn("rk", F.dense_rank().over(by_doc))
+        .withColumn("n_docs", F.max("rk").over(whole))
+        .filter(F.col("n_docs") >= 2)
+        .select(
+            "doc_id",
+            "span_start",
+            F.lit(SPAN_WIDTH).cast("long").alias("span_len"),
+            F.col("h").alias("cluster_hash"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+        )
+    )
+
+
+# --- text_decontaminate_probes ---------------------------------------------
+
+#: n-gram width for decontamination overlap (the eval-overlap standard
+#: is 8-13 grams on real text; the fixture's ~55-token docs need a
+#: tighter window to exercise the partial-overlap path).
+DECON_WIDTH = 5
+#: a doc is dropped when ≥ 1/DECON_DROP_DENOM of its distinct n-grams
+#: appear in the probe set (integer-threshold compare — no float
+#: boundary ambiguity across engines).
+DECON_DROP_DENOM = 20
+
+
+@register(
+    "text_decontaminate_probes",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS t, text FROM documents
+    ), shl AS (
+      SELECT doc_id,
+             CASE WHEN LEN(t) >= {DECON_WIDTH}
+                  THEN LIST_DISTINCT(LIST_TRANSFORM(RANGE(LEN(t) - {DECON_WIDTH - 1}),
+                       i -> ARRAY_TO_STRING(LIST_SLICE(t, i + 1, i + {DECON_WIDTH}), ' ')))
+                  ELSE [text] END AS sh
+      FROM toks
+    ), sh AS (
+      SELECT doc_id, UNNEST(sh) AS shingle FROM shl
+    ), probe AS (
+      SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0
+    )
+    SELECT s.doc_id,
+           COUNT(*) AS n_ngrams,
+           CAST(SUM(CASE WHEN p.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated,
+           ROUND(AVG(CASE WHEN p.shingle IS NOT NULL THEN 1.0 ELSE 0.0 END), 6)
+             AS contamination_frac,
+           CAST(SUM(CASE WHEN p.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                * {DECON_DROP_DENOM} >= COUNT(*) AS INT) AS drop_flag
+    FROM sh s LEFT JOIN probe p USING (shingle)
+    GROUP BY s.doc_id
+    """,
+)
+def text_decontaminate_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per-document n-gram overlap against a
+    held-out probe (eval) set, with a contamination fraction and a
+    drop flag — the stage that keeps eval questions out of training
+    corpora. The probe set is synthesized deterministically from the
+    fixture (docs with doc_id % 97 == 0 stand in for the eval set), so
+    probe docs score 1.0, genuinely-overlapping docs score a partial
+    fraction, and everything else 0.
+
+    Scale: the probe n-gram set is eval-set-sized (thousands of
+    benchmarks × items — MBs, not corpus-scale), so Spark's planner
+    broadcast-joins it against the exploded corpus shingle stream: one
+    corpus scan + tokenize, zero shuffle for the membership test, one
+    doc_id-keyed aggregation with map-side combine. The drop
+    threshold compares integers (hits × denom ≥ total) so the flag has
+    no float-boundary ambiguity between engines.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = fan_out(spark, docs).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(shingles(F.col("text"), width=DECON_WIDTH))
+        ).alias("shingle"),
+    )
+    probe = (
+        sh.filter(F.col("doc_id") % 97 == 0)
+        .select("shingle")
+        .distinct()
+        .withColumn("is_probe", F.lit(1))
+    )
+    hit = F.when(F.col("is_probe").isNotNull(), 1).otherwise(0)
+    return (
+        sh.join(F.broadcast(probe), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            F.sum(hit).cast("long").alias("n_contaminated"),
+            F.round(F.avg(hit.cast("double")), 6).alias("contamination_frac"),
+            (F.sum(hit) * DECON_DROP_DENOM >= F.count("*"))
+            .cast("int")
+            .alias("drop_flag"),
+        )
+    )
+
+
+# --- text_pii_redact ---------------------------------------------------------
+
+#: PII regex classes, applied in this order (Java regex ∩ RE2 subset:
+#: no lookaround, no backrefs — portable between Spark and DuckDB).
+#: Email before long-id so local-part digits are consumed as <EMAIL>;
+#: phone/IPv4 before long-id is cosmetic (their digit runs are < 9).
+PII_PATTERNS = [
+    ("email", r"[a-z0-9._%-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    ("ipv4", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+    ("longid", r"[0-9]{9,}", "<ID>"),
+]
+
+_PII_PLANT_SQL = """
+      text
+      || CASE WHEN doc_id % 3 = 0
+              THEN ' contact user' || doc_id::VARCHAR || '@example.com now'
+              ELSE '' END
+      || CASE WHEN doc_id % 4 = 0
+              THEN ' call +1-555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-0199'
+              ELSE '' END
+      || CASE WHEN doc_id % 5 = 0
+              THEN ' host 10.' || (doc_id % 256)::VARCHAR || '.0.'
+                   || (doc_id % 200)::VARCHAR || ' up'
+              ELSE '' END
+      || CASE WHEN doc_id % 7 = 0
+              THEN ' ref 9' || lpad(doc_id::VARCHAR, 10, '0')
+              ELSE '' END
+"""
+
+
+def _pii_redact_oracle() -> str:
+    redacted = "pii_text"
+    for _, pat, token in PII_PATTERNS:
+        redacted = f"REGEXP_REPLACE({redacted}, '{pat}', '{token}', 'g')"
+    counts = ",\n           ".join(
+        f"CAST(LEN(REGEXP_EXTRACT_ALL(pii_text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    return f"""
+    WITH aug AS (
+      SELECT doc_id, {_PII_PLANT_SQL} AS pii_text FROM documents
+    )
+    SELECT doc_id,
+           {counts},
+           {redacted} AS redacted
+    FROM aug
+    """
+
+
+@register("text_pii_redact", oracle=_pii_redact_oracle())
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-class detection and redaction: per-class match counts
+    (email, E.164-ish phone, IPv4, ≥9-digit ID runs) and the redacted
+    text with class placeholders — the real-pattern upgrade of
+    text_clean_redact (llm_text.py:236), over text with
+    deterministically PLANTED PII (the fixture contains none; the
+    plant expression is reproduced verbatim in the oracle, so
+    detection is hash-verified against known ground truth — doc_id % 3
+    docs carry an email, % 4 a phone, % 5 an IP, % 7 a long ID).
+
+    Scale: pure regexp_count/regexp_replace column expressions — one
+    scan, whole-stage codegen, no shuffle, no Python. The pattern
+    table is the extension point; patterns are kept inside the
+    Java-regex ∩ RE2 subset so the oracle twins exactly. Replacement
+    order matters (email first so local-part digits never leak into
+    the long-ID class) and is pinned by PII_PATTERNS.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pii_text = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit(" call +1-555-"),
+                F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                F.lit("-0199"),
+            ),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" host 10."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".0."),
+                (F.col("doc_id") % 200).cast("string"),
+                F.lit(" up"),
+            ),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" ref 9"),
+                F.lpad(F.col("doc_id").cast("string"), 10, "0"),
+            ),
+        ).otherwise(""),
+    )
+    aug = docs.select("doc_id", pii_text.alias("pii_text"))
+    redacted = F.col("pii_text")
+    for _, pat, token in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, token)
+    return aug.select(
+        "doc_id",
+        *[
+            F.regexp_count("pii_text", F.lit(pat)).cast("long").alias(f"n_{name}")
+            for name, pat, _ in PII_PATTERNS
+        ],
+        redacted.alias("redacted"),
+    )
+
+
+# --- text_html_extract -------------------------------------------------------
+
+_HTML_WRAP_SQL = """
+      '<html><head><title>doc ' || doc_id::VARCHAR || '</title>'
+      || '<style>p{color:#333;margin:0}</style>'
+      || '<script>var t="tracking";trk(t);</script></head>'
+      || '<body><div class="nav">home | products | about | login</div>'
+      || '<p>' || text || '</p>'
+      || '<div class="footer">copyright 2026 example corp | terms | privacy</div>'
+      || '</body></html>'
+"""
+
+
+@register(
+    "text_html_extract",
+    oracle=rf"""
+    WITH html AS (
+      SELECT doc_id, {_HTML_WRAP_SQL} AS html FROM documents
+    ), stripped AS (
+      SELECT doc_id, html,
+             TRIM(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(html,
+               '<script[^>]*>[^<]*</script>', ' ', 'g'),
+               '<style[^>]*>[^<]*</style>', ' ', 'g'),
+               '<[^>]*>', ' ', 'g'),
+               ' +', ' ', 'g')) AS full_text,
+             REGEXP_EXTRACT(html, '<p>(.*)</p>', 1) AS main_text
+      FROM html
+    )
+    SELECT doc_id, main_text,
+           CAST(LENGTH(html) AS BIGINT) AS n_html_chars,
+           CAST(LENGTH(full_text) AS BIGINT) AS n_text_chars,
+           CAST(LENGTH(main_text) AS BIGINT) AS n_main_chars,
+           ROUND(1.0 - LENGTH(main_text) / CAST(LENGTH(full_text) AS DOUBLE), 6)
+             AS boilerplate_frac
+    FROM stripped
+    """,
+)
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction with a boilerplate ratio: strip
+    script/style blocks and tags, collapse whitespace, pull the main
+    content (<p> body), and report how much of the visible text is
+    chrome (nav/footer) — the crawl-ingest stage a C4-style pipeline
+    runs before any quality filtering. The fixture is plain text, so a
+    deterministic HTML wrapper (head + style + script + nav + footer)
+    is synthesized identically in both engines; extraction must
+    recover exactly the original text as main content, which the
+    oracle hash proves.
+
+    Scale: a fixed chain of regexp_replace/regexp_extract column
+    expressions — one scan, codegen, no shuffle, no Python; the same
+    shape handles real crawl HTML by widening the pattern chain.
+    Script/style interiors use '[^<]*' (their content has no '<'),
+    keeping the patterns in the shared Java/RE2 subset instead of
+    relying on non-greedy dialect quirks.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title>"),
+        F.lit('<style>p{color:#333;margin:0}</style>'),
+        F.lit('<script>var t="tracking";trk(t);</script></head>'),
+        F.lit('<body><div class="nav">home | products | about | login</div>'),
+        F.lit("<p>"),
+        F.col("text"),
+        F.lit("</p>"),
+        F.lit('<div class="footer">copyright 2026 example corp | terms | privacy</div>'),
+        F.lit("</body></html>"),
+    )
+    h = docs.select("doc_id", html.alias("html"))
+    full_text = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.col("html"), r"<script[^>]*>[^<]*</script>", " "
+                    ),
+                    r"<style[^>]*>[^<]*</style>",
+                    " ",
+                ),
+                r"<[^>]*>",
+                " ",
+            ),
+            " +",
+            " ",
+        )
+    )
+    main_text = F.regexp_extract("html", r"<p>(.*)</p>", 1)
+    s = h.select(
+        "doc_id",
+        "html",
+        full_text.alias("full_text"),
+        main_text.alias("main_text"),
+    )
+    return s.select(
+        "doc_id",
+        "main_text",
+        F.length("html").cast("long").alias("n_html_chars"),
+        F.length("full_text").cast("long").alias("n_text_chars"),
+        F.length("main_text").cast("long").alias("n_main_chars"),
+        F.round(
+            1.0 - F.length("main_text") / F.length("full_text").cast("double"), 6
+        ).alias("boilerplate_frac"),
+    )
+
+
+# --- corpus_chunk_tokens -----------------------------------------------------
+
+#: context-window budget per chunk, in BPE-ish tokens (not words).
+CHUNK_TOKEN_BUDGET = 16
+#: per-word token-cost rule — text_token_count's bpe_ish segmentation
+#: (llm_text.py:203) applied at word granularity: alpha runs, digit
+#: runs, residual symbols each count one token.
+CHUNK_COST_RE = "[a-z]+|[0-9]+|[^a-z0-9]"
+
+
+@register(
+    "corpus_chunk_tokens",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+    ), words AS (
+      SELECT doc_id, i - 1 AS pos, t[i] AS word,
+             LEN(REGEXP_EXTRACT_ALL(t[i], '{CHUNK_COST_RE}')) AS cost
+      FROM toks, UNNEST(RANGE(1, LEN(t) + 1)) AS r(i)
+    ), cum AS (
+      SELECT doc_id, pos, word, cost,
+             SUM(cost) OVER (PARTITION BY doc_id ORDER BY pos) - cost AS cum_excl
+      FROM words
+    )
+    SELECT doc_id,
+           CAST(FLOOR(cum_excl / {CHUNK_TOKEN_BUDGET}.0) AS BIGINT) AS chunk_id,
+           COUNT(*) AS n_words,
+           CAST(SUM(cost) AS BIGINT) AS n_tokens,
+           CAST(MIN(pos) AS BIGINT) AS chunk_start,
+           MD5(STRING_AGG(word, ' ' ORDER BY pos)) AS chunk_md5
+    FROM cum
+    GROUP BY doc_id, CAST(FLOOR(cum_excl / {CHUNK_TOKEN_BUDGET}.0) AS BIGINT)
+    """,
+)
+def corpus_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count-aware chunking: split documents into context windows
+    by a TOKEN budget, not word/char geometry (corpus_chunk_documents'
+    limitation — corpus_ops.py:290). Each word costs its BPE-ish
+    segment count (alpha runs + digit runs + symbols, the
+    text_token_count rule), words are packed greedily in order, and a
+    word starts a new chunk when the running token total would exceed
+    the budget — so a chunk may end at budget + (straddling word − 1)
+    tokens, the standard greedy word-boundary semantics. Output pins
+    content (chunk md5 over the joined words), geometry (start
+    position, word/token counts), and the boundary rule.
+
+    Scale: one tokenize + posexplode (map-side, parallel with the
+    scan), one doc-keyed window for the running sum, one (doc, chunk)
+    aggregation — a single shuffle key family, map-side combinable.
+    All integer arithmetic; chunk assignment is
+    floor(exclusive-prefix-sum / budget), which both engines compute
+    identically. At 100 TB the window partitions by doc_id — bounded
+    by document length, never corpus length.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = fan_out(spark, docs).select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "word"),
+    ).withColumn(
+        "cost",
+        F.size(F.regexp_extract_all("word", F.lit(CHUNK_COST_RE), 0)),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cum = words.withColumn(
+        "cum_excl", F.sum("cost").over(w) - F.col("cost")
+    ).withColumn(
+        "chunk_id",
+        F.floor(F.col("cum_excl") / float(CHUNK_TOKEN_BUDGET)).cast("long"),
+    )
+    ordered_words = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "word"))),
+        lambda s: s.word,
+    )
+    return cum.groupBy("doc_id", "chunk_id").agg(
+        F.count("*").alias("n_words"),
+        F.sum("cost").cast("long").alias("n_tokens"),
+        F.min("pos").cast("long").alias("chunk_start"),
+        F.md5(F.array_join(ordered_words, " ")).alias("chunk_md5"),
+    )

@@ -62,6 +62,7 @@ _OPERATOR_MODULES = [
     "efo_ops",
     "routing_ops",
     "audio_ops",
+    "curation_r10",
 ]
 
 _loaded = False
@@ -214,6 +215,13 @@ _PRIORITY = [
 _REVALIDATE_AFTER: dict[str, int] = {
     "multimodal_decode": 8,
     "multimodal_resize": 8,
+    # r09 changed these ops' compute path / oracle text after their r8
+    # green records (video HALF_UP rounding moved into the Spark plan;
+    # URL-normalization empty-port rule) — require a fresh record.
+    "multimodal_video_decode": 9,
+    "dedup_url_variants": 9,
+    "dedup_incremental_url": 9,
+    "text_url_normalize": 9,
 }
 
 

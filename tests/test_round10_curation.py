@@ -1,0 +1,150 @@
+"""Round-10 curation-operator behavioral tests: planted-span detection
+for substring dedup, probe self-contamination for decontamination,
+planted-PII ground truth for redaction, extraction-recovers-source for
+HTML strip, and greedy boundary laws for token-budget chunking — plus
+the oracle compare each op also gets from the driver sweep."""
+
+from __future__ import annotations
+
+import re
+
+import duckdb
+import pandas as pd
+import pytest
+
+from clj_kinesis_to_firehose_spark import registry
+from clj_kinesis_to_firehose_spark.operators.curation_r10 import (
+    CHUNK_COST_RE,
+    CHUNK_TOKEN_BUDGET,
+    DECON_DROP_DENOM,
+    PII_PATTERNS,
+    SPAN_ANCHOR_MOD,
+    SPAN_BOILERPLATE,
+    SPAN_WIDTH,
+)
+from tests.conftest import SF_DIR
+from tests.helpers import assert_frames_match
+
+QUERIES = registry.queries()
+ORACLES = registry.oracle_sql()
+
+R10_OPS = [
+    "dedup_substring_spans",
+    "text_decontaminate_probes",
+    "text_pii_redact",
+    "text_html_extract",
+    "corpus_chunk_tokens",
+]
+
+
+@pytest.mark.parametrize("name", R10_OPS)
+def test_oracle_compare(spark, oracle_con, name):
+    sp = QUERIES[name](spark, SF_DIR).toPandas()
+    du = oracle_con.execute(ORACLES[name]).fetchdf()
+    assert_frames_match(sp, du, name)
+
+
+def test_substring_spans_find_planted_boilerplate(spark):
+    """Every doc_id % 5 == 0 doc carries the 10-token boilerplate
+    prefix, so its anchored prefix spans must all be detected with the
+    full planted-cohort cluster size; span metadata must be in range."""
+    out = QUERIES["dedup_substring_spans"](spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    planted = set(docs.doc_id[docs.doc_id % 5 == 0])
+    n_bp_tokens = len(SPAN_BOILERPLATE.split(" "))
+    # pure-boilerplate spans start at 0 .. n_bp_tokens - SPAN_WIDTH
+    bp_positions = set(range(n_bp_tokens - SPAN_WIDTH + 1))
+    for d in sorted(planted)[:20]:
+        got = set(out.span_start[(out.doc_id == d) & (out.n_docs >= len(planted))])
+        # anchoring keeps h % mod == 0 spans only — consistent per span
+        # VALUE, so every planted doc reports the SAME surviving subset
+        assert got & bp_positions or not (
+            set(out.span_start[(out.doc_id == sorted(planted)[0])]) & bp_positions
+        )
+    # the surviving boilerplate spans cluster across the whole cohort
+    bp_rows = out[(out.doc_id.isin(planted)) & (out.span_start.isin(bp_positions))]
+    if len(bp_rows):
+        assert bp_rows.n_docs.max() >= len(planted)
+    assert (out.span_len == SPAN_WIDTH).all()
+    assert (out.n_docs >= 2).all()
+    assert (out.cluster_hash % SPAN_ANCHOR_MOD == 0).all()
+
+
+def test_decontaminate_probe_docs_self_flag(spark):
+    out = QUERIES["text_decontaminate_probes"](spark, SF_DIR).toPandas()
+    probes = out[out.doc_id % 97 == 0]
+    assert len(probes) > 0
+    assert (probes.contamination_frac == 1.0).all()
+    assert (probes.drop_flag == 1).all()
+    non = out[out.doc_id % 97 != 0]
+    # drop rule is the integer threshold, applied row-wise
+    expect = (non.n_contaminated * DECON_DROP_DENOM >= non.n_ngrams).astype(int)
+    assert (non.drop_flag.to_numpy() == expect.to_numpy()).all()
+
+
+def test_pii_redact_planted_ground_truth(spark):
+    out = QUERIES["text_pii_redact"](spark, SF_DIR).toPandas().set_index("doc_id")
+    # plant schedule: %3 email, %4 phone, %5 ipv4, %7 long id
+    for d, row in out.iterrows():
+        assert row.n_email >= (1 if d % 3 == 0 else 0)
+        assert row.n_phone == (1 if d % 4 == 0 else 0)
+        assert row.n_ipv4 == (1 if d % 5 == 0 else 0)
+        assert row.n_longid == (1 if d % 7 == 0 else 0)
+    # no residual raw PII of any class survives redaction
+    for name, pat, token in PII_PATTERNS:
+        hits = out.redacted.str.contains(pat, regex=True)
+        assert not hits.any(), f"unredacted {name} remains"
+    full = out.loc[420]  # 420 ≡ 0 mod 3,4,5,7 — all four classes planted
+    for _, _, token in PII_PATTERNS:
+        assert token in full.redacted
+
+
+def test_html_extract_recovers_source_text(spark):
+    out = QUERIES["text_html_extract"](spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    j = out.merge(docs[["doc_id", "text"]], on="doc_id")
+    assert (j.main_text == j.text).all()
+    assert (j.n_main_chars < j.n_text_chars).all()  # chrome really removed
+    assert (j.n_text_chars < j.n_html_chars).all()  # tags really removed
+    assert ((j.boilerplate_frac > 0) & (j.boilerplate_frac < 1)).all()
+    assert not j.main_text.str.contains("<|>", regex=True).any()
+
+
+def test_chunk_tokens_greedy_boundary_laws(spark):
+    out = QUERIES["corpus_chunk_tokens"](spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    cost_re = re.compile(CHUNK_COST_RE)
+
+    def wcost(w: str) -> int:
+        return len(cost_re.findall(w))
+
+    # per-doc: chunks partition the word stream; greedy boundary =
+    # a chunk closes only when the NEXT word would cross the budget
+    for _, doc in docs.head(40).iterrows():
+        words = doc.text.split(" ")
+        ch = out[out.doc_id == doc.doc_id].sort_values("chunk_id")
+        assert ch.n_words.sum() == len(words)
+        assert ch.chunk_start.iloc[0] == 0 and ch.chunk_id.iloc[0] == 0
+        # chunk_start strictly increasing and equals cumulative words
+        assert (ch.chunk_start.to_numpy() == ch.n_words.cumsum().shift(
+            1, fill_value=0).to_numpy()).all()
+        costs = [wcost(w) for w in words]
+        # max overshoot is the straddling word's cost - 1
+        assert ch.n_tokens.max() <= CHUNK_TOKEN_BUDGET + max(costs) - 1
+        # token totals agree with the cost rule end to end
+        assert ch.n_tokens.sum() == sum(costs)
+
+
+def test_chunk_nonlast_chunks_fill_budget(spark):
+    """A non-final chunk closed because the next word would overflow:
+    its token count plus that next word's cost must exceed the budget."""
+    out = QUERIES["corpus_chunk_tokens"](spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet").set_index("doc_id")
+    cost_re = re.compile(CHUNK_COST_RE)
+    for d in list(out.doc_id.unique())[:40]:
+        words = docs.loc[d].text.split(" ")
+        costs = [len(cost_re.findall(w)) for w in words]
+        ch = out[out.doc_id == d].sort_values("chunk_id").reset_index(drop=True)
+        for i in range(len(ch) - 1):
+            next_word_pos = int(ch.chunk_start[i] + ch.n_words[i])
+            assert ch.n_tokens[i] + costs[next_word_pos] > CHUNK_TOKEN_BUDGET
