@@ -48,10 +48,12 @@ SPAN_ANCHOR_MOD = 4
 #: addition to the corpus's natural repeated phrases.
 SPAN_BOILERPLATE = "subscribe to our newsletter for daily updates and offers today"
 
-
-@register(
-    "dedup_substring_spans",
-    oracle=f"""
+#: shared DuckDB CTE block for the span-dedup family (detection,
+#: removal, incremental): boilerplate plant → token arrays → width-W
+#: stride-1 spans with the portable 60-bit hash → anchored subset.
+#: ONE copy, composed by every oracle in the family — per the r9
+#: lesson that duplicated oracle rule text is pure drift risk.
+SQL_SPAN_CTES = f"""
     WITH aug AS (
       SELECT doc_id,
              CASE WHEN doc_id % 5 = 0
@@ -71,7 +73,62 @@ SPAN_BOILERPLATE = "subscribe to our newsletter for daily updates and offers tod
       WHERE n >= {SPAN_WIDTH}
     ), anch AS (
       SELECT * FROM spans WHERE h % {SPAN_ANCHOR_MOD} = 0
-    ), clus AS (
+    )"""
+
+
+def _aug_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with the deterministic boilerplate plant (the Spark
+    twin of SQL_SPAN_CTES's ``aug``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(SPAN_BOILERPLATE + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def _tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, t: array<string>, n) — SQL_SPAN_CTES's ``toks``."""
+    return fan_out(spark, _aug_docs(spark, sf_dir)).select(
+        "doc_id",
+        F.split("text", " ").alias("t"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+
+
+def _anchored_spans(toks: DataFrame) -> DataFrame:
+    """(doc_id, span_start, h) for anchored spans — SQL_SPAN_CTES's
+    ``anch``: width-W stride-1 spans, portable hash, h % mod == 0."""
+    return (
+        toks.filter(F.col("n") >= SPAN_WIDTH)
+        .select(
+            "doc_id",
+            "t",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n") - SPAN_WIDTH)
+            ).alias("span_start"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            portable_hash60(
+                F.concat_ws(
+                    " ", F.slice("t", F.col("span_start") + 1, SPAN_WIDTH)
+                )
+            ).alias("h"),
+        )
+        .filter(F.pmod("h", F.lit(SPAN_ANCHOR_MOD)) == 0)
+    )
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=f"""
+    {SQL_SPAN_CTES}, clus AS (
       SELECT h, COUNT(DISTINCT doc_id) AS n_docs
       FROM anch GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
     )
@@ -113,41 +170,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     a fixed fraction of corpus tokens — detection stays
     value-consistent by construction.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    aug = docs.select(
-        "doc_id",
-        F.when(
-            F.col("doc_id") % 5 == 0,
-            F.concat(F.lit(SPAN_BOILERPLATE + " "), F.col("text")),
-        )
-        .otherwise(F.col("text"))
-        .alias("text"),
-    )
-    toks = fan_out(spark, aug).select(
-        "doc_id",
-        F.split("text", " ").alias("t"),
-        F.size(F.split("text", " ")).alias("n"),
-    )
-    spans = (
-        toks.filter(F.col("n") >= SPAN_WIDTH)
-        .select(
-            "doc_id",
-            "t",
-            F.explode(
-                F.sequence(F.lit(0), F.col("n") - SPAN_WIDTH)
-            ).alias("span_start"),
-        )
-        .select(
-            "doc_id",
-            "span_start",
-            portable_hash60(
-                F.concat_ws(
-                    " ", F.slice("t", F.col("span_start") + 1, SPAN_WIDTH)
-                )
-            ).alias("h"),
-        )
-    )
-    anch = spans.filter(F.pmod("h", F.lit(SPAN_ANCHOR_MOD)) == 0)
+    anch = _anchored_spans(_tokenized(spark, sf_dir))
     by_doc = Window.partitionBy("h").orderBy("doc_id")
     whole = Window.partitionBy("h")
     return (
@@ -212,7 +235,11 @@ def text_decontaminate_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpora. The probe set is synthesized deterministically from the
     fixture (docs with doc_id % 97 == 0 stand in for the eval set), so
     probe docs score 1.0, genuinely-overlapping docs score a partial
-    fraction, and everything else 0.
+    fraction, and everything else 0. Extends corpus_decontaminate
+    (llm_text.py:379), which emits only absolute shared-gram counts
+    for the overlapping docs — this op produces the actionable form: a
+    row for EVERY doc with its contamination fraction and the drop
+    decision a pipeline gates on.
 
     Scale: the probe n-gram set is eval-set-sized (thousands of
     benchmarks × items — MBs, not corpus-scale), so Spark's planner
@@ -553,4 +580,287 @@ def corpus_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cost").cast("long").alias("n_tokens"),
         F.min("pos").cast("long").alias("chunk_start"),
         F.md5(F.array_join(ordered_words, " ")).alias("chunk_md5"),
+    )
+
+
+# --- dedup_substring_remove ----------------------------------------------
+
+#: batch boundary for the incremental span index: docs below are "the
+#: existing corpus" (persisted index), docs at/above are the new batch.
+SPAN_BATCH_SPLIT = 400
+
+
+@register(
+    "dedup_substring_remove",
+    oracle=f"""
+    {SQL_SPAN_CTES}, clus AS (
+      SELECT h, COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS keeper
+      FROM anch GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ), rem AS (
+      SELECT DISTINCT a.doc_id, a.span_start + i AS pos
+      FROM anch a JOIN clus c USING (h), UNNEST(RANGE(0, {SPAN_WIDTH})) AS u(i)
+      WHERE a.doc_id <> c.keeper
+    ), words AS (
+      SELECT doc_id, i - 1 AS pos, t[i] AS word
+      FROM toks, UNNEST(RANGE(1, n + 1)) AS r(i)
+    ), kept AS (
+      SELECT w.doc_id,
+             STRING_AGG(w.word, ' ' ORDER BY w.pos) AS clean_text,
+             COUNT(*) AS n_kept
+      FROM words w LEFT JOIN rem r ON w.doc_id = r.doc_id AND w.pos = r.pos
+      WHERE r.pos IS NULL
+      GROUP BY w.doc_id
+    )
+    SELECT t.doc_id,
+           COALESCE(k.clean_text, '') AS clean_text,
+           CAST(t.n - COALESCE(k.n_kept, 0) AS BIGINT) AS n_tokens_removed,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_tokens_kept
+    FROM toks t LEFT JOIN kept k USING (doc_id)
+    """,
+)
+def dedup_substring_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTION stage of substring dedup: rewrite each document with
+    cross-document repeated spans REMOVED, keeping one canonical copy
+    corpus-wide (the cluster's min-doc_id "keeper" retains its text;
+    every other occurrence's tokens are dropped, overlapping spans
+    unioned at the token level). Emits the cleaned text plus
+    removed/kept token counts — what actually lands in the training
+    corpus after dedup_substring_spans' report.
+
+    Scale: detection is the same one-exchange anchored-span pipeline;
+    removal unions span token positions (explode of a constant-width
+    sequence — map-side), anti-joins them against the posexploded word
+    stream on (doc_id, pos), and reassembles per doc with an ordered
+    collect. All shuffles are doc_id-keyed (bounded by document
+    length) except the one span-hash exchange; the keeper rule
+    (MIN(doc_id) per cluster) is deterministic under any partitioning,
+    so the SAME bytes are removed on every run of a 100 TB corpus —
+    the reproducibility property incremental pipelines need.
+    """
+    toks = _tokenized(spark, sf_dir)
+    anch = _anchored_spans(toks)
+    clus = (
+        anch.groupBy("h")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    rem = (
+        anch.join(clus, "h")
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.col("span_start"),
+                    F.col("span_start") + SPAN_WIDTH - 1,
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    words = toks.select(
+        "doc_id", F.posexplode("t").alias("pos", "word")
+    )
+    kept = (
+        words.join(rem, ["doc_id", "pos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s.word,
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count("*").alias("n_kept"),
+        )
+    )
+    return (
+        toks.select("doc_id", "n")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            (F.col("n") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_tokens_removed"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_tokens_kept"),
+        )
+    )
+
+
+# --- dedup_incremental_spans -----------------------------------------------
+
+
+@register(
+    "dedup_incremental_spans",
+    oracle=f"""
+    {SQL_SPAN_CTES}, idx AS (
+      SELECT DISTINCT h FROM anch WHERE doc_id < {SPAN_BATCH_SPLIT}
+    ), batch AS (
+      SELECT * FROM anch WHERE doc_id >= {SPAN_BATCH_SPLIT}
+    ), batch_clus AS (
+      SELECT h, COUNT(DISTINCT doc_id) AS batch_docs FROM batch GROUP BY h
+    )
+    SELECT b.doc_id,
+           COUNT(*) AS n_spans,
+           CAST(SUM(CASE WHEN i.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_vs_index,
+           CAST(SUM(CASE WHEN c.batch_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_in_batch,
+           CAST(SUM(CASE WHEN i.h IS NOT NULL OR c.batch_docs >= 2
+                         THEN 1 ELSE 0 END) = 0 AS INT) AS is_clean
+    FROM batch b
+    LEFT JOIN idx i ON b.h = i.h
+    JOIN batch_clus c ON b.h = c.h
+    GROUP BY b.doc_id
+    """,
+)
+def dedup_incremental_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental substring dedup — the production shape: a NEW ingest
+    batch (doc_id >= split) is checked against (a) the persisted span
+    index built from the existing corpus (doc_id < split) and (b)
+    itself, WITHOUT rescanning the corpus text. Per new document:
+    anchored span count, spans already in the index, spans repeated
+    within the batch, and a clean flag — the triage an incremental
+    crawl pipeline gates admission on (cf. dedup_incremental_minhash /
+    dedup_incremental_url for the doc- and URL-level twins).
+
+    Scale: the index is corpus-sized, so it is NEVER broadcast — the
+    membership test is a hash-keyed shuffle join on the span hash,
+    both sides partitioned on h (in production the index is a bucketed
+    table on h, making this join shuffle-free on the index side).
+    Batch-internal repetition reuses the same exchange (groupBy h).
+    Cost per ingest is O(batch tokens + matched index keys), never
+    O(corpus) — the whole point of keeping the index.
+    """
+    anch = _anchored_spans(_tokenized(spark, sf_dir))
+    idx = (
+        anch.filter(F.col("doc_id") < SPAN_BATCH_SPLIT)
+        .select("h")
+        .distinct()
+        .withColumn("in_idx", F.lit(1))
+    )
+    batch = anch.filter(F.col("doc_id") >= SPAN_BATCH_SPLIT)
+    batch_clus = batch.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("batch_docs")
+    )
+    idx_hit = F.when(F.col("in_idx").isNotNull(), 1).otherwise(0)
+    batch_hit = F.when(F.col("batch_docs") >= 2, 1).otherwise(0)
+    return (
+        batch.join(idx, "h", "left")
+        .join(batch_clus, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(idx_hit).cast("long").alias("n_dup_vs_index"),
+            F.sum(batch_hit).cast("long").alias("n_dup_in_batch"),
+            (
+                F.sum(
+                    F.when(
+                        F.col("in_idx").isNotNull() | (F.col("batch_docs") >= 2),
+                        1,
+                    ).otherwise(0)
+                )
+                == 0
+            )
+            .cast("int")
+            .alias("is_clean"),
+        )
+    )
+
+
+# --- text_html_links ---------------------------------------------------------
+
+_HTML_LINKS_WRAP_SQL = """
+      '<p>see <a href="https://p' || (doc_id % 7)::VARCHAR
+      || '.example.com/item/' || doc_id::VARCHAR || '">here</a>'
+      || ' and <a href="/rel/' || (doc_id % 13)::VARCHAR || '">rel</a>'
+      || CASE WHEN doc_id % 3 = 0
+              THEN ' <a rel="nofollow" href="https://ads.example.net/c?id='
+                   || doc_id::VARCHAR || '">ad</a>'
+              ELSE '' END
+      || '</p><p>' || text || '</p>'
+"""
+
+
+@register(
+    "text_html_links",
+    oracle=f"""
+    WITH html AS (
+      SELECT doc_id, {_HTML_LINKS_WRAP_SQL} AS html FROM documents
+    ), links AS (
+      SELECT doc_id, html,
+             REGEXP_EXTRACT_ALL(html, 'href="([^"]*)"', 1) AS hrefs
+      FROM html
+    )
+    SELECT doc_id,
+           CAST(LEN(hrefs) AS BIGINT) AS n_links,
+           CAST(LEN(LIST_FILTER(hrefs, x -> x LIKE 'http%')) AS BIGINT)
+             AS n_absolute,
+           CAST(LEN(REGEXP_EXTRACT_ALL(html, 'rel="nofollow"')) AS BIGINT)
+             AS n_nofollow,
+           ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(
+             LIST_TRANSFORM(LIST_FILTER(hrefs, x -> x LIKE 'http%'),
+                            x -> REGEXP_EXTRACT(x, 'https?://([^/?]+)', 1))
+           )), ',') AS hosts_csv
+    FROM links
+    """,
+)
+def text_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction from HTML — the crawl-graph stage: pull every
+    href, split absolute vs relative, count nofollow anchors, and emit
+    the distinct outbound hosts (sorted CSV, the adjacency a link-graph
+    builder aggregates). Links are synthesized deterministically (the
+    fixture has no HTML; the wrap is part of the oracle contract) with
+    host variety (doc_id % 7 subdomains), relative paths, and a
+    conditional nofollow ad link.
+
+    Scale: regexp_extract_all + array lambdas — one scan, codegen, no
+    shuffle, no Python; host extraction runs per-link inside the array
+    (F.transform), never via a second explode+join. The downstream
+    host-degree aggregation (not materialized here) would be the only
+    shuffle, keyed on host.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<p>see <a href="https://p'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com/item/"),
+        F.col("doc_id").cast("string"),
+        F.lit('">here</a>'),
+        F.lit(' and <a href="/rel/'),
+        (F.col("doc_id") % 13).cast("string"),
+        F.lit('">rel</a>'),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(' <a rel="nofollow" href="https://ads.example.net/c?id='),
+                F.col("doc_id").cast("string"),
+                F.lit('">ad</a>'),
+            ),
+        ).otherwise(""),
+        F.lit("</p><p>"),
+        F.col("text"),
+        F.lit("</p>"),
+    )
+    h = docs.select("doc_id", html.alias("html"))
+    hrefs = F.regexp_extract_all("html", F.lit('href="([^"]*)"'), 1)
+    absolute = F.filter(hrefs, lambda x: x.startswith("http"))
+    hosts = F.transform(
+        absolute, lambda x: F.regexp_extract(x, "https?://([^/?]+)", 1)
+    )
+    return h.select(
+        "doc_id",
+        F.size(hrefs).cast("long").alias("n_links"),
+        F.size(absolute).cast("long").alias("n_absolute"),
+        F.regexp_count("html", F.lit('rel="nofollow"')).cast("long").alias(
+            "n_nofollow"
+        ),
+        F.array_join(F.array_sort(F.array_distinct(hosts)), ",").alias(
+            "hosts_csv"
+        ),
     )

@@ -148,3 +148,62 @@ def test_chunk_nonlast_chunks_fill_budget(spark):
         for i in range(len(ch) - 1):
             next_word_pos = int(ch.chunk_start[i] + ch.n_words[i])
             assert ch.n_tokens[i] + costs[next_word_pos] > CHUNK_TOKEN_BUDGET
+
+
+def test_substring_remove_invariants(spark):
+    out = QUERIES["dedup_substring_remove"](spark, SF_DIR).toPandas()
+    spans = QUERIES["dedup_substring_spans"](spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    aug = docs.assign(
+        text=docs.apply(
+            lambda r: (SPAN_BOILERPLATE + " " + r.text)
+            if r.doc_id % 5 == 0 else r.text, axis=1)
+    ).set_index("doc_id")
+    out = out.set_index("doc_id")
+    assert len(out) == len(docs)
+    # removed + kept partitions the augmented token stream
+    for d, row in out.head(100).iterrows():
+        n = len(aug.loc[d].text.split(" "))
+        assert row.n_tokens_removed + row.n_tokens_kept == n
+    # untouched docs keep their (augmented) text verbatim
+    clean0 = out[out.n_tokens_removed == 0]
+    assert len(clean0) > 0
+    for d, row in clean0.head(50).iterrows():
+        assert row.clean_text == aug.loc[d].text
+    # per cluster, the min-doc_id keeper loses nothing to THAT cluster:
+    # every removed token traces to a cluster where the doc isn't keeper
+    keepers = spans.groupby("cluster_hash").doc_id.min()
+    nonkeeper_docs = set(spans.doc_id) - set(keepers)
+    removed_docs = set(out[out.n_tokens_removed > 0].index)
+    assert removed_docs <= set(spans.doc_id)
+    assert removed_docs >= (nonkeeper_docs - set(keepers.values))
+
+
+def test_incremental_spans_consistency(spark):
+    out = QUERIES["dedup_incremental_spans"](spark, SF_DIR).toPandas()
+    assert (out.doc_id >= 400).all()
+    assert (out.n_spans >= out.n_dup_vs_index).all()
+    assert (out.n_spans >= out.n_dup_in_batch).all()
+    expect = ((out.n_dup_vs_index == 0) & (out.n_dup_in_batch == 0)).astype(int)
+    assert (out.is_clean.to_numpy() == expect.to_numpy()).all()
+    # the planted boilerplate exists on both sides of the split, so any
+    # batch doc carrying anchored boilerplate spans must hit the index
+    spans = QUERIES["dedup_substring_spans"](spark, SF_DIR).toPandas()
+    bp = spans[(spans.doc_id % 5 == 0) & (spans.span_start < 5)]
+    batch_bp_docs = set(bp.doc_id[bp.doc_id >= 400])
+    if batch_bp_docs:
+        assert (out.set_index("doc_id").loc[sorted(batch_bp_docs)]
+                .n_dup_vs_index > 0).all()
+
+
+def test_html_links_planted_schedule(spark):
+    out = QUERIES["text_html_links"](spark, SF_DIR).toPandas()
+    ad = (out.doc_id % 3 == 0).astype(int)
+    assert (out.n_links.to_numpy() == (2 + ad).to_numpy()).all()
+    assert (out.n_absolute.to_numpy() == (1 + ad).to_numpy()).all()
+    assert (out.n_nofollow.to_numpy() == ad.to_numpy()).all()
+    for _, r in out.head(60).iterrows():
+        hosts = r.hosts_csv.split(",")
+        assert f"p{r.doc_id % 7}.example.com" in hosts
+        assert ("ads.example.net" in hosts) == (r.doc_id % 3 == 0)
+        assert hosts == sorted(hosts)
