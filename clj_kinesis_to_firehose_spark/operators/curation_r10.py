@@ -864,3 +864,237 @@ def text_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hosts_csv"
         ),
     )
+
+
+# --- text_gopher_rules -------------------------------------------------------
+
+#: word-count admission band (Gopher-style repetition/geometry rules,
+#: scaled to the fixture's 10-110-token documents).
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 20, 1000
+#: mean word length must lie in [3, 10] characters.
+GOPHER_MIN_MWL, GOPHER_MAX_MWL = 3, 10
+#: ≥ 2 distinct stopwords must appear (the "real prose" signal).
+GOPHER_MIN_STOPWORDS = 2
+#: ≥ 80% of words must be purely alphabetic (as n_alpha*5 >= n*4).
+#: longest word ≤ 20 chars.
+GOPHER_MAX_WORDLEN = 20
+
+from clj_kinesis_to_firehose_spark.operators.llm_text import STOPWORDS  # noqa: E402
+
+_SQL_STOPLIST = "[" + ",".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+
+@register(
+    "text_gopher_rules",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             LEN(STRING_SPLIT(text, ' ')) AS n,
+             LENGTH(text) - (LEN(STRING_SPLIT(text, ' ')) - 1) AS sum_len,
+             LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                 w -> regexp_full_match(w, '[a-z]+'))) AS n_alpha,
+             LIST_MAX(LIST_TRANSFORM(STRING_SPLIT(text, ' '),
+                 w -> LENGTH(w))) AS max_wordlen,
+             LEN(LIST_DISTINCT(LIST_FILTER(STRING_SPLIT(text, ' '),
+                 w -> LIST_CONTAINS({_SQL_STOPLIST}, w)))) AS n_stop
+      FROM documents
+    ), r AS (
+      SELECT doc_id,
+             CAST(n BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS} AS INT)
+               AS r_wordcount,
+             CAST({GOPHER_MIN_MWL} * n <= sum_len
+                  AND sum_len <= {GOPHER_MAX_MWL} * n AS INT) AS r_mean_wordlen,
+             CAST(n_stop >= {GOPHER_MIN_STOPWORDS} AS INT) AS r_stopwords,
+             CAST(5 * n_alpha >= 4 * n AS INT) AS r_alpha_words,
+             CAST(max_wordlen <= {GOPHER_MAX_WORDLEN} AS INT) AS r_max_wordlen
+      FROM m
+    )
+    SELECT doc_id, r_wordcount, r_mean_wordlen, r_stopwords, r_alpha_words,
+           r_max_wordlen,
+           CAST(r_wordcount + r_mean_wordlen + r_stopwords + r_alpha_words
+                + r_max_wordlen AS BIGINT) AS n_rules_passed,
+           CAST(r_wordcount + r_mean_wordlen + r_stopwords + r_alpha_words
+                + r_max_wordlen = 5 AS INT) AS keep
+    FROM r
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule gate: the published heuristic filter
+    battery (word-count band, mean-word-length band, minimum distinct
+    stopwords, alphabetic-word fraction, longest-word cap) as per-rule
+    pass flags plus the conjunctive keep decision — the form a corpus
+    pipeline both gates on AND audits (per-rule failure rates tell you
+    which rule is eating your corpus). Complements text_quality_score
+    (continuous features) with the thresholded decision layer.
+
+    Scale: one scan, all codegen array/length expressions, no shuffle.
+    Every threshold compares INTEGERS (mean word length as cross-
+    multiplication, alpha fraction as 5·n_alpha ≥ 4·n), so the gate is
+    engine- and partitioning-exact — no float boundary can flip a doc.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    sum_len = F.length("text") - (n - 1)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(
+        F.array_distinct(F.filter(toks, lambda w: F.array_contains(stop_arr, w)))
+    )
+    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("^[a-z]+$")))
+    max_wl = F.array_max(F.transform(toks, F.length))
+    r_wordcount = n.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS).cast("int")
+    r_mwl = (
+        (F.lit(GOPHER_MIN_MWL) * n <= sum_len)
+        & (sum_len <= F.lit(GOPHER_MAX_MWL) * n)
+    ).cast("int")
+    r_stop = (n_stop >= GOPHER_MIN_STOPWORDS).cast("int")
+    r_alpha = (n_alpha * 5 >= n * 4).cast("int")
+    r_maxwl = (max_wl <= GOPHER_MAX_WORDLEN).cast("int")
+    total = r_wordcount + r_mwl + r_stop + r_alpha + r_maxwl
+    return docs.select(
+        "doc_id",
+        r_wordcount.alias("r_wordcount"),
+        r_mwl.alias("r_mean_wordlen"),
+        r_stop.alias("r_stopwords"),
+        r_alpha.alias("r_alpha_words"),
+        r_maxwl.alias("r_max_wordlen"),
+        total.cast("long").alias("n_rules_passed"),
+        (total == 5).cast("int").alias("keep"),
+    )
+
+
+# --- corpus_token_budget -------------------------------------------------
+
+#: token-budget target the epoch estimate is reported against.
+TOKEN_BUDGET_TARGET = 1_000_000
+#: BPE-ish token rule over full text (text_token_count's bpe_ish rule:
+#: alpha runs, digit runs, non-space symbols).
+TOKEN_BUDGET_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@register(
+    "corpus_token_budget",
+    oracle=f"""
+    WITH t AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(LEN(REGEXP_EXTRACT_ALL(text, '{TOKEN_BUDGET_RE}')))
+                  AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), tot AS (SELECT SUM(n_tokens) AS all_tokens FROM t)
+    SELECT source, n_docs, n_tokens,
+           ROUND(n_tokens / CAST(all_tokens AS DOUBLE), 6) AS token_share,
+           ROUND({TOKEN_BUDGET_TARGET}.0 / n_tokens, 4) AS epochs_for_budget
+    FROM t CROSS JOIN tot
+    """,
+)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget report: document count, total BPE-ish
+    tokens, corpus token share, and how many epochs of each source a
+    fixed training budget represents — the sizing table a data-mixture
+    design starts from (sources whose epochs_for_budget is high get
+    up-sampled and risk memorization; the temperature-mix operator
+    consumes exactly this signal).
+
+    Scale: one scan with map-side-combined aggregation on `source`
+    (tiny key space), then a broadcast of the 1-row total — the same
+    shape as sample_temperature_source. Token counting is the shared
+    regexp segmentation, JVM-side.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per = fan_out(spark, docs).groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.regexp_extract_all("text", F.lit(TOKEN_BUDGET_RE), 0)))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_tokens").alias("all_tokens"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("all_tokens").cast("double"), 6).alias(
+            "token_share"
+        ),
+        F.round(F.lit(float(TOKEN_BUDGET_TARGET)) / F.col("n_tokens"), 4).alias(
+            "epochs_for_budget"
+        ),
+    )
+
+
+# --- text_decontaminate_attribution ------------------------------------------
+
+
+#: attribution n-gram width — tighter than the drop gate's
+#: DECON_WIDTH on purpose: leak triage wants the sensitive detector,
+#: admission wants the specific one.
+ATTR_WIDTH = 4
+
+
+@register(
+    "text_decontaminate_attribution",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS t, text FROM documents
+    ), shl AS (
+      SELECT doc_id,
+             CASE WHEN LEN(t) >= {ATTR_WIDTH}
+                  THEN LIST_DISTINCT(LIST_TRANSFORM(RANGE(LEN(t) - {ATTR_WIDTH - 1}),
+                       i -> ARRAY_TO_STRING(LIST_SLICE(t, i + 1, i + {ATTR_WIDTH}), ' ')))
+                  ELSE [text] END AS sh
+      FROM toks
+    ), sh AS (
+      SELECT doc_id, UNNEST(sh) AS shingle FROM shl
+    ), probe AS (
+      SELECT doc_id AS probe_id, shingle FROM sh WHERE doc_id % 97 = 0
+    ), pairs AS (
+      SELECT s.doc_id, p.probe_id, COUNT(*) AS n_shared
+      FROM sh s JOIN probe p USING (shingle)
+      WHERE s.doc_id <> p.probe_id
+      GROUP BY s.doc_id, p.probe_id
+    )
+    SELECT doc_id, probe_id AS top_probe_id, n_shared FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY n_shared DESC, probe_id) AS rk
+      FROM pairs
+    ) WHERE rk = 1
+    """,
+)
+def text_decontaminate_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination ATTRIBUTION: for each doc overlapping the probe
+    (eval) set, WHICH probe document it leaks — the top probe by shared
+    distinct ATTR_WIDTH-grams (a tighter width than the drop gate, by design) (deterministic tie-break on probe_id), self-pairs
+    excluded. text_decontaminate_probes answers "how contaminated";
+    this answers "against which benchmark", which is what an eval-team
+    triage actually consumes.
+
+    Scale: same broadcast probe join as the fraction op, but the probe
+    side keeps probe_id so the corpus stream aggregates per (doc,
+    probe) — the pair space is bounded by actual overlaps, not |docs|
+    × |probes| (the join only materializes matching shingles). One
+    doc_id-window top-1 after a (doc, probe)-keyed agg.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = fan_out(spark, docs).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(shingles(F.col("text"), width=ATTR_WIDTH))
+        ).alias("shingle"),
+    )
+    probe = sh.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("probe_id"), "shingle"
+    )
+    pairs = (
+        sh.join(F.broadcast(probe), "shingle")
+        .filter(F.col("doc_id") != F.col("probe_id"))
+        .groupBy("doc_id", "probe_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("n_shared").desc(), F.col("probe_id")
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("probe_id").alias("top_probe_id"), "n_shared")
+    )

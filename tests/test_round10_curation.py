@@ -269,3 +269,40 @@ def test_incremental_spans_index_is_not_broadcast(spark):
     # no F.broadcast hint: any BroadcastExchange present must be AQE's
     # runtime choice on the fixture, not a plan-forced hint
     assert "ResolvedHint" not in plan
+
+
+def test_gopher_rules_integer_gate(spark):
+    from clj_kinesis_to_firehose_spark.operators.curation_r10 import (
+        GOPHER_MAX_WORDS, GOPHER_MIN_WORDS,
+    )
+    out = QUERIES["text_gopher_rules"](spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    j = out.merge(docs[["doc_id", "text"]], on="doc_id")
+    nw = j.text.str.split(" ").str.len()
+    expect_wc = nw.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS).astype(int)
+    assert (j.r_wordcount.to_numpy() == expect_wc.to_numpy()).all()
+    flags = j[["r_wordcount", "r_mean_wordlen", "r_stopwords",
+               "r_alpha_words", "r_max_wordlen"]]
+    assert (j.n_rules_passed.to_numpy() == flags.sum(axis=1).to_numpy()).all()
+    assert (j.keep.to_numpy() == (j.n_rules_passed == 5).astype(int).to_numpy()).all()
+    # the battery must discriminate on this corpus, not rubber-stamp
+    assert 0 < j.keep.sum() < len(j)
+
+
+def test_token_budget_shares_sum_to_one(spark):
+    out = QUERIES["corpus_token_budget"](spark, SF_DIR).toPandas()
+    assert abs(out.token_share.sum() - 1.0) < 1e-3
+    assert (out.n_tokens > 0).all()
+    assert (out.epochs_for_budget > 0).all()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    assert out.n_docs.sum() == len(docs)
+
+
+def test_attribution_points_at_real_probes(spark):
+    out = QUERIES["text_decontaminate_attribution"](spark, SF_DIR).toPandas()
+    assert len(out) > 0
+    assert (out.top_probe_id % 97 == 0).all()
+    assert (out.doc_id != out.top_probe_id).all()
+    assert (out.n_shared >= 1).all()
+    # one attribution row per contaminated doc
+    assert out.doc_id.is_unique
