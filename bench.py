@@ -55,6 +55,9 @@ EXTENDED = [
     # round 8: merge-on-read delete — trend the vector-commit cost
     # beside the COW merge so rewrite-amplification regressions show
     "snapshot_delete_mor",
+    # round 10: the new curation flagship — anchored substring-span
+    # dedup; trends the tokenize→hash→window pipeline cost
+    "dedup_substring_spans",
 ]
 N_RUNS_EXT = 2
 

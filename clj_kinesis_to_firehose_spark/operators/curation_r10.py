@@ -1098,3 +1098,96 @@ def text_decontaminate_attribution(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("rk") == 1)
         .select("doc_id", F.col("probe_id").alias("top_probe_id"), "n_shared")
     )
+
+
+# --- corpus_shard_by_tokens --------------------------------------------------
+
+#: target tokens per output shard.
+SHARD_TOKEN_TARGET = 2000
+#: doc_id range per prefix-sum bucket (phase-1 granularity of the
+#: distributed cumulative sum).
+SHARD_BUCKET_SIZE = 100
+
+
+@register(
+    "corpus_shard_by_tokens",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             LEN(REGEXP_EXTRACT_ALL(text, '{TOKEN_BUDGET_RE}')) AS cost
+      FROM documents
+    ), cum AS (
+      SELECT doc_id, cost,
+             SUM(cost) OVER (ORDER BY doc_id) - cost AS cum_excl
+      FROM w
+    )
+    SELECT CAST(FLOOR(cum_excl / {SHARD_TOKEN_TARGET}.0) AS BIGINT) AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(cost) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc_id,
+           MAX(doc_id) AS last_doc_id
+    FROM cum GROUP BY 1
+    """,
+)
+def corpus_shard_by_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced shard assignment: pack documents (in doc_id
+    order) into shards of ~SHARD_TOKEN_TARGET BPE-ish tokens each —
+    the step that turns a curated corpus into equal-work training
+    shards (token-balanced shards ⇒ balanced data-loader throughput;
+    doc-count-balanced shards are NOT token-balanced when lengths are
+    skewed).
+
+    Scale: the naive formulation is a GLOBAL window cumsum — a
+    single-partition sort, the canonical 100 TB anti-pattern. This
+    implementation is the textbook two-phase distributed prefix sum
+    instead: (1) per-doc token cost map-side; (2) bucket docs by
+    doc_id range and aggregate per-bucket token totals (tiny
+    relation); (3) one window over the BUCKET relation computes each
+    bucket's global starting offset (|buckets| rows — fine in one
+    partition at any corpus size worth having); (4) broadcast the
+    offsets back and run the cumsum per bucket, partitioned —
+    bucket_offset + within-bucket exclusive prefix = the exact global
+    prefix, deterministically, because bucketing is by doc_id value,
+    never by physical partition. The oracle computes the same integers
+    with a plain global window, proving the distributed decomposition
+    exact.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = fan_out(spark, docs).select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all("text", F.lit(TOKEN_BUDGET_RE), 0)
+        ).alias("cost"),
+        F.floor(F.col("doc_id") / SHARD_BUCKET_SIZE).alias("bucket"),
+    )
+    bucket_totals = w.groupBy("bucket").agg(F.sum("cost").alias("bucket_sum"))
+    bucket_win = Window.orderBy("bucket")
+    offsets = bucket_totals.select(
+        "bucket",
+        (F.sum("bucket_sum").over(bucket_win) - F.col("bucket_sum")).alias(
+            "bucket_offset"
+        ),
+    )
+    in_bucket = Window.partitionBy("bucket").orderBy("doc_id")
+    cum = w.join(F.broadcast(offsets), "bucket").select(
+        "doc_id",
+        "cost",
+        (
+            F.col("bucket_offset")
+            + F.sum("cost").over(in_bucket)
+            - F.col("cost")
+        ).alias("cum_excl"),
+    )
+    return (
+        cum.withColumn(
+            "shard_id",
+            F.floor(F.col("cum_excl") / float(SHARD_TOKEN_TARGET)).cast("long"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("cost").cast("long").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+        )
+    )

@@ -306,3 +306,34 @@ def test_attribution_points_at_real_probes(spark):
     assert (out.n_shared >= 1).all()
     # one attribution row per contaminated doc
     assert out.doc_id.is_unique
+
+
+def test_shard_by_tokens_balanced_and_contiguous(spark):
+    from clj_kinesis_to_firehose_spark.operators.curation_r10 import (
+        SHARD_TOKEN_TARGET,
+    )
+    out = (QUERIES["corpus_shard_by_tokens"](spark, SF_DIR)
+           .toPandas().sort_values("shard_id").reset_index(drop=True))
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    assert out.n_docs.sum() == len(docs)
+    # shards are contiguous doc_id ranges in order
+    assert (out.shard_id.to_numpy() == range(len(out))).all()
+    assert (out.first_doc_id.iloc[1:].to_numpy()
+            == out.last_doc_id.iloc[:-1].to_numpy() + 1).all()
+    # every shard except the last reaches the target (greedy packing)
+    body = out.iloc[:-1]
+    assert (body.n_tokens >= SHARD_TOKEN_TARGET * 0.9).all()
+    # no shard overshoots by more than one max document
+    max_doc_cost = (docs.text.str.count("[a-z]+|[0-9]+|[^a-z0-9 ]")).max()
+    assert (out.n_tokens <= SHARD_TOKEN_TARGET + max_doc_cost).all()
+
+
+def test_shard_plan_has_no_global_sort_of_corpus(spark):
+    """The distributed prefix sum must never plan a single-partition
+    sort of the DOC relation — only the tiny bucket relation may use
+    the global window."""
+    df = QUERIES["corpus_shard_by_tokens"](spark, SF_DIR)
+    plan = audit.formatted_plan(df)
+    # the one SinglePartition exchange allowed is the bucket-offsets
+    # window (input = one row per SHARD_BUCKET_SIZE doc_id range)
+    assert plan.count("SinglePartition") <= 1
