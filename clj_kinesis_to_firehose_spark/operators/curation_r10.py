@@ -383,9 +383,7 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(""),
     )
     aug = docs.select("doc_id", pii_text.alias("pii_text"))
-    redacted = F.col("pii_text")
-    for _, pat, token in PII_PATTERNS:
-        redacted = F.regexp_replace(redacted, pat, token)
+    redacted = pii_redact_expr(F.col("pii_text"))
     return aug.select(
         "doc_id",
         *[
@@ -397,6 +395,47 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- text_html_extract -------------------------------------------------------
+
+def html_visible_text(col):
+    """Strip script/style blocks, then all tags, collapse whitespace,
+    trim — the HTML→visible-text expression shared by the operator and
+    the crafted-row edge tests. Script/style interiors use '[^<]*'
+    (true until the content itself contains '<'), and the tag pattern
+    '<[^>]*>' truncates at a '>' INSIDE a quoted attribute — both are
+    documented fast-path limits of regex extraction; a production
+    widening swaps patterns here, in ONE place."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(col, r"<script[^>]*>[^<]*</script>", " "),
+                    r"<style[^>]*>[^<]*</style>",
+                    " ",
+                ),
+                r"<[^>]*>",
+                " ",
+            ),
+            " +",
+            " ",
+        )
+    )
+
+
+def html_main_text(col):
+    """Main-content pull: the first-<p>-to-last-</p> body (greedy
+    group)."""
+    return F.regexp_extract(col, r"<p>(.*)</p>", 1)
+
+
+def pii_redact_expr(col):
+    """The ordered PII redaction chain over an arbitrary string column
+    (PII_PATTERNS order: email first so local-part digits never leak
+    into the long-ID class)."""
+    out = col
+    for _, pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
 
 _HTML_WRAP_SQL = """
       '<html><head><title>doc ' || doc_id::VARCHAR || '</title>'
@@ -466,29 +505,11 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("</body></html>"),
     )
     h = docs.select("doc_id", html.alias("html"))
-    full_text = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(
-                F.regexp_replace(
-                    F.regexp_replace(
-                        F.col("html"), r"<script[^>]*>[^<]*</script>", " "
-                    ),
-                    r"<style[^>]*>[^<]*</style>",
-                    " ",
-                ),
-                r"<[^>]*>",
-                " ",
-            ),
-            " +",
-            " ",
-        )
-    )
-    main_text = F.regexp_extract("html", r"<p>(.*)</p>", 1)
     s = h.select(
         "doc_id",
         "html",
-        full_text.alias("full_text"),
-        main_text.alias("main_text"),
+        html_visible_text(F.col("html")).alias("full_text"),
+        html_main_text(F.col("html")).alias("main_text"),
     )
     return s.select(
         "doc_id",

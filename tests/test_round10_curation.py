@@ -11,6 +11,7 @@ import re
 import duckdb
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from clj_kinesis_to_firehose_spark import registry
 from clj_kinesis_to_firehose_spark.operators.curation_r10 import (
@@ -337,3 +338,59 @@ def test_shard_plan_has_no_global_sort_of_corpus(spark):
     # the one SinglePartition exchange allowed is the bucket-offsets
     # window (input = one row per SHARD_BUCKET_SIZE doc_id range)
     assert plan.count("SinglePartition") <= 1
+
+
+# --- crafted-row edge cases through the SHARED expression helpers ----------
+
+
+def test_html_strip_edge_cases(spark):
+    from clj_kinesis_to_firehose_spark.operators.curation_r10 import (
+        html_main_text, html_visible_text,
+    )
+    rows = [
+        # nested inline tags inside the body
+        ("<p>a <b>bold</b> word</p>", "a bold word", "a <b>bold</b> word"),
+        # unclosed trailing tag: no '>' to terminate, so the fragment
+        # survives as text — the documented fast-path behavior
+        ("<p>tail text</p><br", "tail text <br", "tail text"),
+        # script with quotes and parens
+        ('<script>if(a<"b"){x()}</script><p>kept</p>', 'if(a kept', "kept"),
+        # multiple p pairs: main = greedy first-to-last span
+        ("<p>one</p><div>mid</div><p>two</p>",
+         "one mid two", "one</p><div>mid</div><p>two"),
+        # entity-free plain text with no tags at all
+        ("no markup here", "no markup here", ""),
+    ]
+    df = spark.createDataFrame([(h,) for h, _, _ in rows], "html string")
+    got = df.select(
+        html_visible_text(F.col("html")).alias("v"),
+        html_main_text(F.col("html")).alias("m"),
+    ).collect()
+    for (h, want_v, want_m), r in zip(rows, got):
+        assert r.v == want_v, f"visible({h!r}) = {r.v!r}"
+        assert r.m == want_m, f"main({h!r}) = {r.m!r}"
+
+
+def test_pii_redact_edge_cases(spark):
+    from clj_kinesis_to_firehose_spark.operators.curation_r10 import (
+        pii_redact_expr,
+    )
+    rows = [
+        # email adjacent to punctuation-ish chars
+        ("mail a.b-c_d@ex-1.co now", "mail <EMAIL> now"),
+        # long digit run split by the ipv4 rule first? no — 16 digits,
+        # no dots: falls to <ID>
+        ("acct 1234567890123456 end", "acct <ID> end"),
+        # ipv4 wins over long-id because it runs earlier
+        ("ip 192.168.100.200 here", "ip <IP> here"),
+        # phone format must match exactly; bare 10 digits become <ID>
+        ("call +1-415-555-0100 or 4155550100x", "call <PHONE> or <ID>x"),
+        # email local part with digits is fully consumed as <EMAIL>
+        ("u123456789@example.org", "<EMAIL>"),
+        # short digit runs survive
+        ("v 12345678 stays", "v 12345678 stays"),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in rows], "t string")
+    got = df.select(pii_redact_expr(F.col("t")).alias("r")).collect()
+    for (t, want), r in zip(rows, got):
+        assert r.r == want, f"redact({t!r}) = {r.r!r}"
