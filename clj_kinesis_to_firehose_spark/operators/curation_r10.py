@@ -1212,3 +1212,101 @@ def corpus_shard_by_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc_id"),
         )
     )
+
+
+# --- embedding_outlier_prune ---------------------------------------------
+
+#: MAD multiplier for the embedding-space outlier gate.
+EMB_OUTLIER_K = 3
+
+
+@register(
+    "embedding_outlier_prune",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), pe AS (
+      SELECT vec_id, UNNEST(e) AS x, GENERATE_SUBSCRIPTS(e, 1) AS pos FROM v
+    ), cent AS (
+      SELECT pos, AVG(x) AS c FROM pe GROUP BY pos
+    ), d AS (
+      SELECT pe.vec_id,
+             ROUND(SQRT(SUM((pe.x - cent.c) * (pe.x - cent.c))), 4) AS dist
+      FROM pe JOIN cent USING (pos) GROUP BY pe.vec_id
+    ), med AS (
+      SELECT QUANTILE_CONT(dist, 0.5) AS m FROM d
+    ), mad AS (
+      SELECT QUANTILE_CONT(ABS(d.dist - med.m), 0.5) AS s FROM d, med
+    )
+    SELECT d.vec_id, d.dist,
+           ROUND(med.m, 4) AS median_dist,
+           ROUND(mad.s, 4) AS mad_dist,
+           CAST(d.dist > ROUND(med.m + {EMB_OUTLIER_K} * mad.s, 4) AS INT)
+             AS is_outlier
+    FROM d, med, mad
+    """,
+)
+def embedding_outlier_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier pruning: distance of every vector to the
+    GLOBAL corpus centroid, robust-scaled by median/MAD, with the
+    k·MAD outlier flag — the curation stage that drops encoder
+    failures and out-of-domain junk before clustering/dedup runs in
+    embedding space (complements embedding_centroid_distance, which is
+    per-LABEL scatter for labeled data; this is unsupervised).
+
+    Scale: the centroid is one posexplode + per-dimension average
+    (map-side combine; dim rows out) collected into a single broadcast
+    array; distances are a JVM zip_with/aggregate fold in a map-only
+    pass. The median/MAD are two 1-ROW global aggregates over the
+    distance column (exact interpolated percentile — state is the
+    distance relation, which at 100 TB you'd swap for the fixed-bin
+    sketch of agg_approx_quantile; exact here because the flag's
+    oracle demands it). Distances are rounded to 4 dp BEFORE the
+    percentile/threshold math and the threshold is rounded the same
+    way on both engines, so no float last-bit can flip a flag.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    pe = fan_out(spark, emb).select(
+        "vec_id", F.posexplode("e").alias("pos0", "x")
+    ).withColumn("pos", F.col("pos0") + 1)
+    cent = (
+        pe.groupBy("pos")
+        .agg(F.avg("x").alias("c"))
+        .groupBy()
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("centroid")
+        )
+    )
+    dist = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with("e", "centroid", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+        4,
+    )
+    d = emb.crossJoin(F.broadcast(cent)).select("vec_id", dist.alias("dist"))
+    med = d.agg(F.expr("percentile(dist, 0.5)").alias("m"))
+    with_m = d.crossJoin(F.broadcast(med))
+    mad = with_m.agg(
+        F.expr("percentile(abs(dist - m), 0.5)").alias("s"),
+        F.first("m").alias("m"),
+    )
+    return d.crossJoin(F.broadcast(mad)).select(
+        "vec_id",
+        "dist",
+        F.round("m", 4).alias("median_dist"),
+        F.round("s", 4).alias("mad_dist"),
+        (F.col("dist") > F.round(F.col("m") + EMB_OUTLIER_K * F.col("s"), 4))
+        .cast("int")
+        .alias("is_outlier"),
+    )

