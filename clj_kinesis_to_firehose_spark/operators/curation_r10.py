@@ -199,9 +199,7 @@ DECON_WIDTH = 5
 DECON_DROP_DENOM = 20
 
 
-@register(
-    "text_decontaminate_probes",
-    oracle=f"""
+_SQL_DECON_PROBES = f"""
     WITH toks AS (
       SELECT doc_id, STRING_SPLIT(text, ' ') AS t, text FROM documents
     ), shl AS (
@@ -226,8 +224,10 @@ DECON_DROP_DENOM = 20
                 * {DECON_DROP_DENOM} >= COUNT(*) AS INT) AS drop_flag
     FROM sh s LEFT JOIN probe p USING (shingle)
     GROUP BY s.doc_id
-    """,
-)
+    """
+
+
+@register("text_decontaminate_probes", oracle=_SQL_DECON_PROBES)
 def text_decontaminate_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: per-document n-gram overlap against a
     held-out probe (eval) set, with a contamination fraction and a
@@ -611,9 +611,7 @@ def corpus_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPAN_BATCH_SPLIT = 400
 
 
-@register(
-    "dedup_substring_remove",
-    oracle=f"""
+_SQL_SUBSTRING_REMOVE = f"""
     {SQL_SPAN_CTES}, clus AS (
       SELECT h, COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS keeper
       FROM anch GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
@@ -637,8 +635,10 @@ SPAN_BATCH_SPLIT = 400
            CAST(t.n - COALESCE(k.n_kept, 0) AS BIGINT) AS n_tokens_removed,
            CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_tokens_kept
     FROM toks t LEFT JOIN kept k USING (doc_id)
-    """,
-)
+    """
+
+
+@register("dedup_substring_remove", oracle=_SQL_SUBSTRING_REMOVE)
 def dedup_substring_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ACTION stage of substring dedup: rewrite each document with
     cross-document repeated spans REMOVED, keeping one canonical copy
@@ -905,9 +905,7 @@ from clj_kinesis_to_firehose_spark.operators.llm_text import STOPWORDS  # noqa: 
 _SQL_STOPLIST = "[" + ",".join(f"'{s}'" for s in STOPWORDS) + "]"
 
 
-@register(
-    "text_gopher_rules",
-    oracle=f"""
+_SQL_GOPHER_RULES = f"""
     WITH m AS (
       SELECT doc_id,
              LEN(STRING_SPLIT(text, ' ')) AS n,
@@ -937,8 +935,10 @@ _SQL_STOPLIST = "[" + ",".join(f"'{s}'" for s in STOPWORDS) + "]"
            CAST(r_wordcount + r_mean_wordlen + r_stopwords + r_alpha_words
                 + r_max_wordlen = 5 AS INT) AS keep
     FROM r
-    """,
-)
+    """
+
+
+@register("text_gopher_rules", oracle=_SQL_GOPHER_RULES)
 def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style quality-rule gate: the published heuristic filter
     battery (word-count band, mean-word-length band, minimum distinct
@@ -1309,4 +1309,83 @@ def embedding_outlier_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("dist") > F.round(F.col("m") + EMB_OUTLIER_K * F.col("s"), 4))
         .cast("int")
         .alias("is_outlier"),
+    )
+
+
+# --- corpus_admission_decision -----------------------------------------------
+
+
+@register(
+    "corpus_admission_decision",
+    oracle=f"""
+    WITH g AS ({_SQL_GOPHER_RULES}),
+    d AS ({_SQL_DECON_PROBES}),
+    r AS ({_SQL_SUBSTRING_REMOVE})
+    SELECT g.doc_id,
+           g.keep AS quality_keep,
+           CAST(1 - d.drop_flag AS INT) AS decon_keep,
+           CAST(r.n_tokens_removed = 0 AS INT) AS span_clean,
+           CAST(g.keep = 1 AND d.drop_flag = 0 AND r.n_tokens_removed = 0
+                AS INT) AS admitted,
+           CAST(g.n_rules_passed AS BIGINT) AS n_quality_rules,
+           d.contamination_frac,
+           r.n_tokens_removed
+    FROM g JOIN d ON g.doc_id = d.doc_id
+           JOIN r ON g.doc_id = r.doc_id
+    """,
+)
+def corpus_admission_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document ADMISSION DECISION — the artifact a curation
+    pipeline actually publishes: every gate's verdict side by side
+    (quality-rule battery, decontamination, substring-dedup
+    cleanliness) plus the conjunctive admitted flag and the evidence
+    columns reviewers drill into (rules passed, contamination
+    fraction, tokens that dedup would strip). This is the
+    documents-plus-attributes architecture: each gate is an
+    independently-computed attribute relation, joined on doc_id at
+    decision time — so gates can be recomputed or swapped without
+    touching each other (re-running one attribute job never invalidates
+    the others).
+
+    Scale: three attribute pipelines (each individually plan-audited by
+    its own operator) joined on doc_id — all three shuffle-partition on
+    the same key, and each is already doc_id-unique so the join is
+    1:1:1 with no fan-out. At 100 TB the attribute relations live as
+    bucketed-by-doc_id tables and the decision join is shuffle-free;
+    the decision itself is pure integer logic on the joined row.
+    """
+    g = text_gopher_rules(spark, sf_dir).select(
+        "doc_id",
+        F.col("keep").alias("quality_keep"),
+        F.col("n_rules_passed").alias("n_quality_rules"),
+    )
+    d = text_decontaminate_probes(spark, sf_dir).select(
+        "doc_id",
+        (1 - F.col("drop_flag")).cast("int").alias("decon_keep"),
+        "contamination_frac",
+    )
+    r = dedup_substring_remove(spark, sf_dir).select(
+        "doc_id",
+        (F.col("n_tokens_removed") == 0).cast("int").alias("span_clean"),
+        "n_tokens_removed",
+    )
+    return (
+        g.join(d, "doc_id")
+        .join(r, "doc_id")
+        .select(
+            "doc_id",
+            "quality_keep",
+            "decon_keep",
+            "span_clean",
+            (
+                (F.col("quality_keep") == 1)
+                & (F.col("decon_keep") == 1)
+                & (F.col("span_clean") == 1)
+            )
+            .cast("int")
+            .alias("admitted"),
+            "n_quality_rules",
+            "contamination_frac",
+            "n_tokens_removed",
+        )
     )

@@ -426,3 +426,18 @@ def test_embedding_outlier_flags_are_mad_consistent(spark):
     d = np.sqrt(((E - c) ** 2).sum(axis=1)).round(4)
     j = out.set_index("vec_id").loc[emb.vec_id]
     assert np.allclose(j.dist.to_numpy(), d, atol=2e-4)
+
+
+def test_admission_decision_is_conjunction_of_gates(spark):
+    out = QUERIES["corpus_admission_decision"](spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    assert len(out) == len(docs)
+    expect = (out.quality_keep & out.decon_keep & out.span_clean).astype(int)
+    assert (out.admitted.to_numpy() == expect.to_numpy()).all()
+    # the composite agrees with its component operators row-for-row
+    g = QUERIES["text_gopher_rules"](spark, SF_DIR).toPandas().set_index("doc_id")
+    j = out.set_index("doc_id")
+    assert (j.quality_keep == g.keep.loc[j.index]).all()
+    assert (j.n_quality_rules == g.n_rules_passed.loc[j.index]).all()
+    # the funnel discriminates on this corpus
+    assert 0 < out.admitted.sum() < len(out)
