@@ -43,10 +43,18 @@ SPAN_WIDTH = 6
 #: stream at any corpus size (the suffix-array-scale knob).
 SPAN_ANCHOR_MOD = 4
 #: synthetic boilerplate prefix planted on doc_id % 5 == 0 — a
-#: 10-token repeated header so the fixture contains long guaranteed
+#: 13-token repeated header so the fixture contains long guaranteed
 #: cross-document spans (the thing this operator exists to catch) in
-#: addition to the corpus's natural repeated phrases.
-SPAN_BOILERPLATE = "subscribe to our newsletter for daily updates and offers today"
+#: addition to the corpus's natural repeated phrases. The phrase is
+#: chosen so FOUR of its eight pure-boilerplate width-6 spans survive
+#: hash anchoring (h % 4 == 0 at span offsets 1, 2, 4, 6 — verified in
+#: tests), so planted detection is exercised non-vacuously; a phrase
+#: whose spans all hash to non-anchored residues would silently test
+#: nothing.
+SPAN_BOILERPLATE = (
+    "subscribe to our team newsletter for daily updates"
+    " and special offers here today"
+)
 
 #: shared DuckDB CTE block for the span-dedup family (detection,
 #: removal, incremental): boilerplate plant → token arrays → width-W
@@ -241,11 +249,15 @@ def text_decontaminate_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     row for EVERY doc with its contamination fraction and the drop
     decision a pipeline gates on.
 
-    Scale: the probe n-gram set is eval-set-sized (thousands of
-    benchmarks × items — MBs, not corpus-scale), so Spark's planner
-    broadcast-joins it against the exploded corpus shingle stream: one
-    corpus scan + tokenize, zero shuffle for the membership test, one
-    doc_id-keyed aggregation with map-side combine. The drop
+    Scale: a REAL probe n-gram set is eval-set-sized (thousands of
+    benchmarks × items — MBs), and AQE broadcast-joins it against the
+    exploded corpus shingle stream at runtime: one corpus scan +
+    tokenize, no shuffle for the membership test, one doc_id-keyed
+    aggregation with map-side combine. The hint is deliberately NOT
+    forced: this fixture synthesizes the probe as a corpus fraction
+    (doc_id % 97), and a forced broadcast of a corpus-fraction
+    relation is exactly the 100 TB OOM the r7 hint-removal pass
+    eliminated repo-wide. The drop
     threshold compares integers (hits × denom ≥ total) so the flag has
     no float-boundary ambiguity between engines.
     """
@@ -263,8 +275,13 @@ def text_decontaminate_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_probe", F.lit(1))
     )
     hit = F.when(F.col("is_probe").isNotNull(), 1).otherwise(0)
+    # no broadcast hint: a REAL eval set is MBs and AQE will broadcast
+    # it at runtime; this fixture's probe is synthesized as a corpus
+    # FRACTION (doc_id % 97), so forcing a broadcast would be wrong at
+    # scale (r7 precedent: AQE decides, plan audits check the executed
+    # plan)
     return (
-        sh.join(F.broadcast(probe), "shingle", "left")
+        sh.join(probe, "shingle", "left")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_ngrams"),
@@ -309,29 +326,38 @@ _PII_PLANT_SQL = """
 
 
 def _pii_redact_oracle() -> str:
-    redacted = "pii_text"
-    for _, pat, token in PII_PATTERNS:
-        redacted = f"REGEXP_REPLACE({redacted}, '{pat}', '{token}', 'g')"
-    counts = ",\n           ".join(
-        f"CAST(LEN(REGEXP_EXTRACT_ALL(pii_text, '{pat}')) AS BIGINT) AS n_{name}"
-        for name, pat, _ in PII_PATTERNS
-    )
+    # progressive counting: class k is counted on the text already
+    # redacted by classes 1..k-1, so every count equals the number of
+    # placeholders that class actually inserts (a 9+-digit run inside
+    # an email local part is consumed by <EMAIL> and NOT also counted
+    # as a long ID)
+    stage = "pii_text"
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(
+            f"CAST(LEN(REGEXP_EXTRACT_ALL({stage}, '{pat}')) AS BIGINT)"
+            f" AS n_{name}"
+        )
+        stage = f"REGEXP_REPLACE({stage}, '{pat}', '{token}', 'g')"
+    body = ",\n           ".join(counts)
     return f"""
     WITH aug AS (
       SELECT doc_id, {_PII_PLANT_SQL} AS pii_text FROM documents
     )
     SELECT doc_id,
-           {counts},
-           {redacted} AS redacted
+           {body},
+           {stage} AS redacted
     FROM aug
     """
 
 
 @register("text_pii_redact", oracle=_pii_redact_oracle())
 def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII-class detection and redaction: per-class match counts
-    (email, E.164-ish phone, IPv4, ≥9-digit ID runs) and the redacted
-    text with class placeholders — the real-pattern upgrade of
+    """PII-class detection and redaction: per-class redaction counts
+    (email, E.164-ish phone, IPv4, ≥9-digit ID runs — each class
+    counted AFTER the earlier classes redacted, so every count equals
+    the placeholders that class inserts) and the redacted text with
+    class placeholders — the real-pattern upgrade of
     text_clean_redact (llm_text.py:236), over text with
     deterministically PLANTED PII (the fixture contains none; the
     plant expression is reproduced verbatim in the oracle, so
@@ -383,15 +409,14 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(""),
     )
     aug = docs.select("doc_id", pii_text.alias("pii_text"))
-    redacted = pii_redact_expr(F.col("pii_text"))
-    return aug.select(
-        "doc_id",
-        *[
-            F.regexp_count("pii_text", F.lit(pat)).cast("long").alias(f"n_{name}")
-            for name, pat, _ in PII_PATTERNS
-        ],
-        redacted.alias("redacted"),
-    )
+    stage = F.col("pii_text")
+    count_cols = []
+    for name, pat, token in PII_PATTERNS:
+        count_cols.append(
+            F.regexp_count(stage, F.lit(pat)).cast("long").alias(f"n_{name}")
+        )
+        stage = F.regexp_replace(stage, pat, token)
+    return aug.select("doc_id", *count_cols, stage.alias("redacted"))
 
 
 # --- text_html_extract -------------------------------------------------------
@@ -422,9 +447,12 @@ def html_visible_text(col):
 
 
 def html_main_text(col):
-    """Main-content pull: the first-<p>-to-last-</p> body (greedy
-    group)."""
-    return F.regexp_extract(col, r"<p>(.*)</p>", 1)
+    """Main-content pull: the first-<p>-to-last-</p> region (greedy
+    group — all paragraph blocks, excluding nav/footer chrome outside
+    them), TAG-STRIPPED with the same visible-text chain so interior
+    markup can never make main_text longer than the page's visible
+    text (which would push the boilerplate ratio negative)."""
+    return html_visible_text(F.regexp_extract(col, r"<p>(.*)</p>", 1))
 
 
 def pii_redact_expr(col):
@@ -460,7 +488,12 @@ _HTML_WRAP_SQL = """
                '<style[^>]*>[^<]*</style>', ' ', 'g'),
                '<[^>]*>', ' ', 'g'),
                ' +', ' ', 'g')) AS full_text,
-             REGEXP_EXTRACT(html, '<p>(.*)</p>', 1) AS main_text
+             TRIM(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+               REGEXP_EXTRACT(html, '<p>(.*)</p>', 1),
+               '<script[^>]*>[^<]*</script>', ' ', 'g'),
+               '<style[^>]*>[^<]*</style>', ' ', 'g'),
+               '<[^>]*>', ' ', 'g'),
+               ' +', ' ', 'g')) AS main_text
       FROM html
     )
     SELECT doc_id, main_text,
@@ -562,12 +595,21 @@ def corpus_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     by a TOKEN budget, not word/char geometry (corpus_chunk_documents'
     limitation — corpus_ops.py:290). Each word costs its BPE-ish
     segment count (alpha runs + digit runs + symbols, the
-    text_token_count rule), words are packed greedily in order, and a
-    word starts a new chunk when the running token total would exceed
-    the budget — so a chunk may end at budget + (straddling word − 1)
-    tokens, the standard greedy word-boundary semantics. Output pins
-    content (chunk md5 over the joined words), geometry (start
-    position, word/token counts), and the boundary rule.
+    text_token_count rule). Boundary law: chunk k owns the document's
+    global token OFFSETS [k·budget, (k+1)·budget), and a word belongs
+    to the chunk where its FIRST token falls — token-offset-ALIGNED
+    windows, not greedy-restart packing. The difference matters when a
+    word straddles a window edge: its overflow consumes the next
+    chunk's offsets (so a mid-document chunk can hold slightly fewer
+    than budget tokens), whereas greedy packing would restart the
+    count at every boundary. Offset alignment is chosen deliberately:
+    chunk ids are a pure function of the prefix sum, so boundaries are
+    stable under any partitioning and an append to the document never
+    reflows earlier chunks — the property an incremental pipeline
+    needs, and one greedy restart packing lacks only when costs vary
+    (on uniform-cost text the two laws coincide). Output pins content
+    (chunk md5 over the joined words), geometry (start position,
+    word/token counts), and the boundary rule.
 
     Scale: one tokenize + posexplode (map-side, parallel with the
     scan), one doc-keyed window for the running sum, one (doc, chunk)
@@ -609,6 +651,38 @@ def corpus_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: batch boundary for the incremental span index: docs below are "the
 #: existing corpus" (persisted index), docs at/above are the new batch.
 SPAN_BATCH_SPLIT = 400
+
+
+def _span_removal_positions(toks: DataFrame) -> DataFrame:
+    """(doc_id, pos) token positions the substring-dedup action drops:
+    anchored spans clustered on their hash, MIN-doc_id keeper retained,
+    every non-keeper occurrence exploded to token positions (distinct,
+    so overlapping spans union). Shared by dedup_substring_remove and
+    corpus_admission_decision (which needs only the counts — never the
+    reassembled text)."""
+    anch = _anchored_spans(toks)
+    clus = (
+        anch.groupBy("h")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    return (
+        anch.join(clus, "h")
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.col("span_start"),
+                    F.col("span_start") + SPAN_WIDTH - 1,
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+    )
 
 
 _SQL_SUBSTRING_REMOVE = f"""
@@ -659,29 +733,7 @@ def dedup_substring_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reproducibility property incremental pipelines need.
     """
     toks = _tokenized(spark, sf_dir)
-    anch = _anchored_spans(toks)
-    clus = (
-        anch.groupBy("h")
-        .agg(
-            F.countDistinct("doc_id").alias("n_docs"),
-            F.min("doc_id").alias("keeper"),
-        )
-        .filter(F.col("n_docs") >= 2)
-    )
-    rem = (
-        anch.join(clus, "h")
-        .filter(F.col("doc_id") != F.col("keeper"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(
-                    F.col("span_start"),
-                    F.col("span_start") + SPAN_WIDTH - 1,
-                )
-            ).alias("pos"),
-        )
-        .distinct()
-    )
+    rem = _span_removal_positions(toks)
     words = toks.select(
         "doc_id", F.posexplode("t").alias("pos", "word")
     )
@@ -725,19 +777,29 @@ def dedup_substring_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT * FROM anch WHERE doc_id >= {SPAN_BATCH_SPLIT}
     ), batch_clus AS (
       SELECT h, COUNT(DISTINCT doc_id) AS batch_docs FROM batch GROUP BY h
+    ), per_doc AS (
+      SELECT b.doc_id,
+             COUNT(*) AS n_spans,
+             CAST(SUM(CASE WHEN i.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_vs_index,
+             CAST(SUM(CASE WHEN c.batch_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_in_batch
+      FROM batch b
+      LEFT JOIN idx i ON b.h = i.h
+      JOIN batch_clus c ON b.h = c.h
+      GROUP BY b.doc_id
     )
-    SELECT b.doc_id,
-           COUNT(*) AS n_spans,
-           CAST(SUM(CASE WHEN i.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_dup_vs_index,
-           CAST(SUM(CASE WHEN c.batch_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_dup_in_batch,
-           CAST(SUM(CASE WHEN i.h IS NOT NULL OR c.batch_docs >= 2
-                         THEN 1 ELSE 0 END) = 0 AS INT) AS is_clean
-    FROM batch b
-    LEFT JOIN idx i ON b.h = i.h
-    JOIN batch_clus c ON b.h = c.h
-    GROUP BY b.doc_id
+    -- LEFT JOIN from the batch DOC list: a doc with zero anchored
+    -- spans (short, or all spans non-anchored) is the cleanest case
+    -- and must still get its row
+    SELECT t.doc_id,
+           COALESCE(p.n_spans, 0) AS n_spans,
+           COALESCE(p.n_dup_vs_index, 0) AS n_dup_vs_index,
+           COALESCE(p.n_dup_in_batch, 0) AS n_dup_in_batch,
+           CAST(COALESCE(p.n_dup_vs_index, 0) = 0
+                AND COALESCE(p.n_dup_in_batch, 0) = 0 AS INT) AS is_clean
+    FROM (SELECT doc_id FROM toks WHERE doc_id >= {SPAN_BATCH_SPLIT}) t
+    LEFT JOIN per_doc p USING (doc_id)
     """,
 )
 def dedup_incremental_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -746,7 +808,8 @@ def dedup_incremental_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     index built from the existing corpus (doc_id < split) and (b)
     itself, WITHOUT rescanning the corpus text. Per new document:
     anchored span count, spans already in the index, spans repeated
-    within the batch, and a clean flag — the triage an incremental
+    within the batch, and a clean flag — one row per batch document,
+    including zero-span docs (the cleanest case) — the triage an incremental
     crawl pipeline gates admission on (cf. dedup_incremental_minhash /
     dedup_incremental_url for the doc- and URL-level twins).
 
@@ -758,7 +821,8 @@ def dedup_incremental_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cost per ingest is O(batch tokens + matched index keys), never
     O(corpus) — the whole point of keeping the index.
     """
-    anch = _anchored_spans(_tokenized(spark, sf_dir))
+    toks = _tokenized(spark, sf_dir)
+    anch = _anchored_spans(toks)
     idx = (
         anch.filter(F.col("doc_id") < SPAN_BATCH_SPLIT)
         .select("h")
@@ -771,7 +835,7 @@ def dedup_incremental_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     idx_hit = F.when(F.col("in_idx").isNotNull(), 1).otherwise(0)
     batch_hit = F.when(F.col("batch_docs") >= 2, 1).otherwise(0)
-    return (
+    per_doc = (
         batch.join(idx, "h", "left")
         .join(batch_clus, "h")
         .groupBy("doc_id")
@@ -779,18 +843,28 @@ def dedup_incremental_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_spans"),
             F.sum(idx_hit).cast("long").alias("n_dup_vs_index"),
             F.sum(batch_hit).cast("long").alias("n_dup_in_batch"),
-            (
-                F.sum(
-                    F.when(
-                        F.col("in_idx").isNotNull() | (F.col("batch_docs") >= 2),
-                        1,
-                    ).otherwise(0)
-                )
-                == 0
-            )
-            .cast("int")
-            .alias("is_clean"),
         )
+    )
+    # left join from the batch DOC list: a doc with zero anchored
+    # spans still gets its (cleanest-possible) row
+    batch_docs = toks.filter(F.col("doc_id") >= SPAN_BATCH_SPLIT).select(
+        "doc_id"
+    )
+    return batch_docs.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce("n_dup_vs_index", F.lit(0))
+        .cast("long")
+        .alias("n_dup_vs_index"),
+        F.coalesce("n_dup_in_batch", F.lit(0))
+        .cast("long")
+        .alias("n_dup_in_batch"),
+        (
+            (F.coalesce("n_dup_vs_index", F.lit(0)) == 0)
+            & (F.coalesce("n_dup_in_batch", F.lit(0)) == 0)
+        )
+        .cast("int")
+        .alias("is_clean"),
     )
 
 
@@ -1089,9 +1163,9 @@ def text_decontaminate_attribution(spark: SparkSession, sf_dir: str) -> DataFram
     this answers "against which benchmark", which is what an eval-team
     triage actually consumes.
 
-    Scale: same broadcast probe join as the fraction op, but the probe
-    side keeps probe_id so the corpus stream aggregates per (doc,
-    probe) — the pair space is bounded by actual overlaps, not |docs|
+    Scale: same probe join as the fraction op (AQE broadcasts a real
+    eval set at runtime; no forced hint), but the probe side keeps
+    probe_id so the corpus stream aggregates per (doc, probe) — the pair space is bounded by actual overlaps, not |docs|
     × |probes| (the join only materializes matching shingles). One
     doc_id-window top-1 after a (doc, probe)-keyed agg.
     """
@@ -1105,8 +1179,9 @@ def text_decontaminate_attribution(spark: SparkSession, sf_dir: str) -> DataFram
     probe = sh.filter(F.col("doc_id") % 97 == 0).select(
         F.col("doc_id").alias("probe_id"), "shingle"
     )
+    # same no-hint rationale as text_decontaminate_probes
     pairs = (
-        sh.join(F.broadcast(probe), "shingle")
+        sh.join(probe, "shingle")
         .filter(F.col("doc_id") != F.col("probe_id"))
         .groupBy("doc_id", "probe_id")
         .agg(F.count("*").alias("n_shared"))
@@ -1364,7 +1439,21 @@ def corpus_admission_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
         (1 - F.col("drop_flag")).cast("int").alias("decon_keep"),
         "contamination_frac",
     )
-    r = dedup_substring_remove(spark, sf_dir).select(
+    # span cleanliness from the removal-POSITION counts directly — the
+    # remove op's ordered text reassembly (its most expensive stage) is
+    # pure waste when only the count is consumed
+    toks = _tokenized(spark, sf_dir)
+    rem_counts = (
+        _span_removal_positions(toks)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens_removed"))
+    )
+    r = toks.select("doc_id").join(rem_counts, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens_removed", F.lit(0))
+        .cast("long")
+        .alias("n_tokens_removed"),
+    ).select(
         "doc_id",
         (F.col("n_tokens_removed") == 0).cast("int").alias("span_clean"),
         "n_tokens_removed",
