@@ -1012,22 +1012,10 @@ _SQL_GOPHER_RULES = f"""
     """
 
 
-@register("text_gopher_rules", oracle=_SQL_GOPHER_RULES)
-def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style quality-rule gate: the published heuristic filter
-    battery (word-count band, mean-word-length band, minimum distinct
-    stopwords, alphabetic-word fraction, longest-word cap) as per-rule
-    pass flags plus the conjunctive keep decision — the form a corpus
-    pipeline both gates on AND audits (per-rule failure rates tell you
-    which rule is eating your corpus). Complements text_quality_score
-    (continuous features) with the thresholded decision layer.
-
-    Scale: one scan, all codegen array/length expressions, no shuffle.
-    Every threshold compares INTEGERS (mean word length as cross-
-    multiplication, alpha fraction as 5·n_alpha ≥ 4·n), so the gate is
-    engine- and partitioning-exact — no float boundary can flip a doc.
-    """
-    docs = load_table(spark, sf_dir, "documents")
+def _gopher_columns(docs: DataFrame) -> DataFrame:
+    """(doc_id, r_* flags, n_rules_passed, keep) over any documents
+    relation — shared by the batch operator and the streaming
+    admission twin (per-doc expressions, batch-boundary-safe)."""
     toks = F.split("text", " ")
     n = F.size(toks)
     sum_len = F.length("text") - (n - 1)
@@ -1056,6 +1044,24 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         total.cast("long").alias("n_rules_passed"),
         (total == 5).cast("int").alias("keep"),
     )
+
+
+@register("text_gopher_rules", oracle=_SQL_GOPHER_RULES)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule gate: the published heuristic filter
+    battery (word-count band, mean-word-length band, minimum distinct
+    stopwords, alphabetic-word fraction, longest-word cap) as per-rule
+    pass flags plus the conjunctive keep decision — the form a corpus
+    pipeline both gates on AND audits (per-rule failure rates tell you
+    which rule is eating your corpus). Complements text_quality_score
+    (continuous features) with the thresholded decision layer.
+
+    Scale: one scan, all codegen array/length expressions, no shuffle.
+    Every threshold compares INTEGERS (mean word length as cross-
+    multiplication, alpha fraction as 5·n_alpha ≥ 4·n), so the gate is
+    engine- and partitioning-exact — no float boundary can flip a doc.
+    """
+    return _gopher_columns(load_table(spark, sf_dir, "documents"))
 
 
 # --- corpus_token_budget -------------------------------------------------
@@ -1390,9 +1396,7 @@ def embedding_outlier_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- corpus_admission_decision -----------------------------------------------
 
 
-@register(
-    "corpus_admission_decision",
-    oracle=f"""
+_SQL_ADMISSION = f"""
     WITH g AS ({_SQL_GOPHER_RULES}),
     d AS ({_SQL_DECON_PROBES}),
     r AS ({_SQL_SUBSTRING_REMOVE})
@@ -1407,8 +1411,10 @@ def embedding_outlier_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
            r.n_tokens_removed
     FROM g JOIN d ON g.doc_id = d.doc_id
            JOIN r ON g.doc_id = r.doc_id
-    """,
-)
+    """
+
+
+@register("corpus_admission_decision", oracle=_SQL_ADMISSION)
 def corpus_admission_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document ADMISSION DECISION — the artifact a curation
     pipeline actually publishes: every gate's verdict side by side
@@ -1477,4 +1483,160 @@ def corpus_admission_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
             "contamination_frac",
             "n_tokens_removed",
         )
+    )
+
+
+# --- stream_corpus_admission ---------------------------------------------
+
+#: documents replay schema (doc_id-ordered parquet slices).
+DOCS_RAW_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+@register("stream_corpus_admission", oracle=_SQL_ADMISSION)
+def stream_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus admission IN the ingest stream: documents arrive as
+    doc_id-ordered micro-batches (the file-source replay double —
+    production swaps in the Kinesis/Firehose connector, everything
+    after load() is identical), and foreachBatch decides admission per
+    batch. The production split this encodes: per-document gates
+    (quality battery, probe-overlap counts) are computed ON the batch,
+    while corpus-level attributes (the probe n-gram set, the
+    substring-dedup removal index) are PRE-BUILT static relations the
+    batch joins against — an ingest batch never rescans the corpus.
+    The union of all per-batch decisions must equal the batch
+    operator's output exactly (same oracle as
+    corpus_admission_decision), because every gate is per-doc given
+    the static indexes — micro-batch boundaries cannot change any
+    decision.
+
+    Scale: per batch, one scan of the batch + a join against each
+    static index (hash-keyed on shingle / doc_id; in production the
+    indexes are bucketed tables). Per-batch driver traffic is zero —
+    decisions append straight to the output table; nothing collects.
+    """
+    import os
+    import tempfile
+
+    from clj_kinesis_to_firehose_spark.sources.streams import (
+        _stamp_slice_order,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    replay_dir = tempfile.mkdtemp(prefix="kf_docs_replay_")
+    sliced = docs.withColumn(
+        "__slice", F.ntile(4).over(Window.orderBy("doc_id")) - 1
+    ).persist()
+    try:
+        for i in range(4):
+            (
+                sliced.filter(F.col("__slice") == i)
+                .drop("__slice")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(replay_dir, f"slice={i}"))
+            )
+    finally:
+        sliced.unpersist()
+    _stamp_slice_order(replay_dir)
+
+    # corpus-level attribute indexes, built ONCE before the stream
+    # (persisted index tables in production)
+    toks = _tokenized(spark, sf_dir)
+    rem_counts = (
+        _span_removal_positions(toks)
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_tokens_removed"))
+    )
+    probe = (
+        fan_out(spark, docs.select("doc_id", "text"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(shingles(F.col("text"), width=DECON_WIDTH))
+            ).alias("shingle"),
+        )
+        .filter(F.col("doc_id") % 97 == 0)
+        .select("shingle")
+        .distinct()
+        .withColumn("is_probe", F.lit(1))
+    )
+
+    out_dir = tempfile.mkdtemp(prefix="kf_admission_out_")
+
+    def admit_batch(batch_df: DataFrame, _epoch: int) -> None:
+        g = _gopher_columns(batch_df).select(
+            "doc_id",
+            F.col("keep").alias("quality_keep"),
+            F.col("n_rules_passed").alias("n_quality_rules"),
+        )
+        sh = batch_df.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(shingles(F.col("text"), width=DECON_WIDTH))
+            ).alias("shingle"),
+        )
+        hit = F.when(F.col("is_probe").isNotNull(), 1).otherwise(0)
+        d = (
+            sh.join(probe, "shingle", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.round(F.avg(hit.cast("double")), 6).alias(
+                    "contamination_frac"
+                ),
+                (F.sum(hit) * DECON_DROP_DENOM < F.count("*"))
+                .cast("int")
+                .alias("decon_keep"),
+            )
+        )
+        r = batch_df.select("doc_id").join(rem_counts, "doc_id", "left").select(
+            "doc_id",
+            F.coalesce("n_tokens_removed", F.lit(0))
+            .cast("long")
+            .alias("n_tokens_removed"),
+        )
+        out = (
+            g.join(d, "doc_id")
+            .join(r, "doc_id")
+            .select(
+                "doc_id",
+                "quality_keep",
+                "decon_keep",
+                (F.col("n_tokens_removed") == 0).cast("int").alias("span_clean"),
+                (
+                    (F.col("quality_keep") == 1)
+                    & (F.col("decon_keep") == 1)
+                    & (F.col("n_tokens_removed") == 0)
+                )
+                .cast("int")
+                .alias("admitted"),
+                "n_quality_rules",
+                "contamination_frac",
+                "n_tokens_removed",
+            )
+        )
+        out.write.mode("append").parquet(out_dir)
+
+    q = (
+        spark.readStream.schema(DOCS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay_dir)
+        .writeStream.foreachBatch(admit_batch)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="kf_admission_chk_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select(
+        "doc_id",
+        "quality_keep",
+        "decon_keep",
+        "span_clean",
+        "admitted",
+        "n_quality_rules",
+        "contamination_frac",
+        "n_tokens_removed",
     )

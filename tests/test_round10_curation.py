@@ -444,3 +444,14 @@ def test_admission_decision_is_conjunction_of_gates(spark):
     assert (j.n_quality_rules == g.n_rules_passed.loc[j.index]).all()
     # the funnel discriminates on this corpus
     assert 0 < out.admitted.sum() < len(out)
+
+
+def test_stream_admission_equals_batch_decision(spark):
+    """Micro-batch boundaries cannot change any admission decision:
+    the streamed union must equal the batch operator row-for-row."""
+    st = (QUERIES["stream_corpus_admission"](spark, SF_DIR)
+          .toPandas().sort_values("doc_id").reset_index(drop=True))
+    ba = (QUERIES["corpus_admission_decision"](spark, SF_DIR)
+          .toPandas().sort_values("doc_id").reset_index(drop=True))
+    assert st.columns.tolist() == ba.columns.tolist()
+    pd.testing.assert_frame_equal(st, ba, check_dtype=False)
