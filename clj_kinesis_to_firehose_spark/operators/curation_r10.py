@@ -351,28 +351,13 @@ def _pii_redact_oracle() -> str:
     """
 
 
-@register("text_pii_redact", oracle=_pii_redact_oracle())
-def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII-class detection and redaction: per-class redaction counts
-    (email, E.164-ish phone, IPv4, ≥9-digit ID runs — each class
-    counted AFTER the earlier classes redacted, so every count equals
-    the placeholders that class inserts) and the redacted text with
-    class placeholders — the real-pattern upgrade of
-    text_clean_redact (llm_text.py:236), over text with
-    deterministically PLANTED PII (the fixture contains none; the
-    plant expression is reproduced verbatim in the oracle, so
-    detection is hash-verified against known ground truth — doc_id % 3
-    docs carry an email, % 4 a phone, % 5 an IP, % 7 a long ID).
-
-    Scale: pure regexp_count/regexp_replace column expressions — one
-    scan, whole-stage codegen, no shuffle, no Python. The pattern
-    table is the extension point; patterns are kept inside the
-    Java-regex ∩ RE2 subset so the oracle twins exactly. Replacement
-    order matters (email first so local-part digits never leak into
-    the long-ID class) and is pinned by PII_PATTERNS.
-    """
-    docs = load_table(spark, sf_dir, "documents")
-    pii_text = F.concat(
+def _pii_plant_expr() -> F.Column:
+    """The deterministic PII plant over (doc_id, text) — Spark twin of
+    _PII_PLANT_SQL, shared by text_pii_redact and corpus_chunk_greedy
+    (which chunks the planted text because its symbol-bearing words
+    are the cost-varying input that separates the greedy law from
+    offset alignment)."""
+    return F.concat(
         F.col("text"),
         F.when(
             F.col("doc_id") % 3 == 0,
@@ -408,6 +393,30 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(""),
     )
+
+
+@register("text_pii_redact", oracle=_pii_redact_oracle())
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-class detection and redaction: per-class redaction counts
+    (email, E.164-ish phone, IPv4, ≥9-digit ID runs — each class
+    counted AFTER the earlier classes redacted, so every count equals
+    the placeholders that class inserts) and the redacted text with
+    class placeholders — the real-pattern upgrade of
+    text_clean_redact (llm_text.py:236), over text with
+    deterministically PLANTED PII (the fixture contains none; the
+    plant expression is reproduced verbatim in the oracle, so
+    detection is hash-verified against known ground truth — doc_id % 3
+    docs carry an email, % 4 a phone, % 5 an IP, % 7 a long ID).
+
+    Scale: pure regexp_count/regexp_replace column expressions — one
+    scan, whole-stage codegen, no shuffle, no Python. The pattern
+    table is the extension point; patterns are kept inside the
+    Java-regex ∩ RE2 subset so the oracle twins exactly. Replacement
+    order matters (email first so local-part digits never leak into
+    the long-ID class) and is pinned by PII_PATTERNS.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pii_text = _pii_plant_expr()
     aug = docs.select("doc_id", pii_text.alias("pii_text"))
     stage = F.col("pii_text")
     count_cols = []
@@ -1639,4 +1648,110 @@ def stream_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_quality_rules",
         "contamination_frac",
         "n_tokens_removed",
+    )
+
+
+# --- corpus_chunk_greedy -------------------------------------------------
+
+
+@register(
+    "corpus_chunk_greedy",
+    oracle=f"""
+    WITH RECURSIVE aug AS (
+      SELECT doc_id, {_PII_PLANT_SQL} AS text FROM documents
+    ), toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM aug
+    ), words AS (
+      SELECT doc_id, i - 1 AS pos, t[i] AS word,
+             LEN(REGEXP_EXTRACT_ALL(t[i], '{CHUNK_COST_RE}')) AS cost
+      FROM toks, UNNEST(RANGE(1, LEN(t) + 1)) AS r(i)
+    ), steps AS (
+      SELECT doc_id, pos, word, cost, cost AS running, 0 AS chunk_id
+      FROM words WHERE pos = 0
+      UNION ALL
+      SELECT w.doc_id, w.pos, w.word, w.cost,
+             CASE WHEN s.running + w.cost > {CHUNK_TOKEN_BUDGET} THEN w.cost
+                  ELSE s.running + w.cost END,
+             CASE WHEN s.running + w.cost > {CHUNK_TOKEN_BUDGET}
+                  THEN s.chunk_id + 1 ELSE s.chunk_id END
+      FROM steps s JOIN words w ON w.doc_id = s.doc_id AND w.pos = s.pos + 1
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           COUNT(*) AS n_words, CAST(SUM(cost) AS BIGINT) AS n_tokens,
+           CAST(MIN(pos) AS BIGINT) AS chunk_start,
+           MD5(STRING_AGG(word, ' ' ORDER BY pos)) AS chunk_md5
+    FROM steps GROUP BY doc_id, chunk_id
+    """,
+)
+def corpus_chunk_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GREEDY-restart token chunking — the second boundary law,
+    complementing corpus_chunk_tokens' offset alignment: the token
+    count restarts at every chunk boundary, a word opens a new chunk
+    exactly when adding it would exceed the budget, and no chunk ever
+    exceeds the budget (unless a single word alone does). Greedy is
+    what you want when chunks feed a fixed context window (no token is
+    wasted); offset alignment is what you want for incremental
+    stability. Runs over the PII-PLANTED text (the plant's
+    symbol-bearing words — emails, phones, IPs — have BPE-ish cost > 1,
+    so the two laws genuinely diverge on this corpus; on uniform-cost
+    text they coincide).
+
+    Spark path: the law is inherently sequential WITHIN a document
+    (each boundary depends on the previous), so it runs as a grouped-map
+    pandas UDF (applyInPandas) per doc_id — the documented Arrow slow
+    path, chosen because no window/prefix-sum expression can express a
+    per-chunk restart. Parallelism is per-document (the state never
+    crosses documents), so the stage scales exactly like the scan. The
+    oracle reproduces the same walk as a DuckDB recursive CTE — the
+    one-word-per-step recursion both engines agree on.
+    """
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _pii_plant_expr().alias("text")
+    )
+    out_schema = (
+        "doc_id long, chunk_id long, n_words long, n_tokens long,"
+        " chunk_start long, chunk_md5 string"
+    )
+
+    def chunk_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+        import re as _re
+
+        cost_re = _re.compile(CHUNK_COST_RE)
+        rows = []
+        for doc_id, text in zip(pdf.doc_id, pdf.text):
+            words = text.split(" ")
+            running, chunk_id, start = 0, 0, 0
+            bucket: list[str] = []
+            for pos, w in enumerate(words):
+                c = len(cost_re.findall(w))
+                if running and running + c > CHUNK_TOKEN_BUDGET:
+                    rows.append(
+                        (doc_id, chunk_id, len(bucket), running, start,
+                         hashlib.md5(" ".join(bucket).encode()).hexdigest())
+                    )
+                    chunk_id, running, start, bucket = (
+                        chunk_id + 1, c, pos, [w],
+                    )
+                else:
+                    running += c
+                    bucket.append(w)
+            rows.append(
+                (doc_id, chunk_id, len(bucket), running, start,
+                 hashlib.md5(" ".join(bucket).encode()).hexdigest())
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "chunk_id", "n_words", "n_tokens",
+                "chunk_start", "chunk_md5",
+            ],
+        )
+
+    return (
+        fan_out(spark, docs)
+        .groupBy("doc_id")
+        .applyInPandas(chunk_doc, out_schema)
     )

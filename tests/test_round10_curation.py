@@ -455,3 +455,41 @@ def test_stream_admission_equals_batch_decision(spark):
           .toPandas().sort_values("doc_id").reset_index(drop=True))
     assert st.columns.tolist() == ba.columns.tolist()
     pd.testing.assert_frame_equal(st, ba, check_dtype=False)
+
+
+def test_chunk_greedy_law_and_divergence(spark):
+    from clj_kinesis_to_firehose_spark.operators.curation_r10 import (
+        CHUNK_TOKEN_BUDGET as B,
+    )
+    out = QUERIES["corpus_chunk_greedy"](spark, SF_DIR).toPandas()
+    # greedy never exceeds the budget unless a single word alone does
+    over = out[out.n_tokens > B]
+    assert (over.n_words == 1).all()
+    # non-final chunks must be unable to take the next chunk's first
+    # word: chunk i tokens + (cost of word at chunk i+1 start) > B —
+    # verified against a full python replay for planted docs
+    import re as _re
+    cost_re = _re.compile(CHUNK_COST_RE)
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet").set_index("doc_id")
+    for d in [0, 60, 420]:  # multi-class planted docs, cost-varying
+        text = docs.loc[d].text
+        if d % 3 == 0:
+            text += f" contact user{d}@example.com now"
+        if d % 4 == 0:
+            text += f" call +1-555-{d % 1000:03d}-0199"
+        if d % 5 == 0:
+            text += f" host 10.{d % 256}.0.{d % 200} up"
+        if d % 7 == 0:
+            text += f" ref 9{d:010d}"
+        words = text.split(" ")
+        costs = [len(cost_re.findall(w)) for w in words]
+        ch = out[out.doc_id == d].sort_values("chunk_id").reset_index(drop=True)
+        assert ch.n_words.sum() == len(words)
+        for i in range(len(ch) - 1):
+            nxt = int(ch.chunk_start[i] + ch.n_words[i])
+            assert ch.n_tokens[i] + costs[nxt] > B
+    # the two boundary laws genuinely diverge on the planted corpus
+    offs = QUERIES["corpus_chunk_tokens"](spark, SF_DIR).toPandas()
+    assert len(out) != len(offs) or not out.chunk_md5.isin(
+        set(offs.chunk_md5)
+    ).all()
