@@ -1503,6 +1503,38 @@ DOCS_RAW_SCHEMA = (
 )
 
 
+def _write_doc_slices(spark: SparkSession, sf_dir: str, n_slices: int) -> str:
+    """Materialize documents as n_slices doc_id-ordered parquet files
+    with stamped mtimes — the documents twin of
+    sources.streams.write_replay_slices; the file stream picks slices
+    up as separate micro-batches (maxFilesPerTrigger=1)."""
+    import os
+    import tempfile
+
+    from clj_kinesis_to_firehose_spark.sources.streams import (
+        _stamp_slice_order,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    replay_dir = tempfile.mkdtemp(prefix="kf_docs_replay_")
+    sliced = docs.withColumn(
+        "__slice", F.ntile(n_slices).over(Window.orderBy("doc_id")) - 1
+    ).persist()
+    try:
+        for i in range(n_slices):
+            (
+                sliced.filter(F.col("__slice") == i)
+                .drop("__slice")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(replay_dir, f"slice={i}"))
+            )
+    finally:
+        sliced.unpersist()
+    _stamp_slice_order(replay_dir)
+    return replay_dir
+
+
 @register("stream_corpus_admission", oracle=_SQL_ADMISSION)
 def stream_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus admission IN the ingest stream: documents arrive as
@@ -1525,30 +1557,10 @@ def stream_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     indexes are bucketed tables). Per-batch driver traffic is zero —
     decisions append straight to the output table; nothing collects.
     """
-    import os
     import tempfile
 
-    from clj_kinesis_to_firehose_spark.sources.streams import (
-        _stamp_slice_order,
-    )
-
     docs = load_table(spark, sf_dir, "documents")
-    replay_dir = tempfile.mkdtemp(prefix="kf_docs_replay_")
-    sliced = docs.withColumn(
-        "__slice", F.ntile(4).over(Window.orderBy("doc_id")) - 1
-    ).persist()
-    try:
-        for i in range(4):
-            (
-                sliced.filter(F.col("__slice") == i)
-                .drop("__slice")
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(os.path.join(replay_dir, f"slice={i}"))
-            )
-    finally:
-        sliced.unpersist()
-    _stamp_slice_order(replay_dir)
+    replay_dir = _write_doc_slices(spark, sf_dir, n_slices=4)
 
     # corpus-level attribute indexes, built ONCE before the stream
     # (persisted index tables in production)
@@ -1754,4 +1766,144 @@ def corpus_chunk_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         fan_out(spark, docs)
         .groupBy("doc_id")
         .applyInPandas(chunk_doc, out_schema)
+    )
+
+
+# --- stream_span_index_ingest ------------------------------------------------
+
+
+@register(
+    "stream_span_index_ingest",
+    oracle=f"""
+    WITH numbered AS (
+      SELECT doc_id, text, NTILE(4) OVER (ORDER BY doc_id) AS batch_id
+      FROM documents
+    ), aug AS (
+      SELECT doc_id, batch_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN '{SPAN_BOILERPLATE} ' || text
+                  ELSE text END AS text
+      FROM numbered
+    ), toks AS (
+      SELECT doc_id, batch_id, STRING_SPLIT(text, ' ') AS t,
+             LEN(STRING_SPLIT(text, ' ')) AS n
+      FROM aug
+    ), spans AS (
+      SELECT doc_id, batch_id, s,
+             {SQL_HASH60.format(
+                 x=f"ARRAY_TO_STRING(t[s + 1 : s + {SPAN_WIDTH}], ' ')"
+             )} AS h
+      FROM toks, UNNEST(RANGE(0, n - {SPAN_WIDTH - 1})) AS r(s)
+      WHERE n >= {SPAN_WIDTH}
+    ), anch AS (
+      SELECT * FROM spans WHERE h % {SPAN_ANCHOR_MOD} = 0
+    ), first_seen AS (
+      SELECT h, MIN(batch_id) AS first_batch FROM anch GROUP BY h
+    ), per_doc AS (
+      SELECT a.doc_id,
+             COUNT(*) AS n_spans,
+             CAST(SUM(CASE WHEN f.first_batch < a.batch_id
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_vs_prior
+      FROM anch a JOIN first_seen f USING (h)
+      GROUP BY a.doc_id
+    )
+    SELECT t.doc_id, CAST(t.batch_id AS BIGINT) AS batch_id,
+           COALESCE(p.n_spans, 0) AS n_spans,
+           COALESCE(p.n_dup_vs_prior, 0) AS n_dup_vs_prior,
+           CAST(COALESCE(p.n_dup_vs_prior, 0) = 0 AS INT) AS novel
+    FROM toks t LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def stream_span_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A GROWING substring-dedup index in the ingest stream: each
+    micro-batch checks its documents' anchored spans against the index
+    accumulated from ALL PRIOR batches, reports per-doc duplication
+    (batch 1 sees an empty index — everything novel; later batches
+    increasingly hit it), then appends its own new span hashes — the
+    crawl-ingest loop dedup_incremental_spans models for ONE batch,
+    run for real across a stream of them.
+
+    State lives in a parquet-backed index TABLE, not executor memory:
+    each batch does one distributed join against the index and one
+    anti-join append of its new hashes — zero driver-side data
+    traffic, and the index survives restarts (checkpoint + table = the
+    production recovery story; in production the index is the
+    snapshot-layer table with its bucketing on h). Batch boundaries
+    ARE semantics here (dup-vs-prior depends on arrival order), so the
+    oracle derives the same doc_id-ordered batch assignment with
+    NTILE — exact, because slice order is stamped deterministically.
+    """
+    import os
+    import tempfile
+
+    replay_dir = _write_doc_slices(spark, sf_dir, n_slices=4)
+    index_dir = tempfile.mkdtemp(prefix="kf_span_idx_")
+    out_dir = tempfile.mkdtemp(prefix="kf_span_ingest_out_")
+    # initialize an EMPTY index so batch 1's join sees a valid table
+    spark.createDataFrame([], "h long").write.mode("overwrite").parquet(
+        index_dir
+    )
+
+    def ingest_batch(batch_df: DataFrame, epoch: int) -> None:
+        batch_id = epoch + 1  # one slice per trigger, mtime-ordered
+        aug = batch_df.select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit(SPAN_BOILERPLATE + " "), F.col("text")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        toks = aug.select(
+            "doc_id",
+            F.split("text", " ").alias("t"),
+            F.size(F.split("text", " ")).alias("n"),
+        )
+        anch = _anchored_spans(toks)
+        idx = spark.read.parquet(index_dir).withColumn("in_idx", F.lit(1))
+        hit = F.when(F.col("in_idx").isNotNull(), 1).otherwise(0)
+        per_doc = (
+            anch.join(idx, "h", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").alias("n_spans"),
+                F.sum(hit).cast("long").alias("n_dup_vs_prior"),
+            )
+        )
+        out = toks.select("doc_id").join(per_doc, "doc_id", "left").select(
+            "doc_id",
+            F.lit(batch_id).cast("long").alias("batch_id"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("n_dup_vs_prior", F.lit(0))
+            .cast("long")
+            .alias("n_dup_vs_prior"),
+            (F.coalesce("n_dup_vs_prior", F.lit(0)) == 0)
+            .cast("int")
+            .alias("novel"),
+        )
+        out.write.mode("append").parquet(out_dir)
+        # append only the batch's NEW hashes (anti-join keeps the index
+        # duplicate-free, so its size is |distinct spans|, not |stream|)
+        new_h = (
+            anch.select("h")
+            .distinct()
+            .join(spark.read.parquet(index_dir), "h", "left_anti")
+        )
+        new_h.write.mode("append").parquet(index_dir)
+
+    q = (
+        spark.readStream.schema(DOCS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay_dir)
+        .writeStream.foreachBatch(ingest_batch)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="kf_span_idx_chk_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select(
+        "doc_id", "batch_id", "n_spans", "n_dup_vs_prior", "novel"
     )

@@ -493,3 +493,24 @@ def test_chunk_greedy_law_and_divergence(spark):
     assert len(out) != len(offs) or not out.chunk_md5.isin(
         set(offs.chunk_md5)
     ).all()
+
+
+def test_span_index_ingest_grows_across_batches(spark):
+    out = QUERIES["stream_span_index_ingest"](spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    assert len(out) == len(docs)
+    # batch 1 ingests into an empty index: everything is novel
+    b1 = out[out.batch_id == 1]
+    assert len(b1) > 0 and (b1.novel == 1).all()
+    # the planted boilerplate is in every batch, so every later planted
+    # doc must hit the growing index
+    later_planted = out[(out.doc_id % 5 == 0) & (out.batch_id > 1)]
+    assert len(later_planted) > 0
+    assert (later_planted.n_dup_vs_prior > 0).all()
+    # flag is exactly the rule
+    assert (out.novel.to_numpy()
+            == (out.n_dup_vs_prior == 0).astype(int).to_numpy()).all()
+    # duplication rises as the index grows (weakly, per planted cohort)
+    frac = out.groupby("batch_id").apply(
+        lambda g: (g.n_dup_vs_prior > 0).mean(), include_groups=False)
+    assert frac.loc[1] == 0 and frac.loc[4] > 0
