@@ -514,3 +514,32 @@ def test_span_index_ingest_grows_across_batches(spark):
     frac = out.groupby("batch_id").apply(
         lambda g: (g.n_dup_vs_prior > 0).mean(), include_groups=False)
     assert frac.loc[1] == 0 and frac.loc[4] > 0
+
+
+# --- engine-vs-Python regex equivalence fuzz (the portable-subset claim) ---
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_pii_alphabet = st.sampled_from(list("abcz019@.-+_% "))
+_pii_text = st.text(_pii_alphabet, min_size=0, max_size=40)
+
+
+@given(st.lists(_pii_text, min_size=1, max_size=20))
+@settings(max_examples=25, deadline=None)
+def test_pii_redact_matches_python_re(spark, texts):
+    """PII_PATTERNS stays inside the Java-regex ∩ RE2 ∩ Python-re
+    subset: the Spark chain must equal a Python re.sub replay on
+    arbitrary strings over the PII alphabet."""
+    from clj_kinesis_to_firehose_spark.operators.curation_r10 import (
+        pii_redact_expr,
+    )
+
+    def py_redact(t: str) -> str:
+        for _, pat, token in PII_PATTERNS:
+            t = re.sub(pat, token, t)
+        return t
+
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = [r.r for r in df.select(pii_redact_expr(F.col("t")).alias("r")).collect()]
+    assert got == [py_redact(t) for t in texts]
