@@ -207,6 +207,18 @@ DECON_WIDTH = 5
 DECON_DROP_DENOM = 20
 
 
+def _doc_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) — distinct DECON_WIDTH-gram stream used by the
+    decontamination gate, attribution, and the streaming admission
+    twin (ONE Spark copy of the rule, mirroring the SQL CTE reuse)."""
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(shingles(F.col("text"), width=DECON_WIDTH))
+        ).alias("shingle"),
+    )
+
+
 _SQL_DECON_PROBES = f"""
     WITH toks AS (
       SELECT doc_id, STRING_SPLIT(text, ' ') AS t, text FROM documents
@@ -262,12 +274,7 @@ def text_decontaminate_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     no float-boundary ambiguity between engines.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = fan_out(spark, docs).select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(shingles(F.col("text"), width=DECON_WIDTH))
-        ).alias("shingle"),
-    )
+    sh = _doc_shingles(fan_out(spark, docs))
     probe = (
         sh.filter(F.col("doc_id") % 97 == 0)
         .select("shingle")
@@ -1190,7 +1197,7 @@ def text_decontaminate_attribution(spark: SparkSession, sf_dir: str) -> DataFram
         F.explode(
             F.array_distinct(shingles(F.col("text"), width=ATTR_WIDTH))
         ).alias("shingle"),
-    )
+    )  # ATTR_WIDTH differs from the gate's DECON_WIDTH by design
     probe = sh.filter(F.col("doc_id") % 97 == 0).select(
         F.col("doc_id").alias("probe_id"), "shingle"
     )
@@ -1562,42 +1569,42 @@ def stream_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     replay_dir = _write_doc_slices(spark, sf_dir, n_slices=4)
 
-    # corpus-level attribute indexes, built ONCE before the stream
-    # (persisted index tables in production)
+    # corpus-level attribute indexes, MATERIALIZED once before the
+    # stream (parquet tables — per-batch joins read these, they never
+    # re-derive the corpus pipelines; the production persisted-index
+    # story, and ~4x less corpus compute than lazy DAGs re-evaluated
+    # per micro-batch)
     toks = _tokenized(spark, sf_dir)
-    rem_counts = (
+    rem_dir = tempfile.mkdtemp(prefix="kf_admission_rem_")
+    (
         _span_removal_positions(toks)
         .groupBy("doc_id")
         .agg(F.count("*").cast("long").alias("n_tokens_removed"))
+        .write.mode("overwrite")
+        .parquet(rem_dir)
     )
-    probe = (
-        fan_out(spark, docs.select("doc_id", "text"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(shingles(F.col("text"), width=DECON_WIDTH))
-            ).alias("shingle"),
-        )
+    probe_dir = tempfile.mkdtemp(prefix="kf_admission_probe_")
+    (
+        _doc_shingles(fan_out(spark, docs.select("doc_id", "text")))
         .filter(F.col("doc_id") % 97 == 0)
         .select("shingle")
         .distinct()
         .withColumn("is_probe", F.lit(1))
+        .write.mode("overwrite")
+        .parquet(probe_dir)
     )
+    rem_counts = spark.read.parquet(rem_dir)
+    probe = spark.read.parquet(probe_dir)
 
     out_dir = tempfile.mkdtemp(prefix="kf_admission_out_")
 
-    def admit_batch(batch_df: DataFrame, _epoch: int) -> None:
+    def admit_batch(batch_df: DataFrame, epoch: int) -> None:
         g = _gopher_columns(batch_df).select(
             "doc_id",
             F.col("keep").alias("quality_keep"),
             F.col("n_rules_passed").alias("n_quality_rules"),
         )
-        sh = batch_df.select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(shingles(F.col("text"), width=DECON_WIDTH))
-            ).alias("shingle"),
-        )
+        sh = _doc_shingles(batch_df)
         hit = F.when(F.col("is_probe").isNotNull(), 1).otherwise(0)
         d = (
             sh.join(probe, "shingle", "left")
@@ -1637,11 +1644,14 @@ def stream_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_tokens_removed",
             )
         )
-        out.write.mode("append").parquet(out_dir)
+        # epoch-keyed OVERWRITE: at-least-once epoch re-execution
+        # rewrites the same path with the same rows — idempotent
+        out.write.mode("overwrite").parquet(f"{out_dir}/epoch_{epoch}")
 
     q = (
         spark.readStream.schema(DOCS_RAW_SCHEMA)
         .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
         .parquet(replay_dir)
         .writeStream.foreachBatch(admit_batch)
         .option(
@@ -1651,7 +1661,9 @@ def stream_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out_dir).select(
+    return spark.read.option("recursiveFileLookup", "true").parquet(
+        out_dir
+    ).select(
         "doc_id",
         "quality_keep",
         "decon_keep",
@@ -1664,6 +1676,41 @@ def stream_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- corpus_chunk_greedy -------------------------------------------------
+
+
+def _greedy_walk(text: str) -> list[tuple]:
+    """The greedy-restart chunk walk over one document — pure Python,
+    unit-testable against the recursive-CTE recursion on crafted
+    inputs (incl. cost-0 words and oversize words, where a naive
+    `if running` guard diverges — the r10 review counterexample).
+    Returns (chunk_id, n_words, n_tokens, chunk_start, chunk_md5)."""
+    import hashlib
+    import re as _re
+
+    cost_re = _re.compile(CHUNK_COST_RE)
+    words = text.split(" ")
+    rows: list[tuple] = []
+    running, chunk_id, start = 0, 0, 0
+    bucket: list[str] = []
+    for pos, w in enumerate(words):
+        c = len(cost_re.findall(w))
+        # mirror the oracle's recursion exactly: from the second word
+        # on, split whenever running + cost exceeds the budget — even
+        # at running == 0 (possible after cost-0 words)
+        if pos > 0 and running + c > CHUNK_TOKEN_BUDGET:
+            rows.append(
+                (chunk_id, len(bucket), running, start,
+                 hashlib.md5(" ".join(bucket).encode()).hexdigest())
+            )
+            chunk_id, running, start, bucket = chunk_id + 1, c, pos, [w]
+        else:
+            running += c
+            bucket.append(w)
+    rows.append(
+        (chunk_id, len(bucket), running, start,
+         hashlib.md5(" ".join(bucket).encode()).hexdigest())
+    )
+    return rows
 
 
 @register(
@@ -1728,32 +1775,9 @@ def corpus_chunk_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def chunk_doc(pdf: pd.DataFrame) -> pd.DataFrame:
-        import hashlib
-        import re as _re
-
-        cost_re = _re.compile(CHUNK_COST_RE)
         rows = []
         for doc_id, text in zip(pdf.doc_id, pdf.text):
-            words = text.split(" ")
-            running, chunk_id, start = 0, 0, 0
-            bucket: list[str] = []
-            for pos, w in enumerate(words):
-                c = len(cost_re.findall(w))
-                if running and running + c > CHUNK_TOKEN_BUDGET:
-                    rows.append(
-                        (doc_id, chunk_id, len(bucket), running, start,
-                         hashlib.md5(" ".join(bucket).encode()).hexdigest())
-                    )
-                    chunk_id, running, start, bucket = (
-                        chunk_id + 1, c, pos, [w],
-                    )
-                else:
-                    running += c
-                    bucket.append(w)
-            rows.append(
-                (doc_id, chunk_id, len(bucket), running, start,
-                 hashlib.md5(" ".join(bucket).encode()).hexdigest())
-            )
+            rows.extend((doc_id, *r) for r in _greedy_walk(text))
         return pd.DataFrame(
             rows,
             columns=[
@@ -1826,23 +1850,30 @@ def stream_span_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     State lives in a parquet-backed index TABLE, not executor memory:
     each batch does one distributed join against the index and one
     anti-join append of its new hashes — zero driver-side data
-    traffic, and the index survives restarts (checkpoint + table = the
-    production recovery story; in production the index is the
-    snapshot-layer table with its bucketing on h). Batch boundaries
+    traffic, and the index survives restarts AND
+    re-executions: writes are epoch-keyed overwrites and the dup-count
+    join reads strictly-prior epochs, so an at-least-once replay of any
+    micro-batch produces byte-identical output (in production the index
+    is the snapshot-layer table with its bucketing on h). Batch boundaries
     ARE semantics here (dup-vs-prior depends on arrival order), so the
     oracle derives the same doc_id-ordered batch assignment with
     NTILE — exact, because slice order is stamped deterministically.
     """
-    import os
     import tempfile
 
     replay_dir = _write_doc_slices(spark, sf_dir, n_slices=4)
     index_dir = tempfile.mkdtemp(prefix="kf_span_idx_")
     out_dir = tempfile.mkdtemp(prefix="kf_span_ingest_out_")
-    # initialize an EMPTY index so batch 1's join sees a valid table
-    spark.createDataFrame([], "h long").write.mode("overwrite").parquet(
-        index_dir
-    )
+    # initialize an EMPTY index (epoch column = which batch added the
+    # hash) so batch 1's join sees a valid table
+    spark.createDataFrame([], "h long, epoch long").write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/epoch_init")
+
+    def _read_index():
+        return spark.read.option("recursiveFileLookup", "true").parquet(
+            index_dir
+        )
 
     def ingest_batch(batch_df: DataFrame, epoch: int) -> None:
         batch_id = epoch + 1  # one slice per trigger, mtime-ordered
@@ -1861,7 +1892,17 @@ def stream_span_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.split("text", " ")).alias("n"),
         )
         anch = _anchored_spans(toks)
-        idx = spark.read.parquet(index_dir).withColumn("in_idx", F.lit(1))
+        # STRICTLY-PRIOR epochs only: after an at-least-once epoch
+        # re-execution the index may already hold this epoch's own
+        # hashes — filtering on the epoch column keeps the dup counts
+        # identical on any replay (idempotent recovery)
+        idx = (
+            _read_index()
+            .filter(F.col("epoch") < epoch)
+            .select("h")
+            .distinct()
+            .withColumn("in_idx", F.lit(1))
+        )
         hit = F.when(F.col("in_idx").isNotNull(), 1).otherwise(0)
         per_doc = (
             anch.join(idx, "h", "left")
@@ -1882,19 +1923,27 @@ def stream_span_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int")
             .alias("novel"),
         )
-        out.write.mode("append").parquet(out_dir)
-        # append only the batch's NEW hashes (anti-join keeps the index
-        # duplicate-free, so its size is |distinct spans|, not |stream|)
+        # epoch-keyed OVERWRITE writes: re-execution rewrites the same
+        # paths with the same content — no duplicated rows, no index
+        # corruption (the non-idempotent append was the r10 review's
+        # restart-correctness finding)
+        out.write.mode("overwrite").parquet(f"{out_dir}/epoch_{epoch}")
         new_h = (
             anch.select("h")
             .distinct()
-            .join(spark.read.parquet(index_dir), "h", "left_anti")
+            .join(
+                _read_index().filter(F.col("epoch") < epoch).select("h"),
+                "h",
+                "left_anti",
+            )
+            .withColumn("epoch", F.lit(epoch).cast("long"))
         )
-        new_h.write.mode("append").parquet(index_dir)
+        new_h.write.mode("overwrite").parquet(f"{index_dir}/epoch_{epoch}")
 
     q = (
         spark.readStream.schema(DOCS_RAW_SCHEMA)
         .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
         .parquet(replay_dir)
         .writeStream.foreachBatch(ingest_batch)
         .option(
@@ -1904,6 +1953,8 @@ def stream_span_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out_dir).select(
+    return spark.read.option("recursiveFileLookup", "true").parquet(
+        out_dir
+    ).select(
         "doc_id", "batch_id", "n_spans", "n_dup_vs_prior", "novel"
     )

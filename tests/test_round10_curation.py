@@ -543,3 +543,48 @@ def test_pii_redact_matches_python_re(spark, texts):
     df = spark.createDataFrame([(t,) for t in texts], "t string")
     got = [r.r for r in df.select(pii_redact_expr(F.col("t")).alias("r")).collect()]
     assert got == [py_redact(t) for t in texts]
+
+
+def test_greedy_walk_matches_recursive_cte_on_crafted_inputs():
+    """The pure greedy walk must equal the oracle's recursion on the
+    inputs where a naive guard diverges: cost-0 words (consecutive
+    spaces) and single words whose cost exceeds the budget."""
+    from clj_kinesis_to_firehose_spark.operators.curation_r10 import (
+        CHUNK_TOKEN_BUDGET as B, _greedy_walk,
+    )
+    con = duckdb.connect()
+    cases = [
+        "  a.b.c.d.e.f.g.h.i",          # cost-0, cost-0, cost-17
+        "a.b.c.d.e.f.g.h.i word",       # oversize first word
+        " ",                            # two empty tokens
+        "plain words only here",
+        "x" + ".y" * 30,                # one word costing 61
+        "a b  c   d",                   # interleaved empties
+    ]
+    for text in cases:
+        got = [
+            (cid, nw, nt, stt)
+            for cid, nw, nt, stt, _ in _greedy_walk(text)
+        ]
+        want = con.execute(f"""
+        WITH RECURSIVE words AS (
+          SELECT i - 1 AS pos, t[i] AS word,
+                 LEN(REGEXP_EXTRACT_ALL(t[i], '{CHUNK_COST_RE}')) AS cost
+          FROM (SELECT STRING_SPLIT(?, ' ') AS t),
+               UNNEST(RANGE(1, LEN(t) + 1)) AS r(i)
+        ), steps AS (
+          SELECT pos, word, cost, cost AS running, 0 AS chunk_id
+          FROM words WHERE pos = 0
+          UNION ALL
+          SELECT w.pos, w.word, w.cost,
+                 CASE WHEN s.running + w.cost > {B} THEN w.cost
+                      ELSE s.running + w.cost END,
+                 CASE WHEN s.running + w.cost > {B} THEN s.chunk_id + 1
+                      ELSE s.chunk_id END
+          FROM steps s JOIN words w ON w.pos = s.pos + 1
+        )
+        SELECT chunk_id, COUNT(*), SUM(cost), MIN(pos)
+        FROM steps GROUP BY chunk_id ORDER BY chunk_id
+        """, [text]).fetchall()
+        want = [(int(a), int(b), int(c), int(d)) for a, b, c, d in want]
+        assert got == want, f"divergence on {text!r}: {got} vs {want}"
