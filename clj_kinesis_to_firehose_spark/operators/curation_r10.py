@@ -1958,3 +1958,125 @@ def stream_span_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "batch_id", "n_spans", "n_dup_vs_prior", "novel"
     )
+
+
+# --- text_decontaminate_redact -----------------------------------------------
+
+
+@register(
+    "text_decontaminate_redact",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS t,
+             LEN(STRING_SPLIT(text, ' ')) AS n, text FROM documents
+    ), grams AS (
+      SELECT doc_id, i - 1 AS gpos,
+             ARRAY_TO_STRING(t[i : i + {ATTR_WIDTH - 1}], ' ') AS g
+      FROM toks, UNNEST(RANGE(1, LEN(t) - {ATTR_WIDTH - 2})) AS r(i)
+      WHERE n >= {ATTR_WIDTH}
+    ), probe AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+    ), hits AS (
+      SELECT gr.doc_id, gr.gpos FROM grams gr JOIN probe p USING (g)
+      WHERE gr.doc_id % 97 <> 0
+    ), rem AS (
+      SELECT DISTINCT doc_id, gpos + i AS pos
+      FROM hits, UNNEST(RANGE(0, {ATTR_WIDTH})) AS u(i)
+    ), words AS (
+      SELECT doc_id, i - 1 AS pos, t[i] AS word
+      FROM toks, UNNEST(RANGE(1, n + 1)) AS r(i)
+    ), kept AS (
+      SELECT w.doc_id, STRING_AGG(w.word, ' ' ORDER BY w.pos) AS clean_text,
+             COUNT(*) AS n_kept
+      FROM words w LEFT JOIN rem r ON w.doc_id = r.doc_id AND w.pos = r.pos
+      WHERE r.pos IS NULL GROUP BY w.doc_id
+    )
+    SELECT t.doc_id,
+           COALESCE(k.clean_text, '') AS clean_text,
+           CAST(t.n - COALESCE(k.n_kept, 0) AS BIGINT) AS n_tokens_removed,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_tokens_kept
+    FROM toks t LEFT JOIN kept k USING (doc_id)
+    WHERE t.doc_id % 97 <> 0
+    """,
+)
+def text_decontaminate_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURGICAL decontamination: instead of dropping a contaminated
+    document wholesale (text_decontaminate_probes' flag), remove only
+    the tokens covered by a probe-matching n-gram and keep the rest —
+    the softer policy pipelines apply when contamination is a quoted
+    snippet inside an otherwise-good document. Probe docs themselves
+    are excluded from the output (they ARE the eval set). Runs at
+    ATTR_WIDTH (the sensitive triage width, deliberately tighter than
+    the drop gate) so partial overlaps are caught and excised.
+
+    Scale: positional n-grams (explode, map-side) join the probe gram
+    set (eval-set-sized, AQE-broadcast at runtime — same no-hint
+    rationale as the gate), matched positions explode to a token
+    removal set, and the rewrite is the same anti-join + ordered
+    collect as dedup_substring_remove — all doc_id-keyed shuffles
+    bounded by document length. One corpus scan feeds both the gram
+    and word streams.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = fan_out(spark, docs).select(
+        "doc_id",
+        F.split("text", " ").alias("t"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    grams = (
+        toks.filter(F.col("n") >= ATTR_WIDTH)
+        .select(
+            "doc_id",
+            "t",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n") - ATTR_WIDTH)
+            ).alias("gpos"),
+        )
+        .select(
+            "doc_id",
+            "gpos",
+            F.concat_ws(
+                " ", F.slice("t", F.col("gpos") + 1, ATTR_WIDTH)
+            ).alias("g"),
+        )
+    )
+    probe = grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    rem = (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(probe, "g")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("gpos"), F.col("gpos") + ATTR_WIDTH - 1)
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    words = toks.select("doc_id", F.posexplode("t").alias("pos", "word"))
+    kept = (
+        words.join(rem, ["doc_id", "pos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s.word,
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count("*").alias("n_kept"),
+        )
+    )
+    return (
+        toks.filter(F.col("doc_id") % 97 != 0)
+        .select("doc_id", "n")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            (F.col("n") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_tokens_removed"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_tokens_kept"),
+        )
+    )

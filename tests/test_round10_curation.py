@@ -588,3 +588,27 @@ def test_greedy_walk_matches_recursive_cte_on_crafted_inputs():
         """, [text]).fetchall()
         want = [(int(a), int(b), int(c), int(d)) for a, b, c, d in want]
         assert got == want, f"divergence on {text!r}: {got} vs {want}"
+
+
+def test_decontaminate_redact_surgical(spark):
+    from clj_kinesis_to_firehose_spark.operators.curation_r10 import (
+        ATTR_WIDTH,
+    )
+    out = QUERIES["text_decontaminate_redact"](spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    # probe docs excluded; all others present
+    assert set(out.doc_id) == {d for d in docs.doc_id if d % 97 != 0}
+    # every attributed doc (same width) had tokens excised; nothing else
+    attr = QUERIES["text_decontaminate_attribution"](spark, SF_DIR).toPandas()
+    touched = set(out.doc_id[out.n_tokens_removed > 0])
+    assert touched == set(attr.doc_id)
+    # removals are n-gram shaped: at least ATTR_WIDTH tokens per hit doc
+    assert (out.set_index("doc_id").loc[sorted(touched)]
+            .n_tokens_removed >= ATTR_WIDTH).all()
+    # untouched docs keep their text verbatim
+    j = out.merge(docs[["doc_id", "text"]], on="doc_id")
+    clean = j[j.n_tokens_removed == 0]
+    assert (clean.clean_text == clean.text).all()
+    # kept + removed partitions every doc's token stream
+    assert (j.n_tokens_removed + j.n_tokens_kept
+            == j.text.str.split(" ").str.len()).all()
