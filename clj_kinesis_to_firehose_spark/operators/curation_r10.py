@@ -30,7 +30,11 @@ from clj_kinesis_to_firehose_spark.operators.llm_dedup import (
     portable_hash60,
 )
 from clj_kinesis_to_firehose_spark.registry import register
-from clj_kinesis_to_firehose_spark.sources import fan_out, load_table
+from clj_kinesis_to_firehose_spark.sources import (
+    fan_out,
+    load_table,
+    scratch_dir,
+)
 
 # --- dedup_substring_spans -------------------------------------------------
 
@@ -1326,10 +1330,21 @@ EMB_OUTLIER_K = 3
     ), pe AS (
       SELECT vec_id, UNNEST(e) AS x, GENERATE_SUBSCRIPTS(e, 1) AS pos FROM v
     ), cent AS (
-      SELECT pos, AVG(x) AS c FROM pe GROUP BY pos
+      -- centroid rounded to 6 dp: AVG's summation order differs
+      -- between engines; quantizing the coordinate kills that
+      -- last-bit channel before any distance math sees it
+      SELECT pos, ROUND(AVG(x), 6) AS c FROM pe GROUP BY pos
     ), d AS (
+      -- pos-ordered left fold seeded with 0.0 — the EXACT summation
+      -- order of the Spark plan's F.aggregate(zip_with(...)), so the
+      -- pre-round dist is bit-identical, not just close (an
+      -- unordered hash-agg SUM could differ in the last bits and
+      -- flip the 4-dp round at a boundary)
       SELECT pe.vec_id,
-             ROUND(SQRT(SUM((pe.x - cent.c) * (pe.x - cent.c))), 4) AS dist
+             ROUND(SQRT(LIST_REDUCE(
+               LIST_PREPEND(0.0, LIST((pe.x - cent.c) * (pe.x - cent.c)
+                                      ORDER BY pe.pos)),
+               (acc, x) -> acc + x)), 4) AS dist
       FROM pe JOIN cent USING (pos) GROUP BY pe.vec_id
     ), med AS (
       SELECT QUANTILE_CONT(dist, 0.5) AS m FROM d
@@ -1359,9 +1374,13 @@ def embedding_outlier_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance column (exact interpolated percentile — state is the
     distance relation, which at 100 TB you'd swap for the fixed-bin
     sketch of agg_approx_quantile; exact here because the flag's
-    oracle demands it). Distances are rounded to 4 dp BEFORE the
-    percentile/threshold math and the threshold is rounded the same
-    way on both engines, so no float last-bit can flip a flag.
+    oracle demands it). Cross-engine determinism is closed at BOTH
+    float channels: the centroid coordinate is rounded to 6 dp on
+    each side (AVG summation order is engine-dependent), and the
+    oracle folds the squared diffs in pos order with the same 0.0
+    seed as this plan's F.aggregate — so the pre-round dist is
+    bit-identical, and the 4-dp round plus same-side threshold
+    rounding means no float last-bit can flip a flag.
     """
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
@@ -1372,7 +1391,7 @@ def embedding_outlier_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("pos", F.col("pos0") + 1)
     cent = (
         pe.groupBy("pos")
-        .agg(F.avg("x").alias("c"))
+        .agg(F.round(F.avg("x"), 6).alias("c"))
         .groupBy()
         .agg(
             F.transform(
@@ -1516,14 +1535,13 @@ def _write_doc_slices(spark: SparkSession, sf_dir: str, n_slices: int) -> str:
     sources.streams.write_replay_slices; the file stream picks slices
     up as separate micro-batches (maxFilesPerTrigger=1)."""
     import os
-    import tempfile
 
     from clj_kinesis_to_firehose_spark.sources.streams import (
         _stamp_slice_order,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    replay_dir = tempfile.mkdtemp(prefix="kf_docs_replay_")
+    replay_dir = scratch_dir("kf_docs_replay_")
     sliced = docs.withColumn(
         "__slice", F.ntile(n_slices).over(Window.orderBy("doc_id")) - 1
     ).persist()
@@ -1564,8 +1582,6 @@ def stream_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     indexes are bucketed tables). Per-batch driver traffic is zero —
     decisions append straight to the output table; nothing collects.
     """
-    import tempfile
-
     docs = load_table(spark, sf_dir, "documents")
     replay_dir = _write_doc_slices(spark, sf_dir, n_slices=4)
 
@@ -1575,7 +1591,7 @@ def stream_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     # story, and ~4x less corpus compute than lazy DAGs re-evaluated
     # per micro-batch)
     toks = _tokenized(spark, sf_dir)
-    rem_dir = tempfile.mkdtemp(prefix="kf_admission_rem_")
+    rem_dir = scratch_dir("kf_admission_rem_")
     (
         _span_removal_positions(toks)
         .groupBy("doc_id")
@@ -1583,7 +1599,7 @@ def stream_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.mode("overwrite")
         .parquet(rem_dir)
     )
-    probe_dir = tempfile.mkdtemp(prefix="kf_admission_probe_")
+    probe_dir = scratch_dir("kf_admission_probe_")
     (
         _doc_shingles(fan_out(spark, docs.select("doc_id", "text")))
         .filter(F.col("doc_id") % 97 == 0)
@@ -1596,7 +1612,7 @@ def stream_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     rem_counts = spark.read.parquet(rem_dir)
     probe = spark.read.parquet(probe_dir)
 
-    out_dir = tempfile.mkdtemp(prefix="kf_admission_out_")
+    out_dir = scratch_dir("kf_admission_out_")
 
     def admit_batch(batch_df: DataFrame, epoch: int) -> None:
         g = _gopher_columns(batch_df).select(
@@ -1654,9 +1670,7 @@ def stream_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("recursiveFileLookup", "true")
         .parquet(replay_dir)
         .writeStream.foreachBatch(admit_batch)
-        .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="kf_admission_chk_")
-        )
+        .option("checkpointLocation", scratch_dir("kf_admission_chk_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -1859,21 +1873,38 @@ def stream_span_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle derives the same doc_id-ordered batch assignment with
     NTILE — exact, because slice order is stamped deterministically.
     """
-    import tempfile
+    import os
 
     replay_dir = _write_doc_slices(spark, sf_dir, n_slices=4)
-    index_dir = tempfile.mkdtemp(prefix="kf_span_idx_")
-    out_dir = tempfile.mkdtemp(prefix="kf_span_ingest_out_")
+    index_dir = scratch_dir("kf_span_idx_")
+    out_dir = scratch_dir("kf_span_ingest_out_")
     # initialize an EMPTY index (epoch column = which batch added the
     # hash) so batch 1's join sees a valid table
     spark.createDataFrame([], "h long, epoch long").write.mode(
         "overwrite"
     ).parquet(f"{index_dir}/epoch_init")
 
-    def _read_index():
-        return spark.read.option("recursiveFileLookup", "true").parquet(
-            index_dir
-        )
+    def _read_prior(epoch: int) -> DataFrame:
+        # enumerate strictly-prior epoch_* dirs EXPLICITLY instead of
+        # a recursive root read: on an at-least-once epoch
+        # re-execution the root listing would also capture THIS
+        # epoch's files from the prior attempt, and the overwrite
+        # below deletes that dir before the job runs — scan tasks
+        # could then fail on listed-but-deleted files. Explicit
+        # prior-epoch paths make a replayed batch read exactly what
+        # the first attempt read (byte-identical replay).
+        paths = []
+        for name in sorted(os.listdir(index_dir)):
+            if name == "epoch_init":
+                paths.append(os.path.join(index_dir, name))
+            elif name.startswith("epoch_"):
+                try:
+                    n = int(name[len("epoch_"):])
+                except ValueError:
+                    continue
+                if n < epoch:
+                    paths.append(os.path.join(index_dir, name))
+        return spark.read.parquet(*paths)
 
     def ingest_batch(batch_df: DataFrame, epoch: int) -> None:
         batch_id = epoch + 1  # one slice per trigger, mtime-ordered
@@ -1892,13 +1923,12 @@ def stream_span_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.split("text", " ")).alias("n"),
         )
         anch = _anchored_spans(toks)
-        # STRICTLY-PRIOR epochs only: after an at-least-once epoch
-        # re-execution the index may already hold this epoch's own
-        # hashes — filtering on the epoch column keeps the dup counts
-        # identical on any replay (idempotent recovery)
+        # STRICTLY-PRIOR epochs only, via explicit path enumeration
+        # (see _read_prior): a replayed batch sees the same index
+        # state as its first attempt — dup counts are identical on
+        # any at-least-once recovery (idempotent)
         idx = (
-            _read_index()
-            .filter(F.col("epoch") < epoch)
+            _read_prior(epoch)
             .select("h")
             .distinct()
             .withColumn("in_idx", F.lit(1))
@@ -1931,13 +1961,12 @@ def stream_span_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_h = (
             anch.select("h")
             .distinct()
-            .join(
-                _read_index().filter(F.col("epoch") < epoch).select("h"),
-                "h",
-                "left_anti",
-            )
+            .join(_read_prior(epoch).select("h"), "h", "left_anti")
             .withColumn("epoch", F.lit(epoch).cast("long"))
         )
+        # safe under replay: new_h's plan lists only strictly-prior
+        # epoch dirs, never the epoch_{epoch} target this overwrite
+        # deletes
         new_h.write.mode("overwrite").parquet(f"{index_dir}/epoch_{epoch}")
 
     q = (
@@ -1946,9 +1975,7 @@ def stream_span_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("recursiveFileLookup", "true")
         .parquet(replay_dir)
         .writeStream.foreachBatch(ingest_batch)
-        .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="kf_span_idx_chk_")
-        )
+        .option("checkpointLocation", scratch_dir("kf_span_idx_chk_"))
         .trigger(availableNow=True)
         .start()
     )

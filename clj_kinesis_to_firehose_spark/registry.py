@@ -222,6 +222,14 @@ _REVALIDATE_AFTER: dict[str, int] = {
     "dedup_url_variants": 9,
     "dedup_incremental_url": 9,
     "text_url_normalize": 9,
+    # r11 ADVICE fixes changed these ops' compute path / oracle text
+    # after their r10 green records (embedding_outlier_prune: centroid
+    # 6-dp rounding + ordered-fold oracle; the two streaming ops:
+    # scratch-dir allocation and explicit prior-epoch index reads) —
+    # require a fresh record.
+    "embedding_outlier_prune": 11,
+    "stream_span_index_ingest": 11,
+    "stream_corpus_admission": 11,
 }
 
 

@@ -72,6 +72,27 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
 
+_SCRATCH_ROOT: str | None = None
+
+
+def scratch_dir(prefix: str = "kf_") -> str:
+    """Fresh scratch directory under ONE per-process root that is
+    removed at interpreter exit. Operators that materialize local
+    state (replay slices, parquet indexes, stream outputs,
+    checkpoints) allocate through here instead of bare
+    ``tempfile.mkdtemp`` so repeated sweep/bench runs don't
+    accumulate unbounded /tmp state across invocations."""
+    import atexit
+    import shutil
+    import tempfile
+
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="kf_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
+
+
 def _parse_byte_size(raw: str) -> int:
     """Parse a Spark byte-size conf string (``134217728``, ``128m``,
     ``1g``, ``512k``, ``134217728b``) to bytes. Stripping non-digits —
