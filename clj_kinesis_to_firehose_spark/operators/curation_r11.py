@@ -1,0 +1,476 @@
+"""Round-11 training-data pipeline operators: tokenizer/vocabulary
+construction (top-K vocab with coverage, per-doc OOV rate, the BPE
+pair-count kernel), leakage-safe group-holdout splitting, hard-negative
+mining over the embedding corpus, and the key-skew profile a pipeline
+runs before choosing a salting/bucketing strategy.
+
+Scale design notes (per operator, also in each docstring):
+
+* every top-K here is ``orderBy(...).limit(K)`` — Spark plans that as
+  TakeOrderedAndProject (per-partition partial top-K merged on the
+  driver, K rows held), never a global sort; the rank/cumsum window
+  then runs over K rows only.
+* global scalars (corpus token total, key-count/max) are 1-row
+  aggregates broadcast back with ``crossJoin(F.broadcast(...))`` — no
+  driver-side collect of data rows anywhere in the module.
+* the vocabulary/pair relations are term- and symbol-keyed — Zipf-
+  bounded, orders of magnitude smaller than the corpus — so the only
+  corpus-sized stages are the initial tokenize/explode scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from clj_kinesis_to_firehose_spark.functions import cosine
+from clj_kinesis_to_firehose_spark.operators.llm_dedup import (
+    SQL_HASH60,
+    portable_hash60,
+)
+from clj_kinesis_to_firehose_spark.operators.llm_similarity import (
+    PROBE_IDS,
+)
+from clj_kinesis_to_firehose_spark.registry import register
+from clj_kinesis_to_firehose_spark.sources import fan_out, load_table
+
+# --- vocabulary family -------------------------------------------------------
+
+#: vocabulary size for the top-K vocab build. The synthetic corpus has
+#: only ~31 distinct whitespace tokens, so K=20 keeps the OOV side
+#: non-degenerate (about a third of corpus tokens fall outside the
+#: vocab at sf0.01 — verified non-vacuous in tests).
+VOCAB_TOPK = 20
+
+#: shared DuckDB CTE block for the vocabulary family: whitespace
+#: tokens → per-term tf/df → (tf DESC, term) ranking. ONE copy,
+#: composed by both oracles, so the tokenization and tie-break rules
+#: cannot drift between them.
+SQL_VOCAB_CTES = """
+    WITH toks AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term
+      FROM documents
+    ), stats AS (
+      SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+      FROM toks GROUP BY term
+    ), ranked AS (
+      SELECT term, tf, df,
+             ROW_NUMBER() OVER (ORDER BY tf DESC, term) AS vocab_rank,
+             SUM(tf) OVER (ORDER BY tf DESC, term
+                           ROWS UNBOUNDED PRECEDING) AS cum_tf
+      FROM stats
+    )"""
+
+
+def _term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term (tf, df) over whitespace tokens — the one corpus-sized
+    tokenize pass both vocabulary operators start from."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = fan_out(spark, docs).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    return toks.groupBy("term").agg(
+        F.count("*").alias("tf"), F.countDistinct("doc_id").alias("df")
+    )
+
+
+def _top_vocab(stats: DataFrame) -> DataFrame:
+    """Top-K terms by (tf DESC, term) with rank and in-vocab cumsum.
+    ``orderBy().limit(K)`` is TakeOrderedAndProject — per-partition
+    partial top-K, no global sort — and the single-partition window
+    after it touches exactly K rows, so this shape survives a
+    billion-term vocabulary."""
+    top = stats.orderBy(F.desc("tf"), F.asc("term")).limit(VOCAB_TOPK)
+    w = Window.orderBy(F.desc("tf"), F.asc("term"))
+    return top.select(
+        "term",
+        "tf",
+        "df",
+        F.row_number().over(w).alias("vocab_rank"),
+        F.sum("tf")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_tf"),
+    )
+
+
+@register(
+    "vocab_build_topk",
+    oracle=f"""
+    {SQL_VOCAB_CTES}, total AS (
+      SELECT SUM(tf) AS total_tf FROM stats
+    )
+    SELECT term, tf, df, vocab_rank,
+           ROUND(CAST(cum_tf AS DOUBLE) / total_tf, 6) AS coverage
+    FROM ranked, total WHERE vocab_rank <= {VOCAB_TOPK}
+    """,
+)
+def vocab_build_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction — the first step of tokenizer training:
+    top-K terms by corpus frequency with document frequency and the
+    cumulative corpus-coverage fraction (what share of all tokens a
+    vocab truncated at this rank would cover — the curve you read K
+    off of).
+
+    Scale: one tokenize/explode scan → term-keyed agg (map-side
+    combine; Zipf-bounded output), TakeOrdered top-K, and a K-row
+    rank/cumsum window. The corpus token total is a 1-row aggregate
+    broadcast back — nothing collects. The cumulative sum at rank r
+    only involves ranks <= r, so computing it inside the top-K slice
+    is exact, not an approximation.
+    """
+    stats = _term_stats(spark, sf_dir)
+    total = stats.agg(F.sum("tf").alias("total_tf"))
+    return (
+        _top_vocab(stats)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "term",
+            "tf",
+            "df",
+            "vocab_rank",
+            F.round(
+                F.col("cum_tf").cast("double") / F.col("total_tf"), 6
+            ).alias("coverage"),
+        )
+    )
+
+
+@register(
+    "vocab_oov_rate",
+    oracle=f"""
+    {SQL_VOCAB_CTES}, vocab AS (
+      SELECT term FROM ranked WHERE vocab_rank <= {VOCAB_TOPK}
+    )
+    SELECT t.doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           ROUND(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+    FROM toks t LEFT JOIN vocab v USING (term)
+    GROUP BY t.doc_id
+    """,
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the top-K vocab —
+    the length/quality signal a pipeline uses to spot documents a
+    fixed tokenizer would shred into byte fallbacks (code, foreign
+    scripts, corrupted text score high OOV).
+
+    Scale: the vocab is K rows — broadcast — so the join is map-side
+    over one tokenize scan; the per-doc agg shuffles on doc_id,
+    bounded by document count. The vocab derivation itself reuses the
+    term-stats agg (Zipf-bounded); at 100 TB you'd materialize the
+    vocab once and broadcast the table, which is exactly the plan
+    shape here.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = fan_out(spark, docs).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    vocab = (
+        _top_vocab(_term_stats(spark, sf_dir))
+        .select("term")
+        .withColumn("in_v", F.lit(1))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("in_v").isNull(), 1).otherwise(0)).alias(
+                "n_oov"
+            ),
+            F.round(
+                F.sum(F.when(F.col("in_v").isNull(), 1).otherwise(0))
+                / F.count("*").cast("double"),
+                6,
+            ).alias("oov_rate"),
+        )
+    )
+
+
+# --- bpe_pair_counts ---------------------------------------------------------
+
+#: pairs reported by the BPE counting kernel.
+BPE_TOPK = 50
+
+
+@register(
+    "bpe_pair_counts",
+    oracle=f"""
+    WITH words AS (
+      SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents
+    ), wf AS (
+      SELECT word, COUNT(*) AS freq FROM words
+      WHERE LEN(word) >= 2 GROUP BY word
+    ), pairs AS (
+      SELECT SUBSTRING(word, i, 1) AS left_sym,
+             SUBSTRING(word, i + 1, 1) AS right_sym,
+             freq
+      FROM wf, UNNEST(RANGE(1, LEN(word))) AS r(i)
+    ), agg AS (
+      SELECT left_sym, right_sym,
+             CAST(SUM(freq) AS BIGINT) AS pair_count
+      FROM pairs GROUP BY left_sym, right_sym
+    )
+    SELECT left_sym, right_sym, pair_count, pair_rank FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY pair_count DESC, left_sym,
+                                   right_sym) AS pair_rank
+      FROM agg
+    ) WHERE pair_rank <= {BPE_TOPK}
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE training kernel: adjacent-symbol pair frequencies over
+    the word dictionary, weighted by word frequency — one iteration of
+    byte-pair-encoding merge selection (the top-ranked pair is the
+    merge BPE would learn next). Distributed tokenizer training at
+    100 TB is exactly this map-reduce repeated per merge.
+
+    Scale: the corpus collapses to the DISTINCT-word relation first
+    (term-keyed agg, Zipf-bounded — the corpus-size decoupling that
+    makes iterated BPE tractable), then pair extraction is a per-word
+    JVM transform/explode over that small relation, and the pair agg
+    is alphabet²-bounded. Top-K via TakeOrdered; the rank window
+    touches K rows.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    wf = (
+        fan_out(spark, docs)
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    pairs = wf.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> struct(substring(word, i, 1) AS left_sym,"
+                "             substring(word, i + 1, 1) AS right_sym))"
+            )
+        ).alias("p"),
+        "freq",
+    ).select("p.left_sym", "p.right_sym", "freq")
+    agg = pairs.groupBy("left_sym", "right_sym").agg(
+        F.sum("freq").cast("long").alias("pair_count")
+    )
+    top = agg.orderBy(
+        F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym")
+    ).limit(BPE_TOPK)
+    w = Window.orderBy(
+        F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym")
+    )
+    return top.select(
+        "left_sym",
+        "right_sym",
+        "pair_count",
+        F.row_number().over(w).alias("pair_rank"),
+    )
+
+
+# --- split_group_holdout -----------------------------------------------------
+
+#: holdout split: sources hashing under this residue (mod SPLIT_MOD)
+#: train, the rest val — i.e. an ~80/20 split BY GROUP, not by row.
+SPLIT_MOD = 10
+SPLIT_TRAIN_UNDER = 8
+#: cross-validation folds derived from the same group hash.
+SPLIT_FOLDS = 5
+
+
+@register(
+    "split_group_holdout",
+    oracle=f"""
+    SELECT doc_id, source,
+           CASE WHEN {SQL_HASH60.format(x="source")} % {SPLIT_MOD}
+                     < {SPLIT_TRAIN_UNDER}
+                THEN 'train' ELSE 'val' END AS split,
+           CAST({SQL_HASH60.format(x="source")} % {SPLIT_FOLDS} AS BIGINT)
+             AS fold
+    FROM documents
+    """,
+)
+def split_group_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/validation split: the split is assigned by
+    hashing the GROUP (source/domain), not the row, so near-duplicate
+    documents from one crawl domain can never straddle train and val —
+    the group-disjointness rule eval-set construction requires. The
+    same hash also yields a stable CV fold id. Deterministic and
+    driver-free: membership is a pure function of the group key, so
+    re-runs, backfills, and new batches land in the same split without
+    consulting any state.
+
+    Scale: pure map over the scan — no shuffle, no state, no driver
+    round-trip. The portable 60-bit hash makes the assignment
+    reproducible across engines (and in the DuckDB oracle).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = portable_hash60(F.col("source"))
+    return docs.select(
+        "doc_id",
+        "source",
+        F.when(h % SPLIT_MOD < SPLIT_TRAIN_UNDER, "train")
+        .otherwise("val")
+        .alias("split"),
+        (h % SPLIT_FOLDS).cast("long").alias("fold"),
+    )
+
+
+# --- sim_hard_negatives ------------------------------------------------------
+
+#: cosine at/above this is a POSITIVE (near-dup / same-content) — such
+#: candidates are excluded from the negative pool. 0.25 sits just
+#: under the fixture's per-probe top-similarity band (max ~0.37-0.40,
+#: p99 ~0.28), so each probe excludes a handful of positives — the
+#: exclusion is exercised non-vacuously (verified in tests).
+NEG_POS_THRESH = 0.25
+#: hard negatives returned per probe.
+NEG_TOP_K = 5
+
+
+@register(
+    "sim_hard_negatives",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), probes AS (
+      SELECT vec_id AS probe_id, e AS pe FROM v
+      WHERE vec_id IN ({", ".join(str(i) for i in PROBE_IDS)})
+    ), scored AS (
+      SELECT probe_id, v.vec_id AS neighbor_id,
+             ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> pe[i] * e[i]))
+                   / (SQRT(LIST_SUM(LIST_TRANSFORM(pe, x -> x * x)))
+                      * SQRT(LIST_SUM(LIST_TRANSFORM(e, x -> x * x)))), 6)
+               AS cosine
+      FROM probes CROSS JOIN v
+      WHERE v.vec_id != probe_id
+    )
+    SELECT probe_id, neighbor_id, cosine, neg_rank FROM (
+      SELECT probe_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY cosine DESC, neighbor_id)
+               AS neg_rank
+      FROM scored WHERE cosine < {NEG_POS_THRESH}
+    ) WHERE neg_rank <= {NEG_TOP_K}
+    """,
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each probe,
+    the highest-cosine candidates BELOW the positive threshold — close
+    enough to be hard, not so close they're actually the same content.
+    (Candidates at/above the threshold are treated as positives/near-
+    dups and excluded; taking them as negatives is the false-negative
+    trap in contrastive batch construction.)
+
+    Scale: identical shape to sim_topk_exact — probe side broadcast,
+    one corpus scan, the threshold filter applied BEFORE the per-probe
+    top-k window so positives never enter the ranked state. Ranking on
+    the 6-dp-rounded cosine with vec_id tie-break keeps the set stable
+    across engines. At 100 TB the brute-force scan swaps for the LSH/
+    IVF candidate generators (sim_ann_*) feeding the same threshold +
+    rank tail.
+    """
+    emb = fan_out(spark, load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    probes = emb.filter(F.col("vec_id").isin(PROBE_IDS)).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe")
+    )
+    scored = (
+        F.broadcast(probes)
+        .crossJoin(emb)
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("pe"), F.col("e")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") < NEG_POS_THRESH)
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("neg_rank", F.row_number().over(w)).filter(
+        F.col("neg_rank") <= NEG_TOP_K
+    )
+
+
+# --- dq_key_skew -------------------------------------------------------------
+
+#: heavy keys reported by the skew profile.
+SKEW_TOPK = 20
+
+
+@register(
+    "dq_key_skew",
+    oracle=f"""
+    WITH per_key AS (
+      SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY user_id
+    ), g AS (
+      SELECT COUNT(*) AS n_keys, SUM(n_rows) AS total_rows,
+             MAX(n_rows) AS max_rows FROM per_key
+    )
+    SELECT key_rank, user_id, n_rows,
+           ROUND(CAST(n_rows AS DOUBLE) / total_rows, 6) AS share,
+           CAST(n_keys AS BIGINT) AS n_keys,
+           ROUND(CAST(max_rows AS DOUBLE) * n_keys / total_rows, 4)
+             AS skew_ratio
+    FROM (
+      SELECT user_id, n_rows,
+             ROW_NUMBER() OVER (ORDER BY n_rows DESC, user_id) AS key_rank
+      FROM per_key
+    ), g WHERE key_rank <= {SKEW_TOPK}
+    """,
+)
+def dq_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew profile — the diagnostic run BEFORE picking a join/agg
+    strategy at scale: per-key row counts reduced to the top heavy
+    keys with their corpus share, plus the global skew ratio
+    (max-key count over the uniform per-key average; 1.0 = perfectly
+    uniform, >>1 = salt or AQE-skew-join this key). The heavy-key list
+    is exactly the salting candidate set.
+
+    Scale: key-keyed count agg (map-side combine) → TakeOrdered top-K;
+    the global stats are a second 1-row aggregate over the per-key
+    relation, broadcast back. State is O(distinct keys), never O(rows);
+    nothing collects.
+    """
+    per_key = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_rows"))
+    )
+    g = per_key.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n_rows").alias("total_rows"),
+        F.max("n_rows").alias("max_rows"),
+    )
+    top = per_key.orderBy(F.desc("n_rows"), F.asc("user_id")).limit(
+        SKEW_TOPK
+    )
+    w = Window.orderBy(F.desc("n_rows"), F.asc("user_id"))
+    return (
+        top.select(
+            F.row_number().over(w).alias("key_rank"), "user_id", "n_rows"
+        )
+        .crossJoin(F.broadcast(g))
+        .select(
+            "key_rank",
+            "user_id",
+            "n_rows",
+            F.round(
+                F.col("n_rows").cast("double") / F.col("total_rows"), 6
+            ).alias("share"),
+            F.col("n_keys").cast("long").alias("n_keys"),
+            F.round(
+                F.col("max_rows").cast("double")
+                * F.col("n_keys")
+                / F.col("total_rows"),
+                4,
+            ).alias("skew_ratio"),
+        )
+    )

@@ -63,6 +63,7 @@ _OPERATOR_MODULES = [
     "routing_ops",
     "audio_ops",
     "curation_r10",
+    "curation_r11",
 ]
 
 _loaded = False

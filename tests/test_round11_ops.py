@@ -1,0 +1,173 @@
+"""Round-11 operator behavioral tests: vocabulary coverage laws and
+non-degenerate OOV, a pure-Python BPE pair-count replay, group-split
+leakage disjointness, hard-negative positive-exclusion non-vacuity,
+and a pandas recompute of the key-skew profile — plus plan-shape pins
+for the new broadcast paths."""
+
+from __future__ import annotations
+
+import collections
+
+import pandas as pd
+
+from clj_kinesis_to_firehose_spark import registry
+from clj_kinesis_to_firehose_spark.operators.curation_r11 import (
+    BPE_TOPK,
+    NEG_POS_THRESH,
+    NEG_TOP_K,
+    SKEW_TOPK,
+    SPLIT_FOLDS,
+    VOCAB_TOPK,
+)
+from clj_kinesis_to_firehose_spark.plans import audit
+from tests.conftest import SF_DIR
+
+QUERIES = registry.queries()
+
+
+def test_vocab_coverage_monotone_and_partial(spark):
+    """Coverage must rise monotonically with rank and stay < 1 at
+    K=20: the fixture has ~31 distinct terms, so a top-20 vocab that
+    claims full coverage means the rank/cumsum logic is broken."""
+    out = (
+        QUERIES["vocab_build_topk"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("vocab_rank")
+    )
+    assert len(out) == VOCAB_TOPK
+    assert list(out.vocab_rank) == list(range(1, VOCAB_TOPK + 1))
+    cov = list(out.coverage)
+    assert all(a < b for a, b in zip(cov, cov[1:])), cov
+    assert 0 < cov[-1] < 1, cov[-1]
+    # tf ordering matches the rank ordering (desc, term tie-break)
+    tfs = list(out.tf)
+    assert all(a >= b for a, b in zip(tfs, tfs[1:]))
+    assert (out.df <= out.tf).all() and (out.df > 0).all()
+
+
+def test_oov_rate_non_degenerate_and_consistent(spark):
+    """The K=20 vocab must leave a real OOV remainder (the constant
+    was sized for exactly this), and n_oov/n_tokens must reproduce
+    oov_rate."""
+    out = QUERIES["vocab_oov_rate"](spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    assert len(out) == len(docs)
+    assert out.oov_rate.mean() > 0.05, "vocab covers everything — vacuous"
+    assert (out.n_oov <= out.n_tokens).all()
+    recomputed = (out.n_oov / out.n_tokens).round(6)
+    assert (recomputed == out.oov_rate).all()
+
+
+def test_bpe_pair_counts_match_python_replay(spark):
+    """Replay the BPE counting kernel in pure Python over the raw
+    fixture and require identical (pair, count) content for the full
+    top-K — catches both the per-word pair extraction and the
+    frequency weighting."""
+    out = QUERIES["bpe_pair_counts"](spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    wf = collections.Counter()
+    for text in docs.text:
+        for w in text.split(" "):
+            if len(w) >= 2:
+                wf[w] += 1
+    pairs = collections.Counter()
+    for w, f in wf.items():
+        for i in range(len(w) - 1):
+            pairs[(w[i], w[i + 1])] += f
+    expect = sorted(
+        pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+    )[:BPE_TOPK]
+    got = [
+        ((r.left_sym, r.right_sym), r.pair_count)
+        for r in out.sort_values("pair_rank").itertuples()
+    ]
+    assert got == expect
+
+
+def test_split_group_holdout_is_group_disjoint(spark):
+    """The leakage law: no source may appear in more than one split;
+    folds are in range and the split is a pure function of source."""
+    out = QUERIES["split_group_holdout"](spark, SF_DIR).toPandas()
+    per_source = out.groupby("source").agg(
+        n_splits=("split", "nunique"), n_folds=("fold", "nunique")
+    )
+    assert (per_source.n_splits == 1).all()
+    assert (per_source.n_folds == 1).all()
+    assert set(out.split) == {"train", "val"}, "one side empty — vacuous"
+    assert out.fold.between(0, SPLIT_FOLDS - 1).all()
+
+
+def test_hard_negatives_exclude_real_positives(spark):
+    """Every returned cosine is strictly below the positive threshold,
+    ranks are dense 1..K per probe, and — non-vacuity — every probe
+    actually HAS candidates above the threshold that were excluded
+    (otherwise the operator is just sim_topk_exact with extra steps)."""
+    out = QUERIES["sim_hard_negatives"](spark, SF_DIR).toPandas()
+    topk = QUERIES["sim_topk_exact"](spark, SF_DIR).toPandas()
+    assert (out.cosine < NEG_POS_THRESH).all()
+    for pid, grp in out.groupby("probe_id"):
+        assert sorted(grp.neg_rank) == list(range(1, NEG_TOP_K + 1))
+    # sim_topk's unfiltered top-1 per probe sits above the threshold
+    # on this fixture, so the exclusion filter removed real rows
+    top1 = topk[topk.nn_rank == 1].set_index("probe_id").cosine
+    assert (top1 >= NEG_POS_THRESH).all(), top1
+    # and no excluded (positive) neighbor leaks into the negatives
+    positives = set(
+        map(tuple, topk[topk.cosine >= NEG_POS_THRESH][
+            ["probe_id", "neighbor_id"]
+        ].itertuples(index=False))
+    )
+    returned = set(
+        map(tuple, out[["probe_id", "neighbor_id"]].itertuples(index=False))
+    )
+    assert not positives & returned
+
+
+def test_key_skew_matches_pandas_recompute(spark):
+    """Recompute the full profile in pandas: heavy-key list, shares,
+    and the global skew ratio must agree exactly."""
+    out = (
+        QUERIES["dq_key_skew"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("key_rank")
+    )
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    counts = ev.groupby("user_id").size().reset_index(name="n")
+    counts = counts.sort_values(["n", "user_id"], ascending=[False, True])
+    total, n_keys, mx = counts.n.sum(), len(counts), counts.n.max()
+    head = counts.head(SKEW_TOPK).reset_index(drop=True)
+    assert list(out.user_id) == list(head.user_id)
+    assert list(out.n_rows) == list(head.n)
+    assert (out.share == (head.n / total).round(6)).all()
+    assert (out.n_keys == n_keys).all()
+    assert (out.skew_ratio == round(mx * n_keys / total, 4)).all()
+    assert (out.skew_ratio >= 1).all()
+
+
+# --- plan-shape pins ---------------------------------------------------------
+
+
+def test_oov_vocab_join_broadcasts(spark):
+    """The K-row vocab side must broadcast — a shuffle join against a
+    20-row relation is the wrong plan at any scale."""
+    df = QUERIES["vocab_oov_rate"](spark, SF_DIR)
+    assert audit.n_broadcast_joins(df) >= 1, audit.plan_report(df)
+
+
+def test_hard_negatives_probe_side_broadcasts(spark):
+    """Same contract as sim_topk_exact: the probe-side crossJoin plans
+    as a BroadcastNestedLoopJoin (a map-side fan-out over one corpus
+    scan), never a shuffle-based cartesian product."""
+    df = QUERIES["sim_hard_negatives"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_topk_paths_avoid_global_sort(spark):
+    """vocab/bpe/skew top-Ks must plan as TakeOrdered (partial top-K),
+    never a full Exchange+Sort of the ranked relation."""
+    for name in ["vocab_build_topk", "bpe_pair_counts", "dq_key_skew"]:
+        df = QUERIES[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, (name, plan[:2000])
