@@ -94,17 +94,21 @@ def _top_vocab(stats: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "vocab_build_topk",
-    oracle=f"""
+#: the full vocab-build oracle — shared verbatim by vocab_build_topk
+#: and its streaming twin stream_vocab_ingest (term counts are
+#: additive across doc-disjoint micro-batches, so the merged stream
+#: state must equal the batch build EXACTLY, same oracle).
+SQL_VOCAB_TOPK = f"""
     {SQL_VOCAB_CTES}, total AS (
       SELECT SUM(tf) AS total_tf FROM stats
     )
     SELECT term, tf, df, vocab_rank,
            ROUND(CAST(cum_tf AS DOUBLE) / total_tf, 6) AS coverage
     FROM ranked, total WHERE vocab_rank <= {VOCAB_TOPK}
-    """,
-)
+    """
+
+
+@register("vocab_build_topk", oracle=SQL_VOCAB_TOPK)
 def vocab_build_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary construction — the first step of tokenizer training:
     top-K terms by corpus frequency with document frequency and the
@@ -472,5 +476,311 @@ def dq_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("total_rows"),
                 4,
             ).alias("skew_ratio"),
+        )
+    )
+
+
+# --- text_char_entropy -------------------------------------------------------
+
+
+@register(
+    "text_char_entropy",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, LEN(text) + 1),
+                                           i -> SUBSTRING(text, i, 1))) AS c
+      FROM documents
+    ), cc AS (
+      SELECT doc_id, c, COUNT(*) AS n FROM ch GROUP BY doc_id, c
+    ), tot AS (
+      SELECT doc_id, SUM(n) AS total, COUNT(*) AS n_unique
+      FROM cc GROUP BY doc_id
+    ), terms AS (
+      -- t = p * ln(p) with the quotient written ONCE per factor so
+      -- the multiply/divide order is identical to the Spark plan
+      SELECT cc.doc_id, cc.c,
+             (CAST(cc.n AS DOUBLE) / tot.total)
+               * LN(CAST(cc.n AS DOUBLE) / tot.total) AS t
+      FROM cc JOIN tot USING (doc_id)
+    )
+    SELECT t2.doc_id, CAST(tot.total AS BIGINT) AS n_chars_total,
+           CAST(tot.n_unique AS BIGINT) AS n_unique_chars,
+           ROUND(-t2.s / LN(2), 6) AS char_entropy
+    FROM (
+      -- char-ordered left fold seeded with 0.0 — the same summation
+      -- order as the Spark aggregate over the sorted struct list, so
+      -- the pre-round sum is bit-identical across engines
+      SELECT doc_id,
+             LIST_REDUCE(LIST_PREPEND(0.0, LIST(t ORDER BY c)),
+                         (acc, x) -> acc + x) AS s
+      FROM terms GROUP BY doc_id
+    ) t2 JOIN tot ON t2.doc_id = tot.doc_id
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document (bits) —
+    the compression-ratio-style quality signal: natural prose sits in
+    a narrow entropy band, while base64 blobs, minified code, and
+    repeated-filler junk fall far above or below it. Reported with
+    the char count and unique-char count the gate thresholds combine
+    with.
+
+    Scale: explode to (doc, char) → two doc-keyed aggregations — the
+    per-class relation is at most alphabet-sized per doc, so state is
+    O(docs x alphabet), never O(corpus chars) past the first map
+    stage. Determinism: the p*ln(p) terms are folded in char order
+    with a 0.0 seed on BOTH engines (an unordered SUM could differ in
+    the last bits), and the quotient/multiply order matches the
+    oracle verbatim, so the 6-dp round is flip-free.
+    """
+    import math
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cc = (
+        fan_out(spark, docs)
+        .select("doc_id", F.explode(F.split("text", "")).alias("c"))
+        .groupBy("doc_id", "c")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = cc.groupBy("doc_id").agg(
+        F.sum("n").alias("total"), F.count("*").alias("n_unique")
+    )
+    p = F.col("n").cast("double") / F.col("total")
+    terms = cc.join(tot, "doc_id").select(
+        "doc_id", "c", (p * F.log(p)).alias("t")
+    )
+    folded = terms.groupBy("doc_id").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("c", "t"))),
+                lambda s: s["t"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("s")
+    )
+    return folded.join(tot, "doc_id").select(
+        "doc_id",
+        F.col("total").cast("long").alias("n_chars_total"),
+        F.col("n_unique").cast("long").alias("n_unique_chars"),
+        F.round(-F.col("s") / math.log(2), 6).alias("char_entropy"),
+    )
+
+
+# --- bpe_learn_merges --------------------------------------------------------
+
+#: merge iterations unrolled by bpe_learn_merges.
+BPE_N_MERGES = 3
+
+
+def _sql_bpe_merges(n_merges: int) -> str:
+    """Unrolled DuckDB twin of the BPE training loop: per iteration,
+    pair-count the current symbol dictionary, pick the (count DESC,
+    left, right) top pair, and apply it with the same double-pass
+    REPLACE expression the Spark plan uses — so select AND apply are
+    reproduced exactly, not just the first iteration."""
+    parts = ["""
+    WITH wf0 AS (
+      SELECT word, COUNT(*) AS freq FROM (
+        SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents
+      ) WHERE LEN(word) >= 2 GROUP BY word
+    ), w0 AS (
+      SELECT '|' || ARRAY_TO_STRING(
+               LIST_TRANSFORM(RANGE(1, LEN(word) + 1),
+                              i -> SUBSTRING(word, i, 1)), '|') || '|' AS rep,
+             freq
+      FROM wf0
+    )"""]
+    for k in range(1, n_merges + 1):
+        parts.append(f""", p{k} AS (
+      SELECT s.syms[i] AS left_sym, s.syms[i + 1] AS right_sym,
+             CAST(SUM(s.freq) AS BIGINT) AS pair_count
+      FROM (SELECT STRING_SPLIT(TRIM(rep, '|'), '|') AS syms, freq
+            FROM w{k - 1}) s,
+           UNNEST(RANGE(1, LEN(s.syms))) AS r(i)
+      GROUP BY left_sym, right_sym
+    ), m{k} AS (
+      SELECT left_sym, right_sym, pair_count
+      FROM p{k} WHERE left_sym <> right_sym
+      ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1
+    ), w{k} AS (
+      SELECT REPLACE(REPLACE(rep,
+               '|' || m.left_sym || '|' || m.right_sym || '|',
+               '|' || m.left_sym || m.right_sym || '|'),
+               '|' || m.left_sym || '|' || m.right_sym || '|',
+               '|' || m.left_sym || m.right_sym || '|') AS rep,
+             freq
+      FROM w{k - 1}, m{k} m
+    )""")
+    parts.append(
+        "\n    "
+        + "\n    UNION ALL\n    ".join(
+            f"SELECT {k} AS merge_rank, left_sym, right_sym, pair_count"
+            f" FROM m{k}"
+            for k in range(1, n_merges + 1)
+        )
+    )
+    return "".join(parts)
+
+
+@register("bpe_learn_merges", oracle=_sql_bpe_merges(BPE_N_MERGES))
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING, N iterations of select-then-apply: pick
+    the most frequent adjacent symbol pair, merge it throughout the
+    word dictionary, recount, repeat — the merge table is the learned
+    tokenizer. Words are carried as '|'-separated symbol strings
+    (verified '|'-free input); a merge is a double-pass REPLACE of
+    '|l|r|' with '|lr|', which both engines execute with identical
+    left-to-right non-overlap semantics (fuzz-checked in tests), so
+    the apply step is portable SQL, not a UDF. Self-pairs (l = r) are
+    excluded from merge SELECTION — scan-replace and greedy-BPE
+    semantics diverge on same-symbol runs, and production BPE
+    special-cases them for the same overlap reason — but their counts
+    still appear in the per-iteration tallies.
+
+    Scale: the corpus collapses to the distinct-word dictionary
+    before iteration 1 (Zipf-bounded — BPE's corpus-size decoupling),
+    so each iteration is a pair-agg plus a broadcast of ONE merge row
+    into a map-side REPLACE over the dictionary. At 100 TB each
+    iteration's dictionary would be checkpointed instead of re-derived
+    (the incremental-index pattern); locally the lineage re-derives it
+    per iteration, bounded by dictionary size, not corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    wf = (
+        fan_out(spark, docs)
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    w = wf.select(
+        F.concat(
+            F.lit("|"), F.concat_ws("|", F.split("word", "")), F.lit("|")
+        ).alias("rep"),
+        "freq",
+    )
+    merges = None
+    for k in range(1, BPE_N_MERGES + 1):
+        syms = w.select(
+            F.split(F.expr("trim(BOTH '|' FROM rep)"), "\\|").alias("syms"),
+            "freq",
+        )
+        pairs = syms.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1),"
+                    " i -> struct(syms[i - 1] AS left_sym,"
+                    "             syms[i] AS right_sym))"
+                )
+            ).alias("p"),
+            "freq",
+        ).select("p.left_sym", "p.right_sym", "freq")
+        agg = pairs.groupBy("left_sym", "right_sym").agg(
+            F.sum("freq").cast("long").alias("pair_count")
+        )
+        m = (
+            agg.filter(F.col("left_sym") != F.col("right_sym"))
+            .orderBy(
+                F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym")
+            )
+            .limit(1)
+        )
+        step = m.select(
+            F.lit(k).alias("merge_rank"),
+            "left_sym",
+            "right_sym",
+            "pair_count",
+        )
+        merges = step if merges is None else merges.unionAll(step)
+        pat = F.concat(
+            F.lit("|"),
+            F.col("left_sym"),
+            F.lit("|"),
+            F.col("right_sym"),
+            F.lit("|"),
+        )
+        sub = F.concat(
+            F.lit("|"), F.col("left_sym"), F.col("right_sym"), F.lit("|")
+        )
+        w = w.crossJoin(F.broadcast(m)).select(
+            F.replace(F.replace("rep", pat, sub), pat, sub).alias("rep"),
+            "freq",
+        )
+    return merges
+
+
+# --- stream_vocab_ingest -----------------------------------------------------
+
+
+@register("stream_vocab_ingest", oracle=SQL_VOCAB_TOPK)
+def stream_vocab_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction IN the ingest stream: documents arrive
+    as doc_id-ordered micro-batches and foreachBatch writes each
+    batch's (term, tf, df) partial epoch-keyed; the final vocabulary
+    merges the partials. Term counts are additive and the batches are
+    doc-disjoint, so tf AND df both merge by SUM — the merged state
+    must equal the batch build EXACTLY (same oracle as
+    vocab_build_topk): micro-batch boundaries cannot change the
+    vocabulary. This is the mergeable-partials shape every streaming
+    sketch in the engine uses, applied to tokenizer vocab upkeep.
+
+    Scale: per batch, one tokenize scan of the batch and a term-keyed
+    agg — partials are vocabulary-sized, not corpus-sized; the merge
+    is a second term-keyed agg over K-independent partials. Epoch-
+    keyed OVERWRITE writes keep at-least-once re-execution idempotent
+    (same rows to the same path), per the streaming-ops house rule.
+    """
+    from clj_kinesis_to_firehose_spark.operators.curation_r10 import (
+        DOCS_RAW_SCHEMA,
+        _write_doc_slices,
+    )
+    from clj_kinesis_to_firehose_spark.sources import scratch_dir
+
+    replay_dir = _write_doc_slices(spark, sf_dir, n_slices=4)
+    out_dir = scratch_dir("kf_vocab_ingest_")
+
+    def count_batch(batch_df: DataFrame, epoch: int) -> None:
+        stats = (
+            batch_df.select(
+                "doc_id", F.explode(F.split("text", " ")).alias("term")
+            )
+            .groupBy("term")
+            .agg(
+                F.count("*").alias("tf"),
+                F.countDistinct("doc_id").alias("df"),
+            )
+        )
+        stats.write.mode("overwrite").parquet(f"{out_dir}/epoch_{epoch}")
+
+    q = (
+        spark.readStream.schema(DOCS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(replay_dir)
+        .writeStream.foreachBatch(count_batch)
+        .option("checkpointLocation", scratch_dir("kf_vocab_chk_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    merged = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(out_dir)
+        .groupBy("term")
+        .agg(F.sum("tf").alias("tf"), F.sum("df").alias("df"))
+    )
+    total = merged.agg(F.sum("tf").alias("total_tf"))
+    return (
+        _top_vocab(merged)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "term",
+            "tf",
+            "df",
+            "vocab_rank",
+            F.round(
+                F.col("cum_tf").cast("double") / F.col("total_tf"), 6
+            ).alias("coverage"),
         )
     )

@@ -171,3 +171,139 @@ def test_topk_paths_avoid_global_sort(spark):
         df = QUERIES[name](spark, SF_DIR)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan, (name, plan[:2000])
+
+
+def test_char_entropy_matches_python_replay(spark):
+    """Replay the entropy computation in pure Python (same char-order
+    fold) for every doc and require 6-dp equality; entropy must also
+    respect its information-theoretic bound log2(n_unique)."""
+    import math
+
+    out = QUERIES["text_char_entropy"](spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet").set_index("doc_id")
+    assert len(out) == len(docs)
+    for r in out.sample(n=50, random_state=7).itertuples():
+        text = docs.loc[r.doc_id].text
+        n = collections.Counter(text)
+        total = len(text)
+        s = 0.0
+        for c in sorted(n):
+            p = n[c] / total
+            s += p * math.log(p)
+        assert r.n_chars_total == total
+        assert r.n_unique_chars == len(n)
+        assert r.char_entropy == round(-s / math.log(2), 6)
+    bound = (out.n_unique_chars.map(lambda u: math.log2(u))) + 1e-9
+    assert (out.char_entropy <= bound).all()
+    assert (out.char_entropy >= 0).all()
+
+
+def _python_bpe_merges(texts, n_merges):
+    """Pure-Python replay of the operator's merge semantics: pair
+    counts over the '|'-joined dictionary, top non-self pair, and the
+    double-pass str.replace apply (fuzz-verified to agree with both
+    engines' REPLACE)."""
+    wf = collections.Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if len(w) >= 2:
+                wf[w] += 1
+    reps = {("|" + "|".join(w) + "|"): f for w, f in wf.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = collections.Counter()
+        for rep, f in reps.items():
+            syms = rep.strip("|").split("|")
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += f
+        cands = [(p, c) for p, c in pairs.items() if p[0] != p[1]]
+        (l, r), c = min(cands, key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((l, r, c))
+        pat, sub = f"|{l}|{r}|", f"|{l}{r}|"
+        nxt = collections.Counter()
+        for rep, f in reps.items():
+            nxt[rep.replace(pat, sub).replace(pat, sub)] += f
+        reps = nxt
+    return merges
+
+
+def test_bpe_learn_merges_matches_python_replay(spark):
+    """The full select-apply-recount loop must agree with a pure-
+    Python replay, and iteration 1 must agree with bpe_pair_counts'
+    top non-self pair (the two operators share the counting rule)."""
+    out = (
+        QUERIES["bpe_learn_merges"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("merge_rank")
+    )
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    expect = _python_bpe_merges(list(docs.text), len(out))
+    got = [
+        (r.left_sym, r.right_sym, r.pair_count)
+        for r in out.itertuples()
+    ]
+    assert got == expect
+    pc = QUERIES["bpe_pair_counts"](spark, SF_DIR).toPandas()
+    top_nonself = pc[pc.left_sym != pc.right_sym].sort_values(
+        ["pair_count", "left_sym", "right_sym"], ascending=[False, True, True]
+    ).iloc[0]
+    assert (got[0][0], got[0][1]) == (
+        top_nonself.left_sym,
+        top_nonself.right_sym,
+    )
+
+
+def test_engine_replace_semantics_agree(spark):
+    """The BPE apply step leans on REPLACE scan semantics being
+    identical in Spark, DuckDB, and Python (the replay above uses
+    str.replace) — pin that with the pathological run/alternation
+    cases where scan-replace and greedy merging could diverge."""
+    import duckdb
+    from pyspark.sql import functions as SF
+
+    cases = [
+        ("|a|a|a|a|a|a|", "|a|a|", "|aa|"),
+        ("|a|b|a|b|a|b|", "|a|b|", "|ab|"),
+        ("|a|b|b|a|", "|b|b|", "|bb|"),
+        ("|ab|a|b|ab|", "|a|b|", "|ab|"),
+        ("||", "|a|b|", "|ab|"),
+    ]
+    df = spark.createDataFrame(
+        [(i, s, p, r) for i, (s, p, r) in enumerate(cases)],
+        "id int, s string, pat string, sub string",
+    )
+    sp = {
+        r.id: r.out
+        for r in df.select(
+            "id",
+            SF.replace(SF.replace("s", "pat", "sub"), "pat", "sub").alias(
+                "out"
+            ),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, (s, p, r) in enumerate(cases):
+        du = con.execute(
+            "SELECT REPLACE(REPLACE(?,?,?),?,?)", [s, p, r, p, r]
+        ).fetchone()[0]
+        py = s.replace(p, r).replace(p, r)
+        assert sp[i] == du == py, (s, p, sp[i], du, py)
+
+
+def test_stream_vocab_equals_batch_vocab(spark):
+    """Micro-batch boundaries must not change the vocabulary: the
+    streaming ingest's merged partials equal the batch build row for
+    row."""
+    stream = (
+        QUERIES["stream_vocab_ingest"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("vocab_rank")
+        .reset_index(drop=True)
+    )
+    batch = (
+        QUERIES["vocab_build_topk"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("vocab_rank")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(stream, batch)
