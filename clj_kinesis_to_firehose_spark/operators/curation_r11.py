@@ -573,12 +573,13 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_N_MERGES = 3
 
 
-def _sql_bpe_merges(n_merges: int) -> str:
-    """Unrolled DuckDB twin of the BPE training loop: per iteration,
-    pair-count the current symbol dictionary, pick the (count DESC,
-    left, right) top pair, and apply it with the same double-pass
-    REPLACE expression the Spark plan uses — so select AND apply are
-    reproduced exactly, not just the first iteration."""
+def _sql_bpe_ctes(n_merges: int) -> str:
+    """Unrolled DuckDB CTE block for the BPE training loop: per
+    iteration, pair-count the current symbol dictionary, pick the
+    (count DESC, left, right) top pair, and apply it with the same
+    double-pass REPLACE expression the Spark plan uses — so select AND
+    apply are reproduced exactly, not just the first iteration. ONE
+    copy, composed by both the learn and tokenize-apply oracles."""
     parts = ["""
     WITH wf0 AS (
       SELECT word, COUNT(*) AS freq FROM (
@@ -612,7 +613,11 @@ def _sql_bpe_merges(n_merges: int) -> str:
              freq
       FROM w{k - 1}, m{k} m
     )""")
-    parts.append(
+    return "".join(parts)
+
+
+def _sql_bpe_merges(n_merges: int) -> str:
+    return _sql_bpe_ctes(n_merges) + (
         "\n    "
         + "\n    UNION ALL\n    ".join(
             f"SELECT {k} AS merge_rank, left_sym, right_sym, pair_count"
@@ -620,7 +625,6 @@ def _sql_bpe_merges(n_merges: int) -> str:
             for k in range(1, n_merges + 1)
         )
     )
-    return "".join(parts)
 
 
 @register("bpe_learn_merges", oracle=_sql_bpe_merges(BPE_N_MERGES))
@@ -646,6 +650,48 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the incremental-index pattern); locally the lineage re-derives it
     per iteration, bounded by dictionary size, not corpus size.
     """
+    steps = _bpe_merge_steps(spark, sf_dir)
+    merges = None
+    for k, m in enumerate(steps, 1):
+        step = m.select(
+            F.lit(k).alias("merge_rank"),
+            "left_sym",
+            "right_sym",
+            "pair_count",
+        )
+        merges = step if merges is None else merges.unionAll(step)
+    return merges
+
+
+def _bpe_rep0(word_col: str = "word") -> F.Column:
+    """A word as its '|'-separated initial symbol string."""
+    return F.concat(
+        F.lit("|"), F.concat_ws("|", F.split(word_col, "")), F.lit("|")
+    )
+
+
+def _bpe_pat_sub() -> tuple[F.Column, F.Column]:
+    """The merge's REPLACE pattern/substitution for the joined 1-row
+    merge columns: '|l|r|' -> '|lr|'."""
+    pat = F.concat(
+        F.lit("|"),
+        F.col("left_sym"),
+        F.lit("|"),
+        F.col("right_sym"),
+        F.lit("|"),
+    )
+    sub = F.concat(
+        F.lit("|"), F.col("left_sym"), F.col("right_sym"), F.lit("|")
+    )
+    return pat, sub
+
+
+def _bpe_merge_steps(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
+    """The N BPE select iterations over the len>=2 word dictionary;
+    returns the 1-row merge DataFrames [m1..mN] with (left_sym,
+    right_sym, pair_count). Shared by the learn operator (which ranks
+    them) and tokenize-apply (which replays them over the full
+    dictionary)."""
     docs = load_table(spark, sf_dir, "documents").select("text")
     wf = (
         fan_out(spark, docs)
@@ -654,14 +700,9 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
     )
-    w = wf.select(
-        F.concat(
-            F.lit("|"), F.concat_ws("|", F.split("word", "")), F.lit("|")
-        ).alias("rep"),
-        "freq",
-    )
-    merges = None
-    for k in range(1, BPE_N_MERGES + 1):
+    w = wf.select(_bpe_rep0().alias("rep"), "freq")
+    steps: list[DataFrame] = []
+    for _ in range(BPE_N_MERGES):
         syms = w.select(
             F.split(F.expr("trim(BOTH '|' FROM rep)"), "\\|").alias("syms"),
             "freq",
@@ -686,28 +727,102 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .limit(1)
         )
-        step = m.select(
-            F.lit(k).alias("merge_rank"),
-            "left_sym",
-            "right_sym",
-            "pair_count",
-        )
-        merges = step if merges is None else merges.unionAll(step)
-        pat = F.concat(
-            F.lit("|"),
-            F.col("left_sym"),
-            F.lit("|"),
-            F.col("right_sym"),
-            F.lit("|"),
-        )
-        sub = F.concat(
-            F.lit("|"), F.col("left_sym"), F.col("right_sym"), F.lit("|")
-        )
+        steps.append(m)
+        pat, sub = _bpe_pat_sub()
         w = w.crossJoin(F.broadcast(m)).select(
             F.replace(F.replace("rep", pat, sub), pat, sub).alias("rep"),
             "freq",
         )
-    return merges
+    return steps
+
+
+def _sql_bpe_apply(n_merges: int) -> str:
+    """Oracle for tokenize-apply: the learn CTEs (merges m1..mN come
+    from the len>=2 dictionary, identical to the learn oracle), then
+    the FULL word dictionary — all lengths — run through the same N
+    REPLACE merges, symbol-counted, and joined back per document."""
+    parts = [_sql_bpe_ctes(n_merges)]
+    parts.append("""
+    , dw AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS word
+      FROM documents
+    ), a0 AS (
+      SELECT word,
+             '|' || ARRAY_TO_STRING(
+               LIST_TRANSFORM(RANGE(1, LEN(word) + 1),
+                              i -> SUBSTRING(word, i, 1)), '|') || '|' AS rep
+      FROM (SELECT DISTINCT word FROM dw)
+    )""")
+    for k in range(1, n_merges + 1):
+        parts.append(f""", a{k} AS (
+      SELECT word, REPLACE(REPLACE(rep,
+               '|' || m.left_sym || '|' || m.right_sym || '|',
+               '|' || m.left_sym || m.right_sym || '|'),
+               '|' || m.left_sym || '|' || m.right_sym || '|',
+               '|' || m.left_sym || m.right_sym || '|') AS rep
+      FROM a{k - 1}, m{k} m
+    )""")
+    parts.append(f""", wsym AS (
+      SELECT word, LEN(STRING_SPLIT(TRIM(rep, '|'), '|')) AS n_sym,
+             LEN(word) AS n_chars
+      FROM a{n_merges}
+    )
+    SELECT dw.doc_id, COUNT(*) AS n_words,
+           CAST(SUM(ws.n_sym) AS BIGINT) AS n_bpe_tokens,
+           ROUND(CAST(SUM(ws.n_chars) AS DOUBLE) / SUM(ws.n_sym), 4)
+             AS chars_per_token
+    FROM dw JOIN wsym ws USING (word) GROUP BY dw.doc_id
+    """)
+    return "".join(parts)
+
+
+@register("bpe_tokenize_apply", oracle=_sql_bpe_apply(BPE_N_MERGES))
+def bpe_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION: run the learned merge table over the
+    FULL word dictionary (all lengths, not just the len>=2 training
+    dictionary) and report per-document token counts and the
+    chars-per-token compression the merges bought — the number a
+    context-window budgeter actually consumes, and the downstream half
+    of the learn/apply pair (train merges once, tokenize everything).
+
+    Scale: tokenization is dictionary-sized, not corpus-sized — the
+    merges REPLACE over DISTINCT words, and documents join the
+    word→symbol-count map (Zipf-bounded; AQE broadcasts it at runtime)
+    on their way into a doc_id-keyed count agg. No per-document
+    re-merging: a word is tokenized once no matter how many billion
+    times it occurs.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dw = fan_out(spark, docs).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    dict_ = dw.select("word").distinct().select(
+        "word", _bpe_rep0().alias("rep")
+    )
+    for m in _bpe_merge_steps(spark, sf_dir):
+        pat, sub = _bpe_pat_sub()
+        dict_ = dict_.crossJoin(F.broadcast(m)).select(
+            "word",
+            F.replace(F.replace("rep", pat, sub), pat, sub).alias("rep"),
+        )
+    wsym = dict_.select(
+        "word",
+        F.size(
+            F.split(F.expr("trim(BOTH '|' FROM rep)"), "\\|")
+        ).alias("n_sym"),
+        F.length("word").alias("n_chars"),
+    )
+    return (
+        dw.join(wsym, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sym").cast("long").alias("n_bpe_tokens"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.sum("n_sym"), 4
+            ).alias("chars_per_token"),
+        )
+    )
 
 
 # --- stream_vocab_ingest -----------------------------------------------------

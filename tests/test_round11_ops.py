@@ -307,3 +307,36 @@ def test_stream_vocab_equals_batch_vocab(spark):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(stream, batch)
+
+
+def test_bpe_tokenize_apply_matches_python_replay(spark):
+    """Apply the replayed merges to every word in pure Python and
+    require identical per-doc token counts — covers the full-
+    dictionary apply (including the len-1 words the training
+    dictionary excludes) and the chars-per-token arithmetic."""
+    out = QUERIES["bpe_tokenize_apply"](spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    merges = _python_bpe_merges(list(docs.text), 3)
+    cache = {}
+
+    def n_sym(word):
+        if word not in cache:
+            rep = "|" + "|".join(word) + "|"
+            for l, r, _ in merges:
+                pat, sub = f"|{l}|{r}|", f"|{l}{r}|"
+                rep = rep.replace(pat, sub).replace(pat, sub)
+            cache[word] = len(rep.strip("|").split("|"))
+        return cache[word]
+
+    got = out.set_index("doc_id")
+    for row in docs.sample(n=60, random_state=3).itertuples():
+        words = row.text.split(" ")
+        toks = sum(n_sym(w) for w in words)
+        chars = sum(len(w) for w in words)
+        g = got.loc[row.doc_id]
+        assert g.n_words == len(words)
+        assert g.n_bpe_tokens == toks
+        assert g.chars_per_token == round(chars / toks, 4)
+    # merges must actually compress: fewer tokens than characters
+    assert (out.n_bpe_tokens < out.n_words * 50).all()
+    assert (out.chars_per_token > 1).all(), "no merge applied — vacuous"
