@@ -58,6 +58,9 @@ EXTENDED = [
     # round 10: the new curation flagship — anchored substring-span
     # dedup; trends the tokenize→hash→window pipeline cost
     "dedup_substring_spans",
+    # round 11: BPE training — trends the iterated dictionary-sized
+    # select-apply loop (3 merges, each a pair-agg + broadcast REPLACE)
+    "bpe_learn_merges",
 ]
 N_RUNS_EXT = 2
 
