@@ -899,3 +899,301 @@ def stream_vocab_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+# --- corpus_dataset_card -----------------------------------------------------
+
+
+@register(
+    "corpus_dataset_card",
+    oracle="""
+    WITH per AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_tokens,
+             CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars,
+             COUNT(DISTINCT lang) AS n_langs
+      FROM documents GROUP BY source
+    ), tot AS (SELECT SUM(n_tokens) AS total_tokens FROM per)
+    SELECT source, n_docs, n_tokens, n_chars, n_langs,
+           ROUND(CAST(n_tokens AS DOUBLE) / total_tokens, 6)
+             AS pct_corpus_tokens,
+           ROUND(CAST(n_chars AS DOUBLE) / n_docs, 4) AS avg_chars_per_doc
+    FROM per, tot
+    """,
+)
+def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source DATASET CARD — the summary artifact published
+    alongside a released corpus: document/token/char volumes, language
+    spread, and each source's share of the total token budget. This is
+    the table mixture design reads (corpus_source_mix /
+    sample_temperature_source consume exactly these shares).
+
+    Scale: one scan → source-keyed agg with map-side combine (integer
+    sums only — deterministic without fold ordering); the corpus total
+    is a 1-row aggregate over the |sources|-row relation, broadcast
+    back. The averages divide two exact integers once, so no float
+    accumulates.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+        F.sum(F.length("text")).cast("long").alias("n_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    tot = per.agg(F.sum("n_tokens").alias("total_tokens"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "n_langs",
+        F.round(
+            F.col("n_tokens").cast("double") / F.col("total_tokens"), 6
+        ).alias("pct_corpus_tokens"),
+        F.round(
+            F.col("n_chars").cast("double") / F.col("n_docs"), 4
+        ).alias("avg_chars_per_doc"),
+    )
+
+
+# --- corpus_quality_histogram ------------------------------------------------
+
+
+@register(
+    "corpus_quality_histogram",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source,
+             ROUND(CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)
+                   / LEN(STRING_SPLIT(text, ' ')), 4) AS distinct_ratio
+      FROM documents
+    ), deciled AS (
+      SELECT source, distinct_ratio,
+             NTILE(10) OVER (ORDER BY distinct_ratio, doc_id) AS decile
+      FROM scored
+    )
+    SELECT source, CAST(decile AS BIGINT) AS decile, COUNT(*) AS n_docs,
+           MIN(distinct_ratio) AS min_ratio, MAX(distinct_ratio) AS max_ratio
+    FROM deciled GROUP BY source, decile
+    """,
+)
+def corpus_quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-decile histogram per source: every document is placed
+    into a GLOBAL quality decile (type/token distinct-ratio, the
+    text_quality_score signal), then counted per (source, decile) —
+    the table that shows which crawl sources skew low-quality and by
+    how much, i.e. the evidence behind per-source caps and mixture
+    down-weighting.
+
+    Scale: the decile assignment is a global NTILE — a rank-based
+    partition that locally costs one sort. At 100 TB the same decile
+    boundaries come from agg_approx_quantile's mergeable fixed-bin
+    sketch (broadcast the 9 cut points, map-side bucketing) — exact
+    NTILE here because the oracle demands exactness and the tie-break
+    (ratio, doc_id) makes the assignment engine-independent.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sp = F.split("text", " ")
+    scored = fan_out(spark, docs).select(
+        "doc_id",
+        "source",
+        F.round(
+            F.size(F.array_distinct(sp)).cast("double") / F.size(sp), 4
+        ).alias("distinct_ratio"),
+    )
+    w = Window.orderBy("distinct_ratio", "doc_id")
+    return (
+        scored.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("source", "decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("distinct_ratio").alias("min_ratio"),
+            F.max("distinct_ratio").alias("max_ratio"),
+        )
+        .select(
+            "source",
+            F.col("decile").cast("long").alias("decile"),
+            "n_docs",
+            "min_ratio",
+            "max_ratio",
+        )
+    )
+
+
+# --- dedup_lsh_calibration ---------------------------------------------------
+
+#: similarity ladder for LSH calibration: every m-th token of a seed
+#: document is marked, so the (seed, variant) pair's 3-shingle jaccard
+#: lands near (m-3)/m ÷ (2 - (m-3)/m) — approximately 0.33 / 0.5 /
+#: 0.72 / 0.85 across the four levels, spanning the banding scheme's
+#: S-curve from ~0 to ~1 recall (verified discriminating in tests).
+LSH_CAL_LEVELS = [6, 9, 18, 36]
+#: seed selection and variant id-space for the planted pairs.
+LSH_CAL_SEED_MOD = 20
+LSH_CAL_ID_BASE = 1_000_000
+
+
+def _lsh_cal_aug(spark: SparkSession, sf_dir: str):
+    """(base docs, planted-variant docs) for the calibration corpus."""
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seeds = base.filter(F.col("doc_id") % LSH_CAL_SEED_MOD == 0)
+    variants = None
+    for m in LSH_CAL_LEVELS:
+        v = seeds.select(
+            (F.lit(LSH_CAL_ID_BASE) + F.col("doc_id") * 100 + m).alias(
+                "doc_id"
+            ),
+            F.array_join(
+                F.transform(
+                    F.split("text", " "),
+                    lambda t, i: F.when(
+                        i % m == 0, F.concat(t, F.lit("~"))
+                    ).otherwise(t),
+                ),
+                " ",
+            ).alias("text"),
+        )
+        variants = v if variants is None else variants.unionAll(v)
+    return base, seeds, variants
+
+
+_LSH_CAL_LV_SQL = f"[{', '.join(str(m) for m in LSH_CAL_LEVELS)}]"
+
+_LSH_CAL_AUG_CTE = f"""aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT {LSH_CAL_ID_BASE} + doc_id * 100 + m AS doc_id,
+             ARRAY_TO_STRING(LIST_TRANSFORM(STRING_SPLIT(text, ' '),
+               (t, i) -> CASE WHEN (i - 1) % m = 0 THEN t || '~' ELSE t END),
+               ' ') AS text
+      FROM documents, UNNEST({_LSH_CAL_LV_SQL}) AS u(m)
+      WHERE doc_id % {LSH_CAL_SEED_MOD} = 0
+    ), """
+
+
+def _sql_lsh_calibration() -> str:
+    from clj_kinesis_to_firehose_spark.operators.llm_dedup import (
+        _sql_shingle_ctes,
+    )
+
+    return _sql_shingle_ctes(source="aug", prefix=_LSH_CAL_AUG_CTE) + f"""
+    , planted AS (
+      SELECT doc_id AS doc_a,
+             {LSH_CAL_ID_BASE} + doc_id * 100 + m AS doc_b, m
+      FROM documents, UNNEST({_LSH_CAL_LV_SQL}) AS u(m)
+      WHERE doc_id % {LSH_CAL_SEED_MOD} = 0
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ), ver AS (
+      SELECT p.m, p.doc_a, p.doc_b,
+             ROUND(CAST(LEN(LIST_FILTER(ga.gset,
+                                        g -> LIST_CONTAINS(gb.gset, g)))
+                        AS DOUBLE)
+                   / (LEN(ga.gset) + LEN(gb.gset)
+                      - LEN(LIST_FILTER(ga.gset,
+                                        g -> LIST_CONTAINS(gb.gset, g)))),
+                   6) AS jaccard,
+             CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM planted p
+      JOIN grams ga ON p.doc_a = ga.doc_id
+      JOIN grams gb ON p.doc_b = gb.doc_id
+      LEFT JOIN cand c ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b
+    )
+    SELECT CAST(m AS BIGINT) AS level, COUNT(*) AS n_planted,
+           CAST(SUM(hit) AS BIGINT) AS n_recovered,
+           ROUND(CAST(SUM(hit) AS DOUBLE) / COUNT(*), 4) AS recall,
+           MIN(jaccard) AS min_jaccard, MAX(jaccard) AS max_jaccard
+    FROM ver GROUP BY m
+    """
+
+
+@register("dedup_lsh_calibration", oracle=_sql_lsh_calibration())
+def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding CALIBRATION: plant (seed, variant) pairs at four
+    known similarity levels inside the full corpus, run the production
+    MinHash/banding candidate generator over everything, and report
+    per-level recall with the exact jaccard band — the measured
+    S-curve of the (16 permutations, 4x4 bands) scheme. This is how a
+    pipeline validates its LSH knobs BEFORE a 100 TB run: if the
+    recall curve's knee isn't where the dedup threshold needs it, you
+    change bands/rows here, not after a wasted pass. Everything is
+    deterministic (portable hash, deterministic variants), so the
+    curve is exact, not sampled.
+
+    Scale: the planted set is O(seeds x levels) — fixed — and the
+    candidate generation is the same banded self-join as
+    dedup_near_minhash (per-bucket pair cost, never corpus²); the
+    verify step touches only the planted pairs. Adding the variants
+    grows the corpus by seeds x levels rows, a fixed fraction.
+    """
+    from clj_kinesis_to_firehose_spark.functions import shingles
+    from clj_kinesis_to_firehose_spark.operators.llm_dedup import (
+        _band_keys,
+        _minhash_sigs,
+    )
+
+    base, seeds, variants = _lsh_cal_aug(spark, sf_dir)
+    aug = base.unionAll(variants)
+    banded = _band_keys(_minhash_sigs(spark, aug))
+    left = banded.alias("a")
+    right = banded.alias("b")
+    cand = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+        .withColumn("hit_mark", F.lit(1))
+    )
+    planted = None
+    for m in LSH_CAL_LEVELS:
+        p = seeds.select(
+            F.col("doc_id").alias("doc_a"),
+            (F.lit(LSH_CAL_ID_BASE) + F.col("doc_id") * 100 + m).alias(
+                "doc_b"
+            ),
+            F.lit(m).alias("m"),
+        )
+        planted = p if planted is None else planted.unionAll(p)
+    texts = (
+        planted.join(aug.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("text", "text_a")
+        .join(
+            aug.select(
+                F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b")
+            ),
+            "doc_b",
+        )
+    )
+    sh_a = F.array_distinct(shingles(F.col("text_a")))
+    sh_b = F.array_distinct(shingles(F.col("text_b")))
+    inter = F.size(F.array_intersect(sh_a, sh_b)).cast("double")
+    union = F.size(F.array_union(sh_a, sh_b)).cast("double")
+    ver = texts.withColumn("jaccard", F.round(inter / union, 6)).join(
+        cand, ["doc_a", "doc_b"], "left"
+    )
+    hit = F.when(F.col("hit_mark").isNotNull(), 1).otherwise(0)
+    return ver.groupBy("m").agg(
+        F.count("*").alias("n_planted"),
+        F.sum(hit).cast("long").alias("n_recovered"),
+        F.round(F.sum(hit).cast("double") / F.count("*"), 4).alias("recall"),
+        F.min("jaccard").alias("min_jaccard"),
+        F.max("jaccard").alias("max_jaccard"),
+    ).select(
+        F.col("m").cast("long").alias("level"),
+        "n_planted",
+        "n_recovered",
+        "recall",
+        "min_jaccard",
+        "max_jaccard",
+    )

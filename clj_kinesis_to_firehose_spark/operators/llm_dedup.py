@@ -62,12 +62,20 @@ def portable_hash60(col):
 SQL_HASH60 = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
 
 
-def _sql_shingle_ctes(doc_filter: str = "") -> str:
+def _sql_shingle_ctes(
+    doc_filter: str = "", source: str = "documents", prefix: str = ""
+) -> str:
     """Shared DuckDB CTE block reproducing the Spark MinHash pipeline
     exactly: w-shingles (with the short-doc degrade to one whole-text
     shingle), the portable 60-bit shingle hash folded to 32 bits, the
     16 linear-permutation signature minima, and the 4 band bucket keys
-    (comma-joined row minima, matching Spark's ``concat_ws``)."""
+    (comma-joined row minima, matching Spark's ``concat_ws``).
+
+    ``source``/``prefix`` let a caller run the pipeline over a derived
+    doc relation (``prefix`` is emitted as leading CTEs, ``source``
+    replaces the table name); the defaults produce byte-identical SQL
+    to the original single-table form, so existing composed oracles
+    are unchanged."""
     sp = "STRING_SPLIT(text, ' ')"
     gram = " || ' ' || ".join(f"{sp}[i+{k}]" for k in range(SHINGLE_WIDTH))
     mins = ",\n               ".join(
@@ -83,13 +91,13 @@ def _sql_shingle_ctes(doc_filter: str = "") -> str:
         for b in range(MINHASH_BANDS)
     )
     return f"""
-    WITH grams AS (
+    WITH {prefix}grams AS (
         SELECT doc_id,
                CASE WHEN LEN({sp}) >= {SHINGLE_WIDTH}
                     THEN LIST_DISTINCT([{gram}
                          FOR i IN RANGE(1, LEN({sp}) - {SHINGLE_WIDTH - 2})])
                     ELSE [text] END AS gset
-        FROM documents {doc_filter}
+        FROM {source} {doc_filter}
     ), hashed AS (
         SELECT doc_id, {SQL_HASH60.format(x="shingle")} % 4294967296 AS h
         FROM (SELECT doc_id, UNNEST(gset) AS shingle FROM grams)

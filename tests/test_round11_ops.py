@@ -340,3 +340,77 @@ def test_bpe_tokenize_apply_matches_python_replay(spark):
     # merges must actually compress: fewer tokens than characters
     assert (out.n_bpe_tokens < out.n_words * 50).all()
     assert (out.chars_per_token > 1).all(), "no merge applied — vacuous"
+
+
+def test_dataset_card_matches_pandas_recompute(spark):
+    """Integer-sum recompute of the per-source card, plus the global
+    law: token shares sum to 1 (6-dp)."""
+    out = QUERIES["corpus_dataset_card"](spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    g = docs.assign(
+        n_tok=docs.text.map(lambda t: len(t.split(" "))),
+        n_chr=docs.text.map(len),
+    ).groupby("source")
+    expect = g.agg(
+        n_docs=("n_tok", "size"),
+        n_tokens=("n_tok", "sum"),
+        n_chars=("n_chr", "sum"),
+        n_langs=("n_chr", "size"),
+    )
+    expect["n_langs"] = docs.groupby("source").lang.nunique()
+    got = out.set_index("source")
+    for c in ["n_docs", "n_tokens", "n_chars", "n_langs"]:
+        assert got[c].sort_index().equals(expect[c].sort_index()), c
+    assert abs(out.pct_corpus_tokens.sum() - 1.0) < 1e-4
+    total = expect.n_tokens.sum()
+    for r in out.itertuples():
+        assert r.pct_corpus_tokens == round(
+            expect.loc[r.source].n_tokens / total, 6
+        )
+
+
+def test_quality_histogram_decile_laws(spark):
+    """Global-decile balance: summed across sources each decile holds
+    n/10 docs (+-1 for the NTILE remainder), decile ranges don't
+    overlap, and every doc is counted once."""
+    out = QUERIES["corpus_quality_histogram"](spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    n = len(docs)
+    per_decile = out.groupby("decile").n_docs.sum()
+    assert per_decile.sum() == n
+    assert set(per_decile.index) == set(range(1, 11))
+    assert per_decile.between(n // 10, n // 10 + 1).all()
+    rng = out.groupby("decile").agg(
+        lo=("min_ratio", "min"), hi=("max_ratio", "max")
+    ).sort_index()
+    # decile d's ceiling never exceeds decile d+1's floor
+    assert (rng.hi.values[:-1] <= rng.lo.values[1:] + 1e-12).all()
+
+
+def test_lsh_calibration_curve_is_discriminating(spark):
+    """The measured S-curve must rise with the planted similarity
+    level and actually discriminate (not all-0 / all-1); jaccard bands
+    must be ordered with the levels and disjoint."""
+    out = (
+        QUERIES["dedup_lsh_calibration"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("level")
+        .reset_index(drop=True)
+    )
+    from clj_kinesis_to_firehose_spark.operators.curation_r11 import (
+        LSH_CAL_LEVELS,
+    )
+
+    assert list(out.level) == sorted(LSH_CAL_LEVELS)
+    assert out.n_planted.nunique() == 1 and (out.n_planted > 0).all()
+    rec = list(out.recall)
+    assert all(a <= b for a, b in zip(rec, rec[1:])), rec
+    assert rec[0] < rec[-1], "flat curve — calibration is vacuous"
+    assert rec[-1] >= 0.9, "highest-similarity plants not recovered"
+    jac = list(out.min_jaccard)
+    assert all(a < b for a, b in zip(jac, jac[1:])), jac
+    # per-level bands disjoint: max of level i below min of level i+1
+    assert all(
+        hi < lo
+        for hi, lo in zip(list(out.max_jaccard)[:-1], list(out.min_jaccard)[1:])
+    )
