@@ -1197,3 +1197,147 @@ def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_jaccard",
         "max_jaccard",
     )
+
+
+# --- dedup_hybrid_confirm ----------------------------------------------------
+
+#: thresholds for the two confirmation signals: lexical (3-shingle
+#: jaccard, same 0.5 gate as dedup_near_minhash) and semantic
+#: (embedding cosine, same 0.25 discriminating point as
+#: sim_hard_negatives' positive gate).
+HYBRID_JACCARD_T = 0.5
+HYBRID_COSINE_T = 0.25
+
+
+def _sql_hybrid_confirm() -> str:
+    from clj_kinesis_to_firehose_spark.operators.llm_dedup import (
+        _sql_shingle_ctes,
+    )
+
+    return _sql_shingle_ctes() + f"""
+    , cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                     AND a.doc_id < b.doc_id
+    ), v AS (
+        SELECT vec_id,
+               LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ), scored AS (
+        SELECT c.doc_a, c.doc_b,
+               ROUND(CAST(LEN(LIST_FILTER(ga.gset,
+                                          g -> LIST_CONTAINS(gb.gset, g)))
+                          AS DOUBLE)
+                     / (LEN(ga.gset) + LEN(gb.gset)
+                        - LEN(LIST_FILTER(ga.gset,
+                                          g -> LIST_CONTAINS(gb.gset, g)))),
+                     6) AS jaccard,
+               ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, 65),
+                                             i -> va.e[i] * vb.e[i]))
+                     / (SQRT(LIST_SUM(LIST_TRANSFORM(va.e, x -> x * x)))
+                        * SQRT(LIST_SUM(LIST_TRANSFORM(vb.e, x -> x * x)))),
+                     6) AS cosine
+        FROM cand c
+        JOIN grams ga ON c.doc_a = ga.doc_id
+        JOIN grams gb ON c.doc_b = gb.doc_id
+        JOIN v va ON c.doc_a = va.vec_id
+        JOIN v vb ON c.doc_b = vb.vec_id
+    )
+    SELECT doc_a, doc_b, jaccard, cosine,
+           CAST(jaccard >= {HYBRID_JACCARD_T} AS INT) AS text_dup,
+           CAST(cosine >= {HYBRID_COSINE_T} AS INT) AS emb_dup,
+           CAST(jaccard >= {HYBRID_JACCARD_T}
+                AND cosine >= {HYBRID_COSINE_T} AS INT) AS both_confirm
+    FROM scored
+    """
+
+
+@register("dedup_hybrid_confirm", oracle=_sql_hybrid_confirm())
+def dedup_hybrid_confirm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-signal near-dup confirmation: LSH banding proposes the
+    candidate pairs (lexical recall path), then EACH pair is scored by
+    BOTH the exact shingle jaccard and the embedding cosine of the
+    paired documents — the SemDeDup-style production pattern where a
+    pair is deduped only when the lexical and semantic signals agree
+    (both_confirm), and signal disagreement is surfaced for review
+    instead of silently dropped. (On this fixture the embeddings are
+    synthesized independently of the text, so agreement is rare — the
+    operator's contract here is the exact two-signal join shape;
+    planted text-side dups are still pinned by the minhash pytests.)
+
+    Scale: candidates come from the same banded self-join as
+    dedup_near_minhash (per-bucket pair cost), and each scoring join
+    is a doc_id/vec_id-keyed hash join — pairs x O(1) work, with the
+    embedding table bucketable by vec_id so the two vector lookups
+    co-locate with the pair stream.
+    """
+    from clj_kinesis_to_firehose_spark.functions import shingles
+    from clj_kinesis_to_firehose_spark.operators.llm_dedup import (
+        _band_keys,
+        _minhash_sigs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    banded = _band_keys(_minhash_sigs(spark, docs))
+    left = banded.alias("a")
+    right = banded.alias("b")
+    cand = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    texts = (
+        cand.join(docs.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("text", "text_a")
+        .join(
+            docs.select(
+                F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b")
+            ),
+            "doc_b",
+        )
+        .join(emb.withColumnRenamed("vec_id", "doc_a"), "doc_a")
+        .withColumnRenamed("e", "e_a")
+        .join(
+            emb.select(
+                F.col("vec_id").alias("doc_b"), F.col("e").alias("e_b")
+            ),
+            "doc_b",
+        )
+    )
+    sh_a = F.array_distinct(shingles(F.col("text_a")))
+    sh_b = F.array_distinct(shingles(F.col("text_b")))
+    inter = F.size(F.array_intersect(sh_a, sh_b)).cast("double")
+    union = F.size(F.array_union(sh_a, sh_b)).cast("double")
+    scored = texts.select(
+        "doc_a",
+        "doc_b",
+        F.round(inter / union, 6).alias("jaccard"),
+        F.round(cosine(F.col("e_a"), F.col("e_b")), 6).alias("cosine"),
+    )
+    return scored.select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        "cosine",
+        (F.col("jaccard") >= HYBRID_JACCARD_T).cast("int").alias("text_dup"),
+        (F.col("cosine") >= HYBRID_COSINE_T).cast("int").alias("emb_dup"),
+        (
+            (F.col("jaccard") >= HYBRID_JACCARD_T)
+            & (F.col("cosine") >= HYBRID_COSINE_T)
+        )
+        .cast("int")
+        .alias("both_confirm"),
+    )

@@ -414,3 +414,23 @@ def test_lsh_calibration_curve_is_discriminating(spark):
         hi < lo
         for hi, lo in zip(list(out.max_jaccard)[:-1], list(out.min_jaccard)[1:])
     )
+
+
+def test_hybrid_confirm_scores_every_lsh_candidate(spark):
+    """Every banded-LSH candidate pair gets BOTH signals; the text
+    signal must agree with dedup_near_minhash's verified pairs, and
+    the flag algebra must be internally consistent."""
+    out = QUERIES["dedup_hybrid_confirm"](spark, SF_DIR).toPandas()
+    mh = QUERIES["dedup_near_minhash"](spark, SF_DIR).toPandas()
+    assert len(out) >= len(mh)
+    text_pairs = set(
+        map(tuple, out[out.text_dup == 1][["doc_a", "doc_b"]]
+            .itertuples(index=False))
+    )
+    mh_pairs = set(
+        map(tuple, mh[["doc_a", "doc_b"]].itertuples(index=False))
+    )
+    assert text_pairs == mh_pairs
+    assert (out.both_confirm == (out.text_dup & out.emb_dup)).all()
+    assert out.jaccard.between(0, 1).all()
+    assert out.cosine.between(-1, 1).all()
