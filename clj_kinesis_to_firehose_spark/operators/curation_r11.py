@@ -686,13 +686,17 @@ def _bpe_pat_sub() -> tuple[F.Column, F.Column]:
     return pat, sub
 
 
-def _bpe_merge_steps(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
+def _bpe_merge_steps(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> list[DataFrame]:
     """The N BPE select iterations over the len>=2 word dictionary;
     returns the 1-row merge DataFrames [m1..mN] with (left_sym,
     right_sym, pair_count). Shared by the learn operator (which ranks
     them) and tokenize-apply (which replays them over the full
-    dictionary)."""
-    docs = load_table(spark, sf_dir, "documents").select("text")
+    dictionary). ``docs`` overrides the fixture corpus (tests feed
+    crafted word collapses through the same plan)."""
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents").select("text")
     wf = (
         fan_out(spark, docs)
         .select(F.explode(F.split("text", " ")).alias("word"))
@@ -703,10 +707,17 @@ def _bpe_merge_steps(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
     w = wf.select(_bpe_rep0().alias("rep"), "freq")
     steps: list[DataFrame] = []
     for _ in range(BPE_N_MERGES):
+        # the size >= 2 guard is load-bearing: a word can collapse to
+        # ONE symbol once a merge spans it entirely (e.g. word 'ab'
+        # after merge (a,b)), and Spark's sequence(1, 0) is the
+        # DESCENDING [1, 0] — under ANSI mode syms[1] on a 1-element
+        # array then aborts the job. Single-symbol words contribute no
+        # pairs, which is exactly what dropping them means; the oracle's
+        # RANGE(1, 1) is empty and needs no twin guard.
         syms = w.select(
             F.split(F.expr("trim(BOTH '|' FROM rep)"), "\\|").alias("syms"),
             "freq",
-        )
+        ).filter(F.size("syms") >= 2)
         pairs = syms.select(
             F.explode(
                 F.expr(
@@ -1036,15 +1047,22 @@ LSH_CAL_ID_BASE = 1_000_000
 
 
 def _lsh_cal_aug(spark: SparkSession, sf_dir: str):
-    """(base docs, planted-variant docs) for the calibration corpus."""
+    """(base docs, planted-variant docs, planted pairs) for the
+    calibration corpus. The variant doc_id expression exists ONCE here
+    and feeds both the variant rows and the planted (doc_a, doc_b, m)
+    pairs, so the id scheme cannot drift between the corpus and the
+    pair join (a drifted copy wouldn't error — recall would silently
+    read 0)."""
     base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     seeds = base.filter(F.col("doc_id") % LSH_CAL_SEED_MOD == 0)
     variants = None
+    planted = None
     for m in LSH_CAL_LEVELS:
+        vid = (F.lit(LSH_CAL_ID_BASE) + F.col("doc_id") * 100 + m).alias(
+            "vid"
+        )
         v = seeds.select(
-            (F.lit(LSH_CAL_ID_BASE) + F.col("doc_id") * 100 + m).alias(
-                "doc_id"
-            ),
+            vid.alias("doc_id"),
             F.array_join(
                 F.transform(
                     F.split("text", " "),
@@ -1055,8 +1073,14 @@ def _lsh_cal_aug(spark: SparkSession, sf_dir: str):
                 " ",
             ).alias("text"),
         )
+        p = seeds.select(
+            F.col("doc_id").alias("doc_a"),
+            vid.alias("doc_b"),
+            F.lit(m).alias("m"),
+        )
         variants = v if variants is None else variants.unionAll(v)
-    return base, seeds, variants
+        planted = p if planted is None else planted.unionAll(p)
+    return base, variants, planted
 
 
 _LSH_CAL_LV_SQL = f"[{', '.join(str(m) for m in LSH_CAL_LEVELS)}]"
@@ -1130,41 +1154,18 @@ def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify step touches only the planted pairs. Adding the variants
     grows the corpus by seeds x levels rows, a fixed fraction.
     """
-    from clj_kinesis_to_firehose_spark.functions import shingles
     from clj_kinesis_to_firehose_spark.operators.llm_dedup import (
         _band_keys,
         _minhash_sigs,
+        band_candidates,
+        exact_jaccard,
     )
 
-    base, seeds, variants = _lsh_cal_aug(spark, sf_dir)
+    base, variants, planted = _lsh_cal_aug(spark, sf_dir)
     aug = base.unionAll(variants)
-    banded = _band_keys(_minhash_sigs(spark, aug))
-    left = banded.alias("a")
-    right = banded.alias("b")
-    cand = (
-        left.join(
-            right,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .distinct()
-        .withColumn("hit_mark", F.lit(1))
-    )
-    planted = None
-    for m in LSH_CAL_LEVELS:
-        p = seeds.select(
-            F.col("doc_id").alias("doc_a"),
-            (F.lit(LSH_CAL_ID_BASE) + F.col("doc_id") * 100 + m).alias(
-                "doc_b"
-            ),
-            F.lit(m).alias("m"),
-        )
-        planted = p if planted is None else planted.unionAll(p)
+    cand = band_candidates(
+        _band_keys(_minhash_sigs(spark, aug))
+    ).withColumn("hit_mark", F.lit(1))
     texts = (
         planted.join(aug.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .withColumnRenamed("text", "text_a")
@@ -1175,13 +1176,9 @@ def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
         )
     )
-    sh_a = F.array_distinct(shingles(F.col("text_a")))
-    sh_b = F.array_distinct(shingles(F.col("text_b")))
-    inter = F.size(F.array_intersect(sh_a, sh_b)).cast("double")
-    union = F.size(F.array_union(sh_a, sh_b)).cast("double")
-    ver = texts.withColumn("jaccard", F.round(inter / union, 6)).join(
-        cand, ["doc_a", "doc_b"], "left"
-    )
+    ver = texts.withColumn(
+        "jaccard", exact_jaccard(F.col("text_a"), F.col("text_b"))
+    ).join(cand, ["doc_a", "doc_b"], "left")
     hit = F.when(F.col("hit_mark").isNotNull(), 1).otherwise(0)
     return ver.groupBy("m").agg(
         F.count("*").alias("n_planted"),
@@ -1272,29 +1269,15 @@ def dedup_hybrid_confirm(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding table bucketable by vec_id so the two vector lookups
     co-locate with the pair stream.
     """
-    from clj_kinesis_to_firehose_spark.functions import shingles
     from clj_kinesis_to_firehose_spark.operators.llm_dedup import (
         _band_keys,
         _minhash_sigs,
+        band_candidates,
+        exact_jaccard,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    banded = _band_keys(_minhash_sigs(spark, docs))
-    left = banded.alias("a")
-    right = banded.alias("b")
-    cand = (
-        left.join(
-            right,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .distinct()
-    )
+    cand = band_candidates(_band_keys(_minhash_sigs(spark, docs)))
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
@@ -1317,14 +1300,10 @@ def dedup_hybrid_confirm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
         )
     )
-    sh_a = F.array_distinct(shingles(F.col("text_a")))
-    sh_b = F.array_distinct(shingles(F.col("text_b")))
-    inter = F.size(F.array_intersect(sh_a, sh_b)).cast("double")
-    union = F.size(F.array_union(sh_a, sh_b)).cast("double")
     scored = texts.select(
         "doc_a",
         "doc_b",
-        F.round(inter / union, 6).alias("jaccard"),
+        exact_jaccard(F.col("text_a"), F.col("text_b")).alias("jaccard"),
         F.round(cosine(F.col("e_a"), F.col("e_b")), 6).alias("cosine"),
     )
     return scored.select(

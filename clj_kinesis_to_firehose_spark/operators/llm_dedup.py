@@ -211,34 +211,53 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-shingle to one.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    banded = _band_keys(_minhash_sigs(spark, docs))
-    left = banded.alias("a")
-    right = banded.alias("b")
-    candidate_ids = (
-        left.join(
-            right,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    candidate_ids = band_candidates(_band_keys(_minhash_sigs(spark, docs)))
     candidates = (
         candidate_ids.join(docs, candidate_ids.doc_a == docs.doc_id)
         .select("doc_a", "doc_b", F.col("text").alias("text_a"))
         .join(docs, F.col("doc_b") == docs.doc_id)
         .select("doc_a", "doc_b", "text_a", F.col("text").alias("text_b"))
     )
-    sh_a = F.array_distinct(shingles(F.col("text_a")))
-    sh_b = F.array_distinct(shingles(F.col("text_b")))
-    inter = F.size(F.array_intersect(sh_a, sh_b)).cast("double")
-    union = F.size(F.array_union(sh_a, sh_b)).cast("double")
     return (
-        candidates.withColumn("jaccard", F.round(inter / union, 6))
+        candidates.withColumn(
+            "jaccard", exact_jaccard(F.col("text_a"), F.col("text_b"))
+        )
         .filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def band_candidates(banded: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing any (band, bucket) — the
+    LSH candidate generator. ONE definition, shared by the batch
+    dedup, the calibration, and the hybrid-confirm operators so the
+    join rule cannot drift between family members (the same
+    single-copy rule the oracles' CTE blocks follow)."""
+    left = banded.alias("a")
+    right = banded.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def exact_jaccard(text_a, text_b):
+    """Exact distinct-shingle jaccard of two text columns, rounded to
+    6 dp — the verify expression every candidate-pair consumer shares
+    (twin of the oracle's _SQL_VERIFY_TAIL formula)."""
+    sh_a = F.array_distinct(shingles(text_a))
+    sh_b = F.array_distinct(shingles(text_b))
+    inter = F.size(F.array_intersect(sh_a, sh_b)).cast("double")
+    union = F.size(F.array_union(sh_a, sh_b)).cast("double")
+    return F.round(inter / union, 6)
 
 
 _SIMHASH_ORACLE = f"""

@@ -231,6 +231,11 @@ _REVALIDATE_AFTER: dict[str, int] = {
     "embedding_outlier_prune": 11,
     "stream_span_index_ingest": 11,
     "stream_corpus_admission": 11,
+    # r11 review pass extracted the band-candidate join + jaccard
+    # verify into shared llm_dedup helpers; dedup_near_minhash's plan
+    # is expression-identical but the compute path was touched —
+    # re-prove it.
+    "dedup_near_minhash": 11,
 }
 
 

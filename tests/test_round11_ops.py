@@ -434,3 +434,24 @@ def test_hybrid_confirm_scores_every_lsh_candidate(spark):
     assert (out.both_confirm == (out.text_dup & out.emb_dup)).all()
     assert out.jaccard.between(0, 1).all()
     assert out.cosine.between(-1, 1).all()
+
+
+def test_bpe_survives_word_collapsing_to_single_symbol(spark):
+    """Regression: when a selected merge spans an entire 2-char word
+    (corpus 'ab ab ab abc abd' → merge (a,b) collapses word 'ab' to
+    ONE symbol), the next iteration's pair extraction must not index
+    past the 1-element symbol array — under ANSI mode the unguarded
+    sequence(1, 0) descending + syms[1] aborted the job."""
+    from clj_kinesis_to_firehose_spark.operators.curation_r11 import (
+        _bpe_merge_steps,
+    )
+
+    docs = spark.createDataFrame(
+        [("ab ab ab abc abd",)], "text string"
+    )
+    steps = _bpe_merge_steps(spark, SF_DIR, docs=docs)
+    rows = [s.collect() for s in steps]
+    # iteration 1 must select (a, b); later iterations must complete
+    # (possibly empty once no non-self pair remains) without erroring
+    assert rows[0][0].left_sym == "a" and rows[0][0].right_sym == "b"
+    assert len(rows) == 3
