@@ -1320,3 +1320,238 @@ def dedup_hybrid_confirm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("both_confirm"),
     )
+
+
+# --- embedding_dim_stats -----------------------------------------------------
+
+#: a dimension whose (6-dp rounded) std falls below this is "dead" —
+#: an encoder-health red flag (constant outputs carry no signal).
+DIM_DEAD_STD_T = 0.01
+
+
+@register(
+    "embedding_dim_stats",
+    oracle=f"""
+    WITH pe AS (
+      SELECT UNNEST(LIST_CONCAT(
+               LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)),
+               [0.0])) AS x,
+             GENERATE_SUBSCRIPTS(LIST_CONCAT(
+               LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)),
+               [0.0]), 1) AS pos
+      FROM embeddings
+    )
+    SELECT CAST(pos AS BIGINT) AS pos,
+           ROUND(AVG(x), 6) AS mean_x,
+           ROUND(STDDEV_SAMP(x), 6) AS std_x,
+           MIN(x) AS min_x, MAX(x) AS max_x,
+           CAST(ROUND(STDDEV_SAMP(x), 6) < {DIM_DEAD_STD_T} AS INT)
+             AS is_dead
+    FROM pe GROUP BY pos
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding profile — the encoder health check run
+    before any embedding-space stage: mean/std/min/max per coordinate
+    plus the dead-dimension flag (a collapsed/constant dimension
+    carries no signal and usually means an encoder regression). The
+    fixture's 64 real dimensions are all alive, so a constant canary
+    dimension is APPENDED on both engines — the dead-path detection is
+    exercised non-vacuously (the planted-ground-truth house rule), and
+    the canary doubles as the expected-positive control a monitoring
+    job alerts against.
+
+    Scale: one posexplode scan → pos-keyed agg with map-side combine;
+    state is O(dims), never O(rows). Mean/std are rounded to 6 dp on
+    both engines (the agg_stats convention — safe at |x| ~ 0.1
+    magnitudes), min/max are arithmetic-free, and the dead flag
+    compares the ROUNDED std so no float last-bit can flip it.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.concat(
+            F.transform("embedding", lambda x: x.cast("double")),
+            F.array(F.lit(0.0)),
+        ).alias("e")
+    )
+    pe = fan_out(spark, emb).select(
+        F.posexplode("e").alias("pos0", "x")
+    ).withColumn("pos", (F.col("pos0") + 1).cast("long"))
+    std = F.round(F.stddev_samp("x"), 6)
+    return pe.groupBy("pos").agg(
+        F.round(F.avg("x"), 6).alias("mean_x"),
+        std.alias("std_x"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        (std < DIM_DEAD_STD_T).cast("int").alias("is_dead"),
+    )
+
+
+# --- corpus_dup_rate_by_source -----------------------------------------------
+
+
+def _sql_dup_rate_by_source() -> str:
+    from clj_kinesis_to_firehose_spark.operators.llm_dedup import (
+        _MINHASH_ORACLE,
+    )
+
+    return f"""
+    WITH pairs AS ({_MINHASH_ORACLE}),
+    dup_docs AS (
+      SELECT DISTINCT d FROM (
+        SELECT doc_a AS d FROM pairs UNION ALL SELECT doc_b FROM pairs
+      )
+    ), per AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN dd.d IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_dup_docs
+      FROM documents LEFT JOIN dup_docs dd ON documents.doc_id = dd.d
+      GROUP BY source
+    )
+    SELECT source, n_docs, n_dup_docs,
+           ROUND(CAST(n_dup_docs AS DOUBLE) / n_docs, 6) AS dup_doc_rate
+    FROM per
+    """
+
+
+@register("corpus_dup_rate_by_source", oracle=_sql_dup_rate_by_source())
+def corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplication pressure BY SOURCE: which crawl sources are
+    internally duplicative, measured as the fraction of each source's
+    documents that participate in at least one verified near-dup pair.
+    This is the report that decides where dedup effort (and per-source
+    caps) goes; its oracle wraps dedup_near_minhash's ENTIRE oracle as
+    a CTE, so the pair rule is shared by construction, never restated.
+
+    Scale: the pair relation is the already-bucketed minhash output
+    (tiny relative to the corpus); exploding pairs to distinct docs
+    and left-joining back to the doc→source map is doc_id-keyed. The
+    per-source agg is |sources|-sized.
+    """
+    from clj_kinesis_to_firehose_spark.operators.llm_dedup import (
+        dedup_near_minhash,
+    )
+
+    pairs = dedup_near_minhash(spark, sf_dir)
+    dup_docs = (
+        pairs.select(F.col("doc_a").alias("d"))
+        .unionAll(pairs.select(F.col("doc_b").alias("d")))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        docs.join(dup_docs, docs.doc_id == dup_docs.d, "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.coalesce("is_dup", F.lit(0))).cast("long").alias(
+                "n_dup_docs"
+            ),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dup_docs",
+            F.round(
+                F.col("n_dup_docs").cast("double") / F.col("n_docs"), 6
+            ).alias("dup_doc_rate"),
+        )
+    )
+
+
+# --- stream_oov_monitor ------------------------------------------------------
+
+
+@register(
+    "stream_oov_monitor",
+    oracle=f"""
+    {SQL_VOCAB_CTES}, vocab AS (
+      SELECT term FROM ranked WHERE vocab_rank <= {VOCAB_TOPK}
+    ), batches AS (
+      SELECT doc_id,
+             CAST(NTILE(4) OVER (ORDER BY doc_id) AS BIGINT) AS batch_id
+      FROM documents
+    )
+    SELECT b.batch_id,
+           COUNT(DISTINCT t.doc_id) AS n_docs,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           ROUND(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+    FROM toks t JOIN batches b USING (doc_id) LEFT JOIN vocab v USING (term)
+    GROUP BY b.batch_id
+    """,
+)
+def stream_oov_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-drift monitoring IN the ingest stream: each micro-batch's
+    out-of-vocabulary rate against a FIXED reference vocabulary
+    (materialized once, pre-stream) — the canary that fires when a new
+    crawl slice stops looking like the corpus the tokenizer was
+    trained on. One row per batch; a production monitor alerts on the
+    oov_rate trend. The oracle derives the same doc_id-ordered batch
+    assignment with NTILE (the stream_span_index_ingest convention),
+    so the per-batch rows are exact.
+
+    Scale: the reference vocab is a K-row parquet table joined
+    broadcast-side per batch; each batch does one tokenize scan of
+    itself and a 1-row aggregate — per-batch driver traffic is zero
+    (epoch-keyed OVERWRITE parquet, idempotent under at-least-once
+    re-execution).
+    """
+    from clj_kinesis_to_firehose_spark.operators.curation_r10 import (
+        DOCS_RAW_SCHEMA,
+        _write_doc_slices,
+    )
+    from clj_kinesis_to_firehose_spark.sources import scratch_dir
+
+    vocab_dir = scratch_dir("kf_oovmon_vocab_")
+    (
+        _top_vocab(_term_stats(spark, sf_dir))
+        .select("term")
+        .write.mode("overwrite")
+        .parquet(vocab_dir)
+    )
+    vocab = spark.read.parquet(vocab_dir).withColumn("in_v", F.lit(1))
+    replay_dir = _write_doc_slices(spark, sf_dir, n_slices=4)
+    out_dir = scratch_dir("kf_oovmon_out_")
+
+    def monitor_batch(batch_df: DataFrame, epoch: int) -> None:
+        toks = batch_df.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        )
+        oov = F.when(F.col("in_v").isNull(), 1).otherwise(0)
+        row = (
+            toks.join(vocab, "term", "left")
+            .agg(
+                F.countDistinct("doc_id").alias("n_docs"),
+                F.count("*").alias("n_tokens"),
+                F.sum(oov).cast("long").alias("n_oov"),
+                F.round(
+                    F.sum(oov) / F.count("*").cast("double"), 6
+                ).alias("oov_rate"),
+            )
+            .select(
+                F.lit(epoch + 1).cast("long").alias("batch_id"),
+                "n_docs",
+                "n_tokens",
+                "n_oov",
+                "oov_rate",
+            )
+        )
+        row.write.mode("overwrite").parquet(f"{out_dir}/epoch_{epoch}")
+
+    q = (
+        spark.readStream.schema(DOCS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(replay_dir)
+        .writeStream.foreachBatch(monitor_batch)
+        .option("checkpointLocation", scratch_dir("kf_oovmon_chk_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.option("recursiveFileLookup", "true").parquet(
+        out_dir
+    ).select("batch_id", "n_docs", "n_tokens", "n_oov", "oov_rate")

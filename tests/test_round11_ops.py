@@ -455,3 +455,54 @@ def test_bpe_survives_word_collapsing_to_single_symbol(spark):
     # (possibly empty once no non-self pair remains) without erroring
     assert rows[0][0].left_sym == "a" and rows[0][0].right_sym == "b"
     assert len(rows) == 3
+
+
+def test_dim_stats_canary_is_the_only_dead_dim(spark):
+    """The appended constant dimension (pos 65) must be flagged dead —
+    and be the ONLY dead one: a healthy fixture with a planted
+    positive control, so the detection path is non-vacuous."""
+    out = QUERIES["embedding_dim_stats"](spark, SF_DIR).toPandas()
+    assert len(out) == 65
+    dead = out[out.is_dead == 1]
+    assert list(dead.pos) == [65]
+    canary = dead.iloc[0]
+    assert canary.std_x == 0 and canary.min_x == 0 and canary.max_x == 0
+    assert (out[out.pos < 65].std_x > 0.05).all()
+
+
+def test_dup_rate_by_source_consistent_with_pairs(spark):
+    """Per-source dup-doc counts must equal a recompute from the
+    verified pair list, and total docs must cover the corpus."""
+    out = QUERIES["corpus_dup_rate_by_source"](spark, SF_DIR).toPandas()
+    pairs = QUERIES["dedup_near_minhash"](spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    dup_ids = set(pairs.doc_a) | set(pairs.doc_b)
+    expect = (
+        docs.assign(is_dup=docs.doc_id.isin(dup_ids).astype(int))
+        .groupby("source")
+        .agg(n_docs=("doc_id", "size"), n_dup_docs=("is_dup", "sum"))
+    )
+    got = out.set_index("source").sort_index()
+    assert got.n_docs.equals(expect.sort_index().n_docs)
+    assert got.n_dup_docs.equals(expect.sort_index().n_dup_docs)
+    assert out.n_docs.sum() == len(docs)
+    assert out.n_dup_docs.sum() == len(dup_ids)
+
+
+def test_oov_monitor_batches_tile_the_corpus(spark):
+    """The four batch rows must partition the corpus (docs and tokens
+    sum to the batch operator's totals) and each batch's oov_rate must
+    reproduce from its own counts."""
+    out = (
+        QUERIES["stream_oov_monitor"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("batch_id")
+    )
+    per_doc = QUERIES["vocab_oov_rate"](spark, SF_DIR).toPandas()
+    assert list(out.batch_id) == [1, 2, 3, 4]
+    assert out.n_docs.sum() == len(per_doc)
+    assert out.n_tokens.sum() == per_doc.n_tokens.sum()
+    assert out.n_oov.sum() == per_doc.n_oov.sum()
+    assert (
+        out.oov_rate == (out.n_oov / out.n_tokens).round(6)
+    ).all()
