@@ -1555,3 +1555,150 @@ def stream_oov_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.option("recursiveFileLookup", "true").parquet(
         out_dir
     ).select("batch_id", "n_docs", "n_tokens", "n_oov", "oov_rate")
+
+
+# --- text_ngram_novelty ------------------------------------------------------
+
+
+@register(
+    "text_ngram_novelty",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS t,
+             LEN(STRING_SPLIT(text, ' ')) AS n
+      FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id,
+             ARRAY_TO_STRING(t[i : i + 2], ' ') AS g
+      FROM toks, UNNEST(RANGE(1, n - 1)) AS r(i)
+      WHERE n >= 3
+    ), first_seen AS (
+      SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g
+    )
+    SELECT gr.doc_id, COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN fs.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           ROUND(SUM(CASE WHEN fs.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS novelty_rate
+    FROM grams gr JOIN first_seen fs USING (g)
+    GROUP BY gr.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal-data-value curve: per document, the fraction of its
+    distinct 3-grams whose FIRST corpus occurrence (by doc_id order —
+    the crawl/arrival order) is this document. Early documents are
+    ~all-novel; late ones mostly repeat what the corpus already has
+    (0.96 → 0.37 across this fixture) — the curve that tells you when
+    more of the same source stops buying new information, the
+    data-scaling twin of vocab coverage.
+
+    Scale: distinct (doc, gram) explode → gram-keyed MIN agg (the
+    first-occurrence index; map-side combine) → gram-keyed join back →
+    doc-keyed count agg. Both shuffles are gram/doc-keyed and
+    Zipf-bounded relative to raw tokens; the same shape as tf-idf. At
+    100 TB the first-seen index is exactly the incremental-dedup span
+    index, so arrival batches can update it without corpus rescans.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = fan_out(spark, docs).select(
+        "doc_id",
+        F.split("text", " ").alias("t"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    grams = (
+        toks.filter(F.col("n") >= 3)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.col("n") - 3)).alias("i"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.slice("t", F.col("i") + 1, 3)).alias("g"),
+        )
+        .distinct()
+    )
+    first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        grams.join(first_seen, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(novel).cast("long").alias("n_novel"),
+            F.round(
+                F.sum(novel) / F.count("*").cast("double"), 6
+            ).alias("novelty_rate"),
+        )
+    )
+
+
+# --- corpus_train_manifest ---------------------------------------------------
+
+#: hash-shard count for the published manifest (distinct from
+#: corpus_shard_by_tokens' token-BALANCED sharding: the manifest shard
+#: is a pure doc_id-hash function so any worker can recompute it
+#: statelessly).
+MANIFEST_SHARDS = 8
+
+
+def _sql_train_manifest() -> str:
+    from clj_kinesis_to_firehose_spark.operators.curation_r10 import (
+        _SQL_ADMISSION,
+    )
+
+    h_doc = SQL_HASH60.format(x="CAST(d.doc_id AS VARCHAR)")
+    h_src = SQL_HASH60.format(x="d.source")
+    return f"""
+    WITH adm AS ({_SQL_ADMISSION})
+    SELECT d.doc_id,
+           CASE WHEN {h_src} % {SPLIT_MOD} < {SPLIT_TRAIN_UNDER}
+                THEN 'train' ELSE 'val' END AS split,
+           CAST({h_doc} % {MANIFEST_SHARDS} AS BIGINT) AS shard_id,
+           CAST(LEN(STRING_SPLIT(d.text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents d JOIN adm ON d.doc_id = adm.doc_id
+    WHERE adm.admitted = 1
+    """
+
+
+@register("corpus_train_manifest", oracle=_sql_train_manifest())
+def corpus_train_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published TRAINING MANIFEST — the table a training job
+    actually reads: every ADMITTED document (the full gate battery of
+    corpus_admission_decision) with its leakage-safe group split (the
+    split_group_holdout hash rule) and a stateless doc-hash shard
+    assignment plus the token count a batch scheduler consumes. The
+    capstone composite: admission x split x shard derive from three
+    independently-proven operators, and this op's oracle wraps the
+    admission oracle as a CTE so the gate rule is shared, never
+    restated.
+
+    Scale: the admission relation is doc_id-keyed (each gate already
+    plan-audited); the join is 1:1 on doc_id, split/shard are pure map
+    hashes, and nothing here adds a shuffle beyond the gates
+    themselves. Published as parquet partitioned by (split, shard_id),
+    any of 1000 workers reads exactly its shard files.
+    """
+    from clj_kinesis_to_firehose_spark.operators.curation_r10 import (
+        corpus_admission_decision,
+    )
+
+    adm = (
+        corpus_admission_decision(spark, sf_dir)
+        .filter(F.col("admitted") == 1)
+        .select("doc_id")
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    h_src = portable_hash60(F.col("source"))
+    h_doc = portable_hash60(F.col("doc_id").cast("string"))
+    return docs.join(adm, "doc_id").select(
+        "doc_id",
+        F.when(h_src % SPLIT_MOD < SPLIT_TRAIN_UNDER, "train")
+        .otherwise("val")
+        .alias("split"),
+        (h_doc % MANIFEST_SHARDS).cast("long").alias("shard_id"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )

@@ -506,3 +506,47 @@ def test_oov_monitor_batches_tile_the_corpus(spark):
     assert (
         out.oov_rate == (out.n_oov / out.n_tokens).round(6)
     ).all()
+
+
+def test_novelty_declines_with_arrival_order(spark):
+    """Every doc's novel grams are a subset of its grams; the corpus-
+    level novelty must DECLINE with arrival order (the curve is the
+    point), and summed novel grams must equal the distinct gram
+    vocabulary."""
+    out = (
+        QUERIES["text_ngram_novelty"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (out.n_novel <= out.n_grams).all()
+    assert out.iloc[0].novelty_rate == 1.0, "first doc must be all-novel"
+    first, last = out.head(50).novelty_rate.mean(), out.tail(
+        50
+    ).novelty_rate.mean()
+    assert first > last + 0.2, (first, last)
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    vocab = set()
+    for r in docs.sort_values("doc_id").itertuples():
+        t = r.text.split(" ")
+        vocab |= {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+    assert out.n_novel.sum() == len(vocab)
+
+
+def test_train_manifest_is_the_admitted_set(spark):
+    """Manifest rows = exactly the admitted docs; split matches the
+    group-holdout rule doc for doc; shards are stateless doc-hash."""
+    man = QUERIES["corpus_train_manifest"](spark, SF_DIR).toPandas()
+    adm = QUERIES["corpus_admission_decision"](spark, SF_DIR).toPandas()
+    split = QUERIES["split_group_holdout"](spark, SF_DIR).toPandas()
+    admitted = set(adm[adm.admitted == 1].doc_id)
+    assert set(man.doc_id) == admitted
+    merged = man.merge(split, on="doc_id", suffixes=("_m", "_s"))
+    assert (merged.split_m == merged.split_s).all()
+    assert man.shard_id.between(0, 7).all()
+    assert man.shard_id.nunique() == 8
+    import hashlib
+
+    for r in man.sample(n=30, random_state=5).itertuples():
+        h = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:15], 16)
+        assert r.shard_id == h % 8
