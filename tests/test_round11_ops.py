@@ -550,3 +550,34 @@ def test_train_manifest_is_the_admitted_set(spark):
     for r in man.sample(n=30, random_state=5).itertuples():
         h = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:15], 16)
         assert r.shard_id == h % 8
+
+
+def test_replace_scan_semantics_fuzz_duckdb_vs_python():
+    """Property fuzz (no JVM needed): DuckDB's REPLACE must agree with
+    Python str.replace on arbitrary '|'-joined symbol strings and
+    merge patterns — the portability assumption under the BPE apply
+    step (the Spark side is pinned separately by the crafted-case
+    engine test)."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    con = duckdb.connect()
+    sym = st.sampled_from(["a", "b", "c", "ab", "ba", "abc"])
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        syms=st.lists(sym, min_size=0, max_size=12),
+        left=sym,
+        right=sym,
+    )
+    def check(syms, left, right):
+        s = "|" + "|".join(syms) + "|" if syms else "||"
+        pat, sub = f"|{left}|{right}|", f"|{left}{right}|"
+        du = con.execute(
+            "SELECT REPLACE(REPLACE(?,?,?),?,?)", [s, pat, sub, pat, sub]
+        ).fetchone()[0]
+        py = s.replace(pat, sub).replace(pat, sub)
+        assert du == py, (s, pat, du, py)
+
+    check()
