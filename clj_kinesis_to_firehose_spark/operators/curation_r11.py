@@ -1702,3 +1702,38 @@ def corpus_train_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (h_doc % MANIFEST_SHARDS).cast("long").alias("shard_id"),
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
     )
+
+
+# --- scan_orc_roundtrip ------------------------------------------------------
+
+
+@register(
+    "scan_orc_roundtrip",
+    oracle="""
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink support — the remaining built-in columnar
+    format beside parquet (CSV and JSON-lines are covered by
+    scan_formats_roundtrip): write the documents table out as
+    snappy-compressed ORC and read it back; the roundtrip must be the
+    identity, which the oracle checks by comparing against the source
+    table directly.
+
+    Scale: ORC gets the same Catalyst treatment as parquet — column
+    pruning, predicate pushdown into stripes, vectorized reads — so a
+    lake standardized on ORC plugs into every operator here by
+    swapping the loader's format string; this op pins that the write
+    path round-trips values bit-for-bit (strings and longs; the
+    events timestamp shim is parquet-specific by design and stays in
+    the loader).
+    """
+    from clj_kinesis_to_firehose_spark.sources import scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    out = scratch_dir("kf_orc_roundtrip_")
+    docs.write.mode("overwrite").option("compression", "snappy").orc(out)
+    return spark.read.orc(out)

@@ -581,3 +581,25 @@ def test_replace_scan_semantics_fuzz_duckdb_vs_python():
         assert du == py, (s, pat, du, py)
 
     check()
+
+
+def test_orc_scan_supports_pushdown_and_pruning(spark):
+    """The ORC path must get the same Catalyst treatment as parquet:
+    a filtered 2-column projection over the roundtrip output shows
+    pushed filters and a pruned read schema."""
+    from clj_kinesis_to_firehose_spark.sources import scratch_dir
+
+    docs_path = scratch_dir("kf_orc_audit_")
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    spark.createDataFrame(docs).write.mode("overwrite").orc(docs_path)
+    df = (
+        spark.read.orc(docs_path)
+        .filter("n_chars > 300")
+        .select("doc_id", "lang")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "n_chars" in plan, plan[:1500]
+    assert "text" not in plan.split("ReadSchema")[1][:200], plan[:1500]
+    got = df.toPandas()
+    expect = docs[docs.n_chars > 300]
+    assert len(got) == len(expect)
