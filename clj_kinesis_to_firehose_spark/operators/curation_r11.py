@@ -1737,3 +1737,188 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = scratch_dir("kf_orc_roundtrip_")
     docs.write.mode("overwrite").option("compression", "snappy").orc(out)
     return spark.read.orc(out)
+
+
+# --- event_path_topk ---------------------------------------------------------
+
+#: length-3 paths reported.
+PATH_TOPK = 20
+
+
+@register(
+    "event_path_topk",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type, 1) OVER w AS e2,
+             LEAD(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), paths AS (
+      SELECT event_type || '>' || e2 || '>' || e3 AS path
+      FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    ), agg AS (
+      SELECT path, COUNT(*) AS n_paths FROM paths GROUP BY path
+    )
+    SELECT path, n_paths, path_rank FROM (
+      SELECT path, n_paths,
+             ROW_NUMBER() OVER (ORDER BY n_paths DESC, path) AS path_rank
+      FROM agg
+    ) WHERE path_rank <= {PATH_TOPK}
+    """,
+)
+def event_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path mining: the most frequent length-3 event-type
+    sequences across all user timelines — the navigation-pattern
+    report behind funnel design (event_transition_matrix is the
+    1-step view; this is its n-gram generalization). Ordering within
+    a user is (ts, event_id), the engine-wide deterministic timeline
+    tie-break.
+
+    Scale: one shuffle on user_id for the LEAD window (the sessionize
+    shape), then a path-keyed agg (alphabet³-bounded) and TakeOrdered
+    top-K. No self-joins — consecutive triples come from two LEADs
+    over the already-sorted partition.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    agg = (
+        seq.filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n_paths"))
+    )
+    top = agg.orderBy(F.desc("n_paths"), F.asc("path")).limit(PATH_TOPK)
+    rw = Window.orderBy(F.desc("n_paths"), F.asc("path"))
+    return top.select(
+        "path", "n_paths", F.row_number().over(rw).alias("path_rank")
+    )
+
+
+# --- attribution_linear_multi_touch ------------------------------------------
+
+#: lookback: a purchase credits its last K prior touches equally.
+ATTR_LOOKBACK_K = 10
+
+
+@register(
+    "attribution_linear_multi_touch",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS cnt_before
+      FROM events
+    ), touches AS (
+      SELECT user_id, event_type AS channel,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS tn
+      FROM events WHERE event_type <> 'purchase'
+    ), purchases AS (
+      SELECT user_id, event_id, value, COALESCE(cnt_before, 0) AS cnt,
+             LEAST(COALESCE(cnt_before, 0), {ATTR_LOOKBACK_K}) AS n_eff
+      FROM ordered WHERE event_type = 'purchase'
+    ), credits AS (
+      SELECT t.channel,
+             CAST(ROUND(p.value / p.n_eff, 4) AS DECIMAL(18,4)) AS credit
+      FROM purchases p JOIN touches t
+        ON p.user_id = t.user_id
+       AND t.tn > p.cnt - {ATTR_LOOKBACK_K} AND t.tn <= p.cnt
+      WHERE p.cnt > 0
+    ), organic AS (
+      SELECT 'organic' AS channel,
+             CAST(ROUND(value, 4) AS DECIMAL(18,4)) AS credit
+      FROM purchases WHERE cnt = 0
+    )
+    SELECT channel, COUNT(*) AS n_credits,
+           CAST(ROUND(SUM(credit), 2) AS DOUBLE) AS attributed_value
+    FROM (SELECT * FROM credits UNION ALL SELECT * FROM organic)
+    GROUP BY channel
+    """,
+)
+def attribution_linear_multi_touch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Linear multi-touch attribution with a lookback window: each
+    purchase splits its value EQUALLY across its last K strictly-prior
+    non-purchase touches (purchases with no prior touch stay
+    'organic') — the multi-touch counterpart of
+    attribution_last_touch, and the model marketing reporting actually
+    runs. Determinism: each per-touch credit is one double expression
+    (value / n_eff) rounded to 4 dp and CAST TO DECIMAL before
+    summation, so the channel totals are exact-sum order-free (the
+    last_touch DECIMAL convention extended to fractional credits).
+
+    Scale: the lookback bound is the load-bearing design choice — the
+    purchase-to-touch join fans out at most K rows per purchase
+    (never the user's whole history), and both sides arrive
+    hash-partitioned on user_id from their windows, so the range
+    condition evaluates within co-partitioned sort-merge buckets. The
+    final rollup is |channels|-sized.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    tl = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.withColumn(
+        "cnt_before",
+        F.sum(
+            F.when(F.col("event_type") != "purchase", 1).otherwise(0)
+        ).over(tl.rowsBetween(Window.unboundedPreceding, -1)),
+    )
+    touches = (
+        ev.filter(F.col("event_type") != "purchase")
+        .select(
+            "user_id",
+            F.col("event_type").alias("channel"),
+            F.row_number().over(tl).alias("tn"),
+        )
+    )
+    purchases = (
+        ordered.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "value",
+            F.coalesce("cnt_before", F.lit(0)).alias("cnt"),
+            F.least(
+                F.coalesce("cnt_before", F.lit(0)),
+                F.lit(ATTR_LOOKBACK_K),
+            ).alias("n_eff"),
+        )
+    )
+    credits = (
+        purchases.filter(F.col("cnt") > 0)
+        .join(
+            touches,
+            (purchases.user_id == touches.user_id)
+            & (touches.tn > purchases.cnt - ATTR_LOOKBACK_K)
+            & (touches.tn <= purchases.cnt),
+        )
+        .select(
+            "channel",
+            F.round(F.col("value") / F.col("n_eff"), 4)
+            .cast("decimal(18,4)")
+            .alias("credit"),
+        )
+    )
+    organic = purchases.filter(F.col("cnt") == 0).select(
+        F.lit("organic").alias("channel"),
+        F.round("value", 4).cast("decimal(18,4)").alias("credit"),
+    )
+    return (
+        credits.unionAll(organic)
+        .groupBy("channel")
+        .agg(
+            F.count("*").alias("n_credits"),
+            F.round(F.sum("credit"), 2)
+            .cast("double")
+            .alias("attributed_value"),
+        )
+    )

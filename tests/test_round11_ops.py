@@ -603,3 +603,47 @@ def test_orc_scan_supports_pushdown_and_pruning(spark):
     got = df.toPandas()
     expect = docs[docs.n_chars > 300]
     assert len(got) == len(expect)
+
+
+def test_path_topk_matches_pandas_replay(spark):
+    """Full pandas replay of the 3-gram path counting over (ts,
+    event_id)-ordered user timelines."""
+    out = (
+        QUERIES["event_path_topk"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("path_rank")
+    )
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    paths = collections.Counter()
+    for _, grp in ev.groupby("user_id"):
+        t = list(grp.event_type)
+        for i in range(len(t) - 2):
+            paths[f"{t[i]}>{t[i + 1]}>{t[i + 2]}"] += 1
+    expect = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [(r.path, r.n_paths) for r in out.itertuples()]
+    assert got == expect
+
+
+def test_linear_attribution_conserves_value(spark):
+    """Conservation law: total attributed value across channels equals
+    the total purchase value (each purchase's credit splits exactly,
+    up to the per-credit 4-dp rounding x n_credits bound); organic
+    appears and every credited purchase fans out to at most K rows."""
+    from clj_kinesis_to_firehose_spark.operators.curation_r11 import (
+        ATTR_LOOKBACK_K,
+    )
+
+    out = QUERIES["attribution_linear_multi_touch"](spark, SF_DIR).toPandas()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    purchases = ev[ev.event_type == "purchase"]
+    total = purchases.value.sum()
+    attributed = out.attributed_value.sum()
+    tol = 0.0001 * out.n_credits.sum() + 0.02 * len(out)
+    assert abs(attributed - total) <= tol, (attributed, total, tol)
+    assert "organic" in set(out.channel)
+    n_credited = out[out.channel != "organic"].n_credits.sum()
+    assert n_credited <= len(purchases) * ATTR_LOOKBACK_K
+    last = QUERIES["attribution_last_touch"](spark, SF_DIR).toPandas()
+    assert set(out.channel) == set(last.touch_channel)
