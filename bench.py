@@ -61,6 +61,10 @@ EXTENDED = [
     # round 11: BPE training — trends the iterated dictionary-sized
     # select-apply loop (3 merges, each a pair-agg + broadcast REPLACE)
     "bpe_learn_merges",
+    # round 11: the capstone manifest — trends the END-TO-END curation
+    # battery (gopher gates + decontamination + span dedup + split +
+    # shard) as one number
+    "corpus_train_manifest",
 ]
 N_RUNS_EXT = 2
 
