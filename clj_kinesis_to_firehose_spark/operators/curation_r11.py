@@ -1828,19 +1828,26 @@ ATTR_LOOKBACK_K = 10
              LEAST(COALESCE(cnt_before, 0), {ATTR_LOOKBACK_K}) AS n_eff
       FROM ordered WHERE event_type = 'purchase'
     ), credits AS (
+      -- credit in integer 1e-4 units via FLOOR: floor of an identical
+      -- double expression is TIE-FREE and bit-deterministic across
+      -- engines, unlike ROUND(double, 4), whose half-boundary
+      -- behavior differs (Spark rounds the shortest decimal repr
+      -- HALF_UP; DuckDB rounds the scaled binary double)
       SELECT t.channel,
-             CAST(ROUND(p.value / p.n_eff, 4) AS DECIMAL(18,4)) AS credit
+             CAST(FLOOR(p.value * 10000 / p.n_eff) AS BIGINT) AS credit_u
       FROM purchases p JOIN touches t
         ON p.user_id = t.user_id
        AND t.tn > p.cnt - {ATTR_LOOKBACK_K} AND t.tn <= p.cnt
       WHERE p.cnt > 0
     ), organic AS (
       SELECT 'organic' AS channel,
-             CAST(ROUND(value, 4) AS DECIMAL(18,4)) AS credit
+             CAST(FLOOR(value * 10000) AS BIGINT) AS credit_u
       FROM purchases WHERE cnt = 0
     )
     SELECT channel, COUNT(*) AS n_credits,
-           CAST(ROUND(SUM(credit), 2) AS DOUBLE) AS attributed_value
+           CAST(SUM(credit_u) AS BIGINT) AS attributed_value_u,
+           CAST(CAST(SUM(credit_u) AS BIGINT) AS DOUBLE) / 10000
+             AS attributed_value
     FROM (SELECT * FROM credits UNION ALL SELECT * FROM organic)
     GROUP BY channel
     """,
@@ -1853,10 +1860,15 @@ def attribution_linear_multi_touch(
     non-purchase touches (purchases with no prior touch stay
     'organic') — the multi-touch counterpart of
     attribution_last_touch, and the model marketing reporting actually
-    runs. Determinism: each per-touch credit is one double expression
-    (value / n_eff) rounded to 4 dp and CAST TO DECIMAL before
-    summation, so the channel totals are exact-sum order-free (the
-    last_touch DECIMAL convention extended to fractional credits).
+    runs. Determinism: each per-touch credit is FLOOR(value * 1e4 /
+    n_eff) — an integer 1e-4-unit amount. FLOOR of an identical double
+    expression is tie-free and bit-deterministic across engines
+    (ROUND(double, 4) is NOT: Spark rounds the shortest decimal repr
+    HALF_UP while DuckDB rounds the scaled binary double, so
+    0.57/8 = 0.07125 rounds to 0.0713 vs 0.0712 — the review-pass
+    counterexample). Channel totals are exact integer sums, exposed
+    both as the raw unit count and as units/1e4 with no further
+    rounding step.
 
     Scale: the lookback bound is the load-bearing design choice — the
     purchase-to-touch join fans out at most K rows per purchase
@@ -1903,22 +1915,23 @@ def attribution_linear_multi_touch(
         )
         .select(
             "channel",
-            F.round(F.col("value") / F.col("n_eff"), 4)
-            .cast("decimal(18,4)")
-            .alias("credit"),
+            F.floor(F.col("value") * 10000 / F.col("n_eff"))
+            .cast("long")
+            .alias("credit_u"),
         )
     )
     organic = purchases.filter(F.col("cnt") == 0).select(
         F.lit("organic").alias("channel"),
-        F.round("value", 4).cast("decimal(18,4)").alias("credit"),
+        F.floor(F.col("value") * 10000).cast("long").alias("credit_u"),
     )
     return (
         credits.unionAll(organic)
         .groupBy("channel")
         .agg(
             F.count("*").alias("n_credits"),
-            F.round(F.sum("credit"), 2)
-            .cast("double")
-            .alias("attributed_value"),
+            F.sum("credit_u").cast("long").alias("attributed_value_u"),
+            (
+                F.sum("credit_u").cast("long").cast("double") / 10000
+            ).alias("attributed_value"),
         )
     )

@@ -640,10 +640,18 @@ def test_linear_attribution_conserves_value(spark):
     purchases = ev[ev.event_type == "purchase"]
     total = purchases.value.sum()
     attributed = out.attributed_value.sum()
-    tol = 0.0001 * out.n_credits.sum() + 0.02 * len(out)
-    assert abs(attributed - total) <= tol, (attributed, total, tol)
+    # per-credit FLOOR truncates at most 1e-4 each
+    tol = 0.0001 * out.n_credits.sum()
+    assert total - tol <= attributed <= total + 1e-6, (
+        attributed,
+        total,
+        tol,
+    )
+    assert (out.attributed_value == out.attributed_value_u / 10000).all()
     assert "organic" in set(out.channel)
     n_credited = out[out.channel != "organic"].n_credits.sum()
     assert n_credited <= len(purchases) * ATTR_LOOKBACK_K
     last = QUERIES["attribution_last_touch"](spark, SF_DIR).toPandas()
-    assert set(out.channel) == set(last.touch_channel)
+    # last-touch channels are a SUBSET of linear's (a channel can earn
+    # linear credit without ever being the final touch, not vice versa)
+    assert set(last.touch_channel) <= set(out.channel)
