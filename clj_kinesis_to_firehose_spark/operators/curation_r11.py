@@ -1935,3 +1935,120 @@ def attribution_linear_multi_touch(
             ).alias("attributed_value"),
         )
     )
+
+
+# --- multimodal_image_phash --------------------------------------------------
+
+#: perceptual-hash grid: images downsample to AHASH_DIM x AHASH_DIM by
+#: integer nearest-neighbor (src = out * size // AHASH_DIM — the
+#: multimodal_resize convention), so the hash is AHASH_DIM² bits.
+AHASH_DIM = 4
+
+
+def _phash_batches(batches):
+    """mapInPandas kernel: encoded image payloads → average-hash. Runs
+    the REAL decoders (magic-byte dispatch), so a codec bug breaks the
+    oracle hash exactly as it does for multimodal_decode. All math is
+    integer: gray = r+g+b per pixel, the grid samples by integer
+    nearest-neighbor, and the brightness threshold is the cross-
+    multiplied s*N > total compare (tie-free, no float)."""
+    import pandas as pd
+
+    from clj_kinesis_to_firehose_spark.functions.imaging import (
+        decode_image,
+    )
+
+    n = AHASH_DIM * AHASH_DIM
+    for pdf in batches:
+        ids, ws, hs, phs, bits = [], [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            arr = decode_image(bytes(payload))
+            h, w = arr.shape[:2]
+            s = arr.sum(axis=2).astype("int64")
+            samples = [
+                int(s[(oy * h) // AHASH_DIM][(ox * w) // AHASH_DIM])
+                for oy in range(AHASH_DIM)
+                for ox in range(AHASH_DIM)
+            ]
+            total = sum(samples)
+            ph = sum((1 << k) for k, v in enumerate(samples) if v * n > total)
+            ids.append(int(doc_id))
+            ws.append(w)
+            hs.append(h)
+            phs.append(ph)
+            bits.append(bin(ph).count("1"))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "width": pd.Series(ws, dtype="int32"),
+                "height": pd.Series(hs, dtype="int32"),
+                "phash": pd.Series(phs, dtype="int64"),
+                "n_bits_set": pd.Series(bits, dtype="int64"),
+            }
+        )
+
+
+@register(
+    "multimodal_image_phash",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id, 4 + doc_id % 13 AS w, 4 + (doc_id * 7) % 11 AS h
+      FROM documents
+    ), sv AS (
+      SELECT doc_id, w, h,
+             LIST_TRANSFORM(RANGE({AHASH_DIM * AHASH_DIM}), k ->
+                 (doc_id * 31 + ((k % {AHASH_DIM}) * w // {AHASH_DIM}) * 7
+                              + ((k // {AHASH_DIM}) * h // {AHASH_DIM}) * 13)
+                   % 256
+               + (doc_id * 31 + ((k % {AHASH_DIM}) * w // {AHASH_DIM}) * 7
+                              + ((k // {AHASH_DIM}) * h // {AHASH_DIM}) * 13
+                  + 101) % 256
+               + (doc_id * 31 + ((k % {AHASH_DIM}) * w // {AHASH_DIM}) * 7
+                              + ((k // {AHASH_DIM}) * h // {AHASH_DIM}) * 13
+                  + 202) % 256
+             ) AS s
+      FROM dims
+    )
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(LIST_SUM(LIST_TRANSFORM(RANGE({AHASH_DIM * AHASH_DIM}), k ->
+             CASE WHEN s[k + 1] * {AHASH_DIM * AHASH_DIM} > LIST_SUM(s)
+                  THEN 1 << k ELSE 0 END)) AS BIGINT) AS phash,
+           CAST(LIST_SUM(LIST_TRANSFORM(RANGE({AHASH_DIM * AHASH_DIM}), k ->
+             CASE WHEN s[k + 1] * {AHASH_DIM * AHASH_DIM} > LIST_SUM(s)
+                  THEN 1 ELSE 0 END)) AS BIGINT) AS n_bits_set
+    FROM sv
+    """,
+)
+def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash over the image modality — IMAGE
+    near-dup's candidate key (identical phash = same visual bucket;
+    low hamming distance = near-dup), the multimodal counterpart of
+    MinHash banding. The payloads are the REAL encoded BMP/PPM bytes
+    and the kernel runs the REAL decoders, so the oracle (which
+    recomputes the grid analytically from the deterministic pixel
+    formula) verifies decode → grayscale → downsample → threshold end
+    to end: a wrong row flip, padding strip, or BGR swap flips hash
+    bits. All math is integer — nearest-neighbor grid (the resize
+    convention), r+g+b gray, and the cross-multiplied brightness
+    threshold s*N > total — so no float channel exists at all.
+
+    Scale: two Arrow-batched map stages (encode double, then
+    hash-kernel), zero shuffles; the hash is a fixed 16-bit key, so
+    the dedup consumer is a groupBy-on-phash bucket join — the same
+    per-bucket pair cost shape as the text LSH family.
+    """
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    from clj_kinesis_to_firehose_spark.operators.multimodal import (
+        encode_media_batches,
+    )
+
+    media = docs.select("doc_id").mapInPandas(
+        encode_media_batches, schema="doc_id long, payload binary"
+    )
+    return media.mapInPandas(
+        _phash_batches,
+        schema=(
+            "doc_id long, width int, height int, "
+            "phash long, n_bits_set long"
+        ),
+    )

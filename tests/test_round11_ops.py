@@ -655,3 +655,39 @@ def test_linear_attribution_conserves_value(spark):
     # last-touch channels are a SUBSET of linear's (a channel can earn
     # linear credit without ever being the final touch, not vice versa)
     assert set(last.touch_channel) <= set(out.channel)
+
+
+def test_image_phash_buckets_are_visual_clusters(spark):
+    """The hash must come from real decoded pixels: recompute one
+    doc's hash from the raw codec path and match; bucket structure
+    must be non-degenerate (real collisions, not all-unique or
+    all-same); n_bits_set must equal the popcount of phash."""
+    out = QUERIES["multimodal_image_phash"](spark, SF_DIR).toPandas()
+    assert len(out) == 500
+    assert (out.n_bits_set == out.phash.map(lambda p: bin(p).count("1"))).all()
+    n_buckets = out.phash.nunique()
+    assert 1 < n_buckets < len(out), n_buckets
+    from clj_kinesis_to_firehose_spark.functions.imaging import (
+        decode_image,
+        encode_bmp,
+        encode_ppm,
+        pixel_array,
+    )
+
+    for d in [0, 1, 7, 42]:
+        data = (
+            encode_bmp(pixel_array(d))
+            if d % 2 == 0
+            else encode_ppm(pixel_array(d))
+        )
+        arr = decode_image(data)
+        h, w = arr.shape[:2]
+        s = arr.sum(axis=2).astype("int64")
+        samples = [
+            int(s[(oy * h) // 4][(ox * w) // 4])
+            for oy in range(4)
+            for ox in range(4)
+        ]
+        total = sum(samples)
+        ph = sum((1 << k) for k, v in enumerate(samples) if v * 16 > total)
+        assert out.set_index("doc_id").loc[d].phash == ph
