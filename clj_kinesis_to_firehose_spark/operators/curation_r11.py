@@ -2052,3 +2052,56 @@ def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "phash long, n_bits_set long"
         ),
     )
+
+
+# --- multimodal_phash_dup_pairs ----------------------------------------------
+
+
+def _sql_phash_pairs() -> str:
+    # wrap the already-registered phash oracle verbatim (the
+    # composite-oracle rule): the hash definition exists once
+    from clj_kinesis_to_firehose_spark import registry as _r
+
+    return f"""
+    WITH ph AS ({_r._ORACLES["multimodal_image_phash"]})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.phash,
+           CAST(a.width = b.width AND a.height = b.height AS INT)
+             AS same_dims
+    FROM ph a JOIN ph b ON a.phash = b.phash AND a.doc_id < b.doc_id
+    """
+
+
+@register("multimodal_phash_dup_pairs", oracle=_sql_phash_pairs())
+def multimodal_phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The phash bucket-join consumer — IMAGE near-dup candidate
+    PAIRS: documents whose perceptual hashes collide, emitted as
+    (doc_a < doc_b) with the shared hash and a same-dimensions flag
+    (identical-content images at different sizes still collide, which
+    is the point of a perceptual key). Together with
+    multimodal_image_phash this mirrors the text family's split:
+    signature operator + per-bucket pair generation, never an
+    all-pairs image comparison.
+
+    Scale: groupBy-on-phash bucket self-join — pair cost is per-bucket
+    (the LSH shape); a production consumer adds multi-probe hamming
+    expansion on the same bucketed layout. The oracle wraps the phash
+    oracle as a CTE so the hash rule is never restated.
+    """
+    ph = multimodal_image_phash(spark, sf_dir)
+    a = ph.alias("a")
+    b = ph.alias("b")
+    return a.join(
+        b,
+        (F.col("a.phash") == F.col("b.phash"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.phash").alias("phash"),
+        (
+            (F.col("a.width") == F.col("b.width"))
+            & (F.col("a.height") == F.col("b.height"))
+        )
+        .cast("int")
+        .alias("same_dims"),
+    )

@@ -691,3 +691,17 @@ def test_image_phash_buckets_are_visual_clusters(spark):
         total = sum(samples)
         ph = sum((1 << k) for k, v in enumerate(samples) if v * 16 > total)
         assert out.set_index("doc_id").loc[d].phash == ph
+
+
+def test_phash_pairs_tile_the_collision_buckets(spark):
+    """Pair count must equal sum over buckets of C(size, 2), and every
+    pair must share its bucket's hash."""
+    ph = QUERIES["multimodal_image_phash"](spark, SF_DIR).toPandas()
+    pairs = QUERIES["multimodal_phash_dup_pairs"](spark, SF_DIR).toPandas()
+    sizes = ph.groupby("phash").size()
+    expect = int((sizes * (sizes - 1) // 2).sum())
+    assert len(pairs) == expect
+    lookup = ph.set_index("doc_id").phash
+    assert (pairs.phash.values == lookup.loc[pairs.doc_a].values).all()
+    assert (pairs.phash.values == lookup.loc[pairs.doc_b].values).all()
+    assert (pairs.doc_a < pairs.doc_b).all()
