@@ -36,6 +36,7 @@ def write_replay_slices(
     n_slices: int = 4,
     dup_event_ids: int = 0,
     flush_sentinel: bool = False,
+    late_rows: int = 0,
 ) -> str:
     """Materialize the events fixture as N parquet files in a fresh
     directory — a Kinesis shard-drop replay double: the file stream
@@ -92,10 +93,27 @@ def write_replay_slices(
             )
     finally:
         slices.unpersist()
+    if dup_event_ids and late_rows:
+        raise ValueError(
+            "dup_event_ids and late_rows both target the slice after the "
+            "main replay — request one per replay"
+        )
     if dup_event_ids:
         (
             raw.orderBy(F.desc("ts"), F.desc("event_id"))
             .limit(dup_event_ids)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(replay_dir, f"slice={n_slices}"))
+        )
+    if late_rows:
+        # the EARLIEST K rows re-sent after the whole stream has been
+        # seen — by then the watermark sits at max(ts) - delay, so a
+        # stateful operator must DROP all of them; the watermark-audit
+        # op counts exactly this batch's drops
+        (
+            raw.orderBy(F.asc("ts"), F.asc("event_id"))
+            .limit(late_rows)
             .coalesce(1)
             .write.mode("overwrite")
             .parquet(os.path.join(replay_dir, f"slice={n_slices}"))

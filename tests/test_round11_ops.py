@@ -381,10 +381,11 @@ def test_quality_histogram_decile_laws(spark):
     assert set(per_decile.index) == set(range(1, 11))
     assert per_decile.between(n // 10, n // 10 + 1).all()
     rng = out.groupby("decile").agg(
-        lo=("min_ratio", "min"), hi=("max_ratio", "max")
+        lo=("min_ratio_u8", "min"), hi=("max_ratio_u8", "max")
     ).sort_index()
-    # decile d's ceiling never exceeds decile d+1's floor
-    assert (rng.hi.values[:-1] <= rng.lo.values[1:] + 1e-12).all()
+    # decile d's ceiling never exceeds decile d+1's floor (integer
+    # 1e-8 units since r12 — exact compare, no epsilon needed)
+    assert (rng.hi.values[:-1] <= rng.lo.values[1:]).all()
 
 
 def test_lsh_calibration_curve_is_discriminating(spark):
@@ -664,7 +665,12 @@ def test_image_phash_buckets_are_visual_clusters(spark):
     all-same); n_bits_set must equal the popcount of phash."""
     out = QUERIES["multimodal_image_phash"](spark, SF_DIR).toPandas()
     assert len(out) == 500
-    assert (out.n_bits_set == out.phash.map(lambda p: bin(p).count("1"))).all()
+    # popcount over the UNSIGNED 64-bit view: phash is int64 two's
+    # complement (bit 63 = sign), bin() of a negative is sign-magnitude
+    assert (
+        out.n_bits_set
+        == out.phash.map(lambda p: bin(int(p) & (2**64 - 1)).count("1"))
+    ).all()
     n_buckets = out.phash.nunique()
     assert 1 < n_buckets < len(out), n_buckets
     from clj_kinesis_to_firehose_spark.functions.imaging import (
@@ -674,6 +680,11 @@ def test_image_phash_buckets_are_visual_clusters(spark):
         pixel_array,
     )
 
+    from clj_kinesis_to_firehose_spark.operators.curation_r11 import (
+        AHASH_DIM,
+    )
+
+    n = AHASH_DIM * AHASH_DIM
     for d in [0, 1, 7, 42]:
         data = (
             encode_bmp(pixel_array(d))
@@ -684,12 +695,14 @@ def test_image_phash_buckets_are_visual_clusters(spark):
         h, w = arr.shape[:2]
         s = arr.sum(axis=2).astype("int64")
         samples = [
-            int(s[(oy * h) // 4][(ox * w) // 4])
-            for oy in range(4)
-            for ox in range(4)
+            int(s[(oy * h) // AHASH_DIM][(ox * w) // AHASH_DIM])
+            for oy in range(AHASH_DIM)
+            for ox in range(AHASH_DIM)
         ]
         total = sum(samples)
-        ph = sum((1 << k) for k, v in enumerate(samples) if v * 16 > total)
+        ph = sum((1 << k) for k, v in enumerate(samples) if v * n > total)
+        if ph >= 1 << 63:
+            ph -= 1 << 64
         assert out.set_index("doc_id").loc[d].phash == ph
 
 

@@ -1,0 +1,245 @@
+"""Round-12 operator behavioral tests: planted near-dup image recovery
+through the hamming band path, brute-force completeness of the banded
+pair generation, poison-batch survival on the dead-letter decode
+kernel, scaled-vs-exact BPE agreement and monotone merge counts, the
+ANN calibration grid's structural recall laws, and the watermark
+audit's drop localization."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from clj_kinesis_to_firehose_spark import registry
+from clj_kinesis_to_firehose_spark.operators.curation_r11 import (
+    AHASH_DIM,
+    _phash_batches,
+)
+from clj_kinesis_to_firehose_spark.operators.curation_r12 import (
+    ANN_CAL_LEVELS,
+    ANN_CAL_TABLE_BUDGETS,
+    BPE_SCALED_MERGES,
+    DEAD_LETTER_MOD,
+    PHASH_HAMMING_D,
+    WM_AUDIT_LATE_ROWS,
+    _decode_dead_letter_batches,
+    _phash_banded,
+)
+from clj_kinesis_to_firehose_spark.operators.llm_dedup import band_candidates
+from tests.conftest import SF_DIR
+
+QUERIES = registry.queries()
+
+
+def _popcount64(v: int) -> int:
+    return bin(int(v) & (2**64 - 1)).count("1")
+
+
+def test_phash_hamming_pairs_complete_vs_brute_force(spark):
+    """The banded candidate generation must be COMPLETE at d <=
+    PHASH_HAMMING_D (pigeonhole over 4x16-bit bands): the op's output
+    must equal the brute-force all-pairs hamming filter over the
+    corpus hashes, exactly."""
+    ph = (
+        QUERIES["multimodal_image_phash"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    out = QUERIES["multimodal_phash_hamming_pairs"](spark, SF_DIR).toPandas()
+    hashes = list(zip(ph.doc_id, ph.phash))
+    expect = set()
+    for i, (da, pa) in enumerate(hashes):
+        for db, pb in hashes[i + 1:]:
+            d = _popcount64(int(pa) ^ int(pb))
+            if d <= PHASH_HAMMING_D:
+                expect.add((min(da, db), max(da, db), d))
+    got = set(zip(out.doc_a, out.doc_b, out.hamming))
+    assert got == expect
+    assert len(got) > 0  # non-vacuous at sf0.01
+    # the equality-bucket op is exactly the hamming-0 slice
+    eq_pairs = QUERIES["multimodal_phash_dup_pairs"](spark, SF_DIR).toPandas()
+    assert set(zip(eq_pairs.doc_a, eq_pairs.doc_b)) == {
+        (a, b) for a, b, d in got if d == 0
+    }
+
+
+def test_phash_hamming_recovers_planted_near_dup_image(spark):
+    """A one-pixel perturbation of a real encoded image must land
+    within the hamming tolerance of its original and be recovered by
+    the SAME band join the production op uses. The planted pair is
+    re-verified to survive its own filters (hamming actually <= d),
+    so the recovery assertion cannot go vacuous."""
+    import numpy as np
+
+    from clj_kinesis_to_firehose_spark.functions.imaging import (
+        encode_ppm,
+        pixel_array,
+    )
+
+    base = pixel_array(3)  # 7 x 14 — big enough that one pixel is < a cell
+    tweaked = base.copy()
+    tweaked[0, 0] = (tweaked[0, 0].astype(int) + 8).astype(np.uint8) % 256
+    rows = [
+        (1, encode_ppm(base)),
+        (2, encode_ppm(tweaked)),
+        (3, encode_ppm(pixel_array(200))),  # unrelated image
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    ph = media.mapInPandas(
+        _phash_batches,
+        schema=(
+            "doc_id long, width int, height int, phash long, n_bits_set long"
+        ),
+    )
+    hp = {r["doc_id"]: r["phash"] for r in ph.collect()}
+    planted_d = _popcount64(int(hp[1]) ^ int(hp[2]))
+    assert 0 <= planted_d <= PHASH_HAMMING_D, planted_d
+    cand = band_candidates(_phash_banded(ph.select("doc_id", "phash")))
+    pairs = {(r["doc_a"], r["doc_b"]) for r in cand.collect()}
+    assert (1, 2) in pairs
+
+
+def test_dead_letter_kernel_isolates_poison_within_a_batch():
+    """Good rows must decode normally even when corrupt payloads sit
+    in the SAME Arrow batch — and each corruption class must map to
+    its stable reason code."""
+    from clj_kinesis_to_firehose_spark.functions.imaging import (
+        encode_bmp,
+        encode_ppm,
+        pixel_array,
+    )
+
+    good_b = encode_bmp(pixel_array(4))
+    good_p = encode_ppm(pixel_array(5))
+    batch = pd.DataFrame(
+        {
+            "doc_id": pd.Series([1, 2, 3, 4], dtype="int64"),
+            "payload": pd.Series(
+                [good_b, b"XX" + good_b[2:], good_p[:4], good_p],
+                dtype="object",
+            ),
+        }
+    )
+    (out,) = list(_decode_dead_letter_batches([batch]))
+    by_id = out.set_index("doc_id")
+    assert by_id.loc[1, "status"] == "ok"
+    assert (by_id.loc[1, "width"], by_id.loc[1, "height"]) == (
+        pixel_array(4).shape[1],
+        pixel_array(4).shape[0],
+    )
+    assert by_id.loc[2, "status"] == "dead"
+    assert by_id.loc[2, "reason"] == "bad_magic"
+    assert by_id.loc[3, "status"] == "dead"
+    assert by_id.loc[3, "reason"] == "decode_error"
+    assert by_id.loc[4, "status"] == "ok"
+
+
+def test_dead_letter_op_routes_exactly_the_poison_schedule(spark):
+    out = QUERIES["multimodal_decode_dead_letter"](spark, SF_DIR).toPandas()
+    dead = out[out.status == "dead"]
+    assert set(dead.doc_id) == {
+        d for d in out.doc_id if d % DEAD_LETTER_MOD == 0
+    }
+    assert dead.width.isna().all() and dead.height.isna().all()
+    ok = out[out.status == "ok"]
+    assert ok.reason.isna().all()
+    assert (ok.width >= 4).all() and (ok.height >= 4).all()
+
+
+def test_bpe_scaled_extends_the_exact_twin(spark):
+    """The checkpointed driver loop must reproduce the N=3 exact
+    learner's merges as its prefix (same selection rule), produce the
+    full budget, and obey BPE's monotone law: the winning pair count
+    never increases from one merge to the next."""
+    scaled = (
+        QUERIES["bpe_learn_merges_scaled"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("merge_rank")
+    )
+    exact = (
+        QUERIES["bpe_learn_merges"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("merge_rank")
+    )
+    assert len(scaled) == BPE_SCALED_MERGES
+    head = scaled.head(len(exact)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(head, exact.reset_index(drop=True))
+    counts = list(scaled.pair_count)
+    assert all(a >= b for a, b in zip(counts, counts[1:])), counts
+    assert (scaled.left_sym != scaled.right_sym).all()
+    assert not scaled.left_sym.str.contains("|", regex=False).any()
+    assert not scaled.right_sym.str.contains("|", regex=False).any()
+
+
+def test_ann_calibration_recall_laws(spark):
+    """Structural guarantees of the recall grid: the full ladder x
+    budget grid is present; recall is monotone non-decreasing in the
+    table budget for every level (a prefix budget can only add
+    collisions); the easiest cell (cos .99, 8 tables) is near-exact;
+    and the grid discriminates (hardest cell strictly below easiest)."""
+    out = QUERIES["sim_ann_calibration"](spark, SF_DIR).toPandas()
+    grid = out.set_index(["level", "n_tables"]).recall
+    assert len(out) == len(ANN_CAL_LEVELS) * len(ANN_CAL_TABLE_BUDGETS)
+    for lvl in ANN_CAL_LEVELS:
+        seq = [grid[(lvl, b)] for b in sorted(ANN_CAL_TABLE_BUDGETS)]
+        assert all(a <= b for a, b in zip(seq, seq[1:])), (lvl, seq)
+    assert grid[(max(ANN_CAL_LEVELS), 8)] >= 0.9
+    assert grid[(min(ANN_CAL_LEVELS), 1)] < grid[(max(ANN_CAL_LEVELS), 8)]
+    assert (out.n_planted == out.n_planted.iloc[0]).all()
+
+
+def test_watermark_audit_localizes_drops_to_the_late_batch(spark):
+    """Drops must appear ONLY in the late-replay batch: the four
+    time-ordered slices and the sentinel never lose a row, the late
+    batch's input size is the replayed row count, and its drop count
+    is positive (state-row units — post-partial-aggregation)."""
+    out = (
+        QUERIES["stream_watermark_audit"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("batch_id")
+        .reset_index(drop=True)
+    )
+    assert list(out.batch_id) == [0, 1, 2, 3, 4, 5]
+    assert (out.loc[:3, "state_rows_dropped_late"] == 0).all()
+    assert out.loc[4, "rows_in"] == WM_AUDIT_LATE_ROWS
+    assert out.loc[4, "state_rows_dropped_late"] > 0
+    assert out.loc[5, "rows_in"] == 1
+    assert out.loc[5, "state_rows_dropped_late"] == 0
+    assert out.rows_in.sum() == out.loc[:3, "rows_in"].sum() + WM_AUDIT_LATE_ROWS + 1
+
+
+def test_quality_histogram_units_are_exact_integers(spark, oracle_con):
+    """The r12 contract change (r11 ADVICE): the decile comparator and
+    the emitted min/max are integer 1e-8 ratio units — no doubles
+    anywhere, so no cross-engine ROUND channel. Recompute one decile
+    boundary in pandas integer math."""
+    out = QUERIES["corpus_quality_histogram"](spark, SF_DIR).toPandas()
+    assert str(out.min_ratio_u8.dtype) in ("int64", "Int64")
+    assert (out.min_ratio_u8 <= out.max_ratio_u8).all()
+    docs = oracle_con.execute(
+        "SELECT doc_id, text FROM documents"
+    ).fetchdf()
+    toks = docs.text.str.split(" ")
+    ratio = (
+        toks.map(lambda t: len(set(t))) * 100000000 // toks.map(len)
+    )
+    assert out.n_docs.sum() == len(docs)
+    assert out.min_ratio_u8.min() == ratio.min()
+    assert out.max_ratio_u8.max() == ratio.max()
+
+
+def test_lsh_calibration_guard_trips_on_id_overlap(spark):
+    """The id-space guard must fail LOUDLY when a corpus doc_id
+    reaches the planted-variant id space (r11 ADVICE: a silent overlap
+    corrupts the recall curve). Feed the aug builder a doctored corpus
+    through the same code path via a temp view swap is invasive;
+    instead assert the guard expression itself is wired: the planted
+    relation's plan contains the assert."""
+    from clj_kinesis_to_firehose_spark.operators.curation_r11 import (
+        _lsh_cal_aug,
+    )
+
+    _, _, planted = _lsh_cal_aug(spark, SF_DIR)
+    plan = planted._jdf.queryExecution().analyzed().toString()
+    assert "assert_true" in plan
+    # and on the healthy fixture it evaluates clean
+    assert planted.limit(1).count() == 1
