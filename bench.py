@@ -65,6 +65,13 @@ EXTENDED = [
     # battery (gopher gates + decontamination + span dedup + split +
     # shard) as one number
     "corpus_train_manifest",
+    # round 12: the scaled BPE loop — trends per-merge cost of the
+    # checkpointed driver iteration (64 merges; flat sec/merge is the
+    # claim the r11 verdict asked the bench to pin)
+    "bpe_learn_merges_scaled",
+    # round 12: image near-dup via 4x16-bit hamming bands — trends the
+    # decode→hash→band-join→popcount-verify pipeline
+    "multimodal_phash_hamming_pairs",
 ]
 N_RUNS_EXT = 2
 

@@ -179,7 +179,7 @@ def heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "graph_triangle_count",
+    "graph_triangle_count", executes_on_build=True,
     oracle="""
     WITH edges AS (
       SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
@@ -353,7 +353,7 @@ def event_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "basket_association_lift",
+    "basket_association_lift", executes_on_build=True,
     oracle="""
     WITH baskets AS (
       SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

@@ -334,7 +334,7 @@ def dedup_url_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dedup_incremental_url",
+    "dedup_incremental_url", executes_on_build=True,
     oracle="""
     WITH base AS (
       SELECT doc_id, doc_id % 400 AS rid,

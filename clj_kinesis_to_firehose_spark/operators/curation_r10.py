@@ -1560,7 +1560,7 @@ def _write_doc_slices(spark: SparkSession, sf_dir: str, n_slices: int) -> str:
     return replay_dir
 
 
-@register("stream_corpus_admission", oracle=_SQL_ADMISSION)
+@register("stream_corpus_admission", executes_on_build=True, oracle=_SQL_ADMISSION)
 def stream_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus admission IN the ingest stream: documents arrive as
     doc_id-ordered micro-batches (the file-source replay double —
@@ -1811,7 +1811,7 @@ def corpus_chunk_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "stream_span_index_ingest",
+    "stream_span_index_ingest", executes_on_build=True,
     oracle=f"""
     WITH numbered AS (
       SELECT doc_id, text, NTILE(4) OVER (ORDER BY doc_id) AS batch_id

@@ -865,7 +865,7 @@ def bpe_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- stream_vocab_ingest -----------------------------------------------------
 
 
-@register("stream_vocab_ingest", oracle=SQL_VOCAB_TOPK)
+@register("stream_vocab_ingest", executes_on_build=True, oracle=SQL_VOCAB_TOPK)
 def stream_vocab_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary construction IN the ingest stream: documents arrive
     as doc_id-ordered micro-batches and foreachBatch writes each
@@ -1539,7 +1539,7 @@ def corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "stream_oov_monitor",
+    "stream_oov_monitor", executes_on_build=True,
     oracle=f"""
     {SQL_VOCAB_CTES}, vocab AS (
       SELECT term FROM ranked WHERE vocab_rank <= {VOCAB_TOPK}
@@ -1784,7 +1784,7 @@ def corpus_train_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "scan_orc_roundtrip",
+    "scan_orc_roundtrip", executes_on_build=True,
     oracle="""
     SELECT doc_id, text, lang, source, n_chars FROM documents
     """,

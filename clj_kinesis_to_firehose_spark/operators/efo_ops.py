@@ -28,7 +28,7 @@ from clj_kinesis_to_firehose_spark.registry import register
 
 
 @register(
-    "stream_efo_push_consumer",
+    "stream_efo_push_consumer", executes_on_build=True,
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_records,

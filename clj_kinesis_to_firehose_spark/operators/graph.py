@@ -44,7 +44,7 @@ def purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "graph_pagerank",
+    "graph_pagerank", executes_on_build=True,
     oracle="""
     WITH RECURSIVE base AS (
         SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
@@ -207,7 +207,7 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
-    "graph_hierarchy_rollup",
+    "graph_hierarchy_rollup", executes_on_build=True,
     oracle="""
     WITH RECURSIVE nodes AS (
         SELECT p_partkey AS node,

@@ -536,7 +536,7 @@ def _bloom_positions(key: F.Column) -> F.Column:
 
 
 @register(
-    "join_bloom_prefilter",
+    "join_bloom_prefilter", executes_on_build=True,
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice
     FROM orders
@@ -609,7 +609,7 @@ def bloom_pass_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "join_bucketed_colocated",
+    "join_bucketed_colocated", executes_on_build=True,
     oracle="""
     SELECT o.o_orderpriority,
            COUNT(*) AS n_lineitems,

@@ -13,7 +13,7 @@ from clj_kinesis_to_firehose_spark.registry import register
 
 
 @register(
-    "stream_kcl_lease_failover",
+    "stream_kcl_lease_failover", executes_on_build=True,
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_records,

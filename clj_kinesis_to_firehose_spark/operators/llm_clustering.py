@@ -110,7 +110,7 @@ def _fit_kmeans(
     return centroids, assigned, inertia
 
 
-@register("embedding_kmeans")
+@register("embedding_kmeans", executes_on_build=True)
 def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means over the embedding corpus (k=8, 5 Lloyd iterations,
     deterministic init). Returns per-cluster size and the rounded mean
@@ -139,7 +139,7 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_ann_ivf")
+@register("sim_ann_ivf", executes_on_build=True)
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: kmeans cells + nprobe=2 probing, exact cosine within
     the probed cells, top-k per probe (rank by rounded cosine then
@@ -225,7 +225,7 @@ def _pca_components(spark: SparkSession, sf_dir: str, n_comp: int = 2):
     return mean, comps, evals[::-1][:n_comp]
 
 
-@register("embedding_pca_project")
+@register("embedding_pca_project", executes_on_build=True)
 def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Project the embedding corpus onto its top-2 principal
     components (weak: iterative float eigensolve has no SQL twin;

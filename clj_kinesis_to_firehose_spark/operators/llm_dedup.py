@@ -381,7 +381,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dedup_cluster_components",
+    "dedup_cluster_components", executes_on_build=True,
     oracle="""
     WITH RECURSIVE grams AS (
         SELECT doc_id,
@@ -658,7 +658,7 @@ def _band_keys(sigs: DataFrame) -> DataFrame:
     ).select("doc_id", "bk.band", "bk.bucket")
 
 
-@register("dedup_incremental_minhash", oracle=_INCREMENTAL_MINHASH_ORACLE)
+@register("dedup_incremental_minhash", executes_on_build=True, oracle=_INCREMENTAL_MINHASH_ORACLE)
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup dedup: new documents check against a
     PERSISTED signature index, never against each signature's source

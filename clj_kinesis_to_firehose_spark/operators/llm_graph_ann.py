@@ -159,7 +159,7 @@ def _collect_probes(emb: DataFrame) -> list[tuple[int, list[float]]]:
     return [(int(r["vec_id"]), list(r["e"])) for r in rows]
 
 
-@register("sim_ann_graph")
+@register("sim_ann_graph", executes_on_build=True)
 def sim_ann_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sharded graph-ANN query: every shard beam-searches its local
     neighbor graph for every probe, shortlists leave the executors,
@@ -265,7 +265,7 @@ def _knn_descent_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_topk(graph.select("a", "b"), KNN_K)
 
 
-@register("graph_knn_descent")
+@register("graph_knn_descent", executes_on_build=True)
 def graph_knn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NN-Descent corpus kNN graph (weak oracle — approximate,
     iteration-dependent; recall vs the exact graph is floored in

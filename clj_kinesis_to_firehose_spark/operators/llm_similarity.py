@@ -218,7 +218,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_recall_eval")
+@register("sim_recall_eval", executes_on_build=True)
 def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of each ANN path against the exact brute-force oracle
     (weak: depends on engine-specific hashing inside the ANN ops). One
@@ -368,7 +368,7 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list[np.ndarray]:
     return books
 
 
-@register("sim_ann_pq")
+@register("sim_ann_pq", executes_on_build=True)
 def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via product quantization + exact rerank (weak
     oracle: pytest checks planted-twin retrieval and a corpus recall

@@ -38,7 +38,7 @@ def scan_events_ns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "sink_parquet_roundtrip",
+    "sink_parquet_roundtrip", executes_on_build=True,
     oracle="""
     SELECT event_type, COUNT(*) AS n_events,
            CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
@@ -79,7 +79,7 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "scan_formats_roundtrip",
+    "scan_formats_roundtrip", executes_on_build=True,
     oracle="""
     SELECT 'csv' AS fmt, COUNT(*) AS n_rows,
            ROUND(SUM(value), 2) AS sum_value FROM events
@@ -179,7 +179,7 @@ def route_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "maintenance_compact",
+    "maintenance_compact", executes_on_build=True,
     oracle="""
     SELECT COUNT(*) AS n_rows,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
@@ -246,7 +246,7 @@ def compact_file_counts(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
 
 
 @register(
-    "scan_schema_evolution",
+    "scan_schema_evolution", executes_on_build=True,
     oracle="""
     SELECT COUNT(*) AS n_rows,
            CAST(5 AS BIGINT) AS n_cols_unified,
@@ -297,7 +297,7 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "scan_dynamic_partition_pruning",
+    "scan_dynamic_partition_pruning", executes_on_build=True,
     oracle="""
     SELECT CAST(d AS VARCHAR) AS event_date,
            COUNT(*) AS n_events,
@@ -434,7 +434,7 @@ def kinesis_avro_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "pipeline_observe_metrics",
+    "pipeline_observe_metrics", executes_on_build=True,
     oracle="""
     SELECT COUNT(*) AS n_forwarded,
            CAST(SUM(LENGTH(props) + 1) AS BIGINT) AS payload_bytes,
@@ -476,7 +476,7 @@ def pipeline_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "maintenance_sort_cluster",
+    "maintenance_sort_cluster", executes_on_build=True,
     oracle="""
     SELECT COUNT(*) AS n_rows,
            CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-03-01'
@@ -648,7 +648,7 @@ def _zorder_rewrite(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
 
 
 @register(
-    "maintenance_zorder",
+    "maintenance_zorder", executes_on_build=True,
     oracle="""
     SELECT COUNT(*) AS n_rows,
            CAST(SUM(CASE WHEN user_id BETWEEN 40 AND 70
@@ -798,7 +798,7 @@ def kinesis_kpl_deaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "scan_python_datasource",
+    "scan_python_datasource", executes_on_build=True,
     oracle="""
     SELECT event_id, ts, user_id, event_type, value, props FROM events
     """,

@@ -300,7 +300,7 @@ def agg_kmv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "stream_kmv_incremental",
+    "stream_kmv_incremental", executes_on_build=True,
     oracle="""
     WITH h AS (
       SELECT DISTINCT event_type,
@@ -394,7 +394,7 @@ RESERVOIR_N = 100
 
 
 @register(
-    "stream_reservoir_sample",
+    "stream_reservoir_sample", executes_on_build=True,
     oracle="""
     SELECT event_id, event_type, value, hv
     FROM (

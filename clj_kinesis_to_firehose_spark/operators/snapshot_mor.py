@@ -33,7 +33,7 @@ from clj_kinesis_to_firehose_spark.registry import register
 
 
 @register(
-    "snapshot_delete_mor",
+    "snapshot_delete_mor", executes_on_build=True,
     oracle=f"""
     WITH {_MERGED_SQL}
     SELECT o_orderkey, o_totalprice FROM merged
@@ -52,7 +52,7 @@ def snapshot_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "snapshot_mor_materialize",
+    "snapshot_mor_materialize", executes_on_build=True,
     oracle=f"""
     WITH {_MERGED_SQL}
     SELECT o_orderkey, o_totalprice FROM merged
@@ -75,7 +75,7 @@ def snapshot_mor_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "snapshot_mor_reinsert",
+    "snapshot_mor_reinsert", executes_on_build=True,
     oracle=f"""
     WITH {_MERGED_SQL}
     SELECT o_orderkey,
@@ -111,7 +111,7 @@ def snapshot_mor_reinsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "snapshot_mor_changes_feed",
+    "snapshot_mor_changes_feed", executes_on_build=True,
     oracle=f"""
     WITH {_MERGED_SQL}
     SELECT o_orderkey, o_totalprice, 'delete' AS change_type
@@ -136,7 +136,7 @@ def snapshot_mor_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "snapshot_merge_upsert_mor",
+    "snapshot_merge_upsert_mor", executes_on_build=True,
     oracle=f"""
     WITH {_MERGED_SQL}
     SELECT o_orderkey, o_totalprice FROM merged

@@ -80,7 +80,7 @@ def _merged_table(spark: SparkSession, sf_dir: str, op_name: str) -> SnapshotTab
 
 
 @register(
-    "snapshot_merge_upsert",
+    "snapshot_merge_upsert", executes_on_build=True,
     oracle=f"""
     WITH {_MERGED_SQL}
     SELECT o_orderkey, o_totalprice FROM merged
@@ -102,7 +102,7 @@ def snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "snapshot_time_travel",
+    "snapshot_time_travel", executes_on_build=True,
     oracle="""
     SELECT o_orderkey, o_totalprice FROM orders
     """,
@@ -117,7 +117,7 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "snapshot_delete_where",
+    "snapshot_delete_where", executes_on_build=True,
     oracle=f"""
     WITH {_MERGED_SQL}
     SELECT o_orderkey, o_totalprice FROM merged
@@ -135,7 +135,7 @@ def snapshot_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "snapshot_compact_roundtrip",
+    "snapshot_compact_roundtrip", executes_on_build=True,
     oracle=f"""
     WITH {_MERGED_SQL}
     SELECT COUNT(*) AS n_rows,
@@ -160,7 +160,7 @@ def snapshot_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "snapshot_changes_feed",
+    "snapshot_changes_feed", executes_on_build=True,
     oracle="""
     SELECT o_orderkey, o_totalprice + 100.0 AS o_totalprice,
            'update_postimage' AS change_type
@@ -191,7 +191,7 @@ def snapshot_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "snapshot_stream_upsert",
+    "snapshot_stream_upsert", executes_on_build=True,
     oracle="""
     WITH u1 AS (
         SELECT o_orderkey, o_totalprice + 100.0 AS o_totalprice
@@ -266,7 +266,7 @@ def snapshot_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "snapshot_rollback",
+    "snapshot_rollback", executes_on_build=True,
     oracle="""
     SELECT o_orderkey, o_totalprice FROM orders
     """,
@@ -284,7 +284,7 @@ def snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "snapshot_schema_evolution",
+    "snapshot_schema_evolution", executes_on_build=True,
     oracle="""
     WITH flagged AS (
         SELECT o_orderkey, o_totalprice + 100.0 AS o_totalprice,
@@ -328,7 +328,7 @@ def snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "snapshot_vacuum_lifecycle",
+    "snapshot_vacuum_lifecycle", executes_on_build=True,
     oracle=f"""
     WITH {_MERGED_SQL}
     SELECT COUNT(*) AS n_rows,
@@ -355,7 +355,7 @@ def snapshot_vacuum_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "snapshot_pruned_scan",
+    "snapshot_pruned_scan", executes_on_build=True,
     oracle="""
     SELECT COUNT(*) AS n_rows,
            CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price,
@@ -385,7 +385,7 @@ def snapshot_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "snapshot_bloom_lookup",
+    "snapshot_bloom_lookup", executes_on_build=True,
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice
     FROM orders
@@ -416,7 +416,7 @@ def snapshot_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "snapshot_write_audit_publish",
+    "snapshot_write_audit_publish", executes_on_build=True,
     oracle=f"""
     WITH {_MERGED_SQL}
     SELECT o_orderkey, o_totalprice FROM merged
@@ -452,7 +452,7 @@ def snapshot_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "snapshot_branch_fast_forward",
+    "snapshot_branch_fast_forward", executes_on_build=True,
     oracle=f"""
     WITH {_MERGED_SQL}
     SELECT o_orderkey, o_totalprice FROM merged
@@ -484,7 +484,7 @@ def snapshot_branch_fast_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "snapshot_merge_cdc_apply",
+    "snapshot_merge_cdc_apply", executes_on_build=True,
     oracle="""
     WITH updates AS (
         SELECT o_orderkey, o_totalprice + 100.0 AS o_totalprice
@@ -529,7 +529,7 @@ def snapshot_merge_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "snapshot_replica_sync",
+    "snapshot_replica_sync", executes_on_build=True,
     oracle="""
     WITH updates AS (
         SELECT o_orderkey, o_totalprice + 100.0 AS o_totalprice
@@ -583,7 +583,7 @@ def snapshot_replica_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "snapshot_changes_stream",
+    "snapshot_changes_stream", executes_on_build=True,
     oracle="""
     WITH updates AS (
         SELECT o_orderkey, o_totalprice + 100.0 AS o_totalprice
@@ -680,7 +680,7 @@ def snapshot_changes_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "snapshot_corpus_pipeline",
+    "snapshot_corpus_pipeline", executes_on_build=True,
     oracle="""
     WITH filtered AS (
         SELECT doc_id, text, source, n_chars FROM documents
@@ -745,7 +745,7 @@ def snapshot_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "snapshot_incremental_aggregate",
+    "snapshot_incremental_aggregate", executes_on_build=True,
     oracle="""
     WITH updates AS (
         SELECT o_orderkey, o_totalprice + 100.0 AS o_totalprice
@@ -818,7 +818,7 @@ def snapshot_incremental_aggregate(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
-    "snapshot_history_log",
+    "snapshot_history_log", executes_on_build=True,
     oracle="""
     WITH base AS (SELECT COUNT(*) AS n FROM orders),
     upd AS (
@@ -849,7 +849,7 @@ def snapshot_history_log(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "snapshot_compact_small",
+    "snapshot_compact_small", executes_on_build=True,
     oracle=f"""
     WITH {_MERGED_SQL}
     SELECT COUNT(*) AS n_rows,
@@ -877,7 +877,7 @@ def snapshot_compact_small(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "snapshot_tag_retention",
+    "snapshot_tag_retention", executes_on_build=True,
     oracle="""
     SELECT o_orderkey, o_totalprice FROM orders
     """,
@@ -903,7 +903,7 @@ def snapshot_tag_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "snapshot_zorder_pruning",
+    "snapshot_zorder_pruning", executes_on_build=True,
     oracle="""
     SELECT COUNT(*) AS n_rows,
            CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price,

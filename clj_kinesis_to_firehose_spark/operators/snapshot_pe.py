@@ -25,7 +25,7 @@ from clj_kinesis_to_firehose_spark.storage.snapshots import fresh_table_dir
 
 
 @register(
-    "snapshot_partition_evolution",
+    "snapshot_partition_evolution", executes_on_build=True,
     oracle="""
     SELECT COUNT(*) AS n_rows,
            CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)

@@ -13,7 +13,7 @@ from clj_kinesis_to_firehose_spark.streaming import pipelines
 
 
 @register(
-    "stream_source_file",
+    "stream_source_file", executes_on_build=True,
     oracle="""
     SELECT event_type, COUNT(*) AS n_records, ROUND(SUM(value), 2) AS sum_value
     FROM events GROUP BY event_type
@@ -25,13 +25,13 @@ def stream_source_file(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipelines.stream_file_source(spark, sf_dir)
 
 
-@register("stream_source_rate")
+@register("stream_source_rate", executes_on_build=True)
 def stream_source_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipelines.stream_rate_source(spark, sf_dir)
 
 
 @register(
-    "stream_tumbling_watermark",
+    "stream_tumbling_watermark", executes_on_build=True,
     oracle="""
     SELECT TIME_BUCKET(INTERVAL 1 HOUR, ts) AS wstart,
            event_type,
@@ -50,7 +50,7 @@ def stream_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "stream_dedup",
+    "stream_dedup", executes_on_build=True,
     oracle="""
     SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
     FROM events GROUP BY event_type
@@ -63,7 +63,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "stream_stateful_counter",
+    "stream_stateful_counter", executes_on_build=True,
     oracle="""
     SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
     FROM events GROUP BY user_id
@@ -76,7 +76,7 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "stream_sliding_window",
+    "stream_sliding_window", executes_on_build=True,
     oracle="""
     SELECT wstart, COUNT(*) AS n_events FROM (
         SELECT TIME_BUCKET(INTERVAL 30 MINUTES, ts) AS wstart FROM events
@@ -94,7 +94,7 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "stream_session_window",
+    "stream_session_window", executes_on_build=True,
     oracle="""
     WITH marks AS (
         SELECT user_id, ts,
@@ -127,7 +127,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "stream_stateful_tws",
+    "stream_stateful_tws", executes_on_build=True,
     oracle="""
     SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
     FROM events GROUP BY user_id
@@ -141,7 +141,7 @@ def stream_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "stream_stream_join",
+    "stream_stream_join", executes_on_build=True,
     oracle="""
     SELECT p.user_id, COUNT(*) AS n_pairs,
            COUNT(DISTINCT p.event_id) AS n_purchases_with_click
@@ -160,7 +160,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "stream_stream_join_outer",
+    "stream_stream_join_outer", executes_on_build=True,
     oracle="""
     WITH p AS (
         SELECT user_id, ts AS p_ts, event_id AS p_event
@@ -191,7 +191,7 @@ def stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "stream_join_then_window",
+    "stream_join_then_window", executes_on_build=True,
     oracle="""
     WITH p AS (
         SELECT user_id, ts AS p_ts, value AS p_value
@@ -221,7 +221,7 @@ def stream_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "stream_foreachbatch_sink",
+    "stream_foreachbatch_sink", executes_on_build=True,
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_delivered,
@@ -241,7 +241,7 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "sink_firehose_dynamic_partition",
+    "sink_firehose_dynamic_partition", executes_on_build=True,
     oracle="""
     SELECT event_type || '/' || STRFTIME(ts, '%Y/%m/%d') AS prefix,
            COUNT(*) AS n_delivered,
@@ -259,7 +259,7 @@ def sink_firehose_dynamic_partition(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
-    "sink_firehose_format_conversion",
+    "sink_firehose_format_conversion", executes_on_build=True,
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_delivered,
@@ -341,7 +341,7 @@ def sink_firehose_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "sink_firehose_compressed",
+    "sink_firehose_compressed", executes_on_build=True,
     oracle="""
     SELECT event_type AS stream, COUNT(*) AS n_delivered
     FROM events GROUP BY event_type
@@ -406,7 +406,7 @@ def sink_firehose_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "sink_firehose_dead_letter",
+    "sink_firehose_dead_letter", executes_on_build=True,
     oracle="""
     SELECT event_type AS stream,
            CAST(COUNT(*) FILTER (WHERE event_type <> 'error') AS BIGINT)
@@ -486,7 +486,7 @@ def sink_firehose_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "sink_firehose_transform",
+    "sink_firehose_transform", executes_on_build=True,
     oracle="""
     SELECT event_type AS stream,
            COUNT(*) FILTER (WHERE event_type <> 'error' AND value >= 1.0)
@@ -597,7 +597,7 @@ def sink_firehose_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "sink_firehose_dlq_redrive",
+    "sink_firehose_dlq_redrive", executes_on_build=True,
     oracle="""
     SELECT event_type AS stream,
            COUNT(*) AS n_delivered,
@@ -711,7 +711,7 @@ def sink_firehose_dlq_redrive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "stream_static_enrich",
+    "stream_static_enrich", executes_on_build=True,
     oracle="""
     SELECT c_mktsegment, event_type, COUNT(*) AS n_events,
            ROUND(SUM(value), 2) AS sum_value
@@ -726,7 +726,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "stream_kpl_firehose_bridge",
+    "stream_kpl_firehose_bridge", executes_on_build=True,
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_delivered,
@@ -745,7 +745,7 @@ def stream_kpl_firehose_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "stream_reshard_replay",
+    "stream_reshard_replay", executes_on_build=True,
     oracle="""
     WITH ordered AS (
         SELECT user_id, ts, event_id,
@@ -782,7 +782,7 @@ def stream_reshard_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipelines.stream_reshard_replay(spark, sf_dir)
 
 
-@register("stream_backpressure_trigger")
+@register("stream_backpressure_trigger", executes_on_build=True)
 def stream_backpressure_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
     # weak: batch boundaries are an execution property, not a query
     # result — the pytest asserts the backlog drained as bounded
@@ -791,7 +791,7 @@ def stream_backpressure_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "stream_pyds_connector_pair",
+    "stream_pyds_connector_pair", executes_on_build=True,
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_records,
@@ -855,7 +855,7 @@ def stream_pyds_connector_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "stream_source_faults",
+    "stream_source_faults", executes_on_build=True,
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_records,

@@ -71,3 +71,62 @@ def assert_oracle_match(spark_df, sql: str, con, name: str = "") -> None:
     sp = spark_df.toPandas()
     du = con.execute(sql).fetchdf()
     assert_frames_match(sp, du, name=name)
+
+
+#: DataFrame/write entry points whose invocation during a query
+#: function's BUILD phase means the op executes on build (the
+#: registry's ``executes_on_build`` contract). Kept in one place so
+#: the correctness sweep's probe and any future audit agree on what
+#: counts as an action.
+_DF_ACTIONS = [
+    "collect", "toPandas", "count", "first", "head", "take",
+    "foreach", "foreachPartition", "localCheckpoint", "checkpoint",
+    "toLocalIterator",
+]
+_WRITER_ACTIONS = [
+    "save", "parquet", "orc", "json", "csv", "text",
+    "saveAsTable", "insertInto",
+]
+
+
+def action_probe():
+    """Context manager yielding the set of action entry points invoked
+    while it is active — the empirical side of the registry's
+    ``executes_on_build`` flag. Patches the CONCRETE classic DataFrame
+    class (the abstract base's methods are overridden there and would
+    never fire), the DataFrameWriter, and DataStreamWriter.start;
+    restores everything on exit."""
+    from contextlib import contextmanager
+
+    import pyspark.sql.readwriter as rwm
+    import pyspark.sql.streaming.readwriter as srwm
+    from pyspark.sql.classic.dataframe import DataFrame as ClassicDF
+
+    @contextmanager
+    def probe():
+        hits: set[str] = set()
+        patched: list[tuple[type, str, object]] = []
+
+        def wrap(cls, name):
+            orig = getattr(cls, name)
+
+            def wrapper(*a, __orig=orig, __name=name, **kw):
+                hits.add(__name)
+                return __orig(*a, **kw)
+
+            setattr(cls, name, wrapper)
+            patched.append((cls, name, orig))
+
+        for n in _DF_ACTIONS:
+            if hasattr(ClassicDF, n):
+                wrap(ClassicDF, n)
+        for n in _WRITER_ACTIONS:
+            wrap(rwm.DataFrameWriter, n)
+        wrap(srwm.DataStreamWriter, "start")
+        try:
+            yield hits
+        finally:
+            for cls, name, orig in patched:
+                setattr(cls, name, orig)
+
+    return probe()

@@ -1,5 +1,9 @@
 """Every registered operator vs its DuckDB oracle — the same check the
-driver's t2 gate runs at sf0.01 (order-insensitive exact values)."""
+driver's t2 gate runs at sf0.01 (order-insensitive exact values) —
+plus the ``executes_on_build`` contract audit: the build phase runs
+under an action probe, so a query that runs jobs at build without the
+registry flag (or carries the flag while building lazily) fails HERE,
+with zero extra executions — the build happens in this sweep anyway."""
 
 from __future__ import annotations
 
@@ -7,15 +11,34 @@ import pytest
 
 from clj_kinesis_to_firehose_spark import registry
 from tests.conftest import SF_DIR
-from tests.helpers import assert_oracle_match
+from tests.helpers import action_probe, assert_oracle_match
 
 QUERIES = registry.queries()
 ORACLES = registry.oracle_sql()
+FLAGGED = registry.executes_on_build()
+
+#: flagged ops whose build-time work is IDEMPOTENT setup — they skip
+#: the write when a previous session's artifacts already exist (the
+#: bucketed warehouse tables), so the probe may legitimately observe a
+#: lazy build on a warm machine; the flag stays because a cold run
+#: does execute.
+CONDITIONALLY_EXECUTING = {"join_bucketed_colocated"}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(name, spark, oracle_con):
-    df = QUERIES[name](spark, SF_DIR)
+    with action_probe() as hits:
+        df = QUERIES[name](spark, SF_DIR)
+    if name in FLAGGED:
+        assert hits or name in CONDITIONALLY_EXECUTING, (
+            f"{name}: registered executes_on_build=True but built "
+            "lazily — stale flag, remove it so the plan lint covers it"
+        )
+    else:
+        assert not hits, (
+            f"{name}: ran actions at build time ({sorted(hits)}) — "
+            "register it with executes_on_build=True"
+        )
     if name in ORACLES:
         assert_oracle_match(df, ORACLES[name], oracle_con, name=name)
     else:

@@ -5,8 +5,12 @@ an explicit allowlist for the ops whose contract *is* that shape.
 
 Plans are built lazily (explain only, nothing executed), so this sweeps
 all queries in seconds; ops that execute work at build time (streaming
-replays, maintenance rewrites, persisted-index builds) are skipped by
-name since test_correctness already runs them."""
+replays, maintenance rewrites, persisted-index builds) declare it at
+registration with ``executes_on_build=True`` and are skipped here —
+the flag's accuracy is itself enforced by test_correctness's action
+probe (a lazy flagged op or an unflagged executing op fails there), so
+this skip set can be neither stale nor incomplete while the suite is
+green."""
 
 from __future__ import annotations
 
@@ -18,47 +22,7 @@ from tests.conftest import SF_DIR
 
 QUERIES = registry.queries()
 
-#: building the DataFrame itself runs jobs (stream replay, file
-#: rewrites, iterative fits, persisted index) — excluded from the lazy
-#: plan sweep; these are covered by correctness/behavioral tests
-EXECUTES_ON_BUILD = {
-    "stream_source_file",
-    "stream_source_rate",
-    "sink_firehose_batched",
-    "stream_tumbling_watermark",
-    "stream_sliding_window",
-    "stream_session_window",
-    "stream_dedup",
-    "stream_stateful_counter",
-    "stream_stateful_tws",
-    "stream_stream_join",
-    "stream_foreachbatch_sink",
-    "stream_static_enrich",
-    "stream_backpressure_trigger",
-    "sink_parquet_roundtrip",
-    "scan_formats_roundtrip",
-    "maintenance_compact",
-    "maintenance_sort_cluster",
-    "maintenance_zorder",
-    "scan_schema_evolution",
-    "scan_dynamic_partition_pruning",
-    "pipeline_observe_metrics",
-    "dedup_incremental_minhash",
-    "embedding_kmeans",
-    "embedding_pca_project",
-    "sim_ann_ivf",
-    "sim_ann_pq",
-    "sim_recall_eval",
-    "merge_upsert",
-    "scd2_history",
-    "join_bloom_prefilter",
-    "join_bucketed_colocated",
-    "graph_pagerank",
-    "graph_triangle_count",
-    "basket_association_lift",
-    "dedup_cluster_components",
-    "corpus_curation",
-}
+EXECUTES_ON_BUILD = registry.executes_on_build()
 
 #: ops whose semantics are a deliberate bounded cross product. As of
 #: this audit NO query plans a CartesianProduct node (every crossJoin
