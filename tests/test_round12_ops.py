@@ -243,3 +243,85 @@ def test_lsh_calibration_guard_trips_on_id_overlap(spark):
     assert "assert_true" in plan
     # and on the healthy fixture it evaluates clean
     assert planted.limit(1).count() == 1
+
+
+def test_multiprobe_pairs_complete_at_radius_seven(spark):
+    """Multi-probe candidates must equal the brute-force all-pairs
+    hamming filter at d <= 7 (pigeonhole with 1-bit probes), and must
+    contain the plain band join's d <= 3 output as a subset."""
+    from clj_kinesis_to_firehose_spark.operators.curation_r12 import (
+        PHASH_MULTIPROBE_D,
+    )
+
+    ph = QUERIES["multimodal_image_phash"](spark, SF_DIR).toPandas()
+    out = QUERIES["multimodal_phash_multiprobe_pairs"](spark, SF_DIR).toPandas()
+    hashes = list(zip(ph.doc_id, ph.phash))
+    expect = set()
+    for i, (da, pa) in enumerate(hashes):
+        for db, pb in hashes[i + 1:]:
+            d = _popcount64(int(pa) ^ int(pb))
+            if d <= PHASH_MULTIPROBE_D:
+                expect.add((min(da, db), max(da, db), d))
+    got = set(zip(out.doc_a, out.doc_b, out.hamming))
+    assert got == expect
+    narrow = QUERIES["multimodal_phash_hamming_pairs"](spark, SF_DIR).toPandas()
+    assert set(zip(narrow.doc_a, narrow.doc_b, narrow.hamming)) <= got
+
+
+def test_dim_truncation_recall_laws(spark):
+    """Structural laws of the truncation grid: the full dimension is
+    self-recall 1.0 for every probe; every cell is a valid fraction of
+    TOP_K; and the widest proper prefix (32 of 64 dims) beats the
+    narrowest (8) on mean recall. Per-probe monotonicity in width is
+    deliberately NOT asserted — with untrained random embeddings a
+    wider prefix can evict a narrow prefix's lucky hit (observed on
+    the fixture: probe 0 scores 0.2 at dim 8 and 0.0 at dim 16), and
+    surfacing that non-monotonicity is exactly what the eval is FOR."""
+    out = QUERIES["sim_dim_truncation_eval"](spark, SF_DIR).toPandas()
+    dims = sorted(out.dim.unique())
+    assert dims[-1] == 64
+    full = out[out.dim == 64]
+    assert (full.recall == 1.0).all()
+    assert out.recall.between(0.0, 1.0).all()
+    assert (out.n_hits <= 5).all()
+    by_dim = out.groupby("dim").recall.mean()
+    assert by_dim[32] > by_dim[8]
+    assert by_dim[8] < 1.0
+
+
+def test_csv_corrupt_records_account_for_every_line(spark, oracle_con):
+    from clj_kinesis_to_firehose_spark.operators.curation_r12 import (
+        CSV_CORRUPT_MOD,
+    )
+
+    row = QUERIES["scan_csv_corrupt_records"](spark, SF_DIR).collect()[0]
+    n, n_corrupt = oracle_con.execute(
+        f"SELECT COUNT(*), SUM(CASE WHEN o_orderkey % {CSV_CORRUPT_MOD} = 0"
+        "  THEN 1 ELSE 0 END) FROM orders"
+    ).fetchone()
+    assert row["n_rows"] == n
+    assert row["n_corrupt"] == n_corrupt > 0
+    assert row["n_good"] + row["n_corrupt"] == row["n_rows"]
+
+
+def test_partition_completeness_accounts_for_the_full_spine(spark):
+    out = QUERIES["dq_partition_completeness"](spark, SF_DIR).toPandas()
+    assert (out.n_expected == out.n_present + out.n_missing).all()
+    assert out.n_missing.sum() > 0  # non-vacuous at fixture density
+    assert (out.n_present > 0).all()  # no fully-dark day in the fixture
+
+
+def test_k_anonymity_profile_is_non_vacuous(spark, oracle_con):
+    from clj_kinesis_to_firehose_spark.operators.curation_r12 import (
+        K_ANON_THRESHOLD,
+    )
+
+    out = QUERIES["dq_k_anonymity"](spark, SF_DIR).toPandas()
+    assert (out.n_risky_groups > 0).all()  # hour-grain quasi-ids leak
+    assert (out.min_group_size >= 1).all()
+    assert (out.min_group_size < K_ANON_THRESHOLD).all()
+    n_groups = oracle_con.execute(
+        "SELECT COUNT(*) FROM (SELECT event_type, CAST(ts AS DATE),"
+        " EXTRACT(HOUR FROM ts) FROM events GROUP BY 1, 2, 3)"
+    ).fetchone()[0]
+    assert out.n_groups.sum() == n_groups
