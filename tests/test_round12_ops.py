@@ -325,3 +325,91 @@ def test_k_anonymity_profile_is_non_vacuous(spark, oracle_con):
         " EXTRACT(HOUR FROM ts) FROM events GROUP BY 1, 2, 3)"
     ).fetchone()[0]
     assert out.n_groups.sum() == n_groups
+
+
+def test_audio_fingerprint_from_real_codec_path(spark):
+    """Recompute one doc's fingerprint straight from the codec: encode
+    the deterministic waveform, decode it, window the energies, and
+    match the operator's bit pattern; popcount must agree with the
+    unsigned 64-bit view."""
+    import numpy as np
+
+    from clj_kinesis_to_firehose_spark.functions.audio import (
+        decode_wav,
+        encode_wav,
+        sample_array,
+        sample_rate,
+    )
+    from clj_kinesis_to_firehose_spark.operators.curation_r12 import (
+        AFP_WINDOWS,
+    )
+
+    out = QUERIES["multimodal_audio_fingerprint"](spark, SF_DIR).toPandas()
+    assert len(out) == 500
+    assert (
+        out.n_bits_set
+        == out.fingerprint.map(lambda v: _popcount64(v))
+    ).all()
+    assert 1 < out.fingerprint.nunique() <= len(out)
+    for d in [0, 1, 7, 42]:
+        samples, _ = decode_wav(encode_wav(sample_array(d), sample_rate(d)))
+        n = len(samples)
+        s = samples.astype(np.int64)
+        e = np.zeros(AFP_WINDOWS, dtype=np.int64)
+        np.add.at(e, (np.arange(n) * AFP_WINDOWS) // n, s * s)
+        te = int(e.sum())
+        fp = sum(
+            (1 << k) for k in range(AFP_WINDOWS) if int(e[k]) * AFP_WINDOWS > te
+        )
+        if fp >= 1 << 63:
+            fp -= 1 << 64
+        assert out.set_index("doc_id").loc[d].fingerprint == fp
+
+
+def test_audio_hamming_pairs_complete_vs_brute_force(spark):
+    afp = QUERIES["multimodal_audio_fingerprint"](spark, SF_DIR).toPandas()
+    out = QUERIES["multimodal_audio_hamming_pairs"](spark, SF_DIR).toPandas()
+    fps = list(zip(afp.doc_id, afp.fingerprint))
+    expect = set()
+    for i, (da, fa) in enumerate(fps):
+        for db, fb in fps[i + 1:]:
+            d = _popcount64(int(fa) ^ int(fb))
+            if d <= PHASH_HAMMING_D:
+                expect.add((min(da, db), max(da, db), d))
+    assert set(zip(out.doc_a, out.doc_b, out.hamming)) == expect
+    assert len(expect) > 0
+
+
+def test_incremental_phash_matches_brute_force_triage(spark):
+    """The banded incremental triage must equal a brute-force pandas
+    recount of near-dups vs index and within batch, and its novelty
+    flag must be the conjunction of both zero-counts."""
+    from clj_kinesis_to_firehose_spark.operators.curation_r12 import (
+        PHASH_BATCH_SPLIT,
+    )
+
+    ph = QUERIES["multimodal_image_phash"](spark, SF_DIR).toPandas()
+    out = (
+        QUERIES["dedup_incremental_phash"](spark, SF_DIR)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    idx = ph[ph.doc_id < PHASH_BATCH_SPLIT]
+    batch = ph[ph.doc_id >= PHASH_BATCH_SPLIT]
+    assert set(out.index) == set(batch.doc_id)
+    for _, row in batch.iterrows():
+        vs_idx = sum(
+            _popcount64(int(row.phash) ^ int(h)) <= PHASH_HAMMING_D
+            for h in idx.phash
+        )
+        vs_batch = sum(
+            _popcount64(int(row.phash) ^ int(h)) <= PHASH_HAMMING_D
+            for d, h in zip(batch.doc_id, batch.phash)
+            if d != row.doc_id
+        )
+        got = out.loc[row.doc_id]
+        assert got.n_dup_vs_index == vs_idx
+        assert got.n_dup_in_batch == vs_batch
+        assert got.is_novel == int(vs_idx == 0 and vs_batch == 0)
+    assert (out.is_novel == 0).any() and (out.is_novel == 1).any()
