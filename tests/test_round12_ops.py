@@ -413,3 +413,31 @@ def test_incremental_phash_matches_brute_force_triage(spark):
         assert got.n_dup_in_batch == vs_batch
         assert got.is_novel == int(vs_idx == 0 and vs_batch == 0)
     assert (out.is_novel == 0).any() and (out.is_novel == 1).any()
+
+
+def test_state_audit_proves_bounded_state(spark):
+    """The state-growth audit's structural laws: state never exceeds
+    the live-window bound (it stays ~flat across the steady batches
+    rather than accumulating), the sentinel batch collapses state to
+    the sentinel's own group, and the final no-data flush batch ends
+    with eviction having fired (removed > 0) while nothing was
+    updated."""
+    out = (
+        QUERIES["stream_state_audit"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("batch_id")
+        .reset_index(drop=True)
+    )
+    assert list(out.batch_id) == [0, 1, 2, 3, 4, 5]
+    steady = out.loc[1:3, "state_rows"]
+    assert (steady <= out.loc[0, "state_rows"] * 1.1).all()  # bounded
+    assert out.loc[4, "state_rows"] < out.loc[3, "state_rows"] / 10
+    final = out.loc[5]
+    assert final.rows_in == 0 and final.state_rows_updated == 0
+    assert final.state_rows_removed > 0
+    # conservation: state = cumulative-new − cumulative-removed holds
+    # batch over batch (new = updated − carryover is not directly
+    # observable, but state delta must equal updated-new minus removed,
+    # bounded by updated)
+    delta = out.state_rows.diff().fillna(out.state_rows)
+    assert (delta <= out.state_rows_updated - 0).all()
