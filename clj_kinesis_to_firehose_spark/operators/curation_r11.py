@@ -2025,6 +2025,16 @@ def attribution_linear_multi_touch(
 #: the near-dup pair generator (multimodal_phash_hamming_pairs).
 AHASH_DIM = 8
 
+#: HUGEINT→int64 two's-complement wrap for 64-bit keys built by
+#: SUM(1 << k) in DuckDB (which refuses BIGINT << 63). THE single
+#: definition — composed by the phash oracle here and every 64-bit
+#: fingerprint oracle in curation_r12, so bit-63 handling cannot
+#: diverge between modalities (r12 review finding).
+SQL_WRAP_I64 = (
+    "CAST({u} - CASE WHEN {u} >= 9223372036854775808::HUGEINT "
+    "THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT)"
+)
+
 
 def _phash_batches(batches):
     """mapInPandas kernel: encoded image payloads → average-hash. Runs
@@ -2109,9 +2119,7 @@ def _phash_batches(batches):
       GROUP BY doc_id, w, h
     )
     SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
-           CAST(ph_u - CASE WHEN ph_u >= 9223372036854775808::HUGEINT
-                            THEN 18446744073709551616::HUGEINT
-                            ELSE 0::HUGEINT END AS BIGINT) AS phash,
+           {SQL_WRAP_I64.format(u="ph_u")} AS phash,
            n_bits_set
     FROM raw
     """,

@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 
 from clj_kinesis_to_firehose_spark.operators.curation_r11 import (
     AHASH_DIM,
+    SQL_WRAP_I64,
     _bpe_len2_dictionary,
     _bpe_top_pair,
     _sql_bpe_merges,
@@ -82,30 +83,70 @@ def _phash_banded(ph: DataFrame) -> DataFrame:
     )
 
 
+def _hamming_verified_pairs(
+    ph: DataFrame, cand: DataFrame, d: int
+) -> DataFrame:
+    """Join candidate (doc_a, doc_b) pairs back to the 64-bit key
+    relation ``ph`` (columns doc_id, phash) and keep pairs within
+    hamming ``d`` — THE single verify definition shared by every
+    banded pair generator (image hamming, image multi-probe, audio
+    hamming), so the XOR+popcount rule cannot drift between them (r12
+    review finding; the same single-copy rule band_candidates and the
+    oracle CTE builders follow)."""
+    pairs = cand.join(
+        ph.select(F.col("doc_id").alias("doc_a"), F.col("phash").alias("h_a")),
+        "doc_a",
+    ).join(
+        ph.select(F.col("doc_id").alias("doc_b"), F.col("phash").alias("h_b")),
+        "doc_b",
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return pairs.select(
+        "doc_a", "doc_b", hamming.cast("long").alias("hamming")
+    ).filter(F.col("hamming") <= d)
+
+
+def _sql_banded(src: str, col: str) -> str:
+    """The banded-CTE body over a (doc_id, {col}) relation ``src`` —
+    the ORACLE twin of :func:`_phash_banded`, defined once and
+    composed by every 64-bit-key oracle in this module."""
+    return f"""
+      SELECT doc_id,
+             b AS band,
+             ({col} >> CAST({PHASH_BAND_BITS} * b AS INTEGER))
+               & {PHASH_BAND_MASK} AS bucket
+      FROM {src}, UNNEST(RANGE({PHASH_BANDS})) AS r(b)
+    """
+
+
+def _sql_hamming_tail(src: str, col: str, d: int) -> str:
+    """The candidate-verify SELECT over ``cand`` (doc_a, doc_b) and
+    the key relation ``src`` — the oracle twin of
+    :func:`_hamming_verified_pairs`, single copy."""
+    return f"""
+    SELECT c.doc_a, c.doc_b,
+           CAST(bit_count(xor(pa.{col}, pb.{col})) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN {src} pa ON c.doc_a = pa.doc_id
+    JOIN {src} pb ON c.doc_b = pb.doc_id
+    WHERE bit_count(xor(pa.{col}, pb.{col})) <= {d}
+    """
+
+
 def _sql_phash_hamming_pairs() -> str:
     # composite oracle: the 64-bit hash rule is the registered phash
     # oracle verbatim (public accessor, single definition), then the
     # same band-split + band-join + bit_count verify as the Spark plan
+    # — each rule text from its shared builder, never restated
     return f"""
     WITH ph AS ({oracle("multimodal_image_phash")}),
-    banded AS (
-      SELECT doc_id,
-             b AS band,
-             (phash >> CAST({PHASH_BAND_BITS} * b AS INTEGER))
-               & {PHASH_BAND_MASK} AS bucket
-      FROM ph, UNNEST(RANGE({PHASH_BANDS})) AS r(b)
-    ), cand AS (
+    banded AS ({_sql_banded("ph", "phash")}), cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM banded a JOIN banded b
         ON a.band = b.band AND a.bucket = b.bucket
        AND a.doc_id < b.doc_id
     )
-    SELECT c.doc_a, c.doc_b,
-           CAST(bit_count(xor(pa.phash, pb.phash)) AS BIGINT) AS hamming
-    FROM cand c
-    JOIN ph pa ON c.doc_a = pa.doc_id
-    JOIN ph pb ON c.doc_b = pb.doc_id
-    WHERE bit_count(xor(pa.phash, pb.phash)) <= {PHASH_HAMMING_D}
+    {_sql_hamming_tail("ph", "phash", PHASH_HAMMING_D)}
     """
 
 
@@ -132,20 +173,7 @@ def multimodal_phash_hamming_pairs(
     """
     ph = multimodal_image_phash(spark, sf_dir).select("doc_id", "phash")
     cand = band_candidates(_phash_banded(ph))
-    pairs = cand.join(
-        ph.select(F.col("doc_id").alias("doc_a"), F.col("phash").alias("ph_a")),
-        "doc_a",
-    ).join(
-        ph.select(F.col("doc_id").alias("doc_b"), F.col("phash").alias("ph_b")),
-        "doc_b",
-    )
-    hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
-    return (
-        pairs.select(
-            "doc_a", "doc_b", hamming.cast("long").alias("hamming")
-        )
-        .filter(F.col("hamming") <= PHASH_HAMMING_D)
-    )
+    return _hamming_verified_pairs(ph, cand, PHASH_HAMMING_D)
 
 
 # --- multimodal_decode_dead_letter --------------------------------------------
@@ -624,13 +652,7 @@ PHASH_MULTIPROBE_D = 2 * PHASH_BANDS - 1
 def _sql_phash_multiprobe_pairs() -> str:
     return f"""
     WITH ph AS ({oracle("multimodal_image_phash")}),
-    banded AS (
-      SELECT doc_id,
-             b AS band,
-             (phash >> CAST({PHASH_BAND_BITS} * b AS INTEGER))
-               & {PHASH_BAND_MASK} AS bucket
-      FROM ph, UNNEST(RANGE({PHASH_BANDS})) AS r(b)
-    ),
+    banded AS ({_sql_banded("ph", "phash")}),
     probes AS (
       SELECT doc_id, band,
              CASE WHEN j = 0 THEN bucket
@@ -645,12 +667,7 @@ def _sql_phash_multiprobe_pairs() -> str:
         ON p.band = b.band AND p.bucket = b.bucket
        AND p.doc_id <> b.doc_id
     )
-    SELECT c.doc_a, c.doc_b,
-           CAST(bit_count(xor(pa.phash, pb.phash)) AS BIGINT) AS hamming
-    FROM cand c
-    JOIN ph pa ON c.doc_a = pa.doc_id
-    JOIN ph pb ON c.doc_b = pb.doc_id
-    WHERE bit_count(xor(pa.phash, pb.phash)) <= {PHASH_MULTIPROBE_D}
+    {_sql_hamming_tail("ph", "phash", PHASH_MULTIPROBE_D)}
     """
 
 
@@ -700,17 +717,7 @@ def multimodal_phash_multiprobe_pairs(
         )
         .distinct()
     )
-    pairs = cand.join(
-        ph.select(F.col("doc_id").alias("doc_a"), F.col("phash").alias("ph_a")),
-        "doc_a",
-    ).join(
-        ph.select(F.col("doc_id").alias("doc_b"), F.col("phash").alias("ph_b")),
-        "doc_b",
-    )
-    hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
-    return pairs.select(
-        "doc_a", "doc_b", hamming.cast("long").alias("hamming")
-    ).filter(F.col("hamming") <= PHASH_MULTIPROBE_D)
+    return _hamming_verified_pairs(ph, cand, PHASH_MULTIPROBE_D)
 
 
 # --- sim_dim_truncation_eval ---------------------------------------------------
@@ -753,7 +760,8 @@ def _sql_dim_truncation() -> str:
     ), topk AS (
       SELECT dim, probe_id, neighbor_id FROM ranked WHERE rnk <= {TOP_K}
     ), full_k AS (
-      SELECT probe_id, neighbor_id FROM topk WHERE dim = 64
+      SELECT probe_id, neighbor_id FROM topk
+      WHERE dim = {DIM_TRUNC_LADDER[-1]}
     )
     SELECT CAST(t.dim AS INT) AS dim, t.probe_id,
            CAST(SUM(CASE WHEN f.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
@@ -831,7 +839,7 @@ def sim_dim_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("dim", "probe_id", "neighbor_id")
     )
-    full_k = topk.filter(F.col("dim") == 64).select(
+    full_k = topk.filter(F.col("dim") == DIM_TRUNC_LADDER[-1]).select(
         F.col("probe_id").alias("f_probe"),
         F.col("neighbor_id").alias("full_neighbor"),
     )
@@ -868,8 +876,9 @@ CSV_CORRUPT_MOD = 13
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
            CAST(SUM(CASE WHEN o_orderkey % {CSV_CORRUPT_MOD} = 0
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
-           ROUND(SUM(CASE WHEN o_orderkey % {CSV_CORRUPT_MOD} <> 0
-                          THEN o_totalprice ELSE 0 END), 2) AS sum_price_good
+           CAST(ROUND(SUM(CASE WHEN o_orderkey % {CSV_CORRUPT_MOD} <> 0
+                               THEN CAST(o_totalprice AS DECIMAL(18,4))
+                               ELSE 0 END), 2) AS DOUBLE) AS sum_price_good
     FROM orders
     """,
     executes_on_build=True,
@@ -925,9 +934,21 @@ def scan_csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum(good.cast("int")).cast("long").alias("n_good"),
         F.sum((~good).cast("int")).cast("long").alias("n_corrupt"),
+        # DECIMAL(18,4) accumulation: a global double SUM is
+        # partition-order-dependent and its ROUND(…, 2) is the exact
+        # cross-engine half-boundary channel this module eliminates
+        # elsewhere (r12 review finding) — the repo's money-sum
+        # convention (attribution_last_touch etc.) applies here too
         F.round(
-            F.sum(F.when(good, F.col("o_totalprice")).otherwise(0.0)), 2
-        ).alias("sum_price_good"),
+            F.sum(
+                F.when(good, F.col("o_totalprice"))
+                .otherwise(0.0)
+                .cast("decimal(18,4)")
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("sum_price_good"),
     )
 
 
@@ -1069,14 +1090,6 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: hash had to meet (r11 judge finding).
 AFP_WINDOWS = 64
 
-#: shared HUGEINT→int64 two's-complement wrap for 64-bit keys built by
-#: SUM(1 << k) in DuckDB (which refuses BIGINT << 63). ONE definition,
-#: composed by every 64-bit-fingerprint oracle in this module.
-SQL_WRAP_I64 = (
-    "CAST({u} - CASE WHEN {u} >= 9223372036854775808::HUGEINT "
-    "THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT)"
-)
-
 
 def _sql_audio_fingerprint() -> str:
     w = AFP_WINDOWS
@@ -1194,26 +1207,13 @@ def multimodal_audio_fingerprint(
 def _sql_audio_hamming_pairs() -> str:
     return f"""
     WITH afp AS ({oracle("multimodal_audio_fingerprint")}),
-    banded AS (
-      SELECT doc_id,
-             b AS band,
-             (fingerprint >> CAST({PHASH_BAND_BITS} * b AS INTEGER))
-               & {PHASH_BAND_MASK} AS bucket
-      FROM afp, UNNEST(RANGE({PHASH_BANDS})) AS r(b)
-    ), cand AS (
+    banded AS ({_sql_banded("afp", "fingerprint")}), cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM banded a JOIN banded b
         ON a.band = b.band AND a.bucket = b.bucket
        AND a.doc_id < b.doc_id
     )
-    SELECT c.doc_a, c.doc_b,
-           CAST(bit_count(xor(pa.fingerprint, pb.fingerprint))
-                AS BIGINT) AS hamming
-    FROM cand c
-    JOIN afp pa ON c.doc_a = pa.doc_id
-    JOIN afp pb ON c.doc_b = pb.doc_id
-    WHERE bit_count(xor(pa.fingerprint, pb.fingerprint))
-          <= {PHASH_HAMMING_D}
+    {_sql_hamming_tail("afp", "fingerprint", PHASH_HAMMING_D)}
     """
 
 
@@ -1239,17 +1239,7 @@ def multimodal_audio_hamming_pairs(
         "doc_id", F.col("fingerprint").alias("phash")
     )
     cand = band_candidates(_phash_banded(afp))
-    pairs = cand.join(
-        afp.select(F.col("doc_id").alias("doc_a"), F.col("phash").alias("f_a")),
-        "doc_a",
-    ).join(
-        afp.select(F.col("doc_id").alias("doc_b"), F.col("phash").alias("f_b")),
-        "doc_b",
-    )
-    hamming = F.bit_count(F.col("f_a").bitwiseXOR(F.col("f_b")))
-    return pairs.select(
-        "doc_a", "doc_b", hamming.cast("long").alias("hamming")
-    ).filter(F.col("hamming") <= PHASH_HAMMING_D)
+    return _hamming_verified_pairs(afp, cand, PHASH_HAMMING_D)
 
 
 # --- dedup_incremental_phash ----------------------------------------------------

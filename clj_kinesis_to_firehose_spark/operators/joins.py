@@ -609,7 +609,7 @@ def bloom_pass_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "join_bucketed_colocated", executes_on_build=True,
+    "join_bucketed_colocated", executes_on_build="conditional",
     oracle="""
     SELECT o.o_orderpriority,
            COUNT(*) AS n_lineitems,

@@ -279,6 +279,11 @@ def sink_firehose_format_conversion(spark: SparkSession, sf_dir: str) -> DataFra
 
 @register(
     "sink_firehose_batched",
+    # rdd.toDF([...]) schema inference runs rdd.first() — a real job
+    # that executes a partition's Firehose delivery at build time
+    # (r12 review finding; this op was in the old hand-maintained lint
+    # skip set for exactly this reason)
+    executes_on_build=True,
     oracle="""
     SELECT event_type AS stream, COUNT(*) AS n_delivered
     FROM events GROUP BY event_type

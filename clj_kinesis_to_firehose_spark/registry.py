@@ -27,6 +27,14 @@ _ORACLES: dict[str, str] = {}
 #: finding).
 _EXECUTES_ON_BUILD: set[str] = set()
 
+#: the subset registered ``executes_on_build="conditional"`` — ops
+#: whose build-time work is idempotent setup they skip when a prior
+#: session's artifacts exist (e.g. warehouse bucketed tables), so an
+#: action probe may legitimately observe either behavior. Lives at
+#: the registration site like every other execution contract (r12
+#: review finding — not in a test-file allowlist).
+_CONDITIONALLY_EXECUTING: set[str] = set()
+
 #: operator modules imported by :func:`_load_all`; append as categories land.
 _OPERATOR_MODULES = [
     "scans",
@@ -322,8 +330,16 @@ def _prioritized(d: dict, seen: set[str] | None = None) -> dict:
 
 
 def register(
-    name: str, oracle: str | None = None, executes_on_build: bool = False
+    name: str,
+    oracle: str | None = None,
+    executes_on_build: bool | str = False,
 ) -> Callable[[QueryFn], QueryFn]:
+    if executes_on_build not in (False, True, "conditional"):
+        raise ValueError(
+            f"executes_on_build must be False, True, or 'conditional', "
+            f"got {executes_on_build!r} for {name}"
+        )
+
     def deco(fn: QueryFn) -> QueryFn:
         if name in _QUERIES:
             raise ValueError(f"duplicate operator registration: {name}")
@@ -332,6 +348,8 @@ def register(
             _ORACLES[name] = oracle.strip()
         if executes_on_build:
             _EXECUTES_ON_BUILD.add(name)
+        if executes_on_build == "conditional":
+            _CONDITIONALLY_EXECUTING.add(name)
         return fn
 
     return deco
@@ -354,10 +372,18 @@ def oracle(name: str) -> str:
 
 def executes_on_build() -> set[str]:
     """Names whose query functions run real jobs at DataFrame-build
-    time (registered with ``executes_on_build=True``); lazy plan
-    sweeps skip these."""
+    time (registered with ``executes_on_build=True`` or
+    ``"conditional"``); lazy plan sweeps skip these."""
     _load_all()
     return set(_EXECUTES_ON_BUILD)
+
+
+def conditionally_executing() -> set[str]:
+    """The ``executes_on_build="conditional"`` subset — idempotent
+    setup that a warm environment may skip, so build-time action
+    probes accept either behavior for these."""
+    _load_all()
+    return set(_CONDITIONALLY_EXECUTING)
 
 
 def _load_all() -> None:

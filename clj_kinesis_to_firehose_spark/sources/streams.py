@@ -69,6 +69,13 @@ def write_replay_slices(
     (base + slice-index seconds) so ordering never depends on write
     timing.
     """
+    if dup_event_ids and late_rows:
+        # validate BEFORE the global ntile sort and slice writes run —
+        # an invalid call must fail instantly with no side effects
+        raise ValueError(
+            "dup_event_ids and late_rows both target the slice after the "
+            "main replay — request one per replay"
+        )
     from pyspark.sql.window import Window
 
     from clj_kinesis_to_firehose_spark.sources.loader import load_table
@@ -93,11 +100,6 @@ def write_replay_slices(
             )
     finally:
         slices.unpersist()
-    if dup_event_ids and late_rows:
-        raise ValueError(
-            "dup_event_ids and late_rows both target the slice after the "
-            "main replay — request one per replay"
-        )
     if dup_event_ids:
         (
             raw.orderBy(F.desc("ts"), F.desc("event_id"))

@@ -87,6 +87,14 @@ _WRITER_ACTIONS = [
     "save", "parquet", "orc", "json", "csv", "text",
     "saveAsTable", "insertInto",
 ]
+#: RDD-level actions — invisible to the DataFrame patches but just as
+#: build-time-executing: rdd.toDF([...names]) schema inference calls
+#: rdd.first(), which runs a real job (r12 review finding —
+#: sink_firehose_batched executes a delivery partition this way).
+_RDD_ACTIONS = [
+    "first", "collect", "count", "take", "reduce",
+    "foreach", "foreachPartition", "saveAsTextFile",
+]
 
 
 def action_probe():
@@ -98,6 +106,7 @@ def action_probe():
     restores everything on exit."""
     from contextlib import contextmanager
 
+    import pyspark.rdd as rddm
     import pyspark.sql.readwriter as rwm
     import pyspark.sql.streaming.readwriter as srwm
     from pyspark.sql.classic.dataframe import DataFrame as ClassicDF
@@ -122,6 +131,9 @@ def action_probe():
                 wrap(ClassicDF, n)
         for n in _WRITER_ACTIONS:
             wrap(rwm.DataFrameWriter, n)
+        for n in _RDD_ACTIONS:
+            if hasattr(rddm.RDD, n):
+                wrap(rddm.RDD, n)
         wrap(srwm.DataStreamWriter, "start")
         try:
             yield hits

@@ -16,13 +16,10 @@ from tests.helpers import action_probe, assert_oracle_match
 QUERIES = registry.queries()
 ORACLES = registry.oracle_sql()
 FLAGGED = registry.executes_on_build()
-
-#: flagged ops whose build-time work is IDEMPOTENT setup — they skip
-#: the write when a previous session's artifacts already exist (the
-#: bucketed warehouse tables), so the probe may legitimately observe a
-#: lazy build on a warm machine; the flag stays because a cold run
-#: does execute.
-CONDITIONALLY_EXECUTING = {"join_bucketed_colocated"}
+# executes_on_build="conditional" registrations: idempotent setup a
+# warm environment skips, so the probe accepts either behavior —
+# declared at the registration site, not here (r12 review finding)
+CONDITIONALLY_EXECUTING = registry.conditionally_executing()
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
