@@ -1885,26 +1885,14 @@ def stream_span_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).parquet(f"{index_dir}/epoch_init")
 
     def _read_prior(epoch: int) -> DataFrame:
-        # enumerate strictly-prior epoch_* dirs EXPLICITLY instead of
-        # a recursive root read: on an at-least-once epoch
-        # re-execution the root listing would also capture THIS
-        # epoch's files from the prior attempt, and the overwrite
-        # below deletes that dir before the job runs — scan tasks
-        # could then fail on listed-but-deleted files. Explicit
-        # prior-epoch paths make a replayed batch read exactly what
-        # the first attempt read (byte-identical replay).
-        paths = []
-        for name in sorted(os.listdir(index_dir)):
-            if name == "epoch_init":
-                paths.append(os.path.join(index_dir, name))
-            elif name.startswith("epoch_"):
-                try:
-                    n = int(name[len("epoch_"):])
-                except ValueError:
-                    continue
-                if n < epoch:
-                    paths.append(os.path.join(index_dir, name))
-        return spark.read.parquet(*paths)
+        # strictly-prior epoch dirs via the ONE shared enumeration
+        # rule (sources.prior_epoch_paths) — replay-safe index reads
+        # have a single definition across every index-ingest op
+        from clj_kinesis_to_firehose_spark.sources import (
+            prior_epoch_paths,
+        )
+
+        return spark.read.parquet(*prior_epoch_paths(index_dir, epoch))
 
     def ingest_batch(batch_df: DataFrame, epoch: int) -> None:
         batch_id = epoch + 1  # one slice per trigger, mtime-ordered

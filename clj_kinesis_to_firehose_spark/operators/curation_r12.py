@@ -1507,3 +1507,163 @@ def stream_state_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "batch_id long, rows_in long, state_rows long, "
         "state_rows_updated long, state_rows_removed long",
     )
+
+
+# --- stream_phash_index_ingest --------------------------------------------------
+
+
+def _sql_stream_phash_ingest() -> str:
+    d = PHASH_HAMMING_D
+    return f"""
+    WITH ph AS ({oracle("multimodal_image_phash")}),
+    numbered AS (
+      SELECT doc_id, phash, NTILE(4) OVER (ORDER BY doc_id) AS batch_id
+      FROM ph
+    ),
+    per_doc AS (
+      SELECT b.doc_id, COUNT(*) AS n
+      FROM numbered b JOIN numbered o
+        ON o.batch_id < b.batch_id
+       AND bit_count(xor(b.phash, o.phash)) <= {d}
+      GROUP BY 1
+    )
+    SELECT n.doc_id, CAST(n.batch_id AS BIGINT) AS batch_id,
+           COALESCE(p.n, 0) AS n_dup_vs_prior,
+           CAST(COALESCE(p.n, 0) = 0 AS INT) AS novel
+    FROM numbered n LEFT JOIN per_doc p ON n.doc_id = p.doc_id
+    """
+
+
+@register(
+    "stream_phash_index_ingest",
+    oracle=_sql_stream_phash_ingest(),
+    executes_on_build=True,
+)
+def stream_phash_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A GROWING image near-dup index in the ingest stream — the image
+    modality's twin of stream_span_index_ingest: each micro-batch
+    encodes and perceptually hashes ITS OWN documents' images, counts
+    near-dups (hamming <= {PHASH_HAMMING_D}) against the hash index
+    accumulated from all PRIOR batches via the banded candidate join,
+    then appends its own hashes — batch 1 sees an empty index, later
+    batches increasingly hit it. This is the crawl-ingest loop
+    dedup_incremental_phash models for one batch, run for real across
+    a stream of them.
+
+    State is a parquet-backed index table, never executor memory:
+    epoch-keyed OVERWRITE writes and strictly-prior-epoch reads (the
+    shared ``sources.prior_epoch_paths`` rule) make any at-least-once
+    micro-batch replay byte-identical. Batch boundaries ARE semantics
+    (dup-vs-prior depends on arrival order), so the oracle derives the
+    same doc_id-ordered batch assignment with NTILE and counts prior
+    near-dups with the brute-force hamming spec the banded plan is
+    pytest-proven equal to.
+
+    Scale: per batch, one Arrow map chain (encode + hash) over ONLY
+    the batch's images, one banded join against the index (hash-keyed;
+    bucketed table in production), one epoch append of O(batch) index
+    rows. The corpus is never re-decoded — the whole point of the
+    persisted index.
+    """
+    from clj_kinesis_to_firehose_spark.operators.curation_r10 import (
+        _write_doc_slices,
+    )
+    from clj_kinesis_to_firehose_spark.operators.curation_r11 import (
+        _phash_batches,
+    )
+    from clj_kinesis_to_firehose_spark.operators.multimodal import (
+        encode_media_batches,
+    )
+    from clj_kinesis_to_firehose_spark.sources import (
+        prior_epoch_paths,
+        scratch_dir,
+    )
+
+    replay_dir = _write_doc_slices(spark, sf_dir, n_slices=4)
+    index_dir = scratch_dir("kf_phash_idx_")
+    out_dir = scratch_dir("kf_phash_ingest_out_")
+    spark.createDataFrame(
+        [], "doc_id long, phash long, epoch long"
+    ).write.mode("overwrite").parquet(f"{index_dir}/epoch_init")
+
+    def ingest_batch(batch_df: DataFrame, epoch: int) -> None:
+        batch_id = epoch + 1  # one slice per trigger, mtime-ordered
+        media = batch_df.select("doc_id").mapInPandas(
+            encode_media_batches, schema="doc_id long, payload binary"
+        )
+        ph = media.mapInPandas(
+            _phash_batches,
+            schema=(
+                "doc_id long, width int, height int, "
+                "phash long, n_bits_set long"
+            ),
+        ).select("doc_id", "phash")
+        idx = spark.read.parquet(
+            *prior_epoch_paths(index_dir, epoch)
+        ).select(F.col("doc_id").alias("o_doc"), F.col("phash").alias("h_o"))
+        b_bands = _phash_banded(ph).select(
+            F.col("doc_id").alias("b_doc"), "band", "bucket"
+        )
+        i_bands = _phash_banded(
+            idx.select(F.col("o_doc").alias("doc_id"), F.col("h_o").alias("phash"))
+        ).select(F.col("doc_id").alias("o_doc"), "band", "bucket")
+        cand = (
+            b_bands.join(i_bands, ["band", "bucket"])
+            .select("b_doc", "o_doc")
+            .distinct()
+        )
+        verified = (
+            cand.join(
+                ph.select(
+                    F.col("doc_id").alias("b_doc"), F.col("phash").alias("h_b")
+                ),
+                "b_doc",
+            )
+            .join(idx, "o_doc")
+            .filter(
+                F.bit_count(F.col("h_b").bitwiseXOR(F.col("h_o")))
+                <= PHASH_HAMMING_D
+            )
+        )
+        counts = verified.groupBy("b_doc").agg(
+            F.count("*").alias("n_dup_vs_prior")
+        )
+        out = (
+            ph.select("doc_id")
+            .join(counts.withColumnRenamed("b_doc", "doc_id"), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.lit(batch_id).cast("long").alias("batch_id"),
+                F.coalesce("n_dup_vs_prior", F.lit(0))
+                .cast("long")
+                .alias("n_dup_vs_prior"),
+                (F.coalesce("n_dup_vs_prior", F.lit(0)) == 0)
+                .cast("int")
+                .alias("novel"),
+            )
+        )
+        # epoch-keyed OVERWRITE: a replayed batch rewrites the same
+        # paths with the same content (reads are strictly-prior)
+        out.write.mode("overwrite").parquet(f"{out_dir}/epoch_{epoch}")
+        ph.withColumn("epoch", F.lit(epoch).cast("long")).write.mode(
+            "overwrite"
+        ).parquet(f"{index_dir}/epoch_{epoch}")
+
+    from clj_kinesis_to_firehose_spark.operators.curation_r10 import (
+        DOCS_RAW_SCHEMA,
+    )
+
+    q = (
+        spark.readStream.schema(DOCS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(replay_dir)
+        .writeStream.foreachBatch(ingest_batch)
+        .option("checkpointLocation", scratch_dir("kf_phash_idx_chk_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.option("recursiveFileLookup", "true").parquet(
+        out_dir
+    ).select("doc_id", "batch_id", "n_dup_vs_prior", "novel")

@@ -270,6 +270,10 @@ _REVALIDATE_AFTER: dict[str, int] = {
     # dedup_near_minhash precedent): re-prove both.
     "bpe_learn_merges": 12,
     "bpe_tokenize_apply": 12,
+    # r12 extracted the replay-safe prior-epoch enumeration into
+    # sources.prior_epoch_paths (shared with the image index ingest) —
+    # expression-identical read path, but touched: re-prove.
+    "stream_span_index_ingest": 12,
 }
 
 

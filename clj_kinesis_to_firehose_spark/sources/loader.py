@@ -161,3 +161,31 @@ def fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
     if est_splits < target:
         return df.repartition(target)
     return df
+
+
+def prior_epoch_paths(
+    index_dir: str, epoch: int, init_name: str = "epoch_init"
+) -> list[str]:
+    """Explicit strictly-prior epoch_* paths of a parquet-backed
+    incremental index — THE single definition of the replay-safe index
+    read (shared by every foreachBatch index-ingest op): on an
+    at-least-once epoch re-execution a recursive root read would also
+    list THIS epoch's files from the prior attempt, which the
+    epoch-keyed overwrite deletes before the job runs — scan tasks
+    then fail on listed-but-deleted files. Enumerating prior epochs
+    explicitly makes a replayed batch read exactly what its first
+    attempt read (byte-identical replay, idempotent dup counts)."""
+    import os
+
+    paths = []
+    for name in sorted(os.listdir(index_dir)):
+        if name == init_name:
+            paths.append(os.path.join(index_dir, name))
+        elif name.startswith("epoch_"):
+            try:
+                n = int(name[len("epoch_"):])
+            except ValueError:
+                continue
+            if n < epoch:
+                paths.append(os.path.join(index_dir, name))
+    return paths

@@ -441,3 +441,24 @@ def test_state_audit_proves_bounded_state(spark):
     # bounded by updated)
     delta = out.state_rows.diff().fillna(out.state_rows)
     assert (delta <= out.state_rows_updated - 0).all()
+
+
+def test_stream_phash_ingest_matches_batch_triage_semantics(spark):
+    """The streaming index ingest's arrival-order semantics: batch 1
+    is all-novel (empty index), later batches see monotonically
+    non-decreasing cumulative hit pressure, and every document appears
+    exactly once with its NTILE batch assignment."""
+    out = (
+        QUERIES["stream_phash_index_ingest"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 500
+    assert out.doc_id.is_unique
+    assert set(out.batch_id) == {1, 2, 3, 4}
+    b1 = out[out.batch_id == 1]
+    assert (b1.n_dup_vs_prior == 0).all() and (b1.novel == 1).all()
+    later = out[out.batch_id > 1]
+    assert (later.n_dup_vs_prior > 0).any()  # the index is being hit
+    assert ((out.n_dup_vs_prior == 0) == (out.novel == 1)).all()
