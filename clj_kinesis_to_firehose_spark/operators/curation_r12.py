@@ -1667,3 +1667,190 @@ def stream_phash_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.option("recursiveFileLookup", "true").parquet(
         out_dir
     ).select("doc_id", "batch_id", "n_dup_vs_prior", "novel")
+
+
+# --- multimodal_video_framehash -------------------------------------------------
+
+#: per-frame perceptual hash grid over the Y (luma) plane — the video
+#: counterpart of AHASH_DIM, kept at the same 8x8/64-bit shape so all
+#: modality keys share the band machinery.
+VFH_DIM = 8
+
+#: minimum DISTINCT shared frame hashes for a video near-dup pair —
+#: one colliding frame is background-level at fixture density (~4k
+#: single-frame collisions vs ~156 pairs at >= 2), two is signal.
+VIDEO_SHARED_MIN = 2
+
+
+def _sql_video_framehash() -> str:
+    d, n = VFH_DIM, VFH_DIM * VFH_DIM
+    return f"""
+    WITH vdims AS (
+      SELECT doc_id, 2 + doc_id % 4 AS nf, 4 + doc_id % 5 AS h,
+             4 + doc_id % 6 AS w
+      FROM documents
+    ), fr AS (
+      SELECT doc_id, nf, h, w, f.f AS frame_idx
+      FROM vdims, UNNEST(RANGE(nf)) AS f(f)
+    ), sv AS (
+      SELECT doc_id, frame_idx, w, h,
+             LIST_TRANSFORM(RANGE({n}), k ->
+               (doc_id * 31 + frame_idx * 19
+                + ((k % {d}) * w // {d}) * 7
+                + ((k // {d}) * h // {d}) * 13) % 256) AS s
+      FROM fr
+    ), raw AS (
+      SELECT doc_id, frame_idx,
+             SUM(CASE WHEN sv.s[k + 1] * {n} > LIST_SUM(sv.s)
+                      THEN (1::HUGEINT << CAST(k AS INTEGER))
+                      ELSE 0::HUGEINT END) AS fh_u,
+             CAST(SUM(CASE WHEN sv.s[k + 1] * {n} > LIST_SUM(sv.s)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_bits_set
+      FROM sv, UNNEST(RANGE({n})) AS r(k)
+      GROUP BY 1, 2
+    )
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           {SQL_WRAP_I64.format(u="fh_u")} AS fhash, n_bits_set
+    FROM raw
+    """
+
+
+def _video_framehash_batches(batches):
+    """mapInPandas kernel: REAL Y4M container bytes → per-frame 64-bit
+    average-hash over the LUMA plane. Runs the real chunk-walking
+    decoder; grid sampling, gray source (Y plane), and the cross-
+    multiplied threshold all follow the image phash discipline —
+    integer end to end, popcount before the sign wrap."""
+    import pandas as pd
+
+    from clj_kinesis_to_firehose_spark.functions.video import decode_y4m
+
+    d = VFH_DIM
+    n = d * d
+    for pdf in batches:
+        ids, fidx, fhs, bits = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            frames, w, h = decode_y4m(bytes(payload))
+            for f, planes in enumerate(frames):
+                yp = planes[0].astype("int64")
+                samples = [
+                    int(yp[(oy * h) // d][(ox * w) // d])
+                    for oy in range(d)
+                    for ox in range(d)
+                ]
+                total = sum(samples)
+                fh = sum(
+                    (1 << k) for k, v in enumerate(samples) if v * n > total
+                )
+                nbits = bin(fh).count("1")
+                if fh >= 1 << 63:
+                    fh -= 1 << 64
+                ids.append(int(doc_id))
+                fidx.append(f)
+                fhs.append(fh)
+                bits.append(nbits)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(fidx, dtype="int32"),
+                "fhash": pd.Series(fhs, dtype="int64"),
+                "n_bits_set": pd.Series(bits, dtype="int64"),
+            }
+        )
+
+
+def _encode_y4m_batches(batches):
+    """mapInPandas kernel, encode side: doc_id → REAL Y4M clip bytes
+    of the deterministic test clip."""
+    import pandas as pd
+
+    from clj_kinesis_to_firehose_spark.functions.video import encode_y4m
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "payload": pd.Series(
+                    [encode_y4m(int(d)) for d in pdf["doc_id"]],
+                    dtype="object",
+                ),
+            }
+        )
+
+
+@register("multimodal_video_framehash", oracle=_sql_video_framehash())
+def multimodal_video_framehash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-FRAME perceptual hashing for the video modality — the last
+    modality joins the near-dup contract: every frame of the REAL Y4M
+    clip gets the 8x8 average-hash over its decoded LUMA plane, so a
+    video becomes a sequence of 64-bit frame keys (the shape every
+    production video-dedup system indexes — frame keys, not whole-clip
+    keys, because near-dup clips share frames, not containers). The
+    oracle recomputes every frame's grid analytically from the
+    deterministic plane formula: a frame-marker misparse, plane-order
+    swap, or stride error flips hash bits.
+
+    Scale: two Arrow-batched map stages (encode double, then per-frame
+    hash kernel — frame rows fan out map-side), zero shuffles; output
+    is O(total frames).
+    """
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    media = docs.select("doc_id").mapInPandas(
+        _encode_y4m_batches, schema="doc_id long, payload binary"
+    )
+    return media.mapInPandas(
+        _video_framehash_batches,
+        schema="doc_id long, frame_idx int, fhash long, n_bits_set long",
+    )
+
+
+# --- multimodal_video_dup_pairs --------------------------------------------------
+
+
+def _sql_video_dup_pairs() -> str:
+    return f"""
+    WITH fhs AS ({oracle("multimodal_video_framehash")})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(DISTINCT a.fhash) AS BIGINT) AS n_shared_frames
+    FROM fhs a JOIN fhs b
+      ON a.fhash = b.fhash AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(DISTINCT a.fhash) >= {VIDEO_SHARED_MIN}
+    """
+
+
+@register("multimodal_video_dup_pairs", oracle=_sql_video_dup_pairs())
+def multimodal_video_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO near-dup candidate pairs: clips sharing at least
+    {VIDEO_SHARED_MIN} distinct frame hashes — the frame-key bucket
+    join that finds re-encodes, trims, and splices without ever
+    comparing clips pairwise (a shared frame key IS the candidate
+    signal; one collision is background at fixture density, two is
+    signal). Completes the signature/pairs split across all four
+    modalities: text MinHash bands, image phash bands, audio energy
+    bands, video frame keys.
+
+    Scale: the self-join is per-frame-hash-bucket (the LSH shape, key
+    cardinality grows with content); the per-pair aggregation counts
+    distinct shared keys with map-side partials. At 10^9 clips the
+    frame-key index is the persisted table the incremental twin
+    (stream_phash_index_ingest's pattern) maintains.
+    """
+    fhs = multimodal_video_framehash(spark, sf_dir).select(
+        "doc_id", "fhash"
+    )
+    a = fhs.alias("a")
+    b = fhs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fhash") == F.col("b.fhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.countDistinct("a.fhash").cast("long").alias("n_shared_frames"))
+        .filter(F.col("n_shared_frames") >= VIDEO_SHARED_MIN)
+    )

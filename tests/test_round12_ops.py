@@ -462,3 +462,72 @@ def test_stream_phash_ingest_matches_batch_triage_semantics(spark):
     later = out[out.batch_id > 1]
     assert (later.n_dup_vs_prior > 0).any()  # the index is being hit
     assert ((out.n_dup_vs_prior == 0) == (out.novel == 1)).all()
+
+
+def test_video_framehash_from_real_codec_path(spark):
+    """Recompute one clip's frame hashes straight from the codec and
+    match the operator; per-doc frame counts must equal the clip
+    shape; popcount must agree with the unsigned view."""
+    from clj_kinesis_to_firehose_spark.functions.video import (
+        clip_shape,
+        decode_y4m,
+        encode_y4m,
+    )
+    from clj_kinesis_to_firehose_spark.operators.curation_r12 import (
+        VFH_DIM,
+    )
+
+    out = QUERIES["multimodal_video_framehash"](spark, SF_DIR).toPandas()
+    assert (
+        out.n_bits_set == out.fhash.map(lambda v: _popcount64(v))
+    ).all()
+    per_doc = out.groupby("doc_id").frame_idx.count()
+    for d in [0, 1, 7, 42]:
+        assert per_doc[d] == clip_shape(d)[0]
+        frames, w, h = decode_y4m(encode_y4m(d))
+        n = VFH_DIM * VFH_DIM
+        for f, planes in enumerate(frames):
+            yp = planes[0].astype("int64")
+            samples = [
+                int(yp[(oy * h) // VFH_DIM][(ox * w) // VFH_DIM])
+                for oy in range(VFH_DIM)
+                for ox in range(VFH_DIM)
+            ]
+            total = sum(samples)
+            fh = sum(
+                (1 << k) for k, v in enumerate(samples) if v * n > total
+            )
+            if fh >= 1 << 63:
+                fh -= 1 << 64
+            got = out[(out.doc_id == d) & (out.frame_idx == f)]
+            assert got.fhash.iloc[0] == fh
+
+
+def test_video_dup_pairs_match_pandas_recount(spark):
+    from clj_kinesis_to_firehose_spark.operators.curation_r12 import (
+        VIDEO_SHARED_MIN,
+    )
+
+    fhs = QUERIES["multimodal_video_framehash"](spark, SF_DIR).toPandas()
+    out = QUERIES["multimodal_video_dup_pairs"](spark, SF_DIR).toPandas()
+    by_doc = fhs.groupby("doc_id").fhash.apply(set)
+    docs = sorted(by_doc.index)
+    expect = {}
+    import collections
+    inv = collections.defaultdict(set)
+    for d, hs in by_doc.items():
+        for h in hs:
+            inv[h].add(d)
+    cand = set()
+    for h, ds in inv.items():
+        ds = sorted(ds)
+        for i, a in enumerate(ds):
+            for b in ds[i + 1:]:
+                cand.add((a, b))
+    for a, b in cand:
+        shared = len(by_doc[a] & by_doc[b])
+        if shared >= VIDEO_SHARED_MIN:
+            expect[(a, b)] = shared
+    got = {(r.doc_a, r.doc_b): r.n_shared_frames for r in out.itertuples()}
+    assert got == expect
+    assert len(got) > 0
