@@ -1854,3 +1854,91 @@ def multimodal_video_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("a.fhash").cast("long").alias("n_shared_frames"))
         .filter(F.col("n_shared_frames") >= VIDEO_SHARED_MIN)
     )
+
+
+# --- dedup_multimodal_rollup -----------------------------------------------------
+
+
+def _sql_multimodal_rollup() -> str:
+    # composes the FOUR registered modality pair rules verbatim (the
+    # composite-oracle discipline): text MinHash-verified pairs, image
+    # hamming-band pairs, audio hamming-band pairs, video frame-key
+    # pairs — each rule exists exactly once, in its own registration
+    return f"""
+    WITH all_pairs AS (
+      SELECT doc_a, doc_b, 'text' AS modality
+      FROM ({oracle("dedup_near_minhash")})
+      UNION ALL
+      SELECT doc_a, doc_b, 'image' AS modality
+      FROM ({oracle("multimodal_phash_hamming_pairs")})
+      UNION ALL
+      SELECT doc_a, doc_b, 'audio' AS modality
+      FROM ({oracle("multimodal_audio_hamming_pairs")})
+      UNION ALL
+      SELECT doc_a, doc_b, 'video' AS modality
+      FROM ({oracle("multimodal_video_dup_pairs")})
+    )
+    SELECT doc_a, doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_modalities,
+           CAST(MAX(CASE WHEN modality = 'text' THEN 1 ELSE 0 END)
+                AS INT) AS text_dup,
+           CAST(MAX(CASE WHEN modality = 'image' THEN 1 ELSE 0 END)
+                AS INT) AS image_dup,
+           CAST(MAX(CASE WHEN modality = 'audio' THEN 1 ELSE 0 END)
+                AS INT) AS audio_dup,
+           CAST(MAX(CASE WHEN modality = 'video' THEN 1 ELSE 0 END)
+                AS INT) AS video_dup
+    FROM all_pairs
+    GROUP BY doc_a, doc_b
+    """
+
+
+@register("dedup_multimodal_rollup", oracle=_sql_multimodal_rollup())
+def dedup_multimodal_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cross-modal dedup CAPSTONE: every near-dup candidate pair
+    any modality flags — text MinHash (jaccard-verified), image phash
+    hamming bands, audio energy-fingerprint hamming bands, video
+    shared frame keys — rolled into one relation with per-modality
+    flags and the modality count. This is the table a curation
+    pipeline's final dedup arbiter reads: a pair flagged by two or
+    more INDEPENDENT modalities is a near-certain duplicate (the
+    dedup_hybrid_confirm principle, across modalities), and per-
+    modality flags show which signal fired, which is how threshold
+    regressions in one modality are caught against the others.
+
+    Scale: each input is the already-bucketed pair relation of its
+    modality (per-bucket candidate cost, never corpus²); the rollup
+    itself is a union of pair streams plus one groupBy on the pair key
+    — cost is O(total flagged pairs), which dedup keeps sparse by
+    construction. The oracle composes the four REGISTERED pair rules
+    verbatim, so no modality's semantics are restated.
+    """
+    from clj_kinesis_to_firehose_spark.operators.llm_dedup import (
+        dedup_near_minhash,
+    )
+
+    def tagged(df: DataFrame, modality: str) -> DataFrame:
+        return df.select(
+            "doc_a", "doc_b", F.lit(modality).alias("modality")
+        )
+
+    all_pairs = (
+        tagged(dedup_near_minhash(spark, sf_dir), "text")
+        .unionAll(
+            tagged(multimodal_phash_hamming_pairs(spark, sf_dir), "image")
+        )
+        .unionAll(
+            tagged(multimodal_audio_hamming_pairs(spark, sf_dir), "audio")
+        )
+        .unionAll(tagged(multimodal_video_dup_pairs(spark, sf_dir), "video"))
+    )
+    flag = lambda m: F.max(  # noqa: E731 — tiny local flag builder
+        F.when(F.col("modality") == m, 1).otherwise(0)
+    ).cast("int")
+    return all_pairs.groupBy("doc_a", "doc_b").agg(
+        F.count("*").cast("long").alias("n_modalities"),
+        flag("text").alias("text_dup"),
+        flag("image").alias("image_dup"),
+        flag("audio").alias("audio_dup"),
+        flag("video").alias("video_dup"),
+    )

@@ -531,3 +531,33 @@ def test_video_dup_pairs_match_pandas_recount(spark):
     got = {(r.doc_a, r.doc_b): r.n_shared_frames for r in out.itertuples()}
     assert got == expect
     assert len(got) > 0
+
+
+def test_multimodal_rollup_is_the_union_of_its_inputs(spark):
+    """The rollup must contain exactly the union of the four modality
+    pair relations, with flags matching membership and n_modalities
+    equal to the flag sum."""
+    out = QUERIES["dedup_multimodal_rollup"](spark, SF_DIR).toPandas()
+    parts = {
+        "text_dup": QUERIES["dedup_near_minhash"],
+        "image_dup": QUERIES["multimodal_phash_hamming_pairs"],
+        "audio_dup": QUERIES["multimodal_audio_hamming_pairs"],
+        "video_dup": QUERIES["multimodal_video_dup_pairs"],
+    }
+    sets = {
+        col: set(
+            map(tuple, fn(spark, SF_DIR).toPandas()[["doc_a", "doc_b"]].values)
+        )
+        for col, fn in parts.items()
+    }
+    union = set().union(*sets.values())
+    assert set(map(tuple, out[["doc_a", "doc_b"]].values)) == union
+    for r in out.itertuples():
+        pair = (r.doc_a, r.doc_b)
+        for col in parts:
+            assert getattr(r, col) == int(pair in sets[col]), (pair, col)
+        assert r.n_modalities == sum(
+            int(pair in sets[col]) for col in parts
+        )
+    # the multi-signal tail exists (or the confirm principle is moot)
+    assert (out.n_modalities >= 2).any()
