@@ -973,7 +973,7 @@ DQ_BUCKET_MINUTES = 15
                     INTERVAL {DQ_BUCKET_MINUTES} MINUTES)) AS bkt
       FROM bounds
     ), present AS (SELECT DISTINCT bkt FROM b)
-    SELECT CAST(spine.bkt AS DATE) AS day,
+    SELECT CAST(CAST(spine.bkt AS DATE) AS VARCHAR) AS day,
            COUNT(*) AS n_expected,
            CAST(SUM(CASE WHEN present.bkt IS NOT NULL THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_present,
@@ -1013,7 +1013,13 @@ def dq_partition_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = spine.join(
         present.withColumn("seen", F.lit(1)), "bkt", "left"
     )
-    return joined.groupBy(F.to_date("bkt").alias("day")).agg(
+    # day as an ISO string on BOTH sides (the time_bucket_rollup
+    # convention): DuckDB's fetchdf types a computed CAST(ts AS DATE)
+    # as datetime64 while Spark emits date objects — stringifying at
+    # the source removes the dtype channel for every consumer
+    return joined.groupBy(
+        F.to_date("bkt").cast("string").alias("day")
+    ).agg(
         F.count("*").alias("n_expected"),
         F.sum(F.coalesce("seen", F.lit(0))).cast("long").alias("n_present"),
         F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0))
