@@ -1,0 +1,620 @@
+"""Round-12 continuation: engine-breadth and pipeline-governance
+operators.
+
+Two declarative SQL front-door features a reference user would reach
+for on day one — recursive CTEs (hierarchy walks Catalyst can't
+express non-recursively) and SQL pipe syntax — plus the governance /
+training-loop relations around them: an ℓ-diversity release gate (the
+sensitive-attribute complement of dq_k_anonymity's group-size gate),
+watermark-scoped streaming dedup with BOUNDED state, an
+exactly-once-by-construction idempotent batch sink proven by a full
+redelivery replay, the unigram-LM seed vocabulary (the step before
+piece pruning in SentencePiece-style tokenizer training),
+scale-shaped curriculum ordering via the two-phase distributed rank,
+and Holt double-exponential smoothing as a fold.
+
+Scale design notes (per operator, details in each docstring):
+
+* the recursive CTE's frontier shrinks by 10x per step — iteration
+  depth is O(log max-key) regardless of row count, and each step is
+  an ordinary shuffle-free projection plus the UNION ALL append.
+* curriculum ordering refuses the global-window rank: the leading
+  sort key is bucket-aggregated (bounded cardinality), offsets come
+  from a window over the BUCKET relation, and the within-bucket rank
+  is partitioned — the corpus_shard_by_tokens prefix-sum shape
+  applied to ranking.
+* the idempotent sink keys every micro-batch write to a
+  batch-scoped directory with a commit marker; redelivering the
+  ENTIRE stream (fresh checkpoint, same sink) changes nothing, which
+  the exact oracle then certifies.
+* Holt smoothing folds per-group once over a day-indexed series —
+  state is two doubles per group; the series length is bounded by
+  calendar days, never by corpus rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clj_kinesis_to_firehose_spark.operators.curation_r11 import _term_stats
+from clj_kinesis_to_firehose_spark.registry import register
+from clj_kinesis_to_firehose_spark.sources import (
+    fan_out,
+    load_table,
+    scratch_dir,
+)
+
+# --- sql_recursive_hierarchy --------------------------------------------------
+
+#: the recursive hierarchy walk, written once in each dialect's
+#: integer-division spelling ({div}) — the decimal-shift parent rule
+#: (parent(k) = k div 10) gives every customer a deterministic
+#: position in a forest rooted at keys 1..9, with depth = digits - 1.
+_RECURSIVE_HIERARCHY_SQL = """
+    WITH RECURSIVE walk AS (
+      SELECT c_custkey AS node, c_custkey AS cursor, 0 AS depth
+      FROM customer
+      UNION ALL
+      SELECT node, cursor {div} 10, depth + 1 FROM walk WHERE cursor >= 10
+    )
+    SELECT w.cursor AS root_key,
+           COUNT(*) AS n_nodes,
+           MAX(w.depth) AS max_depth,
+           ROUND(SUM(c.c_acctbal), 2) AS sum_acctbal
+    FROM walk w JOIN customer c ON c.c_custkey = w.node
+    WHERE w.cursor < 10
+    GROUP BY w.cursor
+    """
+
+
+@register(
+    "sql_recursive_hierarchy",
+    oracle=_RECURSIVE_HIERARCHY_SQL.format(div="//"),
+)
+def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE — the SQL front door's hierarchy walk (Spark
+    4.x): every customer is placed in a deterministic forest by the
+    decimal-shift parent rule parent(k) = k div 10, the walk climbs to
+    the root (first digit), and the result rolls up per root: node
+    count, max depth, balance total. The same recursion answers
+    org-chart rollups, BOM explosions, and thread-ancestry queries —
+    shapes a non-recursive plan cannot express for unbounded depth.
+
+    The query text is ONE template rendered per dialect (`DIV` vs
+    `//` integer division) — semantics identical, proven by the exact
+    oracle.
+
+    Scale: the recursive frontier SHRINKS by 10x per iteration
+    (cursor div 10), so depth is O(log10 max-key) — ~12 iterations at
+    a trillion keys — and each iteration is a shuffle-free projection
+    of the previous frontier; the final rollup is one hash aggregate
+    on <= 9 roots. The join back to customer broadcasts nothing and
+    shuffles on the key both sides already carry.
+    """
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_RECURSIVE_HIERARCHY_SQL.format(div="DIV"))
+
+
+# --- sql_pipe_syntax_orders ---------------------------------------------------
+
+
+@register(
+    "sql_pipe_syntax_orders",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 2
+    """,
+)
+def sql_pipe_syntax_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.x `|>` operators): the filter →
+    aggregate → post-aggregate-filter chain written top-to-bottom in
+    evaluation order, the front door for users coming from modern
+    pipeline SQL tools. The oracle states the identical relation in
+    ANSI form (WHERE / GROUP BY / HAVING), proving the pipe chain is
+    pure syntax — same Catalyst plan, same rows.
+
+    Scale: one orders scan with the status predicate pushed down, one
+    hash aggregate on o_custkey with map-side partials, and the
+    HAVING filter applied post-merge — no extra shuffle versus the
+    ANSI spelling.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+      FROM orders
+      |> WHERE o_orderstatus = 'O'
+      |> AGGREGATE COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS revenue
+         GROUP BY o_custkey
+      |> WHERE n_orders >= 2
+      |> SELECT o_custkey, n_orders, revenue
+    """)
+
+
+# --- dq_l_diversity -----------------------------------------------------------
+
+#: minimum distinct sensitive values per quasi-identifier group; a
+#: group below this re-identifies its members' sensitive attribute by
+#: intersection even when it passes the k-anonymity SIZE gate.
+L_DIVERSITY_THRESHOLD = 5
+
+
+@register(
+    "dq_l_diversity",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             COUNT(*) AS n_rows, COUNT(DISTINCT user_id) AS n_sensitive
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           COUNT(*) AS n_groups,
+           CAST(SUM(CASE WHEN n_sensitive < {L_DIVERSITY_THRESHOLD}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_low_diversity,
+           CAST(SUM(CASE WHEN n_sensitive < {L_DIVERSITY_THRESHOLD}
+                         THEN n_rows ELSE 0 END) AS BIGINT) AS rows_at_risk,
+           CAST(MIN(n_sensitive) AS BIGINT) AS min_diversity
+    FROM g GROUP BY 1
+    """,
+)
+def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ℓ-diversity risk profile — dq_k_anonymity's other half: a
+    quasi-identifier group can be large enough to pass the k gate yet
+    still leak if (nearly) all its members share one sensitive value.
+    Per (event_type, day) group this counts DISTINCT sensitive values
+    (user_id as the sensitive attribute) and reports, per event type,
+    the groups below ℓ={L_DIVERSITY_THRESHOLD} and the rows inside
+    them — the pair of gates (size AND diversity) a release review
+    actually runs.
+
+    Scale: the distinct count shuffles on the (group, sensitive)
+    pair once, then two chained aggregations with map-side partials —
+    quasi-identifier cardinality drives cost, not row count. Nothing
+    collects.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("user_id").alias("n_sensitive"),
+    )
+    risky = F.col("n_sensitive") < L_DIVERSITY_THRESHOLD
+    return g.groupBy("event_type").agg(
+        F.count("*").alias("n_groups"),
+        F.sum(risky.cast("int")).cast("long").alias("n_low_diversity"),
+        F.sum(F.when(risky, F.col("n_rows")).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+        F.min("n_sensitive").cast("long").alias("min_diversity"),
+    )
+
+
+# --- stream_dedup_within_watermark --------------------------------------------
+
+
+@register(
+    "stream_dedup_within_watermark", executes_on_build=True,
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """dropDuplicatesWithinWatermark — streaming dedup whose state is
+    EVICTED by the event-time watermark. Plain dropDuplicates (I5 /
+    stream_dedup) keeps every key ever seen — state grows with the
+    stream and a year-long Kinesis consumer eventually spills or
+    dies; the within-watermark variant holds a key only until the
+    watermark passes it, bounding state to keys inside the delay
+    window, which is exactly the at-least-once redelivery horizon a
+    Kinesis source actually has. The replay injects 200 duplicate
+    event_ids near the stream head (inside the 1-hour delay — the
+    redelivery shape); dedup removes them, so per-type unique counts
+    equal the batch DISTINCT — exact oracle.
+
+    Scale: state = keys within one watermark delay of the front,
+    independent of total stream length — the property that lets this
+    run forever. One shuffle on event_id for dedup state, one on
+    event_type for the rollup.
+    """
+    from clj_kinesis_to_firehose_spark.sources.streams import (
+        read_event_stream,
+        write_replay_slices,
+    )
+    from clj_kinesis_to_firehose_spark.streaming.pipelines import (
+        _run_to_memory,
+    )
+
+    replay = write_replay_slices(spark, sf_dir, n_slices=4, dup_event_ids=200)
+    ev = read_event_stream(spark, replay)
+    deduped = ev.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    out = deduped.groupBy("event_type").agg(F.count("*").alias("n_unique"))
+    return _run_to_memory(out, "complete")
+
+
+# --- stream_idempotent_sink ---------------------------------------------------
+
+
+@register(
+    "stream_idempotent_sink", executes_on_build=True,
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_records, ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_idempotent_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once batch sink by construction: each micro-batch
+    writes to a BATCH-SCOPED directory (overwrite) and then drops a
+    commit marker; a redelivered batch whose marker exists is skipped
+    outright, and a batch that failed mid-write is overwritten
+    cleanly on retry — the transactional-foreachBatch pattern every
+    at-least-once source (Kinesis included) needs to reach
+    exactly-once file output. Proven the hard way: after the first
+    run drains, the ENTIRE stream is replayed against the same sink
+    from a FRESH checkpoint (every batch redelivered), and the final
+    relation still equals the batch aggregate — exact oracle.
+    Batch→slice assignment is deterministic (mtime-ordered file
+    source, maxFilesPerTrigger=1), so redelivered batch ids carry
+    identical content; the commit log's skip is therefore sound.
+
+    Scale: the marker check and directory write are O(1) driver-side
+    metadata per micro-batch; data moves once, executor-parallel, and
+    the sink directory layout (one subdir per batch) is what a
+    downstream compaction job expects.
+    """
+    from clj_kinesis_to_firehose_spark.sources.streams import (
+        read_event_stream,
+        write_replay_slices,
+    )
+
+    replay = write_replay_slices(spark, sf_dir, n_slices=4)
+    sink_root = scratch_dir("kf_idem_sink_")
+    commits = os.path.join(sink_root, "_commits")
+    data_root = os.path.join(sink_root, "data")
+    os.makedirs(commits, exist_ok=True)
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(commits, f"{batch_id}.done")
+        if os.path.exists(marker):
+            return  # redelivery of a committed batch: no-op
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(data_root, f"batch={batch_id}")
+        )
+        with open(marker, "w") as fh:
+            fh.write("committed")
+
+    def run_once() -> None:
+        q = (
+            read_event_stream(spark, replay)
+            .writeStream.foreachBatch(commit_batch)
+            .option("checkpointLocation", scratch_dir("kf_idem_chk_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    run_once()  # full redelivery: fresh checkpoint, same sink — no-op
+    return (
+        spark.read.parquet(os.path.join(data_root, "batch=*"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_records"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+# --- vocab_seed_substrings ----------------------------------------------------
+
+#: unigram-LM seed construction knobs: candidate pieces are all
+#: substrings of length 2..SEED_MAX_PIECE_LEN drawn from the
+#: SEED_WORD_POOL most frequent words, scored by the frequency mass
+#: of the words containing them.
+SEED_WORD_POOL = 200
+SEED_MAX_PIECE_LEN = 4
+SEED_VOCAB_TOPK = 50
+
+
+@register(
+    "vocab_seed_substrings",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term
+      FROM documents
+    ), stats AS (
+      SELECT term, COUNT(*) AS tf FROM toks GROUP BY term
+    ), pool AS (
+      SELECT term, tf FROM stats ORDER BY tf DESC, term
+      LIMIT {SEED_WORD_POOL}
+    ), lens AS (
+      SELECT term, tf, UNNEST(range(2, {SEED_MAX_PIECE_LEN} + 1)) AS plen
+      FROM pool
+    ), pieces AS (
+      SELECT SUBSTRING(term, CAST(pos AS INT), CAST(plen AS INT)) AS piece,
+             tf, term
+      FROM (SELECT term, tf, plen,
+                   UNNEST(range(1, LENGTH(term) - plen + 2)) AS pos
+            FROM lens WHERE LENGTH(term) >= plen)
+    ), scored AS (
+      SELECT piece, CAST(SUM(tf) AS BIGINT) AS weight,
+             COUNT(DISTINCT term) AS n_words
+      FROM pieces GROUP BY piece
+    )
+    SELECT piece, weight, n_words,
+           ROW_NUMBER() OVER (ORDER BY weight DESC, piece) AS seed_rank
+    FROM scored ORDER BY weight DESC, piece LIMIT {SEED_VOCAB_TOPK}
+    """,
+)
+def vocab_seed_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM seed vocabulary — the step BEFORE piece pruning in
+    SentencePiece-style tokenizer training: enumerate every substring
+    of length 2..{SEED_MAX_PIECE_LEN} from the {SEED_WORD_POOL} most
+    frequent words, score each candidate piece by the frequency mass
+    of the words containing it (a word contributes its tf once per
+    occurrence position — the substring-count seed), and keep the
+    top-{SEED_VOCAB_TOPK}. The EM pruning loop then starts from this
+    relation; its bpe_* siblings cover the merge-based family.
+
+    Scale: the corpus is touched ONCE (the shared term-stats
+    aggregate, Zipf-bounded output); everything after operates on the
+    {SEED_WORD_POOL}-row pool — substring explosion is
+    pool x lengths x positions, a few thousand rows regardless of
+    corpus size, exactly the dictionary-sized (never corpus-sized)
+    discipline bpe_tokenize_apply established.
+    """
+    stats = _term_stats(spark, sf_dir).select("term", "tf")
+    pool = stats.orderBy(F.desc("tf"), F.asc("term")).limit(SEED_WORD_POOL)
+    lens = pool.select(
+        "term",
+        "tf",
+        F.explode(
+            F.sequence(F.lit(2), F.lit(SEED_MAX_PIECE_LEN))
+        ).alias("plen"),
+    ).filter(F.length("term") >= F.col("plen"))
+    pieces = lens.select(
+        "term",
+        "tf",
+        "plen",
+        F.explode(
+            F.sequence(F.lit(1), F.length("term") - F.col("plen") + 1)
+        ).alias("pos"),
+    ).select(
+        F.expr("substring(term, pos, plen)").alias("piece"), "tf", "term"
+    )
+    scored = pieces.groupBy("piece").agg(
+        F.sum("tf").alias("weight"),
+        F.countDistinct("term").alias("n_words"),
+    )
+    top = scored.orderBy(F.desc("weight"), F.asc("piece")).limit(
+        SEED_VOCAB_TOPK
+    )
+    w = Window.orderBy(F.desc("weight"), F.asc("piece"))
+    return top.select(
+        "piece", "weight", "n_words", F.row_number().over(w).alias("seed_rank")
+    )
+
+
+# --- corpus_curriculum_order --------------------------------------------------
+
+#: curriculum knobs: quality ratio in integer 1e-4 units (the exact
+#: cross-engine comparator, per the attribution_linear fix), stage
+#: count for the schedule, and shard fan-out within the order.
+CURRICULUM_STAGES = 4
+CURRICULUM_SHARDS = 8
+#: doc_id range per phase-1 rank bucket (see the two-phase rank note).
+CURRICULUM_BUCKET = 64
+
+
+@register(
+    "corpus_curriculum_order",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term
+      FROM documents
+    ), d AS (
+      SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT term) AS n_distinct
+      FROM toks GROUP BY doc_id
+    ), scored AS (
+      SELECT doc_id, n_tokens,
+             CAST(FLOOR(n_distinct * 10000 / n_tokens) AS BIGINT) AS ratio_u4
+      FROM d
+    ), ranked AS (
+      SELECT doc_id, n_tokens, ratio_u4,
+             ROW_NUMBER() OVER (ORDER BY ratio_u4 DESC, n_tokens, doc_id)
+               AS position,
+             COUNT(*) OVER () AS n_total
+      FROM scored
+    )
+    SELECT doc_id, ratio_u4, n_tokens, position,
+           CAST(FLOOR((position - 1) * {CURRICULUM_STAGES} * 1.0 / n_total)
+                AS BIGINT) + 1 AS stage,
+           (position - 1) % {CURRICULUM_SHARDS} AS shard
+    FROM ranked
+    """,
+)
+def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering for training: documents scheduled
+    highest-quality-first (distinct-token ratio in exact integer 1e-4
+    units — the cross-engine comparator discipline), shortest-first
+    within a quality level, each doc given its global curriculum
+    position, stage (1..{CURRICULUM_STAGES}, floor law over position)
+    and round-robin shard within the order.
+
+    Scale: a global ROW_NUMBER is a single-partition sort — the
+    canonical 100 TB anti-pattern — so the position is computed as a
+    TWO-PHASE DISTRIBUTED RANK instead (the corpus_shard_by_tokens
+    prefix-sum shape applied to ranking): (1) per-doc sort keys
+    map-side; (2) docs bucket by the leading key's value range and a
+    tiny bucket relation aggregates per-bucket counts; (3) one window
+    over the BUCKET relation (not the corpus) yields each bucket's
+    exclusive global offset; (4) offsets broadcast back and the
+    within-bucket rank runs partitioned. Offset + within-bucket rank
+    = the exact global position, because bucketing is by SORT-KEY
+    value, never physical partition. The oracle computes the same
+    integers with a plain global window, proving the decomposition.
+    The total count folds in as a broadcast 1-row aggregate, not a
+    driver count().
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = fan_out(spark, docs).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    d = toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("term").alias("n_distinct"),
+    )
+    scored = d.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(F.col("n_distinct") * 10000 / F.col("n_tokens"))
+        .cast("long")
+        .alias("ratio_u4"),
+    )
+    # two-phase rank over (ratio_u4 DESC, n_tokens, doc_id): bucket by
+    # the leading key's value range (NOT physical partitions) so the
+    # bucket relation is bounded by key range / CURRICULUM_BUCKET.
+    keyed = scored.withColumn(
+        "rbucket", F.floor(F.col("ratio_u4") / CURRICULUM_BUCKET)
+    )
+    bucket_counts = keyed.groupBy("rbucket").agg(
+        F.count("*").alias("bucket_n")
+    )
+    bucket_win = Window.orderBy(F.desc("rbucket"))
+    offsets = bucket_counts.select(
+        "rbucket",
+        (F.sum("bucket_n").over(bucket_win) - F.col("bucket_n")).alias(
+            "bucket_offset"
+        ),
+    )
+    in_bucket = Window.partitionBy("rbucket").orderBy(
+        F.desc("ratio_u4"), F.asc("n_tokens"), F.asc("doc_id")
+    )
+    total = scored.agg(F.count("*").alias("n_total"))
+    positioned = (
+        keyed.join(F.broadcast(offsets), "rbucket")
+        .select(
+            "doc_id",
+            "ratio_u4",
+            "n_tokens",
+            (F.col("bucket_offset") + F.row_number().over(in_bucket)).alias(
+                "position"
+            ),
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    return positioned.select(
+        "doc_id",
+        "ratio_u4",
+        "n_tokens",
+        "position",
+        (
+            F.floor(
+                (F.col("position") - 1)
+                * CURRICULUM_STAGES
+                * F.lit(1.0)
+                / F.col("n_total")
+            ).cast("long")
+            + 1
+        ).alias("stage"),
+        ((F.col("position") - 1) % CURRICULUM_SHARDS).alias("shard"),
+    )
+
+
+# --- ts_holt_linear -----------------------------------------------------------
+
+
+@register(
+    "ts_holt_linear",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT event_type, x,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM daily
+    ), rec AS (
+      SELECT event_type, rn, n, x AS l, CAST(0.0 AS DOUBLE) AS b
+      FROM s WHERE rn = 1
+      UNION ALL
+      SELECT s.event_type, s.rn, s.n,
+             0.5 * s.x + 0.5 * (rec.l + rec.b),
+             0.5 * ((0.5 * s.x + 0.5 * (rec.l + rec.b)) - rec.l)
+               + 0.5 * rec.b
+      FROM rec JOIN s ON s.event_type = rec.event_type
+                     AND s.rn = rec.rn + 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days, l AS level, b AS trend,
+           l + b AS forecast_next
+    FROM rec WHERE rn = n
+    """,
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend, α=β=1/2)
+    over the daily event-count series per event type, emitting the
+    final smoothed level, trend, and one-step forecast — the
+    classical trending-series baseline a metrics pipeline fits before
+    alerting on drift (EWMA alone lags a trending series; Holt's
+    trend term removes that lag).
+
+    Cross-engine exactness: the series is INTEGER daily counts (a
+    float daily SUM would differ across engines by partial-agg
+    order), α=β=1/2 keeps every update a dyadic-rational fold, and
+    both engines evaluate the literally-identical expression sequence
+    (l' = 0.5x + 0.5(l+b); b' = 0.5(l'-l) + 0.5b) — IEEE doubles are
+    deterministic given the same op order, so the raw doubles
+    hash-match with no rounding at all. The oracle runs the same
+    recurrence as a recursive CTE.
+
+    Scale: the recurrence is inherently sequential per group, so it
+    folds a day-indexed array per event type — state is two doubles,
+    the array is bounded by CALENDAR DAYS (thousands for any real
+    stream), never by row count; the corpus-sized work is the daily
+    pre-aggregation, one shuffle with map-side partials. Groups fold
+    in parallel.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").cast("double").alias("x"))
+    series = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "x"))).alias("xs")
+    )
+    acc0 = F.struct(
+        F.lit(0).alias("i"),
+        F.lit(0.0).alias("l"),
+        F.lit(0.0).alias("b"),
+    )
+
+    def step(acc, e):
+        x = e["x"]
+        l_new = F.when(acc["i"] == 0, x).otherwise(
+            F.lit(0.5) * x + F.lit(0.5) * (acc["l"] + acc["b"])
+        )
+        b_new = F.when(acc["i"] == 0, F.lit(0.0)).otherwise(
+            F.lit(0.5) * (l_new - acc["l"]) + F.lit(0.5) * acc["b"]
+        )
+        return F.struct(
+            (acc["i"] + 1).alias("i"), l_new.alias("l"), b_new.alias("b")
+        )
+
+    return series.select(
+        "event_type", F.aggregate("xs", acc0, step).alias("hb")
+    ).select(
+        "event_type",
+        F.col("hb.i").cast("long").alias("n_days"),
+        F.col("hb.l").alias("level"),
+        F.col("hb.b").alias("trend"),
+        (F.col("hb.l") + F.col("hb.b")).alias("forecast_next"),
+    )

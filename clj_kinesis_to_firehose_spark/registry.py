@@ -81,6 +81,7 @@ _OPERATOR_MODULES = [
     "curation_r10",
     "curation_r11",
     "curation_r12",
+    "engine_ext",
 ]
 
 _loaded = False

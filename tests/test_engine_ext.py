@@ -1,0 +1,199 @@
+"""Round-12 continuation behavioral tests: the recursive-CTE walk
+against a pure-python reference, pipe syntax against its DataFrame
+twin, the ℓ-diversity gate against a pandas recompute, watermark-
+scoped dedup under injected redelivery, idempotent-sink no-double-
+write under full stream replay, seed-vocab structural laws, the
+two-phase curriculum rank against the plain global sort, and the Holt
+fold against a literal python recurrence."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from clj_kinesis_to_firehose_spark import registry
+from clj_kinesis_to_firehose_spark.operators.engine_ext import (
+    CURRICULUM_SHARDS,
+    CURRICULUM_STAGES,
+    L_DIVERSITY_THRESHOLD,
+    SEED_MAX_PIECE_LEN,
+    SEED_VOCAB_TOPK,
+)
+from tests.conftest import SF_DIR
+
+QUERIES = registry.queries()
+
+
+def _events(spark) -> pd.DataFrame:
+    return (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("event_id", "ts", "user_id", "event_type")
+        .toPandas()
+    )
+
+
+def test_recursive_hierarchy_matches_python_walk(spark):
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").toPandas()
+    out = QUERIES["sql_recursive_hierarchy"](spark, SF_DIR).toPandas()
+
+    def walk(k: int) -> tuple[int, int]:
+        d = 0
+        while k >= 10:
+            k //= 10
+            d += 1
+        return k, d
+
+    roots = cust.c_custkey.map(lambda k: walk(int(k))[0])
+    depths = cust.c_custkey.map(lambda k: walk(int(k))[1])
+    ref = (
+        pd.DataFrame(
+            {"root_key": roots, "depth": depths, "bal": cust.c_acctbal}
+        )
+        .groupby("root_key")
+        .agg(n_nodes=("depth", "size"), max_depth=("depth", "max"))
+        .reset_index()
+    )
+    got = out.sort_values("root_key").reset_index(drop=True)
+    assert list(got.root_key) == list(ref.root_key)
+    assert list(got.n_nodes) == list(ref.n_nodes)
+    assert list(got.max_depth) == list(ref.max_depth)
+    assert got.n_nodes.sum() == len(cust)
+
+
+def test_pipe_syntax_equals_dataframe_twin(spark):
+    from pyspark.sql import functions as F
+
+    out = (
+        QUERIES["sql_pipe_syntax_orders"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("o_custkey")
+        .reset_index(drop=True)
+    )
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    twin = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .filter(F.col("n_orders") >= 2)
+        .toPandas()
+        .sort_values("o_custkey")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, twin, check_dtype=False)
+    assert (out.n_orders >= 2).all()
+
+
+def test_l_diversity_matches_pandas(spark):
+    ev = _events(spark)
+    ev["day"] = ev.ts.dt.date
+    g = ev.groupby(["event_type", "day"]).agg(
+        n_rows=("event_id", "size"), n_sensitive=("user_id", "nunique")
+    )
+    risky = g.n_sensitive < L_DIVERSITY_THRESHOLD
+    ref = (
+        pd.DataFrame(
+            {
+                "n_groups": g.groupby("event_type").size(),
+                "n_low_diversity": risky.groupby("event_type").sum(),
+                "rows_at_risk": g.n_rows[risky]
+                .groupby("event_type")
+                .sum()
+                .reindex(g.index.get_level_values(0).unique(), fill_value=0),
+                "min_diversity": g.n_sensitive.groupby("event_type").min(),
+            }
+        )
+        .reset_index()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    got = (
+        QUERIES["dq_l_diversity"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    for c in ("n_groups", "n_low_diversity", "rows_at_risk", "min_diversity"):
+        assert list(got[c]) == list(ref[c]), c
+
+
+def test_dedup_within_watermark_removes_injected_redelivery(spark):
+    ev = _events(spark)
+    got = QUERIES["stream_dedup_within_watermark"](spark, SF_DIR).toPandas()
+    expect = ev.groupby("event_type").event_id.nunique()
+    for _, row in got.iterrows():
+        assert row.n_unique == expect[row.event_type]
+    # the replay really injected duplicates the operator had to remove
+    assert got.n_unique.sum() == ev.event_id.nunique() < len(ev) + 200
+
+
+def test_idempotent_sink_no_double_writes_after_full_replay(spark):
+    ev = _events(spark)
+    got = QUERIES["stream_idempotent_sink"](spark, SF_DIR).toPandas()
+    # the stream was delivered TWICE (fresh checkpoint, same sink);
+    # exactly-once output means per-type counts equal the batch counts
+    expect = ev.groupby("event_type").size()
+    for _, row in got.iterrows():
+        assert row.n_records == expect[row.event_type]
+    assert got.n_records.sum() == len(ev)
+
+
+def test_seed_vocab_structural_laws(spark):
+    out = QUERIES["vocab_seed_substrings"](spark, SF_DIR).toPandas()
+    assert len(out) == SEED_VOCAB_TOPK
+    assert out.piece.str.len().between(2, SEED_MAX_PIECE_LEN).all()
+    ranked = out.sort_values("seed_rank")
+    assert (ranked.weight.diff().dropna() <= 0).all()  # weight-desc order
+    assert (out.n_words >= 1).all()
+    # every piece occurs in the corpus text (it came from real words)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").toPandas()
+    blob = " ".join(docs.text)
+    assert all(p in blob for p in out.piece)
+
+
+def test_curriculum_two_phase_rank_equals_global_sort(spark):
+    out = (
+        QUERIES["corpus_curriculum_order"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("position")
+        .reset_index(drop=True)
+    )
+    n = len(out)
+    assert list(out.position) == list(range(1, n + 1))
+    ref = out.sort_values(
+        ["ratio_u4", "n_tokens", "doc_id"], ascending=[False, True, True]
+    ).reset_index(drop=True)
+    assert list(ref.doc_id) == list(out.doc_id)  # two-phase == global sort
+    assert out.stage.between(1, CURRICULUM_STAGES).all()
+    assert (out.stage.diff().dropna() >= 0).all()  # stages are contiguous
+    assert (out.shard == (out.position - 1) % CURRICULUM_SHARDS).all()
+
+
+def test_holt_fold_matches_python_recurrence(spark):
+    ev = _events(spark)
+    ev["day"] = ev.ts.dt.date
+    daily = (
+        ev.groupby(["event_type", "day"])
+        .size()
+        .rename("x")
+        .reset_index()
+        .sort_values(["event_type", "day"])
+    )
+    got = (
+        QUERIES["ts_holt_linear"](spark, SF_DIR)
+        .toPandas()
+        .set_index("event_type")
+    )
+    for etype, grp in daily.groupby("event_type"):
+        xs = [float(v) for v in grp.x]
+        l, b = xs[0], 0.0
+        for x in xs[1:]:
+            l_new = 0.5 * x + 0.5 * (l + b)
+            b = 0.5 * (l_new - l) + 0.5 * b
+            l = l_new
+        row = got.loc[etype]
+        assert row.n_days == len(xs)
+        assert row.level == l  # bit-exact dyadic fold
+        assert row.trend == b
+        assert row.forecast_next == l + b
