@@ -1097,21 +1097,30 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 AFP_WINDOWS = 64
 
 
-def _sql_audio_fingerprint() -> str:
-    w = AFP_WINDOWS
-    return f"""
-    WITH adims AS (
+#: the analytic windowed-energy CTE chain (waveform formula → index
+#: windows → per-window energy → per-doc total) — the ONE SQL
+#: statement of the synthetic WAV's sample law, shared by the
+#: fingerprint oracle and engine_ext's audio-dynamics oracle so the
+#: formula cannot drift between them.
+SQL_AFP_ENERGY_CTES = f"""
+    adims AS (
       SELECT doc_id, 256 + doc_id % 64 AS n FROM documents
     ), samp AS (
       SELECT d.doc_id, d.n, r.i,
              ((d.doc_id * 31 + r.i * 17) % 4096 - 2048) AS s
       FROM adims d, UNNEST(RANGE(d.n)) AS r(i)
     ), win AS (
-      SELECT doc_id, (i * {w}) // n AS w, SUM(s * s) AS e
+      SELECT doc_id, (i * {AFP_WINDOWS}) // n AS w, SUM(s * s) AS e
       FROM samp GROUP BY 1, 2
     ), tot AS (
       SELECT doc_id, SUM(e) AS te FROM win GROUP BY 1
-    ), araw AS (
+    )"""
+
+
+def _sql_audio_fingerprint() -> str:
+    w = AFP_WINDOWS
+    return f"""
+    WITH {SQL_AFP_ENERGY_CTES}, araw AS (
       SELECT win.doc_id,
              SUM(CASE WHEN win.e * {w} > tot.te
                       THEN (1::HUGEINT << CAST(win.w AS INTEGER))

@@ -40,6 +40,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clj_kinesis_to_firehose_spark.operators.curation_r11 import _term_stats
+# importing curation_r12 registers the framehash/fingerprint oracles
+# this module's composite oracles wrap (decorators run at import, so
+# the dependency must be import-order explicit — the registry.oracle
+# contract).
+from clj_kinesis_to_firehose_spark.operators.curation_r12 import (
+    AFP_WINDOWS,
+    SQL_AFP_ENERGY_CTES,
+    multimodal_video_framehash,
+)
 from clj_kinesis_to_firehose_spark.registry import register
 from clj_kinesis_to_firehose_spark.sources import (
     fan_out,
@@ -617,4 +626,255 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hb.l").alias("level"),
         F.col("hb.b").alias("trend"),
         (F.col("hb.l") + F.col("hb.b")).alias("forecast_next"),
+    )
+
+
+# --- tokenize_greedy_pieces ---------------------------------------------------
+
+
+def _sql_tokenize_greedy() -> str:
+    from clj_kinesis_to_firehose_spark.registry import oracle
+
+    return f"""
+    WITH RECURSIVE seedv AS ({oracle("vocab_seed_substrings")}),
+    pieces AS (SELECT piece FROM seedv),
+    wtoks AS (
+      SELECT UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents
+    ), words AS (
+      SELECT term, COUNT(*) AS tf FROM wtoks GROUP BY term
+    ), grid AS (
+      SELECT w.term, CAST(gp.pos AS INT) AS pos
+      FROM words w, UNNEST(range(1, LENGTH(w.term) + 1)) AS gp(pos)
+    ), matches AS (
+      SELECT g.term, g.pos, MAX(LENGTH(p.piece)) AS mlen
+      FROM grid g JOIN pieces p
+        ON SUBSTRING(g.term, g.pos, LENGTH(p.piece)) = p.piece
+      GROUP BY 1, 2
+    ), jumps AS (
+      SELECT g.term, g.pos, COALESCE(m.mlen, 1) AS jump,
+             CASE WHEN m.mlen IS NULL THEN 1 ELSE 0 END AS fb
+      FROM grid g LEFT JOIN matches m
+        ON g.term = m.term AND g.pos = m.pos
+    ), seg AS (
+      SELECT term, 1 AS pos, 0 AS n_pieces, 0 AS n_fallback FROM words
+      UNION ALL
+      SELECT s.term, s.pos + j.jump, s.n_pieces + 1, s.n_fallback + j.fb
+      FROM seg s JOIN jumps j ON j.term = s.term AND j.pos = s.pos
+      WHERE s.pos <= LENGTH(s.term)
+    )
+    SELECT s.term, w.tf, CAST(s.n_pieces AS BIGINT) AS n_pieces,
+           CAST(s.n_fallback AS BIGINT) AS n_fallback
+    FROM seg s JOIN words w USING (term)
+    WHERE s.pos = LENGTH(s.term) + 1
+    """
+
+
+@register("tokenize_greedy_pieces", oracle=_sql_tokenize_greedy())
+def tokenize_greedy_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy longest-match piece tokenization (the WordPiece
+    inference rule) over the whole word dictionary, against the
+    unigram seed vocabulary: at each position consume the LONGEST
+    vocabulary piece that matches (single characters are the
+    fallback), emitting per word its piece count and fallback count —
+    the relation that tells you what compression and OOV-shred a
+    candidate vocabulary actually buys before you commit to training
+    with it.
+
+    The sequential walk itself runs as a Spark 4.x RECURSIVE CTE over
+    a precomputed jump table — the recursion is the real consumer the
+    sql_recursive_hierarchy feature demo promised: per step, every
+    word's cursor advances by its position's greedy jump; a word
+    leaves the frontier when its cursor passes its length, so the
+    iteration count is the max word length, each iteration a hash
+    join of the shrinking frontier against the jump table.
+
+    Scale: everything is dictionary-sized — the corpus contributes
+    one term-stats aggregate; the jump table is |dictionary| x word
+    length rows built by ONE broadcast join against the
+    {SEED_VOCAB_TOPK}-piece vocab (candidate substrings explode
+    map-side); the recursion shuffles only frontier rows, monotone
+    shrinking. No plan step is corpus-sized after the first
+    aggregate, the bpe_tokenize_apply discipline.
+    """
+    pieces = vocab_seed_substrings(spark, sf_dir).select("piece")
+    words = _term_stats(spark, sf_dir).select("term", "tf")
+    grid = words.select(
+        "term",
+        F.explode(
+            F.sequence(F.lit(1), F.length("term"))
+        ).alias("pos"),
+    )
+    cand = grid.select(
+        "term",
+        "pos",
+        F.explode(
+            F.sequence(F.lit(2), F.lit(SEED_MAX_PIECE_LEN))
+        ).alias("plen"),
+    ).select(
+        "term", "pos", F.expr("substring(term, pos, plen)").alias("cand")
+    )
+    matches = (
+        cand.join(F.broadcast(pieces), cand.cand == pieces.piece)
+        .groupBy("term", "pos")
+        .agg(F.max(F.length("piece")).alias("mlen"))
+    )
+    jumps = grid.join(matches, ["term", "pos"], "left").select(
+        "term",
+        "pos",
+        F.coalesce(F.col("mlen"), F.lit(1)).alias("jump"),
+        F.when(F.col("mlen").isNull(), 1).otherwise(0).alias("fb"),
+    )
+    jumps.createOrReplaceTempView("tok_jumps")
+    words.createOrReplaceTempView("tok_words")
+    return spark.sql("""
+      WITH RECURSIVE seg AS (
+        SELECT term, 1 AS pos, 0 AS n_pieces, 0 AS n_fallback
+        FROM tok_words
+        UNION ALL
+        SELECT s.term, s.pos + j.jump, s.n_pieces + 1, s.n_fallback + j.fb
+        FROM seg s JOIN tok_jumps j ON j.term = s.term AND j.pos = s.pos
+        WHERE s.pos <= LENGTH(s.term)
+      )
+      SELECT s.term, w.tf, CAST(s.n_pieces AS BIGINT) AS n_pieces,
+             CAST(s.n_fallback AS BIGINT) AS n_fallback
+      FROM seg s JOIN tok_words w USING (term)
+      WHERE s.pos = LENGTH(s.term) + 1
+    """)
+
+
+# --- multimodal_video_scene_cuts ------------------------------------------------
+
+#: consecutive-frame hamming distance above this is a scene cut; at or
+#: below it is in-scene motion/noise (the sf0.01 step distribution:
+#: median 0, p75 18, max 48 — 16 splits motion from cuts).
+VSC_THRESHOLD = 16
+
+
+def _sql_video_scene_cuts() -> str:
+    from clj_kinesis_to_firehose_spark.registry import oracle
+
+    return f"""
+    WITH fh AS ({oracle("multimodal_video_framehash")}),
+    steps AS (
+      SELECT doc_id,
+             bit_count(xor(fhash, LAG(fhash) OVER (
+               PARTITION BY doc_id ORDER BY frame_idx))) AS step
+      FROM fh
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_frames,
+           CAST(SUM(CASE WHEN step > {VSC_THRESHOLD} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_cuts,
+           CAST(MAX(step) AS BIGINT) AS max_step
+    FROM steps GROUP BY doc_id
+    """
+
+
+@register("multimodal_video_scene_cuts", oracle=_sql_video_scene_cuts())
+def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection from the per-frame perceptual hashes: a cut
+    is a consecutive-frame hamming step above {VSC_THRESHOLD} bits
+    (in-scene motion perturbs a few grid cells; a cut rewrites the
+    frame). Emits per clip the frame count, cut count, and the largest
+    step — the relation video curation samples training frames FROM
+    (one frame per scene beats every-Nth-frame sampling, which
+    over-represents long static scenes).
+
+    Scale: rides the framehash relation (two Arrow map stages, zero
+    shuffles) and adds ONE window partitioned by clip — frames of a
+    clip are already co-located after the map stages at any corpus
+    size, and per-clip frame counts are codec-bounded, so the lag
+    window never skews. XOR+popcount per frame pair, nothing
+    collected.
+    """
+    fh = multimodal_video_framehash(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    steps = fh.select(
+        "doc_id",
+        F.bit_count(
+            F.col("fhash").bitwiseXOR(F.lag("fhash").over(w))
+        ).alias("step"),
+    )
+    cut = F.col("step") > VSC_THRESHOLD
+    return steps.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"),
+        F.sum(F.when(cut, 1).otherwise(0)).cast("long").alias("n_cuts"),
+        F.max("step").cast("long").alias("max_step"),
+    )
+
+
+# --- multimodal_audio_dynamics --------------------------------------------------
+
+
+def _sql_audio_dynamics() -> str:
+    return f"""
+    WITH {SQL_AFP_ENERGY_CTES}
+    SELECT win.doc_id,
+           CAST(MIN(win.e) AS BIGINT) AS min_e,
+           CAST(MAX(win.e) AS BIGINT) AS max_e,
+           CAST(SUM(CASE WHEN win.e * {AFP_WINDOWS} < tot.te
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_below_mean
+    FROM win JOIN tot ON win.doc_id = tot.doc_id
+    GROUP BY win.doc_id
+    """
+
+
+@register("multimodal_audio_dynamics", oracle=_sql_audio_dynamics())
+def multimodal_audio_dynamics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio QA dynamics profile — the release gate the audio modality
+    runs before training ingest: per clip, the min and max windowed
+    energy and how many windows sit below the mean share (silence,
+    dropouts, and clipped-flat segments all show up as extreme window
+    energies; a healthy clip's windows cluster around the mean). All
+    integer arithmetic (int64 energy sums, cross-multiplied mean
+    compare) over the REAL WAV decode path, so the oracle recomputes
+    the profile analytically from the shared energy CTE
+    (curation_r12.SQL_AFP_ENERGY_CTES — one statement of the sample
+    law, zero drift) and any decoder regression moves the integers.
+
+    Scale: the same two Arrow map stages as the fingerprint (encode,
+    then per-clip window kernel), zero shuffles — per-clip state is 64
+    int64 energies regardless of clip length.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from clj_kinesis_to_firehose_spark.operators.audio_ops import (
+        _encode_batches,
+    )
+
+    def dynamics_batches(batches):
+        from clj_kinesis_to_firehose_spark.functions.audio import decode_wav
+
+        w = AFP_WINDOWS
+        for pdf in batches:
+            ids, mins, maxs, below = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples, _rate = decode_wav(bytes(payload))
+                n = len(samples)
+                s = samples.astype(np.int64)
+                w_idx = (np.arange(n, dtype=np.int64) * w) // n
+                e = np.zeros(w, dtype=np.int64)
+                np.add.at(e, w_idx, s * s)
+                te = int(e.sum())
+                ids.append(int(doc_id))
+                mins.append(int(e.min()))
+                maxs.append(int(e.max()))
+                below.append(int((e * w < te).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "min_e": pd.Series(mins, dtype="int64"),
+                    "max_e": pd.Series(maxs, dtype="int64"),
+                    "n_below_mean": pd.Series(below, dtype="int64"),
+                }
+            )
+
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    media = docs.select("doc_id").mapInPandas(
+        _encode_batches, schema="doc_id long, payload binary"
+    )
+    return media.mapInPandas(
+        dynamics_batches,
+        schema="doc_id long, min_e long, max_e long, n_below_mean long",
     )

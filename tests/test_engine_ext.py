@@ -197,3 +197,76 @@ def test_holt_fold_matches_python_recurrence(spark):
         assert row.level == l  # bit-exact dyadic fold
         assert row.trend == b
         assert row.forecast_next == l + b
+
+
+def test_greedy_tokenize_matches_python_greedy(spark):
+    pieces = set(
+        QUERIES["vocab_seed_substrings"](spark, SF_DIR).toPandas().piece
+    )
+    out = (
+        QUERIES["tokenize_greedy_pieces"](spark, SF_DIR)
+        .toPandas()
+        .set_index("term")
+    )
+
+    def greedy(word: str) -> tuple[int, int]:
+        pos, n, fb = 0, 0, 0
+        while pos < len(word):
+            for plen in (4, 3, 2):
+                if word[pos:pos + plen] in pieces and plen <= len(word) - pos:
+                    pos += plen
+                    break
+            else:
+                pos += 1
+                fb += 1
+            n += 1
+        return n, fb
+
+    assert len(out) > 0
+    for term, row in out.iterrows():
+        n, fb = greedy(term)
+        assert (row.n_pieces, row.n_fallback) == (n, fb), term
+        # piece segmentation never produces more pieces than chars
+        assert row.n_pieces <= max(len(term), 1)
+
+
+def test_video_scene_cuts_consistent_with_framehash(spark):
+    from clj_kinesis_to_firehose_spark.operators.engine_ext import (
+        VSC_THRESHOLD,
+    )
+
+    fh = (
+        QUERIES["multimodal_video_framehash"](spark, SF_DIR)
+        .toPandas()
+        .sort_values(["doc_id", "frame_idx"])
+    )
+    out = QUERIES["multimodal_video_scene_cuts"](spark, SF_DIR).toPandas()
+    ref_cuts, ref_frames = {}, {}
+    for doc_id, grp in fh.groupby("doc_id"):
+        hs = [int(h) & (2**64 - 1) for h in grp.fhash]
+        cuts = sum(
+            1
+            for a, b in zip(hs, hs[1:])
+            if bin(a ^ b).count("1") > VSC_THRESHOLD
+        )
+        ref_cuts[doc_id], ref_frames[doc_id] = cuts, len(hs)
+    for _, row in out.iterrows():
+        assert row.n_frames == ref_frames[row.doc_id]
+        assert row.n_cuts == ref_cuts[row.doc_id]
+    # non-vacuous: some clips have cuts, some don't
+    assert out.n_cuts.max() > 0 and (out.n_cuts == 0).any()
+
+
+def test_audio_dynamics_brackets_fingerprint(spark):
+    from clj_kinesis_to_firehose_spark.operators.curation_r12 import (
+        AFP_WINDOWS,
+    )
+
+    dyn = QUERIES["multimodal_audio_dynamics"](spark, SF_DIR).toPandas()
+    assert (dyn.min_e <= dyn.max_e).all()
+    assert dyn.n_below_mean.between(0, AFP_WINDOWS).all()
+    # a window below the mean exists iff energies are not all equal,
+    # and the fingerprint's above-mean bit count must complement it
+    fp = QUERIES["multimodal_audio_fingerprint"](spark, SF_DIR).toPandas()
+    m = dyn.merge(fp, on="doc_id")
+    assert (m.n_below_mean + m.n_bits_set <= AFP_WINDOWS).all()
