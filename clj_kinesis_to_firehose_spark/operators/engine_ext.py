@@ -696,6 +696,13 @@ def tokenize_greedy_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
     shrinking. No plan step is corpus-sized after the first
     aggregate, the bpe_tokenize_apply discipline.
     """
+    # recursion iterations = max word length. The session default
+    # (cteRecursionLevelLimit=100) is plenty for natural-language
+    # words, but a pathological unsegmented-CJK/URL dictionary would
+    # trip it, so the op raises the ceiling explicitly — the knob a
+    # production deployment sizes to its observed max word length
+    # (and cteRecursionRowLimit to its dictionary size).
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", "1000")
     pieces = vocab_seed_substrings(spark, sf_dir).select("piece")
     words = _term_stats(spark, sf_dir).select("term", "tf")
     grid = words.select(
@@ -877,4 +884,241 @@ def multimodal_audio_dynamics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(
         dynamics_batches,
         schema="doc_id long, min_e long, max_e long, n_below_mean long",
+    )
+
+
+# --- dq_t_closeness -----------------------------------------------------------
+
+#: sensitive attribute cardinality (user_id bucketed to 5 classes — a
+#: low-cardinality stand-in for diagnosis codes / salary bands) and
+#: the t threshold: a group breaches when its sensitive distribution
+#: is farther than t = 0.2 total-variation from the global one.
+T_CLOSE_CLASSES = 5
+
+
+def _sql_t_closeness() -> str:
+    c = T_CLOSE_CLASSES
+    return f"""
+    WITH base AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             user_id % {c} AS sclass
+      FROM events
+    ), gcls AS (
+      SELECT sclass, COUNT(*) AS cv FROM base GROUP BY sclass
+    ), tot AS (
+      SELECT COUNT(*) AS n FROM base
+    ), grp AS (
+      SELECT event_type, day, COUNT(*) AS ng FROM base GROUP BY 1, 2
+    ), gv AS (
+      SELECT event_type, day, sclass, COUNT(*) AS cgv
+      FROM base GROUP BY 1, 2, 3
+    ), full_grid AS (
+      SELECT g.event_type, g.day, g.ng, gl.sclass, gl.cv,
+             COALESCE(v.cgv, 0) AS cgv
+      FROM grp g CROSS JOIN gcls gl
+      LEFT JOIN gv v ON v.event_type = g.event_type AND v.day = g.day
+                    AND v.sclass = gl.sclass
+    )
+    SELECT f.event_type, CAST(f.day AS VARCHAR) AS day,
+           CAST(f.ng AS BIGINT) AS n_rows,
+           CAST(SUM(ABS(f.cgv * t.n - f.cv * f.ng)) AS BIGINT) AS tv_num,
+           CAST(CASE WHEN SUM(ABS(f.cgv * t.n - f.cv * f.ng)) * 5
+                          > 2 * t.n * f.ng
+                     THEN 1 ELSE 0 END AS INT) AS breaches_t
+    FROM full_grid f CROSS JOIN tot t
+    GROUP BY f.event_type, f.day, f.ng, t.n
+    """
+
+
+@register("dq_t_closeness", oracle=_sql_t_closeness())
+def dq_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness — the third anonymity gate, completing the
+    k-anonymity (group size) / ℓ-diversity (distinct sensitive
+    values) triad: a group can pass both and still leak when its
+    sensitive-value DISTRIBUTION skews far from the table's global
+    distribution (an attacker learns the skew itself). Per
+    (event_type, day) group this computes the total-variation
+    distance between the group's sensitive-class distribution
+    (user_id bucketed to {T_CLOSE_CLASSES} classes) and the global
+    one — kept EXACT by cross-multiplied integers: tv_num =
+    Σ_v |c_gv·N − C_v·n_g| is the TV distance scaled by 2·N·n_g, and
+    the t = 0.2 breach test is the integer compare
+    tv_num·5 > 2·N·n_g. No float division anywhere.
+
+    Scale: two aggregations over the base scan (group×class and
+    global class counts — the class set is {T_CLOSE_CLASSES} rows,
+    broadcast onto the group relation for the zero-fill grid), then
+    arithmetic on group-cardinality rows. Cost follows group count,
+    not row count.
+    """
+    c = T_CLOSE_CLASSES
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        (F.col("user_id") % c).alias("sclass"),
+    )
+    glob = base.groupBy("sclass").agg(F.count("*").alias("cv"))
+    tot = base.agg(F.count("*").alias("n"))
+    grp = base.groupBy("event_type", "day").agg(F.count("*").alias("ng"))
+    gv = base.groupBy("event_type", "day", "sclass").agg(
+        F.count("*").alias("cgv")
+    )
+    grid = (
+        grp.crossJoin(F.broadcast(glob))
+        .join(gv, ["event_type", "day", "sclass"], "left")
+        .withColumn("cgv", F.coalesce(F.col("cgv"), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    term = F.abs(F.col("cgv") * F.col("n") - F.col("cv") * F.col("ng"))
+    agged = grid.groupBy("event_type", "day", "ng", "n").agg(
+        F.sum(term).cast("long").alias("tv_num")
+    )
+    return agged.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        F.col("ng").cast("long").alias("n_rows"),
+        "tv_num",
+        F.when(F.col("tv_num") * 5 > 2 * F.col("n") * F.col("ng"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("breaches_t"),
+    )
+
+
+# --- corpus_fim_spans ---------------------------------------------------------
+
+#: middle-span share of the document (PSM fill-in-the-middle: the
+#: middle quarter is masked and moved; prefix/suffix stay in place).
+FIM_MIDDLE_DIV = 4
+#: deterministic start-position multiplier (doc_id * FIM_MULT mod the
+#: legal start range) — a schedule, not cryptography; production
+#: would use xxhash64(doc_id, seed) with the same mod law.
+FIM_MULT = 37
+
+
+@register(
+    "corpus_fim_spans",
+    oracle=f"""
+    SELECT doc_id, n_chars,
+           CAST((doc_id * {FIM_MULT})
+                % (n_chars - n_chars // {FIM_MIDDLE_DIV} + 1)
+                AS BIGINT) AS prefix_len,
+           CAST(n_chars // {FIM_MIDDLE_DIV} AS BIGINT) AS middle_len,
+           CAST(n_chars - (doc_id * {FIM_MULT})
+                % (n_chars - n_chars // {FIM_MIDDLE_DIV} + 1)
+                - n_chars // {FIM_MIDDLE_DIV} AS BIGINT) AS suffix_len,
+           SUBSTRING(text,
+                     CAST(1 + (doc_id * {FIM_MULT})
+                          % (n_chars - n_chars // {FIM_MIDDLE_DIV} + 1)
+                          AS INT),
+                     8) AS middle_head
+    FROM documents
+    """,
+)
+def corpus_fim_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle span assignment — the deterministic
+    prefix/middle/suffix split FIM pretraining rewrites each document
+    with (PSM order): the middle quarter starts at a
+    doc_id-seeded position inside the legal range, prefix and suffix
+    are the remainder, and the first 8 chars of the middle are
+    emitted so the oracle checks REAL text plumbing, not just span
+    arithmetic. Downstream, the pack-sequences op consumes these
+    spans; the split must be a pure function of (doc_id, n_chars) so
+    re-runs and replays mask the same spans.
+
+    Scale: a stateless projection — no shuffle, no state, perfectly
+    map-parallel at any corpus size. All span math is integer (div
+    and mod), bit-identical on both engines.
+    """
+    d = F.col("doc_id")
+    n = F.col("n_chars")
+    mid = (n / FIM_MIDDLE_DIV).cast("long")
+    span = n - mid + 1
+    start0 = (d * FIM_MULT) % span  # 0-based prefix length
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        start0.cast("long").alias("prefix_len"),
+        mid.cast("long").alias("middle_len"),
+        (n - start0 - mid).cast("long").alias("suffix_len"),
+        F.expr(
+            f"substring(text, cast(1 + (doc_id * {FIM_MULT})"
+            f" % (n_chars - cast(n_chars / {FIM_MIDDLE_DIV} as bigint) + 1)"
+            f" as int), 8)"
+        ).alias("middle_head"),
+    )
+
+
+# --- corpus_epoch_schedule ----------------------------------------------------
+
+#: total training-token budget as a multiple of the corpus (the
+#: data-constrained regime: budget > corpus forces repetition).
+EPOCH_BUDGET_MULT = 4
+
+
+@register(
+    "corpus_epoch_schedule",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, COUNT(*) AS n_tokens
+      FROM (SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS term
+            FROM documents)
+      GROUP BY source
+    ), docs AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             COUNT(*) AS n_sources
+      FROM toks
+    )
+    SELECT d.source, d.n_docs, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           CAST((tot.total_tokens * {EPOCH_BUDGET_MULT}) // tot.n_sources
+                AS BIGINT) AS budget_tokens,
+           CAST(((tot.total_tokens * {EPOCH_BUDGET_MULT}) // tot.n_sources)
+                * 10000 // t.n_tokens AS BIGINT) AS repeat_u4
+    FROM docs d JOIN toks t USING (source) CROSS JOIN tot
+    """,
+)
+def corpus_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch / repetition schedule for data-constrained training: the
+    token budget ({EPOCH_BUDGET_MULT}x the corpus) is split uniformly
+    across sources, and each source's repeat factor (budget share
+    over its own tokens, integer 1e-4 units) says how many times that
+    source must repeat to fill its share — the *"how many epochs of
+    each source"* table every data-constrained scaling decision reads
+    (repeat_u4 > 10000 means the source repeats; beyond ~4x repeats
+    returns diminish, which is exactly what this relation surfaces).
+
+    Scale: one tokenize scan aggregated by source (map-side partials,
+    source cardinality rows), a 1-row totals aggregate broadcast
+    back, and integer arithmetic on the source relation. The floor
+    division keeps both engines bit-identical — no float ratio.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    toks = fan_out(spark, docs).select(
+        "source", F.explode(F.split("text", " ")).alias("term")
+    )
+    per_src = toks.groupBy("source").agg(F.count("*").alias("n_tokens"))
+    n_docs = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    tot = per_src.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count("*").alias("n_sources"),
+    )
+    budget = F.floor(
+        F.col("total_tokens") * EPOCH_BUDGET_MULT / F.col("n_sources")
+    ).cast("long")
+    out = (
+        n_docs.join(per_src, "source")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("budget_tokens", budget)
+    )
+    return out.select(
+        "source",
+        "n_docs",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "budget_tokens",
+        F.floor(F.col("budget_tokens") * 10000 / F.col("n_tokens"))
+        .cast("long")
+        .alias("repeat_u4"),
     )

@@ -270,3 +270,67 @@ def test_audio_dynamics_brackets_fingerprint(spark):
     fp = QUERIES["multimodal_audio_fingerprint"](spark, SF_DIR).toPandas()
     m = dyn.merge(fp, on="doc_id")
     assert (m.n_below_mean + m.n_bits_set <= AFP_WINDOWS).all()
+
+
+def test_t_closeness_matches_pandas_tv(spark):
+    from clj_kinesis_to_firehose_spark.operators.engine_ext import (
+        T_CLOSE_CLASSES,
+    )
+
+    ev = _events(spark)
+    ev["day"] = ev.ts.dt.date.astype(str)
+    ev["sclass"] = ev.user_id % T_CLOSE_CLASSES
+    n = len(ev)
+    glob = ev.groupby("sclass").size()
+    got = QUERIES["dq_t_closeness"](spark, SF_DIR).toPandas()
+    assert len(got) == ev.groupby(["event_type", "day"]).ngroups
+    for _, row in got.iterrows():
+        grp = ev[(ev.event_type == row.event_type) & (ev.day == row.day)]
+        ng = len(grp)
+        tv_num = sum(
+            abs(
+                int((grp.sclass == c).sum()) * n
+                - int(glob.get(c, 0)) * ng
+            )
+            for c in range(T_CLOSE_CLASSES)
+        )
+        assert row.n_rows == ng
+        assert row.tv_num == tv_num
+        assert row.breaches_t == int(tv_num * 5 > 2 * n * ng)
+    # tv_num/(2*N*ng) is a true TV distance: bounded by 1
+    assert (got.tv_num <= 2 * n * got.n_rows).all()
+
+
+def test_fim_spans_partition_and_head(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").toPandas()
+    got = QUERIES["corpus_fim_spans"](spark, SF_DIR).toPandas()
+    m = got.merge(docs[["doc_id", "text"]], on="doc_id")
+    # the three spans tile the document exactly
+    assert (m.prefix_len + m.middle_len + m.suffix_len == m.n_chars).all()
+    assert (m.prefix_len >= 0).all() and (m.suffix_len >= 0).all()
+    # middle_head is the real text at the computed offset
+    for _, r in m.head(50).iterrows():
+        start = int(r.prefix_len)
+        assert r.middle_head == r.text[start:start + 8]
+    # deterministic: two runs give identical spans
+    again = QUERIES["corpus_fim_spans"](spark, SF_DIR).toPandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values("doc_id").reset_index(drop=True),
+        again.sort_values("doc_id").reset_index(drop=True),
+    )
+
+
+def test_epoch_schedule_budget_law(spark):
+    from clj_kinesis_to_firehose_spark.operators.engine_ext import (
+        EPOCH_BUDGET_MULT,
+    )
+
+    got = QUERIES["corpus_epoch_schedule"](spark, SF_DIR).toPandas()
+    total = got.n_tokens.sum()
+    s = len(got)
+    budget = (total * EPOCH_BUDGET_MULT) // s
+    assert (got.budget_tokens == budget).all()
+    for _, r in got.iterrows():
+        assert r.repeat_u4 == budget * 10000 // r.n_tokens
+    # the data-constrained regime: at least one source must repeat
+    assert (got.repeat_u4 > 10000).any()
