@@ -82,6 +82,7 @@ _OPERATOR_MODULES = [
     "curation_r11",
     "curation_r12",
     "engine_ext",
+    "posttrain",
 ]
 
 _loaded = False

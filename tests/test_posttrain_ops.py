@@ -1,0 +1,156 @@
+"""Behavioral tests for the post-training assembly family
+(operators/posttrain.py) — semantic laws the DuckDB hash check can't
+express: margin positivity, budget ceilings, offset contiguity,
+mask-span algebra, and plan shape (broadcast apply, single Exchange
+for the two-window trim)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clj_kinesis_to_firehose_spark.registry import queries
+from tests.conftest import SF_DIR
+
+QUERIES = queries()
+
+
+def test_pref_pairs_have_positive_margin_and_same_cohort(spark):
+    out = QUERIES["pref_pair_assembly"](spark, SF_DIR).toPandas()
+    assert len(out) > 0
+    # chosen beats rejected: margin d1/t1 - d2/t2 > 0 in exact rational form
+    assert (out.margin_num > 0).all()
+    assert (out.margin_den > 0).all()
+    assert (out.chosen_doc_id != out.rejected_doc_id).all()
+    # length de-bias contract: both sides of a pair share the bucket, so
+    # token counts differ by < 2 bucket widths
+    assert (
+        (out.chosen_tokens // 50) == (out.rejected_tokens // 50)
+    ).all(), "pair crosses its length bucket"
+
+
+def test_pref_stats_share_is_consistent_with_pairs(spark):
+    pairs = QUERIES["pref_pair_assembly"](spark, SF_DIR).toPandas()
+    stats = QUERIES["pref_pair_stats"](spark, SF_DIR).toPandas()
+    assert stats.n_pairs.sum() == len(pairs)
+    # fixed-point share recomputes from the integer counts
+    for _, r in stats.iterrows():
+        assert r.share_chosen_longer_u4 == (10000 * r.n_chosen_longer) // r.n_pairs
+
+
+def test_winrate_matrix_shares_sum_per_loser(spark):
+    out = QUERIES["pref_winrate_matrix"](spark, SF_DIR).toPandas()
+    per_loser = out.groupby("rejected_source")
+    for loser, g in per_loser:
+        assert g.n_wins.sum() == g.n_losses_of_rejected.iloc[0]
+        # each FLOOR share under-approximates; the sum of true shares is 1
+        assert g.share_of_losses_u4.sum() <= 10000
+        assert g.share_of_losses_u4.sum() > 10000 - len(g)
+
+
+def test_conversation_transcript_turn_count_matches_lines(spark):
+    out = QUERIES["chat_conversation_assembly"](spark, SF_DIR).toPandas()
+    assert len(out) > 0
+    n_lines = out.transcript.str.count("\n") + 1
+    assert (n_lines == out.n_turns).all()
+    assert (out.n_assistant_turns <= out.n_turns).all()
+    # role tags are the only line openers
+    assert out.transcript.str.match(r"<(user|assistant|system)> ").all()
+
+
+def test_context_trim_respects_budget_and_offsets_are_contiguous(spark):
+    out = (
+        QUERIES["chat_context_trim"](spark, SF_DIR)
+        .orderBy("user_id", "month", "turn_idx")
+        .toPandas()
+    )
+    assert len(out) > 0
+    for (_, _), g in out.groupby(["user_id", "month"]):
+        # total kept cost within budget (cost = ws tokens of each line)
+        kept_cost = g.line.str.split(" ").map(len).sum()
+        assert kept_cost <= 12
+        # offsets tile the packed transcript: next start = prev end + 1
+        starts, ends = list(g.start_char), list(g.end_char)
+        assert starts[0] == 0
+        for i in range(1, len(g)):
+            assert starts[i] == ends[i - 1] + 1
+        # loss mask marks exactly the assistant turns
+        assert ((g.role == "assistant") == g.loss_mask).all()
+
+
+def test_context_trim_keeps_the_newest_turns(spark):
+    """The trim is a SUFFIX: every dropped turn is older than every
+    kept turn within its conversation."""
+    full = QUERIES["chat_conversation_assembly"](spark, SF_DIR).toPandas()
+    kept = QUERIES["chat_context_trim"](spark, SF_DIR).toPandas()
+    kept_per_conv = kept.groupby(["user_id", "month"]).event_id.count()
+    full_idx = full.set_index(["user_id", "month"]).n_turns
+    # trimmed conversations keep at most as many turns as they had
+    for conv, n_kept in kept_per_conv.items():
+        assert n_kept <= full_idx.loc[conv]
+
+
+def test_sft_loss_mask_span_algebra(spark):
+    out = QUERIES["corpus_sft_loss_mask"](spark, SF_DIR).toPandas()
+    # trainable: mask starts right after the prompt + separating space;
+    # untrainable: the span collapses to [n_chars, n_chars)
+    t = out[out.trainable]
+    assert (t.mask_start == t.prompt_chars + 1).all()
+    u = out[~out.trainable]
+    assert (u.mask_start == u.mask_end).all()
+    assert (out.mask_end >= out.mask_start).all()
+    # trainable iff the masked span is non-empty
+    assert ((out.mask_end > out.mask_start) == out.trainable).all()
+    # no response -> zero loss-bearing tokens
+    assert (out.loc[~out.trainable, "masked_bpe_tokens"] == 0).all()
+    assert (out.loc[out.trainable, "masked_bpe_tokens"] > 0).any()
+
+
+def test_tokenizer_eval_floor_units_recompute(spark):
+    out = QUERIES["tokenizer_compression_eval"](spark, SF_DIR).toPandas()
+    for _, r in out.iterrows():
+        assert r.chars_per_token_u4 == int(
+            10000.0 * r.total_chars / r.total_bpe_tokens
+        )
+        assert r.fertility_u4 == int(
+            10000.0 * r.total_bpe_tokens / r.total_ws_tokens
+        )
+
+
+def test_minmax_scale_bounds_and_broadcast_plan(spark):
+    df = QUERIES["feature_minmax_scale"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, "fit/apply join must broadcast the fit"
+    out = df.toPandas()
+    assert out.scaled_u6.min() == 0
+    assert out.scaled_u6.max() == 1000000
+    # per-group extremes hit the bounds
+    for _, g in out.groupby("l_returnflag"):
+        assert g.scaled_u6.min() == 0 and g.scaled_u6.max() == 1000000
+
+
+def test_context_trim_plans_one_exchange_for_both_windows(spark):
+    plan = (
+        QUERIES["chat_context_trim"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, (
+        f"expected the two window passes to share one Exchange, got "
+        f"{n_exchanges}"
+    )
+
+
+def test_woe_binning_odds_identity(spark):
+    out = QUERIES["feature_woe_binning"](spark, SF_DIR).toPandas()
+    tot_pos, tot_neg = out.n_pos.sum(), out.n_neg.sum()
+    assert (out.odds_num == out.n_pos * tot_neg).all()
+    assert (out.odds_den == out.n_neg * tot_pos).all()
+    both = out[(out.n_pos > 0) & (out.n_neg > 0)]
+    assert (
+        both.odds_ratio_u6 == (1000000.0 * both.odds_num / both.odds_den).astype(int)
+    ).all()
+    # degenerate bins emit NULL, never a fabricated ratio
+    degen = out[(out.n_pos == 0) | (out.n_neg == 0)]
+    assert degen.odds_ratio_u6.isna().all()
