@@ -731,3 +731,366 @@ def feature_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         ).alias("odds_ratio_u6"),
     )
+
+
+# --- pref_bt_strength -----------------------------------------------------------
+
+#: fixed MM iterations of the Bradley-Terry fit. Fixed (not
+#: to-convergence) so the unrolled oracle and the DataFrame loop
+#: compute the identical relation; production raises it and keeps the
+#: same per-iteration plan.
+BT_ITERS = 3
+
+#: strength fixed-point scale (1e6 units) and the division scale used
+#: inside each MM step (1e12 = strength scale squared).
+BT_S0 = 1_000_000
+
+
+def _sql_bt_strength() -> str:
+    """Unrolled Bradley-Terry MM iterations as chained CTEs — the
+    bpe_learn_merges oracle pattern: the SQL performs the SAME
+    fixed-point arithmetic per iteration, so the hash pins every
+    intermediate strength, not just the final ranking."""
+    head = f"""
+    WITH pairs AS ({oracle("pref_pair_assembly")}),
+    wins AS (
+      SELECT chosen_source AS i, rejected_source AS j, COUNT(*) AS w
+      FROM pairs GROUP BY 1, 2
+    ),
+    sources AS (
+      SELECT DISTINCT i FROM (
+        SELECT i FROM wins UNION ALL SELECT j AS i FROM wins
+      )
+    ),
+    games AS (
+      SELECT i, j, CAST(SUM(w) AS BIGINT) AS n FROM (
+        SELECT i, j, w FROM wins
+        UNION ALL
+        SELECT j AS i, i AS j, w FROM wins
+      ) GROUP BY i, j
+    ),
+    tot_wins AS (
+      SELECT i, CAST(SUM(w) AS BIGINT) AS wins FROM wins GROUP BY i
+    ),
+    s0 AS (SELECT i, CAST({BT_S0} AS BIGINT) AS s FROM sources)
+    """
+    steps = []
+    for k in range(1, BT_ITERS + 1):
+        p = k - 1
+        steps.append(
+            f""",
+    t{k} AS (
+      SELECT g.i,
+             CAST(FLOOR(1000000000000.0 * g.n / (si.s + sj.s)) AS BIGINT)
+               AS term
+      FROM games g
+      JOIN s{p} si ON g.i = si.i
+      JOIN s{p} sj ON g.j = sj.i
+    ),
+    d{k} AS (SELECT i, CAST(SUM(term) AS BIGINT) AS d FROM t{k} GROUP BY i),
+    s{k} AS (
+      SELECT s{p}.i,
+             CASE WHEN w.wins IS NULL OR d.d IS NULL OR d.d = 0 THEN s{p}.s
+                  ELSE CAST(FLOOR(1000000000000.0 * w.wins / d.d) AS BIGINT)
+             END AS s
+      FROM s{p}
+      LEFT JOIN tot_wins w ON s{p}.i = w.i
+      LEFT JOIN d{k} d ON s{p}.i = d.i
+    )"""
+        )
+    tail = f"""
+    SELECT s.i AS source,
+           s.s AS strength_u6,
+           CAST(COALESCE(w.wins, 0) AS BIGINT) AS n_wins,
+           CAST(COALESCE(g.n_games, 0) AS BIGINT) AS n_games,
+           CAST(ROW_NUMBER() OVER (ORDER BY s.s DESC, s.i) AS BIGINT)
+             AS strength_rank
+    FROM s{BT_ITERS} s
+    LEFT JOIN tot_wins w ON s.i = w.i
+    LEFT JOIN (SELECT i, SUM(n) AS n_games FROM games GROUP BY i) g
+      ON s.i = g.i
+    """
+    return head + "".join(steps) + tail
+
+
+@register("pref_bt_strength", oracle=_sql_bt_strength())
+def pref_bt_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry source-strength fit over the preference pairs —
+    the trainer-side consumer of pref_winrate_matrix's sufficient
+    statistic, run as {BT_ITERS} minorize-maximize iterations:
+    s_i <- W_i / sum_j n_ij / (s_i + s_j). Every intermediate value is
+    integer fixed-point (strengths in 1e-6 units, per-pair MM terms
+    FLOORed to integers BEFORE the per-source sum), so the iteration
+    is deterministic under any partitioning and the unrolled-CTE
+    oracle reproduces it bit-for-bit — the bpe_learn_merges exactness
+    pattern applied to an iterative numeric fit. Sources with no wins
+    (or an empty denominator) keep their prior strength rather than
+    dividing by zero.
+
+    Scale: state is one row per SOURCE (corpus-card cardinality, not
+    corpus cardinality); each iteration is two joins of the games
+    relation against the strength relation plus a source-keyed sum.
+    Nothing collects — the loop chains {BT_ITERS} small DataFrame
+    stages, the production shape for raising the iteration count
+    (with periodic localCheckpoint, as bpe_learn_merges_scaled
+    demonstrates for a 64-step loop).
+    """
+    pairs = pref_pair_assembly(spark, sf_dir)
+    wins = pairs.groupBy(
+        F.col("chosen_source").alias("i"), F.col("rejected_source").alias("j")
+    ).agg(F.count("*").alias("w"))
+    sources = (
+        wins.select("i").union(wins.select(F.col("j").alias("i"))).distinct()
+    )
+    games = (
+        wins.select("i", "j", "w")
+        .union(wins.select(F.col("j").alias("i"), F.col("i").alias("j"), "w"))
+        .groupBy("i", "j")
+        .agg(F.sum("w").cast("long").alias("n"))
+    )
+    tot_wins = wins.groupBy("i").agg(F.sum("w").cast("long").alias("wins"))
+
+    s = sources.select("i", F.lit(BT_S0).cast("long").alias("s"))
+    for _ in range(BT_ITERS):
+        terms = (
+            games.alias("g")
+            .join(s.alias("si"), F.col("g.i") == F.col("si.i"))
+            .join(s.alias("sj"), F.col("g.j") == F.col("sj.i"))
+            .select(
+                F.col("g.i").alias("i"),
+                F.floor(
+                    F.lit(1000000000000.0)
+                    * F.col("g.n")
+                    / (F.col("si.s") + F.col("sj.s"))
+                )
+                .cast("long")
+                .alias("term"),
+            )
+        )
+        denom = terms.groupBy("i").agg(F.sum("term").cast("long").alias("d"))
+        s = (
+            s.join(tot_wins, "i", "left")
+            .join(denom, "i", "left")
+            .select(
+                "i",
+                F.when(
+                    F.col("wins").isNull()
+                    | F.col("d").isNull()
+                    | (F.col("d") == 0),
+                    F.col("s"),
+                )
+                .otherwise(
+                    F.floor(
+                        F.lit(1000000000000.0) * F.col("wins") / F.col("d")
+                    ).cast("long")
+                )
+                .alias("s"),
+            )
+        )
+    n_games = games.groupBy("i").agg(F.sum("n").alias("n_games"))
+    return (
+        s.join(tot_wins, "i", "left")
+        .join(n_games, "i", "left")
+        .select(
+            F.col("i").alias("source"),
+            F.col("s").alias("strength_u6"),
+            F.coalesce(F.col("wins"), F.lit(0)).cast("long").alias("n_wins"),
+            F.coalesce(F.col("n_games"), F.lit(0))
+            .cast("long")
+            .alias("n_games"),
+            F.row_number()
+            .over(
+                Window.orderBy(F.col("s").desc(), F.col("i"))
+            )
+            .cast("long")
+            .alias("strength_rank"),
+        )
+    )
+
+
+# --- crawl_politeness_budget ------------------------------------------------------
+
+#: total page-fetch budget one crawl cycle may spend across all hosts.
+CRAWL_BUDGET = 10_000
+
+
+@register(
+    "crawl_politeness_budget",
+    oracle=f"""
+    WITH hosts AS (
+      SELECT source AS host, COUNT(*) AS n_docs,
+             CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+             CAST(FLOOR(1000000.0 * SQRT(COUNT(*))) AS BIGINT) AS weight_u6
+      FROM documents GROUP BY source
+    ), alloc AS (
+      SELECT *,
+             CAST(SUM(weight_u6) OVER () AS BIGINT) AS tot_weight_u6,
+             CAST(FLOOR({CRAWL_BUDGET}.0 * weight_u6 /
+                        SUM(weight_u6) OVER ()) AS BIGINT) AS quota_floor,
+             CAST(({CRAWL_BUDGET} * weight_u6) %
+                  CAST(SUM(weight_u6) OVER () AS BIGINT) AS BIGINT)
+               AS remainder
+      FROM hosts
+    ), leftover AS (
+      SELECT CAST({CRAWL_BUDGET} - SUM(quota_floor) AS BIGINT) AS n_extra
+      FROM alloc
+    )
+    SELECT a.host, a.n_docs, a.total_chars, a.weight_u6, a.quota_floor,
+           a.quota_floor
+             + CASE WHEN ROW_NUMBER() OVER (ORDER BY a.remainder DESC, a.host)
+                         <= l.n_extra
+                    THEN 1 ELSE 0 END AS quota
+    FROM alloc a CROSS JOIN leftover l
+    """,
+)
+def crawl_politeness_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier politeness allocation: a global per-cycle fetch
+    budget split across hosts proportional to sqrt(host size) — the
+    sublinear-politeness rule that keeps big hosts from monopolizing
+    the frontier — with the fractional seats assigned by the
+    largest-remainder method so the quotas sum EXACTLY to the budget.
+    Everything is integer: weights are FLOOR(1e6*sqrt(n)) (IEEE sqrt
+    is correctly rounded, so both engines produce the identical
+    double), the total weight is an integer sum (order-free), the
+    floor quota divides two integers, and the remainder is integer
+    modulo — no double ever aggregates.
+
+    Scale: one aggregate to host cardinality, then windows over HOST
+    rows only (the frontier allocation table is host-sized at any
+    corpus scale). At 10^9 pages the same plan emits one row per host.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hosts = docs.groupBy(F.col("source").alias("host")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+        F.floor(F.lit(1000000.0) * F.sqrt(F.count("*")))
+        .cast("long")
+        .alias("weight_u6"),
+    )
+    every = Window.partitionBy()
+    alloc = hosts.select(
+        "*",
+        F.sum("weight_u6").over(every).cast("long").alias("tot_weight_u6"),
+    ).select(
+        "*",
+        F.floor(
+            F.lit(float(CRAWL_BUDGET)) * F.col("weight_u6") / F.col("tot_weight_u6")
+        )
+        .cast("long")
+        .alias("quota_floor"),
+        (F.lit(CRAWL_BUDGET) * F.col("weight_u6") % F.col("tot_weight_u6"))
+        .cast("long")
+        .alias("remainder"),
+    )
+    leftover = alloc.agg(
+        (F.lit(CRAWL_BUDGET) - F.sum("quota_floor")).cast("long").alias("n_extra")
+    )
+    seat_rank = F.row_number().over(
+        Window.orderBy(F.col("remainder").desc(), F.col("host"))
+    )
+    return alloc.crossJoin(F.broadcast(leftover)).select(
+        "host",
+        "n_docs",
+        "total_chars",
+        "weight_u6",
+        "quota_floor",
+        (
+            F.col("quota_floor")
+            + F.when(seat_rank <= F.col("n_extra"), 1).otherwise(0)
+        ).alias("quota"),
+    )
+
+
+# --- stream_chat_assembly ----------------------------------------------------------
+
+
+@register(
+    "stream_chat_assembly",
+    executes_on_build=True,
+    oracle=oracle("chat_conversation_assembly"),
+)
+def stream_chat_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation assembly IN the ingest stream: events arrive as
+    micro-batches and foreachBatch writes each batch's PARTIAL
+    conversations — (conversation key, turn count, assistant count,
+    sorted turn-struct array) — epoch-keyed; the final pass merges
+    partials by flattening the arrays and re-running the SAME
+    canonical (ts, event_id) in-array sort. Because the sort is
+    content-canonical (never arrival-order), merged transcripts equal
+    the batch build EXACTLY — same oracle as
+    chat_conversation_assembly: micro-batch boundaries cannot change
+    a transcript. This is the mergeable-partials proof for ORDERED
+    string aggregation, the one aggregate shape whose merge step is
+    not a plain SUM.
+
+    Scale: per batch one conversation-keyed agg over batch rows;
+    partials are conversation-sized; the merge flattens K
+    batch-partials per conversation (K = slice count, bounded).
+    Epoch-keyed OVERWRITE keeps at-least-once re-execution idempotent.
+    """
+    from clj_kinesis_to_firehose_spark.sources import scratch_dir
+    from clj_kinesis_to_firehose_spark.sources.streams import (
+        read_event_stream,
+        write_replay_slices,
+    )
+
+    replay = write_replay_slices(spark, sf_dir, n_slices=4)
+    out_dir = scratch_dir("kf_chat_ingest_")
+
+    def assemble_batch(batch_df: DataFrame, epoch: int) -> None:
+        role = (
+            F.when(F.col("event_type").isin("view", "click"), "user")
+            .when(F.col("event_type").isin("purchase", "signup"), "assistant")
+            .otherwise("system")
+        )
+        turns = batch_df.select(
+            "user_id",
+            F.date_format(F.date_trunc("month", "ts"), "yyyy-MM").alias(
+                "month"
+            ),
+            "ts",
+            "event_id",
+            role.alias("role"),
+            F.concat(
+                F.lit("<"),
+                role,
+                F.lit("> "),
+                F.col("event_type"),
+                F.lit(" #"),
+                F.col("event_id").cast("string"),
+            ).alias("line"),
+        )
+        partial = turns.groupBy("user_id", "month").agg(
+            F.count("*").alias("n_turns"),
+            F.sum((F.col("role") == "assistant").cast("int"))
+            .cast("long")
+            .alias("n_assistant_turns"),
+            F.collect_list(F.struct("ts", "event_id", "line")).alias("turns"),
+        )
+        partial.write.mode("overwrite").parquet(f"{out_dir}/epoch_{epoch}")
+
+    q = (
+        read_event_stream(spark, replay)
+        .writeStream.foreachBatch(assemble_batch)
+        .option("checkpointLocation", scratch_dir("kf_chat_chk_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    merged = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(out_dir)
+        .groupBy("user_id", "month")
+        .agg(
+            F.sum("n_turns").cast("long").alias("n_turns"),
+            F.sum("n_assistant_turns").cast("long").alias("n_assistant_turns"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.flatten(F.collect_list("turns"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("transcript"),
+        )
+    )
+    return merged

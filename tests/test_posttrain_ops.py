@@ -154,3 +154,49 @@ def test_woe_binning_odds_identity(spark):
     # degenerate bins emit NULL, never a fabricated ratio
     degen = out[(out.n_pos == 0) | (out.n_neg == 0)]
     assert degen.odds_ratio_u6.isna().all()
+
+
+def test_bt_strength_laws(spark):
+    out = QUERIES["pref_bt_strength"](spark, SF_DIR).toPandas()
+    assert len(out) > 0
+    assert (out.strength_u6 > 0).all()
+    # rank is a 1..n permutation ordered by strength desc
+    assert sorted(out.strength_rank) == list(range(1, len(out) + 1))
+    by_rank = out.sort_values("strength_rank")
+    assert by_rank.strength_u6.is_monotonic_decreasing
+    # games are symmetric counts: each pair contributes to both sides
+    assert out.n_games.sum() == 2 * out.n_wins.sum()
+    # zero-win sources keep the prior strength (MM guard, no div-by-zero)
+    zero = out[out.n_wins == 0]
+    assert (zero.strength_u6 == 1_000_000).all()
+
+
+def test_crawl_budget_sums_exactly_and_stays_within_one_seat(spark):
+    out = QUERIES["crawl_politeness_budget"](spark, SF_DIR).toPandas()
+    assert out.quota.sum() == 10_000
+    assert ((out.quota - out.quota_floor).isin([0, 1])).all()
+    # sublinear politeness: weight is monotone in host size
+    s = out.sort_values("n_docs")
+    assert s.weight_u6.is_monotonic_increasing
+
+
+def test_stream_chat_assembly_equals_batch_build(spark):
+    """Micro-batch boundaries cannot change a transcript: the streaming
+    merge of sorted partials equals the batch build row-for-row."""
+    batch = (
+        QUERIES["chat_conversation_assembly"](spark, SF_DIR)
+        .orderBy("user_id", "month")
+        .toPandas()
+    )
+    streamed = (
+        QUERIES["stream_chat_assembly"](spark, SF_DIR)
+        .orderBy("user_id", "month")
+        .toPandas()
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        batch.reset_index(drop=True),
+        streamed.reset_index(drop=True),
+        check_dtype=False,
+    )
