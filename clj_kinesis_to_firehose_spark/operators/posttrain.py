@@ -1094,3 +1094,212 @@ def stream_chat_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merged
+
+
+# --- pref_train_manifest ---------------------------------------------------------
+
+#: shard count for the DPO training manifest (stateless hash shards —
+#: the corpus_shard_manifest rule applied to pairs).
+PREF_SHARDS = 4
+
+
+def _sql_pref_train_manifest() -> str:
+    return f"""
+    WITH pairs AS ({oracle("pref_pair_assembly")}),
+    placed AS (
+      SELECT *,
+             CAST(('0x' || SUBSTR(MD5(lang || '|' ||
+                                      CAST(tok_bucket AS VARCHAR)), 1, 8))
+                  AS UBIGINT) % 100 AS cohort_bucket,
+             CAST(('0x' || SUBSTR(MD5(CAST(chosen_doc_id AS VARCHAR)
+                                      || ':' ||
+                                      CAST(rejected_doc_id AS VARCHAR)), 1, 8))
+                  AS UBIGINT) % {PREF_SHARDS} AS shard_id
+      FROM pairs
+    )
+    SELECT lang, tok_bucket, chosen_doc_id, rejected_doc_id,
+           chosen_source, rejected_source,
+           CASE WHEN cohort_bucket < 80 THEN 'train'
+                WHEN cohort_bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(CASE WHEN cohort_bucket < 80 THEN shard_id
+                     ELSE NULL END AS BIGINT) AS shard_id,
+           CAST(FLOOR(1000000.0 * margin_num / margin_den) AS BIGINT)
+             AS margin_u6
+    FROM placed
+    """
+
+
+@register("pref_train_manifest", oracle=_sql_pref_train_manifest())
+def pref_train_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The post-training capstone (corpus_train_manifest's DPO twin):
+    preference pairs x leakage-safe split x stateless shard, in one
+    relation a trainer consumes directly. The split hashes the COHORT
+    key (lang, tok_bucket) — never the document — so both sides of a
+    pair land in the same split by construction and near-identical
+    prompts can't straddle train/test (the split_group_holdout rule
+    applied to pairs); eval pairs carry a NULL shard (they are never
+    sharded for training). Shards hash the pair identity — stateless,
+    so re-runs and late-arriving pairs shard identically with no
+    global coordination.
+
+    Scale: two scan-stage md5 projections over the pair relation —
+    zero additional shuffles beyond pref_pair_assembly itself. The
+    portable-hash rule (md5 hex head -> integer) is the engine's ONE
+    split/shard primitive, shared with sample_hash_split and
+    corpus_shard_manifest.
+    """
+    pairs = pref_pair_assembly(spark, sf_dir)
+    cohort_bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("lang"),
+                        F.lit("|"),
+                        F.col("tok_bucket").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("chosen_doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("rejected_doc_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % PREF_SHARDS
+    )
+    split = (
+        F.when(cohort_bucket < 80, "train")
+        .when(cohort_bucket < 90, "val")
+        .otherwise("test")
+    )
+    return pairs.select(
+        "lang",
+        "tok_bucket",
+        "chosen_doc_id",
+        "rejected_doc_id",
+        "chosen_source",
+        "rejected_source",
+        split.alias("split"),
+        F.when(cohort_bucket < 80, shard).cast("long").alias("shard_id"),
+        F.floor(F.lit(1000000.0) * F.col("margin_num") / F.col("margin_den"))
+        .cast("long")
+        .alias("margin_u6"),
+    )
+
+
+# --- corpus_dedup_savings ---------------------------------------------------------
+
+
+@register(
+    "corpus_dedup_savings",
+    oracle="""
+    WITH keepers AS (
+      SELECT text, MIN(doc_id) AS keeper_doc_id FROM documents GROUP BY text
+    ), marked AS (
+      SELECT d.source, d.n_chars,
+             CASE WHEN d.doc_id <> k.keeper_doc_id THEN 1 ELSE 0 END AS is_dup
+      FROM documents d JOIN keepers k ON d.text = k.text
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(is_dup) AS BIGINT) AS n_dupes,
+           CAST(SUM(n_chars) AS BIGINT) AS total_bytes,
+           CAST(SUM(CASE WHEN is_dup = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS bytes_saved,
+           CAST(FLOOR(10000.0 * SUM(CASE WHEN is_dup = 1 THEN n_chars
+                                         ELSE 0 END) / SUM(n_chars))
+                AS BIGINT) AS savings_share_u4
+    FROM marked GROUP BY source
+    """,
+)
+def corpus_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ROI report a storage review asks for: per source, how
+    many rows and how many bytes exact dedup removes (keeper = min
+    doc_id per identical text, dedup_exact's rule restated on the row
+    side). The savings share is FLOOR 1e-4 fixed-point over exact
+    integer byte sums.
+
+    Scale: one shuffle on the text key to find keepers (the same
+    shuffle dedup_exact already pays), a join back to rows, one
+    source-keyed aggregate with map-side partials. The keeper join is
+    deliberately UNHINTED: at bench scale Catalyst broadcasts the
+    keeper relation; at 100 TB (keepers corpus-sized) AQE falls back
+    to a sort-merge join that can reuse the groupBy's text-key hash
+    partitioning — the same leave-it-to-AQE rule join_star_multiway's
+    customer side follows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    keepers = docs.groupBy("text").agg(
+        F.min("doc_id").alias("keeper_doc_id")
+    )
+    marked = docs.join(keepers, "text").select(
+        "source",
+        "n_chars",
+        (F.col("doc_id") != F.col("keeper_doc_id")).cast("int").alias("is_dup"),
+    )
+    saved = F.sum(F.when(F.col("is_dup") == 1, F.col("n_chars")).otherwise(0))
+    return marked.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("is_dup").cast("long").alias("n_dupes"),
+        F.sum("n_chars").cast("long").alias("total_bytes"),
+        saved.cast("long").alias("bytes_saved"),
+        F.floor(F.lit(10000.0) * saved / F.sum("n_chars"))
+        .cast("long")
+        .alias("savings_share_u4"),
+    )
+
+
+# --- udf_arrow_scalar --------------------------------------------------------------
+
+
+@register(
+    "udf_arrow_scalar",
+    oracle="""
+    SELECT event_id,
+           user_id * 31 + LENGTH(event_type) AS checksum
+    FROM events WHERE event_id < 2000
+    """,
+)
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python scalar UDF (`useArrow=True`) — the
+    Spark 4 middle path between the row-pickling K1 contract and the
+    explicitly-vectorized K2 pandas_udf: the author writes a plain
+    per-row Python function and the engine batches rows over Arrow
+    transparently. Completes the K-family's serialization matrix
+    (pickled row / Arrow-batched row / pandas series / pandas
+    group / Arrow table / UDTF).
+
+    Scale: Arrow batching removes the per-row pickle tax but this is
+    still a Python-boundary crossing — the house rule stands (built-in
+    expressions first); the op exists to prove the contract, on a
+    filtered slice, like K1.
+    """
+    from pyspark.sql.functions import udf
+
+    @udf("long", useArrow=True)
+    def checksum(user_id: int, event_type: str) -> int:
+        return user_id * 31 + len(event_type)
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    return ev.select(
+        "event_id", checksum("user_id", "event_type").alias("checksum")
+    )

@@ -200,3 +200,54 @@ def test_stream_chat_assembly_equals_batch_build(spark):
         streamed.reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_pref_manifest_is_leakage_safe_and_shards_only_train(spark):
+    out = QUERIES["pref_train_manifest"](spark, SF_DIR).toPandas()
+    pairs = QUERIES["pref_pair_assembly"](spark, SF_DIR).toPandas()
+    assert len(out) == len(pairs)
+    # split is a pure function of the cohort: one split per cohort
+    per_cohort = out.groupby(["lang", "tok_bucket"]).split.nunique()
+    assert (per_cohort == 1).all()
+    # shards exist exactly on train rows, within range
+    train = out[out.split == "train"]
+    assert train.shard_id.notna().all()
+    assert train.shard_id.isin(range(4)).all()
+    assert out[out.split != "train"].shard_id.isna().all()
+
+
+def test_dedup_savings_consistent_with_dedup_exact(spark):
+    savings = QUERIES["corpus_dedup_savings"](spark, SF_DIR).toPandas()
+    groups = QUERIES["dedup_exact"](spark, SF_DIR).toPandas()
+    # total dupes = total rows - distinct texts
+    assert savings.n_dupes.sum() == savings.n_docs.sum() - len(groups)
+    assert (savings.bytes_saved <= savings.total_bytes).all()
+    for _, r in savings.iterrows():
+        assert r.savings_share_u4 == (10000 * r.bytes_saved) // r.total_bytes
+
+
+def test_dedup_savings_join_is_unhinted_and_pushdown_survives(spark):
+    """The keeper join is unhinted (AQE decides: broadcast at bench
+    scale, text-co-located SMJ at corpus scale) and the scan stays
+    column-pruned: only the four referenced columns are read."""
+    plan = (
+        QUERIES["corpus_dedup_savings"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+    assert "ReadSchema: struct<doc_id:bigint,text:string,source:string,n_chars:bigint>" in plan
+
+
+def test_udf_arrow_scalar_matches_builtin_expression(spark):
+    from clj_kinesis_to_firehose_spark.sources import load_table
+
+    out = QUERIES["udf_arrow_scalar"](spark, SF_DIR)
+    ev = load_table(spark, SF_DIR, "events").filter(F.col("event_id") < 2000)
+    expected = ev.select(
+        "event_id",
+        (F.col("user_id") * 31 + F.length("event_type")).alias("checksum"),
+    )
+    assert out.exceptAll(expected).count() == 0
+    assert expected.exceptAll(out).count() == 0
