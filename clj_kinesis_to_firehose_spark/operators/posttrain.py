@@ -99,11 +99,16 @@ def pref_pair_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical total order, which is safe — only ROUNDING a ratio
     is a half-boundary channel, comparing it is not.
 
-    Scale: both ROW_NUMBER windows share the (lang, tok_bucket)
-    partition key, so Catalyst plans ONE Exchange; group sizes are a
-    corpus fraction (languages x length buckets), never the corpus.
-    The rank-1 x rank-1 self-join keys on the same bounded cohort
-    key. Nothing is global, nothing collects.
+    Scale: the Spark side selects both cohort extremes in ONE
+    aggregation pass — max_by/min_by over the total-order struct
+    (ratio, ±doc_id) — so the whole operator is one scan plus one
+    shuffle on the cohort key, with map-side partial extremes. (The
+    first cut ranked with two windows and self-joined rank-1 rows:
+    same relation, but two Exchanges and a join — the aggregate form
+    is strictly better and the oracle pins that both formulations
+    agree.) The comparator struct is unique per row (doc_id is
+    unique), so the extremes are deterministic. Nothing is global,
+    nothing collects.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
@@ -118,34 +123,31 @@ def pref_pair_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("tok_bucket"),
     )
     ratio = F.col("n_distinct").cast("double") / F.col("n_tokens")
-    cohort = Window.partitionBy("lang", "tok_bucket")
-    ranked = scored.withColumn(
-        "rn_best",
-        F.row_number().over(cohort.orderBy(ratio.desc(), F.col("doc_id"))),
-    ).withColumn(
-        "rn_worst",
-        F.row_number().over(cohort.orderBy(ratio.asc(), F.col("doc_id"))),
+    row = F.struct("doc_id", "source", "n_tokens", "n_distinct")
+    # best = highest ratio, ties to the LOWEST doc_id (hence -doc_id in
+    # a max_by comparator); worst = lowest ratio, ties to lowest doc_id
+    extremes = scored.groupBy("lang", "tok_bucket").agg(
+        F.max_by(row, F.struct(ratio.alias("r"), (-F.col("doc_id")).alias("t")))
+        .alias("b"),
+        F.min_by(row, F.struct(ratio.alias("r"), F.col("doc_id").alias("t")))
+        .alias("w"),
     )
-    best = ranked.filter(F.col("rn_best") == 1).alias("b")
-    worst = ranked.filter(F.col("rn_worst") == 1).alias("w")
-    return (
-        best.join(worst, ["lang", "tok_bucket"])
-        .filter(F.col("b.doc_id") != F.col("w.doc_id"))
-        .select(
-            "lang",
-            "tok_bucket",
-            F.col("b.doc_id").alias("chosen_doc_id"),
-            F.col("w.doc_id").alias("rejected_doc_id"),
-            F.col("b.source").alias("chosen_source"),
-            F.col("w.source").alias("rejected_source"),
-            F.col("b.n_tokens").alias("chosen_tokens"),
-            F.col("w.n_tokens").alias("rejected_tokens"),
-            (
-                F.col("b.n_distinct") * F.col("w.n_tokens")
-                - F.col("w.n_distinct") * F.col("b.n_tokens")
-            ).alias("margin_num"),
-            (F.col("b.n_tokens") * F.col("w.n_tokens")).alias("margin_den"),
-        )
+    return extremes.filter(
+        F.col("b.doc_id") != F.col("w.doc_id")
+    ).select(
+        "lang",
+        "tok_bucket",
+        F.col("b.doc_id").alias("chosen_doc_id"),
+        F.col("w.doc_id").alias("rejected_doc_id"),
+        F.col("b.source").alias("chosen_source"),
+        F.col("w.source").alias("rejected_source"),
+        F.col("b.n_tokens").alias("chosen_tokens"),
+        F.col("w.n_tokens").alias("rejected_tokens"),
+        (
+            F.col("b.n_distinct") * F.col("w.n_tokens")
+            - F.col("w.n_distinct") * F.col("b.n_tokens")
+        ).alias("margin_num"),
+        (F.col("b.n_tokens") * F.col("w.n_tokens")).alias("margin_den"),
     )
 
 
@@ -1302,4 +1304,166 @@ def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
     return ev.select(
         "event_id", checksum("user_id", "event_type").alias("checksum")
+    )
+
+
+# --- pref_bt_calibration -----------------------------------------------------------
+
+
+def _sql_pref_bt_calibration() -> str:
+    return f"""
+    WITH bt AS ({_sql_bt_strength()}),
+    pairs AS ({oracle("pref_pair_assembly")}),
+    wins AS (
+      SELECT chosen_source AS i, rejected_source AS j, COUNT(*) AS w
+      FROM pairs GROUP BY 1, 2
+    ),
+    games AS (
+      SELECT i, j, CAST(SUM(w) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN fwd THEN w ELSE 0 END) AS BIGINT) AS w_i
+      FROM (
+        SELECT i, j, w, TRUE AS fwd FROM wins
+        UNION ALL
+        SELECT j AS i, i AS j, w, FALSE AS fwd FROM wins
+      ) GROUP BY i, j
+    ),
+    scored AS (
+      SELECT g.i, g.j, g.n, g.w_i,
+             CAST(FLOOR(10.0 * si.strength_u6 /
+                        (si.strength_u6 + sj.strength_u6)) AS BIGINT) AS bin_id,
+             CAST(FLOOR(10000.0 * si.strength_u6 /
+                        (si.strength_u6 + sj.strength_u6)) AS BIGINT)
+               AS pred_u4
+      FROM games g
+      JOIN bt si ON g.i = si.source
+      JOIN bt sj ON g.j = sj.source
+    )
+    SELECT bin_id,
+           COUNT(*) AS n_matchups,
+           CAST(SUM(n) AS BIGINT) AS n_games,
+           CAST(SUM(w_i) AS BIGINT) AS n_wins,
+           CAST(SUM(pred_u4) AS BIGINT) AS sum_pred_u4,
+           CAST(FLOOR(10000.0 * SUM(w_i) / SUM(n)) AS BIGINT)
+             AS emp_winrate_u4
+    FROM scored GROUP BY bin_id
+    """
+
+
+@register("pref_bt_calibration", oracle=_sql_pref_bt_calibration())
+def pref_bt_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the Bradley-Terry fit — the eval that
+    closes the fit loop: for every ordered source matchup (i, j), the
+    model's predicted win probability is the exact rational
+    s_i/(s_i+s_j) (integer strengths — the quotient is the identical
+    IEEE double in both engines); matchups are binned by predicted
+    decile and each bin compares the summed prediction against the
+    EMPIRICAL win rate. A calibrated fit puts emp_winrate_u4 near
+    sum_pred_u4/n_matchups per bin. All emissions are integer counts
+    or FLOOR fixed-point — the no-transcendental rule holds through
+    fit AND eval.
+
+    Scale: joins the source-cardinality strength relation onto
+    source-squared matchup cells; bins are 10 rows. Nothing touches
+    corpus-sized data beyond what pref_pair_assembly already paid.
+    """
+    pairs = pref_pair_assembly(spark, sf_dir)
+    bt = pref_bt_strength(spark, sf_dir).select("source", "strength_u6")
+    wins = pairs.groupBy(
+        F.col("chosen_source").alias("i"), F.col("rejected_source").alias("j")
+    ).agg(F.count("*").alias("w"))
+    games = (
+        wins.select("i", "j", "w", F.lit(True).alias("fwd"))
+        .union(
+            wins.select(
+                F.col("j").alias("i"),
+                F.col("i").alias("j"),
+                "w",
+                F.lit(False).alias("fwd"),
+            )
+        )
+        .groupBy("i", "j")
+        .agg(
+            F.sum("w").cast("long").alias("n"),
+            F.sum(F.when(F.col("fwd"), F.col("w")).otherwise(0))
+            .cast("long")
+            .alias("w_i"),
+        )
+    )
+    scored = (
+        games.join(bt.withColumnRenamed("source", "i"), "i")
+        .withColumnRenamed("strength_u6", "s_i")
+        .join(bt.withColumnRenamed("source", "j"), "j")
+        .withColumnRenamed("strength_u6", "s_j")
+        .select(
+            "n",
+            "w_i",
+            F.floor(
+                F.lit(10.0) * F.col("s_i") / (F.col("s_i") + F.col("s_j"))
+            )
+            .cast("long")
+            .alias("bin_id"),
+            F.floor(
+                F.lit(10000.0) * F.col("s_i") / (F.col("s_i") + F.col("s_j"))
+            )
+            .cast("long")
+            .alias("pred_u4"),
+        )
+    )
+    return scored.groupBy("bin_id").agg(
+        F.count("*").alias("n_matchups"),
+        F.sum("n").cast("long").alias("n_games"),
+        F.sum("w_i").cast("long").alias("n_wins"),
+        F.sum("pred_u4").cast("long").alias("sum_pred_u4"),
+        F.floor(F.lit(10000.0) * F.sum("w_i") / F.sum("n"))
+        .cast("long")
+        .alias("emp_winrate_u4"),
+    )
+
+
+# --- dq_freshness_lag ----------------------------------------------------------------
+
+
+@register(
+    "dq_freshness_lag",
+    oracle="""
+    WITH per_type AS (
+      SELECT event_type, MAX(ts) AS latest_ts, COUNT(*) AS n_events
+      FROM events GROUP BY event_type
+    ), head AS (SELECT MAX(latest_ts) AS head_ts FROM per_type)
+    SELECT p.event_type, p.latest_ts, p.n_events,
+           CAST(FLOOR(EPOCH(h.head_ts - p.latest_ts) / 60.0) AS BIGINT)
+             AS lag_minutes
+    FROM per_type p CROSS JOIN head h
+    """,
+)
+def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion freshness audit — the first dashboard panel an
+    on-call engineer checks on a multi-producer stream: per event
+    type, the newest record's timestamp and its lag in whole minutes
+    behind the stream head (the max across ALL types). A producer
+    that silently stopped shows as a growing lag long before volume
+    alarms fire. Lag is integer minutes via FLOOR of an integer
+    second difference — exact.
+
+    Scale: one aggregate to event-type cardinality plus a broadcast
+    1-row head — the agg_global composition pattern; the base scan
+    reads only (event_type, ts).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.max("ts").alias("latest_ts"), F.count("*").alias("n_events")
+    )
+    head = per_type.agg(F.max("latest_ts").alias("head_ts"))
+    return per_type.crossJoin(F.broadcast(head)).select(
+        "event_type",
+        "latest_ts",
+        "n_events",
+        F.floor(
+            (
+                F.unix_timestamp("head_ts") - F.unix_timestamp("latest_ts")
+            ).cast("double")
+            / 60.0
+        )
+        .cast("long")
+        .alias("lag_minutes"),
     )

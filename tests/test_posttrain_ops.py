@@ -251,3 +251,41 @@ def test_udf_arrow_scalar_matches_builtin_expression(spark):
     )
     assert out.exceptAll(expected).count() == 0
     assert expected.exceptAll(out).count() == 0
+
+
+def test_pair_assembly_plans_one_exchange_no_join(spark):
+    """The cohort-extreme aggregate form: one scan, one shuffle, no
+    self-join — the plan the window+self-join formulation could not
+    produce (it planned two Exchanges)."""
+    plan = (
+        QUERIES["pref_pair_assembly"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_bt_calibration_bins_are_consistent(spark):
+    out = QUERIES["pref_bt_calibration"](spark, SF_DIR).toPandas()
+    bt = QUERIES["pref_bt_strength"](spark, SF_DIR).toPandas()
+    assert out.bin_id.between(0, 10).all()
+    # every game appears once per orientation: totals match the fit's
+    assert out.n_games.sum() == bt.n_games.sum()
+    assert out.n_wins.sum() == bt.n_wins.sum()
+    for _, r in out.iterrows():
+        assert r.emp_winrate_u4 == (10000 * r.n_wins) // r.n_games
+        # mirror bins: a matchup in bin b has its reverse in bin 9-b (or
+        # the 0.5 boundary bin) — total games are symmetric around 5000
+    assert (out.n_wins <= out.n_games).all()
+
+
+def test_freshness_lag_head_has_zero_lag(spark):
+    out = QUERIES["dq_freshness_lag"](spark, SF_DIR).toPandas()
+    assert (out.lag_minutes >= 0).all()
+    assert (out.lag_minutes == 0).any(), "the stream head itself lags 0"
+    # lag recomputes from the emitted timestamps
+    head = out.latest_ts.max()
+    recomputed = ((head - out.latest_ts).dt.total_seconds() // 60).astype(int)
+    assert (out.lag_minutes == recomputed).all()
