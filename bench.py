@@ -72,6 +72,9 @@ EXTENDED = [
     # round 12: image near-dup via 4x16-bit hamming bands — trends the
     # decode→hash→band-join→popcount-verify pipeline
     "multimodal_phash_hamming_pairs",
+    # round 12: the post-training capstone — trends preference-pair
+    # assembly x cohort split x shard as one number
+    "pref_train_manifest",
 ]
 N_RUNS_EXT = 2
 

@@ -255,3 +255,123 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("pc", 1), 4).alias("pc1"),
         F.round(F.element_at("pc", 2), 4).alias("pc2"),
     )
+
+
+#: nprobe settings swept by the IVF calibration grid. The last setting
+#: equals K_CLUSTERS: probing every cell makes IVF identical to brute
+#: force, so its recall row must read exactly 10000 — a built-in
+#: sanity anchor for the whole sweep.
+IVF_NPROBE_SWEEP = (1, 2, 4, 8)
+
+
+@register("sim_ann_ivf_calibration", executes_on_build=True)
+def sim_ann_ivf_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-vs-nprobe calibration for the IVF index — the
+    dedup_lsh_calibration / sim_ann_calibration pattern applied to the
+    THIRD ANN family: before provisioning a 100 TB retrieval tier you
+    sweep the one knob that trades candidate volume for recall and
+    read the curve. One kmeans fit, one exact ground-truth pass; per
+    nprobe setting the probe→cell assignment is re-cut (a filter on
+    the precomputed cell rank — the fit is NOT redone) and recall@k is
+    measured against the exact top-k. The nprobe=K row probes every
+    cell and must hit recall 10000 u4 exactly — brute-force
+    equivalence as the sweep's internal control.
+
+    Weak-by-design (kmeans centroid fit — iterative float, engine-
+    specific reduction order); tests pin monotone recall in nprobe,
+    the recall=1 anchor at nprobe=K, and candidate fractions growing
+    with nprobe.
+
+    Scale: ground truth is probe-bounded (|probes| x corpus scored
+    once — the sim_topk_exact shape); each sweep setting scores only
+    vectors in probed cells (~nprobe/K of the corpus, the hard bound
+    IVF exists to give you). The sweep output is |settings| rows.
+    """
+    from clj_kinesis_to_firehose_spark.operators.llm_similarity import (
+        sim_topk_exact,
+    )
+
+    centroids, assigned, _ = _fit_kmeans(spark, sf_dir)
+    assigned = assigned.persist()
+    n_corpus = assigned.count()
+    cent_df = spark.createDataFrame(
+        [(i, [float(v) for v in centroids[i]]) for i in range(K_CLUSTERS)],
+        "cluster int, c array<double>",
+    )
+    truth = (
+        sim_topk_exact(spark, sf_dir)
+        .select("probe_id", "neighbor_id")
+        .withColumn("is_true", F.lit(1))
+    )
+
+    probes = assigned.filter(F.col("vec_id").isin(PROBE_IDS)).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe")
+    )
+    d2 = F.aggregate(
+        F.zip_with("pe", "c", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    wp = Window.partitionBy("probe_id").orderBy("d2", "cluster")
+    ranked_cells = (
+        F.broadcast(probes)
+        .crossJoin(F.broadcast(cent_df))
+        .withColumn("d2", d2)
+        .withColumn("cell_rank", F.row_number().over(wp))
+        .select("probe_id", "pe", "cluster", "cell_rank")
+    )
+
+    per_setting = []
+    for nprobe in IVF_NPROBE_SWEEP:
+        probe_cells = ranked_cells.filter(
+            F.col("cell_rank") <= nprobe
+        ).select("probe_id", "pe", "cluster")
+        cand = (
+            F.broadcast(probe_cells)
+            .join(assigned, "cluster")
+            .filter(F.col("vec_id") != F.col("probe_id"))
+        )
+        scored = cand.select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("pe"), F.col("e")), 6).alias("cosine"),
+        )
+        w = Window.partitionBy("probe_id").orderBy(
+            F.desc("cosine"), F.asc("neighbor_id")
+        )
+        topk = scored.withColumn("nn_rank", F.row_number().over(w)).filter(
+            F.col("nn_rank") <= TOP_K
+        )
+        per_setting.append(
+            topk.join(truth, ["probe_id", "neighbor_id"], "left")
+            .agg(
+                F.lit(nprobe).alias("nprobe"),
+                F.count("*").alias("n_retrieved"),
+                F.sum(F.coalesce(F.col("is_true"), F.lit(0)))
+                .cast("long")
+                .alias("n_hits"),
+            )
+            .crossJoin(
+                cand.agg(F.count("*").cast("long").alias("n_candidates"))
+            )
+        )
+    out = per_setting[0]
+    for df in per_setting[1:]:
+        out = out.union(df)
+    n_truth = len(PROBE_IDS) * TOP_K
+    return out.select(
+        "nprobe",
+        "n_retrieved",
+        "n_hits",
+        F.floor(F.lit(10000.0) * F.col("n_hits") / n_truth)
+        .cast("long")
+        .alias("recall_u4"),
+        "n_candidates",
+        F.floor(
+            F.lit(10000.0)
+            * F.col("n_candidates")
+            / (len(PROBE_IDS) * n_corpus)
+        )
+        .cast("long")
+        .alias("candidate_frac_u4"),
+    )

@@ -748,14 +748,16 @@ BT_ITERS = 3
 BT_S0 = 1_000_000
 
 
-def _sql_bt_strength() -> str:
+def _sql_bt_strength(iters: int = BT_ITERS) -> str:
     """Unrolled Bradley-Terry MM iterations as chained CTEs — the
     bpe_learn_merges oracle pattern: the SQL performs the SAME
     fixed-point arithmetic per iteration, so the hash pins every
-    intermediate strength, not just the final ranking."""
+    intermediate strength, not just the final ranking. Parameterized
+    by iteration count so the scaled checkpointed twin shares the ONE
+    generator (the arithmetic law cannot drift between the two)."""
     head = f"""
-    WITH pairs AS ({oracle("pref_pair_assembly")}),
-    wins AS (
+    WITH pairs AS MATERIALIZED ({oracle("pref_pair_assembly")}),
+    wins AS MATERIALIZED (
       SELECT chosen_source AS i, rejected_source AS j, COUNT(*) AS w
       FROM pairs GROUP BY 1, 2
     ),
@@ -764,24 +766,24 @@ def _sql_bt_strength() -> str:
         SELECT i FROM wins UNION ALL SELECT j AS i FROM wins
       )
     ),
-    games AS (
+    games AS MATERIALIZED (
       SELECT i, j, CAST(SUM(w) AS BIGINT) AS n FROM (
         SELECT i, j, w FROM wins
         UNION ALL
         SELECT j AS i, i AS j, w FROM wins
       ) GROUP BY i, j
     ),
-    tot_wins AS (
+    tot_wins AS MATERIALIZED (
       SELECT i, CAST(SUM(w) AS BIGINT) AS wins FROM wins GROUP BY i
     ),
-    s0 AS (SELECT i, CAST({BT_S0} AS BIGINT) AS s FROM sources)
+    s0 AS MATERIALIZED (SELECT i, CAST({BT_S0} AS BIGINT) AS s FROM sources)
     """
     steps = []
-    for k in range(1, BT_ITERS + 1):
+    for k in range(1, iters + 1):
         p = k - 1
         steps.append(
             f""",
-    t{k} AS (
+    t{k} AS MATERIALIZED (
       SELECT g.i,
              CAST(FLOOR(1000000000000.0 * g.n / (si.s + sj.s)) AS BIGINT)
                AS term
@@ -789,8 +791,8 @@ def _sql_bt_strength() -> str:
       JOIN s{p} si ON g.i = si.i
       JOIN s{p} sj ON g.j = sj.i
     ),
-    d{k} AS (SELECT i, CAST(SUM(term) AS BIGINT) AS d FROM t{k} GROUP BY i),
-    s{k} AS (
+    d{k} AS MATERIALIZED (SELECT i, CAST(SUM(term) AS BIGINT) AS d FROM t{k} GROUP BY i),
+    s{k} AS MATERIALIZED (
       SELECT s{p}.i,
              CASE WHEN w.wins IS NULL OR d.d IS NULL OR d.d = 0 THEN s{p}.s
                   ELSE CAST(FLOOR(1000000000000.0 * w.wins / d.d) AS BIGINT)
@@ -807,7 +809,7 @@ def _sql_bt_strength() -> str:
            CAST(COALESCE(g.n_games, 0) AS BIGINT) AS n_games,
            CAST(ROW_NUMBER() OVER (ORDER BY s.s DESC, s.i) AS BIGINT)
              AS strength_rank
-    FROM s{BT_ITERS} s
+    FROM s{iters} s
     LEFT JOIN tot_wins w ON s.i = w.i
     LEFT JOIN (SELECT i, SUM(n) AS n_games FROM games GROUP BY i) g
       ON s.i = g.i
@@ -815,28 +817,15 @@ def _sql_bt_strength() -> str:
     return head + "".join(steps) + tail
 
 
-@register("pref_bt_strength", oracle=_sql_bt_strength())
-def pref_bt_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bradley-Terry source-strength fit over the preference pairs —
-    the trainer-side consumer of pref_winrate_matrix's sufficient
-    statistic, run as {BT_ITERS} minorize-maximize iterations:
-    s_i <- W_i / sum_j n_ij / (s_i + s_j). Every intermediate value is
-    integer fixed-point (strengths in 1e-6 units, per-pair MM terms
-    FLOORed to integers BEFORE the per-source sum), so the iteration
-    is deterministic under any partitioning and the unrolled-CTE
-    oracle reproduces it bit-for-bit — the bpe_learn_merges exactness
-    pattern applied to an iterative numeric fit. Sources with no wins
-    (or an empty denominator) keep their prior strength rather than
-    dividing by zero.
-
-    Scale: state is one row per SOURCE (corpus-card cardinality, not
-    corpus cardinality); each iteration is two joins of the games
-    relation against the strength relation plus a source-keyed sum.
-    Nothing collects — the loop chains {BT_ITERS} small DataFrame
-    stages, the production shape for raising the iteration count
-    (with periodic localCheckpoint, as bpe_learn_merges_scaled
-    demonstrates for a 64-step loop).
-    """
+def _bt_fit(
+    spark: SparkSession,
+    sf_dir: str,
+    iters: int,
+    checkpoint_every: int | None = None,
+) -> DataFrame:
+    """Shared MM loop body for the exact fit and its scaled
+    checkpointed twin — parameterized the way the oracle generator is,
+    so the two registered ops cannot diverge arithmetically."""
     pairs = pref_pair_assembly(spark, sf_dir)
     wins = pairs.groupBy(
         F.col("chosen_source").alias("i"), F.col("rejected_source").alias("j")
@@ -853,7 +842,7 @@ def pref_bt_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot_wins = wins.groupBy("i").agg(F.sum("w").cast("long").alias("wins"))
 
     s = sources.select("i", F.lit(BT_S0).cast("long").alias("s"))
-    for _ in range(BT_ITERS):
+    for it in range(1, iters + 1):
         terms = (
             games.alias("g")
             .join(s.alias("si"), F.col("g.i") == F.col("si.i"))
@@ -889,6 +878,13 @@ def pref_bt_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("s"),
             )
         )
+        if checkpoint_every and it % checkpoint_every == 0 and it < iters:
+            # lineage truncation: without this, the plan for iteration
+            # N nests N copies of the per-step subtree and analysis
+            # time grows superlinearly — the bpe_learn_merges_scaled
+            # rule applied to the strength relation (source-sized, so
+            # the checkpoint materialization is tiny).
+            s = s.localCheckpoint(eager=True)
     n_games = games.groupBy("i").agg(F.sum("n").alias("n_games"))
     return (
         s.join(tot_wins, "i", "left")
@@ -907,6 +903,61 @@ def pref_bt_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("strength_rank"),
         )
+    )
+
+
+@register("pref_bt_strength", oracle=_sql_bt_strength())
+def pref_bt_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry source-strength fit over the preference pairs —
+    the trainer-side consumer of pref_winrate_matrix's sufficient
+    statistic, run as BT_ITERS minorize-maximize iterations:
+    s_i <- W_i / sum_j n_ij / (s_i + s_j). Every intermediate value is
+    integer fixed-point (strengths in 1e-6 units, per-pair MM terms
+    FLOORed to integers BEFORE the per-source sum), so the iteration
+    is deterministic under any partitioning and the unrolled-CTE
+    oracle reproduces it bit-for-bit — the bpe_learn_merges exactness
+    pattern applied to an iterative numeric fit. Sources with no wins
+    (or an empty denominator) keep their prior strength rather than
+    dividing by zero.
+
+    Scale: state is one row per SOURCE (corpus-card cardinality, not
+    corpus cardinality); each iteration is two joins of the games
+    relation against the strength relation plus a source-keyed sum.
+    Nothing collects; pref_bt_strength_scaled is the raised-iteration
+    twin with periodic lineage truncation.
+    """
+    return _bt_fit(spark, sf_dir, BT_ITERS)
+
+
+#: iteration count and checkpoint cadence for the scaled twin — enough
+#: steps that an unchk'd lazy chain would visibly balloon plan
+#: analysis, checkpointed the way a to-convergence production fit is.
+BT_ITERS_SCALED = 16
+BT_CHECKPOINT_EVERY = 4
+
+
+@register(
+    "pref_bt_strength_scaled",
+    executes_on_build=True,
+    oracle=_sql_bt_strength(BT_ITERS_SCALED),
+)
+def pref_bt_strength_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production-loop shape of the BT fit: BT_ITERS_SCALED MM
+    iterations with localCheckpoint every BT_CHECKPOINT_EVERY steps —
+    lineage truncation keeps per-iteration plan size O(interval)
+    instead of O(total), exactly bpe_learn_merges_scaled's rule, while
+    the integer fixed-point arithmetic keeps even the 16-step run
+    hash-EXACT against a 16-level unrolled oracle built by the SAME
+    generator as the N=3 twin. (Checkpoint materialization executes
+    jobs at build time, hence executes_on_build.)
+
+    Scale: the checkpointed relation is source-sized, so each
+    materialization writes kilobytes regardless of corpus size; the
+    cost profile is flat sec/iteration, which is what lets production
+    run this to convergence (hundreds of steps) instead of a fixed 3.
+    """
+    return _bt_fit(
+        spark, sf_dir, BT_ITERS_SCALED, checkpoint_every=BT_CHECKPOINT_EVERY
     )
 
 

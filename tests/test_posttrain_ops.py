@@ -289,3 +289,31 @@ def test_freshness_lag_head_has_zero_lag(spark):
     head = out.latest_ts.max()
     recomputed = ((head - out.latest_ts).dt.total_seconds() // 60).astype(int)
     assert (out.lag_minutes == recomputed).all()
+
+
+def test_bt_scaled_extends_the_exact_twin(spark):
+    """More MM iterations refine, never scramble: the 16-step
+    checkpointed fit agrees with the 3-step twin on the game totals
+    and stays positive; both are hash-exact vs their own oracles."""
+    short = QUERIES["pref_bt_strength"](spark, SF_DIR).toPandas()
+    long = QUERIES["pref_bt_strength_scaled"](spark, SF_DIR).toPandas()
+    assert set(long.source) == set(short.source)
+    assert (long.strength_u6 > 0).all()
+    m = long.merge(short, on="source", suffixes=("_l", "_s"))
+    assert (m.n_wins_l == m.n_wins_s).all()
+    assert (m.n_games_l == m.n_games_s).all()
+
+
+def test_ivf_calibration_recall_laws(spark):
+    out = (
+        QUERIES["sim_ann_ivf_calibration"](spark, SF_DIR)
+        .orderBy("nprobe")
+        .toPandas()
+    )
+    assert list(out.nprobe) == [1, 2, 4, 8]
+    # recall and candidate volume are monotone in the probe budget
+    assert out.recall_u4.is_monotonic_increasing
+    assert out.n_candidates.is_monotonic_increasing
+    # probing every cell (nprobe = K_CLUSTERS = 8) IS brute force
+    assert out.recall_u4.iloc[-1] == 10000
+    assert (out.n_retrieved == 25).all()  # 5 probes x top-5 always fill
