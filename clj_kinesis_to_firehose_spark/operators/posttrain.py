@@ -1518,3 +1518,114 @@ def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("lag_minutes"),
     )
+
+
+# --- stream_pref_pair_ingest -----------------------------------------------------
+
+
+@register(
+    "stream_pref_pair_ingest",
+    executes_on_build=True,
+    oracle=oracle("pref_pair_assembly"),
+)
+def stream_pref_pair_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair maintenance IN the ingest stream: documents
+    arrive as micro-batches, foreachBatch writes each batch's PARTIAL
+    cohort extremes (max_by/min_by over the batch, epoch-keyed), and
+    the final pass re-aggregates the partials with the SAME comparator
+    — cohort extremes are mergeable aggregates (max of maxes is the
+    max), so the merged pair relation equals the batch build EXACTLY
+    (same oracle as pref_pair_assembly). This is how a standing DPO
+    dataset stays current as the corpus grows: per batch you touch
+    batch rows plus a cohort-sized partial, never the corpus.
+
+    The comparator must travel WITH the partial: each partial row
+    stores (n_tokens, n_distinct) so the merge re-derives the ratio —
+    storing a rounded score instead would reintroduce the cross-engine
+    half-boundary channel AND break merge associativity.
+
+    Scale: per batch one cohort-keyed aggregate over batch rows;
+    partials are cohort-sized; the merge aggregates K bounded
+    partials per cohort. Epoch-keyed OVERWRITE keeps at-least-once
+    re-execution idempotent.
+    """
+    from clj_kinesis_to_firehose_spark.operators.curation_r10 import (
+        DOCS_RAW_SCHEMA,
+        _write_doc_slices,
+    )
+    from clj_kinesis_to_firehose_spark.sources import scratch_dir
+
+    replay_dir = _write_doc_slices(spark, sf_dir, n_slices=4)
+    out_dir = scratch_dir("kf_pref_ingest_")
+
+    def extremes_batch(batch_df: DataFrame, epoch: int) -> None:
+        toks = F.split("text", " ")
+        scored = batch_df.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+            F.floor(F.size(toks).cast("long") / PREF_BUCKET_TOKENS)
+            .cast("long")
+            .alias("tok_bucket"),
+        )
+        ratio = F.col("n_distinct").cast("double") / F.col("n_tokens")
+        row = F.struct("doc_id", "source", "n_tokens", "n_distinct")
+        partial = scored.groupBy("lang", "tok_bucket").agg(
+            F.max_by(
+                row, F.struct(ratio.alias("r"), (-F.col("doc_id")).alias("t"))
+            ).alias("b"),
+            F.min_by(
+                row, F.struct(ratio.alias("r"), F.col("doc_id").alias("t"))
+            ).alias("w"),
+        )
+        partial.write.mode("overwrite").parquet(f"{out_dir}/epoch_{epoch}")
+
+    q = (
+        spark.readStream.schema(DOCS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(replay_dir)
+        .writeStream.foreachBatch(extremes_batch)
+        .option("checkpointLocation", scratch_dir("kf_pref_chk_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    partials = spark.read.option("recursiveFileLookup", "true").parquet(
+        out_dir
+    )
+    # merge: the same max_by/min_by comparator over the UNION of both
+    # partial sides' candidate rows (flattening b and w back to rows
+    # keeps one comparator definition; a max-of-maxes over structs
+    # would need the ratio re-derived anyway)
+    cand = partials.select(
+        "lang", "tok_bucket", F.col("b.*")
+    ).union(partials.select("lang", "tok_bucket", F.col("w.*")))
+    ratio = F.col("n_distinct").cast("double") / F.col("n_tokens")
+    row = F.struct("doc_id", "source", "n_tokens", "n_distinct")
+    extremes = cand.groupBy("lang", "tok_bucket").agg(
+        F.max_by(
+            row, F.struct(ratio.alias("r"), (-F.col("doc_id")).alias("t"))
+        ).alias("b"),
+        F.min_by(
+            row, F.struct(ratio.alias("r"), F.col("doc_id").alias("t"))
+        ).alias("w"),
+    )
+    return extremes.filter(F.col("b.doc_id") != F.col("w.doc_id")).select(
+        "lang",
+        "tok_bucket",
+        F.col("b.doc_id").alias("chosen_doc_id"),
+        F.col("w.doc_id").alias("rejected_doc_id"),
+        F.col("b.source").alias("chosen_source"),
+        F.col("w.source").alias("rejected_source"),
+        F.col("b.n_tokens").alias("chosen_tokens"),
+        F.col("w.n_tokens").alias("rejected_tokens"),
+        (
+            F.col("b.n_distinct") * F.col("w.n_tokens")
+            - F.col("w.n_distinct") * F.col("b.n_tokens")
+        ).alias("margin_num"),
+        (F.col("b.n_tokens") * F.col("w.n_tokens")).alias("margin_den"),
+    )

@@ -317,3 +317,25 @@ def test_ivf_calibration_recall_laws(spark):
     # probing every cell (nprobe = K_CLUSTERS = 8) IS brute force
     assert out.recall_u4.iloc[-1] == 10000
     assert (out.n_retrieved == 25).all()  # 5 probes x top-5 always fill
+
+
+def test_stream_pref_ingest_equals_batch_build(spark):
+    """Cohort extremes are mergeable: extremes-of-extremes over
+    micro-batch partials equals the batch build row-for-row."""
+    import pandas as pd
+
+    batch = (
+        QUERIES["pref_pair_assembly"](spark, SF_DIR)
+        .orderBy("lang", "tok_bucket")
+        .toPandas()
+    )
+    streamed = (
+        QUERIES["stream_pref_pair_ingest"](spark, SF_DIR)
+        .orderBy("lang", "tok_bucket")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        batch.reset_index(drop=True),
+        streamed.reset_index(drop=True),
+        check_dtype=False,
+    )
