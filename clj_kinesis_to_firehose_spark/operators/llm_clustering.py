@@ -359,7 +359,7 @@ def sim_ann_ivf_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in per_setting[1:]:
         out = out.union(df)
     n_truth = len(PROBE_IDS) * TOP_K
-    return out.select(
+    result = out.select(
         "nprobe",
         "n_retrieved",
         "n_hits",
@@ -375,3 +375,10 @@ def sim_ann_ivf_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("candidate_frac_u4"),
     )
+    # materialize the |settings| rows, then release the cached
+    # assignment so the op doesn't pin corpus-sized blocks for the
+    # rest of the session (review finding; the repo convention is
+    # try/finally around every persist)
+    rows = result.collect()
+    assigned.unpersist()
+    return spark.createDataFrame(rows, result.schema)

@@ -51,6 +51,61 @@ from clj_kinesis_to_firehose_spark.sources import load_table
 PREF_BUCKET_TOKENS = 50
 
 
+def _score_docs(docs: DataFrame) -> DataFrame:
+    """THE scoring projection behind every preference-pair relation —
+    one definition so the batch op, the streaming partials, and the
+    streaming merge cannot drift arithmetically (review finding; the
+    _sql_bt_strength generator plays the same role on the oracle
+    side)."""
+    toks = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.floor(F.size(toks).cast("long") / PREF_BUCKET_TOKENS)
+        .cast("long")
+        .alias("tok_bucket"),
+    )
+
+
+def _cohort_extremes(scored: DataFrame) -> DataFrame:
+    """max_by/min_by cohort extremes over the total-order comparator
+    (ratio, ±doc_id). Input rows must carry (doc_id, source, n_tokens,
+    n_distinct, lang, tok_bucket) — the ratio is re-derived here, never
+    read from a stored (roundable) column, which is also what makes
+    the aggregate mergeable across streaming partials."""
+    ratio = F.col("n_distinct").cast("double") / F.col("n_tokens")
+    row = F.struct("doc_id", "source", "n_tokens", "n_distinct")
+    return scored.groupBy("lang", "tok_bucket").agg(
+        F.max_by(row, F.struct(ratio.alias("r"), (-F.col("doc_id")).alias("t")))
+        .alias("b"),
+        F.min_by(row, F.struct(ratio.alias("r"), F.col("doc_id").alias("t")))
+        .alias("w"),
+    )
+
+
+def _pairs_from_extremes(extremes: DataFrame) -> DataFrame:
+    """(chosen, rejected) projection with the exact rational margin —
+    shared by the batch op and the streaming merge."""
+    return extremes.filter(F.col("b.doc_id") != F.col("w.doc_id")).select(
+        "lang",
+        "tok_bucket",
+        F.col("b.doc_id").alias("chosen_doc_id"),
+        F.col("w.doc_id").alias("rejected_doc_id"),
+        F.col("b.source").alias("chosen_source"),
+        F.col("w.source").alias("rejected_source"),
+        F.col("b.n_tokens").alias("chosen_tokens"),
+        F.col("w.n_tokens").alias("rejected_tokens"),
+        (
+            F.col("b.n_distinct") * F.col("w.n_tokens")
+            - F.col("w.n_distinct") * F.col("b.n_tokens")
+        ).alias("margin_num"),
+        (F.col("b.n_tokens") * F.col("w.n_tokens")).alias("margin_den"),
+    )
+
+
 @register(
     "pref_pair_assembly",
     oracle=f"""
@@ -111,44 +166,7 @@ def pref_pair_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing collects.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    scored = docs.select(
-        "doc_id",
-        "lang",
-        "source",
-        F.size(toks).cast("long").alias("n_tokens"),
-        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
-        F.floor(F.size(toks).cast("long") / PREF_BUCKET_TOKENS)
-        .cast("long")
-        .alias("tok_bucket"),
-    )
-    ratio = F.col("n_distinct").cast("double") / F.col("n_tokens")
-    row = F.struct("doc_id", "source", "n_tokens", "n_distinct")
-    # best = highest ratio, ties to the LOWEST doc_id (hence -doc_id in
-    # a max_by comparator); worst = lowest ratio, ties to lowest doc_id
-    extremes = scored.groupBy("lang", "tok_bucket").agg(
-        F.max_by(row, F.struct(ratio.alias("r"), (-F.col("doc_id")).alias("t")))
-        .alias("b"),
-        F.min_by(row, F.struct(ratio.alias("r"), F.col("doc_id").alias("t")))
-        .alias("w"),
-    )
-    return extremes.filter(
-        F.col("b.doc_id") != F.col("w.doc_id")
-    ).select(
-        "lang",
-        "tok_bucket",
-        F.col("b.doc_id").alias("chosen_doc_id"),
-        F.col("w.doc_id").alias("rejected_doc_id"),
-        F.col("b.source").alias("chosen_source"),
-        F.col("w.source").alias("rejected_source"),
-        F.col("b.n_tokens").alias("chosen_tokens"),
-        F.col("w.n_tokens").alias("rejected_tokens"),
-        (
-            F.col("b.n_distinct") * F.col("w.n_tokens")
-            - F.col("w.n_distinct") * F.col("b.n_tokens")
-        ).alias("margin_num"),
-        (F.col("b.n_tokens") * F.col("w.n_tokens")).alias("margin_den"),
-    )
+    return _pairs_from_extremes(_cohort_extremes(_score_docs(docs)))
 
 
 # --- pref_pair_stats ----------------------------------------------------------
@@ -274,6 +292,34 @@ SQL_CHAT_TURNS = f"""
     FROM events
 """
 
+def _chat_turns(ev: DataFrame) -> DataFrame:
+    """THE Spark-side twin of SQL_CHAT_TURNS — one definition of the
+    role mapping, conversation key, and turn-line template shared by
+    the batch assembly, the context trim, and the streaming partials
+    (review finding: three verbatim copies could drift from each other
+    and from the single shared SQL CTE)."""
+    role = (
+        F.when(F.col("event_type").isin("view", "click"), "user")
+        .when(F.col("event_type").isin("purchase", "signup"), "assistant")
+        .otherwise("system")
+    )
+    return ev.select(
+        "user_id",
+        F.date_format(F.date_trunc("month", "ts"), "yyyy-MM").alias("month"),
+        "ts",
+        "event_id",
+        role.alias("role"),
+        F.concat(
+            F.lit("<"),
+            role,
+            F.lit("> "),
+            F.col("event_type"),
+            F.lit(" #"),
+            F.col("event_id").cast("string"),
+        ).alias("line"),
+    )
+
+
 
 @register(
     "chat_conversation_assembly",
@@ -305,26 +351,7 @@ def chat_conversation_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself. No windows, no collect.
     """
     ev = load_table(spark, sf_dir, "events")
-    role = (
-        F.when(F.col("event_type").isin("view", "click"), "user")
-        .when(F.col("event_type").isin("purchase", "signup"), "assistant")
-        .otherwise("system")
-    )
-    turns = ev.select(
-        "user_id",
-        F.date_format(F.date_trunc("month", "ts"), "yyyy-MM").alias("month"),
-        "ts",
-        "event_id",
-        role.alias("role"),
-        F.concat(
-            F.lit("<"),
-            role,
-            F.lit("> "),
-            F.col("event_type"),
-            F.lit(" #"),
-            F.col("event_id").cast("string"),
-        ).alias("line"),
-    )
+    turns = _chat_turns(ev)
     return turns.groupBy("user_id", "month").agg(
         F.count("*").alias("n_turns"),
         F.sum((F.col("role") == "assistant").cast("int"))
@@ -394,26 +421,9 @@ def chat_context_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     no rounding channel.
     """
     ev = load_table(spark, sf_dir, "events")
-    role = (
-        F.when(F.col("event_type").isin("view", "click"), "user")
-        .when(F.col("event_type").isin("purchase", "signup"), "assistant")
-        .otherwise("system")
+    turns = _chat_turns(ev).withColumn(
+        "turn_tokens", F.size(F.split("line", " ")).cast("long")
     )
-    turns = ev.select(
-        "user_id",
-        F.date_format(F.date_trunc("month", "ts"), "yyyy-MM").alias("month"),
-        "ts",
-        "event_id",
-        role.alias("role"),
-        F.concat(
-            F.lit("<"),
-            role,
-            F.lit("> "),
-            F.col("event_type"),
-            F.lit(" #"),
-            F.col("event_id").cast("string"),
-        ).alias("line"),
-    ).withColumn("turn_tokens", F.size(F.split("line", " ")).cast("long"))
 
     conv = Window.partitionBy("user_id", "month")
     suffix = (
@@ -841,6 +851,16 @@ def _bt_fit(
     )
     tot_wins = wins.groupBy("i").agg(F.sum("w").cast("long").alias("wins"))
 
+    if checkpoint_every:
+        # the fit's inputs are source-sized; eagerly truncating their
+        # lineage ONCE means no MM iteration or checkpoint job ever
+        # re-executes the corpus-sized pair-assembly scan they bottom
+        # out in (review finding: the lazy chain re-ran that scan about
+        # twice per iteration across the scaled run's jobs)
+        games = games.localCheckpoint(eager=True)
+        tot_wins = tot_wins.localCheckpoint(eager=True)
+        sources = sources.localCheckpoint(eager=True)
+
     s = sources.select("i", F.lit(BT_S0).cast("long").alias("s"))
     for it in range(1, iters + 1):
         terms = (
@@ -1091,28 +1111,7 @@ def stream_chat_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = scratch_dir("kf_chat_ingest_")
 
     def assemble_batch(batch_df: DataFrame, epoch: int) -> None:
-        role = (
-            F.when(F.col("event_type").isin("view", "click"), "user")
-            .when(F.col("event_type").isin("purchase", "signup"), "assistant")
-            .otherwise("system")
-        )
-        turns = batch_df.select(
-            "user_id",
-            F.date_format(F.date_trunc("month", "ts"), "yyyy-MM").alias(
-                "month"
-            ),
-            "ts",
-            "event_id",
-            role.alias("role"),
-            F.concat(
-                F.lit("<"),
-                role,
-                F.lit("> "),
-                F.col("event_type"),
-                F.lit(" #"),
-                F.col("event_id").cast("string"),
-            ).alias("line"),
-        )
+        turns = _chat_turns(batch_df)
         partial = turns.groupBy("user_id", "month").agg(
             F.count("*").alias("n_turns"),
             F.sum((F.col("role") == "assistant").cast("int"))
@@ -1482,8 +1481,8 @@ def pref_bt_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY event_type
     ), head AS (SELECT MAX(latest_ts) AS head_ts FROM per_type)
     SELECT p.event_type, p.latest_ts, p.n_events,
-           CAST(FLOOR(EPOCH(h.head_ts - p.latest_ts) / 60.0) AS BIGINT)
-             AS lag_minutes
+           CAST(FLOOR(EPOCH_US(h.head_ts - p.latest_ts) / 60000000.0)
+                AS BIGINT) AS lag_minutes
     FROM per_type p CROSS JOIN head h
     """,
 )
@@ -1509,11 +1508,16 @@ def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "latest_ts",
         "n_events",
+        # integer MICROSECONDS on both sides: unix_timestamp() truncates
+        # to whole seconds while DuckDB's EPOCH keeps the fraction, so a
+        # second-truncated Spark lag could land on the other side of a
+        # minute boundary from the oracle's exact interval (review
+        # finding). unix_micros == EPOCH_US exactly; one FLOOR each.
         F.floor(
             (
-                F.unix_timestamp("head_ts") - F.unix_timestamp("latest_ts")
+                F.unix_micros("head_ts") - F.unix_micros("latest_ts")
             ).cast("double")
-            / 60.0
+            / 60000000.0
         )
         .cast("long")
         .alias("lag_minutes"),
@@ -1559,27 +1563,7 @@ def stream_pref_pair_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = scratch_dir("kf_pref_ingest_")
 
     def extremes_batch(batch_df: DataFrame, epoch: int) -> None:
-        toks = F.split("text", " ")
-        scored = batch_df.select(
-            "doc_id",
-            "lang",
-            "source",
-            F.size(toks).cast("long").alias("n_tokens"),
-            F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
-            F.floor(F.size(toks).cast("long") / PREF_BUCKET_TOKENS)
-            .cast("long")
-            .alias("tok_bucket"),
-        )
-        ratio = F.col("n_distinct").cast("double") / F.col("n_tokens")
-        row = F.struct("doc_id", "source", "n_tokens", "n_distinct")
-        partial = scored.groupBy("lang", "tok_bucket").agg(
-            F.max_by(
-                row, F.struct(ratio.alias("r"), (-F.col("doc_id")).alias("t"))
-            ).alias("b"),
-            F.min_by(
-                row, F.struct(ratio.alias("r"), F.col("doc_id").alias("t"))
-            ).alias("w"),
-        )
+        partial = _cohort_extremes(_score_docs(batch_df))
         partial.write.mode("overwrite").parquet(f"{out_dir}/epoch_{epoch}")
 
     q = (
@@ -1597,35 +1581,12 @@ def stream_pref_pair_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials = spark.read.option("recursiveFileLookup", "true").parquet(
         out_dir
     )
-    # merge: the same max_by/min_by comparator over the UNION of both
-    # partial sides' candidate rows (flattening b and w back to rows
-    # keeps one comparator definition; a max-of-maxes over structs
-    # would need the ratio re-derived anyway)
+    # merge: flatten both partial sides back to candidate ROWS and
+    # re-run the ONE _cohort_extremes definition over them — the ratio
+    # comparator is re-derived from the stored (n_tokens, n_distinct),
+    # so merge arithmetic is identical to batch arithmetic by
+    # construction (shared helper, review finding)
     cand = partials.select(
         "lang", "tok_bucket", F.col("b.*")
     ).union(partials.select("lang", "tok_bucket", F.col("w.*")))
-    ratio = F.col("n_distinct").cast("double") / F.col("n_tokens")
-    row = F.struct("doc_id", "source", "n_tokens", "n_distinct")
-    extremes = cand.groupBy("lang", "tok_bucket").agg(
-        F.max_by(
-            row, F.struct(ratio.alias("r"), (-F.col("doc_id")).alias("t"))
-        ).alias("b"),
-        F.min_by(
-            row, F.struct(ratio.alias("r"), F.col("doc_id").alias("t"))
-        ).alias("w"),
-    )
-    return extremes.filter(F.col("b.doc_id") != F.col("w.doc_id")).select(
-        "lang",
-        "tok_bucket",
-        F.col("b.doc_id").alias("chosen_doc_id"),
-        F.col("w.doc_id").alias("rejected_doc_id"),
-        F.col("b.source").alias("chosen_source"),
-        F.col("w.source").alias("rejected_source"),
-        F.col("b.n_tokens").alias("chosen_tokens"),
-        F.col("w.n_tokens").alias("rejected_tokens"),
-        (
-            F.col("b.n_distinct") * F.col("w.n_tokens")
-            - F.col("w.n_distinct") * F.col("b.n_tokens")
-        ).alias("margin_num"),
-        (F.col("b.n_tokens") * F.col("w.n_tokens")).alias("margin_den"),
-    )
+    return _pairs_from_extremes(_cohort_extremes(cand))

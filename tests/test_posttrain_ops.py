@@ -78,15 +78,37 @@ def test_context_trim_respects_budget_and_offsets_are_contiguous(spark):
 
 
 def test_context_trim_keeps_the_newest_turns(spark):
-    """The trim is a SUFFIX: every dropped turn is older than every
-    kept turn within its conversation."""
-    full = QUERIES["chat_conversation_assembly"](spark, SF_DIR).toPandas()
+    """The trim is a SUFFIX: every dropped turn is strictly older
+    (by the (ts, event_id) turn order) than every kept turn within
+    its conversation — a prefix-keeping bug would pass the budget
+    test but fail here."""
+    from clj_kinesis_to_firehose_spark.sources import load_table
+
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select(
+            "user_id",
+            F.date_format(F.date_trunc("month", "ts"), "yyyy-MM").alias(
+                "month"
+            ),
+            "ts",
+            "event_id",
+        )
+        .toPandas()
+    )
     kept = QUERIES["chat_context_trim"](spark, SF_DIR).toPandas()
-    kept_per_conv = kept.groupby(["user_id", "month"]).event_id.count()
-    full_idx = full.set_index(["user_id", "month"]).n_turns
-    # trimmed conversations keep at most as many turns as they had
-    for conv, n_kept in kept_per_conv.items():
-        assert n_kept <= full_idx.loc[conv]
+    kept_ids = set(kept.event_id)
+    checked_a_drop = False
+    for (_, _), g in ev.groupby(["user_id", "month"]):
+        order = g.sort_values(["ts", "event_id"]).event_id.tolist()
+        flags = [eid in kept_ids for eid in order]
+        if not any(flags):
+            continue
+        first_kept = flags.index(True)
+        # suffix property: everything after the first kept turn is kept
+        assert all(flags[first_kept:]), f"non-suffix keep set in {order}"
+        checked_a_drop = checked_a_drop or first_kept > 0
+    assert checked_a_drop, "fixture never exercised a dropped prefix"
 
 
 def test_sft_loss_mask_span_algebra(spark):
