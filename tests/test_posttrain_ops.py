@@ -361,3 +361,31 @@ def test_stream_pref_ingest_equals_batch_build(spark):
         streamed.reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_rake_score_identity_and_stopwords_excluded(spark):
+    from clj_kinesis_to_firehose_spark.operators.llm_text import STOPWORDS
+
+    out = QUERIES["text_keyword_rake"](spark, SF_DIR).toPandas()
+    assert len(out) > 0
+    assert not out.word.isin(STOPWORDS).any()
+    # deg >= freq (every phrase has length >= 1) and the fixed-point
+    # score recomputes from the exact integers
+    assert (out.deg >= out.freq).all()
+    for _, r in out.iterrows():
+        assert r.rake_u4 == (10000 * r.deg) // r.freq
+    # single-word phrases floor the score at exactly 1.0
+    assert (out.rake_u4 >= 10000).all()
+
+
+def test_pack_efficiency_reconciles_with_bins(spark):
+    eff = QUERIES["corpus_pack_efficiency"](spark, SF_DIR).toPandas()
+    bins = QUERIES["corpus_pack_sequences"](spark, SF_DIR).toPandas()
+    assert eff.n_bins.sum() == len(bins)
+    assert eff.total_tokens.sum() == bins.bin_tokens.sum()
+    assert (eff.capacity_tokens == eff.n_bins * 512).all()
+    # overflow accounting: only bins beyond capacity contribute
+    for _, r in eff.iterrows():
+        g = bins[bins.lang == r.lang]
+        assert r.n_overflow_bins == (g.bin_tokens > 512).sum()
+        assert r.overflow_tokens == (g.bin_tokens - 512).clip(lower=0).sum()
