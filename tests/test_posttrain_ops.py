@@ -389,3 +389,14 @@ def test_pack_efficiency_reconciles_with_bins(spark):
         g = bins[bins.lang == r.lang]
         assert r.n_overflow_bins == (g.bin_tokens > 512).sum()
         assert r.overflow_tokens == (g.bin_tokens - 512).clip(lower=0).sum()
+
+
+def test_xml_roundtrip_is_identity(spark):
+    from clj_kinesis_to_firehose_spark.sources import load_table
+
+    out = QUERIES["scan_xml_roundtrip"](spark, SF_DIR)
+    src = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    assert out.exceptAll(src).count() == 0
+    assert src.exceptAll(out).count() == 0
