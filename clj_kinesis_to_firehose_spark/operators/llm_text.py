@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from clj_kinesis_to_firehose_spark.registry import register
+from clj_kinesis_to_firehose_spark.registry import oracle, register
 from clj_kinesis_to_firehose_spark.sources import fan_out, load_table
 
 #: tiny deterministic "stopword" list for quality scoring — drawn from
@@ -770,4 +770,128 @@ def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 30)
+    )
+
+
+# --- text_keyword_rake -----------------------------------------------------------
+
+
+def _sql_keyword_rake() -> str:
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+    ), words AS (
+      SELECT doc_id, i AS pos, t[i] AS w
+      FROM toks, UNNEST(RANGE(1, LEN(t) + 1)) AS r(i)
+    ), ns AS (
+      SELECT doc_id, pos, w,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS isl
+      FROM words WHERE w NOT IN ({stop_list})
+    ), ph AS (
+      SELECT doc_id, isl, COUNT(*) AS phrase_len
+      FROM ns GROUP BY doc_id, isl
+    ), occ AS (
+      SELECT ns.w, ph.phrase_len
+      FROM ns JOIN ph ON ns.doc_id = ph.doc_id AND ns.isl = ph.isl
+    )
+    SELECT w AS word,
+           COUNT(*) AS freq,
+           CAST(SUM(phrase_len) AS BIGINT) AS deg,
+           CAST(FLOOR(10000.0 * SUM(phrase_len) / COUNT(*)) AS BIGINT)
+             AS rake_u4
+    FROM occ GROUP BY w
+    """
+
+
+@register("text_keyword_rake", oracle=_sql_keyword_rake())
+def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE-style keyword scoring (Rapid Automatic Keyword Extraction,
+    Rose et al. 2010 — public algorithm): candidate phrases are the
+    maximal stopword-free token runs, found with gaps-and-islands over
+    token positions (pos − row_number per doc = constant within a
+    run); each content word accumulates freq (occurrences) and deg
+    (sum of lengths of the phrases it appears in), and the keyword
+    score deg/freq — words that live in long phrases — is emitted as
+    FLOOR 1e-4 fixed-point plus the exact (deg, freq) integers. The
+    stopword list is THE shared llm_text.STOPWORDS constant, so the
+    quality-score and keyword relations cannot disagree about what a
+    stopword is.
+
+    Scale: one tokenize+posexplode (map-side), one doc-keyed window
+    for the island ids (docs are the partition — bounded by document
+    length), one phrase aggregate, one join back on the (doc, island)
+    key, one word-keyed aggregate with map-side partials. Output is
+    vocabulary-sized.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "w")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    ns = words.filter(~F.col("w").isin(STOPWORDS)).withColumn(
+        "isl",
+        F.col("pos")
+        - F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("pos")
+        ),
+    )
+    ph = ns.groupBy("doc_id", "isl").agg(F.count("*").alias("phrase_len"))
+    occ = ns.join(ph, ["doc_id", "isl"]).select("w", "phrase_len")
+    return occ.groupBy(F.col("w").alias("word")).agg(
+        F.count("*").alias("freq"),
+        F.sum("phrase_len").cast("long").alias("deg"),
+        F.floor(F.lit(10000.0) * F.sum("phrase_len") / F.count("*"))
+        .cast("long")
+        .alias("rake_u4"),
+    )
+
+
+# --- corpus_pack_efficiency --------------------------------------------------------
+
+
+def _sql_pack_efficiency() -> str:
+    return f"""
+    WITH bins AS ({oracle("corpus_pack_sequences")})
+    SELECT lang,
+           COUNT(*) AS n_bins,
+           CAST(SUM(bin_tokens) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) * 512 AS BIGINT) AS capacity_tokens,
+           CAST(SUM(CASE WHEN bin_tokens > 512 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_overflow_bins,
+           CAST(SUM(CASE WHEN bin_tokens > 512 THEN bin_tokens - 512
+                         ELSE 0 END) AS BIGINT) AS overflow_tokens,
+           CAST(FLOOR(10000.0 * SUM(bin_tokens) / (COUNT(*) * 512))
+                AS BIGINT) AS fill_u4
+    FROM bins GROUP BY lang
+    """
+
+
+@register("corpus_pack_efficiency", oracle=_sql_pack_efficiency())
+def corpus_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency report over the greedy sequence packer — the
+    number a training team actually provisions by: per language, bin
+    count, fill ratio against the 512-token context (FLOOR 1e-4),
+    and how many bins overflow (the streaming packer lets a crossing
+    document finish its bin) with the total overflow tokens. A fill
+    ratio well under 1.0 means wasted context slots; heavy overflow
+    means the bin size fights the document length distribution —
+    both feed back into corpus_chunk_tokens' chunk budget.
+
+    Scale: a composite aggregate over the pack relation
+    (bin-cardinality rows, never documents).
+    """
+    packed = corpus_pack_sequences(spark, sf_dir)
+    over = F.col("bin_tokens") > 512
+    return packed.groupBy("lang").agg(
+        F.count("*").alias("n_bins"),
+        F.sum("bin_tokens").cast("long").alias("total_tokens"),
+        (F.count("*") * 512).cast("long").alias("capacity_tokens"),
+        F.sum(over.cast("int")).cast("long").alias("n_overflow_bins"),
+        F.sum(F.when(over, F.col("bin_tokens") - 512).otherwise(0))
+        .cast("long")
+        .alias("overflow_tokens"),
+        F.floor(F.lit(10000.0) * F.sum("bin_tokens") / (F.count("*") * 512))
+        .cast("long")
+        .alias("fill_u4"),
     )

@@ -837,9 +837,15 @@ def _bt_fit(
     checkpointed twin — parameterized the way the oracle generator is,
     so the two registered ops cannot diverge arithmetically."""
     pairs = pref_pair_assembly(spark, sf_dir)
+    # persist the SHARED PARENT: sources/games/tot_wins all derive from
+    # wins, so caching wins is the single point that cuts the
+    # corpus-sized pair-assembly scan to exactly one execution (review
+    # finding: caching the three children still ran the scan 3x). The
+    # persist is paired with unpersist below — the fit materializes its
+    # source-cardinality result first, the bpe/PQ bounded-collect rule.
     wins = pairs.groupBy(
         F.col("chosen_source").alias("i"), F.col("rejected_source").alias("j")
-    ).agg(F.count("*").alias("w"))
+    ).agg(F.count("*").alias("w")).persist()
     sources = (
         wins.select("i").union(wins.select(F.col("j").alias("i"))).distinct()
     )
@@ -850,16 +856,6 @@ def _bt_fit(
         .agg(F.sum("w").cast("long").alias("n"))
     )
     tot_wins = wins.groupBy("i").agg(F.sum("w").cast("long").alias("wins"))
-
-    # persist the source-sized inputs (kilobytes at any corpus scale):
-    # every MM iteration references games twice and tot_wins once, and
-    # without caching each reference lazily re-derives the corpus-sized
-    # pair-assembly scan — ~7 re-computations even at N=3 (review
-    # finding). persist() is lazy, so the plain fit keeps its
-    # build-is-lazy contract; the bounded cache is the documented cost.
-    games = games.persist()
-    tot_wins = tot_wins.persist()
-    sources = sources.persist()
 
     if checkpoint_every:
         # the fit's inputs are source-sized; eagerly truncating their
@@ -916,7 +912,7 @@ def _bt_fit(
             # the checkpoint materialization is tiny).
             s = s.localCheckpoint(eager=True)
     n_games = games.groupBy("i").agg(F.sum("n").alias("n_games"))
-    return (
+    result = (
         s.join(tot_wins, "i", "left")
         .join(n_games, "i", "left")
         .select(
@@ -934,9 +930,19 @@ def _bt_fit(
             .alias("strength_rank"),
         )
     )
+    # materialize the source-cardinality relation, then release the
+    # cache — the persist/unpersist pairing the repo uses everywhere
+    # (a lazily-returned result would pin the cache forever)
+    try:
+        rows = result.collect()
+    finally:
+        wins.unpersist()
+    return spark.createDataFrame(rows, result.schema)
 
 
-@register("pref_bt_strength", oracle=_sql_bt_strength())
+@register(
+    "pref_bt_strength", executes_on_build=True, oracle=_sql_bt_strength()
+)
 def pref_bt_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bradley-Terry source-strength fit over the preference pairs —
     the trainer-side consumer of pref_winrate_matrix's sufficient
@@ -953,8 +959,11 @@ def pref_bt_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: state is one row per SOURCE (corpus-card cardinality, not
     corpus cardinality); each iteration is two joins of the games
     relation against the strength relation plus a source-keyed sum.
-    Nothing collects; pref_bt_strength_scaled is the raised-iteration
-    twin with periodic lineage truncation.
+    The one collect is the final source-cardinality relation itself
+    (bounded at any corpus size — the bpe/PQ rule), which is what
+    lets the fit release its cached wins input before returning;
+    pref_bt_strength_scaled is the raised-iteration twin with
+    periodic lineage truncation.
     """
     return _bt_fit(spark, sf_dir, BT_ITERS)
 
@@ -1602,138 +1611,6 @@ def stream_pref_pair_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pairs_from_extremes(_cohort_extremes(cand))
 
 
-# --- text_keyword_rake -----------------------------------------------------------
-
-
-def _sql_keyword_rake() -> str:
-    from clj_kinesis_to_firehose_spark.operators.llm_text import STOPWORDS
-
-    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
-    return f"""
-    WITH toks AS (
-      SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
-    ), words AS (
-      SELECT doc_id, i AS pos, t[i] AS w
-      FROM toks, UNNEST(RANGE(1, LEN(t) + 1)) AS r(i)
-    ), ns AS (
-      SELECT doc_id, pos, w,
-             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
-               AS isl
-      FROM words WHERE w NOT IN ({stop_list})
-    ), ph AS (
-      SELECT doc_id, isl, COUNT(*) AS phrase_len
-      FROM ns GROUP BY doc_id, isl
-    ), occ AS (
-      SELECT ns.w, ph.phrase_len
-      FROM ns JOIN ph ON ns.doc_id = ph.doc_id AND ns.isl = ph.isl
-    )
-    SELECT w AS word,
-           COUNT(*) AS freq,
-           CAST(SUM(phrase_len) AS BIGINT) AS deg,
-           CAST(FLOOR(10000.0 * SUM(phrase_len) / COUNT(*)) AS BIGINT)
-             AS rake_u4
-    FROM occ GROUP BY w
-    """
-
-
-@register("text_keyword_rake", oracle=_sql_keyword_rake())
-def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RAKE-style keyword scoring (Rapid Automatic Keyword Extraction,
-    Rose et al. 2010 — public algorithm): candidate phrases are the
-    maximal stopword-free token runs, found with gaps-and-islands over
-    token positions (pos − row_number per doc = constant within a
-    run); each content word accumulates freq (occurrences) and deg
-    (sum of lengths of the phrases it appears in), and the keyword
-    score deg/freq — words that live in long phrases — is emitted as
-    FLOOR 1e-4 fixed-point plus the exact (deg, freq) integers. The
-    stopword list is THE shared llm_text.STOPWORDS constant, so the
-    quality-score and keyword relations cannot disagree about what a
-    stopword is.
-
-    Scale: one tokenize+posexplode (map-side), one doc-keyed window
-    for the island ids (docs are the partition — bounded by document
-    length), one phrase aggregate, one join back on the (doc, island)
-    key, one word-keyed aggregate with map-side partials. Output is
-    vocabulary-sized.
-    """
-    from clj_kinesis_to_firehose_spark.operators.llm_text import STOPWORDS
-
-    docs = load_table(spark, sf_dir, "documents")
-    words = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "w")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
-    ns = words.filter(~F.col("w").isin(list(STOPWORDS))).withColumn(
-        "isl",
-        F.col("pos")
-        - F.row_number().over(
-            Window.partitionBy("doc_id").orderBy("pos")
-        ),
-    )
-    ph = ns.groupBy("doc_id", "isl").agg(F.count("*").alias("phrase_len"))
-    occ = ns.join(ph, ["doc_id", "isl"]).select("w", "phrase_len")
-    return occ.groupBy(F.col("w").alias("word")).agg(
-        F.count("*").alias("freq"),
-        F.sum("phrase_len").cast("long").alias("deg"),
-        F.floor(F.lit(10000.0) * F.sum("phrase_len") / F.count("*"))
-        .cast("long")
-        .alias("rake_u4"),
-    )
-
-
-# --- corpus_pack_efficiency --------------------------------------------------------
-
-
-def _sql_pack_efficiency() -> str:
-    return f"""
-    WITH bins AS ({oracle("corpus_pack_sequences")})
-    SELECT lang,
-           COUNT(*) AS n_bins,
-           CAST(SUM(bin_tokens) AS BIGINT) AS total_tokens,
-           CAST(COUNT(*) * 512 AS BIGINT) AS capacity_tokens,
-           CAST(SUM(CASE WHEN bin_tokens > 512 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_overflow_bins,
-           CAST(SUM(CASE WHEN bin_tokens > 512 THEN bin_tokens - 512
-                         ELSE 0 END) AS BIGINT) AS overflow_tokens,
-           CAST(FLOOR(10000.0 * SUM(bin_tokens) / (COUNT(*) * 512))
-                AS BIGINT) AS fill_u4
-    FROM bins GROUP BY lang
-    """
-
-
-@register("corpus_pack_efficiency", oracle=_sql_pack_efficiency())
-def corpus_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Packing-efficiency report over the greedy sequence packer — the
-    number a training team actually provisions by: per language, bin
-    count, fill ratio against the 512-token context (FLOOR 1e-4),
-    and how many bins overflow (the streaming packer lets a crossing
-    document finish its bin) with the total overflow tokens. A fill
-    ratio well under 1.0 means wasted context slots; heavy overflow
-    means the bin size fights the document length distribution —
-    both feed back into corpus_chunk_tokens' chunk budget.
-
-    Scale: a composite aggregate over the pack relation
-    (bin-cardinality rows, never documents).
-    """
-    from clj_kinesis_to_firehose_spark.operators.llm_text import (
-        corpus_pack_sequences,
-    )
-
-    packed = corpus_pack_sequences(spark, sf_dir)
-    over = F.col("bin_tokens") > 512
-    return packed.groupBy("lang").agg(
-        F.count("*").alias("n_bins"),
-        F.sum("bin_tokens").cast("long").alias("total_tokens"),
-        (F.count("*") * 512).cast("long").alias("capacity_tokens"),
-        F.sum(over.cast("int")).cast("long").alias("n_overflow_bins"),
-        F.sum(F.when(over, F.col("bin_tokens") - 512).otherwise(0))
-        .cast("long")
-        .alias("overflow_tokens"),
-        F.floor(F.lit(10000.0) * F.sum("bin_tokens") / (F.count("*") * 512))
-        .cast("long")
-        .alias("fill_u4"),
-    )
-
-
 # --- scan_xml_roundtrip -------------------------------------------------------------
 
 
@@ -1774,8 +1651,13 @@ def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .save(out)
     )
     back = (
-        spark.read.format("xml").option("rowTag", "document").load(out)
+        spark.read.format("xml")
+        .schema("doc_id long, lang string, source string, n_chars long")
+        .option("rowTag", "document")
+        .load(out)
     )
-    # XML infers element order alphabetically on read; re-project to
-    # the declared column order so the driver's schema check is stable
+    # explicit schema: keeps the read single-pass (XML inference costs
+    # a full extra scan — the scan_formats_roundtrip rule) and makes
+    # the result schema data-independent (inference would drop an
+    # all-null column and coerce numeric-looking strings)
     return back.select("doc_id", "lang", "source", "n_chars")
