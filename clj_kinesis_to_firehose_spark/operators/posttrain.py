@@ -1418,7 +1418,13 @@ def _sql_pref_bt_calibration() -> str:
     """
 
 
-@register("pref_bt_calibration", oracle=_sql_pref_bt_calibration())
+@register(
+    "pref_bt_calibration",
+    # composes pref_bt_strength, whose build performs the bounded
+    # final collect — so this op also executes on build
+    executes_on_build=True,
+    oracle=_sql_pref_bt_calibration(),
+)
 def pref_bt_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reliability diagram for the Bradley-Terry fit — the eval that
     closes the fit loop: for every ordered source matchup (i, j), the
