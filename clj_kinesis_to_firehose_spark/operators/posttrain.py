@@ -1667,3 +1667,139 @@ def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the result schema data-independent (inference would drop an
     # all-null column and coerce numeric-looking strings)
     return back.select("doc_id", "lang", "source", "n_chars")
+
+
+# --- stream_freshness_monitor -------------------------------------------------------
+
+
+@register(
+    "stream_freshness_monitor",
+    executes_on_build=True,
+    oracle=oracle("dq_freshness_lag"),
+)
+def stream_freshness_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness tracking IN the ingest stream: each micro-batch
+    writes its per-type (latest_ts, n_events) partial epoch-keyed; the
+    final pass merges partials by MAX(latest_ts) / SUM(n_events) and
+    recomputes the lag against the merged head. MAX and SUM are the
+    textbook mergeable aggregates, so the streamed monitor equals the
+    batch audit EXACTLY (same oracle as dq_freshness_lag) — which is
+    the property that lets an on-call dashboard read the lag from
+    cheap per-batch state instead of scanning the stream's history.
+
+    Scale: per batch one event-type-cardinality aggregate over batch
+    rows; the merge folds K bounded partials. Epoch-keyed OVERWRITE
+    keeps at-least-once re-execution idempotent.
+    """
+    from clj_kinesis_to_firehose_spark.sources import scratch_dir
+    from clj_kinesis_to_firehose_spark.sources.streams import (
+        read_event_stream,
+        write_replay_slices,
+    )
+
+    replay = write_replay_slices(spark, sf_dir, n_slices=4)
+    out_dir = scratch_dir("kf_fresh_ingest_")
+
+    def freshness_batch(batch_df: DataFrame, epoch: int) -> None:
+        partial = batch_df.groupBy("event_type").agg(
+            F.max("ts").alias("latest_ts"), F.count("*").alias("n_events")
+        )
+        partial.write.mode("overwrite").parquet(f"{out_dir}/epoch_{epoch}")
+
+    q = (
+        read_event_stream(spark, replay)
+        .writeStream.foreachBatch(freshness_batch)
+        .option("checkpointLocation", scratch_dir("kf_fresh_chk_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    per_type = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(out_dir)
+        .groupBy("event_type")
+        .agg(
+            F.max("latest_ts").alias("latest_ts"),
+            F.sum("n_events").cast("long").alias("n_events"),
+        )
+    )
+    head = per_type.agg(F.max("latest_ts").alias("head_ts"))
+    return per_type.crossJoin(F.broadcast(head)).select(
+        "event_type",
+        "latest_ts",
+        "n_events",
+        F.floor(
+            (
+                F.unix_micros("head_ts") - F.unix_micros("latest_ts")
+            ).cast("double")
+            / 60000000.0
+        )
+        .cast("long")
+        .alias("lag_minutes"),
+    )
+
+
+# --- dq_bot_rate_profile ------------------------------------------------------------
+
+#: an actor producing more than this many events per active minute is
+#: flagged — the rate face of bot filtering (the volume face is the
+#: crawl politeness budget).
+BOT_RATE_U4 = 15_000  # 1.5 events per active minute, in 1e-4 units
+
+#: minimum events before a rate judgment is meaningful.
+BOT_MIN_EVENTS = 50
+
+
+@register(
+    "dq_bot_rate_profile",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             COUNT(*) AS n_events,
+             COUNT(DISTINCT DATE_TRUNC('minute', ts)) AS active_minutes
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           CAST(active_minutes AS BIGINT) AS active_minutes,
+           CAST(FLOOR(10000.0 * n_events / active_minutes) AS BIGINT)
+             AS rate_u4,
+           n_events >= {BOT_MIN_EVENTS}
+             AND FLOOR(10000.0 * n_events / active_minutes)
+                 > {BOT_RATE_U4} AS bot_flag
+    FROM per_user
+    """,
+)
+def dq_bot_rate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot-rate profiling — the actor-level filter every crawl/event
+    corpus runs before its text enters a training mix: events per
+    ACTIVE minute (distinct minutes with activity, so an actor who
+    bursts 100 events in 2 minutes profiles as 50/min, not as diluted
+    by idle hours). The flag requires both a minimum volume and a
+    rate above threshold; the rate is FLOOR 1e-4 fixed-point over
+    exact integer counts.
+
+    Scale: the distinct-minute count shuffles (user, minute) once
+    with map-side partials, then one user-keyed aggregate — actor
+    cardinality drives output size. Downstream joins the flag against
+    the documents-by-actor relation to drop bot text before dedup
+    even runs (cheapest filter first).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct(F.date_trunc("minute", "ts"))
+        .cast("long")
+        .alias("active_minutes"),
+    )
+    rate = F.floor(
+        F.lit(10000.0) * F.col("n_events") / F.col("active_minutes")
+    ).cast("long")
+    return per_user.select(
+        "user_id",
+        "n_events",
+        "active_minutes",
+        rate.alias("rate_u4"),
+        (
+            (F.col("n_events") >= BOT_MIN_EVENTS) & (rate > BOT_RATE_U4)
+        ).alias("bot_flag"),
+    )

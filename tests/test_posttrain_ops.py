@@ -400,3 +400,32 @@ def test_xml_roundtrip_is_identity(spark):
     )
     assert out.exceptAll(src).count() == 0
     assert src.exceptAll(out).count() == 0
+
+
+def test_stream_freshness_equals_batch_audit(spark):
+    import pandas as pd
+
+    batch = (
+        QUERIES["dq_freshness_lag"](spark, SF_DIR)
+        .orderBy("event_type")
+        .toPandas()
+    )
+    streamed = (
+        QUERIES["stream_freshness_monitor"](spark, SF_DIR)
+        .orderBy("event_type")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        batch.reset_index(drop=True),
+        streamed.reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def test_bot_rate_profile_laws(spark):
+    out = QUERIES["dq_bot_rate_profile"](spark, SF_DIR).toPandas()
+    assert (out.active_minutes >= 1).all()
+    assert (out.active_minutes <= out.n_events).all()
+    for _, r in out.iterrows():
+        assert r.rate_u4 == (10000 * r.n_events) // r.active_minutes
+        assert r.bot_flag == (r.n_events >= 50 and r.rate_u4 > 15000)
