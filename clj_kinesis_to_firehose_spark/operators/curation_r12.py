@@ -83,6 +83,21 @@ def _phash_banded(ph: DataFrame) -> DataFrame:
     )
 
 
+def _persisted_keys(ph: DataFrame) -> DataFrame:
+    """Persist the (doc_id, 64-bit key) relation before it fans out —
+    every banded pair op references it THREE times (band split + two
+    verify probe sides), and without a persist each reference re-runs
+    the whole decode→hash kernel (the r12 verdict's persist-once item:
+    at 10^9 images that is three full decode passes instead of one).
+    MEMORY_AND_DISK (the default) keeps the op safe when the key
+    relation outgrows the storage pool — spill, never recompute. The
+    relation is doc-count × 16 bytes, so at fixture scale it is
+    trivially memory-resident; the plan pin lives in
+    tests/test_plans.py (InMemoryTableScan at all three reference
+    sites, decode kernel present ONCE — inside the cached build)."""
+    return ph.persist()
+
+
 def _hamming_verified_pairs(
     ph: DataFrame, cand: DataFrame, d: int
 ) -> DataFrame:
@@ -167,11 +182,15 @@ def multimodal_phash_hamming_pairs(
     Scale: per-band-bucket pair cost — the LSH shape — over a key
     whose cardinality grows with content (2^16 per band, 2^64 total),
     so no capped-cardinality quadratic tail remains; the verify step
-    is one XOR+popcount per candidate. The hash relation is derived
-    three times here (candidates + two probe sides); a production
-    layout persists it once, like the substring-dedup span index.
+    is one XOR+popcount per candidate. The hash relation fans out to
+    three reference sites (candidates + two probe sides) and is
+    persisted ONCE before the fan-out (:func:`_persisted_keys`, r13:
+    previously each site re-ran the decode kernel), so the executed
+    plan decodes each image exactly once.
     """
-    ph = multimodal_image_phash(spark, sf_dir).select("doc_id", "phash")
+    ph = _persisted_keys(
+        multimodal_image_phash(spark, sf_dir).select("doc_id", "phash")
+    )
     cand = band_candidates(_phash_banded(ph))
     return _hamming_verified_pairs(ph, cand, PHASH_HAMMING_D)
 
@@ -693,7 +712,9 @@ def multimodal_phash_multiprobe_pairs(
     explode, shuffled once on the same (band, bucket) key as the base
     join). The verify step is still one XOR+popcount per candidate.
     """
-    ph = multimodal_image_phash(spark, sf_dir).select("doc_id", "phash")
+    ph = _persisted_keys(
+        multimodal_image_phash(spark, sf_dir).select("doc_id", "phash")
+    )
     banded = _phash_banded(ph)
     flips = [F.col("bucket")] + [
         F.col("bucket").bitwiseXOR(F.lit(1 << j))
@@ -1250,8 +1271,10 @@ def multimodal_audio_hamming_pairs(
     families this gives the corpus-curation layer a uniform near-dup
     contract across every modality it stores.
     """
-    afp = multimodal_audio_fingerprint(spark, sf_dir).select(
-        "doc_id", F.col("fingerprint").alias("phash")
+    afp = _persisted_keys(
+        multimodal_audio_fingerprint(spark, sf_dir).select(
+            "doc_id", F.col("fingerprint").alias("phash")
+        )
     )
     cand = band_candidates(_phash_banded(afp))
     return _hamming_verified_pairs(afp, cand, PHASH_HAMMING_D)
@@ -1321,7 +1344,9 @@ def dedup_incremental_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes + matched buckets), never O(corpus). Batch-internal
     repetition reuses the same banded exchange.
     """
-    ph = multimodal_image_phash(spark, sf_dir).select("doc_id", "phash")
+    ph = _persisted_keys(
+        multimodal_image_phash(spark, sf_dir).select("doc_id", "phash")
+    )
     banded = _phash_banded(ph)
     is_batch = F.col("doc_id") >= PHASH_BATCH_SPLIT
     b_bands = banded.filter(is_batch).select(

@@ -573,3 +573,29 @@ def test_moving_median_single_window_shuffle(spark):
     plan = audit.formatted_plan(df)
     assert audit.n_shuffles(df) == 1, plan
     assert "Python" not in plan, plan
+
+
+def test_hamming_pair_family_decodes_once(spark):
+    """The banded pair ops persist the (doc_id, 64-bit key) relation
+    before it fans out to three reference sites (band split + two
+    verify probe sides) — r12 verdict item 4: without the persist,
+    every site re-ran the whole decode→hash kernel (three full decode
+    passes per run at 10^9 images). The pin: all key-relation reads in
+    the plan are InMemoryTableScan (cache reads — Spark materializes a
+    persisted relation once), and the Python decode kernel appears
+    only inside the cached relation's build plan, never as a top-level
+    per-site stage."""
+    for name in (
+        "multimodal_phash_hamming_pairs",
+        "multimodal_phash_multiprobe_pairs",
+        "multimodal_audio_hamming_pairs",
+        "dedup_incremental_phash",
+    ):
+        df = QUERIES[name](spark, SF_DIR)
+        plan = audit.formatted_plan(df)
+        assert "InMemoryTableScan" in plan, (name, plan)
+        # every decode-kernel line sits under an InMemoryRelation
+        # subtree: strip the cached-relation blocks and no Python
+        # stage may remain in the consumer plan
+        top = plan.split("InMemoryRelation")[0]
+        assert "MapInPandas" not in top, (name, top)
