@@ -227,12 +227,44 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def band_candidates(banded: DataFrame) -> DataFrame:
+#: max members a (band, bucket) may have and still generate pairs.
+#: An adversarial template flood — thousands of docs identical except
+#: a serial/timestamp token, which exact dedup does NOT collapse —
+#: concentrates one bucket and makes its pair output Θ(bucket²); AQE
+#: skew-split spreads the JOIN's work but not the OUTPUT cardinality.
+#: The guard bounds per-bucket pair cost at cap²/2 ≈ 500k and routes
+#: oversized buckets to :func:`oversized_band_buckets` (the dead-letter
+#: pattern: degrade diagnosably, never blow up the job). Organic
+#: buckets sit far below it — fixture max is 4 (text minhash, sf0.1)
+#: and 165 (image phash, sf0.1) — so every exact oracle, which does
+#: not model the guard, is unaffected on non-adversarial corpora.
+BAND_BUCKET_CAP = 1024
+
+
+def band_candidates(
+    banded: DataFrame, max_bucket: int | None = BAND_BUCKET_CAP
+) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs sharing any (band, bucket) — the
     LSH candidate generator. ONE definition, shared by the batch
-    dedup, the calibration, and the hybrid-confirm operators so the
-    join rule cannot drift between family members (the same
-    single-copy rule the oracles' CTE blocks follow)."""
+    dedup, the calibration, the hybrid-confirm, and the multimodal
+    hamming operators so the join rule cannot drift between family
+    members (the same single-copy rule the oracles' CTE blocks
+    follow).
+
+    Buckets larger than ``max_bucket`` are excluded from pair
+    generation (see :data:`BAND_BUCKET_CAP`); pass ``None`` to
+    disable. The size gate is a count over a window partitioned by the
+    join key itself, so it costs one exchange on (band, bucket) — the
+    partitioning the self-join needs anyway — and no extra join."""
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "bucket")
+        banded = (
+            banded.withColumn("_bucket_n", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bucket_n") <= F.lit(max_bucket))
+            .drop("_bucket_n")
+        )
     left = banded.alias("a")
     right = banded.alias("b")
     return (
@@ -246,6 +278,69 @@ def band_candidates(banded: DataFrame) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
+    )
+
+
+def oversized_band_buckets(
+    banded: DataFrame, max_bucket: int = BAND_BUCKET_CAP
+) -> DataFrame:
+    """Diagnostic relation of the buckets :func:`band_candidates`
+    excluded: (band, bucket, n_docs) for every bucket over the cap —
+    the dead-letter twin of the pair stream, so a template flood
+    degrades into an inspectable report instead of a silent output
+    blow-up (or a silently missing one)."""
+    return (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > F.lit(max_bucket))
+    )
+
+
+@register(
+    "dedup_band_bucket_stats",
+    oracle=_sql_shingle_ctes()
+    + f"""
+    , bsz AS (
+        SELECT band, bucket, COUNT(*) AS n
+        FROM bands GROUP BY band, bucket
+    )
+    SELECT CAST(band AS BIGINT) AS band,
+           COUNT(*) AS n_buckets,
+           CAST(MAX(n) AS BIGINT) AS max_bucket_n,
+           CAST(SUM(CASE WHEN n > {BAND_BUCKET_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_oversized,
+           CAST(SUM((n * (n - 1)) // 2) AS BIGINT) AS pair_cost
+    FROM bsz GROUP BY band
+    """,
+)
+def dedup_band_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band LSH bucket telemetry — the pre-flight a 100 TB dedup
+    pass runs BEFORE generating pairs: bucket count, largest bucket,
+    how many buckets the :data:`BAND_BUCKET_CAP` guard would exclude,
+    and the exact pair cost Σ n·(n−1)/2 the band join will pay. On the
+    fixture n_oversized is 0 everywhere (organic buckets are single
+    digits); on an adversarial corpus this is the relation that says
+    WHERE the flood is before the job spends anything on it.
+
+    Exact oracle: the banding CTE block is the registered MinHash
+    pipeline verbatim; pair cost stays in integer arithmetic (n·(n−1)
+    is even, so floor-div 2 is exact in both engines — the
+    FLOOR-not-ROUND rule)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bsz = (
+        _band_keys(_minhash_sigs(spark, docs))
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return bsz.groupBy(F.col("band").cast("long").alias("band")).agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("n").alias("max_bucket_n"),
+        F.sum(
+            F.when(F.col("n") > BAND_BUCKET_CAP, F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_oversized"),
+        F.sum(F.expr("(n * (n - 1)) div 2")).alias("pair_cost"),
     )
 
 

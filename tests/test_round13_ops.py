@@ -1,0 +1,100 @@
+"""Round-13 operator tests: the adversarial-bucket guard in the shared
+LSH candidate generator (template-flood boundedness + dead-letter
+telemetry), and the band-bucket pre-flight stats op."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clj_kinesis_to_firehose_spark import registry
+from clj_kinesis_to_firehose_spark.operators.llm_dedup import (
+    BAND_BUCKET_CAP,
+    _band_keys,
+    _minhash_sigs,
+    band_candidates,
+    oversized_band_buckets,
+)
+from tests.conftest import SF_DIR
+
+QUERIES = registry.queries()
+
+
+def _synthetic_banded(spark, flood_n: int, organic: list[int]):
+    """A (doc_id, band, bucket) relation with one flood bucket of
+    ``flood_n`` docs plus small organic buckets (doc ids continue
+    after the flood)."""
+    rows = [(i, 0, "flood") for i in range(flood_n)]
+    nxt = flood_n
+    for j, size in enumerate(organic):
+        for _ in range(size):
+            rows.append((nxt, 0, f"organic{j}"))
+            nxt += 1
+    return spark.createDataFrame(rows, "doc_id long, band int, bucket string")
+
+
+def test_band_candidates_excludes_oversized_bucket(spark):
+    """A bucket over the cap generates ZERO pairs; organic buckets are
+    untouched — the guard bounds output cardinality, which AQE
+    skew-split alone cannot (it spreads the join's work, not the
+    Θ(bucket²) output)."""
+    banded = _synthetic_banded(spark, BAND_BUCKET_CAP + 200, [3, 2])
+    pairs = band_candidates(banded).collect()
+    # organic only: C(3,2) + C(2,2) = 3 + 1
+    assert len(pairs) == 4, pairs
+    flood_ids = {r.doc_a for r in pairs} | {r.doc_b for r in pairs}
+    assert all(i >= BAND_BUCKET_CAP + 200 for i in flood_ids)
+
+
+def test_band_candidates_cap_boundary_and_optout(spark):
+    """A bucket exactly AT the cap still pairs (<= is admitted);
+    max_bucket=None restores unguarded behavior."""
+    at_cap = _synthetic_banded(spark, 0, [BAND_BUCKET_CAP])
+    n = band_candidates(at_cap).count()
+    assert n == BAND_BUCKET_CAP * (BAND_BUCKET_CAP - 1) // 2
+    over = _synthetic_banded(spark, BAND_BUCKET_CAP + 1, [])
+    assert band_candidates(over).count() == 0
+    assert (
+        band_candidates(over, max_bucket=None).count()
+        == (BAND_BUCKET_CAP + 1) * BAND_BUCKET_CAP // 2
+    )
+
+
+def test_oversized_buckets_reported_as_dead_letter(spark):
+    banded = _synthetic_banded(spark, BAND_BUCKET_CAP + 200, [3, 2])
+    report = oversized_band_buckets(banded).collect()
+    assert len(report) == 1
+    assert report[0].bucket == "flood"
+    assert report[0].n_docs == BAND_BUCKET_CAP + 200
+
+
+def test_template_flood_end_to_end_bounded(spark):
+    """The adversarial corpus the r12 verdict describes: docs identical
+    except a per-doc serial token — exact dedup does NOT collapse them
+    (texts differ), and most land in one minhash bucket per band.
+    Through the production kernel the pair output must stay bounded
+    and the flood must surface in the telemetry relation, with the job
+    completing (no Θ(n²) blow-up)."""
+    base = " ".join(f"tok{k}" for k in range(48))
+    n = 2 * BAND_BUCKET_CAP  # ~78% share the dominant bucket per band
+    docs = spark.createDataFrame(
+        [(i, f"{base} serial{i}") for i in range(n)], "doc_id long, text string"
+    )
+    banded = _band_keys(_minhash_sigs(spark, docs))
+    flood = oversized_band_buckets(banded)
+    assert flood.count() >= 1, "flood bucket not detected"
+    n_pairs = band_candidates(banded).count()
+    # unguarded would be >= C(0.5*n, 2) ≈ 0.5M from the dominant
+    # buckets alone; guarded output is only the sub-cap residue
+    assert n_pairs < BAND_BUCKET_CAP * (BAND_BUCKET_CAP - 1) // 2, n_pairs
+
+
+def test_band_bucket_stats_fixture_has_no_oversized(spark):
+    """On the organic fixture the guard is invisible: zero oversized
+    buckets in every band — the precondition for the exact oracles of
+    every band_candidates consumer to remain guard-agnostic."""
+    rows = QUERIES["dedup_band_bucket_stats"](spark, SF_DIR).collect()
+    assert len(rows) == 4 and {r.band for r in rows} == {0, 1, 2, 3}
+    assert all(r.n_oversized == 0 for r in rows), rows
+    assert all(r.max_bucket_n <= BAND_BUCKET_CAP for r in rows), rows
+    # pair cost the band join will pay is consistent with bucket sizes
+    assert all(r.pair_cost >= 0 and r.n_buckets > 0 for r in rows)
