@@ -75,6 +75,10 @@ EXTENDED = [
     # round 12: the post-training capstone — trends preference-pair
     # assembly x cohort split x shard as one number
     "pref_train_manifest",
+    # round 13: the scaled BT fit — trends per-iteration cost of the
+    # 64-step checkpointed MM loop (flat sec/iter is the claim, the
+    # bpe_learn_merges_scaled rule applied to the preference family)
+    "pref_bt_strength_scaled",
 ]
 N_RUNS_EXT = 2
 

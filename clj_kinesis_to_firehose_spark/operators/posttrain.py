@@ -862,10 +862,24 @@ def _bt_fit(
         # lineage ONCE means no MM iteration or checkpoint job ever
         # re-executes the corpus-sized pair-assembly scan they bottom
         # out in (review finding: the lazy chain re-ran that scan about
-        # twice per iteration across the scaled run's jobs)
-        games = games.localCheckpoint(eager=True)
-        tot_wins = tot_wins.localCheckpoint(eager=True)
-        sources = sources.localCheckpoint(eager=True)
+        # twice per iteration across the scaled run's jobs).
+        # Truncation is the MLlib driver-loop pattern — collect the
+        # source-cardinality relation and rebuild it as a
+        # LocalRelation — NOT localCheckpoint: measured at 64
+        # iterations (r13), the checkpoint path's per-segment cost
+        # grew from 3 s to 17 s and OOM'd a default-heap driver around
+        # iteration 24 even though the logical plan stayed truncated
+        # (the accumulation is inside the JVM's checkpoint/block
+        # machinery), while the LocalRelation loop is flat for all 64.
+        # Bounded by design: these relations are card-catalog sized
+        # (one row per source / source pair), never corpus-sized —
+        # the same rule the final result collect follows.
+        games = spark.createDataFrame(games.collect(), games.schema)
+        tot_wins = spark.createDataFrame(tot_wins.collect(), tot_wins.schema)
+        sources = spark.createDataFrame(sources.collect(), sources.schema)
+        # nothing below touches the corpus again — release the scan
+        # cache before the loop instead of after it
+        wins.unpersist()
 
     s = sources.select("i", F.lit(BT_S0).cast("long").alias("s"))
     for it in range(1, iters + 1):
@@ -906,11 +920,15 @@ def _bt_fit(
         )
         if checkpoint_every and it % checkpoint_every == 0 and it < iters:
             # lineage truncation: without this, the plan for iteration
-            # N nests N copies of the per-step subtree and analysis
-            # time grows superlinearly — the bpe_learn_merges_scaled
-            # rule applied to the strength relation (source-sized, so
-            # the checkpoint materialization is tiny).
-            s = s.localCheckpoint(eager=True)
+            # N nests ~3^N copies of the per-step subtree (the MM step
+            # references the strength relation three times: si + sj in
+            # the term join, plus the update's base) and analysis cost
+            # explodes — the bpe_learn_merges_scaled rule applied to
+            # the strength relation, via driver round-trip (see the
+            # input truncation above for why not localCheckpoint; the
+            # relation is one row per source, so the collect is
+            # card-catalog bounded).
+            s = spark.createDataFrame(s.collect(), s.schema)
     n_games = games.groupBy("i").agg(F.sum("n").alias("n_games"))
     result = (
         s.join(tot_wins, "i", "left")
@@ -971,7 +989,7 @@ def pref_bt_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: iteration count and checkpoint cadence for the scaled twin — enough
 #: steps that an unchk'd lazy chain would visibly balloon plan
 #: analysis, checkpointed the way a to-convergence production fit is.
-BT_ITERS_SCALED = 16
+BT_ITERS_SCALED = 64
 BT_CHECKPOINT_EVERY = 4
 
 
@@ -982,18 +1000,32 @@ BT_CHECKPOINT_EVERY = 4
 )
 def pref_bt_strength_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production-loop shape of the BT fit: BT_ITERS_SCALED MM
-    iterations with localCheckpoint every BT_CHECKPOINT_EVERY steps —
-    lineage truncation keeps per-iteration plan size O(interval)
-    instead of O(total), exactly bpe_learn_merges_scaled's rule, while
-    the integer fixed-point arithmetic keeps even the 16-step run
-    hash-EXACT against a 16-level unrolled oracle built by the SAME
-    generator as the N=3 twin. (Checkpoint materialization executes
-    jobs at build time, hence executes_on_build.)
+    iterations with lineage truncation every BT_CHECKPOINT_EVERY steps
+    — per-iteration plan size stays O(interval) instead of O(total),
+    exactly bpe_learn_merges_scaled's rule, while the integer
+    fixed-point arithmetic keeps even the 64-step run hash-EXACT
+    against a 64-level unrolled MATERIALIZED-CTE oracle built by the
+    SAME generator as the N=3 twin (r13: raised 16 -> 64 to match
+    bpe's proven production loop shape).
 
-    Scale: the checkpointed relation is source-sized, so each
-    materialization writes kilobytes regardless of corpus size; the
-    cost profile is flat sec/iteration, which is what lets production
-    run this to convergence (hundreds of steps) instead of a fixed 3.
+    The truncation cadence stays 4, NOT bpe's 8, and truncation is a
+    driver round-trip (collect + LocalRelation), NOT localCheckpoint:
+    the MM step references the strength relation THREE times (si + sj
+    in the term join, plus the update's base), so an un-truncated
+    segment's plan grows ~3^interval copies of the base subtree — and
+    measured at 64 iterations (r13) the localCheckpoint path's
+    per-segment cost crept 3 s -> 17 s and OOM'd a default-heap
+    driver around iteration 24 even with the logical plan verified
+    truncated, while the LocalRelation loop runs all 64 flat. bpe
+    affords interval 8 because its loop carries state through a
+    single-reference REPLACE. (Truncation executes jobs at build time,
+    hence executes_on_build.)
+
+    Scale: the truncated relation is one row per SOURCE (card-catalog
+    cardinality), so each round-trip moves kilobytes regardless of
+    corpus size; the cost profile is flat sec/iteration, which is what
+    lets production run this to convergence (hundreds of steps)
+    instead of a fixed 3.
     """
     return _bt_fit(
         spark, sf_dir, BT_ITERS_SCALED, checkpoint_every=BT_CHECKPOINT_EVERY

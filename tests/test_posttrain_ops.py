@@ -314,7 +314,7 @@ def test_freshness_lag_head_has_zero_lag(spark):
 
 
 def test_bt_scaled_extends_the_exact_twin(spark):
-    """More MM iterations refine, never scramble: the 16-step
+    """More MM iterations refine, never scramble: the 64-step
     checkpointed fit agrees with the 3-step twin on the game totals
     and stays positive; both are hash-exact vs their own oracles."""
     short = QUERIES["pref_bt_strength"](spark, SF_DIR).toPandas()
