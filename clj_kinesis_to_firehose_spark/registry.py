@@ -83,6 +83,7 @@ _OPERATOR_MODULES = [
     "curation_r12",
     "engine_ext",
     "posttrain",
+    "quality_model",
 ]
 
 _loaded = False

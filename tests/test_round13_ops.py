@@ -98,3 +98,35 @@ def test_band_bucket_stats_fixture_has_no_oversized(spark):
     assert all(r.max_bucket_n <= BAND_BUCKET_CAP for r in rows), rows
     # pair cost the band join will pay is consistent with bucket sizes
     assert all(r.pair_cost >= 0 and r.n_buckets > 0 for r in rows)
+
+
+def test_quality_filter_learns_the_label_rule(spark):
+    """The fitted filter must beat 90% agreement with its weak label
+    (the label is linearly representable in the token-count basis, so
+    a converged fit recovers it), and the learned words-vs-token
+    weight ratio must sit near the labeler's -QL_LABEL_PCT/100."""
+    from clj_kinesis_to_firehose_spark.operators.quality_model import (
+        QL_FEATURES,
+        QL_LABEL_PCT,
+    )
+
+    conf = QUERIES["quality_linear_eval"](spark, SF_DIR).collect()
+    n = sum(r.n_docs for r in conf)
+    agree = sum(r.n_docs for r in conf if r.pred == r.label_weak)
+    assert n == 500 and agree / n > 0.90, conf
+    w = {r.feature: r.weight for r in
+         QUERIES["quality_linear_fit"](spark, SF_DIR).collect()}
+    assert set(w) == set(QL_FEATURES)
+    tok_avg = sum(v for k, v in w.items() if k.startswith("tok_")) / 4
+    # labeler margin ∝ Σ(100·c_j)·1 − PCT·words and the features
+    # already carry the ×100, so the recovered -words/token ratio
+    # should approximate PCT itself (perceptron, not LS → within 50%)
+    ratio = -w["words"] / tok_avg
+    assert 0.5 * QL_LABEL_PCT < ratio < 1.5 * QL_LABEL_PCT, w
+
+
+def test_quality_apply_margin_consistent_with_pred(spark):
+    out = QUERIES["quality_linear_apply"](spark, SF_DIR).collect()
+    assert len(out) == 500
+    for r in out:
+        assert r.pred == (1 if r.margin > 0 else -1)
