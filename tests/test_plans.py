@@ -599,3 +599,16 @@ def test_hamming_pair_family_decodes_once(spark):
         # stage may remain in the consumer plan
         top = plan.split("InMemoryRelation")[0]
         assert "MapInPandas" not in top, (name, top)
+
+
+def test_quality_apply_is_one_pruned_scan_no_python(spark):
+    """quality_linear_apply's corpus half is a stateless JVM map: one
+    documents scan reading only (doc_id, text), weights inlined as
+    literals — no Python stage, no shuffle, no second scan (the fit's
+    sample scan is a separate bounded job, not part of this plan)."""
+    df = QUERIES["quality_linear_apply"](spark, SF_DIR)
+    plan = audit.formatted_plan(df)
+    assert "Python" not in plan, plan
+    assert audit.n_shuffles(df) == 0, plan
+    schemas = audit.read_schemas(df)
+    assert schemas and all("source" not in s for s in schemas), schemas
