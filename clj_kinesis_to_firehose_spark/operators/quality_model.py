@@ -258,3 +258,89 @@ def quality_linear_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy(F.col("label_weak"), F.col("pred")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+@register(
+    "stream_quality_admission",
+    executes_on_build=True,
+    oracle=_sql_ql_fit()
+    + f"""
+    , scored AS (
+      SELECT d.source,
+             {_DOT_W} AS margin,
+             CASE WHEN {_DOT_W} > 0 THEN 1 ELSE 0 END AS adm
+      FROM feat f JOIN documents d ON f.doc_id = d.doc_id
+      CROSS JOIN wfin w
+    )
+    SELECT source,
+           CAST(SUM(adm) AS BIGINT) AS n_admitted,
+           CAST(SUM(1 - adm) AS BIGINT) AS n_rejected,
+           CAST(SUM(margin) AS BIGINT) AS sum_margin
+    FROM scored GROUP BY source
+    """,
+)
+def stream_quality_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned filter IN the ingest stream — the claim
+    quality_linear_apply's docstring makes, executed: the model is fit
+    ONCE before the stream starts (a static artifact, like the
+    admission op's pre-built indexes), then every micro-batch of the
+    documents replay scores its own rows with the literal-weight
+    expression and appends decisions; the per-source admission report
+    read back from the delivered batches must equal the batch scorer
+    exactly, because the gate is per-doc given the static weights —
+    micro-batch boundaries cannot change any decision.
+
+    Scale: per batch one stateless projection (no corpus join, no
+    state store); the model rides in the plan, not in a shuffle.
+    Per-batch driver traffic is zero — decisions append straight to
+    the output table."""
+    from clj_kinesis_to_firehose_spark.operators.curation_r10 import (
+        _write_doc_slices,
+    )
+    from clj_kinesis_to_firehose_spark.sources import scratch_dir
+
+    w = _ql_fit_weights(spark, sf_dir)
+    replay_dir = _write_doc_slices(spark, sf_dir, n_slices=4)
+    out_dir = scratch_dir("kf_qladm_out_")
+
+    def score_batch(batch_df: DataFrame, epoch: int) -> None:
+        feats = _ql_features(batch_df.select("doc_id", "text"))
+        margin = sum(
+            F.lit(int(w[j])) * F.col(f"x{j}") for j in range(_NF)
+        )
+        out = feats.join(
+            batch_df.select("doc_id", "source"), "doc_id"
+        ).select(
+            "source",
+            margin.cast("long").alias("margin"),
+            F.when(margin > 0, F.lit(1)).otherwise(F.lit(0)).alias("adm"),
+        )
+        # epoch-keyed OVERWRITE: at-least-once epoch re-execution
+        # rewrites the same path with the same rows — idempotent
+        out.write.mode("overwrite").parquet(f"{out_dir}/epoch_{epoch}")
+
+    from clj_kinesis_to_firehose_spark.operators.curation_r10 import (
+        DOCS_RAW_SCHEMA,
+    )
+
+    q = (
+        spark.readStream.schema(DOCS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(replay_dir)
+        .writeStream.foreachBatch(score_batch)
+        .option("checkpointLocation", scratch_dir("kf_qladm_chk_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(out_dir)
+        .groupBy("source")
+        .agg(
+            F.sum("adm").cast("long").alias("n_admitted"),
+            F.sum(F.lit(1) - F.col("adm")).cast("long").alias("n_rejected"),
+            F.sum("margin").cast("long").alias("sum_margin"),
+        )
+    )

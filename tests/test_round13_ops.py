@@ -130,3 +130,28 @@ def test_quality_apply_margin_consistent_with_pred(spark):
     assert len(out) == 500
     for r in out:
         assert r.pred == (1 if r.margin > 0 else -1)
+
+
+def test_stream_quality_admission_equals_batch(spark):
+    """Micro-batch boundaries cannot change a per-doc decision given a
+    static model: the streamed per-source admission report must equal
+    the batch scorer aggregated the same way."""
+    stream = {
+        r.source: (r.n_admitted, r.n_rejected, r.sum_margin)
+        for r in QUERIES["stream_quality_admission"](spark, SF_DIR).collect()
+    }
+    from clj_kinesis_to_firehose_spark.sources import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "source")
+    batch = (
+        QUERIES["quality_linear_apply"](spark, SF_DIR)
+        .join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("pred") == 1, 1).otherwise(0)).alias("adm"),
+            F.sum(F.when(F.col("pred") == 1, 0).otherwise(1)).alias("rej"),
+            F.sum("margin").alias("m"),
+        )
+        .collect()
+    )
+    assert {r.source: (r.adm, r.rej, r.m) for r in batch} == stream
