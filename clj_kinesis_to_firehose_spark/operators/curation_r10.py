@@ -1529,6 +1529,12 @@ DOCS_RAW_SCHEMA = (
 )
 
 
+#: process-lifetime memo of document replay dirs — same contract as
+#: streams._REPLAY_CACHE: deterministic content, read-only consumers,
+#: immutable fixture (r13 suite-wall-clock item).
+_DOC_SLICE_CACHE: dict[tuple, str] = {}
+
+
 def _write_doc_slices(spark: SparkSession, sf_dir: str, n_slices: int) -> str:
     """Materialize documents as n_slices doc_id-ordered parquet files
     with stamped mtimes — the documents twin of
@@ -1540,6 +1546,9 @@ def _write_doc_slices(spark: SparkSession, sf_dir: str, n_slices: int) -> str:
         _stamp_slice_order,
     )
 
+    cached = _DOC_SLICE_CACHE.get((sf_dir, n_slices))
+    if cached is not None and os.path.isdir(cached):
+        return cached
     docs = load_table(spark, sf_dir, "documents")
     replay_dir = scratch_dir("kf_docs_replay_")
     sliced = docs.withColumn(
@@ -1557,6 +1566,7 @@ def _write_doc_slices(spark: SparkSession, sf_dir: str, n_slices: int) -> str:
     finally:
         sliced.unpersist()
     _stamp_slice_order(replay_dir)
+    _DOC_SLICE_CACHE[(sf_dir, n_slices)] = replay_dir
     return replay_dir
 
 

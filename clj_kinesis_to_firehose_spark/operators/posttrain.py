@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from clj_kinesis_to_firehose_spark.registry import oracle, register
+from clj_kinesis_to_firehose_spark.registry import oracle, register, register_memo
 from clj_kinesis_to_firehose_spark.sources import load_table
 
 # --- pref_pair_assembly -------------------------------------------------------
@@ -827,6 +827,15 @@ def _sql_bt_strength(iters: int = BT_ITERS) -> str:
     return head + "".join(steps) + tail
 
 
+#: process-lifetime memo of finished fits, keyed by every fit
+#: parameter — the fit is a deterministic function of the immutable
+#: fixture, so a second build in the same process (correctness sweep +
+#: behavioral tests) would repeat ~64 iterations of identical jobs for
+#: identical rows. Ops that may hit this cache register
+#: executes_on_build="conditional" (warm builds are lazy).
+_BT_FIT_CACHE: dict[tuple, tuple] = register_memo({})
+
+
 def _bt_fit(
     spark: SparkSession,
     sf_dir: str,
@@ -836,6 +845,10 @@ def _bt_fit(
     """Shared MM loop body for the exact fit and its scaled
     checkpointed twin — parameterized the way the oracle generator is,
     so the two registered ops cannot diverge arithmetically."""
+    key = (sf_dir, iters, checkpoint_every)
+    hit = _BT_FIT_CACHE.get(key)
+    if hit is not None:
+        return spark.createDataFrame(list(hit[0]), hit[1])
     pairs = pref_pair_assembly(spark, sf_dir)
     # persist the SHARED PARENT: sources/games/tot_wins all derive from
     # wins, so caching wins is the single point that cuts the
@@ -955,11 +968,14 @@ def _bt_fit(
         rows = result.collect()
     finally:
         wins.unpersist()
+    _BT_FIT_CACHE[key] = (tuple(rows), result.schema)
     return spark.createDataFrame(rows, result.schema)
 
 
 @register(
-    "pref_bt_strength", executes_on_build=True, oracle=_sql_bt_strength()
+    "pref_bt_strength",
+    executes_on_build="conditional",
+    oracle=_sql_bt_strength(),
 )
 def pref_bt_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bradley-Terry source-strength fit over the preference pairs —
@@ -995,7 +1011,7 @@ BT_CHECKPOINT_EVERY = 4
 
 @register(
     "pref_bt_strength_scaled",
-    executes_on_build=True,
+    executes_on_build="conditional",
     oracle=_sql_bt_strength(BT_ITERS_SCALED),
 )
 def pref_bt_strength_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1453,8 +1469,10 @@ def _sql_pref_bt_calibration() -> str:
 @register(
     "pref_bt_calibration",
     # composes pref_bt_strength, whose build performs the bounded
-    # final collect — so this op also executes on build
-    executes_on_build=True,
+    # final collect on a COLD fit but is a pure memo read when the fit
+    # already ran this process (_BT_FIT_CACHE) — either behavior is
+    # legitimate, hence conditional
+    executes_on_build="conditional",
     oracle=_sql_pref_bt_calibration(),
 )
 def pref_bt_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:

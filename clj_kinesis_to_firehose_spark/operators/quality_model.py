@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from clj_kinesis_to_firehose_spark.operators.llm_text import STOPWORDS
-from clj_kinesis_to_firehose_spark.registry import register
+from clj_kinesis_to_firehose_spark.registry import register, register_memo
 from clj_kinesis_to_firehose_spark.sources import load_table
 
 #: online-perceptron epochs over the sample (one update pass per
@@ -144,10 +144,20 @@ def _sql_ql_fit() -> str:
 """
 
 
+#: process-lifetime memo of fitted weight vectors per fixture dir —
+#: the fit is deterministic over the immutable fixture; four registered
+#: ops share it, so warm builds skip the sample jobs (those ops
+#: register executes_on_build="conditional").
+_QL_FIT_CACHE: dict[str, list[int]] = register_memo({})
+
+
 def _ql_fit_weights(spark: SparkSession, sf_dir: str) -> list[int]:
     """Collect the bounded sample (QL_SAMPLE_N rows, doc_id order) and
     run the online loop driver-side — fit cost independent of corpus
     size; the distributed half of the op is feature extraction."""
+    hit = _QL_FIT_CACHE.get(sf_dir)
+    if hit is not None:
+        return list(hit)
     sample = (
         _ql_features(
             load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -162,6 +172,7 @@ def _ql_fit_weights(spark: SparkSession, sf_dir: str) -> list[int]:
             x = [r[f"x{j}"] for j in range(_NF)]
             if r["y"] * sum(wj * xj for wj, xj in zip(w, x)) <= 0:
                 w = [wj + r["y"] * xj for wj, xj in zip(w, x)]
+    _QL_FIT_CACHE[sf_dir] = list(w)
     return w
 
 
@@ -175,7 +186,7 @@ _DOT_W = " + ".join(f"w.w{j} * f.x{j}" for j in range(_NF))
 
 @register(
     "quality_linear_fit",
-    executes_on_build=True,
+    executes_on_build="conditional",
     oracle=_sql_ql_fit() + f"SELECT feature, weight FROM ({_PIVOT})",
 )
 def quality_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -199,7 +210,7 @@ def quality_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "quality_linear_apply",
-    executes_on_build=True,
+    executes_on_build="conditional",
     oracle=_sql_ql_fit()
     + f"""
     SELECT f.doc_id,
@@ -235,7 +246,7 @@ def quality_linear_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "quality_linear_eval",
-    executes_on_build=True,
+    executes_on_build="conditional",
     oracle=_sql_ql_fit()
     + f"""
     , scored AS (

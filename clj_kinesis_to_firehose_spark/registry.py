@@ -35,6 +35,30 @@ _EXECUTES_ON_BUILD: set[str] = set()
 #: review finding — not in a test-file allowlist).
 _CONDITIONALLY_EXECUTING: set[str] = set()
 
+#: result-memo dicts operators register via :func:`register_memo` —
+#: process-lifetime caches of deterministic fit results (BT strengths,
+#: perceptron weights). They exist so one pytest/sweep process doesn't
+#: repeat identical training jobs across the tests that share a fit;
+#: bench.py clears them before every timed run (:func:`clear_memos`)
+#: so a measured number is always a COLD fit, never a cache read.
+#: Scaffolding caches (replay-slice dirs) deliberately do NOT register
+#: — rebuilding test scaffolding is not part of any measured pipeline.
+_RESULT_MEMOS: list[dict] = []
+
+
+def register_memo(cache: dict) -> dict:
+    """Declare a result-memo dict for :func:`clear_memos` management."""
+    _RESULT_MEMOS.append(cache)
+    return cache
+
+
+def clear_memos() -> None:
+    """Empty every registered result memo — bench calls this before
+    each timed run so fits are measured cold."""
+    for m in _RESULT_MEMOS:
+        m.clear()
+
+
 #: operator modules imported by :func:`_load_all`; append as categories land.
 _OPERATOR_MODULES = [
     "scans",

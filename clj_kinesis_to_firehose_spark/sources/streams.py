@@ -29,6 +29,19 @@ EVENTS_RAW_SCHEMA = (
 #: sentinel event_id for the watermark-flush row (see flush_sentinel)
 FLUSH_SENTINEL_ID = -1
 
+#: replay directories already materialized this process, keyed by the
+#: full parameter tuple. The slices are deterministic functions of the
+#: fixture (global ntile over (ts, event_id)), every consumer only
+#: READS the directory (each stream brings its own checkpoint, so a
+#: re-read replays in full), and the fixture is immutable within a
+#: process — so identical rebuilds are pure waste. Before this cache
+#: (r13, the r12 verdict's suite-wall-clock item) the ~30 streaming
+#: ops each rebuilt an identical slice set at test time, multiplying
+#: one global sort across the whole suite. Builders with consumers
+#: that MUTATE their directory (write_reshard_replay's held-slice
+#: restart test) stay uncached.
+_REPLAY_CACHE: dict[tuple, str] = {}
+
 
 def write_replay_slices(
     spark: SparkSession,
@@ -76,6 +89,10 @@ def write_replay_slices(
             "dup_event_ids and late_rows both target the slice after the "
             "main replay — request one per replay"
         )
+    key = (sf_dir, n_slices, dup_event_ids, flush_sentinel, late_rows)
+    cached = _REPLAY_CACHE.get(key)
+    if cached is not None and os.path.isdir(cached):
+        return cached
     from pyspark.sql.window import Window
 
     from clj_kinesis_to_firehose_spark.sources.loader import load_table
@@ -133,6 +150,7 @@ def write_replay_slices(
             os.path.join(replay_dir, f"slice={n_slices + 1}")
         )
     _stamp_slice_order(replay_dir)
+    _REPLAY_CACHE[key] = replay_dir
     return replay_dir
 
 
