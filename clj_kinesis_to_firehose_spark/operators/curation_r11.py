@@ -1178,15 +1178,20 @@ def _sql_lsh_calibration() -> str:
         _sql_shingle_ctes,
     )
 
+    from clj_kinesis_to_firehose_spark.operators.llm_dedup import (
+        sql_bucket_gate,
+    )
+
     return _sql_shingle_ctes(source="aug", prefix=_LSH_CAL_AUG_CTE) + f"""
     , planted AS (
       SELECT doc_id AS doc_a,
              {LSH_CAL_ID_BASE} + doc_id * 100 + m AS doc_b, m
       FROM documents, UNNEST({_LSH_CAL_LV_SQL}) AS u(m)
       WHERE doc_id % {LSH_CAL_SEED_MOD} = 0
+    ), bands_ok AS ({sql_bucket_gate("bands")}
     ), cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
+      FROM bands_ok a JOIN bands_ok b
         ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
     ), ver AS (
       SELECT p.m, p.doc_a, p.doc_b,
@@ -1287,12 +1292,17 @@ def _sql_hybrid_confirm() -> str:
         _sql_shingle_ctes,
     )
 
+    from clj_kinesis_to_firehose_spark.operators.llm_dedup import (
+        sql_bucket_gate,
+    )
+
     return _sql_shingle_ctes() + f"""
-    , cand AS (
+    , bands_ok AS ({sql_bucket_gate("bands")}
+    ), cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a
-        JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
-                     AND a.doc_id < b.doc_id
+        FROM bands_ok a
+        JOIN bands_ok b ON a.band = b.band AND a.bucket = b.bucket
+                        AND a.doc_id < b.doc_id
     ), v AS (
         SELECT vec_id,
                LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e

@@ -129,13 +129,43 @@ _SQL_VERIFY_TAIL = """
     WHERE ROUND(n_shared / (n_a + n_b - n_shared), 6) >= 0.5
 """
 
-_MINHASH_ORACLE = _sql_shingle_ctes() + """
+#: max members a (band, bucket) may have and still generate pairs.
+#: An adversarial template flood — thousands of docs identical except
+#: a serial/timestamp token, which exact dedup does NOT collapse —
+#: concentrates one bucket and makes its pair output Θ(bucket²); AQE
+#: skew-split spreads the JOIN's work but not the OUTPUT cardinality.
+#: The guard bounds per-bucket pair cost at cap²/2 ≈ 500k and routes
+#: oversized buckets to :func:`oversized_band_buckets` (the dead-letter
+#: pattern: degrade diagnosably, never blow up the job). Organic
+#: buckets sit far below it — fixture max is 4 (text minhash, sf0.1)
+#: and 165 (image phash, sf0.1) — so every exact oracle, which does
+#: not model the guard, is unaffected on non-adversarial corpora.
+BAND_BUCKET_CAP = 1024
+
+
+def sql_bucket_gate(src: str, cap: int = BAND_BUCKET_CAP) -> str:
+    """DuckDB twin of the :func:`band_candidates` bucket-size gate:
+    restrict a banded relation to rows whose (band, bucket) group is
+    within the cap — QUALIFY over the same window the Spark side
+    filters on, so the guard is part of every consumer's ORACLE
+    contract, not a fixture-luck divergence (r13 review finding: a
+    corpus whose organic buckets cross the cap must change the oracle
+    the same way it changes the plan)."""
+    return (
+        f"SELECT * FROM {src} QUALIFY COUNT(*) "
+        f"OVER (PARTITION BY band, bucket) <= {cap}"
+    )
+
+
+
+_MINHASH_ORACLE = _sql_shingle_ctes() + f"""
+    , bands_ok AS ({{0}})
     , cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a
-        JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
-                     AND a.doc_id < b.doc_id
-    )""" + _SQL_VERIFY_TAIL
+        FROM bands_ok a
+        JOIN bands_ok b ON a.band = b.band AND a.bucket = b.bucket
+                        AND a.doc_id < b.doc_id
+    )""".format(sql_bucket_gate("bands")) + _SQL_VERIFY_TAIL
 
 _INCREMENTAL_MINHASH_ORACLE = _sql_shingle_ctes() + """
     , split AS (
@@ -225,20 +255,6 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", "jaccard")
     )
-
-
-#: max members a (band, bucket) may have and still generate pairs.
-#: An adversarial template flood — thousands of docs identical except
-#: a serial/timestamp token, which exact dedup does NOT collapse —
-#: concentrates one bucket and makes its pair output Θ(bucket²); AQE
-#: skew-split spreads the JOIN's work but not the OUTPUT cardinality.
-#: The guard bounds per-bucket pair cost at cap²/2 ≈ 500k and routes
-#: oversized buckets to :func:`oversized_band_buckets` (the dead-letter
-#: pattern: degrade diagnosably, never blow up the job). Organic
-#: buckets sit far below it — fixture max is 4 (text minhash, sf0.1)
-#: and 165 (image phash, sf0.1) — so every exact oracle, which does
-#: not model the guard, is unaffected on non-adversarial corpora.
-BAND_BUCKET_CAP = 1024
 
 
 def band_candidates(

@@ -58,8 +58,11 @@ _NF = len(QL_FEATURES)
 _STOPLIST_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
 
 
-def _ql_features(docs: DataFrame) -> DataFrame:
-    """Per-doc integer feature row (doc_id, x0..x{n}, y)."""
+def _ql_features(docs: DataFrame, passthrough: tuple = ()) -> DataFrame:
+    """Per-doc integer feature row (doc_id, x0..x{n}, y), plus any
+    ``passthrough`` columns projected alongside — so a consumer that
+    needs e.g. ``source`` stays a single projection instead of joining
+    the features back onto their own input (r13 review finding)."""
     words = F.split(F.col("text"), " ")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     stop_hits = F.size(
@@ -67,6 +70,7 @@ def _ql_features(docs: DataFrame) -> DataFrame:
     )
     cols = [
         "doc_id",
+        *passthrough,
         F.lit(1).cast("long").alias("x0"),
         F.size(words).cast("long").alias("x1"),
     ]
@@ -195,12 +199,12 @@ def quality_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight vector as (feature, weight) rows, hash-EXACT against a
     recursive-CTE oracle replaying the identical update sequence.
 
-    Scale: the sample collect is QL_SAMPLE_N rows of {n} longs —
-    bounded by the sampling constant, never the corpus (the fasttext
-    rule: quality models are small and sample-fit; corpora are big and
-    model-scored). Feature extraction before the limit is distributed
-    and column-pruned.
-    """.replace("{n}", str(_NF))
+    Scale: the sample collect is QL_SAMPLE_N rows of len(QL_FEATURES)
+    longs — bounded by the sampling constant, never the corpus (the
+    fasttext rule: quality models are small and sample-fit; corpora
+    are big and model-scored). Feature extraction before the limit is
+    distributed and column-pruned.
+    """
     w = _ql_fit_weights(spark, sf_dir)
     return spark.createDataFrame(
         [(name, int(w[j])) for j, name in enumerate(QL_FEATURES)],
@@ -315,13 +319,11 @@ def stream_quality_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = scratch_dir("kf_qladm_out_")
 
     def score_batch(batch_df: DataFrame, epoch: int) -> None:
-        feats = _ql_features(batch_df.select("doc_id", "text"))
+        feats = _ql_features(batch_df, passthrough=("source",))
         margin = sum(
             F.lit(int(w[j])) * F.col(f"x{j}") for j in range(_NF)
         )
-        out = feats.join(
-            batch_df.select("doc_id", "source"), "doc_id"
-        ).select(
+        out = feats.select(
             "source",
             margin.cast("long").alias("margin"),
             F.when(margin > 0, F.lit(1)).otherwise(F.lit(0)).alias("adm"),

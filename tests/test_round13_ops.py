@@ -155,3 +155,65 @@ def test_stream_quality_admission_equals_batch(spark):
         .collect()
     )
     assert {r.source: (r.adm, r.rej, r.m) for r in batch} == stream
+
+
+def test_flood_gate_parity_spark_vs_oracle(spark):
+    """The bucket gate is part of the ORACLE contract, not fixture
+    luck (r13 review finding): under an actual template flood the
+    registered minhash oracle (with its QUALIFY gate) must produce
+    exactly the pairs the guarded Spark pipeline produces."""
+    import duckdb
+
+    base = " ".join(f"tok{k}" for k in range(48))
+    n = 2 * BAND_BUCKET_CAP
+    pdf = __import__("pandas").DataFrame(
+        {"doc_id": range(n), "text": [f"{base} serial{i}" for i in range(n)]}
+    )
+    sdf = spark.createDataFrame(pdf)
+    banded = _band_keys(_minhash_sigs(spark, sdf))
+    spark_pairs = {
+        (r.doc_a, r.doc_b) for r in band_candidates(banded).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    from clj_kinesis_to_firehose_spark.operators.llm_dedup import (
+        _sql_shingle_ctes,
+        sql_bucket_gate,
+    )
+
+    q = _sql_shingle_ctes() + f"""
+    , bands_ok AS ({sql_bucket_gate("bands")})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands_ok a JOIN bands_ok b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """
+    oracle_pairs = {(a, b) for a, b in con.execute(q).fetchall()}
+    con.close()
+    assert spark_pairs == oracle_pairs
+    assert len(spark_pairs) < BAND_BUCKET_CAP * (BAND_BUCKET_CAP - 1) // 2
+
+
+def test_every_banded_modality_fixture_under_cap(spark):
+    """Guard-invisibility precondition pinned for EVERY relation
+    band_candidates guards — text minhash AND image phash AND audio
+    fingerprint (r13 review finding: the image path has the largest
+    organic buckets, so it is the one a fixture regeneration would
+    trip first; this makes that a loud, named failure instead of an
+    opaque driver hash mismatch)."""
+    from clj_kinesis_to_firehose_spark.operators.curation_r12 import (
+        _phash_banded,
+        multimodal_audio_fingerprint,
+        multimodal_image_phash,
+    )
+
+    img = _phash_banded(
+        multimodal_image_phash(spark, SF_DIR).select("doc_id", "phash")
+    )
+    aud = _phash_banded(
+        multimodal_audio_fingerprint(spark, SF_DIR).select(
+            "doc_id", F.col("fingerprint").alias("phash")
+        )
+    )
+    for name, banded in [("image", img), ("audio", aud)]:
+        over = oversized_band_buckets(banded).collect()
+        assert not over, (name, over)
