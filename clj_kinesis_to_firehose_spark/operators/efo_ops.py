@@ -28,7 +28,10 @@ from clj_kinesis_to_firehose_spark.registry import register
 
 
 @register(
-    "stream_efo_push_consumer", executes_on_build=True,
+    "stream_efo_push_consumer",
+    # build executes only when the replay-slice memo is cold (the read
+    # itself is a lazy batch DataSource scan) — conditional
+    executes_on_build="conditional",
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_records,

@@ -13,7 +13,10 @@ from clj_kinesis_to_firehose_spark.registry import register
 
 
 @register(
-    "stream_kcl_lease_failover", executes_on_build=True,
+    "stream_kcl_lease_failover",
+    # build executes only when the replay-slice memo is cold (worker
+    # consumption is driver-side Python; the result is a LocalRelation)
+    executes_on_build="conditional",
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_records,

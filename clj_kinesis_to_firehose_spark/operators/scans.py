@@ -798,7 +798,10 @@ def kinesis_kpl_deaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "scan_python_datasource", executes_on_build=True,
+    "scan_python_datasource",
+    # build executes only when the replay-slice memo is cold (the batch
+    # DataSource read is lazy) — conditional
+    executes_on_build="conditional",
     oracle="""
     SELECT event_id, ts, user_id, event_type, value, props FROM events
     """,

@@ -860,7 +860,10 @@ def stream_pyds_connector_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "stream_source_faults", executes_on_build=True,
+    "stream_source_faults",
+    # build executes only when the replay-slice memo is cold — the
+    # fault-injecting read itself is lazy; conditional
+    executes_on_build="conditional",
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_records,
