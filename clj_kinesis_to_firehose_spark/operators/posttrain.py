@@ -1006,7 +1006,7 @@ def pref_bt_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: steps that an unchk'd lazy chain would visibly balloon plan
 #: analysis, checkpointed the way a to-convergence production fit is.
 BT_ITERS_SCALED = 64
-BT_CHECKPOINT_EVERY = 4
+BT_CHECKPOINT_EVERY = 2
 
 
 @register(
@@ -1024,15 +1024,17 @@ def pref_bt_strength_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     SAME generator as the N=3 twin (r13: raised 16 -> 64 to match
     bpe's proven production loop shape).
 
-    The truncation cadence stays 4, NOT bpe's 8, and truncation is a
+    The truncation cadence is 2, NOT bpe's 8, and truncation is a
     driver round-trip (collect + LocalRelation), NOT localCheckpoint:
     the MM step references the strength relation THREE times (si + sj
-    in the term join, plus the update's base), so an un-truncated
-    segment's plan grows ~3^interval copies of the base subtree — and
-    measured at 64 iterations (r13) the localCheckpoint path's
-    per-segment cost crept 3 s -> 17 s and OOM'd a default-heap
-    driver around iteration 24 even with the logical plan verified
-    truncated, while the LocalRelation loop runs all 64 flat. bpe
+    in the term join, plus the update's base), so a segment's plan —
+    and, since Spark does not dedup common subtrees across join
+    inputs, its EXECUTION — grows ~3^interval copies of the base
+    step. Measured at 64 iterations x sf0.1 (r13): interval 4 = 80 s,
+    interval 2 = 52 s, interval 1 = 83 s (job-launch overhead
+    dominates), all hash-identical; the localCheckpoint form crept
+    3 s -> 17 s per segment and OOM'd a default-heap driver around
+    iteration 24 even with the logical plan verified truncated. bpe
     affords interval 8 because its loop carries state through a
     single-reference REPLACE. (Truncation executes jobs at build time,
     hence executes_on_build.)
