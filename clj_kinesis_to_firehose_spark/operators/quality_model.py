@@ -357,3 +357,67 @@ def stream_quality_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("margin").cast("long").alias("sum_margin"),
         )
     )
+
+
+@register(
+    "quality_linear_curve",
+    executes_on_build="conditional",
+    oracle=_sql_ql_fit()
+    + f"""
+    , epochs AS (
+      SELECT fit.step // nn.n AS epoch,
+             {", ".join(f"fit.w{j}" for j in range(_NF))}
+      FROM fit, nn WHERE fit.step % nn.n = 0
+    )
+    SELECT e.epoch AS epoch,
+           CAST(COUNT(*) FILTER (
+             s.y * ({" + ".join(f"e.w{j} * s.x{j}" for j in range(_NF))})
+               <= 0) AS BIGINT) AS n_misclassified
+    FROM epochs e, samp s
+    GROUP BY e.epoch
+    """,
+)
+def quality_linear_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convergence telemetry for the quality-filter fit: sample
+    misclassification count at every epoch boundary (epoch 0 = the
+    zero vector; the last row is the post-training state) — the diagnostic a curation run
+    reads to decide whether QL_EPOCHS is past the knee before trusting
+    the gate, completing the family's fit/apply/eval/curve pattern
+    (the BPE merge telemetry shape). Exact: the oracle reads the
+    boundary states straight out of the SAME recursive fit relation
+    and re-scores the sample; the Spark side replays the identical
+    driver loop, counting before each epoch's updates.
+
+    Scale: everything here is sample-sized (QL_SAMPLE_N rows x
+    QL_EPOCHS boundary states); the corpus is never touched beyond
+    the feature projection the fit already pays."""
+    sample = (
+        _ql_features(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        )
+        .orderBy("doc_id")
+        .limit(QL_SAMPLE_N)
+        .collect()
+    )
+    w = [0] * _NF
+    curve = []
+
+    def _n_mis() -> int:
+        return sum(
+            1
+            for r in sample
+            if r["y"]
+            * sum(w[j] * r[f"x{j}"] for j in range(_NF))
+            <= 0
+        )
+
+    for epoch in range(QL_EPOCHS):
+        curve.append((epoch, _n_mis()))
+        for r in sample:
+            x = [r[f"x{j}"] for j in range(_NF)]
+            if r["y"] * sum(wj * xj for wj, xj in zip(w, x)) <= 0:
+                w = [wj + r["y"] * xj for wj, xj in zip(w, x)]
+    # the post-training state (epoch QL_EPOCHS) — the row a consumer
+    # actually gates on
+    curve.append((QL_EPOCHS, _n_mis()))
+    return spark.createDataFrame(curve, "epoch long, n_misclassified long")

@@ -217,3 +217,23 @@ def test_every_banded_modality_fixture_under_cap(spark):
     for name, banded in [("image", img), ("audio", aud)]:
         over = oversized_band_buckets(banded).collect()
         assert not over, (name, over)
+
+
+def test_quality_curve_converges_past_the_knee(spark):
+    """Epoch 0 is the all-misclassified zero vector; the post-training
+    row must sit under 10% of the sample (the >90% agreement the eval
+    pins, seen from the training side), and the curve's tail must
+    improve on its head — convergence, not oscillation at chance."""
+    from clj_kinesis_to_firehose_spark.operators.quality_model import (
+        QL_EPOCHS,
+        QL_SAMPLE_N,
+    )
+
+    rows = {
+        r.epoch: r.n_misclassified
+        for r in QUERIES["quality_linear_curve"](spark, SF_DIR).collect()
+    }
+    assert set(rows) == set(range(QL_EPOCHS + 1))
+    assert rows[0] == QL_SAMPLE_N
+    assert rows[QL_EPOCHS] < QL_SAMPLE_N // 10
+    assert rows[QL_EPOCHS] < rows[1]
