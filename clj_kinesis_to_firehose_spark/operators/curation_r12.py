@@ -2023,3 +2023,64 @@ def dedup_multimodal_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         flag("audio").alias("audio_dup"),
         flag("video").alias("video_dup"),
     )
+
+
+def _sql_band_stats(banded_src: str, modality: str) -> str:
+    from clj_kinesis_to_firehose_spark.operators.llm_dedup import (
+        BAND_BUCKET_CAP,
+    )
+
+    return f"""
+      SELECT CAST(band AS BIGINT) AS band,
+             '{modality}' AS modality,
+             COUNT(*) AS n_buckets,
+             CAST(MAX(n) AS BIGINT) AS max_bucket_n,
+             CAST(SUM(CASE WHEN n > {BAND_BUCKET_CAP} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_oversized,
+             CAST(SUM((n * (n - 1)) // 2) AS BIGINT) AS pair_cost
+      FROM (SELECT band, bucket, COUNT(*) AS n
+            FROM {banded_src} GROUP BY band, bucket)
+      GROUP BY band
+    """
+
+
+def _sql_multimodal_band_stats() -> str:
+    return f"""
+    WITH ph AS ({oracle("multimodal_image_phash")}),
+    img_banded AS ({_sql_banded("ph", "phash")}),
+    afp AS ({oracle("multimodal_audio_fingerprint")}),
+    aud_banded AS ({_sql_banded("afp", "fingerprint")})
+    {_sql_band_stats("img_banded", "image")}
+    UNION ALL
+    {_sql_band_stats("aud_banded", "audio")}
+    """
+
+
+@register(
+    "multimodal_band_bucket_stats", oracle=_sql_multimodal_band_stats()
+)
+def multimodal_band_bucket_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The image/audio twin of dedup_band_bucket_stats — per (modality,
+    band) bucket count, largest bucket, guard-exclusion count, and the
+    exact pair cost the hamming band join will pay. The image path has
+    the largest organic buckets of any banded family (fixture max 165
+    at sf0.1 vs text's 4), so this is the pre-flight most likely to
+    catch a cap-approaching corpus BEFORE a pair pass runs; the shared
+    :func:`_band_stats` rule keeps all three modalities' telemetry
+    arithmetically identical.
+
+    Scale: one decode pass per modality (the signature ops' own cost),
+    then band-keyed counts — no pair generation, no corpus join."""
+    ph = multimodal_image_phash(spark, sf_dir).select("doc_id", "phash")
+    afp = multimodal_audio_fingerprint(spark, sf_dir).select(
+        "doc_id", F.col("fingerprint").alias("phash")
+    )
+    from clj_kinesis_to_firehose_spark.operators.llm_dedup import (
+        band_bucket_stats,
+    )
+
+    return band_bucket_stats(_phash_banded(ph), "image").unionByName(
+        band_bucket_stats(_phash_banded(afp), "audio")
+    )

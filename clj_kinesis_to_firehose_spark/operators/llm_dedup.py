@@ -312,6 +312,31 @@ def oversized_band_buckets(
     )
 
 
+def band_bucket_stats(banded: DataFrame, modality: str | None = None) -> DataFrame:
+    """Per-band bucket telemetry over ONE banded relation — bucket
+    count, largest bucket, how many buckets the cap guard would
+    exclude, exact pair cost Σ n·(n−1)/2. THE single aggregation rule
+    behind dedup_band_bucket_stats (text) and
+    multimodal_band_bucket_stats (image/audio), so the pre-flight
+    cannot drift between modalities; ``modality`` adds the label
+    column the multimodal union needs."""
+    bsz = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    aggs = []
+    if modality is not None:
+        aggs.append(F.lit(modality).alias("modality"))
+    aggs += [
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("n").alias("max_bucket_n"),
+        F.sum(
+            F.when(F.col("n") > BAND_BUCKET_CAP, F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_oversized"),
+        F.sum(F.expr("(n * (n - 1)) div 2")).alias("pair_cost"),
+    ]
+    return bsz.groupBy(F.col("band").cast("long").alias("band")).agg(*aggs)
+
+
 @register(
     "dedup_band_bucket_stats",
     oracle=_sql_shingle_ctes()
@@ -343,21 +368,7 @@ def dedup_band_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     is even, so floor-div 2 is exact in both engines — the
     FLOOR-not-ROUND rule)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    bsz = (
-        _band_keys(_minhash_sigs(spark, docs))
-        .groupBy("band", "bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    return bsz.groupBy(F.col("band").cast("long").alias("band")).agg(
-        F.count(F.lit(1)).alias("n_buckets"),
-        F.max("n").alias("max_bucket_n"),
-        F.sum(
-            F.when(F.col("n") > BAND_BUCKET_CAP, F.lit(1)).otherwise(F.lit(0))
-        )
-        .cast("long")
-        .alias("n_oversized"),
-        F.sum(F.expr("(n * (n - 1)) div 2")).alias("pair_cost"),
-    )
+    return band_bucket_stats(_band_keys(_minhash_sigs(spark, docs)))
 
 
 def exact_jaccard(text_a, text_b):

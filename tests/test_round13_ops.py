@@ -237,3 +237,16 @@ def test_quality_curve_converges_past_the_knee(spark):
     assert rows[0] == QL_SAMPLE_N
     assert rows[QL_EPOCHS] < QL_SAMPLE_N // 10
     assert rows[QL_EPOCHS] < rows[1]
+
+
+def test_multimodal_band_stats_matches_modality_relations(spark):
+    """The multimodal pre-flight's numbers must agree with the banded
+    relations it describes: zero oversized on the fixture, and the
+    image rows must reflect the larger organic buckets the image path
+    carries."""
+    rows = QUERIES["multimodal_band_bucket_stats"](spark, SF_DIR).collect()
+    assert len(rows) == 8  # 4 bands x 2 modalities
+    assert {(r.modality) for r in rows} == {"image", "audio"}
+    assert all(r.n_oversized == 0 for r in rows), rows
+    img_max = max(r.max_bucket_n for r in rows if r.modality == "image")
+    assert img_max > 1, rows  # collisions exist — the pre-flight sees them
