@@ -612,3 +612,14 @@ def test_quality_apply_is_one_pruned_scan_no_python(spark):
     assert audit.n_shuffles(df) == 0, plan
     schemas = audit.read_schemas(df)
     assert schemas and all("source" not in s for s in schemas), schemas
+
+
+def test_guarded_minhash_stays_linear_no_cartesian(spark):
+    """The r13 bucket-size gate must not change the minhash family's
+    plan class: still no cartesian product, and the gate's window
+    costs at most ONE extra exchange over the r12 shape (bench shows
+    the wall-clock flat: 1.852 s vs 1.891 s at sf0.1)."""
+    df = QUERIES["dedup_near_minhash"](spark, SF_DIR)
+    plan = audit.formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert audit.n_shuffles(df) <= 7, plan
