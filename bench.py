@@ -108,6 +108,21 @@ def main() -> None:
             break
         time.sleep(10)
     spark = build_spark("kf-bench")
+    # Box-throughput canary (round-13): the load-average quiesce stamp
+    # is blind to host-level slowdowns — r13 measured the SAME rev at
+    # 9.67 s and 13.35 s headline, both "quiesced", and an unchanged
+    # r12 rev read 11.66 s against its recorded 9.94 s. A fixed
+    # pure-JVM compute (sum over 600M longs, 32 partitions, no I/O)
+    # calibrates each run: compare cross-round query times via
+    # (time / canary) before calling anything a regression.
+    canary_runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 600_000_000, 1, 32).selectExpr(
+            "sum(id * (id % 7)) AS s"
+        ).collect()
+        canary_runs.append(round(time.perf_counter() - t0, 3))
+    box_canary_sec = statistics.median(canary_runs)
     # Bench hygiene (round-6 verdict #4): WARN-level internal probes —
     # FileStreamSink's "assume no metadata directory" check fires a
     # full stack trace through DataFrameReader.json when reading the
@@ -219,6 +234,8 @@ def main() -> None:
         "load_avg_start": load1,
         "quiesced": bool(0 <= load1 < quiesce_limit),
         "quiesce_attempts": attempts,
+        "box_canary_sec": box_canary_sec,
+        "box_canary_runs": canary_runs,
         "extended": extended,  # non-gating (see EXTENDED above)
     }
     if errors:
