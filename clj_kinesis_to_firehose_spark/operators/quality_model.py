@@ -421,3 +421,118 @@ def quality_linear_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # actually gates on
     curve.append((QL_EPOCHS, _n_mis()))
     return spark.createDataFrame(curve, "epoch long, n_misclassified long")
+
+
+#: integer per-doc reward — the weak-label margin itself
+#: (100·stop_hits − PCT·words): deterministic, cheap (no fit), and the
+#: same signal the learned filter is trained to recover, so the RL
+#: ops below stay consistent with the quality family without paying
+#: the recursive-fit oracle in every composition.
+_SQL_REWARD = f"""
+    rewards AS (
+      SELECT d.doc_id, d.source,
+             CAST(100 * LEN(LIST_FILTER(STRING_SPLIT(d.text, ' '),
+                            w -> LIST_CONTAINS({_STOPLIST_SQL}, w)))
+                  - {QL_LABEL_PCT} * LEN(STRING_SPLIT(d.text, ' '))
+                  AS BIGINT) AS reward
+      FROM documents d
+    )
+"""
+
+
+def _reward_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    words = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_hits = F.size(
+        F.filter(words, lambda w: F.array_contains(stop_arr, w))
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        (
+            F.lit(100) * stop_hits - F.lit(QL_LABEL_PCT) * F.size(words)
+        )
+        .cast("long")
+        .alias("reward"),
+    )
+
+
+@register(
+    "rl_group_advantages",
+    oracle=f"""
+    WITH {_SQL_REWARD}
+    SELECT doc_id, source,
+           reward,
+           CAST(COUNT(*) OVER (PARTITION BY source) * reward
+                - SUM(reward) OVER (PARTITION BY source)
+                AS BIGINT) AS adv_num,
+           CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_group
+    FROM rewards
+    """,
+)
+def rl_group_advantages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-relative advantages for RL-style post-training data: each
+    document's reward centered on its GROUP mean (group = source — the
+    prompt-cohort double), the quantity a group-relative policy update
+    consumes. The mean is never materialized: adv = n·r − Σr is the
+    advantage SCALED by the group size, exact in int64 (the integer-
+    rational rule — divide at the consumer if a float is wanted;
+    compare/sort on the scaled value is exact). One window over the
+    group key — a single exchange, corpus-linear.
+
+    Scale: group-relative advantage needs only (n, Σr) per group —
+    map-side-combinable partials — so the shape survives groups of any
+    multiplicity; no per-group collect, no self-join."""
+    r = _reward_df(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source")
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum("reward").over(w)
+    return r.select(
+        "doc_id",
+        "source",
+        "reward",
+        (n * F.col("reward") - s).cast("long").alias("adv_num"),
+        n.cast("long").alias("n_group"),
+    )
+
+
+@register(
+    "rl_group_stats",
+    oracle=f"""
+    WITH {_SQL_REWARD}
+    SELECT source,
+           COUNT(*) AS n_group,
+           CAST(SUM(reward) AS BIGINT) AS sum_reward,
+           CAST(MIN(reward) AS BIGINT) AS min_reward,
+           CAST(MAX(reward) AS BIGINT) AS max_reward,
+           CAST(CASE WHEN MIN(reward) = MAX(reward) THEN 1 ELSE 0 END
+                AS BIGINT) AS is_degenerate
+    FROM rewards GROUP BY source
+    """,
+)
+def rl_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group reward telemetry and the degenerate-group gate: a
+    group whose rewards are all equal carries zero advantage signal
+    (every adv_num is 0) and a group-relative pipeline DROPS it before
+    the update — the GRPO-style pre-filter, reported as a flag so the
+    drop is an inspectable decision (the dead-letter rule applied to
+    training groups). Mean stays the exact (sum, n) rational pair.
+
+    Scale: one aggregation over the group key with map-side partials;
+    output is group-cardinality."""
+    r = _reward_df(spark, sf_dir)
+    return r.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_group"),
+        F.sum("reward").cast("long").alias("sum_reward"),
+        F.min("reward").alias("min_reward"),
+        F.max("reward").alias("max_reward"),
+        F.when(F.min("reward") == F.max("reward"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_degenerate"),
+    )

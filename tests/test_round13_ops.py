@@ -250,3 +250,24 @@ def test_multimodal_band_stats_matches_modality_relations(spark):
     assert all(r.n_oversized == 0 for r in rows), rows
     img_max = max(r.max_bucket_n for r in rows if r.modality == "image")
     assert img_max > 1, rows  # collisions exist — the pre-flight sees them
+
+
+def test_group_advantages_sum_to_zero_per_group(spark):
+    """The defining property of group-relative advantages: within every
+    group the scaled advantages sum EXACTLY to zero (n·r − Σr summed
+    over the group is n·Σr − n·Σr), and a degenerate group's rows are
+    all zero."""
+    rows = QUERIES["rl_group_advantages"](spark, SF_DIR).collect()
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r.source, []).append(r)
+    stats = {
+        r.source: r
+        for r in QUERIES["rl_group_stats"](spark, SF_DIR).collect()
+    }
+    assert set(by_group) == set(stats)
+    for src, grp in by_group.items():
+        assert sum(r.adv_num for r in grp) == 0, src
+        assert all(r.n_group == stats[src].n_group == len(grp) for r in grp)
+        if stats[src].is_degenerate:
+            assert all(r.adv_num == 0 for r in grp)
