@@ -48,6 +48,7 @@ from clj_kinesis_to_firehose_spark.operators.curation_r11 import (
 )
 from clj_kinesis_to_firehose_spark.operators.llm_dedup import (
     band_candidates,
+    gate_oversized,
     sql_bucket_gate,
 )
 from clj_kinesis_to_firehose_spark.registry import oracle, register, register_memo
@@ -123,11 +124,21 @@ def _persisted_keys(tag: str, sf_dir: str, ph: DataFrame) -> DataFrame:
 
     Memoized per (tag, sf_dir, session): the fixture is immutable
     within a process, so a rebuild would decode the same corpus into a
-    second identical cache entry."""
-    key = (tag, sf_dir, id(ph.sparkSession))
+    second identical cache entry. The session component is the
+    ``applicationId`` — unique per SparkSession for the life of the
+    machine — NOT ``id(session)``, which CPython can reuse after a
+    stopped session is garbage-collected and would then hand a later
+    session a persisted DataFrame bound to a dead one (r13 ADVICE).
+    A same-id cache hit is additionally validated against the
+    caller's live session and evicted on mismatch, so even an
+    applicationId collision degrades to a rebuild, never a
+    dead-session handout."""
+    key = (tag, sf_dir, ph.sparkSession.sparkContext.applicationId)
     hit = _KEY_RELATION_CACHE.get(key)
     if hit is not None:
-        return hit
+        if hit.sparkSession is ph.sparkSession:
+            return hit
+        del _KEY_RELATION_CACHE[key]
     ph = ph.persist()
     _KEY_RELATION_CACHE[key] = ph
     return ph
@@ -709,17 +720,18 @@ def _sql_phash_multiprobe_pairs() -> str:
     return f"""
     WITH ph AS ({oracle("multimodal_image_phash")}),
     banded AS ({_sql_banded("ph", "phash")}),
+    banded_ok AS ({sql_bucket_gate("banded")}),
     probes AS (
       SELECT doc_id, band,
              CASE WHEN j = 0 THEN bucket
                   ELSE xor(bucket, 1::BIGINT << CAST(j - 1 AS INTEGER))
              END AS bucket
-      FROM banded, UNNEST(RANGE({PHASH_BAND_BITS + 1})) AS u(j)
+      FROM banded_ok, UNNEST(RANGE({PHASH_BAND_BITS + 1})) AS u(j)
     ),
     cand AS (
       SELECT DISTINCT LEAST(p.doc_id, b.doc_id) AS doc_a,
                       GREATEST(p.doc_id, b.doc_id) AS doc_b
-      FROM probes p JOIN banded b
+      FROM probes p JOIN banded_ok b
         ON p.band = b.band AND p.bucket = b.bucket
        AND p.doc_id <> b.doc_id
     )
@@ -748,12 +760,18 @@ def multimodal_phash_multiprobe_pairs(
     tables, and the join stays per-bucket (probe fan-out is a map-side
     explode, shuffled once on the same (band, bucket) key as the base
     join). The verify step is still one XOR+popcount per candidate.
+    The banded relation routes through the ONE shared
+    ``gate_oversized`` flood guard before probes fan out (r14, r13
+    ADVICE: the probe expansion previously rebuilt an ungated bucket
+    join), with the oracle gating bands_ok in lockstep; oversized
+    buckets remain inspectable via ``oversized_band_buckets`` /
+    ``multimodal_band_bucket_stats``.
     """
     ph = _persisted_keys(
         "image_phash", sf_dir,
         multimodal_image_phash(spark, sf_dir).select("doc_id", "phash"),
     )
-    banded = _phash_banded(ph)
+    banded = gate_oversized(_phash_banded(ph))
     flips = [F.col("bucket")] + [
         F.col("bucket").bitwiseXOR(F.lit(1 << j))
         for j in range(PHASH_BAND_BITS)
@@ -1329,32 +1347,47 @@ PHASH_BATCH_SPLIT = 400
 
 
 def _sql_incremental_phash() -> str:
+    # r14: the oracle generates candidates through the SAME gated band
+    # join as the Spark plan (previously it was brute force on the
+    # hamming predicate, so the BAND_BUCKET_CAP guard could not be
+    # applied to the plan without a fixture-luck divergence — r13
+    # ADVICE). Band completeness at d <= 3 (pigeonhole, pytest-pinned
+    # against the brute-force spec) is what keeps this banded form
+    # equal to the brute-force definition on any corpus whose buckets
+    # are within the cap.
     d = PHASH_HAMMING_D
     return f"""
     WITH ph AS ({oracle("multimodal_image_phash")}),
-    idx AS (SELECT doc_id, phash FROM ph WHERE doc_id < {PHASH_BATCH_SPLIT}),
-    batch AS (
-      SELECT doc_id, phash FROM ph WHERE doc_id >= {PHASH_BATCH_SPLIT}
+    banded AS ({_sql_banded("ph", "phash")}),
+    banded_ok AS ({sql_bucket_gate("banded")}),
+    cand AS (
+      SELECT DISTINCT b.doc_id AS b_doc, o.doc_id AS o_doc
+      FROM banded_ok b JOIN banded_ok o
+        ON b.band = o.band AND b.bucket = o.bucket
+       AND b.doc_id <> o.doc_id
+      WHERE b.doc_id >= {PHASH_BATCH_SPLIT}
+    ),
+    ver AS (
+      SELECT c.b_doc, c.o_doc
+      FROM cand c
+      JOIN ph pb ON c.b_doc = pb.doc_id
+      JOIN ph po ON c.o_doc = po.doc_id
+      WHERE bit_count(xor(pb.phash, po.phash)) <= {d}
     ),
     vs_idx AS (
-      SELECT b.doc_id, COUNT(*) AS n
-      FROM batch b JOIN idx i
-        ON bit_count(xor(b.phash, i.phash)) <= {d}
-      GROUP BY 1
+      SELECT b_doc AS doc_id, COUNT(*) AS n FROM ver
+      WHERE o_doc < {PHASH_BATCH_SPLIT} GROUP BY 1
     ),
     vs_batch AS (
-      SELECT b.doc_id, COUNT(*) AS n
-      FROM batch b JOIN batch o
-        ON o.doc_id <> b.doc_id
-       AND bit_count(xor(b.phash, o.phash)) <= {d}
-      GROUP BY 1
+      SELECT b_doc AS doc_id, COUNT(*) AS n FROM ver
+      WHERE o_doc >= {PHASH_BATCH_SPLIT} GROUP BY 1
     )
     SELECT b.doc_id,
            COALESCE(vi.n, 0) AS n_dup_vs_index,
            COALESCE(vb.n, 0) AS n_dup_in_batch,
            CAST(COALESCE(vi.n, 0) = 0 AND COALESCE(vb.n, 0) = 0 AS INT)
              AS is_novel
-    FROM batch b
+    FROM (SELECT doc_id FROM ph WHERE doc_id >= {PHASH_BATCH_SPLIT}) b
     LEFT JOIN vs_idx vi ON b.doc_id = vi.doc_id
     LEFT JOIN vs_batch vb ON b.doc_id = vb.doc_id
     """
@@ -1371,12 +1404,13 @@ def dedup_incremental_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     a novelty flag — the admission signal an image pipeline gates on
     (the image twin of dedup_incremental_spans / _minhash / _url).
 
-    The oracle's reference joins are brute-force on the hamming
-    predicate (correctness spec); the Spark plan generates candidates
-    through the SAME 4x16-bit band join as the pair operators and
-    counts only verified candidates — band completeness at d <= 3
-    (pigeonhole, pytest-pinned against brute force) is what makes the
-    banded plan and the brute-force spec provably equal.
+    The Spark plan generates candidates through the SAME 4x16-bit
+    band join as the pair operators — routed through the shared
+    ``gate_oversized`` flood guard (r14) — and counts only verified
+    candidates; the oracle runs the identical gated band join, and
+    band completeness at d <= 3 (pigeonhole, pytest-pinned against a
+    brute-force hamming join) is what makes the banded form equal to
+    the brute-force spec wherever buckets are within the cap.
 
     Scale: the index side is corpus-sized and NEVER broadcast — the
     membership probe is a hash-keyed join on (band, bucket), index
@@ -1388,7 +1422,7 @@ def dedup_incremental_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "image_phash", sf_dir,
         multimodal_image_phash(spark, sf_dir).select("doc_id", "phash"),
     )
-    banded = _phash_banded(ph)
+    banded = gate_oversized(_phash_banded(ph))
     is_batch = F.col("doc_id") >= PHASH_BATCH_SPLIT
     b_bands = banded.filter(is_batch).select(
         F.col("doc_id").alias("b_doc"), "band", "bucket"

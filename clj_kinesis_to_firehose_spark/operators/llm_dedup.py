@@ -167,7 +167,8 @@ _MINHASH_ORACLE = _sql_shingle_ctes() + f"""
                         AND a.doc_id < b.doc_id
     )""".format(sql_bucket_gate("bands")) + _SQL_VERIFY_TAIL
 
-_INCREMENTAL_MINHASH_ORACLE = _sql_shingle_ctes() + """
+_INCREMENTAL_MINHASH_ORACLE = _sql_shingle_ctes() + f"""
+    , bands_ok AS ({sql_bucket_gate("bands")})
     , split AS (
         SELECT doc_id,
                (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT) % 100
@@ -175,15 +176,15 @@ _INCREMENTAL_MINHASH_ORACLE = _sql_shingle_ctes() + """
         FROM documents
     )
     , dbands AS (
-        SELECT b.* FROM bands b JOIN split s ON b.doc_id = s.doc_id
+        SELECT b.* FROM bands_ok b JOIN split s ON b.doc_id = s.doc_id
         WHERE s.bkt >= 80
     )
     , cand AS (
         SELECT DISTINCT LEAST(d.doc_id, x.doc_id) AS doc_a,
                         GREATEST(d.doc_id, x.doc_id) AS doc_b
         FROM dbands d
-        JOIN bands x ON d.band = x.band AND d.bucket = x.bucket
-                     AND d.doc_id != x.doc_id
+        JOIN bands_ok x ON d.band = x.band AND d.bucket = x.bucket
+                        AND d.doc_id != x.doc_id
     )""" + _SQL_VERIFY_TAIL
 
 
@@ -272,15 +273,7 @@ def band_candidates(
     disable. The size gate is a count over a window partitioned by the
     join key itself, so it costs one exchange on (band, bucket) — the
     partitioning the self-join needs anyway — and no extra join."""
-    if max_bucket is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("band", "bucket")
-        banded = (
-            banded.withColumn("_bucket_n", F.count(F.lit(1)).over(w))
-            .filter(F.col("_bucket_n") <= F.lit(max_bucket))
-            .drop("_bucket_n")
-        )
+    banded = gate_oversized(banded, max_bucket)
     left = banded.alias("a")
     right = banded.alias("b")
     return (
@@ -294,6 +287,34 @@ def band_candidates(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
+    )
+
+
+def gate_oversized(
+    banded: DataFrame, max_bucket: int | None = BAND_BUCKET_CAP
+) -> DataFrame:
+    """Restrict a banded relation to rows whose (band, bucket) group
+    has at most ``max_bucket`` members — THE one bucket-size gate
+    every candidate-join builder in the engine routes through
+    (:func:`band_candidates`' self-join, the phash multi-probe
+    expansion, and both incremental index probes), with
+    :func:`sql_bucket_gate` as its verbatim oracle twin (r13 ADVICE:
+    the probe-style joins built their own bucket joins and stayed
+    Θ(bucket²)-exposed to a template flood the shared join was already
+    guarded against). Extra columns pass through untouched, so callers
+    may gate a tagged relation (e.g. an is_delta flag) in one place.
+    Pass ``None`` to disable. Cost: one window count over the join's
+    own (band, bucket) key — an exchange the downstream join needs
+    anyway."""
+    if max_bucket is None:
+        return banded
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bucket")
+    return (
+        banded.withColumn("_bucket_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bucket_n") <= F.lit(max_bucket))
+        .drop("_bucket_n")
     )
 
 
@@ -800,7 +821,12 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Here the split is md5(doc_id) bucket < 80 → "already indexed";
     the base signature table round-trips through parquet (the index IS
     storage, not lineage), the delta band-joins against base+delta
-    bands, and base×base pairs are excluded by construction.
+    bands, and base×base pairs are excluded by construction. The
+    banded relation routes through :func:`gate_oversized` before the
+    probe join — the SAME flood guard (and dead-letter telemetry via
+    :func:`oversized_band_buckets`) as the batch path, mirrored in the
+    oracle's bands_ok gate (r14: previously this probe join was
+    ungated and Θ(bucket²)-exposed).
     """
     import os
     import tempfile
@@ -819,12 +845,21 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_sigs = spark.read.parquet(index_dir)  # the persisted index
     delta_sigs = _minhash_sigs(spark, delta_docs)
 
-    delta_bands = _band_keys(delta_sigs)
-    all_bands = _band_keys(base_sigs).unionByName(delta_bands)
+    # tag membership BEFORE the gate so one shared gate pass serves
+    # both join sides (delta = probe side, base+delta = index side)
+    all_bands = gate_oversized(
+        _band_keys(base_sigs)
+        .withColumn("is_delta", F.lit(0))
+        .unionByName(
+            _band_keys(delta_sigs).withColumn("is_delta", F.lit(1))
+        )
+    )
     candidate_ids = (
-        delta_bands.alias("d")
+        all_bands.filter(F.col("is_delta") == 1)
+        .select("doc_id", "band", "bucket")
+        .alias("d")
         .join(
-            all_bands.alias("x"),
+            all_bands.select("doc_id", "band", "bucket").alias("x"),
             (F.col("d.band") == F.col("x.band"))
             & (F.col("d.bucket") == F.col("x.bucket"))
             & (F.col("d.doc_id") != F.col("x.doc_id")),

@@ -155,14 +155,10 @@ def _sql_ql_fit() -> str:
 _QL_FIT_CACHE: dict[str, list[int]] = register_memo({})
 
 
-def _ql_fit_weights(spark: SparkSession, sf_dir: str) -> list[int]:
-    """Collect the bounded sample (QL_SAMPLE_N rows, doc_id order) and
-    run the online loop driver-side — fit cost independent of corpus
-    size; the distributed half of the op is feature extraction."""
-    hit = _QL_FIT_CACHE.get(sf_dir)
-    if hit is not None:
-        return list(hit)
-    sample = (
+def _ql_collect_sample(spark: SparkSession, sf_dir: str) -> list:
+    """The bounded fit sample: first QL_SAMPLE_N feature rows in
+    doc_id order — the one collect every fit-family op pays."""
+    return (
         _ql_features(
             load_table(spark, sf_dir, "documents").select("doc_id", "text")
         )
@@ -170,12 +166,34 @@ def _ql_fit_weights(spark: SparkSession, sf_dir: str) -> list[int]:
         .limit(QL_SAMPLE_N)
         .collect()
     )
+
+
+def _ql_epoch_states(sample: list):
+    """THE single home of the perceptron update rule (r13 ADVICE: the
+    fit and the curve each carried a copy that could drift from the
+    recursive-CTE oracle independently). Yields the weight vector at
+    every epoch BOUNDARY: the state before epoch 0's updates (the zero
+    vector), then after each of the QL_EPOCHS passes — QL_EPOCHS + 1
+    yields, the last being the fitted weights."""
     w = [0] * _NF
     for _ in range(QL_EPOCHS):
+        yield list(w)
         for r in sample:
             x = [r[f"x{j}"] for j in range(_NF)]
             if r["y"] * sum(wj * xj for wj, xj in zip(w, x)) <= 0:
                 w = [wj + r["y"] * xj for wj, xj in zip(w, x)]
+    yield list(w)
+
+
+def _ql_fit_weights(spark: SparkSession, sf_dir: str) -> list[int]:
+    """Collect the bounded sample (QL_SAMPLE_N rows, doc_id order) and
+    run the online loop driver-side — fit cost independent of corpus
+    size; the distributed half of the op is feature extraction."""
+    hit = _QL_FIT_CACHE.get(sf_dir)
+    if hit is not None:
+        return list(hit)
+    for w in _ql_epoch_states(_ql_collect_sample(spark, sf_dir)):
+        pass  # the final yield is the fitted vector
     _QL_FIT_CACHE[sf_dir] = list(w)
     return w
 
@@ -361,7 +379,11 @@ def stream_quality_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "quality_linear_curve",
-    executes_on_build="conditional",
+    # True, not "conditional": the sample collect below runs
+    # unconditionally at build time (boundary states are not memoized —
+    # only the final vector is), so an action probe always observes
+    # jobs (r13 ADVICE).
+    executes_on_build=True,
     oracle=_sql_ql_fit()
     + f"""
     , epochs AS (
@@ -391,18 +413,9 @@ def quality_linear_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: everything here is sample-sized (QL_SAMPLE_N rows x
     QL_EPOCHS boundary states); the corpus is never touched beyond
     the feature projection the fit already pays."""
-    sample = (
-        _ql_features(
-            load_table(spark, sf_dir, "documents").select("doc_id", "text")
-        )
-        .orderBy("doc_id")
-        .limit(QL_SAMPLE_N)
-        .collect()
-    )
-    w = [0] * _NF
-    curve = []
+    sample = _ql_collect_sample(spark, sf_dir)
 
-    def _n_mis() -> int:
+    def _n_mis(w: list[int]) -> int:
         return sum(
             1
             for r in sample
@@ -411,15 +424,12 @@ def quality_linear_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0
         )
 
-    for epoch in range(QL_EPOCHS):
-        curve.append((epoch, _n_mis()))
-        for r in sample:
-            x = [r[f"x{j}"] for j in range(_NF)]
-            if r["y"] * sum(wj * xj for wj, xj in zip(w, x)) <= 0:
-                w = [wj + r["y"] * xj for wj, xj in zip(w, x)]
-    # the post-training state (epoch QL_EPOCHS) — the row a consumer
-    # actually gates on
-    curve.append((QL_EPOCHS, _n_mis()))
+    # the boundary states come from the ONE shared update loop; the
+    # final state doubles as a fit-cache fill so a later apply/eval in
+    # the same process skips its sample jobs
+    states = list(_ql_epoch_states(sample))
+    _QL_FIT_CACHE.setdefault(sf_dir, list(states[-1]))
+    curve = [(epoch, _n_mis(w)) for epoch, w in enumerate(states)]
     return spark.createDataFrame(curve, "epoch long, n_misclassified long")
 
 

@@ -301,23 +301,28 @@ _REVALIDATE_AFTER: dict[str, int] = {
     # sources.prior_epoch_paths (shared with the image index ingest) —
     # expression-identical read path, but touched: re-prove.
     "stream_span_index_ingest": 12,
+    # r14 routed the probe-style candidate joins through the shared
+    # gate_oversized flood guard, with the oracles gated in lockstep
+    # (incremental_phash's oracle also moved from brute-force hamming
+    # to the gated band-join form) — fixture outputs are unchanged
+    # (n_oversized = 0 everywhere) but the compute path and oracle
+    # text were touched: re-prove all three.
+    "multimodal_phash_multiprobe_pairs": 14,
+    "dedup_incremental_phash": 14,
+    "dedup_incremental_minhash": 14,
 }
 
 
-def _adjudicated_names(root: str | None = None) -> set[str]:
-    """Queries whose LATEST driver record across the committed
-    CORRECTNESS_r*.json files (read in round order) is conclusive: an
-    exact hash match, or a rows-only ``no_oracle`` record for a query
-    that still has no oracle (if an oracle was added since, the op
-    needs re-adjudication). A name that was green in an early round
-    but whose most recent record is an error is NOT adjudicated — it
-    must re-enter the window so the driver can clear the red row.
-    ``root`` overrides the record directory (tests); default repo root."""
+def _latest_records(root: str | None = None) -> dict[str, tuple[int, dict]]:
+    """(round, row) of each query's LATEST driver record across the
+    committed CORRECTNESS_r*.json files, read in round order and
+    filtered by :data:`_REVALIDATE_AFTER`. ``root`` overrides the
+    record directory (tests); default repo root."""
     import glob
     import json
     import os
 
-    latest: dict[str, dict] = {}
+    latest: dict[str, tuple[int, dict]] = {}
     if root is None:
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
@@ -334,10 +339,19 @@ def _adjudicated_names(root: str | None = None) -> set[str]:
             continue
         for name, row in data.items():
             if isinstance(row, dict) and rnd >= _REVALIDATE_AFTER.get(name, 0):
-                latest[name] = row
+                latest[name] = (rnd, row)
+    return latest
 
+
+def _adjudicated_names(root: str | None = None) -> set[str]:
+    """Queries whose LATEST driver record is conclusive: an exact hash
+    match, or a rows-only ``no_oracle`` record for a query that still
+    has no oracle (if an oracle was added since, the op needs
+    re-adjudication). A name that was green in an early round but
+    whose most recent record is an error is NOT adjudicated — it must
+    re-enter the window so the driver can clear the red row."""
     seen: set[str] = set()
-    for name, row in latest.items():
+    for name, (_, row) in _latest_records(root).items():
         if row.get("hash_match") is True:
             seen.add(name)
         elif row.get("err") == "no_oracle" and name not in _ORACLES:
@@ -350,13 +364,32 @@ def _prioritized(d: dict, seen: set[str] | None = None) -> dict:
     queries that need adjudication most: (1) the static §2 preference
     list, minus already-green entries; (2) every other query without a
     driver-green row, in registration order; (3) the already-green
-    rest. ``seen`` overrides the adjudicated set (tests pin a record
-    fixture via ``_adjudicated_names(root=...)``)."""
+    rest, STALEST DRIVER RECORD FIRST — with every query adjudicated
+    at some round, the window becomes a freshness rotation that
+    re-proves the oldest cohort (r2/r3 agg/window/scalar core) under
+    the current driver and fixtures instead of replaying registration
+    order (r13 verdict #5). ``seen`` overrides the adjudicated set
+    (tests pin a record fixture via ``_adjudicated_names(root=...)``);
+    with an override the tail keeps registration order (no rounds to
+    sort by)."""
+    rounds: dict[str, int] = {}
     if seen is None:
-        seen = _adjudicated_names()
+        latest = _latest_records()
+        rounds = {n: rnd for n, (rnd, _) in latest.items()}
+        seen = set()
+        for name, (_, row) in latest.items():
+            if row.get("hash_match") is True:
+                seen.add(name)
+            elif row.get("err") == "no_oracle" and name not in _ORACLES:
+                seen.add(name)
     head = {n: d[n] for n in _PRIORITY if n in d and n not in seen}
     mid = {n: v for n, v in d.items() if n not in head and n not in seen}
-    tail = {n: v for n, v in d.items() if n not in head and n not in mid}
+    reg_index = {n: i for i, n in enumerate(d)}
+    tail_names = sorted(
+        (n for n in d if n not in head and n not in mid),
+        key=lambda n: (rounds.get(n, 0), reg_index[n]),
+    )
+    tail = {n: d[n] for n in tail_names}
     return head | mid | tail
 
 
