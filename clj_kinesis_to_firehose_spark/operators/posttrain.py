@@ -841,11 +841,23 @@ def _bt_fit(
     sf_dir: str,
     iters: int,
     checkpoint_every: int | None = None,
+    driver_loop: bool = False,
 ) -> DataFrame:
     """Shared MM loop body for the exact fit and its scaled
     checkpointed twin — parameterized the way the oracle generator is,
-    so the two registered ops cannot diverge arithmetically."""
-    key = (sf_dir, iters, checkpoint_every)
+    so the two registered ops cannot diverge arithmetically.
+
+    ``driver_loop=True`` is the production fit/apply split
+    (quality_linear_fit's shape, r13 verdict #2): the ONE distributed
+    corpus aggregation collects the O(#sources²) win matrix, the MM
+    iterations run driver-side in plain Python over it, and the fitted
+    strengths return as a LocalRelation. Bit-equal to the distributed
+    loop by construction — every quantity is either exact integer
+    arithmetic or the identical IEEE-double FLOOR(1e12·x/y) both
+    engines and Python evaluate alike (pytest pins the two paths
+    row-for-row) — while skipping 64 rounds of JVM job ceremony whose
+    only work was a card-catalog-sized relation."""
+    key = (sf_dir, iters, checkpoint_every, driver_loop)
     hit = _BT_FIT_CACHE.get(key)
     if hit is not None:
         return spark.createDataFrame(list(hit[0]), hit[1])
@@ -869,6 +881,58 @@ def _bt_fit(
         .agg(F.sum("w").cast("long").alias("n"))
     )
     tot_wins = wins.groupBy("i").agg(F.sum("w").cast("long").alias("wins"))
+
+    if driver_loop:
+        import math
+
+        from pyspark.sql import types as T
+
+        # the bounded collects: one row per source pair / source —
+        # card-catalog cardinality at any corpus size (the same rule
+        # the LocalRelation truncation below follows)
+        src_type = games.schema["i"].dataType
+        g_rows = [(r["i"], r["j"], r["n"]) for r in games.collect()]
+        tw = {r["i"]: r["wins"] for r in tot_wins.collect()}
+        src = [r["i"] for r in sources.collect()]
+        wins.unpersist()
+
+        s = {i: BT_S0 for i in src}
+        for _ in range(iters):
+            d: dict = {}
+            for i, j, n in g_rows:
+                # FLOOR(1e12·n / (s_i+s_j)): double multiply then
+                # divide — the exact expression the Spark loop and the
+                # CTE oracle evaluate (Python floats are IEEE doubles)
+                d[i] = d.get(i, 0) + math.floor(
+                    (1000000000000.0 * n) / (s[i] + s[j])
+                )
+            s = {
+                i: s[i]
+                if i not in tw or d.get(i, 0) == 0
+                else math.floor((1000000000000.0 * tw[i]) / d[i])
+                for i in src
+            }
+        ng: dict = {}
+        for i, _, n in g_rows:
+            ng[i] = ng.get(i, 0) + n
+        # rank by (strength desc, source asc) — ints and ASCII source
+        # keys order identically under Python and Spark comparators
+        ordered = sorted(src, key=lambda i: (-s[i], i))
+        rows = [
+            (i, int(s[i]), int(tw.get(i, 0)), int(ng.get(i, 0)), rank)
+            for rank, i in enumerate(ordered, start=1)
+        ]
+        schema = T.StructType(
+            [
+                T.StructField("source", src_type),
+                T.StructField("strength_u6", T.LongType()),
+                T.StructField("n_wins", T.LongType()),
+                T.StructField("n_games", T.LongType()),
+                T.StructField("strength_rank", T.LongType()),
+            ]
+        )
+        _BT_FIT_CACHE[key] = (tuple(rows), schema)
+        return spark.createDataFrame(rows, schema)
 
     if checkpoint_every:
         # the fit's inputs are source-sized; eagerly truncating their
@@ -1015,39 +1079,34 @@ BT_CHECKPOINT_EVERY = 2
     oracle=_sql_bt_strength(BT_ITERS_SCALED),
 )
 def pref_bt_strength_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The production-loop shape of the BT fit: BT_ITERS_SCALED MM
-    iterations with lineage truncation every BT_CHECKPOINT_EVERY steps
-    — per-iteration plan size stays O(interval) instead of O(total),
-    exactly bpe_learn_merges_scaled's rule, while the integer
-    fixed-point arithmetic keeps even the 64-step run hash-EXACT
-    against a 64-level unrolled MATERIALIZED-CTE oracle built by the
-    SAME generator as the N=3 twin (r13: raised 16 -> 64 to match
-    bpe's proven production loop shape).
+    """The production shape of the BT fit, run to BT_ITERS_SCALED MM
+    iterations as a fit/apply split (r14, r13 verdict #2): the ONE
+    corpus-scale step is the distributed win-matrix aggregation; the
+    64 MM iterations then run DRIVER-SIDE over the collected
+    O(#sources²) matrix — quality_linear_fit's sample-bounded-fit
+    shape — and the strengths return as a LocalRelation. The r13 form
+    paid 64 rounds of Spark job ceremony (60.8 s in the driver bench,
+    ~6× the next-heaviest op) to fit a card-catalog-sized matrix;
+    the driver loop is bit-equal by construction (exact integer sums
+    plus the identical IEEE-double FLOOR(1e12·x/y) in both runtimes)
+    and hash-EXACT against the SAME 64-level unrolled MATERIALIZED-CTE
+    oracle the r13 distributed run matched, which is the proof the
+    rewrite changed cost, not semantics.
 
-    The truncation cadence is 2, NOT bpe's 8, and truncation is a
-    driver round-trip (collect + LocalRelation), NOT localCheckpoint:
-    the MM step references the strength relation THREE times (si + sj
-    in the term join, plus the update's base), so a segment's plan —
-    and, since Spark does not dedup common subtrees across join
-    inputs, its EXECUTION — grows ~3^interval copies of the base
-    step. Measured at 64 iterations x sf0.1 (r13): interval 4 = 80 s,
-    interval 2 = 52 s, interval 1 = 83 s (job-launch overhead
-    dominates), all hash-identical; the localCheckpoint form crept
-    3 s -> 17 s per segment and OOM'd a default-heap driver around
-    iteration 24 even with the logical plan verified truncated. bpe
-    affords interval 8 because its loop carries state through a
-    single-reference REPLACE. (Truncation executes jobs at build time,
+    The distributed MM loop stays registered as ``pref_bt_strength``
+    (BT_ITERS iterations, plus the LocalRelation-truncation path in
+    :func:`_bt_fit` for any caller that wants a checkpointed cluster
+    fit — see its r13 notes on why truncation is a driver round-trip,
+    not localCheckpoint); test_posttrain_ops pins the driver-side and
+    distributed fits row-for-row bit-equal at equal iteration count.
+
+    Scale: the collect is one row per source pair — kilobytes at any
+    corpus size — and iteration cost is microseconds, so production
+    runs this to convergence (hundreds of steps); the corpus is
+    touched exactly once. (The collect executes jobs at build time,
     hence executes_on_build.)
-
-    Scale: the truncated relation is one row per SOURCE (card-catalog
-    cardinality), so each round-trip moves kilobytes regardless of
-    corpus size; the cost profile is flat sec/iteration, which is what
-    lets production run this to convergence (hundreds of steps)
-    instead of a fixed 3.
     """
-    return _bt_fit(
-        spark, sf_dir, BT_ITERS_SCALED, checkpoint_every=BT_CHECKPOINT_EVERY
-    )
+    return _bt_fit(spark, sf_dir, BT_ITERS_SCALED, driver_loop=True)
 
 
 # --- crawl_politeness_budget ------------------------------------------------------

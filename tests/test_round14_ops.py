@@ -104,3 +104,19 @@ def test_tail_sort_is_stable_by_registration_within_round(tmp_path):
     latest = registry._latest_records(root=str(tmp_path))
     assert latest["op_new"][0] == 2
     assert latest["op_old_a"][0] == 1
+
+
+def test_bt_driver_loop_bit_equals_distributed(spark):
+    """The r14 fit/apply rewrite's contract: at equal iteration count
+    the driver-side MM loop and the distributed (checkpointed) loop
+    produce IDENTICAL rows — same integer strengths, same ranks —
+    because every quantity is an exact integer sum or the identical
+    IEEE-double FLOOR(1e12·x/y)."""
+    from clj_kinesis_to_firehose_spark.operators.posttrain import _bt_fit
+    from tests.conftest import SF_DIR as _SF
+
+    dist = sorted(
+        map(tuple, _bt_fit(spark, _SF, 6, checkpoint_every=2).collect())
+    )
+    drv = sorted(map(tuple, _bt_fit(spark, _SF, 6, driver_loop=True).collect()))
+    assert dist == drv
