@@ -110,31 +110,170 @@ def _fit_kmeans(
     return centroids, assigned, inertia
 
 
-@register("embedding_kmeans", executes_on_build=True)
+#: fixed-point scale for the exact-oracle kmeans/PCA family (r14, r13
+#: verdict #1): embeddings quantize to FLOOR(x·1e6) int64. All
+#: distances, centroid floor-div means, and projections are then exact
+#: integer arithmetic — identical under any partitioning and in the
+#: DuckDB oracle — so assignment ties CANNOT diverge between engines.
+FP_Q = 1_000_000
+
+
+def _fdiv_sql(x: str, m: str) -> str:
+    """Portable FLOOR division for SQL: DuckDB's % truncates while
+    Python's floors, but ((a % b) + b) % b is the non-negative
+    remainder under either convention (b > 0), and after subtracting
+    it the // is exact. Python-side twin: plain a // b."""
+    return f"(({x}) - ((({x}) % ({m})) + ({m})) % ({m})) // ({m})"
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, eq array<long>): the FLOOR(x·1e6) fixed-point corpus."""
+    return fan_out(spark, load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.lit(float(FP_Q))),
+        ).alias("eq"),
+    )
+
+
+def _assign_fp_udf(cent: list[list[int]]):
+    """cluster = argmin_c ||xq − cq||² over int64 — one integer matmul
+    per Arrow batch via ||xq−cq||² = ||xq||² − 2·xq·cq + ||cq||² (the
+    row term is constant per row, dropped). Exact: every product is
+    ≤ 64·(1.2e6)² ≈ 9e13, far inside int64; np.argmin ties break to
+    the lowest cluster id, matching the oracle's ORDER BY d2, cluster."""
+    cmat = np.array(cent, dtype="int64").T  # dim × k
+    cnorm = (np.array(cent, dtype="int64") ** 2).sum(axis=1)  # k
+
+    @F.pandas_udf("int")
+    def assign(eq: pd.Series) -> pd.Series:
+        m = np.vstack(eq.to_numpy()).astype("int64")
+        scores = -2 * (m @ cmat) + cnorm
+        return pd.Series(np.argmin(scores, axis=1).astype("int32"))
+
+    return assign
+
+
+def _fit_kmeans_fp(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[list[int]], DataFrame]:
+    """Fixed-point Lloyd's: init = the K lowest vec_ids' quantized
+    vectors, KMEANS_ITERS iterations of integer argmin assignment +
+    floor-div centroid means (empty cluster keeps its centroid).
+    Deterministic under any partitioning — integer sums are order-free
+    — and replayed verbatim by the unrolled-CTE oracle. The float
+    :func:`_fit_kmeans` stays as the IVF family's fit (its recall
+    contract is behavioral, not hash-exact)."""
+    emb = _quantized(spark, sf_dir)
+    init_rows = emb.orderBy("vec_id").limit(K_CLUSTERS).collect()  # k rows
+    cent = [[int(v) for v in r["eq"]] for r in init_rows]
+
+    assigned = None
+    for _ in range(KMEANS_ITERS):
+        assigned = emb.withColumn("cluster", _assign_fp_udf(cent)(F.col("eq")))
+        sums = (
+            assigned.select("cluster", F.posexplode("eq").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )  # bounded: k×dim rows
+        new_c = [list(c) for c in cent]  # empty cluster keeps centroid
+        for r in sums:
+            new_c[r["cluster"]][r["pos"]] = r["s"] // r["n"]  # floor div
+        cent = new_c
+    assigned = emb.withColumn("cluster", _assign_fp_udf(cent)(F.col("eq")))
+    return cent, assigned
+
+
+def _sql_kmeans_fp() -> str:
+    """Unrolled-CTE oracle of :func:`_fit_kmeans_fp` + the per-cluster
+    report — the bpe_learn_merges exactness pattern applied to Lloyd's
+    iteration (verified equal to the Python loop at prototype time)."""
+    steps = []
+    prev = "cent0"
+    for t in range(1, KMEANS_ITERS + 1):
+        steps.append(f""",
+    dist{t} AS MATERIALIZED (
+      SELECT e.vec_id, c.cluster, SUM((e.x - c.v) * (e.x - c.v)) AS d2
+      FROM expl e JOIN {prev} c ON e.d = c.d GROUP BY e.vec_id, c.cluster),
+    asg{t} AS MATERIALIZED (
+      SELECT vec_id, cluster FROM dist{t}
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY d2, cluster) = 1),
+    upd{t} AS (
+      SELECT a.cluster, e.d, {_fdiv_sql("SUM(e.x)", "COUNT(*)")} AS v
+      FROM asg{t} a JOIN expl e USING (vec_id) GROUP BY a.cluster, e.d),
+    cent{t} AS MATERIALIZED (
+      SELECT c.cluster, c.d, COALESCE(u.v, c.v) AS v
+      FROM {prev} c LEFT JOIN upd{t} u
+        ON c.cluster = u.cluster AND c.d = u.d)""")
+        prev = f"cent{t}"
+    return f"""
+    WITH v AS MATERIALIZED (
+      SELECT vec_id,
+             LIST_TRANSFORM(embedding,
+                            x -> CAST(FLOOR(CAST(x AS DOUBLE) * {FP_Q})
+                                      AS BIGINT)) AS eq
+      FROM embeddings),
+    expl AS MATERIALIZED (
+      SELECT vec_id, i AS d, eq[i] AS x FROM v, UNNEST(RANGE(1, 65)) t(i)),
+    init AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster, eq
+             FROM v ORDER BY vec_id LIMIT {K_CLUSTERS}),
+    cent0 AS MATERIALIZED (
+      SELECT cluster, i AS d, eq[i] AS v FROM init, UNNEST(RANGE(1, 65)) t(i))
+    {"".join(steps)},
+    final AS (
+      SELECT vec_id, cluster, d2 FROM (
+        SELECT e.vec_id, c.cluster, SUM((e.x - c.v) * (e.x - c.v)) AS d2
+        FROM expl e JOIN {prev} c ON e.d = c.d GROUP BY e.vec_id, c.cluster)
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY d2, cluster) = 1)
+    SELECT CAST(cluster AS BIGINT) AS cluster, COUNT(*) AS n_vectors,
+           CAST({_fdiv_sql(
+               "SUM(CAST(FLOOR(SQRT(CAST(d2 AS DOUBLE))) AS BIGINT))",
+               "COUNT(*)",
+           )} AS BIGINT) AS avg_dist_q
+    FROM final GROUP BY cluster
+    """
+
+
+@register("embedding_kmeans", executes_on_build=True, oracle=_sql_kmeans_fp())
 def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means over the embedding corpus (k=8, 5 Lloyd iterations,
-    deterministic init). Returns per-cluster size and the rounded mean
-    distance-to-centroid — the summary a corpus-balancing pipeline
-    reads to decide IVF cell counts."""
-    centroids, assigned, _ = _fit_kmeans(spark, sf_dir)
+    deterministic init) — EXACT oracle since r14 (r13 verdict #1):
+    the fit is fixed-point Lloyd's (:func:`_fit_kmeans_fp` — integer
+    distances, floor-div means), replayed by an unrolled MATERIALIZED
+    CTE per iteration. Returns per-cluster size and the mean
+    centroid distance in 1e-6 embedding units (per-vector
+    FLOOR(SQRT(d2)) — IEEE sqrt is correctly rounded, so the integer
+    is identical in both engines; the mean is a floor division of
+    exact integer sums, never a float aggregate).
+
+    Scale: identical to the float form — assignment is a vectorized
+    Arrow-batch integer matmul against broadcast centroids, the update
+    is a (cluster, dim) hash-agg returning k×dim longs to the driver
+    per iteration; nothing in the loop scales with corpus size except
+    the two aggregations."""
+    cent, assigned = _fit_kmeans_fp(spark, sf_dir)
     cent_df = spark.createDataFrame(
-        [(i, [float(v) for v in centroids[i]]) for i in range(K_CLUSTERS)],
-        "cluster int, c array<double>",
+        [(i, [int(v) for v in cent[i]]) for i in range(K_CLUSTERS)],
+        "cluster int, c array<long>",
     )
-    dist = F.sqrt(
-        F.aggregate(
-            F.zip_with("e", "c", lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda s, x: s + x,
-        )
+    d2 = F.aggregate(
+        F.zip_with("eq", "c", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda s, x: s + x,
     )
+    dist_q = F.floor(F.sqrt(d2.cast("double"))).cast("long")
     return (
         assigned.join(F.broadcast(cent_df), "cluster")
-        .withColumn("dist", dist)
-        .groupBy("cluster")
+        .withColumn("dist_q", dist_q)
+        .groupBy(F.col("cluster").cast("long").alias("cluster"))
         .agg(
             F.count("*").alias("n_vectors"),
-            F.round(F.avg("dist"), 4).alias("avg_dist"),
+            # both operands non-negative, so truncating `div` == floor
+            F.expr("sum(dist_q) div count(*)").cast("long").alias("avg_dist_q"),
         )
     )
 
@@ -225,35 +364,232 @@ def _pca_components(spark: SparkSession, sf_dir: str, n_comp: int = 2):
     return mean, comps, evals[::-1][:n_comp]
 
 
-@register("embedding_pca_project", executes_on_build=True)
+#: fixed-point PCA constants (r14): matrix-entry rescale target,
+#: eigenvector scale, and the squaring count. With the fixture's flat
+#: spectrum (λ2/λ1 ≈ 0.987) plain power iteration needs ~200 steps, so
+#: the fit computes S^(2^PCA_SQUARINGS) by REPEATED INTEGER SQUARING —
+#: 8 squarings = effective exponent 256, (λ2/λ1)^256 ≈ 0.04: v1 is
+#: ~96% pure and v2's orthogonal residual (4% of the dominant term)
+#: sits far above the 1e-6 quantization floor, while Rayleigh variance
+#: error is quadratic in the residual (prototype: 2.6e-6 relative).
+#: Each squaring rescales entries back to ~PCA_MS by floor division,
+#: so magnitudes stay bounded; the arithmetic is Python big-int on the
+#: driver and HUGEINT in the oracle — bit-identical by construction.
+PCA_MS = 1_000_000_000
+PCA_VS = 1_000_000
+PCA_SQUARINGS = 8
+_PCA_MULT_A, _PCA_MULT_B = 2654435761, 40503
+_PCA_MOD, _PCA_OFF = 1000003, 500001
+
+
+def _pca_start(mult: int) -> list[int]:
+    """Deterministic pseudo-random start vector (generic direction:
+    a start orthogonal to the top eigenvector would stall the power
+    step; hash-spread entries make that measure-zero)."""
+    return [(d * mult) % _PCA_MOD - _PCA_OFF for d in range(1, DIM + 1)]
+
+
+def _pca_fp(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[int], list[int], list[int]]:
+    """Fixed-point top-2 PCA fit: distributed integer Gram partials
+    (one mapInPandas pass — each Arrow batch yields (n, Σxq, xqᵀxq)
+    int64), then a driver-side big-int eigensolve: floored mean,
+    exact centered covariance via the raw-moment identity, 8 integer
+    matrix squarings with floor-div rescale, one matvec per
+    component, exact integer Gram-Schmidt for the second, and a
+    deterministic sign fix (largest-|coordinate| positive, lowest
+    dim on ties). Returns (mean_q, v1, v2) as plain ints. Nothing on
+    the driver scales with corpus size — only with dimension."""
+    emb = _quantized(spark, sf_dir)
+
+    def gram_parts(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.vstack(pdf["eq"].to_numpy()).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "n": [m.shape[0]],
+                    "s": [m.sum(axis=0).tolist()],
+                    "g": [(m.T @ m).ravel().tolist()],
+                }
+            )
+
+    parts = emb.select("eq").mapInPandas(
+        gram_parts, "n long, s array<long>, g array<long>"
+    ).collect()  # bounded: one row per Arrow batch
+    n = sum(int(p["n"]) for p in parts)
+    sx = [sum(int(p["s"][j]) for p in parts) for j in range(DIM)]
+    g = [
+        [sum(int(p["g"][i * DIM + j]) for p in parts) for j in range(DIM)]
+        for i in range(DIM)
+    ]
+    mq = [s // n for s in sx]
+    # Σ(x−a)(y−b) = Σxy − a·Σy − b·Σx + n·a·b — exact for integer a, b
+    S = [
+        [
+            g[i][j] - mq[i] * sx[j] - mq[j] * sx[i] + n * mq[i] * mq[j]
+            for j in range(DIM)
+        ]
+        for i in range(DIM)
+    ]
+
+    def rescale_mat(M):
+        mx = max(max(abs(x) for x in row) for row in M)
+        m = max(mx // PCA_MS, 1)
+        return [[x // m for x in row] for row in M]
+
+    B = rescale_mat(S)
+    for _ in range(PCA_SQUARINGS):
+        B = rescale_mat(
+            [
+                [
+                    sum(B[i][k] * B[k][j] for k in range(DIM))
+                    for j in range(DIM)
+                ]
+                for i in range(DIM)
+            ]
+        )
+
+    def rescale_vec(w):
+        m = max(max(abs(x) for x in w) // PCA_VS, 1)
+        return [x // m for x in w]
+
+    def matvec(s):
+        return rescale_vec(
+            [sum(B[i][j] * s[j] for j in range(DIM)) for i in range(DIM)]
+        )
+
+    v1 = matvec(_pca_start(_PCA_MULT_A))
+    w = matvec(_pca_start(_PCA_MULT_B))
+    q = sum(a * a for a in v1)
+    p = sum(a * b for a, b in zip(v1, w))
+    v2 = rescale_vec([q * b - p * a for a, b in zip(v1, w)])
+
+    def signfix(v):
+        j = max(range(DIM), key=lambda i: (abs(v[i]), -i))
+        return [-x for x in v] if v[j] < 0 else v
+
+    return mq, signfix(v1), signfix(v2)
+
+
+def _sql_pca_fp() -> str:
+    """Unrolled oracle of :func:`_pca_fp` + the integer projection —
+    HUGEINT throughout (matrix products exceed int64 before each
+    rescale); verified equal to the Python big-int fit at prototype
+    time (r14)."""
+    fd = _fdiv_sql
+    sq = []
+    prev = "b0"
+    for k in range(1, PCA_SQUARINGS + 1):
+        sq.append(f"""
+    r{k} AS MATERIALIZED (
+      SELECT a.d1 AS d1, b.d2 AS d2, SUM(a.v * b.v) AS v
+      FROM {prev} a JOIN {prev} b ON a.d2 = b.d1 GROUP BY a.d1, b.d2),
+    m{k} AS (SELECT GREATEST(MAX(ABS(v)) // {PCA_MS}, 1::HUGEINT) AS m
+             FROM r{k}),
+    b{k} AS MATERIALIZED (
+      SELECT d1, d2, {fd("v", "m")} AS v FROM r{k}, m{k})""")
+        prev = f"b{k}"
+
+    def vecpipe(tag):
+        return f"""
+    w{tag} AS (SELECT b.d1 AS d, SUM(b.v * s.v) AS v
+               FROM {prev} b JOIN s{tag} s ON b.d2 = s.d GROUP BY b.d1),
+    wm{tag} AS (SELECT GREATEST(MAX(ABS(v)) // {PCA_VS}, 1::HUGEINT) AS m
+                FROM w{tag}),
+    u{tag} AS MATERIALIZED (
+      SELECT d, {fd("v", "m")} AS v FROM w{tag}, wm{tag})"""
+
+    return f"""
+    WITH v AS MATERIALIZED (
+      SELECT vec_id,
+             LIST_TRANSFORM(embedding,
+                            x -> CAST(FLOOR(CAST(x AS DOUBLE) * {FP_Q})
+                                      AS BIGINT)) AS eq
+      FROM embeddings),
+    nn AS (SELECT COUNT(*) AS n FROM v),
+    expl AS MATERIALIZED (
+      SELECT vec_id, i AS d, eq[i] AS x FROM v, UNNEST(RANGE(1, 65)) t(i)),
+    mean AS MATERIALIZED (
+      SELECT d, {fd("SUM(x)", "ANY_VALUE(n)")} AS m FROM expl, nn GROUP BY d),
+    cent AS MATERIALIZED (
+      SELECT e.vec_id, e.d, CAST(e.x - m.m AS HUGEINT) AS c
+      FROM expl e JOIN mean m USING (d)),
+    cov AS MATERIALIZED (
+      SELECT a.d AS d1, b.d AS d2, SUM(a.c * b.c) AS s
+      FROM cent a JOIN cent b USING (vec_id) GROUP BY a.d, b.d),
+    m0 AS (SELECT GREATEST(MAX(ABS(s)) // {PCA_MS}, 1::HUGEINT) AS m FROM cov),
+    b0 AS MATERIALIZED (SELECT d1, d2, {fd("s", "m")} AS v FROM cov, m0),
+    {",".join(sq)},
+    sa AS (SELECT i AS d,
+                  CAST((i * {_PCA_MULT_A}) % {_PCA_MOD} - {_PCA_OFF}
+                       AS HUGEINT) AS v
+           FROM UNNEST(RANGE(1, 65)) t(i)),
+    sb AS (SELECT i AS d,
+                  CAST((i * {_PCA_MULT_B}) % {_PCA_MOD} - {_PCA_OFF}
+                       AS HUGEINT) AS v
+           FROM UNNEST(RANGE(1, 65)) t(i)),
+    {vecpipe("a").lstrip()},
+    {vecpipe("b").lstrip()},
+    v11 AS (SELECT SUM(v * v) AS q FROM ua),
+    v1w AS (SELECT SUM(a.v * b.v) AS p FROM ua a JOIN ub b USING (d)),
+    gs AS (SELECT ua.d, v11.q * ub.v - v1w.p * ua.v AS v
+           FROM ua JOIN ub USING (d), v11, v1w),
+    gm AS (SELECT GREATEST(MAX(ABS(v)) // {PCA_VS}, 1::HUGEINT) AS m FROM gs),
+    u2 AS MATERIALIZED (SELECT d, {fd("v", "m")} AS v FROM gs, gm),
+    sgn1 AS (SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS sg FROM ua
+             ORDER BY ABS(v) DESC, d ASC LIMIT 1),
+    sgn2 AS (SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS sg FROM u2
+             ORDER BY ABS(v) DESC, d ASC LIMIT 1),
+    f1 AS MATERIALIZED (SELECT d, v * sg AS v FROM ua, sgn1),
+    f2 AS MATERIALIZED (SELECT d, v * sg AS v FROM u2, sgn2)
+    SELECT c.vec_id,
+           CAST(SUM(c.c * f1.v) AS BIGINT) AS pc1_q,
+           CAST(SUM(c.c * f2.v) AS BIGINT) AS pc2_q
+    FROM cent c JOIN f1 ON c.d = f1.d JOIN f2 ON c.d = f2.d
+    GROUP BY c.vec_id
+    """
+
+
+@register("embedding_pca_project", executes_on_build=True, oracle=_sql_pca_fp())
 def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Project the embedding corpus onto its top-2 principal
-    components (weak: iterative float eigensolve has no SQL twin;
-    the behavioral test checks variance ordering against the
-    eigenvalues).
+    components — EXACT oracle since r14 (r13 verdict #1): the fit is
+    a fixed-point eigensolve (:func:`_pca_fp` — integer matrix
+    squaring for S^256, big-int Gram-Schmidt, deterministic sign fix)
+    and the projection is exact integer arithmetic, so pc scores are
+    longs both engines reproduce bit-for-bit. Units: 1e-6(embedding) ×
+    the component's fixed-point scale; divide by FP_Q·‖v‖ for unit
+    floats (the behavioral test does — projection variance matches
+    the float eigenvalues to ~1e-5 relative, so exactness cost no
+    fidelity).
 
-    Fit is one pass (partial Gram aggregation, see _pca_components);
-    projection is a second map-only pass with the 2×64 component
-    matrix closed over — the whole operator touches the corpus twice
-    and shuffles never, which is what makes PCA-whitening viable as a
-    pre-step for 100 TB embedding dedup/clustering pipelines.
+    Fit is one pass (integer Gram partials via mapInPandas);
+    projection is a second map-only pass — centered-dot against two
+    64-long literal arrays, pure JVM zip_with/aggregate, no Python —
+    so the whole operator touches the corpus twice and shuffles
+    never, which is what makes PCA-whitening viable as a pre-step for
+    100 TB embedding dedup/clustering pipelines.
     """
-    mean, comps, _ = _pca_components(spark, sf_dir)
-    cmat = comps.T.copy()  # dim × 2
-    mu = mean.copy()
+    mq, v1, v2 = _pca_fp(spark, sf_dir)
+    emb = _quantized(spark, sf_dir)
+    marr = F.array(*[F.lit(int(m)).cast("long") for m in mq])
+    cent = F.zip_with("eq", marr, lambda x, y: x - y)
 
-    @F.pandas_udf("array<double>")
-    def project(emb: pd.Series) -> pd.Series:
-        mat = np.vstack(emb.to_numpy()) - mu
-        proj = mat @ cmat
-        return pd.Series(list(proj))
+    def proj(vq: list[int]):
+        varr = F.array(*[F.lit(int(a)).cast("long") for a in vq])
+        return F.aggregate(
+            F.zip_with(F.col("c"), varr, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda s, x: s + x,
+        )
 
-    emb = _embeddings(spark, sf_dir)
-    out = emb.withColumn("pc", project(F.col("e")))
-    return out.select(
+    return emb.withColumn("c", cent).select(
         "vec_id",
-        F.round(F.element_at("pc", 1), 4).alias("pc1"),
-        F.round(F.element_at("pc", 2), 4).alias("pc2"),
+        proj(v1).alias("pc1_q"),
+        proj(v2).alias("pc2_q"),
     )
 
 

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from clj_kinesis_to_firehose_spark.functions import cosine  # shared helper, re-exported for this module's callers
-from clj_kinesis_to_firehose_spark.registry import register
+from clj_kinesis_to_firehose_spark.registry import oracle, register
 from clj_kinesis_to_firehose_spark.sources import fan_out, load_table
 
 PROBE_IDS = [0, 1, 2, 3, 4]
@@ -29,16 +29,29 @@ LSH_BITS = 6
 LSH_TABLES = 8
 _HP_SEED = 42
 
+#: fixed-point scales for the portable signature kernel (r14, r13
+#: verdict #1): embeddings quantize to FLOOR(x·1e6) int64, hyperplane
+#: coefficients are INTEGERS in [-1e6, 1e6] from the fixed LCG, so the
+#: sign-bit dot products are exact integer arithmetic — identical in
+#: numpy int64, Spark long, and DuckDB BIGINT (max |dot| ≤
+#: 64·1.2e6·1e6 ≈ 7.7e13, far inside int64) — and the whole
+#: signature → band → candidate → top-k pipeline oracles exactly.
+#: The r13 float form computed the same hyperplanes as doubles; a dot
+#: within one ulp of zero could then flip a sign bit across engines,
+#: which is exactly the failure the fixed-point form removes.
+LSH_Q = 1_000_000
 
-def _hyperplanes(dim: int = 64, n: int = LSH_BITS * LSH_TABLES) -> list[list[float]]:
-    # deterministic pseudo-random hyperplanes from a fixed LCG — no
-    # numpy RNG state, identical on every run/driver
+
+def _lsh_coef() -> list[list[int]]:
+    """Integer hyperplane coefficients, (L·K) planes × 64 dims, from
+    the fixed LCG — pure Python ints, reproduced verbatim as VALUES
+    literals in the oracle so both engines read the SAME constants."""
     vals = []
     state = _HP_SEED
-    for _ in range(n * dim):
+    for _ in range(LSH_BITS * LSH_TABLES * 64):
         state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
-        vals.append(((state >> 11) / float(1 << 53)) * 2.0 - 1.0)
-    return [vals[i * dim : (i + 1) * dim] for i in range(n)]
+        vals.append((state >> 11) % (2 * LSH_Q + 1) - LSH_Q)
+    return [vals[i * 64 : (i + 1) * 64] for i in range(LSH_BITS * LSH_TABLES)]
 
 
 @register(
@@ -103,13 +116,16 @@ def sim_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _signature_udf():
     """All per-table LSH signatures in one vectorized kernel: an Arrow
-    batch of embeddings is one (rows × dim) @ (dim × L·K) matmul, then
-    sign-bits packed per table — numpy/BLAS, one Python crossing per
-    batch. Replaces 48 per-row expression-tree fold dots (which were
-    both planner-heavy and ~3× slower); this is also the realistic
-    shape at 100 TB where the hyperplane matrix is a broadcast constant.
+    batch of embeddings is quantized (FLOOR(x·1e6) → int64) and hit
+    with one (rows × dim) @ (dim × L·K) INTEGER matmul, then sign-bits
+    packed per table — numpy, one Python crossing per batch. Integer
+    arithmetic is exact and order-free, so the signatures are
+    bit-identical across numpy, Spark partitionings, and the DuckDB
+    oracle (r14; the r13 float matmul was within-engine deterministic
+    but not provably cross-engine). This is also the realistic shape
+    at 100 TB where the coefficient matrix is a broadcast constant.
     """
-    hp = np.array(_hyperplanes(), dtype="float64").T  # dim × (L·K)
+    cq = np.array(_lsh_coef(), dtype="int64").T  # dim × (L·K)
     weights = np.array(
         [1 << k for k in range(LSH_BITS)] * LSH_TABLES, dtype="int64"
     )
@@ -117,8 +133,9 @@ def _signature_udf():
 
     @F.pandas_udf("array<int>")
     def signatures(emb: pd.Series) -> pd.Series:
-        mat = np.vstack(emb.to_numpy())  # rows × dim
-        bits = (mat @ hp) >= 0  # rows × (L·K)
+        mat = np.vstack(emb.to_numpy())  # rows × dim, float64
+        xq = np.floor(mat * LSH_Q).astype("int64")
+        bits = (xq @ cq) >= 0  # rows × (L·K), exact int64 dots
         weighted = bits * weights
         sigs = np.zeros((mat.shape[0], LSH_TABLES), dtype="int64")
         for t in range(LSH_TABLES):
@@ -126,6 +143,69 @@ def _signature_udf():
         return pd.Series(list(sigs.astype("int32")))
 
     return signatures
+
+
+def _sql_ann_lsh() -> str:
+    """The DuckDB twin of the WHOLE sim_ann_lsh pipeline: the integer
+    coefficient table inlined as VALUES (the same `_lsh_coef()`
+    constants the Spark kernel broadcasts), quantized integer dots →
+    per-table sign-bit buckets → probe-vs-corpus bucket join →
+    distinct pairs → exact rounded cosine → top-k. Verified equal to
+    the numpy kernel bit-for-bit at prototype time (r14)."""
+    C = _lsh_coef()
+    lits = ",".join(
+        f"({p},{d + 1},{C[p][d]})"
+        for p in range(LSH_BITS * LSH_TABLES)
+        for d in range(64)
+    )
+    ids = ", ".join(str(i) for i in PROBE_IDS)
+    return f"""
+    WITH coef AS (SELECT * FROM (VALUES {lits}) t(p, d, c)),
+    v AS MATERIALIZED (
+      SELECT vec_id,
+             LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             LIST_TRANSFORM(embedding,
+                            x -> CAST(FLOOR(CAST(x AS DOUBLE) * {LSH_Q})
+                                      AS BIGINT)) AS eq
+      FROM embeddings
+    ),
+    expl AS (SELECT vec_id, i AS d, eq[i] AS x
+             FROM v, UNNEST(RANGE(1, 65)) t(i)),
+    dots AS (SELECT e.vec_id, c.p, SUM(e.x * c.c) AS dot
+             FROM expl e JOIN coef c ON c.d = e.d GROUP BY e.vec_id, c.p),
+    sigs AS MATERIALIZED (
+      SELECT vec_id, p // {LSH_BITS} AS table_id,
+             CAST(SUM(CASE WHEN dot >= 0 THEN 1 << (p % {LSH_BITS})
+                           ELSE 0 END) AS BIGINT) AS sig
+      FROM dots GROUP BY vec_id, p // {LSH_BITS}
+    ),
+    probes AS (SELECT vec_id AS probe_id, table_id, sig FROM sigs
+               WHERE vec_id IN ({ids})),
+    cand AS (
+      SELECT DISTINCT p.probe_id, s.vec_id AS neighbor_id
+      FROM probes p JOIN sigs s
+        ON p.table_id = s.table_id AND p.sig = s.sig
+       AND s.vec_id != p.probe_id
+    ),
+    scored AS (
+      SELECT c.probe_id, c.neighbor_id,
+             ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, 65),
+                                           i -> pv.e[i] * nv.e[i]))
+                   / (SQRT(LIST_SUM(LIST_TRANSFORM(pv.e, x -> x * x)))
+                      * SQRT(LIST_SUM(LIST_TRANSFORM(nv.e, x -> x * x)))),
+                   6) AS cosine
+      FROM cand c
+      JOIN v pv ON pv.vec_id = c.probe_id
+      JOIN v nv ON nv.vec_id = c.neighbor_id
+    )
+    SELECT probe_id, neighbor_id, cosine, nn_rank FROM (
+      SELECT probe_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY cosine DESC, neighbor_id)
+               AS nn_rank
+      FROM scored
+    ) WHERE nn_rank <= {TOP_K}
+    """
 
 
 @register(
@@ -165,11 +245,18 @@ def vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_ann_lsh")
+@register("sim_ann_lsh", oracle=_sql_ann_lsh())
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via multi-table random-hyperplane LSH (weak
-    oracle: pytest checks planted near-dup recall and a corpus floor
-    against sim_topk_exact).
+    """Approximate NN via multi-table random-hyperplane LSH — EXACT
+    oracle since r14 (r13 verdict #1): the hyperplanes are seeded
+    INTEGER coefficients and the embeddings quantize to FLOOR(x·1e6)
+    int64, so every sign-bit dot is exact integer arithmetic and the
+    bucket keys cannot diverge between engines; the DuckDB oracle
+    replays the identical signature → bucket-join → rounded-cosine →
+    top-k pipeline from the same inlined constants. Pytest still pins
+    the RECALL behavior (planted near-dups, corpus floor vs
+    sim_topk_exact) — exactness proves the plan, recall proves the
+    algorithm.
 
     Every vector gets L=8 bucket keys (6 sign-bits each). A probe is
     compared only against vectors sharing ≥1 bucket key — ~12% of the
@@ -215,6 +302,59 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("nn_rank", F.row_number().over(w))
         .filter(F.col("nn_rank") <= TOP_K)
+    )
+
+
+@register(
+    "sim_recall_eval_lsh",
+    executes_on_build=True,
+    oracle=f"""
+    WITH exact AS ({oracle('sim_topk_exact')}),
+    approx AS ({oracle('sim_ann_lsh')}),
+    kk AS (SELECT probe_id, COUNT(*) AS k FROM exact GROUP BY probe_id),
+    hits AS (
+      SELECT e.probe_id, COUNT(*) AS n_hits
+      FROM exact e JOIN approx a
+        ON e.probe_id = a.probe_id AND e.neighbor_id = a.neighbor_id
+      GROUP BY e.probe_id
+    )
+    SELECT kk.probe_id, kk.k,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(FLOOR(10000.0 * COALESCE(h.n_hits, 0) / kk.k) AS BIGINT)
+             AS recall_u4
+    FROM kk LEFT JOIN hits h ON kk.probe_id = h.probe_id
+    """,
+)
+def sim_recall_eval_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the LSH path against the exact brute-force top-k —
+    EXACT oracle (r14): now that sim_ann_lsh itself is hash-exact,
+    its recall evaluation is a pure consumer of two already-registered
+    rules (both composed via the public oracle accessor, never
+    restated), with recall as an integer FLOOR(1e4·hits/k) — the
+    integer-rational rule. The 4-method sweep stays available as
+    sim_recall_eval (weak: IVF/PQ/graph carry engine-specific float
+    fits); this op is the gating-grade twin for the one ANN family
+    whose whole pipeline is portable.
+
+    Scale: both join sides are top-k-bounded per probe — the
+    evaluation costs O(|probes|·k) at any corpus size."""
+    exact = sim_topk_exact(spark, sf_dir).select("probe_id", "neighbor_id")
+    approx = sim_ann_lsh(spark, sf_dir).select("probe_id", "neighbor_id")
+    kk = exact.groupBy("probe_id").agg(F.count("*").alias("k"))
+    hits = (
+        exact.join(approx, ["probe_id", "neighbor_id"])
+        .groupBy("probe_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return kk.join(hits, "probe_id", "left").select(
+        "probe_id",
+        "k",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        F.floor(
+            F.lit(10000.0) * F.coalesce("n_hits", F.lit(0)) / F.col("k")
+        )
+        .cast("long")
+        .alias("recall_u4"),
     )
 
 
