@@ -35,7 +35,7 @@ from clj_kinesis_to_firehose_spark.operators.llm_similarity import (
     TOP_K,
     cosine,
 )
-from clj_kinesis_to_firehose_spark.registry import register
+from clj_kinesis_to_firehose_spark.registry import oracle, register
 from clj_kinesis_to_firehose_spark.sources import fan_out, load_table
 
 K_CLUSTERS = 8
@@ -44,70 +44,12 @@ NPROBE = 2
 DIM = 64
 
 
-def _assign_udf(centroids: np.ndarray):
-    """cluster = argmin_c ||x - c||² for an Arrow batch of embeddings,
-    as one (rows × dim) @ (dim × k) matmul. Ties break to the lowest
-    cluster id (np.argmin), deterministically."""
-    cmat = centroids.T.copy()  # dim × k
-    cnorm = (centroids**2).sum(axis=1)  # k
-
-    @F.pandas_udf("int")
-    def assign(emb: pd.Series) -> pd.Series:
-        mat = np.vstack(emb.to_numpy())
-        # ||x-c||² = ||x||² - 2 x·c + ||c||²; ||x||² is constant per row
-        scores = -2.0 * (mat @ cmat) + cnorm
-        return pd.Series(np.argmin(scores, axis=1).astype("int32"))
-
-    return assign
-
-
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fan_out: the pandas-UDF matmul kernels below parallelize per
     # partition; a single-file scan would serialize them on one core
     return fan_out(spark, load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )
-
-
-def _fit_kmeans(
-    spark: SparkSession, sf_dir: str
-) -> tuple[np.ndarray, DataFrame, list[float]]:
-    """Lloyd's iterations; returns (centroids, assignment df builder
-    input, per-iteration inertia). Deterministic: init = the K lowest
-    vec_ids, fixed iteration count, argmin tie-break by cluster id."""
-    emb = _embeddings(spark, sf_dir)
-    init_rows = emb.orderBy("vec_id").limit(K_CLUSTERS).collect()  # bounded: k rows
-    centroids = np.array([r["e"] for r in init_rows], dtype="float64")
-
-    inertia: list[float] = []
-    assigned = None
-    for _ in range(KMEANS_ITERS):
-        assigned = emb.withColumn("cluster", _assign_udf(centroids)(F.col("e")))
-        # centroid update: (cluster, dim) sums — k×dim rows back to driver
-        sums = (
-            assigned.select("cluster", F.posexplode("e").alias("pos", "val"))
-            .groupBy("cluster", "pos")
-            .agg(
-                F.sum("val").alias("s"),
-                F.sum(F.col("val") * F.col("val")).alias("ss"),
-                F.count("*").alias("n"),
-            )
-            .collect()
-        )
-        new_c = centroids.copy()  # empty cluster keeps its old centroid
-        iter_inertia = 0.0
-        for r in sums:
-            mu = r["s"] / r["n"]
-            new_c[r["cluster"], r["pos"]] = mu
-            # Σ||x−μ||² per (cluster,dim) = Σx² − n·μ² — inertia wrt the
-            # UPDATED centroids, free from the same agg (Lloyd's decreases
-            # it monotonically across iterations; the test asserts that)
-            iter_inertia += r["ss"] - r["n"] * mu * mu
-        inertia.append(iter_inertia)
-        centroids = new_c
-    # final assignment against the converged centroids
-    assigned = emb.withColumn("cluster", _assign_udf(centroids)(F.col("e")))
-    return centroids, assigned, inertia
 
 
 #: fixed-point scale for the exact-oracle kmeans/PCA family (r14, r13
@@ -127,9 +69,12 @@ def _fdiv_sql(x: str, m: str) -> str:
 
 
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, eq array<long>): the FLOOR(x·1e6) fixed-point corpus."""
+    """(vec_id, e array<double>, eq array<long>): the raw doubles plus
+    the FLOOR(x·1e6) fixed-point corpus. Consumers that only need one
+    form select it — Catalyst prunes the other from the scan."""
     return fan_out(spark, load_table(spark, sf_dir, "embeddings")).select(
         "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
         F.transform(
             "embedding",
             lambda x: F.floor(x.cast("double") * F.lit(float(FP_Q))),
@@ -157,39 +102,70 @@ def _assign_fp_udf(cent: list[list[int]]):
 
 def _fit_kmeans_fp(
     spark: SparkSession, sf_dir: str
-) -> tuple[list[list[int]], DataFrame]:
+) -> tuple[list[list[int]], DataFrame, list[int]]:
     """Fixed-point Lloyd's: init = the K lowest vec_ids' quantized
     vectors, KMEANS_ITERS iterations of integer argmin assignment +
     floor-div centroid means (empty cluster keeps its centroid).
     Deterministic under any partitioning — integer sums are order-free
-    — and replayed verbatim by the unrolled-CTE oracle. The float
-    :func:`_fit_kmeans` stays as the IVF family's fit (its recall
-    contract is behavioral, not hash-exact)."""
+    — and replayed verbatim by the unrolled-CTE oracle. This is the
+    ONE kmeans fit for the whole clustering/ANN family (r14: the IVF
+    index and its calibration sweep build on it too, which is what
+    makes their oracles exact).
+
+    Returns (centroids, final assignment DF over :func:`_quantized`
+    columns, per-iteration inertia). Inertia is exact integer
+    Σ||x−μ||² against each iteration's UPDATED centroids via the
+    raw-moment identity Σ(x−μ)² = Σx² − 2μΣx + nμ² per (cluster, dim)
+    — free from the same k×dim aggregate the update already runs."""
     emb = _quantized(spark, sf_dir)
-    init_rows = emb.orderBy("vec_id").limit(K_CLUSTERS).collect()  # k rows
+    init_rows = (
+        emb.select("vec_id", "eq").orderBy("vec_id").limit(K_CLUSTERS).collect()
+    )  # k rows
     cent = [[int(v) for v in r["eq"]] for r in init_rows]
 
     assigned = None
+    inertia: list[int] = []
     for _ in range(KMEANS_ITERS):
         assigned = emb.withColumn("cluster", _assign_fp_udf(cent)(F.col("eq")))
         sums = (
             assigned.select("cluster", F.posexplode("eq").alias("pos", "val"))
             .groupBy("cluster", "pos")
-            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .agg(
+                F.sum("val").alias("s"),
+                F.sum(F.col("val") * F.col("val")).alias("ss"),
+                F.count("*").alias("n"),
+            )
             .collect()
         )  # bounded: k×dim rows
         new_c = [list(c) for c in cent]  # empty cluster keeps centroid
+        it_inertia = 0
         for r in sums:
-            new_c[r["cluster"]][r["pos"]] = r["s"] // r["n"]  # floor div
+            mu = r["s"] // r["n"]  # floor div
+            new_c[r["cluster"]][r["pos"]] = mu
+            it_inertia += r["ss"] - 2 * mu * r["s"] + r["n"] * mu * mu
+        inertia.append(it_inertia)
         cent = new_c
     assigned = emb.withColumn("cluster", _assign_fp_udf(cent)(F.col("eq")))
-    return cent, assigned
+    return cent, assigned, inertia
 
 
-def _sql_kmeans_fp() -> str:
-    """Unrolled-CTE oracle of :func:`_fit_kmeans_fp` + the per-cluster
-    report — the bpe_learn_merges exactness pattern applied to Lloyd's
-    iteration (verified equal to the Python loop at prototype time)."""
+#: name of the converged-centroid CTE produced by _sql_kmeans_prefix()
+_CENT_FINAL = f"cent{KMEANS_ITERS}"
+
+
+def _sql_kmeans_prefix() -> str:
+    """Shared unrolled-CTE WITH-body (no leading ``WITH``) replaying
+    :func:`_fit_kmeans_fp` — the bpe_learn_merges exactness pattern
+    applied to Lloyd's iteration (verified equal to the Python loop at
+    prototype time). Stated ONCE and composed by the embedding_kmeans,
+    sim_ann_ivf, and sim_ann_ivf_calibration oracles so the three
+    cannot drift. Exposes:
+
+    - ``v``       (vec_id, e array<double>, eq array<bigint>)
+    - ``expl``    (vec_id, d 1..64, x = eq[d])
+    - ``{_CENT_FINAL}`` (cluster, d, v) — converged centroids
+    - ``kfinal``  (vec_id, cluster, d2) — final argmin assignment
+    """
     steps = []
     prev = "cent0"
     for t in range(1, KMEANS_ITERS + 1):
@@ -210,8 +186,9 @@ def _sql_kmeans_fp() -> str:
         ON c.cluster = u.cluster AND c.d = u.d)""")
         prev = f"cent{t}"
     return f"""
-    WITH v AS MATERIALIZED (
+    v AS MATERIALIZED (
       SELECT vec_id,
+             LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e,
              LIST_TRANSFORM(embedding,
                             x -> CAST(FLOOR(CAST(x AS DOUBLE) * {FP_Q})
                                       AS BIGINT)) AS eq
@@ -223,18 +200,24 @@ def _sql_kmeans_fp() -> str:
     cent0 AS MATERIALIZED (
       SELECT cluster, i AS d, eq[i] AS v FROM init, UNNEST(RANGE(1, 65)) t(i))
     {"".join(steps)},
-    final AS (
+    kfinal AS MATERIALIZED (
       SELECT vec_id, cluster, d2 FROM (
         SELECT e.vec_id, c.cluster, SUM((e.x - c.v) * (e.x - c.v)) AS d2
         FROM expl e JOIN {prev} c ON e.d = c.d GROUP BY e.vec_id, c.cluster)
       QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
-                                 ORDER BY d2, cluster) = 1)
+                                 ORDER BY d2, cluster) = 1)"""
+
+
+def _sql_kmeans_fp() -> str:
+    """Per-cluster report over the shared Lloyd's prefix."""
+    return f"""
+    WITH {_sql_kmeans_prefix()}
     SELECT CAST(cluster AS BIGINT) AS cluster, COUNT(*) AS n_vectors,
            CAST({_fdiv_sql(
                "SUM(CAST(FLOOR(SQRT(CAST(d2 AS DOUBLE))) AS BIGINT))",
                "COUNT(*)",
            )} AS BIGINT) AS avg_dist_q
-    FROM final GROUP BY cluster
+    FROM kfinal GROUP BY cluster
     """
 
 
@@ -255,7 +238,7 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a (cluster, dim) hash-agg returning k×dim longs to the driver
     per iteration; nothing in the loop scales with corpus size except
     the two aggregations."""
-    cent, assigned = _fit_kmeans_fp(spark, sf_dir)
+    cent, assigned, _ = _fit_kmeans_fp(spark, sf_dir)
     cent_df = spark.createDataFrame(
         [(i, [int(v) for v in cent[i]]) for i in range(K_CLUSTERS)],
         "cluster int, c array<long>",
@@ -278,23 +261,77 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_ann_ivf", executes_on_build=True)
+def _sql_ann_ivf() -> str:
+    """DuckDB twin of the WHOLE sim_ann_ivf pipeline over the shared
+    Lloyd's prefix: integer probe→cell distances → nprobe nearest
+    cells → candidates = vectors assigned to probed cells → rounded
+    exact cosine → top-k (the proven sim_topk_exact scoring tail)."""
+    ids = ", ".join(str(i) for i in PROBE_IDS)
+    return f"""
+    WITH {_sql_kmeans_prefix()},
+    pd2 AS (
+      SELECT e.vec_id AS probe_id, c.cluster,
+             SUM((e.x - c.v) * (e.x - c.v)) AS d2
+      FROM expl e JOIN {_CENT_FINAL} c ON e.d = c.d
+      WHERE e.vec_id IN ({ids})
+      GROUP BY e.vec_id, c.cluster),
+    pcells AS (
+      SELECT probe_id, cluster FROM pd2
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY probe_id
+                                 ORDER BY d2, cluster) <= {NPROBE}),
+    cand AS (
+      SELECT pc.probe_id, a.vec_id AS neighbor_id
+      FROM pcells pc JOIN kfinal a USING (cluster)
+      WHERE a.vec_id != pc.probe_id),
+    scored AS (
+      SELECT c.probe_id, c.neighbor_id,
+             ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, 65),
+                                           i -> pv.e[i] * nv.e[i]))
+                   / (SQRT(LIST_SUM(LIST_TRANSFORM(pv.e, x -> x * x)))
+                      * SQRT(LIST_SUM(LIST_TRANSFORM(nv.e, x -> x * x)))),
+                   6) AS cosine
+      FROM cand c
+      JOIN v pv ON pv.vec_id = c.probe_id
+      JOIN v nv ON nv.vec_id = c.neighbor_id)
+    SELECT probe_id, neighbor_id, cosine, nn_rank FROM (
+      SELECT probe_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY cosine DESC, neighbor_id)
+               AS nn_rank
+      FROM scored
+    ) WHERE nn_rank <= {TOP_K}
+    """
+
+
+@register("sim_ann_ivf", executes_on_build=True, oracle=_sql_ann_ivf())
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: kmeans cells + nprobe=2 probing, exact cosine within
     the probed cells, top-k per probe (rank by rounded cosine then
-    neighbor_id, like sim_topk_exact)."""
-    centroids, assigned, _ = _fit_kmeans(spark, sf_dir)
+    neighbor_id, like sim_topk_exact) — EXACT oracle since r14: the
+    index is built on the fixed-point Lloyd's fit
+    (:func:`_fit_kmeans_fp`), probe→cell distances are int64, and the
+    scoring tail is the already-proven rounded-cosine pattern, so the
+    DuckDB oracle replays the identical fit → probe → candidate →
+    top-k pipeline from the shared unrolled-CTE prefix.
+
+    Scale: the probed-cell join bounds scored candidates to ~nprobe/K
+    of the corpus — the hard candidate-fraction bound IVF exists to
+    give you on a 1000-executor cluster; the fit's per-iteration
+    driver traffic is k×dim longs, corpus-size-independent."""
+    cent, assigned, _ = _fit_kmeans_fp(spark, sf_dir)
     cent_df = spark.createDataFrame(
-        [(i, [float(v) for v in centroids[i]]) for i in range(K_CLUSTERS)],
-        "cluster int, c array<double>",
+        [(i, [int(x) for x in cent[i]]) for i in range(K_CLUSTERS)],
+        "cluster int, cq array<long>",
     )
     probes = assigned.filter(F.col("vec_id").isin(PROBE_IDS)).select(
-        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe")
+        F.col("vec_id").alias("probe_id"),
+        F.col("e").alias("pe"),
+        F.col("eq").alias("peq"),
     )
     # probe → its NPROBE nearest cells (probes × k pairs — tiny)
     d2 = F.aggregate(
-        F.zip_with("pe", "c", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
+        F.zip_with("peq", "cq", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
         lambda s, x: s + x,
     )
     wp = Window.partitionBy("probe_id").orderBy("d2", "cluster")
@@ -600,7 +637,88 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_NPROBE_SWEEP = (1, 2, 4, 8)
 
 
-@register("sim_ann_ivf_calibration", executes_on_build=True)
+def _sql_ann_ivf_calibration() -> str:
+    """DuckDB twin of the WHOLE calibration sweep: shared Lloyd's
+    prefix → per-probe cell ranking → ONE scored pass carrying the
+    cell rank → per-nprobe re-cut (a filter, exactly like the Spark
+    side) → counts and FLOOR-integer recall/candidate-fraction rows."""
+    ids = ", ".join(str(i) for i in PROBE_IDS)
+    n_truth = len(PROBE_IDS) * TOP_K
+    # per-nprobe top-k needs its own window per setting — one CTE
+    # chain per sweep value, all re-cutting the ONE scored pass
+    per_np = []
+    selects = []
+    for nprobe in IVF_NPROBE_SWEEP:
+        per_np.append(f""",
+    topk{nprobe} AS (
+      SELECT probe_id, neighbor_id FROM (
+        SELECT probe_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY cosine DESC, neighbor_id) AS r
+        FROM scored WHERE cell_rank <= {nprobe}
+      ) WHERE r <= {TOP_K}),
+    row{nprobe} AS (
+      SELECT CAST({nprobe} AS BIGINT) AS nprobe,
+             (SELECT COUNT(*) FROM topk{nprobe}) AS n_retrieved,
+             (SELECT COUNT(*) FROM topk{nprobe} t
+               JOIN truth u ON t.probe_id = u.probe_id
+                AND t.neighbor_id = u.neighbor_id) AS n_hits,
+             (SELECT COUNT(*) FROM scored
+               WHERE cell_rank <= {nprobe}) AS n_candidates)""")
+        selects.append(f"SELECT * FROM row{nprobe}")
+    return f"""
+    WITH {_sql_kmeans_prefix()},
+    pd2 AS (
+      SELECT e.vec_id AS probe_id, c.cluster,
+             SUM((e.x - c.v) * (e.x - c.v)) AS d2
+      FROM expl e JOIN {_CENT_FINAL} c ON e.d = c.d
+      WHERE e.vec_id IN ({ids})
+      GROUP BY e.vec_id, c.cluster),
+    pcells AS (
+      SELECT probe_id, cluster,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY d2, cluster) AS cell_rank
+      FROM pd2),
+    scored AS MATERIALIZED (
+      SELECT pc.probe_id, a.vec_id AS neighbor_id, pc.cell_rank,
+             ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, 65),
+                                           i -> pv.e[i] * nv.e[i]))
+                   / (SQRT(LIST_SUM(LIST_TRANSFORM(pv.e, x -> x * x)))
+                      * SQRT(LIST_SUM(LIST_TRANSFORM(nv.e, x -> x * x)))),
+                   6) AS cosine
+      FROM pcells pc
+      JOIN kfinal a USING (cluster)
+      JOIN v pv ON pv.vec_id = pc.probe_id
+      JOIN v nv ON nv.vec_id = a.vec_id
+      WHERE a.vec_id != pc.probe_id),
+    -- every vector sits in exactly one cell and every (probe, cell)
+    -- pair is ranked, so the unfiltered scored pass IS the brute
+    -- force: its top-k is the same ground truth sim_topk_exact
+    -- computes (restating that oracle here would shadow the shared
+    -- prefix's CTE names)
+    truth AS MATERIALIZED (
+      SELECT probe_id, neighbor_id FROM (
+        SELECT probe_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY cosine DESC, neighbor_id) AS r
+        FROM scored
+      ) WHERE r <= {TOP_K})
+    {"".join(per_np)}
+    SELECT nprobe, n_retrieved, n_hits,
+           CAST(FLOOR(10000.0 * n_hits / {n_truth}) AS BIGINT) AS recall_u4,
+           n_candidates,
+           CAST(FLOOR(10000.0 * n_candidates /
+                ({len(PROBE_IDS)} * (SELECT COUNT(*) FROM v)))
+             AS BIGINT) AS candidate_frac_u4
+    FROM ({" UNION ALL ".join(selects)})
+    """
+
+
+@register(
+    "sim_ann_ivf_calibration",
+    executes_on_build=True,
+    oracle=_sql_ann_ivf_calibration(),
+)
 def sim_ann_ivf_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall-vs-nprobe calibration for the IVF index — the
     dedup_lsh_calibration / sim_ann_calibration pattern applied to the
@@ -613,10 +731,11 @@ def sim_ann_ivf_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell and must hit recall 10000 u4 exactly — brute-force
     equivalence as the sweep's internal control.
 
-    Weak-by-design (kmeans centroid fit — iterative float, engine-
-    specific reduction order); tests pin monotone recall in nprobe,
-    the recall=1 anchor at nprobe=K, and candidate fractions growing
-    with nprobe.
+    EXACT oracle since r14: the sweep rides the fixed-point Lloyd's
+    fit and integer cell ranking, so every count in the grid is
+    engine-independent; recall/candidate-fraction are FLOOR-integer
+    ratios of exact counts. Tests additionally pin monotone recall in
+    nprobe and the recall=10000 anchor at nprobe=K.
 
     Scale: ground truth is probe-bounded (|probes| x corpus scored
     once — the sim_topk_exact shape); each sweep setting scores only
@@ -627,12 +746,12 @@ def sim_ann_ivf_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim_topk_exact,
     )
 
-    centroids, assigned, _ = _fit_kmeans(spark, sf_dir)
+    cent, assigned, _ = _fit_kmeans_fp(spark, sf_dir)
     assigned = assigned.persist()
     n_corpus = assigned.count()
     cent_df = spark.createDataFrame(
-        [(i, [float(v) for v in centroids[i]]) for i in range(K_CLUSTERS)],
-        "cluster int, c array<double>",
+        [(i, [int(x) for x in cent[i]]) for i in range(K_CLUSTERS)],
+        "cluster int, cq array<long>",
     )
     truth = (
         sim_topk_exact(spark, sf_dir)
@@ -641,11 +760,13 @@ def sim_ann_ivf_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     probes = assigned.filter(F.col("vec_id").isin(PROBE_IDS)).select(
-        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe")
+        F.col("vec_id").alias("probe_id"),
+        F.col("e").alias("pe"),
+        F.col("eq").alias("peq"),
     )
     d2 = F.aggregate(
-        F.zip_with("pe", "c", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
+        F.zip_with("peq", "cq", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
         lambda s, x: s + x,
     )
     wp = Window.partitionBy("probe_id").orderBy("d2", "cluster")
@@ -681,7 +802,7 @@ def sim_ann_ivf_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_setting.append(
             topk.join(truth, ["probe_id", "neighbor_id"], "left")
             .agg(
-                F.lit(nprobe).alias("nprobe"),
+                F.lit(nprobe).cast("long").alias("nprobe"),
                 F.count("*").alias("n_retrieved"),
                 F.sum(F.coalesce(F.col("is_true"), F.lit(0)))
                 .cast("long")
