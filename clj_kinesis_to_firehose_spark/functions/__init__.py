@@ -10,7 +10,15 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-__all__ = ["cosine", "shingles"]
+__all__ = ["cosine", "fdiv_sql", "shingles"]
+
+
+def fdiv_sql(x: str, m: str) -> str:
+    """Portable FLOOR division for oracle SQL: DuckDB's % truncates
+    while Python's floors, but ((a % b) + b) % b is the non-negative
+    remainder under either convention (b > 0), and after subtracting
+    it the // is exact. Python-side twin: plain a // b."""
+    return f"(({x}) - ((({x}) % ({m})) + ({m})) % ({m})) // ({m})"
 
 
 def cosine(a, b):

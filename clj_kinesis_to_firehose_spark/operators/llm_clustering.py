@@ -30,6 +30,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+# fdiv_sql is shared with llm_similarity's PQ oracle (r14) — one
+# floor-div convention for every fixed-point oracle in the repo
+from clj_kinesis_to_firehose_spark.functions import fdiv_sql as _fdiv_sql
 from clj_kinesis_to_firehose_spark.operators.llm_similarity import (
     PROBE_IDS,
     TOP_K,
@@ -60,12 +63,6 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 FP_Q = 1_000_000
 
 
-def _fdiv_sql(x: str, m: str) -> str:
-    """Portable FLOOR division for SQL: DuckDB's % truncates while
-    Python's floors, but ((a % b) + b) % b is the non-negative
-    remainder under either convention (b > 0), and after subtracting
-    it the // is exact. Python-side twin: plain a // b."""
-    return f"(({x}) - ((({x}) % ({m})) + ({m})) % ({m})) // ({m})"
 
 
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -839,3 +836,87 @@ def sim_ann_ivf_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = result.collect()
     assigned.unpersist()
     return spark.createDataFrame(rows, result.schema)
+
+
+def _sql_recall_eval() -> str:
+    """Pure-consumer oracle: composes the already-registered exact
+    pipelines of the three portable ANN families via the public
+    accessor (never restated), computing FLOOR-integer recall@k per
+    (method, probe) — the integer-rational rule."""
+    methods = ("lsh", "ivf", "pq")
+    unions = " UNION ALL ".join(
+        f"SELECT '{m}' AS method, probe_id, neighbor_id FROM a_{m}"
+        for m in methods
+    )
+    mvals = ", ".join(f"('{m}')" for m in methods)
+    return f"""
+    WITH exact AS ({oracle("sim_topk_exact")}),
+    a_lsh AS ({oracle("sim_ann_lsh")}),
+    a_ivf AS ({oracle("sim_ann_ivf")}),
+    a_pq AS ({oracle("sim_ann_pq")}),
+    kk AS (SELECT probe_id, COUNT(*) AS k FROM exact GROUP BY probe_id),
+    uni AS ({unions}),
+    hits AS (
+      SELECT u.method, e.probe_id, COUNT(*) AS n_hits
+      FROM exact e JOIN uni u
+        ON u.probe_id = e.probe_id AND u.neighbor_id = e.neighbor_id
+      GROUP BY u.method, e.probe_id)
+    SELECT m.method, kk.probe_id, kk.k,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(FLOOR(10000.0 * COALESCE(h.n_hits, 0) / kk.k) AS BIGINT)
+             AS recall_u4
+    FROM kk CROSS JOIN (VALUES {mvals}) m(method)
+    LEFT JOIN hits h ON h.method = m.method AND h.probe_id = kk.probe_id
+    """
+
+
+@register("sim_recall_eval", executes_on_build=True, oracle=_sql_recall_eval())
+def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of each portable ANN family (LSH, IVF, PQ) against the
+    exact brute-force top-k — EXACT oracle since r14 (r13 verdict #1's
+    last upgrade): all three pipelines are now hash-exact end-to-end,
+    so their recall evaluation is a pure consumer of four registered
+    rules, with recall as FLOOR(1e4·hits/k). One row per
+    (method, probe). The graph family (sim_ann_graph) stays out of
+    this op — NN-descent's sampled exploration is engine-specific by
+    design; its recall is pinned behaviorally in the llm_graph_ann
+    pytests, which keeps this op's oracle exact instead of dragging
+    the whole grid down to rows-only.
+
+    This is the eval loop a production ANN deployment runs on a
+    held-out probe sample to tune K/L (LSH) or nlist/nprobe (IVF)
+    before committing the scale parameters — the same join works at
+    any corpus size because both sides are top-k-bounded per probe."""
+    from clj_kinesis_to_firehose_spark.operators.llm_similarity import (
+        sim_ann_lsh,
+        sim_ann_pq,
+        sim_topk_exact,
+    )
+
+    exact = sim_topk_exact(spark, sf_dir).select("probe_id", "neighbor_id")
+    k_per_probe = exact.groupBy("probe_id").agg(F.count("*").alias("k"))
+    out = None
+    for method, fn in (
+        ("lsh", sim_ann_lsh),
+        ("ivf", sim_ann_ivf),
+        ("pq", sim_ann_pq),
+    ):
+        approx = fn(spark, sf_dir).select("probe_id", "neighbor_id")
+        hits = (
+            exact.join(approx, ["probe_id", "neighbor_id"])
+            .groupBy("probe_id")
+            .agg(F.count("*").alias("n_hits"))
+        )
+        per_probe = k_per_probe.join(hits, "probe_id", "left").select(
+            F.lit(method).alias("method"),
+            "probe_id",
+            "k",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.floor(
+                F.lit(10000.0) * F.coalesce("n_hits", F.lit(0)) / F.col("k")
+            )
+            .cast("long")
+            .alias("recall_u4"),
+        )
+        out = per_probe if out is None else out.unionByName(per_probe)
+    return out

@@ -164,10 +164,11 @@ def sim_ann_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sharded graph-ANN query: every shard beam-searches its local
     neighbor graph for every probe, shortlists leave the executors,
     a global window merges to the final top-k (rank by rounded cosine
-    then neighbor_id — same contract as the LSH/IVF/PQ siblings, so
-    `sim_recall_eval` scores all four families uniformly). Weak
-    oracle: recall vs `sim_topk_exact` is asserted in
-    tests/test_weak_ops.py."""
+    then neighbor_id — same contract as the LSH/IVF/PQ siblings).
+    Weak oracle — NN-descent's sampled exploration is engine-specific,
+    which is also why this family sits outside `sim_recall_eval`'s
+    exact grid (r14): its recall vs `sim_topk_exact` is asserted in
+    tests/test_weak_ops.py (corpus floor 0.7 + planted twins)."""
     emb = _embeddings(spark, sf_dir)
     probes = _collect_probes(emb)
     sharded = emb.withColumn(

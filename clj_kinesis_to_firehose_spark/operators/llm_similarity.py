@@ -13,7 +13,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from clj_kinesis_to_firehose_spark.functions import cosine  # shared helper, re-exported for this module's callers
+from clj_kinesis_to_firehose_spark.functions import (  # shared helpers, re-exported for this module's callers
+    cosine,
+    fdiv_sql,
+)
 from clj_kinesis_to_firehose_spark.registry import oracle, register
 from clj_kinesis_to_firehose_spark.sources import fan_out, load_table
 
@@ -307,7 +310,6 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_recall_eval_lsh",
-    executes_on_build=True,
     oracle=f"""
     WITH exact AS ({oracle('sim_topk_exact')}),
     approx AS ({oracle('sim_ann_lsh')}),
@@ -358,45 +360,9 @@ def sim_recall_eval_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_recall_eval", executes_on_build=True)
-def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@k of each ANN path against the exact brute-force oracle
-    (weak: depends on engine-specific hashing inside the ANN ops). One
-    row per (method, probe): |approx ∩ exact| / k. This is the eval
-    loop a production ANN deployment runs on a held-out probe sample
-    to tune K/L (LSH) or nlist/nprobe (IVF) before committing the
-    scale parameters — the same join works at any corpus size because
-    both sides are top-k-bounded per probe."""
-    from clj_kinesis_to_firehose_spark.operators.llm_clustering import sim_ann_ivf
-    from clj_kinesis_to_firehose_spark.operators.llm_graph_ann import sim_ann_graph
-
-    exact = sim_topk_exact(spark, sf_dir).select("probe_id", "neighbor_id")
-    k_per_probe = exact.groupBy("probe_id").agg(F.count("*").alias("k"))
-    out = None
-    for method, fn in (
-        ("lsh", sim_ann_lsh),
-        ("ivf", sim_ann_ivf),
-        ("pq", sim_ann_pq),
-        ("graph", sim_ann_graph),
-    ):
-        approx = fn(spark, sf_dir).select("probe_id", "neighbor_id")
-        hits = (
-            exact.join(approx, ["probe_id", "neighbor_id"])
-            .groupBy("probe_id")
-            .agg(F.count("*").alias("n_hits"))
-        )
-        per_probe = (
-            k_per_probe.join(hits, "probe_id", "left")
-            .select(
-                F.lit(method).alias("method"),
-                "probe_id",
-                F.round(
-                    F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("k"), 4
-                ).alias("recall_at_k"),
-            )
-        )
-        out = per_probe if out is None else out.unionByName(per_probe)
-    return out
+# sim_recall_eval lives in llm_clustering (r14): its exact oracle
+# composes oracle("sim_ann_ivf"), which is registered there — the op
+# must register after it.
 
 
 @register(
@@ -478,7 +444,12 @@ PQ_ITERS = 5
 
 
 def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list[np.ndarray]:
-    """Train per-subspace codebooks on a bounded, deterministic slice.
+    """Train per-subspace FIXED-POINT codebooks on a bounded,
+    deterministic slice (r14: integer Lloyd's — FLOOR(x·1e6) int64
+    training vectors, exact integer distances, floor-div means, argmin
+    ties to the lowest code — so the codebooks, and everything
+    downstream of them, are bit-identical in numpy, Spark, and the
+    DuckDB oracle's unrolled CTE replay).
 
     The collect is PQ_TRAIN_IDS×64 doubles (~128 KiB) regardless of
     corpus size — codebook training is a constant-size driver-side
@@ -491,28 +462,153 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list[np.ndarray]:
         .select("embedding")
         .collect()
     )
-    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    X = np.floor(
+        np.array([r["embedding"] for r in rows], dtype=np.float64) * LSH_Q
+    ).astype(np.int64)
     sub = X.shape[1] // PQ_SUBSPACES
     books: list[np.ndarray] = []
     for s in range(PQ_SUBSPACES):
         Xs = X[:, s * sub : (s + 1) * sub]
         C = Xs[:PQ_K].copy()  # deterministic first-K init
         for _ in range(PQ_ITERS):
-            d = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(-1)
-            assign = d.argmin(1)
+            d = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(-1)  # exact int64
+            assign = d.argmin(1)  # ties → lowest code, like the oracle
             for k in range(PQ_K):
                 members = Xs[assign == k]
                 if len(members):
-                    C[k] = members.mean(0)
+                    # np int64 floor-divides like Python (empty keeps C[k])
+                    C[k] = members.sum(0) // len(members)
         books.append(C)
     return books
 
 
-@register("sim_ann_pq", executes_on_build=True)
+def _sql_ann_pq() -> str:
+    """DuckDB twin of the WHOLE sim_ann_pq pipeline: all 8 subspace
+    codebooks trained JOINTLY in one unrolled Lloyd's CTE chain (the
+    subspace id is just a grouping column — the fits are independent),
+    then corpus encoding, integer ADC lookup tables, the portable
+    FLOOR(1e6·dot/(‖p‖·‖recon‖)) shortlist score, and the proven
+    rounded-cosine rerank tail. Every quantity upstream of the two
+    float divisions is exact int64; the divisions consume identical
+    integers in both engines, so the doubles (and their FLOOR/ROUND)
+    cannot diverge."""
+    ids = ", ".join(str(i) for i in PROBE_IDS)
+    sub = 64 // PQ_SUBSPACES
+    steps = []
+    prev = "pcent0"
+    for t in range(1, PQ_ITERS + 1):
+        steps.append(f""",
+    pdist{t} AS MATERIALIZED (
+      SELECT e.vec_id, e.s, c.cluster,
+             SUM((e.x - c.cv) * (e.x - c.cv)) AS d2
+      FROM texpl e JOIN {prev} c ON e.s = c.s AND e.d = c.d
+      GROUP BY e.vec_id, e.s, c.cluster),
+    pasg{t} AS (
+      SELECT vec_id, s, cluster FROM pdist{t}
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                 ORDER BY d2, cluster) = 1),
+    pupd{t} AS (
+      SELECT a.cluster, a.s, e.d, {fdiv_sql("SUM(e.x)", "COUNT(*)")} AS cv
+      FROM pasg{t} a JOIN texpl e ON a.vec_id = e.vec_id AND a.s = e.s
+      GROUP BY a.cluster, a.s, e.d),
+    pcent{t} AS MATERIALIZED (
+      SELECT c.cluster, c.s, c.d, COALESCE(u.cv, c.cv) AS cv
+      FROM {prev} c LEFT JOIN pupd{t} u
+        ON c.cluster = u.cluster AND c.s = u.s AND c.d = u.d)""")
+        prev = f"pcent{t}"
+    return f"""
+    WITH v AS MATERIALIZED (
+      SELECT vec_id,
+             LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             LIST_TRANSFORM(embedding,
+                            x -> CAST(FLOOR(CAST(x AS DOUBLE) * {LSH_Q})
+                                      AS BIGINT)) AS eq
+      FROM embeddings),
+    texpl AS MATERIALIZED (
+      SELECT vec_id, s, d, eq[s * {sub} + d] AS x
+      FROM v, UNNEST(RANGE({PQ_SUBSPACES})) ts(s),
+              UNNEST(RANGE(1, {sub + 1})) td(d)
+      WHERE vec_id < {PQ_TRAIN_IDS}),
+    pinit AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster,
+                     vec_id
+              FROM v WHERE vec_id < {PQ_TRAIN_IDS}
+              ORDER BY vec_id LIMIT {PQ_K}),
+    pcent0 AS MATERIALIZED (
+      SELECT i.cluster, t.s, t.d, t.x AS cv
+      FROM pinit i JOIN texpl t USING (vec_id))
+    {"".join(steps)},
+    cexpl AS MATERIALIZED (
+      SELECT vec_id, s, d, eq[s * {sub} + d] AS x
+      FROM v, UNNEST(RANGE({PQ_SUBSPACES})) ts(s),
+              UNNEST(RANGE(1, {sub + 1})) td(d)),
+    codes AS MATERIALIZED (
+      SELECT vec_id, s, cluster AS code FROM (
+        SELECT e.vec_id, e.s, c.cluster,
+               SUM((e.x - c.cv) * (e.x - c.cv)) AS d2
+        FROM cexpl e JOIN {prev} c ON e.s = c.s AND e.d = c.d
+        GROUP BY e.vec_id, e.s, c.cluster)
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                 ORDER BY d2, cluster) = 1),
+    cn AS (SELECT s, cluster, SUM(cv * cv) AS cn2 FROM {prev}
+           GROUP BY s, cluster),
+    lut AS MATERIALIZED (
+      SELECT p.vec_id AS probe_id, c.s, c.cluster, SUM(p.x * c.cv) AS pdot
+      FROM cexpl p JOIN {prev} c ON p.s = c.s AND p.d = c.d
+      WHERE p.vec_id IN ({ids})
+      GROUP BY p.vec_id, c.s, c.cluster),
+    pn AS (
+      SELECT vec_id AS probe_id,
+             GREATEST(SQRT(CAST(SUM(x * x) AS DOUBLE)), 1e-12) AS pnorm
+      FROM cexpl WHERE vec_id IN ({ids}) GROUP BY vec_id),
+    adc AS (
+      SELECT l.probe_id, k.vec_id,
+             SUM(l.pdot) AS dot, SUM(cn.cn2) AS norm2
+      FROM codes k
+      JOIN lut l ON l.s = k.s AND l.cluster = k.code
+      JOIN cn ON cn.s = k.s AND cn.cluster = k.code
+      WHERE k.vec_id != l.probe_id
+      GROUP BY l.probe_id, k.vec_id),
+    shortlist AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT a.probe_id, a.vec_id,
+               CAST(FLOOR((1000000.0 * a.dot) /
+                    (p.pnorm * GREATEST(SQRT(CAST(a.norm2 AS DOUBLE)),
+                                        1e-12)))
+                 AS BIGINT) AS adc_u
+        FROM adc a JOIN pn p USING (probe_id))
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY probe_id
+                                 ORDER BY adc_u DESC, vec_id)
+              <= {PQ_SHORTLIST}),
+    rerank AS (
+      SELECT sl.probe_id, sl.vec_id AS neighbor_id,
+             ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, 65),
+                                           i -> pv.e[i] * nv.e[i]))
+                   / (SQRT(LIST_SUM(LIST_TRANSFORM(pv.e, x -> x * x)))
+                      * SQRT(LIST_SUM(LIST_TRANSFORM(nv.e, x -> x * x)))),
+                   6) AS cosine
+      FROM shortlist sl
+      JOIN v pv ON pv.vec_id = sl.probe_id
+      JOIN v nv ON nv.vec_id = sl.vec_id)
+    SELECT probe_id, neighbor_id, cosine, nn_rank FROM (
+      SELECT probe_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY cosine DESC, neighbor_id)
+               AS nn_rank
+      FROM rerank
+    ) WHERE nn_rank <= {TOP_K}
+    """
+
+
+@register("sim_ann_pq", executes_on_build=True, oracle=_sql_ann_pq())
 def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via product quantization + exact rerank (weak
-    oracle: pytest checks planted-twin retrieval and a corpus recall
-    floor vs sim_topk_exact).
+    """Approximate NN via product quantization + exact rerank — EXACT
+    oracle since r14: codebooks are fixed-point integer Lloyd's
+    (:func:`_pq_codebooks`), encoding/ADC are exact int64 lookups, the
+    shortlist score is FLOOR(1e6·dot/(‖p‖·‖recon‖)) of integers
+    (identical doubles → identical floors in both engines), and the
+    rerank tail is the proven rounded-cosine pattern. Pytest still
+    pins planted-twin retrieval and a corpus recall floor vs
+    sim_topk_exact — exactness proves the plan, recall the algorithm.
 
     Pipeline: (1) train subspace codebooks on a constant-size slice,
     (2) encode the corpus once with a vectorized numpy pandas_udf —
@@ -527,19 +623,20 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )
-    books = _pq_codebooks(spark, sf_dir)
+    books = _pq_codebooks(spark, sf_dir)  # list of (K, sub) int64
     sub = 64 // PQ_SUBSPACES
     # per-(subspace, code) reconstruction norm², shared by every probe
-    cnorm2 = np.stack([(C**2).sum(1) for C in books])  # (S, K)
+    cnorm2 = np.stack([(C**2).sum(1) for C in books])  # (S, K) int64
 
     @F.pandas_udf("array<int>")
     def encode(col: pd.Series) -> pd.Series:
         if len(col) == 0:
             return pd.Series([], dtype=object)
         X = np.array(col.tolist(), dtype=np.float64)
+        Xq = np.floor(X * LSH_Q).astype(np.int64)
         codes = np.empty((len(X), PQ_SUBSPACES), dtype=np.int32)
         for s, C in enumerate(books):
-            Xs = X[:, s * sub : (s + 1) * sub]
+            Xs = Xq[:, s * sub : (s + 1) * sub]
             codes[:, s] = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
         return pd.Series(list(codes))
 
@@ -555,30 +652,34 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     luts = {}
     pnorm = {}
     for r in probe_rows:
-        p = np.array(r["e"], dtype=np.float64)
+        pq = np.floor(np.array(r["e"], dtype=np.float64) * LSH_Q).astype(
+            np.int64
+        )
         # clamp: a zero probe (all-zero embedding) must degrade to
         # cosine 0, not NaN-corrupt the shortlist ranking
-        pnorm[r["vec_id"]] = max(float(np.sqrt((p**2).sum())), 1e-12)
+        pnorm[r["vec_id"]] = max(float(np.sqrt(float((pq**2).sum()))), 1e-12)
         luts[r["vec_id"]] = np.stack(
-            [books[s] @ p[s * sub : (s + 1) * sub] for s in range(PQ_SUBSPACES)]
-        )  # (S, K) partial dots
+            [books[s] @ pq[s * sub : (s + 1) * sub] for s in range(PQ_SUBSPACES)]
+        )  # (S, K) integer partial dots
 
     s_idx = np.arange(PQ_SUBSPACES)
 
-    @F.pandas_udf("double")
+    @F.pandas_udf("long")
     def adc(pid: pd.Series, codes: pd.Series) -> pd.Series:
         if len(pid) == 0:
-            return pd.Series([], dtype=float)
+            return pd.Series([], dtype="int64")
         C = np.array(codes.tolist(), dtype=np.int64)  # (n, S)
-        out = np.empty(len(pid), dtype=np.float64)
+        out = np.empty(len(pid), dtype=np.int64)
         for p in pid.unique():
             mask = (pid == p).to_numpy()
             idx = C[mask]
-            dots = luts[p][s_idx[None, :], idx].sum(1)
+            dots = luts[p][s_idx[None, :], idx].sum(1)  # exact int64
             # clamp: a degenerate all-origin codebook reconstruction
             # would otherwise yield 0-norm → NaN scores
             norms = np.maximum(np.sqrt(cnorm2[s_idx[None, :], idx].sum(1)), 1e-12)
-            out[mask] = dots / (pnorm[p] * norms)
+            out[mask] = np.floor(
+                (1000000.0 * dots) / (pnorm[p] * norms)
+            ).astype(np.int64)
         return pd.Series(out)
 
     probes_df = spark.createDataFrame(
@@ -587,10 +688,10 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         coded.crossJoin(F.broadcast(probes_df))
         .filter(F.col("vec_id") != F.col("probe_id"))
-        .select("probe_id", "vec_id", adc("probe_id", "codes").alias("adc_cos"))
+        .select("probe_id", "vec_id", adc("probe_id", "codes").alias("adc_u"))
     )
     w_short = Window.partitionBy("probe_id").orderBy(
-        F.desc("adc_cos"), F.asc("vec_id")
+        F.desc("adc_u"), F.asc("vec_id")
     )
     shortlist = (
         scored.withColumn("r", F.row_number().over(w_short))

@@ -348,20 +348,19 @@ def test_sim_recall_eval_floors(spark):
     # fraction of the exact top-5 on the fixture probes — the eval op
     # is the tuning surface, these floors are the regression tripwire
     rows = QUERIES["sim_recall_eval"](spark, SF_DIR).collect()
-    assert len(rows) == 20  # 4 methods × 5 probes
+    assert len(rows) == 15  # 3 portable methods × 5 probes (graph is
+    # pinned in its own llm_graph_ann tests — see the op docstring)
     by_method: dict[str, list[float]] = {}
     for r in rows:
-        by_method.setdefault(r.method, []).append(r.recall_at_k)
+        by_method.setdefault(r.method, []).append(r.recall_u4 / 10000.0)
     # IVF probes whole cells → solid recall even on random data; LSH
     # by design only recovers high-cosine pairs, and random-fixture
     # top-5 neighbors sit at low cosine (the S-curve's left tail), so
     # its floor is the observed-regime tripwire, not a quality target
     # PQ shortlists 64 of 500 then exact-reranks, so its floor sits
     # between IVF's hard cell coverage and LSH's high-cosine-only bias
-    # graph searches EVERY shard with an exact-kNN base graph, so its
-    # recall is bounded only by beam truncation — the family's
-    # high-recall selling point, hence the highest floor
-    floors = {"ivf": 0.5, "lsh": 0.15, "pq": 0.5, "graph": 0.7}
+    floors = {"ivf": 0.5, "lsh": 0.15, "pq": 0.5}
+    assert set(by_method) == set(floors)
     for method, recalls in by_method.items():
         mean = sum(recalls) / len(recalls)
         assert mean >= floors[method], (method, recalls)
