@@ -1,0 +1,416 @@
+"""Round-14 additions: RLHF sampling-loop data prep and inference/
+pretraining corpus geometry.
+
+Four exact-oracle operators a production training-data platform runs
+between curation and training:
+
+* ``pref_rejection_sampling`` — best-of-n candidate selection (the
+  RAFT / rejection-sampling fine-tuning step): per prompt cohort,
+  keep the top-K candidates by reward, with the cohort's candidate
+  count carried so the acceptance rate is auditable.
+* ``pref_annotator_agreement`` — Cohen's kappa between two admission
+  heuristics, as exact integer rationals: the agreement audit you run
+  before trusting any single labeling rule at 100 TB.
+* ``corpus_prefix_share`` — KV-cache prefix-sharing analysis via the
+  sorted-neighbor method: how many prompt prefix characters a
+  prefix-caching inference tier would share, per source.
+* ``corpus_span_corruption`` — T5/UL2-style denoising span selection
+  with portable-hash offsets: deterministic, engine-independent
+  corruption masks.
+
+Scale design notes (details per docstring): every window here
+partitions by a bounded cohort key (lang×bucket, 4-char prefix
+bucket) — never a global window; the span generator is a pure
+per-row expression (map-only); nothing collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clj_kinesis_to_firehose_spark.operators.llm_dedup import (
+    SQL_HASH60,
+    portable_hash60,
+)
+from clj_kinesis_to_firehose_spark.operators.posttrain import (
+    PREF_BUCKET_TOKENS,
+    _score_docs,
+)
+from clj_kinesis_to_firehose_spark.registry import register
+from clj_kinesis_to_firehose_spark.sources import load_table
+
+# --- pref_rejection_sampling ---------------------------------------------------
+
+#: candidates kept per prompt cohort (best-of-n's "best K")
+BESTOF_KEEP = 2
+#: minimum cohort size for rejection sampling to be meaningful — a
+#: cohort the size of the keep budget rejects nothing and would only
+#: dilute the accepted set
+BESTOF_MIN_N = 3
+
+
+@register(
+    "pref_rejection_sampling",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, source,
+             LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+             LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS n_distinct,
+             CAST(FLOOR(LEN(STRING_SPLIT(text, ' '))
+                        / {PREF_BUCKET_TOKENS}.0) AS BIGINT) AS tok_bucket
+      FROM documents
+    ), ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang, tok_bucket
+               ORDER BY CAST(n_distinct AS DOUBLE) / n_tokens DESC, doc_id
+             ) AS accept_rank,
+             COUNT(*) OVER (PARTITION BY lang, tok_bucket) AS n_candidates
+      FROM scored
+    )
+    SELECT lang, tok_bucket, CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(accept_rank AS BIGINT) AS accept_rank,
+           doc_id, source,
+           n_distinct AS reward_num, n_tokens AS reward_den
+    FROM ranked
+    WHERE accept_rank <= {BESTOF_KEEP} AND n_candidates >= {BESTOF_MIN_N}
+    """,
+)
+def pref_rejection_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-of-n rejection sampling over prompt cohorts — the RAFT /
+    rejection-sampling fine-tuning selection step: within each
+    (lang, length-bucket) cohort (the ``pref_pair_assembly`` prompt
+    proxy, via the shared ``_score_docs`` projection so the reward
+    arithmetic cannot drift from the pair ops), rank candidates by the
+    exact lexical-diversity reward and keep the top BESTOF_KEEP;
+    cohorts smaller than BESTOF_MIN_N are dropped (nothing would be
+    rejected). The reward is carried as the integer rational
+    (n_distinct, n_tokens) — the round-11 no-roundable-ratio rule.
+
+    Scale: the one shuffle partitions by (lang, tok_bucket) — cohort
+    sizes are corpus-fraction-bounded, so no window sees more than a
+    bucket; the rank and the cohort count share the single Exchange
+    (same partition key). At 100 TB this is exactly the
+    reward-model-scored best-of-n pass, with the reward column swapped
+    for the model score."""
+    scored = _score_docs(load_table(spark, sf_dir, "documents"))
+    ratio = F.col("n_distinct").cast("double") / F.col("n_tokens")
+    wr = Window.partitionBy("lang", "tok_bucket").orderBy(
+        ratio.desc(), F.col("doc_id")
+    )
+    wc = Window.partitionBy("lang", "tok_bucket")
+    return (
+        scored.withColumn("accept_rank", F.row_number().over(wr).cast("long"))
+        .withColumn("n_candidates", F.count("*").over(wc).cast("long"))
+        .filter(
+            (F.col("accept_rank") <= BESTOF_KEEP)
+            & (F.col("n_candidates") >= BESTOF_MIN_N)
+        )
+        .select(
+            "lang",
+            "tok_bucket",
+            "n_candidates",
+            "accept_rank",
+            "doc_id",
+            "source",
+            F.col("n_distinct").alias("reward_num"),
+            F.col("n_tokens").alias("reward_den"),
+        )
+    )
+
+
+# --- pref_annotator_agreement --------------------------------------------------
+
+#: annotator B's minimum-length admission threshold (whitespace tokens)
+AGREE_MIN_TOKENS = 60
+
+
+@register(
+    "pref_annotator_agreement",
+    oracle=f"""
+    WITH s AS (
+      SELECT lang,
+             LEN(STRING_SPLIT(text, ' ')) AS nt,
+             LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS nd
+      FROM documents
+    ), lab AS (
+      SELECT lang,
+             CASE WHEN 2 * nd >= nt THEN 1 ELSE 0 END AS la,
+             CASE WHEN nt >= {AGREE_MIN_TOKENS} THEN 1 ELSE 0 END AS lb
+      FROM s
+    ), cnt AS (
+      -- CAST: DuckDB SUM(int) is HUGEINT, which stringifies unlike
+      -- Spark's long in the driver's value hash
+      SELECT lang, COUNT(*) AS n,
+             CAST(SUM(CASE WHEN la = 1 AND lb = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS pp,
+             CAST(SUM(CASE WHEN la = 1 AND lb = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS pn,
+             CAST(SUM(CASE WHEN la = 0 AND lb = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS np_,
+             CAST(SUM(CASE WHEN la = 0 AND lb = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS nn
+      FROM lab GROUP BY lang
+    )
+    SELECT lang, n, pp AS both_pos, nn AS both_neg,
+           pn AS only_a, np_ AS only_b,
+           CAST(n * (pp + nn) - ((pp + pn) * (pp + np_)
+                                 + (np_ + nn) * (pn + nn))
+             AS BIGINT) AS kappa_num,
+           CAST(n * n - ((pp + pn) * (pp + np_) + (np_ + nn) * (pn + nn))
+             AS BIGINT) AS kappa_den,
+           CASE WHEN n * n - ((pp + pn) * (pp + np_)
+                              + (np_ + nn) * (pn + nn)) = 0 THEN NULL
+                ELSE CAST(FLOOR(10000.0 *
+                     (n * (pp + nn) - ((pp + pn) * (pp + np_)
+                                       + (np_ + nn) * (pn + nn)))
+                     / (n * n - ((pp + pn) * (pp + np_)
+                                 + (np_ + nn) * (pn + nn))))
+                  AS BIGINT) END AS kappa_u4
+    FROM cnt
+    """,
+)
+def pref_annotator_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two admission heuristics, per language —
+    the inter-annotator agreement audit a labeling pipeline runs
+    before trusting either rule (or a model distilled from them) at
+    corpus scale. Annotator A admits on lexical diversity
+    (2·n_distinct ≥ n_tokens), annotator B on document length
+    (n_tokens ≥ AGREE_MIN_TOKENS). Kappa is emitted as the EXACT
+    integer rational (kappa_num, kappa_den) via
+    κ = (n·(agree) − Σ marginal products) / (n² − Σ marginal products)
+    — multiply both sides of (p_o − p_e)/(1 − p_e) by n² — plus
+    FLOOR-u4 fixed point; a degenerate table (both annotators
+    constant → kappa undefined) yields NULL, not a division error.
+
+    Scale: one map pass to label, one hash-agg by lang — no window,
+    no join; the contingency table is |langs| rows."""
+    toks = F.split("text", " ")
+    lab = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        (2 * F.size(F.array_distinct(toks)) >= F.size(toks))
+        .cast("int")
+        .alias("la"),
+        (F.size(toks) >= AGREE_MIN_TOKENS).cast("int").alias("lb"),
+    )
+    cnt = lab.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum(((F.col("la") == 1) & (F.col("lb") == 1)).cast("long")).alias("pp"),
+        F.sum(((F.col("la") == 1) & (F.col("lb") == 0)).cast("long")).alias("pn"),
+        F.sum(((F.col("la") == 0) & (F.col("lb") == 1)).cast("long")).alias("np_"),
+        F.sum(((F.col("la") == 0) & (F.col("lb") == 0)).cast("long")).alias("nn"),
+    )
+    pe_num = (F.col("pp") + F.col("pn")) * (F.col("pp") + F.col("np_")) + (
+        F.col("np_") + F.col("nn")
+    ) * (F.col("pn") + F.col("nn"))
+    num = F.col("n") * (F.col("pp") + F.col("nn")) - pe_num
+    den = F.col("n") * F.col("n") - pe_num
+    return cnt.select(
+        "lang",
+        "n",
+        F.col("pp").alias("both_pos"),
+        F.col("nn").alias("both_neg"),
+        F.col("pn").alias("only_a"),
+        F.col("np_").alias("only_b"),
+        num.alias("kappa_num"),
+        den.alias("kappa_den"),
+        F.when(den == 0, F.lit(None).cast("long"))
+        .otherwise(F.floor(F.lit(10000.0) * num / den).cast("long"))
+        .alias("kappa_u4"),
+    )
+
+
+# --- corpus_prefix_share -------------------------------------------------------
+
+#: characters of each document considered as the cacheable prefix
+#: window (system prompts / templated headers live here)
+PREFIX_CAP = 48
+#: sorted-neighbor bucketing key width: neighbors are only compared
+#: within the same PREFIX_BUCKET-char bucket, so cross-bucket sharing
+#: (< PREFIX_BUCKET chars by construction) is excluded BY CONTRACT —
+#: that bound is what lets the sort run per-bucket instead of globally
+PREFIX_BUCKET = 4
+
+
+@register(
+    "corpus_prefix_share",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             SUBSTR(text, 1, {PREFIX_CAP}) AS p,
+             SUBSTR(text, 1, {PREFIX_BUCKET}) AS pb
+      FROM documents
+    ), lagged AS (
+      SELECT doc_id, source, p,
+             LAG(p) OVER (PARTITION BY pb ORDER BY p, doc_id) AS prev
+      FROM d
+    ), lcp AS (
+      SELECT doc_id, source, LEN(p) AS plen,
+             CASE WHEN prev IS NULL THEN 0 ELSE COALESCE(
+               LIST_MIN(LIST_FILTER(LIST_TRANSFORM(
+                 RANGE(1, LEAST(LEN(p), LEN(prev)) + 1),
+                 i -> CASE WHEN SUBSTR(p, i, 1) != SUBSTR(prev, i, 1)
+                           THEN i END), x -> x IS NOT NULL)) - 1,
+               LEAST(LEN(p), LEN(prev))) END AS lcp_chars
+      FROM lagged
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(plen) AS BIGINT) AS total_prefix_chars,
+           CAST(SUM(lcp_chars) AS BIGINT) AS shared_chars,
+           CAST(FLOOR(10000.0 * SUM(lcp_chars) / SUM(plen)) AS BIGINT)
+             AS share_u4
+    FROM lcp GROUP BY source
+    """,
+)
+def corpus_prefix_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KV-cache prefix-sharing analysis via the sorted-neighbor
+    method: sort each PREFIX_BUCKET-char bucket of the corpus by its
+    PREFIX_CAP-char prefix, take the longest common prefix with the
+    sorted predecessor, and report per-source how many prefix
+    characters a prefix-caching inference tier (vLLM-style automatic
+    prefix caching) would share. Sorted-neighbor LCP is the exact
+    greedy cache model: a prefix cached by the previous request in
+    sorted order is the best possible reuse for the next.
+
+    The bucketing is part of the operator contract (like the banded
+    dedup family): neighbors in different 4-char buckets share < 4
+    chars by construction, a negligible saving that is EXCLUDED rather
+    than approximated — which is precisely what lets the sort run as
+    per-bucket range partitions instead of one global order, the
+    difference between a window and a single-reducer bottleneck at
+    100 TB.
+
+    Scale: one shuffle on the bucket key (bounded groups), one
+    hash-agg by source; the LCP is a pure per-row expression over two
+    ≤48-char strings — no UDF, stays in codegen."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.substring("text", 1, PREFIX_CAP).alias("p"),
+        F.substring("text", 1, PREFIX_BUCKET).alias("pb"),
+    )
+    w = Window.partitionBy("pb").orderBy("p", "doc_id")
+    lagged = d.withColumn("prev", F.lag("p").over(w))
+    # substr(col, intCol, 1) needs expr form — build the whole LCP as
+    # one SQL expression so both engines read the same formula
+    lcp_expr = """
+      CASE WHEN prev IS NULL THEN 0 ELSE COALESCE(
+        array_min(filter(transform(
+          sequence(1, least(length(p), length(prev))),
+          i -> CASE WHEN substr(p, i, 1) != substr(prev, i, 1)
+                    THEN i END), x -> x IS NOT NULL)) - 1,
+        least(length(p), length(prev))) END
+    """
+    lcp = lagged.select(
+        "source",
+        F.length("p").cast("long").alias("plen"),
+        F.expr(lcp_expr).cast("long").alias("lcp_chars"),
+    )
+    return lcp.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("plen").alias("total_prefix_chars"),
+        F.sum("lcp_chars").alias("shared_chars"),
+        F.floor(F.lit(10000.0) * F.sum("lcp_chars") / F.sum("plen"))
+        .cast("long")
+        .alias("share_u4"),
+    )
+
+
+# --- corpus_span_corruption ----------------------------------------------------
+
+#: corruption span length in tokens (T5's mean noise-span length)
+CORRUPT_SPAN_TOKENS = 3
+#: one span is drawn per stratum of this many tokens — 3/20 = the T5
+#: 15% corruption rate
+CORRUPT_STRATUM_TOKENS = 20
+
+
+@register(
+    "corpus_span_corruption",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS toks,
+             LEN(STRING_SPLIT(text, ' ')) AS n
+      FROM documents
+    ), spans AS (
+      SELECT doc_id, n, CAST(i AS BIGINT) AS span_id,
+             n // {CORRUPT_STRATUM_TOKENS} AS k,
+             toks
+      FROM d, UNNEST(RANGE(0, GREATEST(n // {CORRUPT_STRATUM_TOKENS}, 0)))
+                t(i)
+      WHERE n >= {CORRUPT_STRATUM_TOKENS}
+    ), placed AS (
+      SELECT doc_id, span_id,
+             -- stratum = [span_id·(n//k), …); offset = H mod room,
+             -- room = stratum width − span length (width ≥ 20 > 3)
+             CAST(span_id * (n // k) + 1 +
+                  {SQL_HASH60.format(x="doc_id::VARCHAR || ':' || span_id::VARCHAR")}
+                  % ((n // k) - {CORRUPT_SPAN_TOKENS})
+               AS BIGINT) AS start_tok,
+             toks
+      FROM spans
+    )
+    SELECT doc_id, span_id, start_tok,
+           start_tok + {CORRUPT_SPAN_TOKENS} - 1 AS end_tok,
+           ARRAY_TO_STRING(
+             toks[start_tok:start_tok + {CORRUPT_SPAN_TOKENS} - 1], ' ')
+             AS span_text
+    FROM placed
+    """,
+)
+def corpus_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/UL2-style denoising span selection: one CORRUPT_SPAN_TOKENS
+    span per CORRUPT_STRATUM_TOKENS-token stratum (= the 15% noise
+    rate), placed inside its stratum at a portable-hash offset — so
+    the corruption mask is deterministic, engine-independent, and
+    non-overlapping BY CONSTRUCTION (one span per disjoint stratum,
+    strata wider than spans). Emits (doc_id, span_id = sentinel id,
+    1-based token range, span text); documents shorter than one
+    stratum produce no spans.
+
+    Scale: a pure per-row generate-and-map expression — posexplode of
+    a per-doc sequence, no shuffle at all until whatever consumes the
+    mask; the hash is the portable 60-bit md5 rule shared with the
+    dedup family."""
+    toks = F.split("text", " ")
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("toks"), F.size(toks).cast("long").alias("n"))
+        .filter(F.col("n") >= CORRUPT_STRATUM_TOKENS)
+        .withColumn(
+            "k", (F.col("n") / CORRUPT_STRATUM_TOKENS).cast("long")
+        )
+    )
+    spans = d.select(
+        "doc_id",
+        "n",
+        "k",
+        "toks",
+        F.explode(F.sequence(F.lit(0), F.col("k") - 1)).alias("span_id"),
+    ).withColumn("span_id", F.col("span_id").cast("long"))
+    stratum = (F.col("n") / F.col("k")).cast("long")  # floor: both ≥ 0
+    h = portable_hash60(
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            F.col("span_id").cast("string"),
+        )
+    )
+    start = (
+        F.col("span_id") * stratum
+        + F.lit(1)
+        + h % (stratum - CORRUPT_SPAN_TOKENS)
+    ).cast("long")
+    return (
+        spans.withColumn("start_tok", start)
+        .select(
+            "doc_id",
+            "span_id",
+            "start_tok",
+            (F.col("start_tok") + CORRUPT_SPAN_TOKENS - 1).alias("end_tok"),
+            F.concat_ws(
+                " ", F.slice("toks", F.col("start_tok"), F.lit(CORRUPT_SPAN_TOKENS))
+            ).alias("span_text"),
+        )
+    )

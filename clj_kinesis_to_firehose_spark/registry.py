@@ -108,6 +108,7 @@ _OPERATOR_MODULES = [
     "engine_ext",
     "posttrain",
     "quality_model",
+    "curation_r14",
 ]
 
 _loaded = False

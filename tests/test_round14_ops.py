@@ -120,3 +120,128 @@ def test_bt_driver_loop_bit_equals_distributed(spark):
     )
     drv = sorted(map(tuple, _bt_fit(spark, _SF, 6, driver_loop=True).collect()))
     assert dist == drv
+
+
+# --- round-14 curation additions (curation_r14.py) ----------------------------
+
+
+def test_rejection_sampling_keeps_cohort_best(spark):
+    """Best-of-n contract: ≤ BESTOF_KEEP rows per cohort, every cohort
+    large enough to reject something, and the rank-1 accepted doc per
+    cohort is exactly pref_pair_assembly's chosen doc (the two ops
+    share the scoring projection, so their winners must coincide)."""
+    rows = QUERIES["pref_rejection_sampling"](spark, SF_DIR).collect()
+    assert rows
+    by_cohort: dict[tuple, list] = {}
+    for r in rows:
+        assert r["n_candidates"] >= 3
+        assert 1 <= r["accept_rank"] <= 2
+        by_cohort.setdefault((r["lang"], r["tok_bucket"]), []).append(r)
+    for members in by_cohort.values():
+        assert len(members) <= 2
+        ranks = sorted(m["accept_rank"] for m in members)
+        assert ranks == list(range(1, len(members) + 1))
+    pairs = QUERIES["pref_pair_assembly"](spark, SF_DIR).collect()
+    chosen = {(p["lang"], p["tok_bucket"]): p["chosen_doc_id"] for p in pairs}
+    for key, members in by_cohort.items():
+        if key in chosen:
+            rank1 = next(m for m in members if m["accept_rank"] == 1)
+            assert rank1["doc_id"] == chosen[key], key
+
+
+def test_annotator_agreement_kappa_identity(spark):
+    """κ must satisfy its own definition recomputed from the emitted
+    contingency table, stay in [−1, 1], and floor consistently."""
+    import math
+
+    rows = QUERIES["pref_annotator_agreement"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        a, b, c, d = r["both_pos"], r["only_a"], r["only_b"], r["both_neg"]
+        n = r["n"]
+        assert a + b + c + d == n
+        pe_num = (a + b) * (a + c) + (c + d) * (b + d)
+        assert r["kappa_num"] == n * (a + d) - pe_num
+        assert r["kappa_den"] == n * n - pe_num
+        if r["kappa_den"]:
+            assert -r["kappa_den"] <= r["kappa_num"] <= r["kappa_den"]
+            assert r["kappa_u4"] == math.floor(
+                10000.0 * r["kappa_num"] / r["kappa_den"]
+            )
+
+
+def test_prefix_share_matches_pure_python_replay(spark):
+    """Exactness pin independent of BOTH engines: re-derive the whole
+    per-source sharing report in plain Python (same bucket → sort →
+    neighbor-LCP contract) from the parquet bytes and compare."""
+    import pyarrow.parquet as pq
+    from collections import defaultdict
+
+    tbl = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "source", "text"])
+    docs = sorted(
+        zip(tbl["doc_id"].to_pylist(), tbl["source"].to_pylist(), tbl["text"].to_pylist())
+    )
+    buckets: dict[str, list] = defaultdict(list)
+    for doc_id, source, text in docs:
+        p = text[:48]
+        buckets[text[:4]].append((p, doc_id, source))
+    total: dict[str, int] = defaultdict(int)
+    shared: dict[str, int] = defaultdict(int)
+    ndocs: dict[str, int] = defaultdict(int)
+    for members in buckets.values():
+        members.sort()
+        prev = None
+        for p, _, source in members:
+            ndocs[source] += 1
+            total[source] += len(p)
+            if prev is not None:
+                lcp = 0
+                for x, y in zip(p, prev):
+                    if x != y:
+                        break
+                    lcp += 1
+                shared[source] += lcp
+            prev = p
+    rows = QUERIES["corpus_prefix_share"](spark, SF_DIR).collect()
+    assert {r["source"] for r in rows} == set(ndocs)
+    for r in rows:
+        s = r["source"]
+        assert r["n_docs"] == ndocs[s]
+        assert r["total_prefix_chars"] == total[s]
+        assert r["shared_chars"] == shared[s], s
+        assert 0 <= r["share_u4"] <= 10000
+
+
+def test_span_corruption_strata_and_text(spark):
+    """Spans are non-overlapping by construction (one per disjoint
+    20-token stratum), 3 tokens long, in bounds, count n//20 per doc,
+    and the emitted text is the actual token slice."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    toks = {
+        d: t.split(" ")
+        for d, t in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())
+    }
+    rows = QUERIES["corpus_span_corruption"](spark, SF_DIR).collect()
+    assert rows
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, spans in per_doc.items():
+        n = len(toks[doc_id])
+        k = n // 20
+        assert len(spans) == k and k >= 1
+        stratum = n // k
+        for r in spans:
+            i = r["span_id"]
+            assert r["end_tok"] == r["start_tok"] + 2
+            lo, hi = i * stratum + 1, i * stratum + stratum
+            assert lo <= r["start_tok"] and r["end_tok"] <= hi <= n + stratum
+            assert r["span_text"] == " ".join(
+                toks[doc_id][r["start_tok"] - 1 : r["end_tok"]]
+            )
+    # docs shorter than one stratum emit nothing
+    for doc_id, t in toks.items():
+        if len(t) < 20:
+            assert doc_id not in per_doc
