@@ -623,3 +623,50 @@ def test_guarded_minhash_stays_linear_no_cartesian(spark):
     plan = audit.formatted_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert audit.n_shuffles(df) <= 7, plan
+
+
+def test_prefix_share_sorts_per_bucket_not_globally(spark):
+    # the sorted-neighbor LCP must window on the 4-char bucket key —
+    # a global ORDER BY window would collapse the corpus onto one
+    # reducer; the contract's bucketing is what prevents that
+    df = QUERIES["corpus_prefix_share"](spark, SF_DIR)
+    plan = audit.formatted_plan(df)
+    assert "SinglePartition" not in plan, audit.plan_report(df)
+    assert "hashpartitioning(pb" in plan, audit.plan_report(df)
+    # window shuffle (pb) + final source agg — nothing else
+    assert audit.n_shuffles(df) <= 2, audit.plan_report(df)
+
+
+def test_span_corruption_is_pure_generate(spark):
+    # span selection is a per-row expression: scan → explode → project,
+    # zero shuffles, no Python stage
+    df = QUERIES["corpus_span_corruption"](spark, SF_DIR)
+    assert audit.n_shuffles(df) == 0, audit.plan_report(df)
+    plan = audit.formatted_plan(df)
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan, (
+        audit.plan_report(df)
+    )
+
+
+def test_rejection_sampling_single_cohort_shuffle(spark):
+    # rank and cohort count must share the ONE (lang, tok_bucket)
+    # exchange — the same single-shuffle contract pref_pair_assembly
+    # holds
+    df = QUERIES["pref_rejection_sampling"](spark, SF_DIR)
+    assert audit.n_shuffles(df) == 1, audit.plan_report(df)
+
+
+def test_ivf_candidate_join_broadcasts_probe_cells(spark):
+    # the corpus-sized side must never shuffle FOR THE JOIN: probed
+    # cells are a |probes|×nprobe broadcast. The plan's only exchanges
+    # are the two intentional fan_out repartitions (scan
+    # parallelization for the assign kernel — the corpus branch and
+    # the probe branch each read one) plus the two probe-keyed windows
+    # (cell rank over |probes|×k rows; final top-k) — nothing
+    # partitions the corpus by a join key
+    df = QUERIES["sim_ann_ivf"](spark, SF_DIR)
+    assert audit.n_broadcast_joins(df) >= 1, audit.plan_report(df)
+    assert audit.n_shuffles(df) <= 4, audit.plan_report(df)
+    assert "SinglePartition" not in audit.formatted_plan(df), (
+        audit.plan_report(df)
+    )
