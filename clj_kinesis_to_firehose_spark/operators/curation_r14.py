@@ -37,7 +37,7 @@ from clj_kinesis_to_firehose_spark.operators.posttrain import (
     PREF_BUCKET_TOKENS,
     _score_docs,
 )
-from clj_kinesis_to_firehose_spark.registry import register
+from clj_kinesis_to_firehose_spark.registry import oracle, register
 from clj_kinesis_to_firehose_spark.sources import load_table
 
 # --- pref_rejection_sampling ---------------------------------------------------
@@ -413,4 +413,197 @@ def corpus_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " ", F.slice("toks", F.col("start_tok"), F.lit(CORRUPT_SPAN_TOKENS))
             ).alias("span_text"),
         )
+    )
+
+
+# --- stream_rejection_sampling -------------------------------------------------
+
+
+@register(
+    "stream_rejection_sampling",
+    executes_on_build=True,
+    oracle=oracle("pref_rejection_sampling"),
+)
+def stream_rejection_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-of-n maintenance IN the ingest stream — the
+    stream_pref_pair_ingest law applied to rejection sampling:
+    documents arrive as micro-batches, foreachBatch writes each
+    batch's PARTIAL per-cohort top-BESTOF_KEEP (plus the batch's
+    cohort candidate count riding on the kept rows), and the final
+    pass re-ranks the union of partials with the SAME comparator.
+    Top-K is a mergeable aggregate (the global top-K is contained in
+    the union of per-batch top-Ks) and counts are additive, so the
+    merged accepted set equals the batch build EXACTLY — same oracle
+    as pref_rejection_sampling, verbatim.
+
+    The comparator travels WITH the partial: kept rows store
+    (n_distinct, n_tokens), the merge re-derives the ratio — never a
+    stored rounded score (merge associativity + the half-boundary
+    rule).
+
+    Scale: per batch one cohort-keyed rank over batch rows; partials
+    are ≤ K rows per cohort per batch; the merge ranks K·batches rows
+    per cohort. Epoch-keyed OVERWRITE keeps at-least-once re-execution
+    idempotent."""
+    from clj_kinesis_to_firehose_spark.operators.curation_r10 import (
+        DOCS_RAW_SCHEMA,
+        _write_doc_slices,
+    )
+    from clj_kinesis_to_firehose_spark.sources import scratch_dir
+
+    replay_dir = _write_doc_slices(spark, sf_dir, n_slices=4)
+    out_dir = scratch_dir("kf_bestof_ingest_")
+
+    ratio = F.col("n_distinct").cast("double") / F.col("n_tokens")
+    wr = Window.partitionBy("lang", "tok_bucket").orderBy(
+        ratio.desc(), F.col("doc_id")
+    )
+    wc = Window.partitionBy("lang", "tok_bucket")
+
+    def bestof_batch(batch_df: DataFrame, epoch: int) -> None:
+        partial = (
+            _score_docs(batch_df)
+            .withColumn("r", F.row_number().over(wr))
+            .withColumn("batch_n", F.count("*").over(wc).cast("long"))
+            .filter(F.col("r") <= BESTOF_KEEP)
+            .drop("r")
+        )
+        partial.write.mode("overwrite").parquet(f"{out_dir}/epoch_{epoch}")
+
+    q = (
+        spark.readStream.schema(DOCS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(replay_dir)
+        .writeStream.foreachBatch(bestof_batch)
+        .option("checkpointLocation", scratch_dir("kf_bestof_chk_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    partials = spark.read.option("recursiveFileLookup", "true").parquet(out_dir)
+    # additive counts: one batch_n per (cohort, epoch) — max() collapses
+    # the per-row copies, the sum merges epochs
+    counts = (
+        partials.withColumn(
+            "epoch", F.element_at(F.split(F.input_file_name(), "epoch_"), -1)
+        )
+        .groupBy("lang", "tok_bucket", "epoch")
+        .agg(F.max("batch_n").alias("bn"))
+        .groupBy("lang", "tok_bucket")
+        .agg(F.sum("bn").cast("long").alias("n_candidates"))
+    )
+    merged = (
+        partials.withColumn("accept_rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("accept_rank") <= BESTOF_KEEP)
+        .join(counts, ["lang", "tok_bucket"])
+        .filter(F.col("n_candidates") >= BESTOF_MIN_N)
+    )
+    return merged.select(
+        "lang",
+        "tok_bucket",
+        "n_candidates",
+        "accept_rank",
+        "doc_id",
+        "source",
+        F.col("n_distinct").alias("reward_num"),
+        F.col("n_tokens").alias("reward_den"),
+    )
+
+
+# --- dq_feature_drift_chi2 -----------------------------------------------------
+
+
+@register(
+    "dq_feature_drift_chi2",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, EPOCH_US(ts) AS us FROM events
+    ), mid AS (
+      SELECT (MIN(us) + MAX(us)) // 2 AS m FROM e
+    ), lab AS (
+      SELECT event_type, CASE WHEN us < (SELECT m FROM mid) THEN 0 ELSE 1 END
+               AS half
+      FROM e
+    ), cnt AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS o_ref,
+             CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS o_cur
+      FROM lab GROUP BY event_type
+    ), tot AS (
+      SELECT CAST(SUM(o_ref) AS BIGINT) AS n_ref,
+             CAST(SUM(o_cur) AS BIGINT) AS n_cur
+      FROM cnt
+    )
+    SELECT c.event_type, c.o_ref, c.o_cur, t.n_ref, t.n_cur,
+           c.o_cur * t.n_ref - c.o_ref * t.n_cur AS diff_num,
+           CASE WHEN c.o_ref = 0 THEN NULL ELSE
+             CAST(FLOOR(1000000.0 *
+                  (CAST(c.o_cur * t.n_ref - c.o_ref * t.n_cur AS DOUBLE)
+                   * CAST(c.o_cur * t.n_ref - c.o_ref * t.n_cur AS DOUBLE))
+                  / CAST(t.n_ref * t.n_cur * c.o_ref AS DOUBLE))
+               AS BIGINT) END AS contrib_u6
+    FROM cnt c CROSS JOIN tot t
+    """,
+)
+def dq_feature_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift detection between the stream's earlier and
+    later half (split at the mid-epoch microsecond — the split point
+    is timezone-shift-invariant because both halves move together):
+    per event_type, the chi-square contribution of the current-window
+    count against the reference-window rate, emitted as the exact
+    integer cross-difference o_cur·n_ref − o_ref·n_cur plus
+    FLOOR-u6 fixed point of (diff²)/(n_ref·n_cur·o_ref). Every input
+    to the one division is an exact int64, so the double (and its
+    FLOOR) cannot diverge between engines; a type absent from the
+    reference window yields NULL (chi-square undefined), never a
+    division error. This is the training-data drift monitor you run
+    before each ingestion epoch: a spiking contribution means the
+    source mix moved and the mixture weights need re-fitting.
+
+    Scale: one map pass to label halves (the min/max epoch pair is a
+    2-value broadcast aggregate), one hash-agg by type — the
+    contingency table is |types| rows; no window, no join against
+    anything corpus-sized."""
+    from clj_kinesis_to_firehose_spark.sources import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("us")
+    )
+    mm = ev.agg(
+        ((F.min("us") + F.max("us")) / 2).cast("long").alias("m")
+    )
+    lab = ev.crossJoin(F.broadcast(mm)).select(
+        "event_type", (F.col("us") >= F.col("m")).cast("int").alias("half")
+    )
+    cnt = lab.groupBy("event_type").agg(
+        F.sum((F.col("half") == 0).cast("long")).alias("o_ref"),
+        F.sum((F.col("half") == 1).cast("long")).alias("o_cur"),
+    )
+    tot = cnt.agg(
+        F.sum("o_ref").cast("long").alias("n_ref"),
+        F.sum("o_cur").cast("long").alias("n_cur"),
+    )
+    diff = F.col("o_cur") * F.col("n_ref") - F.col("o_ref") * F.col("n_cur")
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "o_ref",
+        "o_cur",
+        "n_ref",
+        "n_cur",
+        diff.alias("diff_num"),
+        F.when(F.col("o_ref") == 0, F.lit(None).cast("long"))
+        .otherwise(
+            F.floor(
+                F.lit(1000000.0)
+                * (diff.cast("double") * diff.cast("double"))
+                / (F.col("n_ref") * F.col("n_cur") * F.col("o_ref")).cast(
+                    "double"
+                )
+            ).cast("long")
+        )
+        .alias("contrib_u6"),
     )

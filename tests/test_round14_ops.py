@@ -245,3 +245,40 @@ def test_span_corruption_strata_and_text(spark):
     for doc_id, t in toks.items():
         if len(t) < 20:
             assert doc_id not in per_doc
+
+
+def test_stream_rejection_sampling_equals_batch(spark):
+    """The mergeability law end-to-end: micro-batch partial top-Ks +
+    additive counts re-ranked == the batch build, row for row."""
+    batch = sorted(
+        map(tuple, QUERIES["pref_rejection_sampling"](spark, SF_DIR).collect())
+    )
+    stream = sorted(
+        map(tuple, QUERIES["stream_rejection_sampling"](spark, SF_DIR).collect())
+    )
+    assert batch == stream
+
+
+def test_feature_drift_chi2_identities(spark):
+    """Counts partition the stream, the cross-difference sums to zero
+    over types (both halves share the same totals identity), and each
+    contribution re-floors from its own integers."""
+    import math
+
+    rows = QUERIES["dq_feature_drift_chi2"](spark, SF_DIR).collect()
+    assert rows
+    n_ref, n_cur = rows[0]["n_ref"], rows[0]["n_cur"]
+    assert sum(r["o_ref"] for r in rows) == n_ref
+    assert sum(r["o_cur"] for r in rows) == n_cur
+    assert sum(r["diff_num"] for r in rows) == 0
+    for r in rows:
+        assert r["diff_num"] == r["o_cur"] * n_ref - r["o_ref"] * n_cur
+        if r["o_ref"] == 0:
+            assert r["contrib_u6"] is None
+        else:
+            expect = math.floor(
+                1000000.0
+                * (float(r["diff_num"]) * float(r["diff_num"]))
+                / float(n_ref * n_cur * r["o_ref"])
+            )
+            assert r["contrib_u6"] == expect and r["contrib_u6"] >= 0
