@@ -16,9 +16,15 @@ to ~NPROBE/K of the corpus (vs the LSH variant's union-of-buckets
 selectivity; IVF gives a hard candidate-fraction bound, which is the
 property you provision memory against on a 1000-executor cluster).
 
-Both are `weak` oracles (iterative float algorithms DuckDB SQL can't
-express); tests/test_weak_ops.py asserts partition invariants,
-inertia monotonicity, and ≥0.8 recall vs `sim_topk_exact`.
+Since round 14 the whole family is EXACT-oracle: the fit is
+fixed-point Lloyd's (`_fit_kmeans_fp` — integer distances, floor-div
+means) replayed by ONE shared unrolled MATERIALIZED-CTE prefix
+(`_sql_kmeans_prefix`) that the kmeans report, the IVF top-k, the
+nprobe calibration sweep, the incremental-index census, and the
+recall grid all compose. tests/test_weak_ops.py keeps the behavioral
+pins (partition invariants, inertia monotonicity, recall floors vs
+`sim_topk_exact`) — exactness proves the plan, the pins prove the
+algorithm.
 """
 
 from __future__ import annotations
@@ -98,7 +104,7 @@ def _assign_fp_udf(cent: list[list[int]]):
 
 
 def _fit_kmeans_fp(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, fit_filter=None
 ) -> tuple[list[list[int]], DataFrame, list[int]]:
     """Fixed-point Lloyd's: init = the K lowest vec_ids' quantized
     vectors, KMEANS_ITERS iterations of integer argmin assignment +
@@ -113,17 +119,28 @@ def _fit_kmeans_fp(
     columns, per-iteration inertia). Inertia is exact integer
     Σ||x−μ||² against each iteration's UPDATED centroids via the
     raw-moment identity Σ(x−μ)² = Σx² − 2μΣx + nμ² per (cluster, dim)
-    — free from the same k×dim aggregate the update already runs."""
+    — free from the same k×dim aggregate the update already runs.
+
+    ``fit_filter`` (a boolean Column) restricts which vectors the FIT
+    sees (init + every iteration); the returned assignment still
+    covers the WHOLE corpus — the incremental-index shape, where new
+    arrivals are assigned to frozen centroids without a refit."""
     emb = _quantized(spark, sf_dir)
+    fit_emb = emb.filter(fit_filter) if fit_filter is not None else emb
     init_rows = (
-        emb.select("vec_id", "eq").orderBy("vec_id").limit(K_CLUSTERS).collect()
+        fit_emb.select("vec_id", "eq")
+        .orderBy("vec_id")
+        .limit(K_CLUSTERS)
+        .collect()
     )  # k rows
     cent = [[int(v) for v in r["eq"]] for r in init_rows]
 
     assigned = None
     inertia: list[int] = []
     for _ in range(KMEANS_ITERS):
-        assigned = emb.withColumn("cluster", _assign_fp_udf(cent)(F.col("eq")))
+        assigned = fit_emb.withColumn(
+            "cluster", _assign_fp_udf(cent)(F.col("eq"))
+        )
         sums = (
             assigned.select("cluster", F.posexplode("eq").alias("pos", "val"))
             .groupBy("cluster", "pos")
@@ -150,13 +167,17 @@ def _fit_kmeans_fp(
 _CENT_FINAL = f"cent{KMEANS_ITERS}"
 
 
-def _sql_kmeans_prefix() -> str:
+def _sql_kmeans_prefix(fit_pred: str = "TRUE") -> str:
     """Shared unrolled-CTE WITH-body (no leading ``WITH``) replaying
     :func:`_fit_kmeans_fp` — the bpe_learn_merges exactness pattern
     applied to Lloyd's iteration (verified equal to the Python loop at
     prototype time). Stated ONCE and composed by the embedding_kmeans,
-    sim_ann_ivf, and sim_ann_ivf_calibration oracles so the three
-    cannot drift. Exposes:
+    sim_ann_ivf, sim_ann_ivf_calibration, and (with ``fit_pred``) the
+    incremental-index oracles so they cannot drift. ``fit_pred`` is a
+    SQL predicate over vec_id restricting which vectors the FIT sees
+    (init + every iteration); the final assignment always covers the
+    whole corpus — mirroring the Python twin's ``fit_filter``.
+    Exposes:
 
     - ``v``       (vec_id, e array<double>, eq array<bigint>)
     - ``expl``    (vec_id, d 1..64, x = eq[d])
@@ -169,14 +190,14 @@ def _sql_kmeans_prefix() -> str:
         steps.append(f""",
     dist{t} AS MATERIALIZED (
       SELECT e.vec_id, c.cluster, SUM((e.x - c.v) * (e.x - c.v)) AS d2
-      FROM expl e JOIN {prev} c ON e.d = c.d GROUP BY e.vec_id, c.cluster),
+      FROM fexpl e JOIN {prev} c ON e.d = c.d GROUP BY e.vec_id, c.cluster),
     asg{t} AS MATERIALIZED (
       SELECT vec_id, cluster FROM dist{t}
       QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
                                  ORDER BY d2, cluster) = 1),
     upd{t} AS (
       SELECT a.cluster, e.d, {_fdiv_sql("SUM(e.x)", "COUNT(*)")} AS v
-      FROM asg{t} a JOIN expl e USING (vec_id) GROUP BY a.cluster, e.d),
+      FROM asg{t} a JOIN fexpl e USING (vec_id) GROUP BY a.cluster, e.d),
     cent{t} AS MATERIALIZED (
       SELECT c.cluster, c.d, COALESCE(u.v, c.v) AS v
       FROM {prev} c LEFT JOIN upd{t} u
@@ -192,8 +213,9 @@ def _sql_kmeans_prefix() -> str:
       FROM embeddings),
     expl AS MATERIALIZED (
       SELECT vec_id, i AS d, eq[i] AS x FROM v, UNNEST(RANGE(1, 65)) t(i)),
+    fexpl AS (SELECT * FROM expl WHERE {fit_pred}),
     init AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster, eq
-             FROM v ORDER BY vec_id LIMIT {K_CLUSTERS}),
+             FROM v WHERE {fit_pred} ORDER BY vec_id LIMIT {K_CLUSTERS}),
     cent0 AS MATERIALIZED (
       SELECT cluster, i AS d, eq[i] AS v FROM init, UNNEST(RANGE(1, 65)) t(i))
     {"".join(steps)},
@@ -920,3 +942,88 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = per_probe if out is None else out.unionByName(per_probe)
     return out
+
+
+# --- sim_ann_ivf_incremental ---------------------------------------------------
+
+#: per-cluster growth (u4 of new/base) beyond which the op raises the
+#: refit flag — the production alarm that says the frozen centroids no
+#: longer describe the arriving distribution for that cell
+IVF_REFIT_GROWTH_U4 = 7500
+
+
+def _sql_ann_ivf_incremental() -> str:
+    """Incremental-index oracle: the SAME shared Lloyd's prefix, fit
+    restricted to the base half (even vec_ids), final assignment over
+    everything — then the per-cell census of base vs appended."""
+    return f"""
+    WITH {_sql_kmeans_prefix(fit_pred="vec_id % 2 = 0")}
+    SELECT CAST(cluster AS BIGINT) AS cluster,
+           CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_base,
+           CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new,
+           CASE WHEN SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) = 0
+                THEN NULL
+                ELSE CAST(FLOOR(10000.0 *
+                     SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+                     / SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END))
+                  AS BIGINT) END AS growth_u4,
+           CASE WHEN SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) = 0
+                 OR FLOOR(10000.0 *
+                    SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+                    / SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END))
+                    >= {IVF_REFIT_GROWTH_U4}
+                THEN TRUE ELSE FALSE END AS needs_refit
+    FROM kfinal GROUP BY cluster
+    """
+
+
+@register(
+    "sim_ann_ivf_incremental",
+    executes_on_build=True,
+    oracle=_sql_ann_ivf_incremental(),
+)
+def sim_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance — the production reality of a
+    100 TB vector tier: you FIT rarely and APPEND constantly. The
+    centroids are fitted on the base corpus only (even vec_ids — the
+    deterministic stand-in for "the vectors that existed at fit
+    time"); arrivals (odd vec_ids) are assigned to the FROZEN
+    centroids in the same map-only integer-argmin pass, no refit.
+    Per cell the op reports the base/appended census, the growth
+    ratio as FLOOR-u4, and the refit alarm: a cell whose appended
+    population exceeds IVF_REFIT_GROWTH_U4 of its base (or that had
+    no base members at all) is evidence the arriving distribution
+    has drifted off the fit — the signal that schedules the next
+    (expensive, rare) refit. EXACT oracle: the same shared unrolled
+    Lloyd's CTE prefix, with its fit restricted by the same
+    predicate.
+
+    Scale: the fit sees only the base (sample at 100 TB); appends are
+    one vectorized Arrow-batch integer matmul per partition against
+    broadcast centroids — embarrassingly parallel, no shuffle until
+    the k-row census aggregate."""
+    _, assigned, _ = _fit_kmeans_fp(
+        spark, sf_dir, fit_filter=F.col("vec_id") % 2 == 0
+    )
+    is_base = (F.col("vec_id") % 2 == 0).cast("long")
+    census = assigned.groupBy(
+        F.col("cluster").cast("long").alias("cluster")
+    ).agg(
+        F.sum(is_base).alias("n_base"),
+        F.sum(1 - is_base).alias("n_new"),
+    )
+    growth = F.floor(F.lit(10000.0) * F.col("n_new") / F.col("n_base"))
+    return census.select(
+        "cluster",
+        "n_base",
+        "n_new",
+        F.when(F.col("n_base") == 0, F.lit(None).cast("long"))
+        .otherwise(growth.cast("long"))
+        .alias("growth_u4"),
+        (
+            (F.col("n_base") == 0)
+            | (growth >= IVF_REFIT_GROWTH_U4)
+        ).alias("needs_refit"),
+    )

@@ -282,3 +282,21 @@ def test_feature_drift_chi2_identities(spark):
                 / float(n_ref * n_cur * r["o_ref"])
             )
             assert r["contrib_u6"] == expect and r["contrib_u6"] >= 0
+
+
+def test_ivf_incremental_census_and_alarm(spark):
+    """The incremental index must census every vector exactly once,
+    agree with a from-scratch recount of parities, and raise the refit
+    flag exactly per its growth rule."""
+    import pyarrow.parquet as pq
+
+    rows = QUERIES["sim_ann_ivf_incremental"](spark, SF_DIR).collect()
+    n = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id"]).num_rows
+    assert sum(r["n_base"] + r["n_new"] for r in rows) == n
+    for r in rows:
+        if r["n_base"] == 0:
+            assert r["growth_u4"] is None and r["needs_refit"]
+        else:
+            expect = 10000 * r["n_new"] // r["n_base"]
+            assert r["growth_u4"] == expect
+            assert r["needs_refit"] == (expect >= 7500)
