@@ -44,7 +44,11 @@ from clj_kinesis_to_firehose_spark.operators.llm_similarity import (
     TOP_K,
     cosine,
 )
-from clj_kinesis_to_firehose_spark.registry import oracle, register
+from clj_kinesis_to_firehose_spark.registry import (
+    oracle,
+    register,
+    register_memo,
+)
 from clj_kinesis_to_firehose_spark.sources import fan_out, load_table
 
 K_CLUSTERS = 8
@@ -103,8 +107,19 @@ def _assign_fp_udf(cent: list[list[int]]):
     return assign
 
 
+#: memo for the fixed-point fit: (applicationId, sf_dir, tag) →
+#: (centroids, inertia). Five registered ops ride the SAME fit (the
+#: kmeans report, IVF top-k, nprobe sweep, incremental census, recall
+#: grid) — the fit's integer output is a pure function of the inputs,
+#: so one session computes it once per (corpus, fit-predicate); the
+#: assignment DF is rebuilt lazily from the cached centroids. Keyed on
+#: applicationId (unique per session; a dead session's entries can
+#: never alias a live one) and cleared by bench's clear_memos.
+_KMEANS_FIT_MEMO: dict = register_memo({})
+
+
 def _fit_kmeans_fp(
-    spark: SparkSession, sf_dir: str, fit_filter=None
+    spark: SparkSession, sf_dir: str, fit_filter=None, tag: str = ""
 ) -> tuple[list[list[int]], DataFrame, list[int]]:
     """Fixed-point Lloyd's: init = the K lowest vec_ids' quantized
     vectors, KMEANS_ITERS iterations of integer argmin assignment +
@@ -124,8 +139,17 @@ def _fit_kmeans_fp(
     ``fit_filter`` (a boolean Column) restricts which vectors the FIT
     sees (init + every iteration); the returned assignment still
     covers the WHOLE corpus — the incremental-index shape, where new
-    arrivals are assigned to frozen centroids without a refit."""
+    arrivals are assigned to frozen centroids without a refit.
+    ``tag`` names the filter in the memo key (a Column can't be
+    hashed) — callers passing ``fit_filter`` MUST pass a distinct
+    tag."""
     emb = _quantized(spark, sf_dir)
+    memo_key = (spark.sparkContext.applicationId, sf_dir, tag)
+    hit = _KMEANS_FIT_MEMO.get(memo_key)
+    if hit is not None:
+        cent, inertia = hit
+        assigned = emb.withColumn("cluster", _assign_fp_udf(cent)(F.col("eq")))
+        return cent, assigned, inertia
     fit_emb = emb.filter(fit_filter) if fit_filter is not None else emb
     init_rows = (
         fit_emb.select("vec_id", "eq")
@@ -159,6 +183,7 @@ def _fit_kmeans_fp(
             it_inertia += r["ss"] - 2 * mu * r["s"] + r["n"] * mu * mu
         inertia.append(it_inertia)
         cent = new_c
+    _KMEANS_FIT_MEMO[memo_key] = (cent, inertia)
     assigned = emb.withColumn("cluster", _assign_fp_udf(cent)(F.col("eq")))
     return cent, assigned, inertia
 
@@ -240,7 +265,11 @@ def _sql_kmeans_fp() -> str:
     """
 
 
-@register("embedding_kmeans", executes_on_build=True, oracle=_sql_kmeans_fp())
+@register(
+    "embedding_kmeans",
+    executes_on_build="conditional",  # warm _KMEANS_FIT_MEMO skips the fit
+    oracle=_sql_kmeans_fp(),
+)
 def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means over the embedding corpus (k=8, 5 Lloyd iterations,
     deterministic init) — EXACT oracle since r14 (r13 verdict #1):
@@ -322,7 +351,11 @@ def _sql_ann_ivf() -> str:
     """
 
 
-@register("sim_ann_ivf", executes_on_build=True, oracle=_sql_ann_ivf())
+@register(
+    "sim_ann_ivf",
+    executes_on_build="conditional",  # warm _KMEANS_FIT_MEMO skips the fit
+    oracle=_sql_ann_ivf(),
+)
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: kmeans cells + nprobe=2 probing, exact cosine within
     the probed cells, top-k per probe (rank by rounded cosine then
@@ -981,7 +1014,7 @@ def _sql_ann_ivf_incremental() -> str:
 
 @register(
     "sim_ann_ivf_incremental",
-    executes_on_build=True,
+    executes_on_build="conditional",  # warm _KMEANS_FIT_MEMO skips the fit
     oracle=_sql_ann_ivf_incremental(),
 )
 def sim_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1005,7 +1038,7 @@ def sim_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast centroids — embarrassingly parallel, no shuffle until
     the k-row census aggregate."""
     _, assigned, _ = _fit_kmeans_fp(
-        spark, sf_dir, fit_filter=F.col("vec_id") % 2 == 0
+        spark, sf_dir, fit_filter=F.col("vec_id") % 2 == 0, tag="base-even"
     )
     is_base = (F.col("vec_id") % 2 == 0).cast("long")
     census = assigned.groupBy(
