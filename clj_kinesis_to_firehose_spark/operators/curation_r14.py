@@ -484,10 +484,15 @@ def stream_rejection_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     partials = spark.read.option("recursiveFileLookup", "true").parquet(out_dir)
     # additive counts: one batch_n per (cohort, epoch) — max() collapses
-    # the per-row copies, the sum merges epochs
+    # the per-row copies, the sum merges epochs. The epoch is the
+    # NUMERIC directory component only: taking everything after
+    # "epoch_" would include the part-file name, and a cohort split
+    # across two part files in one epoch (maxRecordsPerFile, AQE
+    # rebalance) would then double-count batch_n (review finding)
     counts = (
         partials.withColumn(
-            "epoch", F.element_at(F.split(F.input_file_name(), "epoch_"), -1)
+            "epoch",
+            F.regexp_extract(F.input_file_name(), r"epoch_(\d+)/", 1),
         )
         .groupBy("lang", "tok_bucket", "epoch")
         .agg(F.max("batch_n").alias("bn"))
@@ -519,7 +524,10 @@ def stream_rejection_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dq_feature_drift_chi2",
     oracle="""
     WITH e AS (
+      -- NULL-ts rows are excluded BY CONTRACT (both engines): a row
+      -- with no timestamp belongs to neither window
       SELECT event_type, EPOCH_US(ts) AS us FROM events
+      WHERE ts IS NOT NULL
     ), mid AS (
       SELECT (MIN(us) + MAX(us)) // 2 AS m FROM e
     ), lab AS (
@@ -544,7 +552,11 @@ def stream_rejection_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(FLOOR(1000000.0 *
                   (CAST(c.o_cur * t.n_ref - c.o_ref * t.n_cur AS DOUBLE)
                    * CAST(c.o_cur * t.n_ref - c.o_ref * t.n_cur AS DOUBLE))
-                  / CAST(t.n_ref * t.n_cur * c.o_ref AS DOUBLE))
+                  -- factors cast BEFORE multiplying: the int64 product
+                  -- n_ref*n_cur*o_ref overflows past ~1e7 rows/half,
+                  -- where Spark wraps silently but DuckDB errors
+                  / (CAST(t.n_ref AS DOUBLE) * CAST(t.n_cur AS DOUBLE)
+                     * CAST(c.o_ref AS DOUBLE)))
                AS BIGINT) END AS contrib_u6
     FROM cnt c CROSS JOIN tot t
     """,
@@ -556,11 +568,16 @@ def dq_feature_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     per event_type, the chi-square contribution of the current-window
     count against the reference-window rate, emitted as the exact
     integer cross-difference o_cur·n_ref − o_ref·n_cur plus
-    FLOOR-u6 fixed point of (diff²)/(n_ref·n_cur·o_ref). Every input
-    to the one division is an exact int64, so the double (and its
-    FLOOR) cannot diverge between engines; a type absent from the
-    reference window yields NULL (chi-square undefined), never a
-    division error. This is the training-data drift monitor you run
+    FLOOR-u6 fixed point of (diff²)/(n_ref·n_cur·o_ref). NULL-ts rows
+    are excluded by contract (neither window). The counts feeding the
+    one division are exact int64s, converted to double INDIVIDUALLY
+    before the denominator product (the int64 product would overflow
+    past ~1e7 rows per half — Spark wraps silently where DuckDB
+    errors; in double both engines compute the identical value at any
+    count), so the quotient and its FLOOR cannot diverge; a type
+    absent from the reference window yields NULL (chi-square
+    undefined), never a division error. This is the training-data
+    drift monitor you run
     before each ingestion epoch: a spiking contribution means the
     source mix moved and the mixture weights need re-fitting.
 
@@ -570,8 +587,14 @@ def dq_feature_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     anything corpus-sized."""
     from clj_kinesis_to_firehose_spark.sources import load_table as _lt
 
-    ev = _lt(spark, sf_dir, "events").select(
-        "event_type", F.unix_micros("ts").alias("us")
+    # NULL-ts rows excluded by contract, matching the oracle: a row
+    # with no timestamp belongs to neither window (without the filter
+    # Spark's NULL comparison drops the row while the oracle's CASE
+    # ELSE would count it — a fixture-luck divergence)
+    ev = (
+        _lt(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("event_type", F.unix_micros("ts").alias("us"))
     )
     mm = ev.agg(
         ((F.min("us") + F.max("us")) / 2).cast("long").alias("m")
@@ -600,8 +623,14 @@ def dq_feature_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(
                 F.lit(1000000.0)
                 * (diff.cast("double") * diff.cast("double"))
-                / (F.col("n_ref") * F.col("n_cur") * F.col("o_ref")).cast(
-                    "double"
+                # factors cast BEFORE multiplying — the int64 product
+                # overflows past ~1e7 rows/half (Spark would wrap
+                # silently, DuckDB would error; in double both engines
+                # compute the identical value at any count)
+                / (
+                    F.col("n_ref").cast("double")
+                    * F.col("n_cur").cast("double")
+                    * F.col("o_ref").cast("double")
                 )
             ).cast("long")
         )

@@ -312,61 +312,11 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sim_recall_eval_lsh",
-    oracle=f"""
-    WITH exact AS ({oracle('sim_topk_exact')}),
-    approx AS ({oracle('sim_ann_lsh')}),
-    kk AS (SELECT probe_id, COUNT(*) AS k FROM exact GROUP BY probe_id),
-    hits AS (
-      SELECT e.probe_id, COUNT(*) AS n_hits
-      FROM exact e JOIN approx a
-        ON e.probe_id = a.probe_id AND e.neighbor_id = a.neighbor_id
-      GROUP BY e.probe_id
-    )
-    SELECT kk.probe_id, kk.k,
-           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
-           CAST(FLOOR(10000.0 * COALESCE(h.n_hits, 0) / kk.k) AS BIGINT)
-             AS recall_u4
-    FROM kk LEFT JOIN hits h ON kk.probe_id = h.probe_id
-    """,
-)
-def sim_recall_eval_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@k of the LSH path against the exact brute-force top-k —
-    EXACT oracle (r14): now that sim_ann_lsh itself is hash-exact,
-    its recall evaluation is a pure consumer of two already-registered
-    rules (both composed via the public oracle accessor, never
-    restated), with recall as an integer FLOOR(1e4·hits/k) — the
-    integer-rational rule. The 4-method sweep stays available as
-    sim_recall_eval (weak: IVF/PQ/graph carry engine-specific float
-    fits); this op is the gating-grade twin for the one ANN family
-    whose whole pipeline is portable.
-
-    Scale: both join sides are top-k-bounded per probe — the
-    evaluation costs O(|probes|·k) at any corpus size."""
-    exact = sim_topk_exact(spark, sf_dir).select("probe_id", "neighbor_id")
-    approx = sim_ann_lsh(spark, sf_dir).select("probe_id", "neighbor_id")
-    kk = exact.groupBy("probe_id").agg(F.count("*").alias("k"))
-    hits = (
-        exact.join(approx, ["probe_id", "neighbor_id"])
-        .groupBy("probe_id")
-        .agg(F.count("*").alias("n_hits"))
-    )
-    return kk.join(hits, "probe_id", "left").select(
-        "probe_id",
-        "k",
-        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
-        F.floor(
-            F.lit(10000.0) * F.coalesce("n_hits", F.lit(0)) / F.col("k")
-        )
-        .cast("long")
-        .alias("recall_u4"),
-    )
-
-
 # sim_recall_eval lives in llm_clustering (r14): its exact oracle
 # composes oracle("sim_ann_ivf"), which is registered there — the op
-# must register after it.
+# must register after it. (An interim LSH-only twin,
+# sim_recall_eval_lsh, existed briefly this round and was removed as a
+# strict subset once the full grid went exact — review finding.)
 
 
 @register(

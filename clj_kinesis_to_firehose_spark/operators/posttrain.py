@@ -1059,18 +1059,21 @@ def pref_bt_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation against the strength relation plus a source-keyed sum.
     The one collect is the final source-cardinality relation itself
     (bounded at any corpus size — the bpe/PQ rule), which is what
-    lets the fit release its cached wins input before returning;
-    pref_bt_strength_scaled is the raised-iteration twin with
-    periodic lineage truncation.
+    lets the fit release its cached wins input before returning.
+    This op IS the distributed-iteration exactness proof;
+    pref_bt_strength_scaled (r14) runs the same MM arithmetic
+    driver-side over the one collected win matrix — the production
+    fit/apply split — and _bt_fit's ``checkpoint_every`` branch keeps
+    the distributed-loop lineage-truncation form alive for the
+    bit-equality pytest that pins driver == distributed.
     """
     return _bt_fit(spark, sf_dir, BT_ITERS)
 
 
-#: iteration count and checkpoint cadence for the scaled twin — enough
-#: steps that an unchk'd lazy chain would visibly balloon plan
-#: analysis, checkpointed the way a to-convergence production fit is.
+#: iteration count for the scaled twin — a production to-convergence
+#: depth; since r14 the iterations run driver-side over the collected
+#: O(#sources²) win matrix (the distributed aggregation is unchanged).
 BT_ITERS_SCALED = 64
-BT_CHECKPOINT_EVERY = 2
 
 
 @register(

@@ -311,6 +311,11 @@ _REVALIDATE_AFTER: dict[str, int] = {
     "multimodal_phash_multiprobe_pairs": 14,
     "dedup_incremental_phash": 14,
     "dedup_incremental_minhash": 14,
+    # r14 rewrote the scaled BT fit's compute path (distributed 64-iter
+    # MM loop → driver-side loop over the one collected win matrix);
+    # its r13 green hash proves the OLD path — re-prove the new one
+    # against the same 64-level unrolled CTE oracle.
+    "pref_bt_strength_scaled": 14,
 }
 
 
@@ -344,20 +349,33 @@ def _latest_records(root: str | None = None) -> dict[str, tuple[int, dict]]:
     return latest
 
 
-def _adjudicated_names(root: str | None = None) -> set[str]:
-    """Queries whose LATEST driver record is conclusive: an exact hash
-    match, or a rows-only ``no_oracle`` record for a query that still
-    has no oracle (if an oracle was added since, the op needs
-    re-adjudication). A name that was green in an early round but
-    whose most recent record is an error is NOT adjudicated — it must
-    re-enter the window so the driver can clear the red row."""
+def _green_and_rounds(
+    root: str | None = None,
+) -> tuple[set[str], dict[str, int]]:
+    """THE adjudication predicate, stated once (review finding —
+    _prioritized previously restated it inline): a query is green when
+    its LATEST driver record is conclusive — an exact hash match, or a
+    rows-only ``no_oracle`` record for a query that still has no
+    oracle (if an oracle was added since, the op needs
+    re-adjudication). A name green in an early round whose most recent
+    record is an error is NOT green — it must re-enter the window so
+    the driver can clear the red row. Also returns each name's latest
+    record round, for freshness ordering."""
     seen: set[str] = set()
-    for name, (_, row) in _latest_records(root).items():
+    rounds: dict[str, int] = {}
+    for name, (rnd, row) in _latest_records(root).items():
+        rounds[name] = rnd
         if row.get("hash_match") is True:
             seen.add(name)
         elif row.get("err") == "no_oracle" and name not in _ORACLES:
             seen.add(name)
-    return seen
+    return seen, rounds
+
+
+def _adjudicated_names(root: str | None = None) -> set[str]:
+    """Green set per :func:`_green_and_rounds` (kept as the public
+    name the rotation tests pin)."""
+    return _green_and_rounds(root)[0]
 
 
 def _prioritized(d: dict, seen: set[str] | None = None) -> dict:
@@ -375,14 +393,7 @@ def _prioritized(d: dict, seen: set[str] | None = None) -> dict:
     sort by)."""
     rounds: dict[str, int] = {}
     if seen is None:
-        latest = _latest_records()
-        rounds = {n: rnd for n, (rnd, _) in latest.items()}
-        seen = set()
-        for name, (_, row) in latest.items():
-            if row.get("hash_match") is True:
-                seen.add(name)
-            elif row.get("err") == "no_oracle" and name not in _ORACLES:
-                seen.add(name)
+        seen, rounds = _green_and_rounds()
     head = {n: d[n] for n in _PRIORITY if n in d and n not in seen}
     mid = {n: v for n, v in d.items() if n not in head and n not in seen}
     reg_index = {n: i for i, n in enumerate(d)}
