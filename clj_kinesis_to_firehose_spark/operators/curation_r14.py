@@ -1,13 +1,15 @@
 """Round-14 additions: RLHF sampling-loop data prep and inference/
 pretraining corpus geometry.
 
-Four exact-oracle operators a production training-data platform runs
+Exact-oracle operators a production training-data platform runs
 between curation and training:
 
 * ``pref_rejection_sampling`` — best-of-n candidate selection (the
   RAFT / rejection-sampling fine-tuning step): per prompt cohort,
   keep the top-K candidates by reward, with the cohort's candidate
   count carried so the acceptance rate is auditable.
+* ``stream_rejection_sampling`` — its micro-batch ingest twin,
+  proving the top-K + additive-count merge law (same oracle).
 * ``pref_annotator_agreement`` — Cohen's kappa between two admission
   heuristics, as exact integer rationals: the agreement audit you run
   before trusting any single labeling rule at 100 TB.
@@ -17,11 +19,17 @@ between curation and training:
 * ``corpus_span_corruption`` — T5/UL2-style denoising span selection
   with portable-hash offsets: deterministic, engine-independent
   corruption masks.
+* ``dq_feature_drift_chi2`` — chi-square drift of the event-type mix
+  between the stream's halves: the alarm that schedules…
+* ``corpus_mixture_reweight`` — …one DoReMi-style multiplicative
+  domain-reweighting step, renormalized to an exact integer budget
+  by the largest-remainder rule.
 
 Scale design notes (details per docstring): every window here
 partitions by a bounded cohort key (lang×bucket, 4-char prefix
-bucket) — never a global window; the span generator is a pure
-per-row expression (map-only); nothing collects.
+bucket) or runs over source-cardinality rows — never a corpus-wide
+global window; the span generator is a pure per-row expression
+(map-only); no corpus-sized collect exists.
 """
 
 from __future__ import annotations
@@ -635,4 +643,147 @@ def dq_feature_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long")
         )
         .alias("contrib_u6"),
+    )
+
+
+# --- corpus_mixture_reweight ---------------------------------------------------
+
+#: multiplicative-weights step size: raw weight moves ETA micro-units
+#: per micro-unit of quality excess
+MIX_ETA = 4
+#: floor on a source's raw weight — no source is ever zeroed out of
+#: the mixture by one step (DoReMi keeps exploration mass everywhere)
+MIX_MIN_RAW = 10_000
+#: the mixture budget the final weights sum to EXACTLY (u6: 1.0)
+MIX_BUDGET = 1_000_000
+
+
+@register(
+    "corpus_mixture_reweight",
+    oracle=f"""
+    WITH s AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))))
+               AS BIGINT) AS d,
+             CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS t
+      FROM documents GROUP BY source
+    ), x AS (
+      SELECT *,
+             CAST(SUM(d) OVER () AS BIGINT) AS dd,
+             CAST(SUM(t) OVER () AS BIGINT) AS tt
+      FROM s
+    ), w AS (
+      SELECT source, n_docs,
+             CAST(FLOOR(1000000.0 * (CAST(d AS DOUBLE) / t
+                                     - CAST(dd AS DOUBLE) / tt))
+               AS BIGINT) AS excess_u6
+      FROM x
+    ), raw AS (
+      SELECT *,
+             GREATEST(1000000 + {MIX_ETA} * excess_u6, {MIX_MIN_RAW})
+               AS raw_u6
+      FROM w
+    ), alloc AS (
+      SELECT *,
+             CAST(SUM(raw_u6) OVER () AS BIGINT) AS tot_raw,
+             CAST(({MIX_BUDGET} * raw_u6)
+                  // CAST(SUM(raw_u6) OVER () AS BIGINT) AS BIGINT)
+               AS weight_floor,
+             CAST(({MIX_BUDGET} * raw_u6)
+                  % CAST(SUM(raw_u6) OVER () AS BIGINT) AS BIGINT)
+               AS remainder
+      FROM raw
+    ), leftover AS (
+      SELECT CAST({MIX_BUDGET} - SUM(weight_floor) AS BIGINT) AS n_extra
+      FROM alloc
+    )
+    SELECT a.source, a.n_docs, a.excess_u6, CAST(a.raw_u6 AS BIGINT)
+             AS raw_u6, a.weight_floor,
+           a.weight_floor
+             + CASE WHEN ROW_NUMBER() OVER (ORDER BY a.remainder DESC,
+                                            a.source) <= l.n_extra
+                    THEN 1 ELSE 0 END AS weight_u6
+    FROM alloc a CROSS JOIN leftover l
+    """,
+)
+def corpus_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One DoReMi-style domain-reweighting step: per source, the
+    quality EXCESS over the corpus mean (lexical-diversity rational
+    d/t as the loss proxy — at production the per-domain excess loss
+    drops in here) moves the source's raw weight multiplicatively
+    (linearized MW update, no transcendental: raw = 1e6 + η·excess_u6,
+    floored at MIX_MIN_RAW so no source is zeroed), then the raw
+    weights are renormalized onto the EXACT mixture budget by the
+    largest-remainder method (the crawl_politeness_budget rule) —
+    Σ weight_u6 = 1e6 precisely, no float normalization drift. This is
+    the step dq_feature_drift_chi2's alarm schedules: the mix moved,
+    re-fit the weights.
+
+    Exactness: the one double expression (excess) consumes exact int64
+    sums with factor-wise division BEFORE subtraction — identical IEEE
+    doubles both engines; everything after is integer arithmetic.
+
+    Scale: one hash-agg to source cardinality; every window after runs
+    over SOURCE rows only — the mixture table is |sources|-sized at
+    any corpus scale."""
+    toks = F.split("text", " ")
+    s = load_table(spark, sf_dir, "documents").groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.array_distinct(toks))).cast("long").alias("d"),
+        F.sum(F.size(toks)).cast("long").alias("t"),
+    )
+    every = Window.partitionBy()
+    x = s.select(
+        "*",
+        F.sum("d").over(every).cast("long").alias("dd"),
+        F.sum("t").over(every).cast("long").alias("tt"),
+    )
+    excess = F.floor(
+        F.lit(1000000.0)
+        * (
+            F.col("d").cast("double") / F.col("t")
+            - F.col("dd").cast("double") / F.col("tt")
+        )
+    ).cast("long")
+    raw = x.select(
+        "source",
+        "n_docs",
+        excess.alias("excess_u6"),
+    ).withColumn(
+        "raw_u6",
+        F.greatest(
+            F.lit(1000000) + MIX_ETA * F.col("excess_u6"),
+            F.lit(MIX_MIN_RAW),
+        ).cast("long"),
+    )
+    alloc = raw.select(
+        "*",
+        F.sum("raw_u6").over(every).cast("long").alias("tot_raw"),
+    ).select(
+        "*",
+        ((F.lit(MIX_BUDGET) * F.col("raw_u6")) / F.col("tot_raw"))
+        .cast("long")
+        .alias("weight_floor"),
+        ((F.lit(MIX_BUDGET) * F.col("raw_u6")) % F.col("tot_raw"))
+        .cast("long")
+        .alias("remainder"),
+    )
+    leftover = alloc.agg(
+        (F.lit(MIX_BUDGET) - F.sum("weight_floor")).cast("long").alias("n_extra")
+    )
+    seat = F.row_number().over(
+        Window.orderBy(F.col("remainder").desc(), F.col("source"))
+    )
+    return alloc.crossJoin(F.broadcast(leftover)).select(
+        "source",
+        "n_docs",
+        "excess_u6",
+        "raw_u6",
+        "weight_floor",
+        (
+            F.col("weight_floor")
+            + F.when(seat <= F.col("n_extra"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("weight_u6"),
     )

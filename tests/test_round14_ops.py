@@ -300,3 +300,18 @@ def test_ivf_incremental_census_and_alarm(spark):
             expect = 10000 * r["n_new"] // r["n_base"]
             assert r["growth_u4"] == expect
             assert r["needs_refit"] == (expect >= 7500)
+
+
+def test_mixture_reweight_budget_and_floor(spark):
+    """Weights sum EXACTLY to the 1e6 budget, every raw weight
+    respects the exploration floor, and higher-excess sources never
+    receive a smaller raw weight."""
+    rows = QUERIES["corpus_mixture_reweight"](spark, SF_DIR).collect()
+    assert rows
+    assert sum(r["weight_u6"] for r in rows) == 1_000_000
+    for r in rows:
+        assert r["raw_u6"] >= 10_000
+        assert r["weight_u6"] in (r["weight_floor"], r["weight_floor"] + 1)
+    by_excess = sorted(rows, key=lambda r: r["excess_u6"])
+    raws = [r["raw_u6"] for r in by_excess]
+    assert raws == sorted(raws)
