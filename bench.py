@@ -86,6 +86,12 @@ EXTENDED = [
     # plan pin (no Python stage, pruned scan, zero shuffles) lives in
     # tests/test_plans.py::test_quality_apply_is_one_pruned_scan_no_python
     "quality_linear_apply",
+    # round 14: the fixed-point IVF pipeline — trends the shared
+    # Lloyd's fit (5 integer-argmin iterations, the fit every ANN
+    # consumer now rides) plus the broadcast candidate join + top-k;
+    # clear_memos before each run keeps the fit honest (never a
+    # cache read)
+    "sim_ann_ivf",
 ]
 N_RUNS_EXT = 2
 
