@@ -761,7 +761,14 @@ def corpus_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("raw_u6").over(every).cast("long").alias("tot_raw"),
     ).select(
         "*",
-        ((F.lit(MIX_BUDGET) * F.col("raw_u6")) / F.col("tot_raw"))
+        # integer `div`, matching the oracle's exact `//`: a double
+        # quotient would only floor correctly while budget·raw stays
+        # under 2^53 — an unstated bound a constant bump could cross
+        # (review finding; crawl_politeness_budget instead uses
+        # FLOOR(double) SYMMETRICALLY, safe at its magnitudes — the
+        # two allocators deliberately pin the same largest-remainder
+        # rule at the two arithmetic strengths)
+        F.expr(f"({MIX_BUDGET} * raw_u6) div tot_raw")
         .cast("long")
         .alias("weight_floor"),
         ((F.lit(MIX_BUDGET) * F.col("raw_u6")) % F.col("tot_raw"))

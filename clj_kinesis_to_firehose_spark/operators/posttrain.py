@@ -1162,6 +1162,13 @@ def crawl_politeness_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one aggregate to host cardinality, then windows over HOST
     rows only (the frontier allocation table is host-sized at any
     corpus scale). At 10^9 pages the same plan emits one row per host.
+
+    Sibling allocator: corpus_mixture_reweight (curation_r14.py) pins
+    the same largest-remainder rule with exact INTEGER floor division
+    on both engines; this op's symmetric FLOOR(double) form is safe at
+    its magnitudes (budget·weight ≤ 1e12 < 2^53) and stays as
+    registered — the two are intentionally the rule's two arithmetic
+    strengths, not accidental copies.
     """
     docs = load_table(spark, sf_dir, "documents")
     hosts = docs.groupBy(F.col("source").alias("host")).agg(

@@ -319,26 +319,29 @@ def test_mixture_reweight_budget_and_floor(spark):
 
 def test_kmeans_fp_fit_is_partition_invariant(spark):
     """THE portability claim behind every r14 exact oracle, tested
-    directly: the fixed-point fit's integer sums are order-free, so
-    wildly different partitionings must produce BIT-IDENTICAL
-    centroids and inertia. (The memo is keyed per session, so the
-    second fit must run from scratch against a repartitioned scan —
-    we bypass the memo by calling the loop on distinct tags.)"""
+    directly: the fixed-point fit's integer sums are order-free, so a
+    different scan split AND a different reduce width must produce
+    BIT-IDENTICAL centroids and inertia. The memo is popped around
+    each fit so both runs execute from scratch."""
     from clj_kinesis_to_firehose_spark.operators import llm_clustering as lc
 
-    spark_key = (spark.sparkContext.applicationId, SF_DIR, "")
-    lc._KMEANS_FIT_MEMO.pop(spark_key, None)
-    old_fanout = None
+    memo_key = (spark.sparkContext.applicationId, SF_DIR, "")
+    lc._KMEANS_FIT_MEMO.pop(memo_key, None)
     cent1, _, in1 = lc._fit_kmeans_fp(spark, SF_DIR)
-    lc._KMEANS_FIT_MEMO.pop(spark_key, None)
-    # second fit under a different shuffle width: poke the session
-    # conf the fan_out helper reads (falls back to repartition count)
-    n_before = spark.conf.get("spark.sql.shuffle.partitions")
+    lc._KMEANS_FIT_MEMO.pop(memo_key, None)
+    # vary BOTH partitioning knobs the fit's jobs actually see:
+    # files.maxPartitionBytes drives fan_out's scan split (the
+    # map-side Arrow batches the assign kernel reduces over) and
+    # shuffle.partitions drives the (cluster, dim) agg's reduce width
+    mpb_before = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    shp_before = spark.conf.get("spark.sql.shuffle.partitions")
     try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
         spark.conf.set("spark.sql.shuffle.partitions", "3")
         cent2, _, in2 = lc._fit_kmeans_fp(spark, SF_DIR)
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", n_before)
-        lc._KMEANS_FIT_MEMO.pop(spark_key, None)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", mpb_before)
+        spark.conf.set("spark.sql.shuffle.partitions", shp_before)
+        lc._KMEANS_FIT_MEMO.pop(memo_key, None)
     assert cent1 == cent2
     assert in1 == in2
