@@ -812,3 +812,82 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day").cast("string").alias("day"),
         overlap.alias("overlap_us"),
     )
+
+
+@register(
+    "join_cardinality_preflight",
+    oracle="""
+    WITH lh AS (
+      SELECT o_custkey AS k, COUNT(*) AS fl FROM orders GROUP BY o_custkey
+    ), rh AS (
+      SELECT c_custkey AS k, COUNT(*) AS fr FROM customer GROUP BY c_custkey
+    ), m AS (
+      SELECT lh.k, lh.fl, rh.fr, lh.fl * rh.fr AS fanout
+      FROM lh JOIN rh USING (k)
+    )
+    SELECT (SELECT CAST(SUM(fl) AS BIGINT) FROM lh) AS n_left,
+           (SELECT CAST(SUM(fr) AS BIGINT) FROM rh) AS n_right,
+           CAST(COUNT(*) AS BIGINT) AS n_matching_keys,
+           CAST(SUM(fanout) AS BIGINT) AS exact_join_rows,
+           CAST(MAX(fanout) AS BIGINT) AS max_key_fanout,
+           CAST(MAX(fl) AS BIGINT) AS max_left_freq,
+           CAST(MAX(fr) AS BIGINT) AS max_right_freq,
+           -- a single key producing >1% of the whole output is the
+           -- practical skew alarm AQE's skew-join thresholds exist for
+           CASE WHEN MAX(fanout) * 100 > SUM(fanout) THEN TRUE
+                ELSE FALSE END AS skew_flag
+    FROM m
+    """,
+)
+def join_cardinality_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT equi-join output-cardinality pre-flight — the
+    dedup_band_bucket_stats pattern applied to relational joins:
+    |A ⋈_k B| = Σ_k f_A(k)·f_B(k), computed from the two per-side key
+    histograms WITHOUT running the join. Before committing a 100 TB
+    join you price it: the two histogram aggregates are map-side-
+    partial + one shuffle each at DISTINCT-KEY cardinality, the
+    histogram join is key-cardinality-sized (usually broadcastable),
+    and the answer is exact — not a sampled estimate — so a template
+    flood / hot-key blowup shows up as `exact_join_rows` and
+    `max_key_fanout` BEFORE any executor materializes a single output
+    row. `skew_flag` trips when one key alone carries >1% of the
+    output — the condition AQE skew-split mitigates for the WORK but
+    cannot mitigate for the OUTPUT (you want to know in advance).
+
+    orders⋈customer on custkey is the demonstration pair; the rule is
+    key-agnostic."""
+    lh = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count("*").alias("fl"))
+    )
+    rh = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_custkey").alias("k"))
+        .agg(F.count("*").alias("fr"))
+    )
+    m = lh.join(rh, "k").withColumn("fanout", F.col("fl") * F.col("fr"))
+    n_left = lh.agg(F.sum("fl").cast("long").alias("n_left"))
+    n_right = rh.agg(F.sum("fr").cast("long").alias("n_right"))
+    return (
+        m.agg(
+            F.count("*").cast("long").alias("n_matching_keys"),
+            F.sum("fanout").cast("long").alias("exact_join_rows"),
+            F.max("fanout").cast("long").alias("max_key_fanout"),
+            F.max("fl").cast("long").alias("max_left_freq"),
+            F.max("fr").cast("long").alias("max_right_freq"),
+            (F.max("fanout") * 100 > F.sum("fanout")).alias("skew_flag"),
+        )
+        .crossJoin(F.broadcast(n_left))
+        .crossJoin(F.broadcast(n_right))
+        .select(
+            "n_left",
+            "n_right",
+            "n_matching_keys",
+            "exact_join_rows",
+            "max_key_fanout",
+            "max_left_freq",
+            "max_right_freq",
+            "skew_flag",
+        )
+    )

@@ -345,3 +345,23 @@ def test_kmeans_fp_fit_is_partition_invariant(spark):
         lc._KMEANS_FIT_MEMO.pop(memo_key, None)
     assert cent1 == cent2
     assert in1 == in2
+
+
+def test_join_cardinality_preflight_predicts_the_real_join(spark):
+    """The pre-flight's whole point: its exact_join_rows must equal the
+    row count of the join it priced — verified by running that join."""
+    import pyspark.sql.functions as F
+
+    row = QUERIES["join_cardinality_preflight"](spark, SF_DIR).collect()[0]
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    customer = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    actual = orders.join(
+        customer, orders.o_custkey == customer.c_custkey
+    ).count()
+    assert row["exact_join_rows"] == actual
+    assert row["n_left"] == orders.count()
+    assert row["n_right"] == customer.count()
+    assert row["max_key_fanout"] <= row["exact_join_rows"]
+    assert row["skew_flag"] == (
+        row["max_key_fanout"] * 100 > row["exact_join_rows"]
+    )
