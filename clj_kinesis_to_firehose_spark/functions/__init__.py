@@ -17,8 +17,16 @@ def fdiv_sql(x: str, m: str) -> str:
     """Portable FLOOR division for oracle SQL: DuckDB's % truncates
     while Python's floors, but ((a % b) + b) % b is the non-negative
     remainder under either convention (b > 0), and after subtracting
-    it the // is exact. Python-side twin: plain a // b."""
-    return f"(({x}) - ((({x}) % ({m})) + ({m})) % ({m})) // ({m})"
+    it the // is exact. Python-side twin: plain a // b.
+
+    Both operands are CAST to BIGINT first: a Hypothesis sweep found
+    that an INT32-typed input near the type boundary overflows
+    DuckDB's subtraction (e.g. a=-1431655767, b=715827883 — the
+    corrective subtraction lands on -2^31-1), so the helper widens
+    unconditionally rather than trusting the caller's column type."""
+    a = f"CAST({x} AS BIGINT)"
+    b = f"CAST({m} AS BIGINT)"
+    return f"(({a}) - ((({a}) % ({b})) + ({b})) % ({b})) // ({b})"
 
 
 def cosine(a, b):
