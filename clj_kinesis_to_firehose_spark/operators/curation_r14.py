@@ -250,8 +250,13 @@ PREFIX_BUCKET = 4
              SUBSTR(text, 1, {PREFIX_BUCKET}) AS pb
       FROM documents
     ), lagged AS (
+      -- ORDER BY the UTF-8 BYTES of the prefix: Spark sorts strings by
+      -- UTF-16 code units, DuckDB by code points — they disagree when
+      -- supplementary-plane chars mix with U+E000–U+FFFF. Byte order of
+      -- the encoded prefix is identical in both engines for ANY input
+      -- (r14 ADVICE).
       SELECT doc_id, source, p,
-             LAG(p) OVER (PARTITION BY pb ORDER BY p, doc_id) AS prev
+             LAG(p) OVER (PARTITION BY pb ORDER BY ENCODE(p), doc_id) AS prev
       FROM d
     ), lcp AS (
       SELECT doc_id, source, LEN(p) AS plen,
@@ -298,7 +303,10 @@ def corpus_prefix_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("text", 1, PREFIX_CAP).alias("p"),
         F.substring("text", 1, PREFIX_BUCKET).alias("pb"),
     )
-    w = Window.partitionBy("pb").orderBy("p", "doc_id")
+    # sort neighbors by the prefix's UTF-8 BYTES (binary order is
+    # engine-invariant; raw string order is UTF-16-code-unit in Spark
+    # vs code-point in DuckDB — divergent for supplementary-plane text)
+    w = Window.partitionBy("pb").orderBy(F.encode(F.col("p"), "UTF-8"), F.col("doc_id"))
     lagged = d.withColumn("prev", F.lag("p").over(w))
     # substr(col, intCol, 1) needs expr form — build the whole LCP as
     # one SQL expression so both engines read the same formula
@@ -604,8 +612,12 @@ def dq_feature_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts").isNotNull())
         .select("event_type", F.unix_micros("ts").alias("us"))
     )
-    mm = ev.agg(
-        ((F.min("us") + F.max("us")) / 2).cast("long").alias("m")
+    # integer `div`, not double /2-then-cast: the double path is exact
+    # only while min+max < 2^53 µs (~year 2112) — the oracle's `//` has
+    # no such bound, so compute the mid-epoch in int64 on both sides
+    # (r14 ADVICE)
+    mm = ev.agg(F.min("us").alias("mn"), F.max("us").alias("mx")).select(
+        F.expr("(mn + mx) div 2").alias("m")
     )
     lab = ev.crossJoin(F.broadcast(mm)).select(
         "event_type", (F.col("us") >= F.col("m")).cast("int").alias("half")

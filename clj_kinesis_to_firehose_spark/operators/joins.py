@@ -876,7 +876,13 @@ def join_cardinality_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("fanout").cast("long").alias("max_key_fanout"),
             F.max("fl").cast("long").alias("max_left_freq"),
             F.max("fr").cast("long").alias("max_right_freq"),
-            (F.max("fanout") * 100 > F.sum("fanout")).alias("skew_flag"),
+            # coalesce: on an empty key intersection MAX/SUM aggregate
+            # to NULL and the comparison would too, while the oracle's
+            # CASE ... ELSE FALSE yields FALSE — pin the no-rows answer
+            # to FALSE in both engines (r14 ADVICE)
+            F.coalesce(
+                F.max("fanout") * 100 > F.sum("fanout"), F.lit(False)
+            ).alias("skew_flag"),
         )
         .crossJoin(F.broadcast(n_left))
         .crossJoin(F.broadcast(n_right))

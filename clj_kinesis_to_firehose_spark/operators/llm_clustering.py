@@ -141,10 +141,19 @@ def _fit_kmeans_fp(
     covers the WHOLE corpus — the incremental-index shape, where new
     arrivals are assigned to frozen centroids without a refit.
     ``tag`` names the filter in the memo key (a Column can't be
-    hashed) — callers passing ``fit_filter`` MUST pass a distinct
-    tag."""
+    hashed); the key ALSO folds in the filter's canonical expression
+    string, so two callers passing different filters under the same
+    tag can never alias each other's fit (r14 ADVICE — the invariant
+    was previously only a docstring MUST)."""
     emb = _quantized(spark, sf_dir)
-    memo_key = (spark.sparkContext.applicationId, sf_dir, tag)
+    if fit_filter is not None and not tag:
+        raise ValueError(
+            "_fit_kmeans_fp: a fit_filter requires a non-empty tag"
+        )
+    filter_repr = "" if fit_filter is None else str(fit_filter._jc)
+    memo_key = (
+        spark.sparkContext.applicationId, sf_dir, tag, filter_repr
+    )
     hit = _KMEANS_FIT_MEMO.get(memo_key)
     if hit is not None:
         cent, inertia = hit

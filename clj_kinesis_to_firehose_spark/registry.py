@@ -316,6 +316,13 @@ _REVALIDATE_AFTER: dict[str, int] = {
     # its r13 green hash proves the OLD path — re-prove the new one
     # against the same 64-level unrolled CTE oracle.
     "pref_bt_strength_scaled": 14,
+    # r15 ADVICE fixes changed these ops' compute path / oracle text
+    # after their r14 green records (preflight: NULL-safe skew_flag;
+    # chi2: integer-div mid-epoch; prefix_share: byte-order-stable
+    # neighbor sort in BOTH engines) — require a fresh record.
+    "join_cardinality_preflight": 15,
+    "dq_feature_drift_chi2": 15,
+    "corpus_prefix_share": 15,
 }
 
 
