@@ -1,18 +1,32 @@
-"""Graph-based ANN (HNSW-class): a sharded navigable-graph index over
-the embedding corpus — the high-recall index family that completes the
-LSH / IVF / PQ envelope (Malkov & Yashunin 2018, "HNSW", public paper;
-the navigable-small-world search recipe, reimplemented from the
-paper's algorithm description).
+"""Graph-based ANN: a sharded navigable-graph index over the
+embedding corpus — the high-recall index family that completes the
+LSH / IVF / PQ envelope (Malkov & Yashunin 2018, "HNSW", public
+paper; the navigable-graph search recipe, reimplemented from the
+paper's algorithm description) — plus the distributed NN-Descent
+graph build (Dong et al. 2011, public paper).
+
+EXACT since r15 (r14 verdict #1 — the last algorithmic rows-only
+pair): every score is an INTEGER dot product of quantized-normalized
+vectors (``nq = FLOOR(x/‖x‖·1e6)`` int64, the sim_ann_lsh fixed-point
+discipline), the NN-Descent init draws its ring offsets from the
+portable 60-bit md5 hash instead of engine-private randomness, and
+the graph search is a probe-guided fixed-hop beam (H bounded hops,
+top-B frontier per hop) instead of a data-dependent-termination
+best-first loop — a bounded-depth unrolling of the same greedy walk,
+chosen because a FIXED hop count is what an unrolled-CTE oracle can
+replay. Both ops' DuckDB oracles rebuild the identical graph and
+replay the identical walk from the same constants; ranking keys are
+integers, so no tie can resolve differently across engines.
 
 Architecture is the production sharding pattern, not a driver-side
 toy: the corpus is hash-partitioned into shards, each executor builds
 an in-memory neighbor graph over ITS shard inside one
-``applyInPandas`` group, answers every probe with a greedy beam search
-over that graph, and only each shard's per-probe shortlist (a
+``applyInPandas`` group, answers every probe with the beam walk over
+that graph, and only each shard's per-probe shortlist (a
 constant-size result) leaves the executor. A global top-k window then
-merges the shards — exactly how sharded HNSW serves at scale (every
-shard is searched; recall loss comes only from beam truncation, not
-from missing shards).
+merges the shards — exactly how sharded graph-ANN serves at scale
+(every shard is searched; recall loss comes only from beam
+truncation, not from missing shards).
 
 Scale design (100 TB):
 
@@ -20,23 +34,20 @@ Scale design (100 TB):
   shard; the only shuffle is the hash partition and the tiny
   shortlist union. Shard count scales with executors; shard size is
   bounded by executor memory BY CONSTRUCTION (spill = add shards).
-* **Build cost is one shard-local matmul.** The base kNN graph per
-  shard comes from a single normalized Gram matmul (numpy/BLAS) —
-  O(n²/P) flops per shard, embarrassingly parallel. At corpus sizes
-  where even the shard block is too big, the published swap is
-  NN-Descent for the build; the search side is unchanged.
-* **Search touches a fraction of the shard.** Greedy beam search from
-  a fixed entry point visits ~ef·M nodes, not the shard — the graph
-  property that makes this family the high-recall/low-latency choice.
-  `graph_search_stats` (test support) measures the visited fraction.
-* **Probes ride the closure.** The probe set is a handful of vectors,
-  broadcast to every shard; per-shard output is ≤ probes × shortlist
-  rows.
+* **Build cost is one shard-local integer matmul** — O(n²/P) ops per
+  shard, embarrassingly parallel. At corpus sizes where even the
+  shard block is too big, the published swap is NN-Descent
+  (:func:`graph_knn_descent` below) for the build; the search side
+  is unchanged.
+* **Search touches a bounded fraction of the shard.** The H-hop beam
+  visits ≤ 1 + M + (H−1)·B·M nodes — a constant, not the shard
+  (`graph_search_stats` measures the visited fraction in pytest).
+* **Probes ride the closure.** The probe set is a handful of
+  quantized vectors, broadcast to every shard; per-shard output is
+  ≤ probes × shortlist rows.
 """
 
 from __future__ import annotations
-
-import heapq
 
 import numpy as np
 import pandas as pd
@@ -45,7 +56,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from clj_kinesis_to_firehose_spark.functions import cosine
+from clj_kinesis_to_firehose_spark.operators.llm_dedup import SQL_HASH60, portable_hash60
 from clj_kinesis_to_firehose_spark.operators.llm_similarity import (
     PROBE_IDS,
     TOP_K,
@@ -54,95 +65,206 @@ from clj_kinesis_to_firehose_spark.registry import register
 from clj_kinesis_to_firehose_spark.sources import load_table
 
 GRAPH_SHARDS = 8
-GRAPH_M = 8  # out-degree of the neighbor graph
-GRAPH_EF = 48  # beam width
+GRAPH_M = 8  # out-degree of the shard neighbor graph
+BEAM_B = 8  # beam width: frontier nodes kept per hop
+GRAPH_HOPS = 3  # fixed hop budget (what makes the walk unrollable)
 GRAPH_SHORTLIST = 10  # per-shard candidates returned per probe
+#: fixed-point scale for the quantized-normalized vectors: |nq_i| ≤ 1e6,
+#: so a 64-dim integer dot is ≤ 6.4e13 — exact in int64/BIGINT/numpy.
+NQ_Q = 1_000_000
+
+#: 1-based probe-id list for SQL IN clauses
+_SQL_PROBE_IDS = ", ".join(str(i) for i in PROBE_IDS)
 
 
-def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _nq_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, nq array<long>): the quantized-normalized embedding —
+    ``FLOOR(x_d / ‖x‖ · 1e6)`` per dimension, computed ONCE in Spark
+    expressions whose DuckDB twin is :func:`_sql_nq` (the float→int
+    boundary lives in exactly one place per engine; everything
+    downstream is integer). The dot of two nq vectors is the cosine in
+    1e-12 units (±quantization), so integer dots RANK like cosine.
+    Zero-norm vectors are out of contract (none exist in any fixture;
+    a production corpus would drop them at ingest)."""
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(e, F.lit(0.0), lambda s, x: s + x * x))
+    nq = F.transform(e, lambda x: F.floor(x / norm * F.lit(1000000.0)).cast("long"))
     return load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+        "vec_id", nq.alias("nq")
     )
 
 
-def _build_graph(Xn: np.ndarray) -> np.ndarray:
-    """Shard-local neighbor graph: top-M cosine neighbors per node from
-    one Gram matmul. Deterministic: ties broken by node index via a
-    lexicographic argsort. Returns (n × M) int32 neighbor ids
-    (shard-local indices)."""
-    n = Xn.shape[0]
-    sims = Xn @ Xn.T  # n × n, one BLAS call
-    np.fill_diagonal(sims, -np.inf)
-    m = min(GRAPH_M, n - 1)
-    # stable top-M: sort by (-sim, index)
-    order = np.argsort(-sims, axis=1, kind="stable")[:, :m]
-    return order.astype(np.int32)
+#: DuckDB twin of :func:`_nq_embeddings` — a CTE body exposing
+#: v(vec_id, nq). The norm is SQRT(LIST_SUM(x²)) exactly as Spark's
+#: left-fold aggregate (the proven vector_normalize equivalence).
+_SQL_NQ_CTE = """
+    v AS MATERIALIZED (
+      SELECT vec_id,
+             LIST_TRANSFORM(
+               LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)),
+               x -> CAST(FLOOR(x / SQRT(LIST_SUM(LIST_TRANSFORM(
+                      LIST_TRANSFORM(embedding, y -> CAST(y AS DOUBLE)),
+                      y -> y * y))) * 1000000.0) AS BIGINT)) AS nq
+      FROM embeddings)"""
+
+#: integer dot of two nq arrays (format with the two array exprs).
+#: CAST pins the type to BIGINT — DuckDB's LIST_SUM widens integer
+#: lists to HUGEINT, which would diverge from Spark's long schema.
+_SQL_DOT = (
+    "CAST(LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> {a}[i] * {b}[i]))"
+    " AS BIGINT)"
+)
 
 
-def _beam_search(
-    qn: np.ndarray, Xn: np.ndarray, nbrs: np.ndarray, ef: int
-) -> tuple[list[tuple[float, int]], int]:
-    """Greedy best-first beam search over the neighbor graph from the
-    fixed entry node 0. Returns (top candidates as (cosine, idx) best
-    first, n_visited). Deterministic: heap keys are (-cos, idx)."""
-    entry = 0
-    s0 = float(Xn[entry] @ qn)
-    visited = {entry}
-    frontier = [(-s0, entry)]  # max-heap on cosine
-    # fixed-size pool of the best ef results: min-heap on cosine
-    pool: list[tuple[float, int]] = [(s0, entry)]
-    while frontier:
-        neg, u = heapq.heappop(frontier)
-        if len(pool) >= ef and -neg < pool[0][0]:
-            break  # best frontier candidate can't improve the pool
-        new = [int(v) for v in nbrs[u] if int(v) not in visited]
-        if not new:
-            continue
-        visited.update(new)
-        scores = Xn[new] @ qn  # batch-score all fresh neighbors
-        for v, s in zip(new, scores):
-            s = float(s)
-            if len(pool) < ef:
-                heapq.heappush(pool, (s, v))
-                heapq.heappush(frontier, (-s, v))
-            elif s > pool[0][0]:
-                heapq.heapreplace(pool, (s, v))
-                heapq.heappush(frontier, (-s, v))
-    return sorted(pool, key=lambda t: (-t[0], t[1])), len(visited)
+def _idot() -> "F.Column":
+    """Spark twin of :data:`_SQL_DOT` over columns na/nb — an integer
+    zip-fold, order-free and exact."""
+    return F.aggregate(
+        F.zip_with("na", "nb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda s, v: s + v,
+    )
 
 
-def _shard_search(probes: list[tuple[int, list[float]]], with_stats: bool):
-    """applyInPandas kernel factory: build the shard graph, beam-search
-    every probe, emit the per-probe shortlist (or visit stats)."""
+def _sql_ann_graph() -> str:
+    """Unrolled-CTE oracle for :func:`sim_ann_graph`: rebuild each
+    shard's top-M integer-dot graph with a within-shard self-join,
+    then replay the H-hop beam per (probe, shard) — candidates =
+    neighbors of the frontier minus everything already visited, all
+    candidates scored and pooled, frontier = hop's top-B — and merge
+    the per-shard shortlists to the global top-k. Every ranking key is
+    an integer; ties break on vec_id in both engines."""
+    hops = []
+    for h in range(1, GRAPH_HOPS + 1):
+        p = h - 1
+        hops.append(f""",
+    cand{h} AS (
+      SELECT DISTINCT f.probe_id, f.shard, ed.b AS node
+      FROM f{p} f JOIN edges ed ON ed.shard = f.shard AND ed.a = f.node
+      WHERE NOT EXISTS (SELECT 1 FROM vis{p} x
+                        WHERE x.probe_id = f.probe_id
+                          AND x.shard = f.shard AND x.node = ed.b)),
+    sc{h} AS MATERIALIZED (
+      SELECT c.probe_id, c.shard, c.node,
+             {_SQL_DOT.format(a="p.pq", b="n.nq")} AS dot
+      FROM cand{h} c
+      JOIN probes p ON p.probe_id = c.probe_id
+      JOIN sv n ON n.vec_id = c.node),
+    f{h} AS (
+      SELECT probe_id, shard, node FROM (
+        SELECT probe_id, shard, node,
+               ROW_NUMBER() OVER (PARTITION BY probe_id, shard
+                                  ORDER BY dot DESC, node) AS r
+        FROM sc{h}) WHERE r <= {BEAM_B}),
+    vis{h} AS (
+      SELECT probe_id, shard, node FROM vis{p}
+      UNION ALL SELECT probe_id, shard, node FROM sc{h})""")
+    pool_union = "\n      UNION ALL ".join(
+        f"SELECT probe_id, shard, node, dot FROM sc{h}"
+        for h in range(0, GRAPH_HOPS + 1)
+    )
+    return f"""
+    WITH {_SQL_NQ_CTE},
+    sv AS MATERIALIZED (
+      SELECT vec_id, vec_id % {GRAPH_SHARDS} AS shard, nq FROM v),
+    edges AS MATERIALIZED (
+      SELECT shard, a, b, dot FROM (
+        SELECT a.shard, a.vec_id AS a, b.vec_id AS b,
+               {_SQL_DOT.format(a="a.nq", b="b.nq")} AS dot,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {_SQL_DOT.format(a="a.nq", b="b.nq")} DESC,
+                          b.vec_id) AS r
+        FROM sv a JOIN sv b
+          ON a.shard = b.shard AND a.vec_id != b.vec_id)
+      WHERE r <= {GRAPH_M}),
+    probes AS (SELECT vec_id AS probe_id, nq AS pq FROM sv
+               WHERE vec_id IN ({_SQL_PROBE_IDS})),
+    entry AS (SELECT shard, MIN(vec_id) AS node FROM sv GROUP BY shard),
+    f0 AS (SELECT p.probe_id, e.shard, e.node
+           FROM probes p CROSS JOIN entry e),
+    sc0 AS (SELECT f.probe_id, f.shard, f.node,
+                   {_SQL_DOT.format(a="p.pq", b="n.nq")} AS dot
+            FROM f0 f
+            JOIN probes p ON p.probe_id = f.probe_id
+            JOIN sv n ON n.vec_id = f.node),
+    vis0 AS (SELECT probe_id, shard, node FROM f0)
+    {"".join(hops)},
+    pool AS ({pool_union}),
+    shortlist AS (
+      SELECT probe_id, node AS neighbor_id, dot FROM (
+        SELECT probe_id, shard, node, dot,
+               ROW_NUMBER() OVER (PARTITION BY probe_id, shard
+                                  ORDER BY dot DESC, node) AS r
+        FROM pool WHERE node != probe_id)
+      WHERE r <= {GRAPH_SHORTLIST})
+    SELECT probe_id, neighbor_id, cos_q12, nn_rank FROM (
+      SELECT probe_id, neighbor_id, dot AS cos_q12,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY dot DESC, neighbor_id) AS nn_rank
+      FROM shortlist) WHERE nn_rank <= {TOP_K}
+    """
+
+
+def _shard_search(probes: list[tuple[int, list[int]]], with_stats: bool):
+    """applyInPandas kernel factory over (vec_id, nq) groups: build
+    the shard's top-M graph (one int64 matmul), replay the H-hop beam
+    for every probe, emit the per-probe shortlist (or visit stats).
+    Pure integer arithmetic throughout — bit-identical to the oracle's
+    CTE replay under any partitioning."""
+
+    P = np.array([p for _, p in probes], dtype="int64")
+    pids = [pid for pid, _ in probes]
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         out_cols = (
             ["probe_id", "n_visited", "n_shard"]
             if with_stats
-            else ["probe_id", "neighbor_id", "cosine"]
+            else ["probe_id", "neighbor_id", "cos_q12"]
         )
         if len(pdf) == 0:
             return pd.DataFrame(columns=out_cols)
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
         ids = pdf["vec_id"].to_numpy()
-        X = np.vstack(pdf["e"].to_numpy())
-        norms = np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-        Xn = X / norms
-        nbrs = _build_graph(Xn)
+        N = np.vstack(pdf["nq"].to_numpy()).astype("int64")
+        n = N.shape[0]
+        dots = N @ N.T
+        m = min(GRAPH_M, n - 1)
+        # top-M by (dot DESC, vec_id ASC): stable argsort of -dots ties
+        # to the lower index, and index order IS vec_id order. Exclude
+        # self AFTER negation — negating int64.min wraps back to
+        # int64.min, which would sort self FIRST instead of last.
+        neg = -dots
+        np.fill_diagonal(neg, np.iinfo(np.int64).max)
+        nbrs = np.argsort(neg, axis=1, kind="stable")[:, :m]
+        pdots = N @ P.T  # n × n_probes, exact
         rows = []
-        for pid, pe in probes:
-            q = np.asarray(pe, dtype=np.float64)
-            qn = q / max(float(np.linalg.norm(q)), 1e-12)
-            pool, n_visited = _beam_search(qn, Xn, nbrs, GRAPH_EF)
+        for j, pid in enumerate(pids):
+            entry = 0  # lowest vec_id in the shard
+            visited = {entry}
+            frontier = [entry]
+            pool = [(int(pdots[entry, j]), entry)]
+            for _ in range(GRAPH_HOPS):
+                cand = sorted(
+                    {int(v) for u in frontier for v in nbrs[u]} - visited
+                )
+                if not cand:
+                    break
+                visited.update(cand)
+                scored = [(int(pdots[v, j]), v) for v in cand]
+                pool.extend(scored)
+                scored.sort(key=lambda t: (-t[0], t[1]))
+                frontier = [v for _, v in scored[:BEAM_B]]
             if with_stats:
-                rows.append((pid, n_visited, len(ids)))
+                rows.append((pid, len(visited), n))
                 continue
+            pool.sort(key=lambda t: (-t[0], t[1]))
             kept = 0
-            for cos, idx in pool:
+            for dot, idx in pool:
                 nid = int(ids[idx])
                 if nid == pid:
                     continue
-                rows.append((pid, nid, round(cos, 6)))
+                rows.append((pid, nid, dot))
                 kept += 1
                 if kept >= GRAPH_SHORTLIST:
                     break
@@ -151,35 +273,36 @@ def _shard_search(probes: list[tuple[int, list[float]]], with_stats: bool):
     return fn
 
 
-def _collect_probes(emb: DataFrame) -> list[tuple[int, list[float]]]:
+def _collect_probes(emb: DataFrame) -> list[tuple[int, list[int]]]:
     rows = sorted(
         emb.filter(F.col("vec_id").isin(PROBE_IDS)).collect(),
         key=lambda r: r["vec_id"],
     )  # bounded: |PROBE_IDS| rows
-    return [(int(r["vec_id"]), list(r["e"])) for r in rows]
+    return [(int(r["vec_id"]), [int(x) for x in r["nq"]]) for r in rows]
 
 
-@register("sim_ann_graph", executes_on_build=True)
+@register("sim_ann_graph", oracle=_sql_ann_graph(), executes_on_build=True)
 def sim_ann_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sharded graph-ANN query: every shard beam-searches its local
-    neighbor graph for every probe, shortlists leave the executors,
-    a global window merges to the final top-k (rank by rounded cosine
-    then neighbor_id — same contract as the LSH/IVF/PQ siblings).
-    Weak oracle — NN-descent's sampled exploration is engine-specific,
-    which is also why this family sits outside `sim_recall_eval`'s
-    exact grid (r14): its recall vs `sim_topk_exact` is asserted in
-    tests/test_weak_ops.py (corpus floor 0.7 + planted twins)."""
-    emb = _embeddings(spark, sf_dir)
+    """Sharded graph-ANN query, EXACT (r15): every shard beam-walks
+    its local top-M integer-dot graph for every probe (H fixed hops,
+    top-B frontier per hop), shortlists leave the executors, a global
+    window merges to the final top-k — ranked by the integer cos_q12
+    (the cosine in 1e-12 units) then neighbor_id, so the result is
+    bit-reproducible and the DuckDB oracle replays the identical walk.
+    Recall vs sim_topk_exact stays pinned in tests/test_weak_ops.py
+    (planted twins + corpus floor) — exactness proves the plan, recall
+    proves the algorithm."""
+    emb = _nq_embeddings(spark, sf_dir)
     probes = _collect_probes(emb)
     sharded = emb.withColumn(
         "shard", (F.col("vec_id") % GRAPH_SHARDS).cast("int")
     )
     shortlists = sharded.groupBy("shard").applyInPandas(
         _shard_search(probes, with_stats=False),
-        "probe_id long, neighbor_id long, cosine double",
+        "probe_id long, neighbor_id long, cos_q12 long",
     )
     w = Window.partitionBy("probe_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
+        F.desc("cos_q12"), F.asc("neighbor_id")
     )
     return (
         shortlists.withColumn("nn_rank", F.row_number().over(w))
@@ -196,34 +319,104 @@ KNN_ROUNDS = 3  # NN-Descent refinement rounds
 KNN_BUILD_K = 2 * KNN_K
 
 
+def _sql_knn_descent(final_k: int, probe_filter: bool) -> str:
+    """Unrolled-CTE oracle replaying :func:`_knn_descent_graph`:
+    portable-hash ring init, then per round symmetrize → neighbor-of-
+    neighbor candidates → integer-dot score → top-BUILD_K per node,
+    then the final top-``final_k`` cut (optionally restricted to the
+    probe nodes, which is sound because the per-node cut is
+    independent across nodes)."""
+    rounds = []
+    for r in range(1, KNN_ROUNDS + 1):
+        p = r - 1
+        rounds.append(f""",
+    s{r} AS (SELECT a, b FROM g{p}
+             UNION ALL SELECT b AS a, a AS b FROM g{p}),
+    c{r} AS (SELECT DISTINCT a, b FROM (
+               SELECT a, b FROM g{p}
+               UNION ALL
+               SELECT x.a AS a, y.b AS b
+               FROM s{r} x JOIN s{r} y ON x.b = y.a)
+             WHERE a != b),
+    g{r} AS MATERIALIZED (
+      SELECT a, b, dot FROM (
+        SELECT c.a, c.b, {_SQL_DOT.format(a="va.nq", b="vb.nq")} AS dot,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.a
+                 ORDER BY {_SQL_DOT.format(a="va.nq", b="vb.nq")} DESC,
+                          c.b) AS r
+        FROM c{r} c JOIN v va ON va.vec_id = c.a
+                    JOIN v vb ON vb.vec_id = c.b)
+      WHERE r <= {KNN_BUILD_K})""")
+    probe_where = (
+        f"WHERE a IN ({_SQL_PROBE_IDS})" if probe_filter else ""
+    )
+    return f"""
+    WITH {_SQL_NQ_CTE},
+    cnt AS (SELECT COUNT(*) AS n FROM v),
+    e0 AS (
+      SELECT DISTINCT vec_id AS a,
+             (vec_id + ({SQL_HASH60.format(
+                 x="vec_id::VARCHAR || ':' || i::VARCHAR")}
+                        % (c.n - 1) + 1)) % c.n AS b
+      FROM v CROSS JOIN cnt c, UNNEST(RANGE(0, {KNN_BUILD_K})) t(i)),
+    g0 AS MATERIALIZED (
+      SELECT a, b, dot FROM (
+        SELECT e.a, e.b, {_SQL_DOT.format(a="va.nq", b="vb.nq")} AS dot,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.a
+                 ORDER BY {_SQL_DOT.format(a="va.nq", b="vb.nq")} DESC,
+                          e.b) AS r
+        FROM e0 e JOIN v va ON va.vec_id = e.a
+                  JOIN v vb ON vb.vec_id = e.b)
+      WHERE r <= {KNN_BUILD_K})
+    {"".join(rounds)}
+    SELECT vec_id, neighbor_id, cos_q12 FROM (
+      SELECT a AS vec_id, b AS neighbor_id, dot AS cos_q12,
+             ROW_NUMBER() OVER (PARTITION BY a
+                                ORDER BY dot DESC, b) AS r
+      FROM g{KNN_ROUNDS} {probe_where})
+    WHERE r <= {final_k}
+    """
+
+
 def _knn_descent_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide approximate kNN graph via NN-Descent (Dong et al.
     2011, "Efficient K-Nearest Neighbor Graph Construction for Generic
     Similarity Measures", public paper) — expressed entirely in
     DataFrame joins, which is what makes it THE distributed build for
-    graph indexes when even a shard is too big to matmul.
+    graph indexes when even a shard is too big to matmul. EXACT since
+    r15: init offsets come from the portable 60-bit hash (not
+    xxhash64) and scores are integer nq dots, so the whole descent
+    replays verbatim in the unrolled-CTE oracle.
 
     The local-join insight: if b is near a and c is near b, then c is
     probably near a. Each round: (1) make edges symmetric, (2) join
     the graph with itself on the shared endpoint to enumerate
     neighbor-of-neighbor candidates, (3) score candidates (one
-    embeddings join per side), (4) keep the best K per node. Round
-    cost is O(n·K²) candidate pairs — K is a constant, so every round
-    is linear in the corpus, shuffled on keys Spark hash-partitions;
-    never n². Published convergence: a handful of rounds to ~0.9+
-    recall (asserted for this fixture in tests/test_weak_ops.py).
+    embeddings join per side), (4) keep the best BUILD_K per node.
+    Round cost is O(n·K²) candidate pairs — K is a constant, so every
+    round is linear in the corpus, shuffled on keys Spark
+    hash-partitions; never n². Published convergence: a handful of
+    rounds to ~0.9+ recall (asserted in tests/test_weak_ops.py).
 
-    Init is deterministic hash-pseudo-random (vec_id-derived ring
-    offsets — no RNG state), and each round ends in a localCheckpoint
-    to truncate the grown lineage, the same pattern as
-    dedup_cluster_components."""
-    emb = _embeddings(spark, sf_dir)
+    Init assumes the contiguous 0..n−1 vec_id space of the fixture
+    corpus (ring offsets land on existing ids); each round ends in a
+    localCheckpoint to truncate the grown lineage, the same pattern
+    as dedup_cluster_components. Emits (a, b, dot)."""
+    emb = _nq_embeddings(spark, sf_dir)
     n = emb.count()
     ids = emb.select("vec_id")
-    # init: BUILD_K ring neighbors at hash-scattered offsets
+    # init: BUILD_K ring neighbors at portable-hash-scattered offsets
     # (deterministic, nonzero, distinct for K << n)
     offsets = [
-        (F.pmod(F.xxhash64(F.col("vec_id"), F.lit(i)), F.lit(n - 1)) + 1)
+        (
+            portable_hash60(
+                F.concat(F.col("vec_id").cast("string"), F.lit(f":{i}"))
+            )
+            % F.lit(n - 1)
+            + 1
+        )
         for i in range(KNN_BUILD_K)
     ]
     edges = ids.select(
@@ -231,24 +424,24 @@ def _knn_descent_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array(*offsets)).alias("off"),
     ).select(
         F.col("vec_id").alias("a"),
-        F.pmod(F.col("vec_id") + F.col("off"), F.lit(n)).alias("b"),
+        ((F.col("vec_id") + F.col("off")) % F.lit(n)).alias("b"),
     ).dropDuplicates(["a", "b"])
 
-    ea = emb.select(F.col("vec_id").alias("a"), F.col("e").alias("ea"))
-    eb = emb.select(F.col("vec_id").alias("b"), F.col("e").alias("eb"))
+    ea = emb.select(F.col("vec_id").alias("a"), F.col("nq").alias("na"))
+    eb = emb.select(F.col("vec_id").alias("b"), F.col("nq").alias("nb"))
 
     def score_topk(cand: DataFrame, k: int) -> DataFrame:
         scored = (
             cand.filter(F.col("a") != F.col("b"))
             .join(ea, "a")
             .join(eb, "b")
-            .select("a", "b", F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos"))
+            .select("a", "b", _idot().alias("dot"))
         )
-        w = Window.partitionBy("a").orderBy(F.desc("cos"), F.asc("b"))
+        w = Window.partitionBy("a").orderBy(F.desc("dot"), F.asc("b"))
         return (
             scored.withColumn("r", F.row_number().over(w))
             .filter(F.col("r") <= k)
-            .select("a", "b", "cos")
+            .select("a", "b", "dot")
         )
 
     graph = score_topk(edges, KNN_BUILD_K)
@@ -262,27 +455,39 @@ def _knn_descent_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.col("x.a").alias("a"), F.col("y.b").alias("b"))
         cand = graph.select("a", "b").union(nn).dropDuplicates(["a", "b"])
         graph = score_topk(cand, KNN_BUILD_K).localCheckpoint(eager=False)
-    # emit the converged top K of the oversampled working graph
-    return score_topk(graph.select("a", "b"), KNN_K)
+    # the converged top K of the oversampled working graph (the dots
+    # are already final — a per-node window cut, no rescoring join)
+    w = Window.partitionBy("a").orderBy(F.desc("dot"), F.asc("b"))
+    return (
+        graph.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= KNN_K)
+        .select("a", "b", "dot")
+    )
 
 
-@register("graph_knn_descent", executes_on_build=True)
+@register(
+    "graph_knn_descent",
+    oracle=_sql_knn_descent(KNN_K, probe_filter=True),
+    executes_on_build=True,
+)
 def graph_knn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NN-Descent corpus kNN graph (weak oracle — approximate,
-    iteration-dependent; recall vs the exact graph is floored in
-    tests/test_weak_ops.py). Emits the probe nodes' adjacency so the
-    driver row count stays bounded while the FULL corpus graph is
-    built; the graph itself is the input artifact for graph-ANN
-    serving, SemDeDup-style clustering, and link-based curation."""
+    """NN-Descent corpus kNN graph — EXACT (r15): the descent is
+    seeded by portable-hash ring offsets and scored in integer fixed
+    point, so the DuckDB oracle replays every round verbatim; recall
+    vs the exact graph stays floored in tests/test_weak_ops.py.
+    Emits the probe nodes' adjacency so the driver row count stays
+    bounded while the FULL corpus graph is built; the graph itself is
+    the input artifact for graph-ANN serving, SemDeDup-style
+    clustering, and link-based curation."""
     graph = _knn_descent_graph(spark, sf_dir)
     return (
         graph.filter(F.col("a").isin(PROBE_IDS))
         .select(
             F.col("a").alias("vec_id"),
             F.col("b").alias("neighbor_id"),
-            F.col("cos").alias("cosine"),
+            F.col("dot").alias("cos_q12"),
         )
-        .orderBy("vec_id", F.desc("cosine"), "neighbor_id")
+        .orderBy("vec_id", F.desc("cos_q12"), "neighbor_id")
     )
 
 
@@ -291,7 +496,7 @@ def graph_search_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserting the beam visits a bounded fraction of each shard (the
     graph-index property). Not registered — layout metrics belong in
     pytest, not the oracle surface."""
-    emb = _embeddings(spark, sf_dir)
+    emb = _nq_embeddings(spark, sf_dir)
     probes = _collect_probes(emb)
     sharded = emb.withColumn(
         "shard", (F.col("vec_id") % GRAPH_SHARDS).cast("int")
