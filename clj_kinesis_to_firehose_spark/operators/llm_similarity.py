@@ -152,6 +152,45 @@ def _signature_udf():
     return signatures
 
 
+def _signature_int_udf():
+    """:func:`_signature_udf`'s integer-domain twin: input is an
+    ALREADY-QUANTIZED ``array<long>`` vector (the FLOOR(x·1e6) units
+    the float kernel produces internally), so callers that synthesize
+    vectors IN the quantized domain (sim_ann_calibration's planted
+    variants) get signatures from the same hyperplanes and bit packing
+    without a float round-trip — bit-equality with the production
+    kernel on real embeddings is pinned in pytest."""
+    cq = np.array(_lsh_coef(), dtype="int64").T  # dim × (L·K)
+    weights = np.array(
+        [1 << k for k in range(LSH_BITS)] * LSH_TABLES, dtype="int64"
+    )
+    table_of = np.repeat(np.arange(LSH_TABLES), LSH_BITS)
+
+    @F.pandas_udf("array<int>")
+    def signatures(eq: pd.Series) -> pd.Series:
+        xq = np.vstack(eq.to_numpy()).astype("int64")
+        bits = (xq @ cq) >= 0  # rows × (L·K), exact int64 dots
+        weighted = bits * weights
+        sigs = np.zeros((xq.shape[0], LSH_TABLES), dtype="int64")
+        for t in range(LSH_TABLES):
+            sigs[:, t] = weighted[:, table_of == t].sum(axis=1)
+        return pd.Series(list(sigs.astype("int32")))
+
+    return signatures
+
+
+#: DuckDB CTE fragment: the hyperplane coefficient table as VALUES —
+#: shared by the sim_ann_lsh and sim_ann_calibration oracles so both
+#: read the SAME `_lsh_coef()` constants.
+def sql_lsh_coef_values() -> str:
+    C = _lsh_coef()
+    return ",".join(
+        f"({p},{d + 1},{C[p][d]})"
+        for p in range(LSH_BITS * LSH_TABLES)
+        for d in range(64)
+    )
+
+
 def _sql_ann_lsh() -> str:
     """The DuckDB twin of the WHOLE sim_ann_lsh pipeline: the integer
     coefficient table inlined as VALUES (the same `_lsh_coef()`
@@ -159,12 +198,7 @@ def _sql_ann_lsh() -> str:
     per-table sign-bit buckets → probe-vs-corpus bucket join →
     distinct pairs → exact rounded cosine → top-k. Verified equal to
     the numpy kernel bit-for-bit at prototype time (r14)."""
-    C = _lsh_coef()
-    lits = ",".join(
-        f"({p},{d + 1},{C[p][d]})"
-        for p in range(LSH_BITS * LSH_TABLES)
-        for d in range(64)
-    )
+    lits = sql_lsh_coef_values()
     ids = ", ".join(str(i) for i in PROBE_IDS)
     return f"""
     WITH coef AS (SELECT * FROM (VALUES {lits}) t(p, d, c)),

@@ -177,14 +177,42 @@ def test_ann_calibration_recall_laws(spark):
     collisions); the easiest cell (cos .99, 8 tables) is near-exact;
     and the grid discriminates (hardest cell strictly below easiest)."""
     out = QUERIES["sim_ann_calibration"](spark, SF_DIR).toPandas()
-    grid = out.set_index(["level", "n_tables"]).recall
+    grid = out.set_index(["level", "n_tables"]).recall_u4
     assert len(out) == len(ANN_CAL_LEVELS) * len(ANN_CAL_TABLE_BUDGETS)
     for lvl in ANN_CAL_LEVELS:
         seq = [grid[(lvl, b)] for b in sorted(ANN_CAL_TABLE_BUDGETS)]
         assert all(a <= b for a, b in zip(seq, seq[1:])), (lvl, seq)
-    assert grid[(max(ANN_CAL_LEVELS), 8)] >= 0.9
+    assert grid[(max(ANN_CAL_LEVELS), 8)] >= 9000
     assert grid[(min(ANN_CAL_LEVELS), 1)] < grid[(max(ANN_CAL_LEVELS), 8)]
     assert (out.n_planted == out.n_planted.iloc[0]).all()
+
+
+def test_signature_int_udf_matches_production_kernel(spark):
+    """The integer-domain signature twin must be BIT-EQUAL to the
+    production float kernel on real embeddings — the parity claim the
+    r15 exact calibration grid rests on (its planted variants can only
+    be signed through the integer path)."""
+    from pyspark.sql import functions as F
+
+    from clj_kinesis_to_firehose_spark.operators.llm_similarity import (
+        _signature_int_udf,
+        _signature_udf,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.lit(1000000)).cast("long"),
+        ).alias("eq"),
+    )
+    both = emb.select(
+        "vec_id",
+        _signature_udf()(F.col("e")).alias("sf"),
+        _signature_int_udf()(F.col("eq")).alias("si"),
+    )
+    assert both.filter(F.col("sf") != F.col("si")).count() == 0
 
 
 def test_watermark_audit_localizes_drops_to_the_late_batch(spark):
