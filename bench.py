@@ -92,6 +92,12 @@ EXTENDED = [
     # clear_memos before each run keeps the fit honest (never a
     # cache read)
     "sim_ann_ivf",
+    # round 15 (r14 verdict #5): the production fit shape — Lloyd's on
+    # a 1-in-4 hash sample, full-corpus assignment. Read next to
+    # sim_ann_ivf: the gap between the two rows IS the sample-fit
+    # saving, and it widens with corpus size (the fit aggregations
+    # scan the sample only — plan-pinned in test_plans.py)
+    "embedding_kmeans_samplefit",
 ]
 N_RUNS_EXT = 2
 

@@ -897,3 +897,113 @@ def join_cardinality_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
             "skew_flag",
         )
     )
+
+#: per-key fanout above which :func:`join_preflight_gated` refuses to
+#: materialize a key's output and dead-letters it instead — the
+#: BAND_BUCKET_CAP philosophy applied to relational joins. Organic
+#: fixture fanouts are two orders of magnitude below it (max ~45 at
+#: sf0.1); only an adversarial hot key (template flood, crawler trap)
+#: crosses it, and such a key's output is Θ(fanout) no matter how AQE
+#: splits the WORK — the only scale-safe answer is to not emit it.
+JOIN_FANOUT_CAP = 2_000
+
+
+@register(
+    "join_preflight_gated",
+    oracle=f"""
+    WITH lh AS (
+      SELECT o_custkey AS k, COUNT(*) AS fl FROM orders GROUP BY o_custkey
+    ), rh AS (
+      SELECT c_custkey AS k, COUNT(*) AS fr FROM customer GROUP BY c_custkey
+    ), m AS (
+      SELECT lh.k, lh.fl, rh.fr, lh.fl * rh.fr AS fanout
+      FROM lh JOIN rh USING (k)
+    ), dead AS (
+      SELECT k, fanout FROM m WHERE fanout > {JOIN_FANOUT_CAP}
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys_matching,
+             CAST(SUM(CASE WHEN fanout > {JOIN_FANOUT_CAP}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_keys_dead,
+             CAST(COALESCE(SUM(CASE WHEN fanout <= {JOIN_FANOUT_CAP}
+                                    THEN fanout END), 0) AS BIGINT)
+               AS rows_predicted,
+             CAST(COALESCE(SUM(CASE WHEN fanout > {JOIN_FANOUT_CAP}
+                                    THEN fanout END), 0) AS BIGINT)
+               AS rows_dead_lettered
+      FROM m
+    ), executed AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS rows_joined
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE o.o_custkey NOT IN (SELECT k FROM dead)
+    )
+    SELECT s.n_keys_matching, s.n_keys_dead, e.rows_joined,
+           s.rows_predicted, s.rows_dead_lettered,
+           CASE WHEN s.n_keys_dead > 0 THEN 'degraded'
+                ELSE 'clean' END AS decision
+    FROM stats s CROSS JOIN executed e
+    """,
+)
+def join_preflight_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`join_cardinality_preflight` turned from telemetry into
+    CONTROL (r14 verdict #6 — the sql_bucket_gate pattern applied to
+    relational joins): the two key histograms price every key's
+    fanout BEFORE the join, keys above JOIN_FANOUT_CAP are
+    dead-lettered (their output would be Θ(fanout) regardless of AQE's
+    work-splitting), and the join executes ONLY over the surviving
+    keys — via a broadcast anti-join against the dead-key set, which
+    is small BY CONSTRUCTION (hot keys are few; the allowed set would
+    be key-cardinality-sized, so the guard broadcasts the complement).
+    The output row carries both the histogram PREDICTION for the gated
+    join and the EXECUTED row count — equal by the fanout identity,
+    which the oracle re-proves and the planted-hot-key pytest pins —
+    plus the decision column a pipeline branches on ('clean' =
+    everything joined; 'degraded' = dead-letter queue needs a look).
+
+    Scale: two map-side-partial histogram aggregates, one
+    key-cardinality histogram join, one broadcast anti-join on the
+    fact side — the fact table is scanned twice and never shuffled on
+    the key unless the histogram join itself needs it; the executed
+    join inherits whatever strategy AQE picks knowing the flood keys
+    are already gone."""
+    lh = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count("*").alias("fl"))
+    )
+    rh = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_custkey").alias("k"))
+        .agg(F.count("*").alias("fr"))
+    )
+    m = lh.join(rh, "k").withColumn("fanout", F.col("fl") * F.col("fr"))
+    over = F.col("fanout") > JOIN_FANOUT_CAP
+    stats = m.agg(
+        F.count("*").cast("long").alias("n_keys_matching"),
+        F.sum(over.cast("long")).cast("long").alias("n_keys_dead"),
+        F.coalesce(
+            F.sum(F.when(~over, F.col("fanout"))), F.lit(0)
+        ).cast("long").alias("rows_predicted"),
+        F.coalesce(
+            F.sum(F.when(over, F.col("fanout"))), F.lit(0)
+        ).cast("long").alias("rows_dead_lettered"),
+    )
+    dead_keys = m.filter(over).select("k")
+    executed = (
+        load_table(spark, sf_dir, "orders")
+        .join(F.broadcast(dead_keys), F.col("o_custkey") == F.col("k"), "left_anti")
+        .join(
+            load_table(spark, sf_dir, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .agg(F.count("*").cast("long").alias("rows_joined"))
+    )
+    return stats.crossJoin(F.broadcast(executed)).select(
+        "n_keys_matching",
+        "n_keys_dead",
+        "rows_joined",
+        "rows_predicted",
+        "rows_dead_lettered",
+        F.when(F.col("n_keys_dead") > 0, F.lit("degraded"))
+        .otherwise(F.lit("clean"))
+        .alias("decision"),
+    )

@@ -318,6 +318,96 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: 1-in-SAMPLEFIT_MOD deterministic hash-sample for the production
+#: fit shape: the fit sees ~25% of the corpus, the assignment all of it
+SAMPLEFIT_MOD = 4
+
+
+def _samplefit_pred():
+    """The Spark fit predicate of :func:`embedding_kmeans_samplefit` —
+    portable-hash sampling, so the SQL twin selects the SAME rows."""
+    from clj_kinesis_to_firehose_spark.operators.llm_dedup import (
+        portable_hash60,
+    )
+
+    return portable_hash60(F.col("vec_id").cast("string")) % SAMPLEFIT_MOD == 0
+
+
+def _sql_samplefit_pred() -> str:
+    from clj_kinesis_to_firehose_spark.operators.llm_dedup import SQL_HASH60
+
+    return (
+        f"{SQL_HASH60.format(x='vec_id::VARCHAR')} % {SAMPLEFIT_MOD} = 0"
+    )
+
+
+def _sql_kmeans_samplefit() -> str:
+    """Sample-fit report: the SAME shared Lloyd's prefix with the
+    hash-sample fit predicate; the report adds the per-cluster count
+    of fit-visible vectors next to the full-corpus census."""
+    return f"""
+    WITH {_sql_kmeans_prefix(fit_pred=_sql_samplefit_pred())}
+    SELECT CAST(cluster AS BIGINT) AS cluster, COUNT(*) AS n_vectors,
+           CAST(SUM(CASE WHEN {_sql_samplefit_pred()} THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_fit,
+           CAST({_fdiv_sql(
+               "SUM(CAST(FLOOR(SQRT(CAST(d2 AS DOUBLE))) AS BIGINT))",
+               "COUNT(*)",
+           )} AS BIGINT) AS avg_dist_q
+    FROM kfinal GROUP BY cluster
+    """
+
+
+@register(
+    "embedding_kmeans_samplefit",
+    executes_on_build="conditional",  # warm _KMEANS_FIT_MEMO skips the fit
+    oracle=_sql_kmeans_samplefit(),
+)
+def embedding_kmeans_samplefit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION kmeans shape at 100 TB (r14 verdict #5): fit on
+    a deterministic 1-in-{SAMPLEFIT_MOD} portable-hash sample, assign
+    the FULL corpus to the frozen centroids in one map-only pass.
+    Every per-iteration fit aggregation now scans the sample, not the
+    corpus — the fit cost becomes a function of the SAMPLE size (a
+    knob), independent of corpus growth, which is what makes the
+    expensive part of kmeans schedulable on a 100 TB tier (the bench's
+    extended row shows the fit-time drop vs the full-corpus fit at the
+    same SF; test_plans pins that the sample filter sits below the
+    fit aggregate). EXACT oracle: the shared unrolled Lloyd's prefix
+    with its fit restricted by the same portable-hash predicate.
+
+    Output per cluster: full-corpus census, how many of its members
+    the fit actually saw (n_fit — the sample coverage you'd monitor
+    for starved cells), and the mean centroid distance in 1e-6 units
+    over the FULL corpus (quality is measured on everything, not just
+    the sample)."""
+    cent, assigned, _ = _fit_kmeans_fp(
+        spark, sf_dir, fit_filter=_samplefit_pred(), tag="hash-sample"
+    )
+    cent_df = spark.createDataFrame(
+        [(i, [int(v) for v in cent[i]]) for i in range(K_CLUSTERS)],
+        "cluster int, c array<long>",
+    )
+    d2 = F.aggregate(
+        F.zip_with("eq", "c", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda s, x: s + x,
+    )
+    dist_q = F.floor(F.sqrt(d2.cast("double"))).cast("long")
+    return (
+        assigned.join(F.broadcast(cent_df), "cluster")
+        .withColumn("dist_q", dist_q)
+        .withColumn("in_fit", _samplefit_pred().cast("long"))
+        .groupBy(F.col("cluster").cast("long").alias("cluster"))
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum("in_fit").alias("n_fit"),
+            # both operands non-negative, so truncating `div` == floor
+            F.expr("sum(dist_q) div count(*)").cast("long").alias("avg_dist_q"),
+        )
+    )
+
+
 def _sql_ann_ivf() -> str:
     """DuckDB twin of the WHOLE sim_ann_ivf pipeline over the shared
     Lloyd's prefix: integer probe→cell distances → nprobe nearest

@@ -670,3 +670,31 @@ def test_ivf_candidate_join_broadcasts_probe_cells(spark):
     assert "SinglePartition" not in audit.formatted_plan(df), (
         audit.plan_report(df)
     )
+
+
+def test_samplefit_fit_aggregation_scans_sample_only(spark):
+    # the r15 production-shape claim (r14 verdict #5): with the
+    # hash-sample predicate active, every per-iteration fit aggregate
+    # consumes the FILTERED relation — the md5 sample filter is part
+    # of the aggregation's plan (it is the agg's only input), so fit
+    # cost tracks the sample size, not the corpus. This rebuilds the
+    # exact loop-body aggregation of _fit_kmeans_fp.
+    from pyspark.sql import functions as F
+
+    from clj_kinesis_to_firehose_spark.operators.llm_clustering import (
+        _quantized,
+        _samplefit_pred,
+    )
+
+    fit_emb = _quantized(spark, SF_DIR).filter(_samplefit_pred())
+    sums = (
+        fit_emb.select(F.posexplode("eq").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+    )
+    plan = audit.formatted_plan(sums)
+    assert "md5" in plan, plan  # the sample gate feeds the aggregate
+    # and the sample really is a strict subset of the corpus
+    n_fit = fit_emb.count()
+    n_all = _quantized(spark, SF_DIR).count()
+    assert 0 < n_fit < n_all, (n_fit, n_all)

@@ -1,0 +1,72 @@
+"""Round-15 operator pins: the preflight guard's control decision
+(planted hot key → dead-letter), and the sample-fit kmeans coverage
+contract."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from clj_kinesis_to_firehose_spark import registry
+from tests.conftest import SF_DIR
+
+QUERIES = registry.queries()
+
+
+def test_preflight_gate_clean_on_organic_fixture(spark):
+    # organic TPC-H-ish fanouts sit far below the cap: everything
+    # joins, the prediction matches the executed count exactly, and
+    # the decision says so
+    row = QUERIES["join_preflight_gated"](spark, SF_DIR).collect()[0]
+    assert row["decision"] == "clean"
+    assert row["n_keys_dead"] == 0
+    assert row["rows_dead_lettered"] == 0
+    assert row["rows_joined"] == row["rows_predicted"] > 0
+
+
+def test_preflight_gate_deadletters_planted_hot_key(spark):
+    # an adversarial flood on ONE custkey (a template-flood/crawler
+    # trap stand-in) must flip the decision, be priced exactly, and be
+    # EXCLUDED from the executed join — telemetry turned into control
+    from clj_kinesis_to_firehose_spark.operators.joins import (
+        JOIN_FANOUT_CAP,
+    )
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    customer = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    hot = customer.select(F.min("c_custkey")).collect()[0][0]
+    n_flood = JOIN_FANOUT_CAP + 500
+    template = orders.limit(1).drop("o_orderkey", "o_custkey")
+    flood = (
+        spark.range(n_flood)
+        .crossJoin(F.broadcast(template))
+        .select(
+            (F.col("id") + 1_000_000_000).alias("o_orderkey"),
+            F.lit(hot).cast("long").alias("o_custkey"),
+            *template.columns,
+        )
+    )
+    doctored = orders.select(flood.columns).unionByName(flood)
+    out = tempfile.mkdtemp(prefix="kf_hotkey_")
+    doctored.write.mode("overwrite").parquet(
+        os.path.join(out, "orders.parquet")
+    )
+    customer.write.mode("overwrite").parquet(
+        os.path.join(out, "customer.parquet")
+    )
+
+    row = QUERIES["join_preflight_gated"](spark, out).collect()[0]
+    organic = QUERIES["join_preflight_gated"](spark, SF_DIR).collect()[0]
+    hot_organic = (
+        orders.filter(F.col("o_custkey") == hot).count()
+    )
+    assert row["decision"] == "degraded"
+    assert row["n_keys_dead"] == 1
+    # the dead-lettered mass is the flood plus the key's organic rows
+    assert row["rows_dead_lettered"] == n_flood + hot_organic
+    # the executed join excludes the hot key and STILL matches its
+    # own histogram prediction exactly
+    assert row["rows_joined"] == row["rows_predicted"]
+    assert row["rows_joined"] == organic["rows_joined"] - hot_organic
