@@ -100,6 +100,10 @@ EXTENDED = [
     "embedding_kmeans_samplefit",
 ]
 N_RUNS_EXT = 2
+#: kept runs per streaming-throughput probe (r15, r14 verdict #3):
+#: median-of-5 after one discarded warm-up run — the throughput probes
+#: are the bench's noisiest rows and need the deeper sample
+N_RUNS_TPUT = 5
 
 #: steady-state box canary of the r13 record run (BENCH_r13:
 #: box_canary_runs median 0.343 s) — the normalization anchor that
@@ -213,12 +217,17 @@ def main() -> None:
         # r12 single-shot form carried ~2-3× first-run variance — an
         # isolated idle-box re-measurement put run 1 at 5.2k/7.2k rec/s
         # vs runs 2-3 at 15.7-18.8k, which is Python-worker/JIT
-        # startup, not pipeline cost drift — so r13 adopts the same
-        # 3-run-median protocol every other bench number uses and
-        # records the per-run list for attribution.
+        # startup, not pipeline cost drift — so r13 adopted the
+        # 3-run-median protocol. r14 still spanned 2.4× WITHIN one
+        # bench (r14 verdict #3), so r15 tightens the protocol: one
+        # DISCARDED warm-up run (it pays the Python-worker/JIT and
+        # page-cache cost), then N_RUNS kept runs, median + a
+        # machine-readable `{metric}_spread` = max/min of the kept
+        # runs — a spread near 1 with a moved median is a real
+        # regression; a wide spread says "box phase, re-measure".
         try:
             vals = []
-            for _ in range(N_RUNS):
+            for i in range(N_RUNS_TPUT + 1):
                 registry.clear_memos()  # cold fit per timed run
                 # each run really does build fresh replay dirs: the
                 # process-wide replay memo exists for the test suite,
@@ -231,9 +240,12 @@ def main() -> None:
                 t0 = time.perf_counter()
                 rows = queries[qname](spark, sf_dir).collect()
                 dt = time.perf_counter() - t0
+                if i == 0:
+                    continue  # warm-up run: measured work, discarded
                 vals.append(round(sum(r[count_col] for r in rows) / dt, 1))
             extended[metric] = round(statistics.median(vals), 1)
             extended[f"{metric}_runs"] = vals
+            extended[f"{metric}_spread"] = round(max(vals) / min(vals), 2)
             for ph, sec in bench_probe.phases(qname).items():
                 extended[f"{qname}_{ph}"] = sec
         except Exception:
