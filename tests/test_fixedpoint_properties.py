@@ -44,3 +44,43 @@ def test_portable_hash60_sql_twin_matches_md5_definition(s):
         "SELECT " + SQL_HASH60.format(x="?"), [s]
     ).fetchone()[0]
     assert got == expect, s
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    v=st.lists(
+        st.floats(
+            min_value=-1.0,
+            max_value=1.0,
+            allow_nan=False,
+            width=32,
+        ).filter(lambda x: abs(x) > 1e-6),
+        min_size=2,
+        max_size=64,
+    )
+)
+def test_nq_quantization_sql_twin_matches_left_fold_definition(v):
+    # the r15 graph-ANN exactness rests on nq = FLOOR(x/‖x‖·1e6) being
+    # identical in Spark and DuckDB. Spark's F.aggregate is a strict
+    # left fold over doubles; DuckDB's LIST_SUM must keep matching it
+    # (if DuckDB ever switched to pairwise summation the quantization
+    # could flip a unit on a boundary value). Replay the left fold in
+    # pure Python as the definition and pin DuckDB to it.
+    import math
+
+    s = 0.0
+    for x in v:
+        s += x * x
+    norm = math.sqrt(s)
+    expect = [math.floor(x / norm * 1000000.0) for x in v]
+    got = _CON.execute(
+        """
+        SELECT LIST_TRANSFORM(
+          LIST_TRANSFORM(?::FLOAT[], x -> CAST(x AS DOUBLE)),
+          x -> CAST(FLOOR(x / SQRT(LIST_SUM(LIST_TRANSFORM(
+                 LIST_TRANSFORM(?::FLOAT[], y -> CAST(y AS DOUBLE)),
+                 y -> y * y))) * 1000000.0) AS BIGINT))
+        """,
+        [v, v],
+    ).fetchone()[0]
+    assert got == expect, (v, got, expect)

@@ -698,3 +698,16 @@ def test_samplefit_fit_aggregation_scans_sample_only(spark):
     n_fit = fit_emb.count()
     n_all = _quantized(spark, SF_DIR).count()
     assert 0 < n_fit < n_all, (n_fit, n_all)
+
+
+def test_graph_ann_search_is_shard_local(spark):
+    # the r15 exact beam keeps the graph-index scale contract: ONE
+    # exchange co-locates the shards for the applyInPandas kernel, one
+    # probe-keyed window merges the constant-size shortlists — nothing
+    # else corpus-sized crosses the wire, and nothing funnels through
+    # a single partition
+    df = QUERIES["sim_ann_graph"](spark, SF_DIR)
+    assert audit.n_shuffles(df) <= 2, audit.plan_report(df)
+    assert "SinglePartition" not in audit.formatted_plan(df), (
+        audit.plan_report(df)
+    )
