@@ -94,11 +94,16 @@ def _nq_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: DuckDB twin of :func:`_nq_embeddings` — a CTE body exposing
-#: v(vec_id, nq). The norm is SQRT(LIST_SUM(x²)) exactly as Spark's
-#: left-fold aggregate (the proven vector_normalize equivalence).
-_SQL_NQ_CTE = """
-    v AS MATERIALIZED (
+def sql_nq_cte(name: str = "v") -> str:
+    """DuckDB twin of :func:`_nq_embeddings` — a CTE body exposing
+    ``name``(vec_id, nq). The norm is SQRT(LIST_SUM(x²)) exactly as
+    Spark's left-fold aggregate (the proven vector_normalize
+    equivalence; fold-order law pinned in
+    test_fixedpoint_properties). ``name`` lets composing oracles
+    (dedup_semdedup_cells) avoid colliding with the kmeans prefix's
+    own ``v``."""
+    return f"""
+    {name} AS MATERIALIZED (
       SELECT vec_id,
              LIST_TRANSFORM(
                LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)),
@@ -106,6 +111,9 @@ _SQL_NQ_CTE = """
                       LIST_TRANSFORM(embedding, y -> CAST(y AS DOUBLE)),
                       y -> y * y))) * 1000000.0) AS BIGINT)) AS nq
       FROM embeddings)"""
+
+
+_SQL_NQ_CTE = sql_nq_cte("v")
 
 #: integer dot of two nq arrays (format with the two array exprs).
 #: CAST pins the type to BIGINT — DuckDB's LIST_SUM widens integer
@@ -488,6 +496,94 @@ def graph_knn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dot").alias("cos_q12"),
         )
         .orderBy("vec_id", F.desc("cos_q12"), "neighbor_id")
+    )
+
+
+#: SemDeDup prune threshold in cos·1e12 units. 0.30 is the FIXTURE
+#: regime (random unit vectors — within-cell cosines concentrate low);
+#: a production run over real text embeddings sets this near the
+#: paper's ~0.9. The knob changes selectivity, never the plan.
+SEMDEDUP_TAU_Q12 = 300_000_000_000
+
+
+def _sql_semdedup_cells() -> str:
+    """Oracle composing the shared fixed-point kmeans prefix (kfinal =
+    the exact cell assignment) with the nq fixed-point cosine: within
+    each cell, integer-dot every (lower-id, higher-id) pair, keep
+    pairs at/above τ, and emit each pruned vector's LOWEST-id keeper."""
+    from clj_kinesis_to_firehose_spark.operators.llm_clustering import (
+        _sql_kmeans_prefix,
+    )
+
+    dot = _SQL_DOT.format(a="na.nq", b="nb.nq")
+    return f"""
+    WITH {_sql_kmeans_prefix()},
+    {sql_nq_cte("nv").strip()},
+    qual AS (
+      SELECT keeper, pruned, cq FROM (
+        SELECT a.vec_id AS keeper, b.vec_id AS pruned, {dot} AS cq
+        FROM kfinal a JOIN kfinal b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        JOIN nv na ON na.vec_id = a.vec_id
+        JOIN nv nb ON nb.vec_id = b.vec_id)
+      WHERE cq >= {SEMDEDUP_TAU_Q12})
+    SELECT pruned_vec_id, keeper_vec_id, cos_q12 FROM (
+      SELECT pruned AS pruned_vec_id, keeper AS keeper_vec_id,
+             cq AS cos_q12,
+             ROW_NUMBER() OVER (PARTITION BY pruned ORDER BY keeper) AS r
+      FROM qual) WHERE r = 1
+    """
+
+
+@register(
+    "dedup_semdedup_cells",
+    executes_on_build="conditional",  # warm _KMEANS_FIT_MEMO skips the fit
+    oracle=_sql_semdedup_cells(),
+)
+def dedup_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the REAL kmeans cells (Abbas et al. 2023, public
+    paper) — the composition `dedup_semantic_prune`'s docstring
+    promised ("at 100 TB the assignment comes from embedding_kmeans")
+    delivered as tested code, now that both halves are exact: the cell
+    key is the fixed-point Lloyd's assignment (:func:`_fit_kmeans_fp`,
+    shared memoized fit), the similarity is the fixed-point nq cosine,
+    and each vector with a lower-id clustermate at cosine ≥ τ is
+    pruned in favor of its LOWEST-id keeper. EXACT oracle: the shared
+    unrolled kmeans prefix joined to the nq CTE.
+
+    Scale: pairwise cosine runs ONLY inside a cell — pair cost is
+    Σ n_cell², bounded by the cell-size distribution the kmeans report
+    already monitors (and k is the knob); the equi-join on the cell
+    key is an ordinary shuffle join AQE skew-splits. Nothing is ever
+    corpus²."""
+    from clj_kinesis_to_firehose_spark.operators.llm_clustering import (
+        _fit_kmeans_fp,
+    )
+
+    _, assigned, _ = _fit_kmeans_fp(spark, sf_dir)
+    cells = assigned.select("vec_id", "cluster")
+    nq = _nq_embeddings(spark, sf_dir)
+    a = cells.join(nq, "vec_id").select(
+        F.col("vec_id").alias("keeper"), "cluster", F.col("nq").alias("na")
+    )
+    b = cells.join(nq, "vec_id").select(
+        F.col("vec_id").alias("pruned"), "cluster", F.col("nq").alias("nb")
+    )
+    qual = (
+        a.join(b, "cluster")
+        .filter(F.col("keeper") < F.col("pruned"))
+        .select("keeper", "pruned", _idot().alias("cos_q12"))
+        .filter(F.col("cos_q12") >= SEMDEDUP_TAU_Q12)
+    )
+    w = Window.partitionBy("pruned").orderBy("keeper")
+    return (
+        qual.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            F.col("pruned").alias("pruned_vec_id"),
+            F.col("keeper").alias("keeper_vec_id"),
+            "cos_q12",
+        )
     )
 
 

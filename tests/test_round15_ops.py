@@ -70,3 +70,36 @@ def test_preflight_gate_deadletters_planted_hot_key(spark):
     # own histogram prediction exactly
     assert row["rows_joined"] == row["rows_predicted"]
     assert row["rows_joined"] == organic["rows_joined"] - hot_organic
+
+
+def test_semdedup_cells_laws_and_planted_twin(spark):
+    from clj_kinesis_to_firehose_spark.operators.llm_graph_ann import (
+        SEMDEDUP_TAU_Q12,
+    )
+
+    out = QUERIES["dedup_semdedup_cells"](spark, SF_DIR).toPandas()
+    # structural laws: keeper precedes pruned, threshold respected,
+    # one verdict per pruned vector, and the fixture regime prunes
+    assert len(out) > 0
+    assert (out.keeper_vec_id < out.pruned_vec_id).all()
+    assert (out.cos_q12 >= SEMDEDUP_TAU_Q12).all()
+    assert out.pruned_vec_id.is_unique
+
+    # a planted near-twin (cosine ≈ .999) must land in its seed's cell
+    # and be pruned in favor of a lower-id keeper
+    base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    rows = [r.asDict() for r in base]
+    for i in range(3):
+        near = dict(rows[i])
+        emb = list(near["embedding"])
+        emb[0] += 0.01
+        emb[1] -= 0.01
+        near.update(vec_id=9000 + i, embedding=emb)
+        rows.append(near)
+    out_dir = tempfile.mkdtemp(prefix="kf_semdedup_")
+    spark.createDataFrame(rows).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet")
+    )
+    planted = QUERIES["dedup_semdedup_cells"](spark, out_dir).toPandas()
+    pruned = set(planted.pruned_vec_id)
+    assert {9000, 9001, 9002} <= pruned, sorted(pruned)[-5:]
