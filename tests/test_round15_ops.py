@@ -103,3 +103,31 @@ def test_semdedup_cells_laws_and_planted_twin(spark):
     planted = QUERIES["dedup_semdedup_cells"](spark, out_dir).toPandas()
     pruned = set(planted.pruned_vec_id)
     assert {9000, 9001, 9002} <= pruned, sorted(pruned)[-5:]
+
+
+def test_portable_hash60_spark_twin_matches_md5_definition(spark):
+    # the SQL twin has Hypothesis coverage (test_fixedpoint_properties);
+    # this pins the SPARK expression twin — conv(substr(md5(x),1,15),
+    # 16, 10)::long — to the same pure-Python definition over a seeded
+    # spread of shapes (unicode, separators, digits, empty)
+    import hashlib
+    import random
+
+    from clj_kinesis_to_firehose_spark.operators.llm_dedup import (
+        portable_hash60,
+    )
+
+    rng = random.Random(0xC0FFEE)
+    pool = "abc XYZ 0123456789:_-|/é€漢\t"
+    strings = [""] + [
+        "".join(rng.choice(pool) for _ in range(rng.randrange(1, 48)))
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    got = {
+        r["s"]: r["h"]
+        for r in df.select("s", portable_hash60(F.col("s")).alias("h")).collect()
+    }
+    for s in strings:
+        expect = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+        assert got[s] == expect, repr(s)
