@@ -948,3 +948,109 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return emb.join(dups, "vec_id", "left_anti").select("vec_id", "label")
+
+
+# --- dedup_cascade_report --------------------------------------------------
+
+_SURVIVOR_PREFIX = """keep AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+    ), survivors AS (
+        SELECT d.doc_id, d.text FROM documents d JOIN keep k USING (doc_id)
+    ), """
+
+#: the near-dup pair stream of stage 2, verbatim the dedup_near_minhash
+#: oracle but fed the stage-1 survivor relation (the helper's
+#: source/prefix parameters exist for exactly this composition)
+_CASCADE_PAIRS_SQL = (
+    _sql_shingle_ctes(source="survivors", prefix=_SURVIVOR_PREFIX)
+    + f"""
+    , bands_ok AS ({sql_bucket_gate("bands")})
+    , cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands_ok a
+        JOIN bands_ok b ON a.band = b.band AND a.bucket = b.bucket
+                        AND a.doc_id < b.doc_id
+    )"""
+    + _SQL_VERIFY_TAIL
+)
+
+_CASCADE_ORACLE = f"""
+    WITH t AS ({_CASCADE_PAIRS_SQL}),
+    tot AS (SELECT COUNT(*) AS n FROM documents),
+    sv AS (SELECT COUNT(*) AS n
+           FROM (SELECT MIN(doc_id) FROM documents GROUP BY text)),
+    p2 AS (SELECT COUNT(DISTINCT doc_b) AS n FROM t)
+    SELECT 'exact' AS stage, tot.n AS n_in, tot.n - sv.n AS n_pruned,
+           sv.n AS n_out
+    FROM tot, sv
+    UNION ALL
+    SELECT 'near_minhash' AS stage, sv.n AS n_in, p2.n AS n_pruned,
+           sv.n - p2.n AS n_out
+    FROM sv, p2
+"""
+
+
+@register("dedup_cascade_report", oracle=_CASCADE_ORACLE)
+def dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup CASCADE as one accounting op — exact pass
+    first, MinHash near-dup pass on the survivors (the RefinedWeb /
+    Llama corpus recipe: cheap exact collapse shrinks the expensive
+    fuzzy stage's input), reporting per stage how many documents went
+    in, were pruned, and came out. This is the number a data lead
+    reads before/after every ingestion epoch: stage-level yield, not
+    pair dumps.
+
+    Stage 1 keeps MIN(doc_id) per exact text group; stage 2 runs the
+    SAME shared MinHash pipeline as dedup_near_minhash
+    (:func:`_minhash_sigs` → :func:`_band_keys` →
+    :func:`band_candidates` with the bucket gate → candidate-only
+    jaccard ≥ 0.5) over stage 1's survivors and prunes every doc with
+    a verified lower-id near-twin. EXACT oracle: the shared shingle
+    CTE block parameterized onto the survivor relation.
+
+    Scale: stage 1 is one hash-agg on text (map-side partial); stage 2
+    inherits the banded join's per-bucket pair bound; the report
+    itself is three scalar aggregates — nothing corpus-sized ever
+    reaches the driver."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    keepers = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    survivors = docs.join(keepers.select("doc_id"), "doc_id")
+
+    cand_ids = band_candidates(_band_keys(_minhash_sigs(spark, survivors)))
+    cands = (
+        cand_ids.join(survivors, cand_ids.doc_a == survivors.doc_id)
+        .select("doc_a", "doc_b", F.col("text").alias("text_a"))
+        .join(survivors, F.col("doc_b") == survivors.doc_id)
+        .select("doc_a", "doc_b", "text_a", F.col("text").alias("text_b"))
+    )
+    pruned2 = (
+        cands.withColumn(
+            "jaccard", exact_jaccard(F.col("text_a"), F.col("text_b"))
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_b")
+        .distinct()
+        .agg(F.count("*").cast("long").alias("p2"))
+    )
+    tot = docs.agg(F.count("*").cast("long").alias("tot"))
+    sv = survivors.agg(F.count("*").cast("long").alias("sv"))
+
+    r1 = (
+        tot.crossJoin(F.broadcast(sv))
+        .select(
+            F.lit("exact").alias("stage"),
+            F.col("tot").alias("n_in"),
+            (F.col("tot") - F.col("sv")).alias("n_pruned"),
+            F.col("sv").alias("n_out"),
+        )
+    )
+    r2 = (
+        sv.crossJoin(F.broadcast(pruned2))
+        .select(
+            F.lit("near_minhash").alias("stage"),
+            F.col("sv").alias("n_in"),
+            F.col("p2").alias("n_pruned"),
+            (F.col("sv") - F.col("p2")).alias("n_out"),
+        )
+    )
+    return r1.unionByName(r2)

@@ -131,3 +131,38 @@ def test_portable_hash60_spark_twin_matches_md5_definition(spark):
     for s in strings:
         expect = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
         assert got[s] == expect, repr(s)
+
+
+def test_dedup_cascade_stages_prune_planted_copies(spark):
+    # plant 5 exact copies (stage-1 food) and 5 near copies (one token
+    # appended — high jaccard, stage-2 food); each stage must prune at
+    # least its plants and the stage accounting must telescope
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    base = docs.orderBy("doc_id").limit(20).collect()
+    rows = [r.asDict() for r in docs.collect()]
+    next_id = max(r["doc_id"] for r in rows) + 1
+    for i in range(5):
+        exact = dict(base[i].asDict())
+        exact.update(doc_id=next_id + i)
+        rows.append(exact)
+    for i in range(5):
+        near = dict(base[5 + i].asDict())
+        near.update(
+            doc_id=next_id + 5 + i, text=near["text"] + " zzznearcopy"
+        )
+        rows.append(near)
+    out_dir = tempfile.mkdtemp(prefix="kf_cascade_")
+    spark.createDataFrame(rows).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+    out = {
+        r["stage"]: r
+        for r in QUERIES["dedup_cascade_report"](spark, out_dir).collect()
+    }
+    ex, near = out["exact"], out["near_minhash"]
+    assert ex["n_in"] == len(rows)
+    assert ex["n_pruned"] >= 5  # the exact copies collapse
+    assert ex["n_out"] == ex["n_in"] - ex["n_pruned"]
+    assert near["n_in"] == ex["n_out"]  # the cascade telescopes
+    assert near["n_pruned"] >= 5  # the near copies are caught
+    assert near["n_out"] == near["n_in"] - near["n_pruned"]
