@@ -98,6 +98,10 @@ EXTENDED = [
     # saving, and it widens with corpus size (the fit aggregations
     # scan the sample only — plan-pinned in test_plans.py)
     "embedding_kmeans_samplefit",
+    # round 15: the now-exact sharded graph index — trends the
+    # shard-local int64 graph build (the O(n²/P) matmul) plus the
+    # fixed-hop beam search and shortlist merge
+    "sim_ann_graph",
 ]
 N_RUNS_EXT = 2
 #: kept runs per streaming-throughput probe (r15, r14 verdict #3):

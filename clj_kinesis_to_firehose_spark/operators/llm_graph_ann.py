@@ -587,6 +587,104 @@ def dedup_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: base/delta split for the incremental semantic admission — the SAME
+#: md5-bucket convention as dedup_incremental_minhash/phash/url
+#: (first 8 md5 hex chars % 100; < threshold ⇒ "already ingested")
+INC_SEM_BASE_PCT = 80
+
+
+def _sql_inc_semantic() -> str:
+    from clj_kinesis_to_firehose_spark.operators.llm_clustering import (
+        _sql_kmeans_prefix,
+    )
+
+    dot = _SQL_DOT.format(a="d.na", b="b.nb")
+    return f"""
+    WITH {_sql_kmeans_prefix()},
+    {sql_nq_cte("nv").strip()},
+    tagged AS (
+      SELECT k.vec_id, k.cluster, n.nq,
+             (('0x' || substr(md5(k.vec_id::VARCHAR), 1, 8))::BIGINT) % 100
+               AS bkt
+      FROM kfinal k JOIN nv n ON n.vec_id = k.vec_id),
+    base AS (SELECT vec_id AS base_id, cluster, nq AS nb FROM tagged
+             WHERE bkt < {INC_SEM_BASE_PCT}),
+    delta AS (SELECT vec_id, cluster, nq AS na FROM tagged
+              WHERE bkt >= {INC_SEM_BASE_PCT}),
+    scored AS (
+      SELECT d.vec_id, d.cluster, {dot} AS cq
+      FROM delta d LEFT JOIN base b ON d.cluster = b.cluster),
+    agg AS (SELECT vec_id, cluster, MAX(cq) AS best
+            FROM scored GROUP BY vec_id, cluster)
+    SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+           best AS best_base_cos_q12,
+           CASE WHEN best >= {SEMDEDUP_TAU_Q12} THEN 'prune'
+                ELSE 'admit' END AS verdict
+    FROM agg
+    """
+
+
+@register(
+    "dedup_incremental_semantic",
+    executes_on_build="conditional",  # warm _KMEANS_FIT_MEMO skips the fit
+    oracle=_sql_inc_semantic(),
+)
+def dedup_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SEMANTIC admission — the missing member of the
+    dedup_incremental_{url,phash,minhash,spans} family, possible now
+    that the cell index is exact: each ARRIVING vector (md5-bucket
+    split, the family convention) is checked against the BASE vectors
+    of its assigned kmeans cell only — never against the whole corpus
+    and never base-vs-base — and pruned iff some base neighbor reaches
+    the SemDeDup threshold. Output per arrival: its cell, the best
+    base cosine (NULL when its cell has no base members — such
+    arrivals are admitted; novelty is not a duplicate), and the
+    admit/prune verdict an ingestion pipeline branches on. EXACT
+    oracle: shared Lloyd's prefix + nq CTE + the same split predicate.
+
+    Scale: per ingest batch the cost is |delta| × (cell base size) —
+    the cell bound, same as the batch SemDeDup, but paid only on
+    arrivals; the base side is the persisted index relation
+    (vec_id, cluster, nq ≈ 0.5 KB/vector). Pair with
+    sim_ann_ivf_incremental's growth census to know when the frozen
+    cells need a refit."""
+    from clj_kinesis_to_firehose_spark.operators.llm_clustering import (
+        _fit_kmeans_fp,
+    )
+
+    _, assigned, _ = _fit_kmeans_fp(spark, sf_dir)
+    cells = assigned.select("vec_id", "cluster")
+    nq = _nq_embeddings(spark, sf_dir)
+    bkt = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    tagged = cells.join(nq, "vec_id").withColumn("bkt", bkt)
+    base = tagged.filter(F.col("bkt") < INC_SEM_BASE_PCT).select(
+        F.col("vec_id").alias("base_id"), "cluster", F.col("nq").alias("nb")
+    )
+    delta = tagged.filter(F.col("bkt") >= INC_SEM_BASE_PCT).select(
+        "vec_id", "cluster", F.col("nq").alias("na")
+    )
+    scored = delta.join(base, "cluster", "left").select(
+        "vec_id", "cluster", _idot().alias("cq")
+    )
+    agg = scored.groupBy("vec_id", F.col("cluster").cast("long").alias("cluster")).agg(
+        F.max("cq").alias("best_base_cos_q12")
+    )
+    return agg.select(
+        "vec_id",
+        "cluster",
+        "best_base_cos_q12",
+        F.when(
+            F.col("best_base_cos_q12") >= SEMDEDUP_TAU_Q12, F.lit("prune")
+        )
+        .otherwise(F.lit("admit"))
+        .alias("verdict"),
+    )
+
+
 def graph_search_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Test-support twin: per (shard, probe) visited-node counts, for
     asserting the beam visits a bounded fraction of each shard (the

@@ -166,3 +166,46 @@ def test_dedup_cascade_stages_prune_planted_copies(spark):
     assert near["n_in"] == ex["n_out"]  # the cascade telescopes
     assert near["n_pruned"] >= 5  # the near copies are caught
     assert near["n_out"] == near["n_in"] - near["n_pruned"]
+
+
+def test_incremental_semantic_prunes_planted_arrival(spark):
+    import hashlib
+
+    from clj_kinesis_to_firehose_spark.operators.llm_graph_ann import (
+        INC_SEM_BASE_PCT,
+        SEMDEDUP_TAU_Q12,
+    )
+
+    def bucket(vid: int) -> int:
+        return int(hashlib.md5(str(vid).encode()).hexdigest()[:8], 16) % 100
+
+    base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    rows = [r.asDict() for r in base]
+    # seed must be in the BASE bucket, the planted arrival in DELTA
+    seed = next(r for r in rows if bucket(r["vec_id"]) < INC_SEM_BASE_PCT)
+    twin_id = next(
+        i for i in range(9000, 9200) if bucket(i) >= INC_SEM_BASE_PCT
+    )
+    near = dict(seed)
+    emb = list(near["embedding"])
+    emb[0] += 0.01
+    emb[1] -= 0.01
+    near.update(vec_id=twin_id, embedding=emb)
+    rows.append(near)
+    out_dir = tempfile.mkdtemp(prefix="kf_incsem_")
+    spark.createDataFrame(rows).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet")
+    )
+    out = QUERIES["dedup_incremental_semantic"](spark, out_dir).toPandas()
+    # internal law: the verdict is exactly the threshold predicate
+    pruned = out[out.verdict == "prune"]
+    admitted = out[out.verdict == "admit"]
+    assert (pruned.best_base_cos_q12 >= SEMDEDUP_TAU_Q12).all()
+    assert (
+        admitted.best_base_cos_q12.isna()
+        | (admitted.best_base_cos_q12 < SEMDEDUP_TAU_Q12)
+    ).all()
+    # the planted arrival lands on its seed's cell and is pruned
+    row = out[out.vec_id == twin_id]
+    assert len(row) == 1
+    assert row.iloc[0].verdict == "prune", row.to_string()
