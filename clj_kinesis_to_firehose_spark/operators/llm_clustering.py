@@ -45,7 +45,6 @@ from clj_kinesis_to_firehose_spark.operators.llm_similarity import (
     cosine,
 )
 from clj_kinesis_to_firehose_spark.registry import (
-    oracle,
     register,
     register_memo,
 )
@@ -992,88 +991,9 @@ def sim_ann_ivf_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, result.schema)
 
 
-def _sql_recall_eval() -> str:
-    """Pure-consumer oracle: composes the already-registered exact
-    pipelines of the three portable ANN families via the public
-    accessor (never restated), computing FLOOR-integer recall@k per
-    (method, probe) — the integer-rational rule."""
-    methods = ("lsh", "ivf", "pq")
-    unions = " UNION ALL ".join(
-        f"SELECT '{m}' AS method, probe_id, neighbor_id FROM a_{m}"
-        for m in methods
-    )
-    mvals = ", ".join(f"('{m}')" for m in methods)
-    return f"""
-    WITH exact AS ({oracle("sim_topk_exact")}),
-    a_lsh AS ({oracle("sim_ann_lsh")}),
-    a_ivf AS ({oracle("sim_ann_ivf")}),
-    a_pq AS ({oracle("sim_ann_pq")}),
-    kk AS (SELECT probe_id, COUNT(*) AS k FROM exact GROUP BY probe_id),
-    uni AS ({unions}),
-    hits AS (
-      SELECT u.method, e.probe_id, COUNT(*) AS n_hits
-      FROM exact e JOIN uni u
-        ON u.probe_id = e.probe_id AND u.neighbor_id = e.neighbor_id
-      GROUP BY u.method, e.probe_id)
-    SELECT m.method, kk.probe_id, kk.k,
-           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
-           CAST(FLOOR(10000.0 * COALESCE(h.n_hits, 0) / kk.k) AS BIGINT)
-             AS recall_u4
-    FROM kk CROSS JOIN (VALUES {mvals}) m(method)
-    LEFT JOIN hits h ON h.method = m.method AND h.probe_id = kk.probe_id
-    """
-
-
-@register("sim_recall_eval", executes_on_build=True, oracle=_sql_recall_eval())
-def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@k of each portable ANN family (LSH, IVF, PQ) against the
-    exact brute-force top-k — EXACT oracle since r14 (r13 verdict #1's
-    last upgrade): all three pipelines are now hash-exact end-to-end,
-    so their recall evaluation is a pure consumer of four registered
-    rules, with recall as FLOOR(1e4·hits/k). One row per
-    (method, probe). The graph family (sim_ann_graph) stays out of
-    this op — NN-descent's sampled exploration is engine-specific by
-    design; its recall is pinned behaviorally in the llm_graph_ann
-    pytests, which keeps this op's oracle exact instead of dragging
-    the whole grid down to rows-only.
-
-    This is the eval loop a production ANN deployment runs on a
-    held-out probe sample to tune K/L (LSH) or nlist/nprobe (IVF)
-    before committing the scale parameters — the same join works at
-    any corpus size because both sides are top-k-bounded per probe."""
-    from clj_kinesis_to_firehose_spark.operators.llm_similarity import (
-        sim_ann_lsh,
-        sim_ann_pq,
-        sim_topk_exact,
-    )
-
-    exact = sim_topk_exact(spark, sf_dir).select("probe_id", "neighbor_id")
-    k_per_probe = exact.groupBy("probe_id").agg(F.count("*").alias("k"))
-    out = None
-    for method, fn in (
-        ("lsh", sim_ann_lsh),
-        ("ivf", sim_ann_ivf),
-        ("pq", sim_ann_pq),
-    ):
-        approx = fn(spark, sf_dir).select("probe_id", "neighbor_id")
-        hits = (
-            exact.join(approx, ["probe_id", "neighbor_id"])
-            .groupBy("probe_id")
-            .agg(F.count("*").alias("n_hits"))
-        )
-        per_probe = k_per_probe.join(hits, "probe_id", "left").select(
-            F.lit(method).alias("method"),
-            "probe_id",
-            "k",
-            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
-            F.floor(
-                F.lit(10000.0) * F.coalesce("n_hits", F.lit(0)) / F.col("k")
-            )
-            .cast("long")
-            .alias("recall_u4"),
-        )
-        out = per_probe if out is None else out.unionByName(per_probe)
-    return out
+# sim_recall_eval moved to llm_graph_ann in r15: with sim_ann_graph
+# now exact, the grid covers all FOUR index families, and oracle
+# composition requires registering after the graph op.
 
 
 # --- sim_ann_ivf_incremental ---------------------------------------------------

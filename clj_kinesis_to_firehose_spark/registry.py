@@ -323,6 +323,9 @@ _REVALIDATE_AFTER: dict[str, int] = {
     "join_cardinality_preflight": 15,
     "dq_feature_drift_chi2": 15,
     "corpus_prefix_share": 15,
+    # r15 extended the recall grid to the fourth (graph) family — 20
+    # rows now, new oracle text: the r14 15-row hash is stale.
+    "sim_recall_eval": 15,
 }
 
 
