@@ -77,20 +77,28 @@ NQ_Q = 1_000_000
 _SQL_PROBE_IDS = ", ".join(str(i) for i in PROBE_IDS)
 
 
-def _nq_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, nq array<long>): the quantized-normalized embedding —
-    ``FLOOR(x_d / ‖x‖ · 1e6)`` per dimension, computed ONCE in Spark
-    expressions whose DuckDB twin is :func:`_sql_nq` (the float→int
-    boundary lives in exactly one place per engine; everything
-    downstream is integer). The dot of two nq vectors is the cosine in
-    1e-12 units (±quantization), so integer dots RANK like cosine.
-    Zero-norm vectors are out of contract (none exist in any fixture;
-    a production corpus would drop them at ingest)."""
-    e = F.transform("embedding", lambda x: x.cast("double"))
+def _nq_expr(e):
+    """The quantized-normalized embedding — ``FLOOR(x_d / ‖x‖ · 1e6)``
+    per dimension over a double-array column/expression ``e`` — the
+    ONE Spark expression whose DuckDB twin is :func:`sql_nq_cte` (the
+    float→int boundary lives in exactly one place per engine;
+    everything downstream is integer). The dot of two nq vectors is
+    the cosine in 1e-12 units (±quantization), so integer dots RANK
+    like cosine. Zero-norm vectors are out of contract (none exist in
+    any fixture; a production corpus would drop them at ingest)."""
+    if isinstance(e, str):
+        e = F.col(e)
     norm = F.sqrt(F.aggregate(e, F.lit(0.0), lambda s, x: s + x * x))
-    nq = F.transform(e, lambda x: F.floor(x / norm * F.lit(1000000.0)).cast("long"))
+    return F.transform(
+        e, lambda x: F.floor(x / norm * F.lit(1000000.0)).cast("long")
+    )
+
+
+def _nq_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, nq array<long>) over the embeddings table."""
+    e = F.transform("embedding", lambda x: x.cast("double"))
     return load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", nq.alias("nq")
+        "vec_id", _nq_expr(e).alias("nq")
     )
 
 
@@ -561,12 +569,14 @@ def dedup_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _, assigned, _ = _fit_kmeans_fp(spark, sf_dir)
-    cells = assigned.select("vec_id", "cluster")
-    nq = _nq_embeddings(spark, sf_dir)
-    a = cells.join(nq, "vec_id").select(
+    # nq derives from the assignment's own double vectors — no join
+    # back to the corpus (the assignment already carries `e`; the
+    # expression is the oracle's nv CTE verbatim)
+    emb = assigned.select("vec_id", "cluster", _nq_expr("e").alias("nq"))
+    a = emb.select(
         F.col("vec_id").alias("keeper"), "cluster", F.col("nq").alias("na")
     )
-    b = cells.join(nq, "vec_id").select(
+    b = emb.select(
         F.col("vec_id").alias("pruned"), "cluster", F.col("nq").alias("nb")
     )
     qual = (
@@ -653,14 +663,16 @@ def dedup_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _, assigned, _ = _fit_kmeans_fp(spark, sf_dir)
-    cells = assigned.select("vec_id", "cluster")
-    nq = _nq_embeddings(spark, sf_dir)
     bkt = (
         F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
         .cast("long")
         % 100
     )
-    tagged = cells.join(nq, "vec_id").withColumn("bkt", bkt)
+    # nq derives from the assignment's own double vectors — no join
+    # back to the corpus
+    tagged = assigned.select(
+        "vec_id", "cluster", _nq_expr("e").alias("nq")
+    ).withColumn("bkt", bkt)
     base = tagged.filter(F.col("bkt") < INC_SEM_BASE_PCT).select(
         F.col("vec_id").alias("base_id"), "cluster", F.col("nq").alias("nb")
     )
