@@ -142,47 +142,14 @@ def _idot() -> "F.Column":
     )
 
 
-def _sql_ann_graph() -> str:
-    """Unrolled-CTE oracle for :func:`sim_ann_graph`: rebuild each
-    shard's top-M integer-dot graph with a within-shard self-join,
-    then replay the H-hop beam per (probe, shard) — candidates =
-    neighbors of the frontier minus everything already visited, all
-    candidates scored and pooled, frontier = hop's top-B — and merge
-    the per-shard shortlists to the global top-k. Every ranking key is
-    an integer; ties break on vec_id in both engines."""
-    hops = []
-    for h in range(1, GRAPH_HOPS + 1):
-        p = h - 1
-        hops.append(f""",
-    cand{h} AS (
-      SELECT DISTINCT f.probe_id, f.shard, ed.b AS node
-      FROM f{p} f JOIN edges ed ON ed.shard = f.shard AND ed.a = f.node
-      WHERE NOT EXISTS (SELECT 1 FROM vis{p} x
-                        WHERE x.probe_id = f.probe_id
-                          AND x.shard = f.shard AND x.node = ed.b)),
-    sc{h} AS MATERIALIZED (
-      SELECT c.probe_id, c.shard, c.node,
-             {_SQL_DOT.format(a="p.pq", b="n.nq")} AS dot
-      FROM cand{h} c
-      JOIN probes p ON p.probe_id = c.probe_id
-      JOIN sv n ON n.vec_id = c.node),
-    f{h} AS (
-      SELECT probe_id, shard, node FROM (
-        SELECT probe_id, shard, node,
-               ROW_NUMBER() OVER (PARTITION BY probe_id, shard
-                                  ORDER BY dot DESC, node) AS r
-        FROM sc{h}) WHERE r <= {BEAM_B}),
-    vis{h} AS (
-      SELECT probe_id, shard, node FROM vis{p}
-      UNION ALL SELECT probe_id, shard, node FROM sc{h})""")
-    pool_union = "\n      UNION ALL ".join(
-        f"SELECT probe_id, shard, node, dot FROM sc{h}"
-        for h in range(0, GRAPH_HOPS + 1)
-    )
-    return f"""
-    WITH {_SQL_NQ_CTE},
+def _sql_graph_prelude() -> str:
+    """Shared oracle prelude for every graph-walk consumer: the nq
+    corpus, its shard split, each shard's top-M integer-dot graph
+    (within-shard self-join), the probe vectors, and the per-shard
+    entry node."""
+    return f"""{sql_nq_cte("gv")},
     sv AS MATERIALIZED (
-      SELECT vec_id, vec_id % {GRAPH_SHARDS} AS shard, nq FROM v),
+      SELECT vec_id, vec_id % {GRAPH_SHARDS} AS shard, nq FROM gv),
     edges AS MATERIALIZED (
       SELECT shard, a, b, dot FROM (
         SELECT a.shard, a.vec_id AS a, b.vec_id AS b,
@@ -194,40 +161,98 @@ def _sql_ann_graph() -> str:
         FROM sv a JOIN sv b
           ON a.shard = b.shard AND a.vec_id != b.vec_id)
       WHERE r <= {GRAPH_M}),
-    probes AS (SELECT vec_id AS probe_id, nq AS pq FROM sv
-               WHERE vec_id IN ({_SQL_PROBE_IDS})),
-    entry AS (SELECT shard, MIN(vec_id) AS node FROM sv GROUP BY shard),
-    f0 AS (SELECT p.probe_id, e.shard, e.node
-           FROM probes p CROSS JOIN entry e),
-    sc0 AS (SELECT f.probe_id, f.shard, f.node,
-                   {_SQL_DOT.format(a="p.pq", b="n.nq")} AS dot
-            FROM f0 f
-            JOIN probes p ON p.probe_id = f.probe_id
-            JOIN sv n ON n.vec_id = f.node),
-    vis0 AS (SELECT probe_id, shard, node FROM f0)
-    {"".join(hops)},
-    pool AS ({pool_union}),
-    shortlist AS (
+    gprobes AS (SELECT vec_id AS probe_id, nq AS pq FROM sv
+                WHERE vec_id IN ({_SQL_PROBE_IDS})),
+    gentry AS (SELECT shard, MIN(vec_id) AS node FROM sv GROUP BY shard)"""
+
+
+def _sql_walk_chain(tag: str, hops: int, beam: int) -> str:
+    """The unrolled H-hop beam walk over the prelude's CTEs, with all
+    intermediate names suffixed by ``tag`` so several (hops, beam)
+    settings can coexist in one statement. Exposes ``pool{tag}``
+    (probe_id, shard, node, dot — every node the walk scored) and
+    ``short{tag}`` (per-shard top-SHORTLIST, probe itself excluded)."""
+    chains = []
+    for h in range(1, hops + 1):
+        p = h - 1
+        chains.append(f""",
+    cand{tag}{h} AS (
+      SELECT DISTINCT f.probe_id, f.shard, ed.b AS node
+      FROM f{tag}{p} f
+      JOIN edges ed ON ed.shard = f.shard AND ed.a = f.node
+      WHERE NOT EXISTS (SELECT 1 FROM vis{tag}{p} x
+                        WHERE x.probe_id = f.probe_id
+                          AND x.shard = f.shard AND x.node = ed.b)),
+    sc{tag}{h} AS MATERIALIZED (
+      SELECT c.probe_id, c.shard, c.node,
+             {_SQL_DOT.format(a="p.pq", b="n.nq")} AS dot
+      FROM cand{tag}{h} c
+      JOIN gprobes p ON p.probe_id = c.probe_id
+      JOIN sv n ON n.vec_id = c.node),
+    f{tag}{h} AS (
+      SELECT probe_id, shard, node FROM (
+        SELECT probe_id, shard, node,
+               ROW_NUMBER() OVER (PARTITION BY probe_id, shard
+                                  ORDER BY dot DESC, node) AS r
+        FROM sc{tag}{h}) WHERE r <= {beam}),
+    vis{tag}{h} AS (
+      SELECT probe_id, shard, node FROM vis{tag}{p}
+      UNION ALL SELECT probe_id, shard, node FROM sc{tag}{h})""")
+    pool_union = "\n      UNION ALL ".join(
+        f"SELECT probe_id, shard, node, dot FROM sc{tag}{h}"
+        for h in range(0, hops + 1)
+    )
+    return f""",
+    f{tag}0 AS (SELECT p.probe_id, e.shard, e.node
+                FROM gprobes p CROSS JOIN gentry e),
+    sc{tag}0 AS (SELECT f.probe_id, f.shard, f.node,
+                        {_SQL_DOT.format(a="p.pq", b="n.nq")} AS dot
+                 FROM f{tag}0 f
+                 JOIN gprobes p ON p.probe_id = f.probe_id
+                 JOIN sv n ON n.vec_id = f.node),
+    vis{tag}0 AS (SELECT probe_id, shard, node FROM f{tag}0)
+    {"".join(chains)},
+    pool{tag} AS ({pool_union}),
+    short{tag} AS (
       SELECT probe_id, node AS neighbor_id, dot FROM (
         SELECT probe_id, shard, node, dot,
                ROW_NUMBER() OVER (PARTITION BY probe_id, shard
                                   ORDER BY dot DESC, node) AS r
-        FROM pool WHERE node != probe_id)
-      WHERE r <= {GRAPH_SHORTLIST})
+        FROM pool{tag} WHERE node != probe_id)
+      WHERE r <= {GRAPH_SHORTLIST})"""
+
+
+def _sql_ann_graph() -> str:
+    """Unrolled-CTE oracle for :func:`sim_ann_graph`: rebuild each
+    shard's top-M integer-dot graph with a within-shard self-join,
+    then replay the H-hop beam per (probe, shard) — candidates =
+    neighbors of the frontier minus everything already visited, all
+    candidates scored and pooled, frontier = hop's top-B — and merge
+    the per-shard shortlists to the global top-k. Every ranking key is
+    an integer; ties break on vec_id in both engines."""
+    return f"""
+    WITH {_sql_graph_prelude()}
+    {_sql_walk_chain("", GRAPH_HOPS, BEAM_B)}
     SELECT probe_id, neighbor_id, cos_q12, nn_rank FROM (
       SELECT probe_id, neighbor_id, dot AS cos_q12,
              ROW_NUMBER() OVER (PARTITION BY probe_id
                                 ORDER BY dot DESC, neighbor_id) AS nn_rank
-      FROM shortlist) WHERE nn_rank <= {TOP_K}
+      FROM short) WHERE nn_rank <= {TOP_K}
     """
 
 
-def _shard_search(probes: list[tuple[int, list[int]]], with_stats: bool):
+def _shard_search(
+    probes: list[tuple[int, list[int]]],
+    with_stats: bool,
+    hops: int = GRAPH_HOPS,
+    beam: int = BEAM_B,
+):
     """applyInPandas kernel factory over (vec_id, nq) groups: build
     the shard's top-M graph (one int64 matmul), replay the H-hop beam
     for every probe, emit the per-probe shortlist (or visit stats).
     Pure integer arithmetic throughout — bit-identical to the oracle's
-    CTE replay under any partitioning."""
+    CTE replay under any partitioning. ``hops``/``beam`` parameterize
+    the walk for the calibration sweep."""
 
     P = np.array([p for _, p in probes], dtype="int64")
     pids = [pid for pid, _ in probes]
@@ -260,7 +285,7 @@ def _shard_search(probes: list[tuple[int, list[int]]], with_stats: bool):
             visited = {entry}
             frontier = [entry]
             pool = [(int(pdots[entry, j]), entry)]
-            for _ in range(GRAPH_HOPS):
+            for _ in range(hops):
                 cand = sorted(
                     {int(v) for u in frontier for v in nbrs[u]} - visited
                 )
@@ -270,7 +295,7 @@ def _shard_search(probes: list[tuple[int, list[int]]], with_stats: bool):
                 scored = [(int(pdots[v, j]), v) for v in cand]
                 pool.extend(scored)
                 scored.sort(key=lambda t: (-t[0], t[1]))
-                frontier = [v for _, v in scored[:BEAM_B]]
+                frontier = [v for _, v in scored[:beam]]
             if with_stats:
                 rows.append((pid, len(visited), n))
                 continue
@@ -324,6 +349,134 @@ def sim_ann_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         shortlists.withColumn("nn_rank", F.row_number().over(w))
         .filter(F.col("nn_rank") <= TOP_K)
     )
+
+
+#: (hops, beam) settings swept by the graph calibration — the two
+#: knobs that trade visited-node volume for recall
+GRAPH_CAL_SWEEP = [(1, 8), (2, 8), (3, 4), (3, 8)]
+_N_TRUTH = len(PROBE_IDS) * TOP_K
+
+
+def _sql_graph_calibration() -> str:
+    """One shared prelude (corpus, shard graphs, probes, entries),
+    one unrolled walk chain PER (hops, beam) setting, the exact
+    ground truth composed from the registered sim_topk_exact rule,
+    and per-setting integer recall + visited-volume rows."""
+    from clj_kinesis_to_firehose_spark.registry import oracle
+
+    chains, selects = [], []
+    for h, b in GRAPH_CAL_SWEEP:
+        tag = f"h{h}b{b}"
+        chains.append(_sql_walk_chain(tag, h, b))
+        selects.append(f"""
+      SELECT {h} AS hops, {b} AS beam,
+             (SELECT COUNT(*) FROM top{tag}) AS n_retrieved,
+             (SELECT COUNT(*) FROM top{tag} t
+              JOIN truth x ON x.probe_id = t.probe_id
+                          AND x.neighbor_id = t.neighbor_id) AS n_hits,
+             (SELECT COUNT(*) FROM pool{tag}) AS n_visited""")
+        chains.append(f""",
+    top{tag} AS (
+      SELECT probe_id, neighbor_id FROM (
+        SELECT probe_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY dot DESC, neighbor_id) AS r
+        FROM short{tag}) WHERE r <= {TOP_K})""")
+    return f"""
+    WITH {_sql_graph_prelude()},
+    truth AS (SELECT probe_id, neighbor_id
+              FROM ({oracle("sim_topk_exact")}))
+    {"".join(chains)}
+    SELECT hops, beam, n_retrieved, n_hits,
+           (10000 * n_hits) // {_N_TRUTH} AS recall_u4,
+           n_visited,
+           (10000 * n_visited) //
+             ({len(PROBE_IDS)} * (SELECT COUNT(*) FROM gv)) AS visit_frac_u4
+    FROM ({" UNION ALL ".join(selects)})
+    """
+
+
+@register(
+    "sim_ann_graph_calibration",
+    executes_on_build=True,
+    oracle=_sql_graph_calibration(),
+)
+def sim_ann_graph_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-vs-(hops, beam) calibration for the graph index — the
+    dedup_lsh / sim_ann / sim_ann_ivf calibration pattern applied to
+    the FOURTH family, completing the symmetry: before provisioning a
+    graph-serving tier you sweep the walk budget and read the curve —
+    recall@k against the exact top-k on one axis, visited-node volume
+    (the latency/compute cost the budget buys) on the other. One
+    shard-graph build serves every setting; only the walk re-runs.
+    EXACT oracle: the shared prelude plus one unrolled walk chain per
+    setting, ground truth composed from the registered sim_topk_exact
+    rule; recall/visit-fraction are integer floor-divisions of exact
+    counts.
+
+    Scale: each setting's walk visits ≤ 1 + M + (H−1)·B·M nodes per
+    (probe, shard) — the sweep's cost axis is BY CONSTRUCTION
+    corpus-size-independent; the output is |settings| rows."""
+    from clj_kinesis_to_firehose_spark.operators.llm_similarity import (
+        sim_topk_exact,
+    )
+
+    truth = sim_topk_exact(spark, sf_dir).select("probe_id", "neighbor_id")
+    emb = _nq_embeddings(spark, sf_dir)
+    probes = _collect_probes(emb)
+    sharded = emb.withColumn(
+        "shard", (F.col("vec_id") % GRAPH_SHARDS).cast("int")
+    )
+    n_corpus = emb.agg(F.count("*").cast("long").alias("n_corpus"))
+    out = None
+    for h, b in GRAPH_CAL_SWEEP:
+        shortlists = sharded.groupBy("shard").applyInPandas(
+            _shard_search(probes, with_stats=False, hops=h, beam=b),
+            "probe_id long, neighbor_id long, cos_q12 long",
+        )
+        w = Window.partitionBy("probe_id").orderBy(
+            F.desc("cos_q12"), F.asc("neighbor_id")
+        )
+        topk = (
+            shortlists.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= TOP_K)
+            .select("probe_id", "neighbor_id")
+        )
+        visits = sharded.groupBy("shard").applyInPandas(
+            _shard_search(probes, with_stats=True, hops=h, beam=b),
+            "probe_id long, n_visited long, n_shard long",
+        )
+        row = (
+            topk.agg(F.count("*").cast("long").alias("n_retrieved"))
+            .crossJoin(
+                F.broadcast(
+                    topk.join(truth, ["probe_id", "neighbor_id"]).agg(
+                        F.count("*").cast("long").alias("n_hits")
+                    )
+                )
+            )
+            .crossJoin(
+                F.broadcast(
+                    visits.agg(
+                        F.sum("n_visited").cast("long").alias("n_visited")
+                    )
+                )
+            )
+            .crossJoin(F.broadcast(n_corpus))
+            .select(
+                F.lit(h).alias("hops"),
+                F.lit(b).alias("beam"),
+                "n_retrieved",
+                "n_hits",
+                F.expr(f"(10000 * n_hits) div {_N_TRUTH}").alias("recall_u4"),
+                "n_visited",
+                F.expr(
+                    f"(10000 * n_visited) div ({len(PROBE_IDS)} * n_corpus)"
+                ).alias("visit_frac_u4"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
 
 
 KNN_K = 6  # neighbors per node in the corpus kNN graph

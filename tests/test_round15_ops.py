@@ -209,3 +209,30 @@ def test_incremental_semantic_prunes_planted_arrival(spark):
     row = out[out.vec_id == twin_id]
     assert len(row) == 1
     assert row.iloc[0].verdict == "prune", row.to_string()
+
+
+def test_graph_calibration_curve_laws(spark):
+    # the sweep's reason to exist: more walk budget, more recall, more
+    # visited nodes — and the production setting sits at the top
+    from clj_kinesis_to_firehose_spark.operators.llm_graph_ann import (
+        BEAM_B,
+        GRAPH_CAL_SWEEP,
+        GRAPH_HOPS,
+    )
+
+    out = QUERIES["sim_ann_graph_calibration"](spark, SF_DIR).toPandas()
+    assert len(out) == len(GRAPH_CAL_SWEEP)
+    grid = out.set_index(["hops", "beam"])
+    # recall and visited volume are monotone in hops at the full beam
+    hop_seq = [grid.loc[(h, 8)] for h in (1, 2, 3)]
+    assert all(
+        a.recall_u4 <= b.recall_u4 for a, b in zip(hop_seq, hop_seq[1:])
+    )
+    assert all(
+        a.n_visited <= b.n_visited for a, b in zip(hop_seq, hop_seq[1:])
+    )
+    # a wider beam at the same hops can only help
+    assert grid.loc[(3, 4)].recall_u4 <= grid.loc[(3, 8)].recall_u4
+    assert grid.loc[(3, 4)].n_visited <= grid.loc[(3, 8)].n_visited
+    # the production setting recovers (nearly) everything here
+    assert grid.loc[(GRAPH_HOPS, BEAM_B)].recall_u4 >= 9000
