@@ -11,7 +11,7 @@ variants restrict doc ranges only so the DuckDB twin stays cheap.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clj_kinesis_to_firehose_spark.registry import register
@@ -523,10 +523,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ngram_pairs(spark, sf_dir)
 
 
-@register(
-    "dedup_cluster_components", executes_on_build=True,
-    oracle="""
-    WITH RECURSIVE grams AS (
+# Shared recursive-closure CTE prefix: 3-gram Jaccard pair graph →
+# symmetric edges → transitive reach. dedup_cluster_components reads
+# the min-label per node off it; dedup_survivorship composes it with
+# the quality projection. ONE text so the two oracles cannot drift.
+_COMPONENT_CTES = """grams AS (
         SELECT doc_id,
                LIST_DISTINCT([STRING_SPLIT(text, ' ')[i] || ' ' ||
                               STRING_SPLIT(text, ' ')[i+1] || ' ' ||
@@ -551,8 +552,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, doc_id FROM grams
         UNION
         SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
-    )
-    SELECT s AS doc_id, MIN(d) AS component_id FROM reach GROUP BY s
+    ), comp AS (
+        SELECT s AS doc_id, MIN(d) AS component_id FROM reach GROUP BY s
+    )"""
+
+
+@register(
+    "dedup_cluster_components", executes_on_build=True,
+    oracle=f"""
+    WITH RECURSIVE {_COMPONENT_CTES}
+    SELECT doc_id, component_id FROM comp
     """,
 )
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1054,3 +1063,86 @@ def dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return r1.unionByName(r2)
+
+
+@register(
+    "dedup_survivorship", executes_on_build=True,
+    oracle=f"""
+    WITH RECURSIVE {_COMPONENT_CTES}, scored AS (
+        SELECT doc_id,
+               LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+               LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS n_distinct
+        FROM documents
+        WHERE doc_id < 300 AND LEN(STRING_SPLIT(text, ' ')) >= 3
+    ), members AS (
+        SELECT c.doc_id, c.component_id, s.n_tokens, s.n_distinct
+        FROM comp c JOIN scored s USING (doc_id)
+    ), ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (
+                 PARTITION BY component_id
+                 ORDER BY CAST(n_distinct AS DOUBLE) / n_tokens DESC, doc_id
+               ) AS quality_rank,
+               COUNT(*) OVER (PARTITION BY component_id) AS n_members,
+               FIRST_VALUE(doc_id) OVER (
+                 PARTITION BY component_id
+                 ORDER BY CAST(n_distinct AS DOUBLE) / n_tokens DESC, doc_id
+               ) AS survivor_doc_id
+        FROM members
+    )
+    SELECT doc_id, component_id, n_tokens, n_distinct,
+           CAST(quality_rank AS BIGINT) AS quality_rank,
+           CAST(n_members AS BIGINT) AS n_members,
+           survivor_doc_id,
+           quality_rank = 1 AS kept
+    FROM ranked
+    """,
+)
+def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivorship ledger over the near-dup clusters:
+    every document gets a row recording its component, its quality
+    rank inside the component, which member survives, and whether the
+    row itself is kept. Unlike the min-id convention (cluster
+    components, SemDeDup prune), the survivor here is the BEST
+    member — max lexical-diversity ratio n_distinct/n_tokens,
+    doc_id tiebreak — which is what production corpus dedup actually
+    keeps (the keep-best-copy recipe), and the per-row ledger is the
+    auditable artifact a removal pass replays.
+
+    Composes :func:`dedup_cluster_components` (the iterative
+    min-label propagation; all clustering cost lives there) with the
+    posttrain scoring projection re-derived inline; the oracle
+    composes the shared ``_COMPONENT_CTES`` closure so both engines
+    read the identical cluster assignment. Singleton components keep
+    themselves (rank 1 of 1) — the ledger covers the whole bounded
+    population, not just duplicates.
+
+    Scale: the window partitions by component_id — component-sized,
+    never corpus-wide; the ratio ordering is the IEEE double of two
+    exact int64s (identical in both engines, same discipline as
+    pref_rejection_sampling); everything downstream of the cluster
+    loop is one shuffle on component_id.
+    """
+    labels = dedup_cluster_components(spark, sf_dir)
+    toks = F.split("text", " ")
+    scored = _bounded_docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+    )
+    members = labels.join(scored, "doc_id")
+    ratio = F.col("n_distinct").cast("double") / F.col("n_tokens")
+    w = Window.partitionBy("component_id").orderBy(
+        ratio.desc(), F.col("doc_id").asc()
+    )
+    wc = Window.partitionBy("component_id")
+    ranked = members.select(
+        "doc_id",
+        "component_id",
+        "n_tokens",
+        "n_distinct",
+        F.row_number().over(w).cast("long").alias("quality_rank"),
+        F.count("*").over(wc).cast("long").alias("n_members"),
+        F.first("doc_id").over(w).alias("survivor_doc_id"),
+    )
+    return ranked.withColumn("kept", F.col("quality_rank") == 1)

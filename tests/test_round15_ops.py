@@ -236,3 +236,28 @@ def test_graph_calibration_curve_laws(spark):
     assert grid.loc[(3, 4)].n_visited <= grid.loc[(3, 8)].n_visited
     # the production setting recovers (nearly) everything here
     assert grid.loc[(GRAPH_HOPS, BEAM_B)].recall_u4 >= 9000
+
+
+def test_survivorship_ledger_laws(spark):
+    # the ledger covers the whole bounded population, keeps exactly one
+    # member per component, and the survivor is the best-quality member
+    out = QUERIES["dedup_survivorship"](spark, SF_DIR).toPandas()
+    comps = QUERIES["dedup_cluster_components"](spark, SF_DIR).toPandas()
+    assert len(out) == len(comps)  # one ledger row per clustered doc
+    by_comp = out.groupby("component_id")
+    assert (by_comp["kept"].sum() == 1).all()  # exactly one survivor
+    assert (by_comp.size().values == by_comp["n_members"].first().values).all()
+    for _, g in out.groupby("component_id"):
+        surv = g[g.kept].iloc[0]
+        assert (g.survivor_doc_id == surv.doc_id).all()
+        ratio = g.n_distinct / g.n_tokens
+        best = ratio.max()
+        # survivor attains the max ratio; min doc_id among attainers
+        assert surv.n_distinct / surv.n_tokens == best
+        assert surv.doc_id == g[ratio == best].doc_id.min()
+    # unlike the min-id convention, at least one multi-member component
+    # must exist and the keep-best pick is a real decision (rank is
+    # dense from 1)
+    multi = out[out.n_members > 1]
+    assert len(multi) > 0
+    assert (out.quality_rank >= 1).all()
