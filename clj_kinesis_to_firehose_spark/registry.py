@@ -326,6 +326,10 @@ _REVALIDATE_AFTER: dict[str, int] = {
     # r15 extended the recall grid to the fourth (graph) family — 20
     # rows now, new oracle text: the r14 15-row hash is stale.
     "sim_recall_eval": 15,
+    # r15 factored the components oracle's closure CTEs into the
+    # shared _COMPONENT_CTES block (consumed by dedup_survivorship) —
+    # same output, new oracle text: re-prove.
+    "dedup_cluster_components": 15,
 }
 
 
