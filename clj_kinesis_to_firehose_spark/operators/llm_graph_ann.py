@@ -241,18 +241,15 @@ def _sql_ann_graph() -> str:
     """
 
 
-def _shard_search(
-    probes: list[tuple[int, list[int]]],
-    with_stats: bool,
-    hops: int = GRAPH_HOPS,
-    beam: int = BEAM_B,
-):
+def _shard_search(probes: list[tuple[int, list[int]]], with_stats: bool):
     """applyInPandas kernel factory over (vec_id, nq) groups: build
     the shard's top-M graph (one int64 matmul), replay the H-hop beam
     for every probe, emit the per-probe shortlist (or visit stats).
     Pure integer arithmetic throughout — bit-identical to the oracle's
-    CTE replay under any partitioning. ``hops``/``beam`` parameterize
-    the walk for the calibration sweep."""
+    CTE replay under any partitioning. (The calibration sweep uses
+    :func:`_shard_search_sweep`, which walks every (hops, beam)
+    setting over one graph build.)"""
+    hops, beam = GRAPH_HOPS, BEAM_B
 
     P = np.array([p for _, p in probes], dtype="int64")
     pids = [pid for pid, _ in probes]
@@ -310,6 +307,72 @@ def _shard_search(
                 if kept >= GRAPH_SHORTLIST:
                     break
         return pd.DataFrame(rows, columns=out_cols)
+
+    return fn
+
+
+def _shard_search_sweep(
+    probes: list[tuple[int, list[int]]],
+    sweep: list[tuple[int, int]],
+):
+    """The calibration twin of :func:`_shard_search`: ONE
+    applyInPandas pass that builds the shard's top-M graph ONCE (the
+    expensive int64 matmuls) and replays the walk for EVERY
+    (hops, beam) setting over it — 2·|sweep| kernel passes collapsed
+    to one, which is also what makes the docstring claim "one graph
+    build serves every setting" literally true in the Spark plan.
+    Emits shortlist rows (neighbor_id/cos_q12 set, n_visited NULL)
+    plus one stats row per (setting, probe) with neighbor_id NULL and
+    the walk's visited count — the NULL split keeps both relations in
+    one schema so the single pass feeds both aggregates."""
+
+    P = np.array([p for _, p in probes], dtype="int64")
+    pids = [pid for pid, _ in probes]
+    cols = ["hops", "beam", "probe_id", "neighbor_id", "cos_q12", "n_visited"]
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(columns=cols)
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy()
+        N = np.vstack(pdf["nq"].to_numpy()).astype("int64")
+        n = N.shape[0]
+        dots = N @ N.T
+        m = min(GRAPH_M, n - 1)
+        neg = -dots
+        np.fill_diagonal(neg, np.iinfo(np.int64).max)
+        nbrs = np.argsort(neg, axis=1, kind="stable")[:, :m]
+        pdots = N @ P.T
+        rows = []
+        for hops, beam in sweep:
+            for j, pid in enumerate(pids):
+                entry = 0
+                visited = {entry}
+                frontier = [entry]
+                pool = [(int(pdots[entry, j]), entry)]
+                for _ in range(hops):
+                    cand = sorted(
+                        {int(v) for u in frontier for v in nbrs[u]} - visited
+                    )
+                    if not cand:
+                        break
+                    visited.update(cand)
+                    scored = [(int(pdots[v, j]), v) for v in cand]
+                    pool.extend(scored)
+                    scored.sort(key=lambda t: (-t[0], t[1]))
+                    frontier = [v for _, v in scored[:beam]]
+                rows.append((hops, beam, pid, None, None, len(visited)))
+                pool.sort(key=lambda t: (-t[0], t[1]))
+                kept = 0
+                for dot, idx in pool:
+                    nid = int(ids[idx])
+                    if nid == pid:
+                        continue
+                    rows.append((hops, beam, pid, nid, dot, None))
+                    kept += 1
+                    if kept >= GRAPH_SHORTLIST:
+                        break
+        return pd.DataFrame(rows, columns=cols)
 
     return fn
 
@@ -428,55 +491,55 @@ def sim_ann_graph_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard", (F.col("vec_id") % GRAPH_SHARDS).cast("int")
     )
     n_corpus = emb.agg(F.count("*").cast("long").alias("n_corpus"))
-    out = None
-    for h, b in GRAPH_CAL_SWEEP:
-        shortlists = sharded.groupBy("shard").applyInPandas(
-            _shard_search(probes, with_stats=False, hops=h, beam=b),
-            "probe_id long, neighbor_id long, cos_q12 long",
+    # ONE kernel pass for all settings (graph built once per shard),
+    # persisted so the three consumers below don't re-run it; the
+    # relation is |settings|·|probes|·|shards|·(SHORTLIST+1) rows.
+    sweep = (
+        sharded.groupBy("shard")
+        .applyInPandas(
+            _shard_search_sweep(probes, GRAPH_CAL_SWEEP),
+            "hops int, beam int, probe_id long, neighbor_id long,"
+            " cos_q12 long, n_visited long",
         )
-        w = Window.partitionBy("probe_id").orderBy(
-            F.desc("cos_q12"), F.asc("neighbor_id")
+        .persist()
+    )
+    short = sweep.filter(F.col("neighbor_id").isNotNull())
+    w = Window.partitionBy("hops", "beam", "probe_id").orderBy(
+        F.desc("cos_q12"), F.asc("neighbor_id")
+    )
+    topk = (
+        short.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= TOP_K)
+        .select("hops", "beam", "probe_id", "neighbor_id")
+    )
+    ret = topk.groupBy("hops", "beam").agg(
+        F.count("*").cast("long").alias("n_retrieved")
+    )
+    hits = topk.join(truth, ["probe_id", "neighbor_id"]).groupBy(
+        "hops", "beam"
+    ).agg(F.count("*").cast("long").alias("n_hits"))
+    vis = (
+        sweep.filter(F.col("neighbor_id").isNull())
+        .groupBy("hops", "beam")
+        .agg(F.sum("n_visited").cast("long").alias("n_visited"))
+    )
+    return (
+        ret.join(hits, ["hops", "beam"], "left")
+        .withColumn("n_hits", F.coalesce("n_hits", F.lit(0).cast("long")))
+        .join(vis, ["hops", "beam"])
+        .crossJoin(F.broadcast(n_corpus))
+        .select(
+            "hops",
+            "beam",
+            "n_retrieved",
+            "n_hits",
+            F.expr(f"(10000 * n_hits) div {_N_TRUTH}").alias("recall_u4"),
+            "n_visited",
+            F.expr(
+                f"(10000 * n_visited) div ({len(PROBE_IDS)} * n_corpus)"
+            ).alias("visit_frac_u4"),
         )
-        topk = (
-            shortlists.withColumn("r", F.row_number().over(w))
-            .filter(F.col("r") <= TOP_K)
-            .select("probe_id", "neighbor_id")
-        )
-        visits = sharded.groupBy("shard").applyInPandas(
-            _shard_search(probes, with_stats=True, hops=h, beam=b),
-            "probe_id long, n_visited long, n_shard long",
-        )
-        row = (
-            topk.agg(F.count("*").cast("long").alias("n_retrieved"))
-            .crossJoin(
-                F.broadcast(
-                    topk.join(truth, ["probe_id", "neighbor_id"]).agg(
-                        F.count("*").cast("long").alias("n_hits")
-                    )
-                )
-            )
-            .crossJoin(
-                F.broadcast(
-                    visits.agg(
-                        F.sum("n_visited").cast("long").alias("n_visited")
-                    )
-                )
-            )
-            .crossJoin(F.broadcast(n_corpus))
-            .select(
-                F.lit(h).alias("hops"),
-                F.lit(b).alias("beam"),
-                "n_retrieved",
-                "n_hits",
-                F.expr(f"(10000 * n_hits) div {_N_TRUTH}").alias("recall_u4"),
-                "n_visited",
-                F.expr(
-                    f"(10000 * n_visited) div ({len(PROBE_IDS)} * n_corpus)"
-                ).alias("visit_frac_u4"),
-            )
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+    )
 
 
 KNN_K = 6  # neighbors per node in the corpus kNN graph
