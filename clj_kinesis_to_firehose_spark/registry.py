@@ -274,7 +274,8 @@ _REVALIDATE_AFTER: dict[str, int] = {
     # scratch-dir allocation and explicit prior-epoch index reads) —
     # require a fresh record.
     "embedding_outlier_prune": 11,
-    "stream_span_index_ingest": 11,
+    # (stream_span_index_ingest's r11 entry is subsumed by its r12
+    # re-prove below — one key, the later bound)
     "stream_corpus_admission": 11,
     # r11 review pass extracted the band-candidate join + jaccard
     # verify into shared llm_dedup helpers; dedup_near_minhash's plan
