@@ -1005,6 +1005,104 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+#: reciprocal-rank-fusion damping constant (Cormack/Clarke/Buettcher
+#: 2009, "Reciprocal Rank Fusion" — public paper; 60 is the paper's
+#: recommended k) and the fixed-point scale that keeps the score an
+#: exact integer in both engines
+RRF_K = 60
+RRF_SCALE = 10**12
+
+
+def _sql_rank_fusion() -> str:
+    """Pure-consumer oracle: fuses the registered LSH and IVF
+    shortlist rules with integer fixed-point RRF — the contribution of
+    a list that ranked the candidate r-th is RRF_SCALE // (RRF_K + r),
+    absent-from-list contributes 0."""
+    from clj_kinesis_to_firehose_spark.registry import oracle
+
+    return f"""
+    WITH lsh AS ({oracle("sim_ann_lsh")}),
+    ivf AS ({oracle("sim_ann_ivf")}),
+    merged AS (
+      SELECT COALESCE(l.probe_id, i.probe_id) AS probe_id,
+             COALESCE(l.neighbor_id, i.neighbor_id) AS neighbor_id,
+             CAST(COALESCE(l.nn_rank, 0) AS BIGINT) AS r_lsh,
+             CAST(COALESCE(i.nn_rank, 0) AS BIGINT) AS r_ivf
+      FROM lsh l FULL JOIN ivf i
+        ON i.probe_id = l.probe_id AND i.neighbor_id = l.neighbor_id),
+    scored AS (
+      SELECT probe_id, neighbor_id, r_lsh, r_ivf,
+             (CASE WHEN r_lsh > 0
+                   THEN {RRF_SCALE} // ({RRF_K} + r_lsh) ELSE 0 END)
+           + (CASE WHEN r_ivf > 0
+                   THEN {RRF_SCALE} // ({RRF_K} + r_ivf) ELSE 0 END)
+               AS rrf_u12
+      FROM merged)
+    SELECT probe_id, neighbor_id, r_lsh, r_ivf, rrf_u12,
+           CAST(fused_rank AS BIGINT) AS fused_rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY probe_id ORDER BY rrf_u12 DESC, neighbor_id
+      ) AS fused_rank FROM scored)
+    WHERE fused_rank <= {TOP_K}
+    """
+
+
+@register(
+    "sim_rank_fusion", executes_on_build=True, oracle=_sql_rank_fusion()
+)
+def sim_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval shortlist fusion: reciprocal-rank fusion of
+    the LSH and IVF ANN shortlists — the serving-tier merge a
+    production retrieval stack runs when two index families disagree
+    (RRF needs only ranks, no score calibration across families,
+    which is exactly why it is the standard fusion rule). Fixed-point
+    throughout: each list contributes RRF_SCALE // (RRF_K + rank)
+    (0 when the candidate is absent from that list), so the fused
+    score is an exact integer and the oracle is a pure consumer of
+    the two registered shortlist rules.
+
+    Scale: both inputs are top-k-bounded per probe, so the full-outer
+    merge, the score, and the per-probe window are all
+    O(probes · k) — corpus size never appears; the expensive work
+    lives in the composed (already bucketed) index ops."""
+    from clj_kinesis_to_firehose_spark.operators.llm_clustering import (
+        sim_ann_ivf,
+    )
+    from clj_kinesis_to_firehose_spark.operators.llm_similarity import (
+        sim_ann_lsh,
+    )
+
+    lsh = sim_ann_lsh(spark, sf_dir).select(
+        "probe_id", "neighbor_id", F.col("nn_rank").cast("long").alias("r_lsh")
+    )
+    ivf = sim_ann_ivf(spark, sf_dir).select(
+        "probe_id", "neighbor_id", F.col("nn_rank").cast("long").alias("r_ivf")
+    )
+    zero = F.lit(0).cast("long")
+    merged = lsh.join(ivf, ["probe_id", "neighbor_id"], "full_outer").select(
+        "probe_id",
+        "neighbor_id",
+        F.coalesce("r_lsh", zero).alias("r_lsh"),
+        F.coalesce("r_ivf", zero).alias("r_ivf"),
+    )
+
+    def contrib(c: str) -> "F.Column":
+        return F.when(
+            F.col(c) > 0, F.expr(f"{RRF_SCALE} div ({RRF_K} + {c})")
+        ).otherwise(zero)
+
+    scored = merged.withColumn(
+        "rrf_u12", (contrib("r_lsh") + contrib("r_ivf")).cast("long")
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("rrf_u12"), F.asc("neighbor_id")
+    )
+    return scored.withColumn(
+        "fused_rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("fused_rank") <= TOP_K)
+
+
 def graph_search_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Test-support twin: per (shard, probe) visited-node counts, for
     asserting the beam visits a bounded fraction of each shard (the

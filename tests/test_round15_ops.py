@@ -261,3 +261,30 @@ def test_survivorship_ledger_laws(spark):
     multi = out[out.n_members > 1]
     assert len(multi) > 0
     assert (out.quality_rank >= 1).all()
+
+
+def test_rank_fusion_laws(spark):
+    # fused shortlist: per-probe rank dense to TOP_K, score is the
+    # exact integer RRF of the two input ranks, dual-membership beats
+    # either single list at equal rank
+    from clj_kinesis_to_firehose_spark.operators.llm_graph_ann import (
+        RRF_K,
+        RRF_SCALE,
+        TOP_K,
+    )
+
+    out = QUERIES["sim_rank_fusion"](spark, SF_DIR).toPandas()
+    for _, g in out.groupby("probe_id"):
+        assert sorted(g.fused_rank) == list(range(1, len(g) + 1))
+        assert len(g) <= TOP_K
+    def c(r):
+        return RRF_SCALE // (RRF_K + r) if r > 0 else 0
+    assert (out.apply(lambda x: c(x.r_lsh) + c(x.r_ivf), axis=1)
+            == out.rrf_u12).all()
+    both = out[(out.r_lsh > 0) & (out.r_ivf > 0)]
+    assert len(both) > 0  # the two families overlap on real data
+    # a rank-1-in-both candidate scores strictly above any
+    # single-list candidate (2/(k+1) > 1/(k+r) for every r >= 1)
+    single = out[(out.r_lsh == 0) | (out.r_ivf == 0)]
+    if len(single):
+        assert both.rrf_u12.max() > single.rrf_u12.max()
