@@ -913,98 +913,6 @@ def dedup_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_recall_eval() -> str:
-    """Pure-consumer oracle: composes the already-registered exact
-    pipelines of ALL FOUR ANN families via the public accessor (never
-    restated), computing FLOOR-integer recall@k per (method, probe) —
-    the integer-rational rule. Lives here (not llm_clustering) since
-    r15 because composition requires registering after sim_ann_graph,
-    the family member this round made exact."""
-    from clj_kinesis_to_firehose_spark.registry import oracle
-
-    methods = ("lsh", "ivf", "pq", "graph")
-    unions = " UNION ALL ".join(
-        f"SELECT '{m}' AS method, probe_id, neighbor_id FROM a_{m}"
-        for m in methods
-    )
-    mvals = ", ".join(f"('{m}')" for m in methods)
-    return f"""
-    WITH exact AS ({oracle("sim_topk_exact")}),
-    a_lsh AS ({oracle("sim_ann_lsh")}),
-    a_ivf AS ({oracle("sim_ann_ivf")}),
-    a_pq AS ({oracle("sim_ann_pq")}),
-    a_graph AS ({oracle("sim_ann_graph")}),
-    kk AS (SELECT probe_id, COUNT(*) AS k FROM exact GROUP BY probe_id),
-    uni AS ({unions}),
-    hits AS (
-      SELECT u.method, e.probe_id, COUNT(*) AS n_hits
-      FROM exact e JOIN uni u
-        ON u.probe_id = e.probe_id AND u.neighbor_id = e.neighbor_id
-      GROUP BY u.method, e.probe_id)
-    SELECT m.method, kk.probe_id, kk.k,
-           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
-           CAST(FLOOR(10000.0 * COALESCE(h.n_hits, 0) / kk.k) AS BIGINT)
-             AS recall_u4
-    FROM kk CROSS JOIN (VALUES {mvals}) m(method)
-    LEFT JOIN hits h ON h.method = m.method AND h.probe_id = kk.probe_id
-    """
-
-
-@register("sim_recall_eval", executes_on_build=True, oracle=_sql_recall_eval())
-def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@k of EVERY ANN family (LSH, IVF, PQ, and — since r15 —
-    the sharded graph index) against the exact brute-force top-k: all
-    four pipelines are hash-exact end-to-end, so their recall
-    evaluation is a pure consumer of five registered rules, with
-    recall as FLOOR(1e4·hits/k). One row per (method, probe). The
-    graph family's r14 exclusion note is retired — its fixed-point
-    conversion is exactly what let it join the grid without dragging
-    the oracle down to rows-only.
-
-    This is the eval loop a production ANN deployment runs on a
-    held-out probe sample to tune K/L (LSH), nlist/nprobe (IVF), or
-    M/B/H (graph) before committing the scale parameters — the same
-    join works at any corpus size because both sides are
-    top-k-bounded per probe."""
-    from clj_kinesis_to_firehose_spark.operators.llm_clustering import (
-        sim_ann_ivf,
-    )
-    from clj_kinesis_to_firehose_spark.operators.llm_similarity import (
-        sim_ann_lsh,
-        sim_ann_pq,
-        sim_topk_exact,
-    )
-
-    exact = sim_topk_exact(spark, sf_dir).select("probe_id", "neighbor_id")
-    k_per_probe = exact.groupBy("probe_id").agg(F.count("*").alias("k"))
-    out = None
-    for method, fn in (
-        ("lsh", sim_ann_lsh),
-        ("ivf", sim_ann_ivf),
-        ("pq", sim_ann_pq),
-        ("graph", sim_ann_graph),
-    ):
-        approx = fn(spark, sf_dir).select("probe_id", "neighbor_id")
-        hits = (
-            exact.join(approx, ["probe_id", "neighbor_id"])
-            .groupBy("probe_id")
-            .agg(F.count("*").alias("n_hits"))
-        )
-        per_probe = k_per_probe.join(hits, "probe_id", "left").select(
-            F.lit(method).alias("method"),
-            "probe_id",
-            "k",
-            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
-            F.floor(
-                F.lit(10000.0) * F.coalesce("n_hits", F.lit(0)) / F.col("k")
-            )
-            .cast("long")
-            .alias("recall_u4"),
-        )
-        out = per_probe if out is None else out.unionByName(per_probe)
-    return out
-
-
 #: reciprocal-rank-fusion damping constant (Cormack/Clarke/Buettcher
 #: 2009, "Reciprocal Rank Fusion" — public paper; 60 is the paper's
 #: recommended k) and the fixed-point scale that keeps the score an
@@ -1101,6 +1009,105 @@ def sim_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn(
         "fused_rank", F.row_number().over(w).cast("long")
     ).filter(F.col("fused_rank") <= TOP_K)
+
+
+
+def _sql_recall_eval() -> str:
+    """Pure-consumer oracle: composes the already-registered exact
+    pipelines of ALL FOUR ANN families — plus the RRF-fused shortlist,
+    the serving-tier merge — via the public accessor (never restated),
+    computing FLOOR-integer recall@k per (method, probe) — the
+    integer-rational rule. Lives here (not llm_clustering) since r15
+    because composition requires registering after sim_ann_graph and
+    sim_rank_fusion."""
+    from clj_kinesis_to_firehose_spark.registry import oracle
+
+    methods = ("lsh", "ivf", "pq", "graph", "rrf")
+    unions = " UNION ALL ".join(
+        f"SELECT '{m}' AS method, probe_id, neighbor_id FROM a_{m}"
+        for m in methods
+    )
+    mvals = ", ".join(f"('{m}')" for m in methods)
+    return f"""
+    WITH exact AS ({oracle("sim_topk_exact")}),
+    a_lsh AS ({oracle("sim_ann_lsh")}),
+    a_ivf AS ({oracle("sim_ann_ivf")}),
+    a_pq AS ({oracle("sim_ann_pq")}),
+    a_graph AS ({oracle("sim_ann_graph")}),
+    a_rrf AS ({oracle("sim_rank_fusion")}),
+    kk AS (SELECT probe_id, COUNT(*) AS k FROM exact GROUP BY probe_id),
+    uni AS ({unions}),
+    hits AS (
+      SELECT u.method, e.probe_id, COUNT(*) AS n_hits
+      FROM exact e JOIN uni u
+        ON u.probe_id = e.probe_id AND u.neighbor_id = e.neighbor_id
+      GROUP BY u.method, e.probe_id)
+    SELECT m.method, kk.probe_id, kk.k,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(FLOOR(10000.0 * COALESCE(h.n_hits, 0) / kk.k) AS BIGINT)
+             AS recall_u4
+    FROM kk CROSS JOIN (VALUES {mvals}) m(method)
+    LEFT JOIN hits h ON h.method = m.method AND h.probe_id = kk.probe_id
+    """
+
+
+@register("sim_recall_eval", executes_on_build=True, oracle=_sql_recall_eval())
+def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of EVERY ANN family (LSH, IVF, PQ, and — since r15 —
+    the sharded graph index) PLUS the RRF-fused LSH+IVF shortlist,
+    against the exact brute-force top-k: all five pipelines are
+    hash-exact end-to-end, so their recall evaluation is a pure
+    consumer of six registered rules, with recall as
+    FLOOR(1e4·hits/k). One row per (method, probe). The fused row is
+    the number that justifies (or kills) running two index tiers in
+    production. The graph family's r14 exclusion note is retired —
+    its fixed-point conversion is exactly what let it join the grid
+    without dragging the oracle down to rows-only.
+
+    This is the eval loop a production ANN deployment runs on a
+    held-out probe sample to tune K/L (LSH), nlist/nprobe (IVF), or
+    M/B/H (graph) before committing the scale parameters — the same
+    join works at any corpus size because both sides are
+    top-k-bounded per probe."""
+    from clj_kinesis_to_firehose_spark.operators.llm_clustering import (
+        sim_ann_ivf,
+    )
+    from clj_kinesis_to_firehose_spark.operators.llm_similarity import (
+        sim_ann_lsh,
+        sim_ann_pq,
+        sim_topk_exact,
+    )
+
+    exact = sim_topk_exact(spark, sf_dir).select("probe_id", "neighbor_id")
+    k_per_probe = exact.groupBy("probe_id").agg(F.count("*").alias("k"))
+    out = None
+    for method, fn in (
+        ("lsh", sim_ann_lsh),
+        ("ivf", sim_ann_ivf),
+        ("pq", sim_ann_pq),
+        ("graph", sim_ann_graph),
+        ("rrf", sim_rank_fusion),
+    ):
+        approx = fn(spark, sf_dir).select("probe_id", "neighbor_id")
+        hits = (
+            exact.join(approx, ["probe_id", "neighbor_id"])
+            .groupBy("probe_id")
+            .agg(F.count("*").alias("n_hits"))
+        )
+        per_probe = k_per_probe.join(hits, "probe_id", "left").select(
+            F.lit(method).alias("method"),
+            "probe_id",
+            "k",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.floor(
+                F.lit(10000.0) * F.coalesce("n_hits", F.lit(0)) / F.col("k")
+            )
+            .cast("long")
+            .alias("recall_u4"),
+        )
+        out = per_probe if out is None else out.unionByName(per_probe)
+    return out
+
 
 
 def graph_search_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
