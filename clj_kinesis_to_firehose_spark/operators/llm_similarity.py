@@ -348,10 +348,11 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # sim_recall_eval lives in llm_graph_ann (r15; llm_clustering in
 # r14): its exact oracle composes oracle("sim_ann_ivf") AND — since
-# the graph family went exact — oracle("sim_ann_graph"), so the op
-# must register after both. (An interim LSH-only twin,
-# sim_recall_eval_lsh, existed briefly in r14 and was removed as a
-# strict subset once the full grid went exact — review finding.)
+# the graph family went exact — oracle("sim_ann_graph") AND the
+# RRF-fused list, so the op must register after all three. (An
+# interim LSH-only twin, sim_recall_eval_lsh, existed briefly in r14
+# and was removed as a strict subset once the full grid went exact —
+# review finding.)
 
 
 @register(
