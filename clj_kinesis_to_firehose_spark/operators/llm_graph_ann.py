@@ -957,7 +957,10 @@ def _sql_rank_fusion() -> str:
 
 
 @register(
-    "sim_rank_fusion", executes_on_build=True, oracle=_sql_rank_fusion()
+    "sim_rank_fusion",
+    executes_on_build="conditional",  # warm _KMEANS_FIT_MEMO (via the
+    # composed sim_ann_ivf) and probe memo skip every build-time action
+    oracle=_sql_rank_fusion(),
 )
 def sim_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid-retrieval shortlist fusion: reciprocal-rank fusion of
