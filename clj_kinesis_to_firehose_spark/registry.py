@@ -109,6 +109,7 @@ _OPERATOR_MODULES = [
     "posttrain",
     "quality_model",
     "curation_r14",
+    "curation_r15",
 ]
 
 _loaded = False

@@ -1,0 +1,143 @@
+"""Round-15 second-session additions: training-sequence geometry
+(curation_r15.py) — greedy whole-doc packing, length-bucketed batch
+assembly, and the four-law padding-efficiency report."""
+
+from __future__ import annotations
+
+import pytest
+
+from clj_kinesis_to_firehose_spark import registry
+from clj_kinesis_to_firehose_spark.operators.curation_r15 import (
+    BATCH_SIZE,
+    LEN_BAND_WIDTH,
+    PACK_BUCKET_SIZE,
+    PACK_TOKEN_BUDGET,
+)
+from tests.conftest import SF_DIR
+from tests.helpers import assert_oracle_match
+
+QUERIES = registry.queries()
+ORACLES = registry.oracle_sql()
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["corpus_pack_greedy", "corpus_batch_by_length", "corpus_pack_report"],
+)
+def test_oracle_match(spark, oracle_con, name):
+    assert_oracle_match(
+        QUERIES[name](spark, SF_DIR), ORACLES[name], oracle_con, name
+    )
+
+
+def test_pack_greedy_law(spark):
+    """The greedy-restart contract: (1) no sequence exceeds the budget
+    unless it is a single oversize doc; (2) packing is MAXIMAL — the
+    next sequence in the same bucket could not have fit into this one;
+    (3) buckets bound the fold — doc ranges stay inside their bucket
+    and no bucket folds more than PACK_BUCKET_SIZE docs."""
+    rows = QUERIES["corpus_pack_greedy"](spark, SF_DIR).collect()
+    assert rows
+    by_bucket: dict[int, list] = {}
+    n_oversize = 0
+    for r in rows:
+        if r["oversize"]:
+            n_oversize += 1
+            assert r["n_docs"] == 1, r
+            assert r["pad_tokens"] == 0, r
+        else:
+            assert r["n_tokens"] <= PACK_TOKEN_BUDGET, r
+            assert r["pad_tokens"] == PACK_TOKEN_BUDGET - r["n_tokens"], r
+        assert r["first_doc_id"] // PACK_BUCKET_SIZE == r["bucket"], r
+        assert r["last_doc_id"] // PACK_BUCKET_SIZE == r["bucket"], r
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    # the fixture's max per-doc cost exceeds the budget by design, so
+    # the oversize branch runs on real data
+    assert n_oversize >= 1
+    for bucket, seqs in by_bucket.items():
+        assert sum(r["n_docs"] for r in seqs) <= PACK_BUCKET_SIZE
+        seqs.sort(key=lambda r: r["seq_id"])
+        assert [r["seq_id"] for r in seqs] == list(range(len(seqs)))
+        # maximality: the first doc of seq k+1 did not fit into seq k
+        # (unless seq k was itself started by an oversize doc, whose
+        # fill already exceeds the budget — then ANY next doc spills)
+        costs = {}  # first-doc cost per seq, via n_docs==1 fast path
+        for prev, nxt in zip(seqs, seqs[1:]):
+            # reconstruct the spilled doc's cost bound: it must exceed
+            # the remaining room of the previous sequence
+            room = PACK_TOKEN_BUDGET - prev["n_tokens"]
+            if nxt["n_docs"] == 1:
+                assert nxt["n_tokens"] > room or prev["oversize"], (prev, nxt)
+            else:
+                # first doc of nxt costs at least n_tokens - (n_docs-1)*max
+                # — too loose to pin exactly; the oracle hash already
+                # proves the law, this branch just documents intent
+                pass
+        del costs
+
+
+def test_batch_by_length_law(spark):
+    """Batch-assembly contract: batches hold at most BATCH_SIZE rows
+    with only the final batch of each (band, bucket) cohort smaller;
+    padding arithmetic is internally consistent; banding bounds the
+    per-row padding by LEN_BAND_WIDTH-1."""
+    rows = QUERIES["corpus_batch_by_length"](spark, SF_DIR).collect()
+    assert rows
+    cohorts: dict[tuple, list] = {}
+    for r in rows:
+        assert 1 <= r["n_rows"] <= BATCH_SIZE
+        assert r["pad_waste"] == r["padded_len"] * r["n_rows"] - r["n_tokens"]
+        assert r["pad_waste"] <= (LEN_BAND_WIDTH - 1) * r["n_rows"], r
+        cap = r["padded_len"] * r["n_rows"]
+        assert r["pad_frac_u6"] == (r["pad_waste"] * 1_000_000) // cap
+        cohorts.setdefault((r["band"], r["bucket"]), []).append(r)
+    for members in cohorts.values():
+        members.sort(key=lambda r: r["batch_id"])
+        assert [r["batch_id"] for r in members] == list(range(len(members)))
+        for r in members[:-1]:
+            assert r["n_rows"] == BATCH_SIZE, r
+
+
+def test_pack_report_consistency(spark):
+    """The report is a pure consumer: its four rows must equal the
+    per-law relations' own aggregates, and the pad fraction is the
+    exact integer floor-division of its own columns."""
+    rows = {r["law"]: r for r in QUERIES["corpus_pack_report"](spark, SF_DIR).collect()}
+    assert set(rows) == {
+        "chunk_aligned", "pack_greedy", "batch_by_length", "pack_streaming",
+    }
+    for r in rows.values():
+        assert r["pad_frac_u6"] == (
+            r["pad_tokens"] * 1_000_000
+        ) // (r["n_tokens"] + r["pad_tokens"])
+    packs = QUERIES["corpus_pack_greedy"](spark, SF_DIR).collect()
+    assert rows["pack_greedy"]["n_units"] == len(packs)
+    assert rows["pack_greedy"]["n_tokens"] == sum(p["n_tokens"] for p in packs)
+    assert rows["pack_greedy"]["pad_tokens"] == sum(p["pad_tokens"] for p in packs)
+
+
+def test_pack_plan_has_no_window_and_no_python(spark):
+    """The pack fold's scale contract in the plan: the greedy
+    recurrence compiles to a JVM higher-order aggregate over bucketed
+    groups — no window (ergo no corpus-global sort) and no Python
+    stage anywhere."""
+    df = QUERIES["corpus_pack_greedy"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "windowspecdefinition" not in plan
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in phys and "ArrowEvalPython" not in phys
+
+
+def test_batch_plan_windows_on_cohort(spark):
+    """The batch window partitions by the (band, bucket) cohort —
+    never a global or band-only sort."""
+    df = QUERIES["corpus_batch_by_length"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "windowspecdefinition(band" in plan.replace("#", "").replace(
+        "L", ""
+    ) or "windowspecdefinition" in plan
+    # cohort key present: the window spec names both partition columns
+    import re
+
+    m = re.search(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert m and "band" in m.group(1) and "bucket" in m.group(1), plan[:2000]
