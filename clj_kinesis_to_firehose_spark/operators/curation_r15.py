@@ -19,12 +19,16 @@ and pad-efficient BATCHES. These ops close that gap, all exact:
   into batches in portable-hash order, and account the padding
   waste each batch pays to its longest member. Pure window
   functions.
+* ``corpus_pack_ffd`` — first-fit-decreasing bin packing, the
+  offline law bounding how much padding a smarter packer could
+  recover: same bucket contract, the fold carries the open-bin fill
+  list, and the oracle replays bin CHOICE via a recursive CTE.
 * ``corpus_pack_report`` — the padding-efficiency ledger comparing
-  the four sequence-geometry laws the engine now implements
-  (offset-aligned chunking, greedy packing, pad-to-longest
-  batching, per-lang streaming bins) on one normalized (units,
-  tokens, pad, pad-fraction) scale — a pure consumer composing the
-  four registered oracles.
+  the five sequence-geometry laws the engine now implements
+  (offset-aligned chunking, greedy packing, FFD packing,
+  pad-to-longest batching, per-lang streaming bins) on one
+  normalized (units, tokens, pad, pad-fraction) scale — a pure
+  consumer composing the five registered oracles.
 
 Scale design notes (details per docstring): the pack fold is bounded
 by PACK_BUCKET_SIZE docs per group — never corpus-sized; the batch
@@ -208,6 +212,164 @@ def corpus_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- corpus_pack_ffd ---------------------------------------------------------
+
+
+def _ffd_fold(arr):
+    """First-fit packing law as a JVM-side ``F.aggregate`` fold over a
+    (neg-cost, doc_id)-sorted array — i.e. first-fit-DECREASING once
+    the caller sorts descending: carry the open-bin fill list; each
+    doc lands in the FIRST bin with room, else opens a new bin. The
+    fill list is bounded by the bucket's doc count, so the per-step
+    scan is bucket-sized, never corpus-sized. Mirrored verbatim in
+    the oracle's recursive CTE (LATERAL candidate comprehension)."""
+    init = F.struct(
+        F.expr("CAST(array() AS array<bigint>)").alias("fills"),
+        F.expr(
+            "CAST(array() AS array<struct<doc_id:bigint,cost:bigint,seq:bigint>>)"
+        ).alias("out"),
+    )
+
+    def step(acc, x):
+        cand = F.filter(
+            F.transform(
+                acc["fills"],
+                lambda f, i: F.struct(
+                    i.cast("long").alias("i"), f.alias("f")
+                ),
+            ),
+            lambda s: s["f"] + x["cost"] <= PACK_TOKEN_BUDGET,
+        )
+        found = F.size(cand) > 0
+        j = F.when(found, F.element_at(cand, 1)["i"]).otherwise(
+            F.size(acc["fills"]).cast("long")
+        )
+        fills = F.when(
+            found,
+            F.transform(
+                acc["fills"],
+                lambda f, i: F.when(
+                    i.cast("long") == j, f + x["cost"]
+                ).otherwise(f),
+            ),
+        ).otherwise(F.concat(acc["fills"], F.array(x["cost"])))
+        entry = F.struct(
+            x["doc_id"].alias("doc_id"),
+            x["cost"].alias("cost"),
+            j.alias("seq"),
+        )
+        return F.struct(
+            fills.alias("fills"),
+            F.concat(acc["out"], F.array(entry)).alias("out"),
+        )
+
+    return F.aggregate(arr, init, step)["out"]
+
+
+@register(
+    "corpus_pack_ffd",
+    oracle=f"""
+    WITH RECURSIVE costs AS (
+      SELECT CAST(doc_id // {PACK_BUCKET_SIZE} AS BIGINT) AS bucket,
+             doc_id,
+             CAST(LEN(REGEXP_EXTRACT_ALL(text, '{TOKEN_BUDGET_RE}')) AS BIGINT)
+               AS cost,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id // {PACK_BUCKET_SIZE}
+               ORDER BY LEN(REGEXP_EXTRACT_ALL(text, '{TOKEN_BUDGET_RE}')) DESC,
+                        doc_id
+             ) AS rn
+      FROM documents
+    ), walk AS (
+      SELECT bucket, rn, doc_id, cost,
+             CAST(0 AS BIGINT) AS seq, [cost] AS fills
+      FROM costs WHERE rn = 1
+      UNION ALL
+      SELECT c.bucket, c.rn, c.doc_id, c.cost,
+             CASE WHEN LEN(cand) > 0 THEN cand[1] - 1
+                  ELSE LEN(w.fills) END AS seq,
+             CASE WHEN LEN(cand) > 0
+                  THEN [CASE WHEN i = cand[1] THEN w.fills[i] + c.cost
+                             ELSE w.fills[i] END
+                        FOR i IN range(1, LEN(w.fills) + 1)]
+                  ELSE list_append(w.fills, c.cost) END AS fills
+      FROM walk w JOIN costs c ON c.bucket = w.bucket AND c.rn = w.rn + 1,
+      LATERAL (SELECT [i FOR i IN range(1, LEN(w.fills) + 1)
+                       IF w.fills[i] + c.cost <= {PACK_TOKEN_BUDGET}] AS cand) l
+    )
+    SELECT bucket, seq AS seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(cost) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc_id,
+           MAX(doc_id) AS last_doc_id,
+           (SUM(cost) > {PACK_TOKEN_BUDGET}) AS oversize,
+           CAST(GREATEST(0, {PACK_TOKEN_BUDGET} - SUM(cost)) AS BIGINT)
+             AS pad_tokens
+    FROM walk GROUP BY bucket, seq
+    """,
+)
+def corpus_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing bin packing of whole documents into
+    token-budget sequences — the OFFLINE counterpart of
+    corpus_pack_greedy's online next-fit law, and the classical
+    answer to its waste: sort the bucket's docs by cost descending,
+    then place each into the FIRST open sequence with room (opening a
+    new one only when none fits). FFD's packing is provably within
+    11/9·OPT+1 bins of optimal, so corpus_pack_report's pack_ffd row
+    is the empirical upper bound on how much padding a smarter packer
+    could recover over the streaming laws. Oversize docs (cost >
+    budget) fit no bin by construction and open their own flagged
+    sequence, exactly as in the greedy op.
+
+    Scale: identical distribution contract to corpus_pack_greedy —
+    the recurrence is confined to PACK_BUCKET_SIZE-doc buckets, one
+    shuffle, one JVM ``F.aggregate`` fold per bucket, no Python. The
+    extra state FFD carries (the open-bin fill list) is bounded by
+    the bucket's doc count, so the per-doc first-fit scan is O(bins
+    in bucket) — constant per bucket at any corpus size. The oracle
+    replays the identical placement walk as a recursive CTE whose
+    rows carry the same fill list (LATERAL candidate comprehension),
+    proving bin CHOICE — not just bin totals — exact.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(f"CAST(doc_id div {PACK_BUCKET_SIZE} AS BIGINT)").alias("bucket"),
+        F.size(F.regexp_extract_all("text", F.lit(TOKEN_BUDGET_RE), 0))
+        .cast("long")
+        .alias("cost"),
+    )
+    # lexicographic struct sort on (-cost, doc_id) = cost DESC, doc_id ASC
+    folded = docs.groupBy("bucket").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    (-F.col("cost")).alias("negcost"),
+                    F.col("doc_id"),
+                    F.col("cost"),
+                )
+            )
+        ).alias("arr")
+    )
+    assigned = folded.select(
+        "bucket", F.explode(_ffd_fold(F.col("arr"))).alias("e")
+    )
+    return assigned.groupBy(
+        "bucket", F.col("e.seq").alias("seq_id")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("e.cost").cast("long").alias("n_tokens"),
+        F.min("e.doc_id").alias("first_doc_id"),
+        F.max("e.doc_id").alias("last_doc_id"),
+        (F.sum("e.cost") > PACK_TOKEN_BUDGET).alias("oversize"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.lit(PACK_TOKEN_BUDGET).cast("long") - F.sum("e.cost"),
+        )
+        .cast("long")
+        .alias("pad_tokens"),
+    )
+
+
 # --- corpus_batch_by_length --------------------------------------------------
 
 #: token-count band width — docs within one band differ by < this
@@ -324,6 +486,7 @@ def corpus_batch_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), packs AS ({oracle("corpus_pack_greedy")}
     ), batches AS ({oracle("corpus_batch_by_length")}
     ), streams AS ({oracle("corpus_pack_sequences")}
+    ), ffd AS ({oracle("corpus_pack_ffd")}
     ), u AS (
       SELECT 'chunk_aligned' AS law,
              CAST(COUNT(*) AS BIGINT) AS n_units,
@@ -349,6 +512,12 @@ def corpus_batch_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(bin_tokens) AS BIGINT),
              CAST(SUM(GREATEST(0, 512 - bin_tokens)) AS BIGINT)
       FROM streams
+      UNION ALL
+      SELECT 'pack_ffd',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(n_tokens) AS BIGINT),
+             CAST(SUM(pad_tokens) AS BIGINT)
+      FROM ffd
     )
     SELECT law, n_units, n_tokens, pad_tokens,
            CAST({fdiv_sql("pad_tokens * 1000000", "n_tokens + pad_tokens")}
@@ -357,10 +526,11 @@ def corpus_batch_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def corpus_pack_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Padding-efficiency ledger across the four sequence-geometry
+    """Padding-efficiency ledger across the five sequence-geometry
     laws the engine implements — offset-aligned chunking
     (corpus_chunk_tokens, its own 16-token unit), greedy whole-doc
-    packing (corpus_pack_greedy), pad-to-longest batching
+    packing (corpus_pack_greedy), first-fit-decreasing packing
+    (corpus_pack_ffd), pad-to-longest batching
     (corpus_batch_by_length), and the per-lang streaming packer
     (corpus_pack_sequences, 512-token bins that may overflow) — on
     one normalized scale: units produced, real tokens carried, pad
@@ -369,12 +539,12 @@ def corpus_pack_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     pick the loader geometry (and the row that justifies, or kills,
     a packing stage — the sim_rank_fusion precedent of turning
     registered rules into one decision surface). Pure consumer: both
-    sides compose the four REGISTERED rules — the Spark plan reuses
+    sides compose the five REGISTERED rules — the Spark plan reuses
     the query functions, the oracle wraps the registered SQL as
     CTEs — so this op can never drift from what the per-law ops
     actually compute.
 
-    Scale: four already-bounded relations (chunks/sequences/batches/
+    Scale: five already-bounded relations (chunks/sequences/batches/
     bins are all output-sized, not corpus-sized) each reduced by one
     global aggregate to a single row — the cheapest op in the
     family. The chunk and streaming laws' pad is clamped at 0
@@ -424,7 +594,15 @@ def corpus_pack_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         tokens_col="bin_tokens",
     )
-    u = chunks.unionByName(packs).unionByName(batches).unionByName(streams)
+    ffd = summarize(
+        corpus_pack_ffd(spark, sf_dir), "pack_ffd", F.sum("pad_tokens")
+    )
+    u = (
+        chunks.unionByName(packs)
+        .unionByName(batches)
+        .unionByName(streams)
+        .unionByName(ffd)
+    )
     return u.withColumn(
         "pad_frac_u6",
         F.expr("(pad_tokens * 1000000) div (n_tokens + pad_tokens)"),

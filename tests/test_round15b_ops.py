@@ -1,6 +1,7 @@
 """Round-15 second-session additions: training-sequence geometry
-(curation_r15.py) — greedy whole-doc packing, length-bucketed batch
-assembly, and the four-law padding-efficiency report."""
+(curation_r15.py) — greedy whole-doc packing, first-fit-decreasing
+packing, length-bucketed batch assembly, and the five-law
+padding-efficiency report."""
 
 from __future__ import annotations
 
@@ -22,7 +23,12 @@ ORACLES = registry.oracle_sql()
 
 @pytest.mark.parametrize(
     "name",
-    ["corpus_pack_greedy", "corpus_batch_by_length", "corpus_pack_report"],
+    [
+        "corpus_pack_greedy",
+        "corpus_pack_ffd",
+        "corpus_batch_by_length",
+        "corpus_pack_report",
+    ],
 )
 def test_oracle_match(spark, oracle_con, name):
     assert_oracle_match(
@@ -76,6 +82,40 @@ def test_pack_greedy_law(spark):
         del costs
 
 
+def test_pack_ffd_law(spark):
+    """First-fit-decreasing contract: same budget/bucket/oversize
+    invariants as the greedy law, plus the efficiency motivation
+    pinned ON THIS FIXTURE (an empirical regression check, not a
+    theorem — FFD-vs-next-fit dominance is instance-dependent): FFD
+    needs no more sequences than next-fit in any bucket here, and
+    total padding does not exceed greedy's."""
+    ffd = QUERIES["corpus_pack_ffd"](spark, SF_DIR).collect()
+    greedy = QUERIES["corpus_pack_greedy"](spark, SF_DIR).collect()
+    assert ffd
+    ffd_by_bucket: dict[int, list] = {}
+    for r in ffd:
+        if r["oversize"]:
+            assert r["n_docs"] == 1 and r["pad_tokens"] == 0, r
+        else:
+            assert r["n_tokens"] <= PACK_TOKEN_BUDGET, r
+        assert r["first_doc_id"] // PACK_BUCKET_SIZE == r["bucket"], r
+        assert r["last_doc_id"] // PACK_BUCKET_SIZE == r["bucket"], r
+        ffd_by_bucket.setdefault(r["bucket"], []).append(r)
+    greedy_by_bucket: dict[int, list] = {}
+    for r in greedy:
+        greedy_by_bucket.setdefault(r["bucket"], []).append(r)
+    assert set(ffd_by_bucket) == set(greedy_by_bucket)
+    for b in ffd_by_bucket:
+        assert len(ffd_by_bucket[b]) <= len(greedy_by_bucket[b]), b
+        # same docs, same token mass — only the arrangement differs
+        assert sum(r["n_tokens"] for r in ffd_by_bucket[b]) == sum(
+            r["n_tokens"] for r in greedy_by_bucket[b]
+        )
+    assert sum(r["pad_tokens"] for r in ffd) <= sum(
+        r["pad_tokens"] for r in greedy
+    )
+
+
 def test_batch_by_length_law(spark):
     """Batch-assembly contract: batches hold at most BATCH_SIZE rows
     with only the final batch of each (band, bucket) cohort smaller;
@@ -104,7 +144,8 @@ def test_pack_report_consistency(spark):
     exact integer floor-division of its own columns."""
     rows = {r["law"]: r for r in QUERIES["corpus_pack_report"](spark, SF_DIR).collect()}
     assert set(rows) == {
-        "chunk_aligned", "pack_greedy", "batch_by_length", "pack_streaming",
+        "chunk_aligned", "pack_greedy", "batch_by_length",
+        "pack_streaming", "pack_ffd",
     }
     for r in rows.values():
         assert r["pad_frac_u6"] == (
