@@ -117,9 +117,10 @@ def _pack_fold(arr):
     return F.aggregate(arr, init, step)["out"]
 
 
-@register(
-    "corpus_pack_greedy",
-    oracle=f"""
+#: the shared greedy-walk CTE block (costs → recursive walk), stated
+#: once and consumed by both corpus_pack_greedy's oracle and
+#: corpus_pack_incremental's stability proof — one law, two readers.
+_PACK_WALK_SQL = f"""
     WITH RECURSIVE costs AS (
       SELECT CAST(doc_id // {PACK_BUCKET_SIZE} AS BIGINT) AS bucket,
              doc_id,
@@ -140,7 +141,12 @@ def _pack_fold(arr):
              CASE WHEN w.fill > 0 AND w.fill + c.cost > {PACK_TOKEN_BUDGET}
                   THEN c.cost ELSE w.fill + c.cost END
       FROM walk w JOIN costs c ON c.bucket = w.bucket AND c.rn = w.rn + 1
-    )
+    )"""
+
+
+@register(
+    "corpus_pack_greedy",
+    oracle=f"""{_PACK_WALK_SQL}
     SELECT bucket, seq AS seq_id,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(cost) AS BIGINT) AS n_tokens,
@@ -180,25 +186,45 @@ def corpus_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical recurrence as a recursive CTE over the same bucket
     keys, proving the fold law — not merely the aggregates — exact.
     """
-    docs = load_table(spark, sf_dir, "documents").select(
+    return _pack_seq_agg(_packed_entries(_pack_docs(spark, sf_dir)))
+
+
+def _pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bucket, cost) projection shared by the packing family."""
+    return load_table(spark, sf_dir, "documents").select(
         "doc_id",
         F.expr(f"CAST(doc_id div {PACK_BUCKET_SIZE} AS BIGINT)").alias("bucket"),
         F.size(F.regexp_extract_all("text", F.lit(TOKEN_BUDGET_RE), 0))
         .cast("long")
         .alias("cost"),
     )
+
+
+def _packed_entries(docs: DataFrame) -> DataFrame:
+    """(bucket, e:struct<doc_id,cost,seq>) — the greedy fold applied
+    per bucket of ``docs``; shared by the full and incremental ops."""
     folded = docs.groupBy("bucket").agg(
         F.array_sort(
             F.collect_list(F.struct(F.col("doc_id"), F.col("cost")))
         ).alias("arr")
     )
-    assigned = folded.select(
+    return folded.select(
         "bucket", F.explode(_pack_fold(F.col("arr"))).alias("e")
     )
+
+
+def _pack_seq_agg(
+    assigned: DataFrame, *extra_group, extra_aggs: tuple = ()
+) -> DataFrame:
+    """Per-sequence rollup of an entries relation (shared output
+    contract of the packing ops); ``extra_group`` appends columns
+    (e.g. the incremental op's status) to the grouping key and
+    ``extra_aggs`` appends aggregate columns."""
     return assigned.groupBy(
-        "bucket", F.col("e.seq").alias("seq_id")
+        "bucket", F.col("e.seq").alias("seq_id"), *extra_group
     ).agg(
         F.count("*").alias("n_docs"),
+        *extra_aggs,
         F.sum("e.cost").cast("long").alias("n_tokens"),
         F.min("e.doc_id").alias("first_doc_id"),
         F.max("e.doc_id").alias("last_doc_id"),
@@ -209,6 +235,83 @@ def corpus_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("pad_tokens"),
+    )
+
+
+# --- corpus_pack_incremental -------------------------------------------------
+
+#: batch boundary: docs below are the already-packed base corpus,
+#: docs at/above are the arrival batch (mirrors
+#: curation_r10.SPAN_BATCH_SPLIT / curation_r12.PHASH_BATCH_SPLIT).
+PACK_BATCH_SPLIT = 400
+
+
+@register(
+    "corpus_pack_incremental",
+    oracle=f"""{_PACK_WALK_SQL}
+    SELECT bucket, seq AS seq_id,
+           CASE WHEN bucket IN (SELECT DISTINCT bucket FROM costs
+                                WHERE doc_id >= {PACK_BATCH_SPLIT})
+                THEN 'repacked' ELSE 'kept' END AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id >= {PACK_BATCH_SPLIT} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new_docs,
+           CAST(SUM(cost) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc_id,
+           MAX(doc_id) AS last_doc_id,
+           (SUM(cost) > {PACK_TOKEN_BUDGET}) AS oversize,
+           CAST(GREATEST(0, {PACK_TOKEN_BUDGET} - SUM(cost)) AS BIGINT)
+             AS pad_tokens
+    FROM walk GROUP BY bucket, seq
+    """,
+)
+def corpus_pack_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental packing maintenance — the index-update shape of the
+    packing family (the dedup_incremental_* convention: doc_id <
+    PACK_BATCH_SPLIT is the already-packed base, >= is the arrival
+    batch): arrivals REPACK ONLY THE BUCKETS THEY TOUCH; every other
+    bucket's sequences carry over from the base packing byte-for-byte.
+    That stability is not an optimization hope, it is a consequence of
+    the bucket contract — packing is a pure function of a bucket's doc
+    set, so a bucket without arrivals packs identically whether or not
+    the batch exists — and THIS OP PROVES IT: the Spark side actually
+    computes the incremental composition (base-pack for untouched
+    buckets, fresh fold for touched ones), while the oracle packs the
+    FULL corpus in one walk and derives status from bucket membership.
+    A hash match means incremental == full repack, sequence for
+    sequence. ``n_new_docs`` counts each sequence's arrival docs (0 on
+    every 'kept' row by construction).
+
+    Scale: the touched-bucket set is |arrival buckets| rows —
+    broadcast both ways (anti-join to keep, semi-join to repack); the
+    repack fold runs only over touched buckets, so the incremental
+    cost is O(arrivals), not O(corpus). This is what a daily manifest
+    update does at 100 TB: yesterday's sequences are immutable files,
+    today's batch reopens only the tail buckets it lands in.
+    """
+    docs = _pack_docs(spark, sf_dir)
+    touched = (
+        docs.filter(F.col("doc_id") >= PACK_BATCH_SPLIT)
+        .select("bucket")
+        .distinct()
+    )
+    kept = _packed_entries(
+        docs.filter(F.col("doc_id") < PACK_BATCH_SPLIT)
+    ).join(F.broadcast(touched), "bucket", "left_anti")
+    repacked = _packed_entries(
+        docs.join(F.broadcast(touched), "bucket", "left_semi")
+    )
+    entries = kept.withColumn("status", F.lit("kept")).unionByName(
+        repacked.withColumn("status", F.lit("repacked"))
+    )
+    return _pack_seq_agg(
+        entries,
+        "status",
+        extra_aggs=(
+            F.sum((F.col("e.doc_id") >= PACK_BATCH_SPLIT).cast("long"))
+            .cast("long")
+            .alias("n_new_docs"),
+        ),
     )
 
 

@@ -26,6 +26,7 @@ ORACLES = registry.oracle_sql()
     [
         "corpus_pack_greedy",
         "corpus_pack_ffd",
+        "corpus_pack_incremental",
         "corpus_batch_by_length",
         "corpus_pack_report",
     ],
@@ -114,6 +115,47 @@ def test_pack_ffd_law(spark):
     assert sum(r["pad_tokens"] for r in ffd) <= sum(
         r["pad_tokens"] for r in greedy
     )
+
+
+def test_pack_incremental_stability(spark):
+    """The maintenance law: the incremental composition equals the
+    full repack sequence-for-sequence; 'kept' rows are byte-identical
+    to the full packing on untouched buckets and carry zero arrival
+    docs; every arrival doc lands in a 'repacked' bucket."""
+    from clj_kinesis_to_firehose_spark.operators.curation_r15 import (
+        PACK_BATCH_SPLIT,
+    )
+
+    inc = QUERIES["corpus_pack_incremental"](spark, SF_DIR).collect()
+    full = QUERIES["corpus_pack_greedy"](spark, SF_DIR).collect()
+    key = lambda r: (r["bucket"], r["seq_id"])  # noqa: E731
+    shared = (
+        "n_docs n_tokens first_doc_id last_doc_id oversize pad_tokens".split()
+    )
+    full_by_key = {key(r): r for r in full}
+    assert {key(r) for r in inc} == set(full_by_key)
+    touched = {
+        r["bucket"] for r in inc if r["status"] == "repacked"
+    }
+    for r in inc:
+        f = full_by_key[key(r)]
+        assert [r[c] for c in shared] == [f[c] for c in shared], (r, f)
+        if r["status"] == "kept":
+            assert r["n_new_docs"] == 0, r
+            assert r["bucket"] not in touched
+        assert (r["last_doc_id"] >= PACK_BATCH_SPLIT) <= (
+            r["status"] == "repacked"
+        ), r
+    assert touched, "fixture must exercise the repack branch"
+    assert any(r["status"] == "kept" for r in inc)
+
+
+def test_pack_incremental_broadcasts_touched_set(spark):
+    """The O(arrivals) contract in the plan: both touched-bucket joins
+    resolve to broadcast joins — no shuffle keyed on the corpus."""
+    df = QUERIES["corpus_pack_incremental"](spark, SF_DIR)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in phys or "BroadcastNestedLoopJoin" in phys
 
 
 def test_batch_by_length_law(spark):
