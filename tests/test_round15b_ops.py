@@ -199,6 +199,87 @@ def test_pack_report_consistency(spark):
     assert rows["pack_greedy"]["pad_tokens"] == sum(p["pad_tokens"] for p in packs)
 
 
+def test_pack_folds_match_python_reference(spark):
+    """Engine-independent law pin: both JVM folds reproduce a plain
+    Python simulation of their packing law on seeded random cost
+    arrays (one DataFrame, one action — not per-example round trips).
+    This holds even if the DuckDB oracle and the Spark plan drifted
+    in the SAME direction, which the hash compare cannot see."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from clj_kinesis_to_firehose_spark.operators.curation_r15 import (
+        PACK_TOKEN_BUDGET,
+        _ffd_fold,
+        _pack_fold,
+    )
+
+    rng = random.Random(1537)
+    cases = [
+        [rng.randint(1, PACK_TOKEN_BUDGET + 30) for _ in range(rng.randint(1, 40))]
+        for _ in range(60)
+    ]
+
+    def py_next_fit(costs):
+        seq, fill, out = 0, 0, []
+        for did, c in enumerate(costs):
+            if fill > 0 and fill + c > PACK_TOKEN_BUDGET:
+                seq, fill = seq + 1, c
+            else:
+                fill += c
+            out.append((did, c, seq))
+        return out
+
+    def py_first_fit_decreasing(costs):
+        order = sorted(range(len(costs)), key=lambda i: (-costs[i], i))
+        fills, out = [], []
+        for i in order:
+            c = costs[i]
+            j = next(
+                (k for k, f in enumerate(fills) if f + c <= PACK_TOKEN_BUDGET),
+                None,
+            )
+            if j is None:
+                j = len(fills)
+                fills.append(c)
+            else:
+                fills[j] += c
+            out.append((i, c, j))
+        return out
+
+    df = spark.createDataFrame(
+        [(ci, [(did, c) for did, c in enumerate(costs)]) for ci, costs in enumerate(cases)],
+        "case_id int, arr array<struct<doc_id:bigint,cost:bigint>>",
+    )
+    rows = df.select(
+        "case_id",
+        _pack_fold(F.col("arr")).alias("nf"),
+        _ffd_fold(
+            F.array_sort(
+                F.transform(
+                    F.col("arr"),
+                    lambda s: F.struct(
+                        (-s["cost"]).alias("negcost"),
+                        s["doc_id"],
+                        s["cost"],
+                    ),
+                )
+            )
+        ).alias("ffd"),
+    ).collect()
+    assert len(rows) == len(cases)
+    for r in rows:
+        costs = cases[r["case_id"]]
+        got_nf = [(e["doc_id"], e["cost"], e["seq"]) for e in r["nf"]]
+        assert got_nf == py_next_fit(costs), (r["case_id"], got_nf)
+        got_ffd = [(e["doc_id"], e["cost"], e["seq"]) for e in r["ffd"]]
+        assert got_ffd == py_first_fit_decreasing(costs), (
+            r["case_id"],
+            got_ffd,
+        )
+
+
 def test_pack_plan_has_no_window_and_no_python(spark):
     """The pack fold's scale contract in the plan: the greedy
     recurrence compiles to a JVM higher-order aggregate over bucketed
