@@ -102,6 +102,11 @@ EXTENDED = [
     # shard-local int64 graph build (the O(n²/P) matmul) plus the
     # fixed-hop beam search and shortlist merge
     "sim_ann_graph",
+    # round 15 (second half): training-sequence geometry — trends the
+    # bucket-bounded greedy packing fold (collect_list → JVM
+    # higher-order aggregate → per-sequence rollup), the map-side
+    # pattern every loader-manifest build pays
+    "corpus_pack_greedy",
 ]
 N_RUNS_EXT = 2
 #: kept runs per streaming-throughput probe (r15, r14 verdict #3):
