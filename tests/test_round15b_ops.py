@@ -21,6 +21,14 @@ QUERIES = registry.queries()
 ORACLES = registry.oracle_sql()
 
 
+@pytest.fixture(scope="module")
+def greedy_rows(spark):
+    """corpus_pack_greedy's collected output, shared across the law,
+    FFD-comparison, stability, and report-consistency tests (one
+    execution instead of four)."""
+    return QUERIES["corpus_pack_greedy"](spark, SF_DIR).collect()
+
+
 @pytest.mark.parametrize(
     "name",
     [
@@ -37,13 +45,13 @@ def test_oracle_match(spark, oracle_con, name):
     )
 
 
-def test_pack_greedy_law(spark):
+def test_pack_greedy_law(spark, greedy_rows):
     """The greedy-restart contract: (1) no sequence exceeds the budget
     unless it is a single oversize doc; (2) packing is MAXIMAL — the
     next sequence in the same bucket could not have fit into this one;
     (3) buckets bound the fold — doc ranges stay inside their bucket
     and no bucket folds more than PACK_BUCKET_SIZE docs."""
-    rows = QUERIES["corpus_pack_greedy"](spark, SF_DIR).collect()
+    rows = greedy_rows
     assert rows
     by_bucket: dict[int, list] = {}
     n_oversize = 0
@@ -83,7 +91,7 @@ def test_pack_greedy_law(spark):
         del costs
 
 
-def test_pack_ffd_law(spark):
+def test_pack_ffd_law(spark, greedy_rows):
     """First-fit-decreasing contract: same budget/bucket/oversize
     invariants as the greedy law, plus the efficiency motivation
     pinned ON THIS FIXTURE (an empirical regression check, not a
@@ -91,7 +99,7 @@ def test_pack_ffd_law(spark):
     needs no more sequences than next-fit in any bucket here, and
     total padding does not exceed greedy's."""
     ffd = QUERIES["corpus_pack_ffd"](spark, SF_DIR).collect()
-    greedy = QUERIES["corpus_pack_greedy"](spark, SF_DIR).collect()
+    greedy = greedy_rows
     assert ffd
     ffd_by_bucket: dict[int, list] = {}
     for r in ffd:
@@ -117,7 +125,7 @@ def test_pack_ffd_law(spark):
     )
 
 
-def test_pack_incremental_stability(spark):
+def test_pack_incremental_stability(spark, greedy_rows):
     """The maintenance law: the incremental composition equals the
     full repack sequence-for-sequence; 'kept' rows are byte-identical
     to the full packing on untouched buckets and carry zero arrival
@@ -127,7 +135,7 @@ def test_pack_incremental_stability(spark):
     )
 
     inc = QUERIES["corpus_pack_incremental"](spark, SF_DIR).collect()
-    full = QUERIES["corpus_pack_greedy"](spark, SF_DIR).collect()
+    full = greedy_rows
     key = lambda r: (r["bucket"], r["seq_id"])  # noqa: E731
     shared = (
         "n_docs n_tokens first_doc_id last_doc_id oversize pad_tokens".split()
@@ -180,7 +188,7 @@ def test_batch_by_length_law(spark):
             assert r["n_rows"] == BATCH_SIZE, r
 
 
-def test_pack_report_consistency(spark):
+def test_pack_report_consistency(spark, greedy_rows):
     """The report is a pure consumer: its four rows must equal the
     per-law relations' own aggregates, and the pad fraction is the
     exact integer floor-division of its own columns."""
@@ -193,7 +201,7 @@ def test_pack_report_consistency(spark):
         assert r["pad_frac_u6"] == (
             r["pad_tokens"] * 1_000_000
         ) // (r["n_tokens"] + r["pad_tokens"])
-    packs = QUERIES["corpus_pack_greedy"](spark, SF_DIR).collect()
+    packs = greedy_rows
     assert rows["pack_greedy"]["n_units"] == len(packs)
     assert rows["pack_greedy"]["n_tokens"] == sum(p["n_tokens"] for p in packs)
     assert rows["pack_greedy"]["pad_tokens"] == sum(p["pad_tokens"] for p in packs)
