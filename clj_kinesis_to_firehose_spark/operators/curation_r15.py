@@ -710,3 +710,108 @@ def corpus_pack_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pad_frac_u6",
         F.expr("(pad_tokens * 1000000) div (n_tokens + pad_tokens)"),
     )
+
+
+# --- corpus_epoch_shuffle ----------------------------------------------------
+
+#: training epochs scheduled per shuffle manifest.
+SHUFFLE_EPOCHS = 2
+#: data-parallel workers the schedule is dealt to.
+SHUFFLE_WORKERS = 4
+#: coarse range buckets for the distributed rank: the 60-bit shuffle
+#: key's high bits, giving 128 value-range cells whose counts fit one
+#: tiny relation. Value-based (a pure function of the key), so the
+#: decomposition is independent of physical partitioning.
+SHUFFLE_KEY_SHIFT = 53
+
+
+@register(
+    "corpus_epoch_shuffle",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT e.epoch, d.doc_id,
+             {SQL_HASH60.format(
+                 x="'epoch' || CAST(e.epoch AS VARCHAR) || ':' "
+                   "|| CAST(d.doc_id AS VARCHAR)"
+             )} AS skey
+      FROM documents d, (SELECT UNNEST(RANGE(0, {SHUFFLE_EPOCHS})) AS epoch) e
+    ), pos AS (
+      SELECT epoch, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY skey, doc_id) - 1
+               AS global_pos
+      FROM keyed
+    )
+    SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
+           CAST(global_pos AS BIGINT) AS global_pos,
+           CAST(global_pos % {SHUFFLE_WORKERS} AS BIGINT) AS worker,
+           CAST(global_pos // {SHUFFLE_WORKERS} AS BIGINT) AS step
+    FROM pos
+    """,
+)
+def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch shuffle order — the data-loader law a
+    reproducible trainer needs: epoch e orders the corpus by the
+    portable hash of (epoch, doc_id), so every re-run (and every
+    resume-from-checkpoint) sees the identical order without storing
+    it, and each epoch's order is independent of the others. The
+    schedule is dealt round-robin to SHUFFLE_WORKERS data-parallel
+    workers: ``(worker, step)`` is exactly where worker w resumes at
+    global step s — the resume arithmetic is part of the output, not
+    an afterthought.
+
+    Scale: a global ROW_NUMBER is the canonical single-reducer
+    anti-pattern, so the rank is computed by the two-phase value-range
+    decomposition (the corpus_shard_by_tokens precedent, applied to
+    COUNTS): (1) bucket each row by its key's high bits — 128
+    value-range cells, a pure function of the key, independent of
+    physical partitioning; (2) aggregate per-(epoch, bucket) counts —
+    a tiny relation — and window THAT for each bucket's starting
+    offset; (3) broadcast the offsets back and rank within
+    (epoch, bucket) partitions. offset + within-bucket rank is the
+    exact global position, proved against the oracle's plain global
+    ROW_NUMBER. At 100 TB the per-bucket rank windows stay
+    1/128th-corpus-sized each (add key bits to shrink further); no
+    stage sorts the corpus in one partition.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    keyed = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.lit(e) for e in range(SHUFFLE_EPOCHS)])
+        ).alias("epoch"),
+    ).select(
+        F.col("epoch").cast("long").alias("epoch"),
+        "doc_id",
+        portable_hash60(
+            F.concat(
+                F.lit("epoch"),
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("skey"),
+    ).withColumn("kbucket", F.expr(f"skey div {2 ** SHUFFLE_KEY_SHIFT}"))
+    counts = keyed.groupBy("epoch", "kbucket").agg(
+        F.count("*").alias("n")
+    )
+    off_win = Window.partitionBy("epoch").orderBy("kbucket")
+    offsets = counts.select(
+        "epoch",
+        "kbucket",
+        (F.sum("n").over(off_win) - F.col("n")).alias("offset"),
+    )
+    in_bucket = Window.partitionBy("epoch", "kbucket").orderBy("skey", "doc_id")
+    pos = keyed.join(F.broadcast(offsets), ["epoch", "kbucket"]).select(
+        "epoch",
+        "doc_id",
+        (F.col("offset") + F.row_number().over(in_bucket) - 1)
+        .cast("long")
+        .alias("global_pos"),
+    )
+    return pos.select(
+        "epoch",
+        "doc_id",
+        "global_pos",
+        F.expr(f"global_pos % {SHUFFLE_WORKERS}").cast("long").alias("worker"),
+        F.expr(f"global_pos div {SHUFFLE_WORKERS}").cast("long").alias("step"),
+    )

@@ -37,6 +37,7 @@ def greedy_rows(spark):
         "corpus_pack_incremental",
         "corpus_batch_by_length",
         "corpus_pack_report",
+        "corpus_epoch_shuffle",
     ],
 )
 def test_oracle_match(spark, oracle_con, name):
@@ -313,3 +314,47 @@ def test_batch_plan_windows_on_cohort(spark):
 
     m = re.search(r"windowspecdefinition\(([^)]*)\)", plan)
     assert m and "band" in m.group(1) and "bucket" in m.group(1), plan[:2000]
+
+
+def test_epoch_shuffle_law(spark):
+    """Shuffle-schedule contract: each epoch's global_pos is a
+    bijection onto 0..N-1, the worker/step deal is the documented
+    arithmetic, and the epochs actually differ (the per-epoch hash
+    seed changes the order)."""
+    from clj_kinesis_to_firehose_spark.operators.curation_r15 import (
+        SHUFFLE_EPOCHS,
+        SHUFFLE_WORKERS,
+    )
+
+    rows = QUERIES["corpus_epoch_shuffle"](spark, SF_DIR).collect()
+    assert rows
+    by_epoch: dict[int, dict] = {}
+    for r in rows:
+        assert r["worker"] == r["global_pos"] % SHUFFLE_WORKERS
+        assert r["step"] == r["global_pos"] // SHUFFLE_WORKERS
+        by_epoch.setdefault(r["epoch"], {})[r["doc_id"]] = r["global_pos"]
+    assert set(by_epoch) == set(range(SHUFFLE_EPOCHS))
+    n = len(by_epoch[0])
+    for pos_map in by_epoch.values():
+        assert len(pos_map) == n
+        assert sorted(pos_map.values()) == list(range(n))
+    assert by_epoch[0] != by_epoch[1], "epochs must order differently"
+
+
+def test_epoch_shuffle_windows_are_bucketed(spark):
+    """The distributed-rank contract in the plan: every window spec
+    partitions by more than the epoch alone — the corpus-sized rank
+    runs per (epoch, kbucket); only the 128-row offset relation may
+    window by epoch."""
+    import re
+
+    df = QUERIES["corpus_epoch_shuffle"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs
+    row_specs = [s for s in specs if "row_number" in s or "kbucket" in s]
+    assert any("kbucket" in s for s in specs), specs
+    # the row_number window (the corpus-sized one) must carry kbucket
+    for s in specs:
+        if "skey" in s:  # orders by the shuffle key -> the rank window
+            assert "kbucket" in s, s
