@@ -106,6 +106,57 @@ def _assign_fp_udf(cent: list[list[int]]):
     return assign
 
 
+def _iter_partials_fn(cent: list[list[int]]):
+    """One Lloyd's iteration's assignment + per-(cluster, dim) partial
+    sums FUSED into a single ``mapInPandas`` pass (optimization r15,
+    guide §4.2/§2.3): the previous loop body ran TWO jobs per
+    iteration — a pandas-UDF assign pass, then a 64×-row posexplode
+    shuffled into a (cluster, pos) hash-agg. The fused kernel assigns
+    each Arrow batch with the same int64 argmin matmul and accumulates
+    n/Σx/Σx² per cluster locally, emitting ONE k-row partial per task
+    (arrays of 64 longs) — no shuffle, no explode, nothing per-row
+    crosses the Python boundary back.
+
+    Exactness: integer sums are associative/commutative, so the
+    task-partial → driver-total fold equals the old global hash-agg
+    bit for bit; argmin tie-break (lowest cluster id) is unchanged.
+    Overflow: per-task Σx² ≤ rows_per_task · 64 · (1.2e6)² — int64-safe
+    below ~10^8 rows per task (a 128 MB split is ~10^5 rows); the
+    driver folds in Python ints (arbitrary precision)."""
+    cmat = np.array(cent, dtype="int64").T  # dim × k
+    cnorm = (np.array(cent, dtype="int64") ** 2).sum(axis=1)  # k
+    k = len(cent)
+
+    def gen(batches):
+        n = np.zeros(k, dtype="int64")
+        s = np.zeros((k, DIM), dtype="int64")
+        ss = np.zeros((k, DIM), dtype="int64")
+        seen = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            seen = True
+            m = np.vstack(pdf["eq"].to_numpy()).astype("int64")
+            a = np.argmin(-2 * (m @ cmat) + cnorm, axis=1)
+            sq = m * m
+            for c in np.unique(a):
+                mask = a == c
+                n[c] += int(mask.sum())
+                s[c] += m[mask].sum(axis=0)
+                ss[c] += sq[mask].sum(axis=0)
+        if seen:
+            yield pd.DataFrame(
+                {
+                    "cluster": np.arange(k, dtype="int32"),
+                    "n": n,
+                    "s": [row.tolist() for row in s],
+                    "ss": [row.tolist() for row in ss],
+                }
+            )
+
+    return gen
+
+
 #: memo for the fixed-point fit: (applicationId, sf_dir, tag) →
 #: (centroids, inertia). Five registered ops ride the SAME fit (the
 #: kmeans report, IVF top-k, nprobe sweep, incremental census, recall
@@ -159,38 +210,55 @@ def _fit_kmeans_fp(
         assigned = emb.withColumn("cluster", _assign_fp_udf(cent)(F.col("eq")))
         return cent, assigned, inertia
     fit_emb = emb.filter(fit_filter) if fit_filter is not None else emb
-    init_rows = (
-        fit_emb.select("vec_id", "eq")
-        .orderBy("vec_id")
-        .limit(K_CLUSTERS)
-        .collect()
-    )  # k rows
-    cent = [[int(v) for v in r["eq"]] for r in init_rows]
+    # Optimization (r15, guide §5): the loop re-reads the parquet scan
+    # and re-quantizes every iteration without this persist — the fit
+    # relation is consumed KMEANS_ITERS+1 times (init + each
+    # iteration), so cache the (vec_id, eq) projection once for the
+    # fit's lifetime and release it before returning. The footprint is
+    # the FIT set only (with a sample predicate, the sample), in the
+    # spill-never-recompute level the merge writer already uses.
+    from pyspark import StorageLevel
 
-    assigned = None
-    inertia: list[int] = []
-    for _ in range(KMEANS_ITERS):
-        assigned = fit_emb.withColumn(
-            "cluster", _assign_fp_udf(cent)(F.col("eq"))
-        )
-        sums = (
-            assigned.select("cluster", F.posexplode("eq").alias("pos", "val"))
-            .groupBy("cluster", "pos")
-            .agg(
-                F.sum("val").alias("s"),
-                F.sum(F.col("val") * F.col("val")).alias("ss"),
-                F.count("*").alias("n"),
-            )
-            .collect()
-        )  # bounded: k×dim rows
-        new_c = [list(c) for c in cent]  # empty cluster keeps centroid
-        it_inertia = 0
-        for r in sums:
-            mu = r["s"] // r["n"]  # floor div
-            new_c[r["cluster"]][r["pos"]] = mu
-            it_inertia += r["ss"] - 2 * mu * r["s"] + r["n"] * mu * mu
-        inertia.append(it_inertia)
-        cent = new_c
+    fit_q = fit_emb.select("vec_id", "eq").persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        init_rows = (
+            fit_q.orderBy("vec_id").limit(K_CLUSTERS).collect()
+        )  # k rows
+        cent = [[int(v) for v in r["eq"]] for r in init_rows]
+
+        inertia: list[int] = []
+        for _ in range(KMEANS_ITERS):
+            partials = fit_q.select("eq").mapInPandas(
+                _iter_partials_fn(cent),
+                "cluster int, n long, s array<long>, ss array<long>",
+            ).collect()  # bounded: k rows per task
+            # fold task partials in Python ints (exact, unbounded)
+            tot_n = [0] * K_CLUSTERS
+            tot_s = [[0] * DIM for _ in range(K_CLUSTERS)]
+            tot_ss = [[0] * DIM for _ in range(K_CLUSTERS)]
+            for r in partials:
+                c = r["cluster"]
+                tot_n[c] += r["n"]
+                rs, rss = r["s"], r["ss"]
+                ts, tss = tot_s[c], tot_ss[c]
+                for d in range(DIM):
+                    ts[d] += rs[d]
+                    tss[d] += rss[d]
+            new_c = [list(c) for c in cent]  # empty cluster keeps centroid
+            it_inertia = 0
+            for c in range(K_CLUSTERS):
+                if tot_n[c] == 0:
+                    continue
+                n = tot_n[c]
+                for d in range(DIM):
+                    s, ss = tot_s[c][d], tot_ss[c][d]
+                    mu = s // n  # floor div
+                    new_c[c][d] = mu
+                    it_inertia += ss - 2 * mu * s + n * mu * mu
+            inertia.append(it_inertia)
+            cent = new_c
+    finally:
+        fit_q.unpersist()
     _KMEANS_FIT_MEMO[memo_key] = (cent, inertia)
     assigned = emb.withColumn("cluster", _assign_fp_udf(cent)(F.col("eq")))
     return cent, assigned, inertia

@@ -674,26 +674,32 @@ def test_ivf_candidate_join_broadcasts_probe_cells(spark):
 
 def test_samplefit_fit_aggregation_scans_sample_only(spark):
     # the r15 production-shape claim (r14 verdict #5): with the
-    # hash-sample predicate active, every per-iteration fit aggregate
+    # hash-sample predicate active, every per-iteration fit pass
     # consumes the FILTERED relation — the md5 sample filter is part
-    # of the aggregation's plan (it is the agg's only input), so fit
+    # of the pass's plan (it is the kernel's only input), so fit
     # cost tracks the sample size, not the corpus. This rebuilds the
-    # exact loop-body aggregation of _fit_kmeans_fp.
-    from pyspark.sql import functions as F
-
+    # exact loop-body pass of _fit_kmeans_fp (optimization r15: the
+    # posexplode/shuffle aggregate became a fused mapInPandas
+    # partial-sum kernel — no shuffle at all below the fit pass).
     from clj_kinesis_to_firehose_spark.operators.llm_clustering import (
+        K_CLUSTERS,
+        _iter_partials_fn,
         _quantized,
         _samplefit_pred,
     )
 
     fit_emb = _quantized(spark, SF_DIR).filter(_samplefit_pred())
-    sums = (
-        fit_emb.select(F.posexplode("eq").alias("pos", "val"))
-        .groupBy("pos")
-        .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+    seed = [[0] * 64 for _ in range(K_CLUSTERS)]
+    sums = fit_emb.select("eq").mapInPandas(
+        _iter_partials_fn(seed),
+        "cluster int, n long, s array<long>, ss array<long>",
     )
     plan = audit.formatted_plan(sums)
-    assert "md5" in plan, plan  # the sample gate feeds the aggregate
+    assert "md5" in plan, plan  # the sample gate feeds the fit kernel
+    # the only exchange is fan_out's scan-parallelization repartition —
+    # nothing keyed shuffles below the fit kernel (the old posexplode
+    # hash-agg exchange is gone)
+    assert audit.n_shuffles(sums) <= 1, audit.plan_report(sums)
     # and the sample really is a strict subset of the corpus
     n_fit = fit_emb.count()
     n_all = _quantized(spark, SF_DIR).count()
