@@ -122,10 +122,14 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum-of-squares analytically, so the hash check covers actual
     decoded sample math end to end."""
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
-    media = docs.select("doc_id").mapInPandas(
-        _encode_batches, schema="doc_id long, payload binary"
+    from clj_kinesis_to_firehose_spark.operators.multimodal import (
+        compose_batches,
     )
-    decoded = media.mapInPandas(_decode_batches, schema=_DECODE_SCHEMA)
+
+    decoded = docs.select("doc_id").mapInPandas(
+        compose_batches(_encode_batches, _decode_batches),
+        schema=_DECODE_SCHEMA,
+    )
     return decoded.select(
         "doc_id",
         "n_bytes",
@@ -195,11 +199,12 @@ def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
-    media = docs.select("doc_id").mapInPandas(
-        _encode_batches, schema="doc_id long, payload binary"
+    from clj_kinesis_to_firehose_spark.operators.multimodal import (
+        compose_batches,
     )
-    out = media.mapInPandas(
-        _resample,
+
+    out = docs.select("doc_id").mapInPandas(
+        compose_batches(_encode_batches, _resample),
         schema=(
             "doc_id long, decim_factor int, n_out int, "
             "sum_amp_out long, sum_sq long"
@@ -290,11 +295,12 @@ def multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
-    media = docs.select("doc_id").mapInPandas(
-        _encode, schema="doc_id long, payload binary"
+    from clj_kinesis_to_firehose_spark.operators.multimodal import (
+        compose_batches,
     )
-    sums = media.mapInPandas(
-        _decode,
+
+    sums = docs.select("doc_id").mapInPandas(
+        compose_batches(_encode, _decode),
         schema=(
             "doc_id long, frame_idx int, width int, height int, "
             "sum_y long, sum_u long, sum_v long"

@@ -2157,14 +2157,15 @@ def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
     from clj_kinesis_to_firehose_spark.operators.multimodal import (
+        compose_batches,
         encode_media_batches,
     )
 
-    media = docs.select("doc_id").mapInPandas(
-        encode_media_batches, schema="doc_id long, payload binary"
-    )
-    return media.mapInPandas(
-        _phash_batches,
+    # r15 (guide §4.1): encode and hash fused into ONE Python stage —
+    # the payload batches stay inside the worker instead of a full
+    # JVM round-trip between two MapInPandas nodes
+    return docs.select("doc_id").mapInPandas(
+        compose_batches(encode_media_batches, _phash_batches),
         schema=(
             "doc_id long, width int, height int, "
             "phash long, n_bits_set long"

@@ -154,6 +154,13 @@ def _hamming_verified_pairs(
     hamming), so the XOR+popcount rule cannot drift between them (r12
     review finding; the same single-copy rule band_candidates and the
     oracle CTE builders follow)."""
+    # r15 note (guide §3.1): deliberately UNHINTED. The candidate set
+    # of the image family is a multiple of the corpus (phash collides
+    # often: 3×10^5 pairs from 5×10^3 docs at sf0.1), so neither side
+    # is always-small — the key relation is 16 B/row, the pair list
+    # 60×n rows. Let the planner pick from real sizes: it broadcasts
+    # the (cached, statistics-known) key relation while that fits and
+    # degrades to a shuffle join past the cap.
     pairs = cand.join(
         ph.select(F.col("doc_id").alias("doc_a"), F.col("phash").alias("h_a")),
         "doc_a",
@@ -361,18 +368,19 @@ def multimodal_decode_dead_letter(
     ok/dead sinks downstream is a filter on `status`, not a re-decode.
     """
     from clj_kinesis_to_firehose_spark.operators.multimodal import (
+        compose_batches,
         encode_media_batches,
     )
 
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
-    media = docs.select("doc_id").mapInPandas(
-        encode_media_batches, schema="doc_id long, payload binary"
-    )
-    poisoned = media.mapInPandas(
-        _poison_batches, schema="doc_id long, payload binary"
-    )
-    return poisoned.mapInPandas(
-        _decode_dead_letter_batches,
+    # r15 (guide §4.1): encode → poison → fault-isolated decode fused
+    # into ONE Python stage — previously three chained MapInPandas
+    # nodes shipped the payload through the JVM twice for nothing
+    return docs.select("doc_id").mapInPandas(
+        compose_batches(
+            encode_media_batches, _poison_batches,
+            _decode_dead_letter_batches,
+        ),
         schema=(
             "doc_id long, status string, reason string, "
             "width int, height int"
@@ -1383,11 +1391,12 @@ def multimodal_audio_fingerprint(
     )
 
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
-    media = docs.select("doc_id").mapInPandas(
-        _encode_batches, schema="doc_id long, payload binary"
+    from clj_kinesis_to_firehose_spark.operators.multimodal import (
+        compose_batches,
     )
-    return media.mapInPandas(
-        _afp_batches,
+
+    return docs.select("doc_id").mapInPandas(
+        compose_batches(_encode_batches, _afp_batches),
         schema=(
             "doc_id long, n_samples int, fingerprint long, n_bits_set long"
         ),
@@ -1804,11 +1813,12 @@ def stream_phash_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def ingest_batch(batch_df: DataFrame, epoch: int) -> None:
         batch_id = epoch + 1  # one slice per trigger, mtime-ordered
-        media = batch_df.select("doc_id").mapInPandas(
-            encode_media_batches, schema="doc_id long, payload binary"
+        from clj_kinesis_to_firehose_spark.operators.multimodal import (
+            compose_batches,
         )
-        ph = media.mapInPandas(
-            _phash_batches,
+
+        ph = batch_df.select("doc_id").mapInPandas(
+            compose_batches(encode_media_batches, _phash_batches),
             schema=(
                 "doc_id long, width int, height int, "
                 "phash long, n_bits_set long"
@@ -2011,11 +2021,12 @@ def multimodal_video_framehash(spark: SparkSession, sf_dir: str) -> DataFrame:
     is O(total frames).
     """
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
-    media = docs.select("doc_id").mapInPandas(
-        _encode_y4m_batches, schema="doc_id long, payload binary"
+    from clj_kinesis_to_firehose_spark.operators.multimodal import (
+        compose_batches,
     )
-    return media.mapInPandas(
-        _video_framehash_batches,
+
+    return docs.select("doc_id").mapInPandas(
+        compose_batches(_encode_y4m_batches, _video_framehash_batches),
         schema="doc_id long, frame_idx int, fhash long, n_bits_set long",
     )
 

@@ -878,11 +878,12 @@ def multimodal_audio_dynamics(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
-    media = docs.select("doc_id").mapInPandas(
-        _encode_batches, schema="doc_id long, payload binary"
+    from clj_kinesis_to_firehose_spark.operators.multimodal import (
+        compose_batches,
     )
-    return media.mapInPandas(
-        dynamics_batches,
+
+    return docs.select("doc_id").mapInPandas(
+        compose_batches(_encode_batches, dynamics_batches),
         schema="doc_id long, min_e long, max_e long, n_below_mean long",
     )
 

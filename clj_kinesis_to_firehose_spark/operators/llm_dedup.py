@@ -243,9 +243,22 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     candidate_ids = band_candidates(_band_keys(_minhash_sigs(spark, docs)))
+    # r15 optimization (guide §3.1 "broadcast the side you KNOW is
+    # small", §8 "decide with small rows"): broadcast the CANDIDATE
+    # side of both verify joins. Unhinted, Spark's size estimates made
+    # it broadcast the whole documents table TWICE (collect every text
+    # to the driver and ship to every executor — the corpus, not the
+    # decision set). The candidate set is the bucket-gated pair list
+    # (cap-bounded per bucket, ≪ corpus), so it is the side §8's
+    # pattern says must travel; the text-bearing corpus side now
+    # streams from its scan.
     candidates = (
-        candidate_ids.join(docs, candidate_ids.doc_a == docs.doc_id)
+        F.broadcast(candidate_ids)
+        .join(docs, candidate_ids.doc_a == docs.doc_id)
         .select("doc_a", "doc_b", F.col("text").alias("text_a"))
+    )
+    candidates = (
+        F.broadcast(candidates)
         .join(docs, F.col("doc_b") == docs.doc_id)
         .select("doc_a", "doc_b", "text_a", F.col("text").alias("text_b"))
     )
@@ -277,8 +290,22 @@ def band_candidates(
     left = banded.alias("a")
     right = banded.alias("b")
     return (
+        # r15 optimization (guide §2.4 "two operations keyed the same
+        # way can share one exchange"): force the self-join to
+        # SORT-MERGE so both sides require the SAME
+        # hashpartitioning(band, bucket) exchange the gate's window
+        # already established — Spark's ReuseExchange then runs the
+        # entire upstream pipeline (shingle/decode → hash → signature →
+        # band explode) ONCE and reads the shuffle twice. The previous
+        # auto-chosen broadcast join put a BroadcastExchange on one
+        # side, whose subtree cannot reuse the other side's shuffle,
+        # so every consumer computed its full signature pipeline
+        # TWICE (measured 2× the map work on dedup_near_minhash's
+        # plan: two complete scan→explode→agg chains). SMJ is also
+        # the 100 TB shape: AQE skew-split applies to it, and no
+        # bucket relation need fit in broadcast memory.
         left.join(
-            right,
+            right.hint("merge"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),

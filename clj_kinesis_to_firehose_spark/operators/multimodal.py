@@ -65,6 +65,35 @@ _DECODE_SCHEMA = (
 )
 
 
+def compose_batches(*kernels):
+    """Compose mapInPandas kernels into ONE Python stage (r15
+    optimization, guide §4.1: every Python stage pays a full
+    JVM→Python→JVM transpose+serialization of all its columns).
+
+    The media pipelines previously CHAINED ``mapInPandas`` calls —
+    encode → hash, encode → poison → decode — so the binary payload
+    column crossed the Python boundary once per link (synthesized in
+    Python, shipped to the JVM, shipped straight back to the next
+    Python stage). Composing the kernels as plain iterator functions
+    keeps every intermediate batch inside one Python worker: the
+    payload never touches the JVM at all, and the plan carries a
+    single MapInPandas node per pipeline. Each kernel's logic is
+    byte-identical — only the transport between them changes."""
+
+    def kernel(batches):
+        it = batches
+        for k in kernels:
+            it = k(it)
+        return it
+
+    # plans/UI show the Python function name — keep the composition
+    # readable ("encode_media_batches+_phash_batches", not "kernel")
+    kernel.__name__ = "+".join(
+        getattr(k, "__name__", "kernel") for k in kernels
+    )
+    return kernel
+
+
 def encode_media_batches(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
@@ -179,11 +208,12 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: fan_out spreads the scan across cores, then encode
     and decode are two pure Arrow-batched map stages — no shuffle."""
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
-    media = docs.select("doc_id").mapInPandas(
-        encode_media_batches, schema="doc_id long, payload binary"
+    decoded = docs.select("doc_id").mapInPandas(
+        compose_batches(encode_media_batches, decode_media_batches),
+        schema=_DECODE_SCHEMA,
     )
     return (
-        media.mapInPandas(decode_media_batches, schema=_DECODE_SCHEMA)
+        decoded
         .withColumn("mean_r", F.round("mean_r", 6))
         .withColumn("mean_g", F.round("mean_g", 6))
         .withColumn("mean_b", F.round("mean_b", 6))
@@ -295,11 +325,9 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     multimodal_decode: fan_out ahead of the kernels, then two pure
     Arrow-batched map stages — no shuffle."""
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
-    media = docs.select("doc_id").mapInPandas(
-        encode_media_batches, schema="doc_id long, payload binary"
-    )
-    return media.mapInPandas(
-        resize_media_batches, schema=_RESIZE_SCHEMA
+    return docs.select("doc_id").mapInPandas(
+        compose_batches(encode_media_batches, resize_media_batches),
+        schema=_RESIZE_SCHEMA,
     ).withColumn("mean_r_resized", F.round("mean_r_resized", 6))
 
 
