@@ -761,6 +761,16 @@ def _bpe_merge_steps(
     dictionary). ``docs`` overrides the fixture corpus (tests feed
     crafted word collapses through the same plan)."""
     w = _bpe_len2_dictionary(spark, sf_dir, docs)
+    # The N chained steps are deliberately lazy (the scaled op owns
+    # the driver-loop/checkpoint-cadence shape), but without pinning
+    # w0 the CORPUS-sized word aggregation re-derives once per step
+    # lineage — m3 alone replays it twice more (r15 measurement: the
+    # same redundancy the scaled loop shed). A LAZY localCheckpoint
+    # shares one dictionary relation across every step's plan: the
+    # corpus collapses to the Zipf-bounded dictionary exactly once
+    # per execution, each step's pair-agg reads the checkpointed
+    # blocks, and the chain stays lazy. Guide §5 / §2.4.
+    w = w.localCheckpoint(eager=False)
     steps: list[DataFrame] = []
     for _ in range(BPE_N_MERGES):
         m = _bpe_top_pair(w)

@@ -309,13 +309,28 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )
-    with_sigs = emb.withColumn("sigs", _signature_udf()(F.col("e")))
-    signed = with_sigs.select(
-        "vec_id",
-        "e",
-        F.posexplode("sigs").alias("table_id", "sig"),
-    )
-    probes = signed.filter(F.col("vec_id").isin(PROBE_IDS)).select(
+    # Nondeterministic marking (guide §4.4): the posexplode's implicit
+    # `size(sigs) > 0` / join-key isnotnull filters were pushed BELOW
+    # the projection, so the signature kernel ran TWICE per side —
+    # once to test the filter, once for the real explode (r15 plan
+    # capture: stacked ArrowEvalPython pairs). Marking it
+    # nondeterministic forbids the duplication; the kernel itself is
+    # pure, so results are unchanged.
+    sig_udf = _signature_udf().asNondeterministic()
+
+    def signed_of(df: DataFrame) -> DataFrame:
+        return df.withColumn("sigs", sig_udf(F.col("e"))).select(
+            "vec_id",
+            "e",
+            F.posexplode("sigs").alias("table_id", "sig"),
+        )
+
+    signed = signed_of(emb)
+    # probe side: filter the BASE SCAN before the kernel (the IN
+    # pushdown used to be the optimizer's job; nondeterminism blocks
+    # filter movement through the UDF, so apply it in the plan) —
+    # the probe branch's kernel sees exactly the probe rows.
+    probes = signed_of(emb.filter(F.col("vec_id").isin(PROBE_IDS))).select(
         F.col("vec_id").alias("probe_id"),
         F.col("e").alias("pe"),
         F.col("table_id").alias("p_table"),

@@ -108,9 +108,19 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     )
     tf = tokens.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    # df falls out of tf (one row per doc×term), so deriving it there
-    # reuses tf's shuffle (ReusedExchange) instead of re-exploding and
-    # re-shuffling the full token stream through a countDistinct expand
+    # df falls out of tf (one row per doc×term) — but expressing that
+    # lazily does NOT share the subtree: the optimizer prunes tf's
+    # count on the df branch (rewriting it to a Distinct), the two
+    # aggregation subtrees diverge below their exchanges, and the
+    # corpus was scanned + tokenized TWICE (r15 plan capture). A lazy
+    # localCheckpoint pins tf as one shared relation: the scan,
+    # explode and (doc_id, term) shuffle run once inside the query's
+    # own execution, the df aggregation and the join both read the
+    # checkpointed blocks, and nothing survives the query (no
+    # cross-run cache — each invocation builds a fresh RDD). The
+    # materialized relation is the term-level tf table (Zipf-bounded),
+    # never the corpus. Guide §2.4 (share one exchange) + §5.
+    tf = tf.localCheckpoint(eager=False)
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = (
         tf.join(df, "term")  # unhinted: AQE broadcasts iff small

@@ -601,12 +601,12 @@ class SnapshotTable:
 
     # ------------------------------------------------------ operations
 
-    def _validate(self, batch: DataFrame, tombstone_col: str | None = None) -> None:
-        """Refuse a write batch violating the table's constraints: the
-        key must be NOT NULL on every row, and non-tombstone rows must
-        satisfy the declared CHECK expression. One bounded pass over
-        the BATCH (never the table); only a single offending row is
-        collected for the error message."""
+    def _bad_condition(
+        self, batch: DataFrame, tombstone_col: str | None = None
+    ) -> F.Column:
+        """The constraint-violation predicate over a write batch (key
+        NOT NULL, CHECK expression on non-tombstone rows) — shared by
+        :meth:`_validate` and the fused :meth:`_validate_and_touched`."""
         bad_cond = F.col(self.key).isNull()
         if self.check is not None:
             check_fail = ~F.coalesce(F.expr(self.check), F.lit(False))
@@ -615,7 +615,17 @@ class SnapshotTable:
                     F.col(tombstone_col), F.lit(False)
                 )
             bad_cond = bad_cond | check_fail
-        bad = batch.filter(bad_cond).limit(1).collect()
+        return bad_cond
+
+    def _validate(self, batch: DataFrame, tombstone_col: str | None = None) -> None:
+        """Refuse a write batch violating the table's constraints: the
+        key must be NOT NULL on every row, and non-tombstone rows must
+        satisfy the declared CHECK expression. One bounded pass over
+        the BATCH (never the table); only a single offending row is
+        collected for the error message."""
+        bad = batch.filter(
+            self._bad_condition(batch, tombstone_col)
+        ).limit(1).collect()
         if bad:
             raise ConstraintViolationError(
                 f"write batch violates table constraints "
@@ -1059,6 +1069,56 @@ class SnapshotTable:
         )
         return no_stats + [r["path"] for r in hit]
 
+    def _validate_and_touched(
+        self, m: dict, updates: DataFrame, tombstone_col: str | None = None
+    ) -> set[str]:
+        """:meth:`_validate` + :meth:`_touched_files` in ONE Spark
+        action (r15, guide §1/§2: the COW merge path ran two separate
+        jobs over the same update batch — constraint scan, then
+        stats-prune join — re-executing the batch plan twice). Each
+        batch row is annotated with its violation flag, left-joined
+        against the broadcast manifest-stats ranges, and a single
+        aggregate returns (one offending row if any, the distinct
+        touched paths). Raises exactly like ``_validate``; returns
+        exactly ``_touched_files``' path set."""
+        stats = [
+            (f["path"], f["min_key"], f["max_key"])
+            for f in m["files"]
+            if f["min_key"] is not None
+        ]
+        no_stats = [f["path"] for f in m["files"] if f["min_key"] is None]
+        if not stats:
+            self._validate(updates, tombstone_col)
+            return set(no_stats)
+        sdf = self.spark.createDataFrame(
+            stats, "path string, min_key long, max_key long"
+        )
+        bad_cond = self._bad_condition(updates, tombstone_col)
+        annotated = updates.select(
+            F.col(self.key).alias("k"),
+            F.when(bad_cond, F.struct(*updates.columns)).alias("_bad_row"),
+        )
+        agg = (
+            annotated.join(
+                F.broadcast(sdf),
+                (F.col("k") >= F.col("min_key"))
+                & (F.col("k") <= F.col("max_key")),
+                "left",
+            )
+            .agg(
+                F.first("_bad_row", ignorenulls=True).alias("bad"),
+                F.collect_set("path").alias("paths"),
+            )
+            .collect()[0]
+        )
+        if agg["bad"] is not None:
+            raise ConstraintViolationError(
+                f"write batch violates table constraints "
+                f"(key NOT NULL{' AND CHECK (' + self.check + ')' if self.check else ''}); "
+                f"first offending row: {agg['bad'].asDict()}"
+            )
+        return set(no_stats) | set(agg["paths"])
+
     def _plan_cow_merge(
         self, updates: DataFrame, tombstone_col: str | None = None
     ) -> tuple[int, set[str], list[FileEntry], DataFrame]:
@@ -1071,10 +1131,11 @@ class SnapshotTable:
         not resurrect through a merge that rewrites its file), and the
         rewrite materializes those vectors — carried_deletes is the
         parent list re-scoped off the touched files."""
-        self._validate(updates, tombstone_col)
         parent = self.latest_version()
         m = self._read_manifest(parent)
-        touched = set(self._touched_files(m, updates))
+        # one action for validate + stats-prune (was two passes over
+        # the batch plan — see _validate_and_touched)
+        touched = self._validate_and_touched(m, updates, tombstone_col)
         carried = [
             FileEntry.from_json(f)
             for f in m["files"]
