@@ -679,18 +679,22 @@ def _span_removal_positions(toks: DataFrame) -> DataFrame:
     every non-keeper occurrence exploded to token positions (distinct,
     so overlapping spans union). Shared by dedup_substring_remove and
     corpus_admission_decision (which needs only the counts — never the
-    reassembled text)."""
+    reassembled text).
+
+    The keeper rule is a WINDOW over the one hash-partitioned span
+    stream, not a groupBy+join-back: the broadcast join's build side
+    cannot reuse the probe side's exchange, so the join formulation
+    re-ran the whole plant→tokenize→span-hash pipeline a second time
+    (two full corpus passes — the same duplication
+    dedup_substring_spans' docstring already banned for the report
+    op). ``doc_id != MIN(doc_id) OVER (PARTITION BY h)`` is exactly
+    the join's ``n_docs >= 2 AND doc_id != keeper``: a span hash with
+    one distinct doc has every row equal to its min, and a hash with
+    ≥2 distinct docs keeps precisely the non-keeper rows."""
     anch = _anchored_spans(toks)
-    clus = (
-        anch.groupBy("h")
-        .agg(
-            F.countDistinct("doc_id").alias("n_docs"),
-            F.min("doc_id").alias("keeper"),
-        )
-        .filter(F.col("n_docs") >= 2)
-    )
+    keeper = F.min("doc_id").over(Window.partitionBy("h"))
     return (
-        anch.join(clus, "h")
+        anch.withColumn("keeper", keeper)
         .filter(F.col("doc_id") != F.col("keeper"))
         .select(
             "doc_id",

@@ -120,7 +120,14 @@ def action_probe():
             orig = getattr(cls, name)
 
             def wrapper(*a, __orig=orig, __name=name, **kw):
-                hits.add(__name)
+                # (local/)checkpoint with eager=False runs NO job at
+                # build — it only marks the plan for truncation on
+                # first execution, so it is not an action in the
+                # executes_on_build sense this probe exists to catch
+                # (r15: the lazy-checkpoint lineage pins in tfidf/BPE)
+                eager = kw.get("eager", a[1] if len(a) > 1 else True)
+                if __name not in ("localCheckpoint", "checkpoint") or eager:
+                    hits.add(__name)
                 return __orig(*a, **kw)
 
             setattr(cls, name, wrapper)
