@@ -69,25 +69,51 @@ def _slice_files(d: str) -> list[str]:
     ]
 
 
-def _read_rows(path: str):
-    """Executor-side record iterator: pyarrow batches → row tuples.
-    A live consumer's GetRecords loop replaces exactly this function."""
+def _utc_table(path: str):
+    """One column-pruned pyarrow read of a shard-slice file with
+    tz-naive timestamps made explicitly UTC-aware, so the Spark
+    TimestampType conversion never depends on the worker's local
+    zone. Shared by the row iterator and the Arrow batch iterator."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(path, columns=_COLS)
-    for batch in tbl.to_batches():
-        cols = []
-        for i in range(batch.num_columns):
-            col = batch.column(i)
-            # Spark writes timestamps as tz-naive UTC instants; make
-            # them explicitly aware so the TimestampType conversion
-            # never depends on the worker's local zone
-            if pa.types.is_timestamp(col.type) and col.type.tz is None:
+    for i, field in enumerate(tbl.schema):
+        if pa.types.is_timestamp(field.type):
+            col = tbl.column(i)
+            if field.type.tz is None:
                 col = pc.assume_timezone(col, "UTC")
-            cols.append(col.to_pylist())
+            # Spark's Arrow exchange rejects NANOSECOND timestamps
+            # (fixture slices carry parquet NANOS in some revisions —
+            # see the loader's ts shim); µs is value-identical to the
+            # old per-row path, whose Python datetimes were µs anyway
+            col = col.cast(pa.timestamp("us", col.type.tz))
+            tbl = tbl.set_column(i, pa.field(field.name, col.type), col)
+    return tbl
+
+
+def _read_rows(path: str):
+    """Executor-side record iterator: pyarrow batches → row tuples.
+    A live consumer's GetRecords loop replaces exactly this function.
+    (The connector's happy path hands Spark whole Arrow batches via
+    :func:`_read_batches`; this per-record form stays as the seam the
+    fault/EFO consumer doubles and the KCL worker model iterate.)"""
+    tbl = _utc_table(path)
+    for batch in tbl.to_batches():
+        cols = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
         yield from zip(*cols)
+
+
+def _read_batches(path: str):
+    """Executor-side Arrow batch iterator — the connector happy path.
+    PySpark 4's Python DataSource read() accepts pyarrow RecordBatch
+    yields directly, so the slice crosses the Python→JVM boundary as
+    columnar Arrow instead of one pickled tuple per record (guide §4:
+    same rows, same order, none of the per-row transpose/serialize
+    cost). Values are identical to :func:`_read_rows` — both read the
+    same UTC-normalized table."""
+    yield from _utc_table(path).to_batches()
 
 
 def _consumer_modes(options: dict) -> tuple[bool, bool]:
@@ -125,7 +151,7 @@ def _read_slice_rows(path: str, efo: bool, faults: bool):
 
         yield from read_rows_with_faults(path)
     else:
-        yield from _read_rows(path)
+        yield from _read_batches(path)
 
 
 class KinesisReplayBatchReader(DataSourceReader):
