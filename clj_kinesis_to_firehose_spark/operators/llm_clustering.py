@@ -219,7 +219,27 @@ def _fit_kmeans_fp(
     # spill-never-recompute level the merge writer already uses.
     from pyspark import StorageLevel
 
-    fit_q = fit_emb.select("vec_id", "eq").persist(StorageLevel.MEMORY_AND_DISK)
+    fit_q = fit_emb.select("vec_id", "eq")
+    # Scale-adaptive width for the persisted fit relation (r15, guide
+    # §2.2/§6): the fit is consumed by KMEANS_ITERS driver-sequential
+    # jobs, so its task count multiplies into every iteration's
+    # scheduling cost. Derive partitions from the INPUT size (64 MB
+    # per task); coalesce can only SHRINK, so a corpus-sized fit keeps
+    # its native width and only a fixture-/sample-sized fit collapses
+    # to a few tasks — never a constant tuned to the local core count.
+    import math
+    import os
+
+    try:
+        in_bytes = 0
+        for f in emb.inputFiles():
+            local = f[len("file:"):] if f.startswith("file:") else f
+            in_bytes += os.path.getsize(local)
+        fit_parts = max(1, math.ceil(in_bytes / (64 << 20)))
+        fit_q = fit_q.coalesce(fit_parts)
+    except Exception:  # non-local storage: keep the native width
+        pass
+    fit_q = fit_q.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         init_rows = (
             fit_q.orderBy("vec_id").limit(K_CLUSTERS).collect()

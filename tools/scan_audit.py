@@ -33,7 +33,11 @@ def main() -> int:
         if name in skip and name not in registry.conditionally_executing():
             continue
         try:
-            plan = queries[name](spark, sf_dir)._jdf.queryExecution().explainString("formatted")
+            jdf = queries[name](spark, sf_dir)._jdf
+            mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+            plan = jdf.queryExecution().explainString(mode)
         except Exception as e:  # noqa: BLE001
             print(f"{name}: ERROR {e}", file=sys.stderr)
             continue
