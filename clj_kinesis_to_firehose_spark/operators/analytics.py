@@ -694,6 +694,11 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
+    # lazy pin (r15, guide §2.4/§5): the bounds aggregate and the bin
+    # join each rebuilt the whole scan→rollup→ref-join pipeline (4
+    # orders scans in the plan); one customer-count-bounded relation
+    # now feeds both.
+    rfm = rfm.localCheckpoint(eager=False)
     bounds = rfm.agg(
         F.percentile("monetary", 0.25).alias("q1"),
         F.percentile("monetary", 0.50).alias("q2"),

@@ -70,18 +70,25 @@ def concurrent_active_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, 0
     )
     ranked = endpoints.withColumn("rs_within", F.sum("delta").over(within))
-    hour_totals = endpoints.groupBy("hr").agg(F.sum("delta").alias("hr_delta"))
+    # ONE pass over the endpoint stream (r15, guide §2.4): the hour's
+    # delta total IS the running sum at the hour's LAST ordering
+    # position (the window frame covers the whole hour by its end), so
+    # max_by over the same (t, delta, eid) ordering key reads it from
+    # the ranked relation the peak aggregate already consumes — the
+    # separate groupBy that re-derived the scan→union→endpoints
+    # pipeline (2 extra fact scans in the plan) is gone, and the
+    # groupBy reuses the window's hash(hr) partitioning (no second
+    # exchange).
+    per_hour = ranked.groupBy("hr").agg(
+        F.max("rs_within").alias("peak_within"),
+        F.max_by("rs_within", F.struct("t", "delta", "eid")).alias("hr_delta"),
+    )
     offset_w = Window.orderBy("hr").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = hour_totals.select(
-        F.col("hr").alias("off_hr"),
+    return per_hour.select(
+        "hr",
+        "peak_within",
         F.coalesce(F.sum("hr_delta").over(offset_w), F.lit(0)).alias("offset"),
-    )
-    return (
-        ranked.groupBy("hr")
-        .agg(F.max("rs_within").alias("peak_within"))
-        .join(F.broadcast(offsets), F.col("hr") == F.col("off_hr"))
-        .select("hr", (F.col("offset") + F.col("peak_within")).alias("peak_active"))
-    )
+    ).select("hr", (F.col("offset") + F.col("peak_within")).alias("peak_active"))
 
 
 @register(

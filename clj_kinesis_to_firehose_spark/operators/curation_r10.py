@@ -1491,21 +1491,23 @@ def corpus_admission_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     rem_counts = (
         _span_removal_positions(toks)
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_tokens_removed"))
+        .agg(F.count("*").cast("long").alias("n_tokens_removed"))
     )
-    r = toks.select("doc_id").join(rem_counts, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("n_tokens_removed", F.lit(0))
-        .cast("long")
-        .alias("n_tokens_removed"),
-    ).select(
-        "doc_id",
-        (F.col("n_tokens_removed") == 0).cast("int").alias("span_clean"),
-        "n_tokens_removed",
-    )
+    # the removal counts LEFT-join onto the gate relations directly
+    # (r15, guide §2.4): the old span arm ran one more doc_id-only
+    # corpus scan purely to enumerate documents, but the gopher gate
+    # already carries every doc_id — absent count = clean doc, exactly
+    # the old left-join-on-toks semantics.
     return (
         g.join(d, "doc_id")
-        .join(r, "doc_id")
+        .join(rem_counts, "doc_id", "left")
+        .withColumn(
+            "n_tokens_removed",
+            F.coalesce("n_tokens_removed", F.lit(0).cast("long")),
+        )
+        .withColumn(
+            "span_clean", (F.col("n_tokens_removed") == 0).cast("int")
+        )
         .select(
             "doc_id",
             "quality_keep",

@@ -1024,6 +1024,11 @@ def sim_dim_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
         .select("dim", "probe_id", "neighbor_id")
+        # lazy pin (r15, guide §2.4): the full-dim reference branch and
+        # the recall join's probe side each re-ran the broadcast×corpus
+        # ladder scoring (2 full corpus passes in the plan); the pinned
+        # relation is |ladder|·|probes|·k rows.
+        .localCheckpoint(eager=False)
     )
     full_k = topk.filter(F.col("dim") == DIM_TRUNC_LADDER[-1]).select(
         F.col("probe_id").alias("f_probe"),

@@ -622,10 +622,15 @@ def dq_feature_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     lab = ev.crossJoin(F.broadcast(mm)).select(
         "event_type", (F.col("us") >= F.col("m")).cast("int").alias("half")
     )
+    # lazy pin (r15, guide §2.4): the totals aggregate and the final
+    # projection each rebuilt the scan→label→contingency pipeline (4
+    # event scans in the plan); the pinned relation is |types| rows.
+    # The two remaining passes (min/max epoch, then labeling) are the
+    # split's dependent aggregates — inherent.
     cnt = lab.groupBy("event_type").agg(
         F.sum((F.col("half") == 0).cast("long")).alias("o_ref"),
         F.sum((F.col("half") == 1).cast("long")).alias("o_cur"),
-    )
+    ).localCheckpoint(eager=False)
     tot = cnt.agg(
         F.sum("o_ref").cast("long").alias("n_ref"),
         F.sum("o_cur").cast("long").alias("n_cur"),

@@ -959,11 +959,19 @@ def dq_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("ts").alias("day"),
         (F.col("user_id") % c).alias("sclass"),
     )
-    glob = base.groupBy("sclass").agg(F.count("*").alias("cv"))
-    tot = base.agg(F.count("*").alias("n"))
-    grp = base.groupBy("event_type", "day").agg(F.count("*").alias("ng"))
+    # ONE corpus pass (r15, guide §2.4): glob/tot/grp are all exact
+    # integer rollups of the (group × class) cube, so derive them from
+    # the pinned gv instead of re-scanning the base relation per
+    # aggregate (the plan carried FOUR event scans). gv is
+    # group-cardinality × {c} rows — the op's own "cost follows group
+    # count" contract.
     gv = base.groupBy("event_type", "day", "sclass").agg(
         F.count("*").alias("cgv")
+    ).localCheckpoint(eager=False)
+    glob = gv.groupBy("sclass").agg(F.sum("cgv").cast("long").alias("cv"))
+    tot = gv.agg(F.sum("cgv").cast("long").alias("n"))
+    grp = gv.groupBy("event_type", "day").agg(
+        F.sum("cgv").cast("long").alias("ng")
     )
     grid = (
         grp.crossJoin(F.broadcast(glob))

@@ -176,6 +176,11 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
         .distinct()
+        # lazy pin (r15, guide §2.4): the degree aggregate and BOTH
+        # self-join sides re-derived the scan→join→distinct pipeline
+        # (4 lineitem+orders scan pairs in the plan); the pinned
+        # relation is the slice-bounded edge set itself.
+        .localCheckpoint(eager=False)
     )
     deg = edges.groupBy("cust").agg(F.count("*").alias("d"))
     a, b = edges.alias("a"), edges.alias("b")

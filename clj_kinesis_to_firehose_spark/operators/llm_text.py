@@ -672,18 +672,23 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     dl = fan_out(spark, docs).select(
         "doc_id", F.size(F.split("text", " ")).alias("dl")
-    )
+    ).localCheckpoint(eager=False)
     stats = dl.agg(
         F.count("*").cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
+    # lazy lineage pins (r15, guide §2.4/§5 — the tfidf pattern): the
+    # stats branch re-derived dl's corpus pass and the df branch
+    # re-derived tf's scan+explode; pinning shares each subtree as ONE
+    # relation per execution. Footprints: dl is the narrow (doc_id,
+    # len) projection, tf is query-hit-sized — never the corpus text.
     tf = (
         fan_out(spark, docs)
         .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .filter(F.col("token").isin(BM25_QUERY))
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("tf"))
-    )
+    ).localCheckpoint(eager=False)
     df = tf.groupBy("token").agg(F.count("*").alias("df"))
     idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
     denom = F.col("tf") + BM25_K1 * (
@@ -762,7 +767,15 @@ def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i + 1] AS w2))")
         ).alias("b")
     ).select("b.w1", "b.w2")
-    bgc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    # the docstring's "both marginals and the grand total derive from
+    # the model-sized table" was only true LOGICALLY: the optimizer
+    # rewrote each consumer's copy of the bgc subtree independently
+    # (m1/m2/n/scored = FOUR corpus scan+explode pipelines — r15 plan
+    # audit). A lazy localCheckpoint pins the Zipf-bounded bigram
+    # dictionary as one relation per execution (the tfidf pattern).
+    bgc = bg.groupBy("w1", "w2").agg(
+        F.count("*").alias("c12")
+    ).localCheckpoint(eager=False)
     m1 = bgc.groupBy("w1").agg(F.sum("c12").alias("c1"))
     m2 = bgc.groupBy("w2").agg(F.sum("c12").alias("c2"))
     n = bgc.agg(F.sum("c12").cast("double").alias("n_bg"))

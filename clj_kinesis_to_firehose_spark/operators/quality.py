@@ -371,7 +371,14 @@ def outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark MEDIAN == DuckDB MEDIAN (both exact interpolating).
     """
     li = load_table(spark, sf_dir, "lineitem")
-    m = li.groupBy("l_returnflag").agg(F.median("l_quantity").alias("med"))
+    # lazy pin (r15): the MAD aggregate and the final score join each
+    # re-derived the group-median subtree (an extra fact scan per
+    # consumer); the pinned relation is |groups| rows. The two
+    # remaining fact passes (median, then MAD of residuals) are the
+    # algorithm's dependent order statistics — inherent.
+    m = li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("med")
+    ).localCheckpoint(eager=False)
     d = li.join(F.broadcast(m), "l_returnflag").select(
         "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity", "med"
     )
