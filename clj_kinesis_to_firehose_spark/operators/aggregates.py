@@ -870,11 +870,15 @@ def agg_cms_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     rows = ev.select("event_type", "user_id", F.explode(js).alias("j"))
+    # lazy pin (r15, guide §2.4/§5): the estimate join and the derived
+    # totals both consume the sketch; pinned it is the |groups|·d·w
+    # counter table itself. The remaining two corpus passes (sketch
+    # build, candidate probe) are the sketch-then-verify shape's cost.
     sketch = (
         rows.withColumn("bucket", bucket(F.col("j"), F.col("user_id")))
         .groupBy("event_type", "j", "bucket")
         .agg(F.count("*").alias("cnt"))
-    )
+    ).localCheckpoint(eager=False)
     cand = rows.withColumn(
         "bucket", bucket(F.col("j"), F.col("user_id"))
     ).distinct()
@@ -883,7 +887,14 @@ def agg_cms_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "user_id")
         .agg(F.min("cnt").cast("long").alias("est_count"))
     )
-    totals = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    # group totals derived from the pinned sketch instead of a third
+    # corpus scan (r15): every event lands in exactly ONE bucket per
+    # depth row, so Σcnt over the j=0 slice IS the group's row count.
+    totals = (
+        sketch.filter(F.col("j") == 0)
+        .groupBy("event_type")
+        .agg(F.sum("cnt").cast("long").alias("n"))
+    )
     # |event_types| rows — a bounded aggregate, broadcast by rule
     return (
         est.join(F.broadcast(totals), "event_type")

@@ -536,12 +536,16 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # lazy pin (r15, guide §2.4): the totals aggregate and the term
+    # join each rebuilt the scan→char-explode→count pipeline (3 corpus
+    # scans in the plan); the pinned relation is the docstring's own
+    # O(docs × alphabet) class table, never raw text.
     cc = (
         fan_out(spark, docs)
         .select("doc_id", F.explode(F.split("text", "")).alias("c"))
         .groupBy("doc_id", "c")
         .agg(F.count("*").alias("n"))
-    )
+    ).localCheckpoint(eager=False)
     tot = cc.groupBy("doc_id").agg(
         F.sum("n").alias("total"), F.count("*").alias("n_unique")
     )

@@ -84,13 +84,23 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pos", "seg"),
     ).select("doc_id", (F.col("pos") + 1).alias("seg_idx"), "seg")
-    dup = (
-        segs.groupBy("seg")
-        .agg(F.countDistinct("doc_id").alias("n_docs"))
-        .filter(F.col("n_docs") >= 2)
-        .select("seg")
+    # ONE pass over the segment stream (r15, guide §2.4 — the
+    # dedup_substring_spans window pattern): the groupBy+anti-join
+    # formulation re-derived the whole corpus segment explode for the
+    # duplicate-set side (the anti-join's build side cannot reuse the
+    # probe side's exchange, and the two seg-keyed exchanges carry
+    # different column sets so they never unify). The distinct-doc
+    # count per segment value is dense_rank's max over the one
+    # hash(seg)-partitioned stream; keeping n_docs < 2 IS the anti
+    # join against the >= 2 set.
+    by_doc = Window.partitionBy("seg").orderBy("doc_id")
+    whole = Window.partitionBy("seg")
+    kept = (
+        segs.withColumn("rk", F.dense_rank().over(by_doc))
+        .withColumn("n_docs", F.max("rk").over(whole))
+        .filter(F.col("n_docs") < 2)
+        .drop("rk", "n_docs")
     )
-    kept = segs.join(dup, "seg", "left_anti")
     rebuilt = kept.groupBy("doc_id").agg(
         F.count("*").alias("n_kept"),
         # array_sort on (seg_idx, seg) structs restores document order
