@@ -1719,16 +1719,23 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
-    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    # first-occurrence as a WINDOW over the one gram-partitioned
+    # stream (r15, guide §2.4 — the span-removal pattern): the
+    # groupBy+join-back formulation re-derived the whole
+    # tokenize→3-gram-explode→distinct pipeline for the first_seen
+    # side (the join's build side cannot reuse the probe side's
+    # exchange). MIN(doc_id) OVER (PARTITION BY g) IS first_seen's
+    # join-back value, row for row.
+    first_doc = F.min("doc_id").over(Window.partitionBy("g"))
+    novel = F.when(first_doc == F.col("doc_id"), 1).otherwise(0)
     return (
-        grams.join(first_seen, "g")
+        grams.select("doc_id", novel.alias("novel"))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_grams"),
-            F.sum(novel).cast("long").alias("n_novel"),
+            F.sum("novel").cast("long").alias("n_novel"),
             F.round(
-                F.sum(novel) / F.count("*").cast("double"), 6
+                F.sum("novel") / F.count("*").cast("double"), 6
             ).alias("novelty_rate"),
         )
     )
