@@ -212,7 +212,7 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
-    "graph_hierarchy_rollup", executes_on_build=True,
+    "graph_hierarchy_rollup",
     oracle="""
     WITH RECURSIVE nodes AS (
         SELECT p_partkey AS node,
