@@ -77,6 +77,13 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("user_id")
                 .agg(F.min("ts").alias("ts_stage"))
             )
+        # lazy pin (r15, guide §2.4/§5): each frontier is consumed
+        # TWICE — by the next stage's join and by its own count branch
+        # — and the chaining compounded: the stage-3 branch re-derived
+        # stages 1..3, 6 event scans for a 3-stage funnel. The pinned
+        # relation is one (user_id, ts) row per surviving user,
+        # shrinking monotonically per stage — never the event stream.
+        cur_min = cur_min.localCheckpoint(eager=False)
         frontiers.append(cur_min)
         stage_min = cur_min
 

@@ -467,11 +467,14 @@ def corpus_realize_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     pow-ulp divergence can flip floor/fraction between engines."""
     docs = load_table(spark, sf_dir, "documents")
     counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
-    total = counts.agg(F.sum("n_docs").alias("n_total"))
-    wt = F.pow(F.col("n_docs") / F.col("n_total").cast("double"), SAMPLE_TEMP_ALPHA)
+    # corpus total as a window over the |sources|-row counts relation
+    # (r15, guide §2.4): the 1-row SUM aggregate + crossJoin re-derived
+    # the whole counts subtree — a second corpus scan for a number the
+    # counts rows already carry.
     everything = Window.partitionBy()
+    wt = F.pow(F.col("n_docs") / F.col("n_total").cast("double"), SAMPLE_TEMP_ALPHA)
     budget = (
-        counts.crossJoin(F.broadcast(total))
+        counts.withColumn("n_total", F.sum("n_docs").over(everything))
         .withColumn("wt", wt)
         .select(
             "source",

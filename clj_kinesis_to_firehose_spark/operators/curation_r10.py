@@ -847,27 +847,40 @@ def dedup_incremental_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     toks = _tokenized(spark, sf_dir)
     anch = _anchored_spans(toks)
-    idx = (
-        anch.filter(F.col("doc_id") < SPAN_BATCH_SPLIT)
-        .select("h")
-        .distinct()
-        .withColumn("in_idx", F.lit(1))
-    )
-    batch = anch.filter(F.col("doc_id") >= SPAN_BATCH_SPLIT)
-    batch_clus = batch.groupBy("h").agg(
-        F.countDistinct("doc_id").alias("batch_docs")
-    )
-    idx_hit = F.when(F.col("in_idx").isNotNull(), 1).otherwise(0)
-    batch_hit = F.when(F.col("batch_docs") >= 2, 1).otherwise(0)
-    per_doc = (
-        batch.join(idx, "h", "left")
-        .join(batch_clus, "h")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_spans"),
-            F.sum(idx_hit).cast("long").alias("n_dup_vs_index"),
-            F.sum(batch_hit).cast("long").alias("n_dup_in_batch"),
+    # both membership signals as windows over ONE hash-partitioned
+    # span stream (r15, guide §2.4 — the span-removal pattern): the
+    # index side and the batch-cluster side each re-derived the whole
+    # tokenize→span→hash pipeline to be joined back onto the batch
+    # rows (4 corpus scans). Per h-partition: a span hash is "in the
+    # index" iff ANY row of that hash is a base-corpus row, and its
+    # batch cluster size is the count of DISTINCT batch doc_ids —
+    # exactly the values the idx/batch_clus joins attached, row for
+    # row. (Production note: with a persisted index table the join
+    # formulation returns — here both sides descend from the same
+    # corpus-derived relation, so the window is strictly less work.)
+    hw = Window.partitionBy("h")
+    flagged = anch.select(
+        "doc_id",
+        F.max(
+            F.when(F.col("doc_id") < SPAN_BATCH_SPLIT, 1).otherwise(0)
         )
+        .over(hw)
+        .alias("in_idx"),
+        F.size(
+            F.collect_set(
+                F.when(
+                    F.col("doc_id") >= SPAN_BATCH_SPLIT, F.col("doc_id")
+                )
+            ).over(hw)
+        ).alias("batch_docs"),
+    )
+    batch = flagged.filter(F.col("doc_id") >= SPAN_BATCH_SPLIT)
+    idx_hit = F.when(F.col("in_idx") == 1, 1).otherwise(0)
+    batch_hit = F.when(F.col("batch_docs") >= 2, 1).otherwise(0)
+    per_doc = batch.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(idx_hit).cast("long").alias("n_dup_vs_index"),
+        F.sum(batch_hit).cast("long").alias("n_dup_in_batch"),
     )
     # left join from the batch DOC list: a doc with zero anchored
     # spans still gets its (cleanest-possible) row
@@ -1414,7 +1427,17 @@ def embedding_outlier_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         4,
     )
-    d = emb.crossJoin(F.broadcast(cent)).select("vec_id", dist.alias("dist"))
+    # lazy pin (r15, guide §2.4/§5): median, MAD, and the final flag
+    # are DEPENDENT order statistics — three passes over the distance
+    # column are the algorithm's contract — but without the pin each
+    # pass re-ran the centroid aggregation and the 64-dim fold (6
+    # embedding scans). The pinned relation is two narrow columns per
+    # vector (id + one double), never the vectors themselves.
+    d = (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", dist.alias("dist"))
+        .localCheckpoint(eager=False)
+    )
     med = d.agg(F.expr("percentile(dist, 0.5)").alias("m"))
     with_m = d.crossJoin(F.broadcast(med))
     mad = with_m.agg(

@@ -1128,31 +1128,38 @@ def _lsh_cal_aug(spark: SparkSession, sf_dir: str):
     base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     id_guard = base.agg(F.max("doc_id").alias("__max_doc_id"))
     seeds = base.filter(F.col("doc_id") % LSH_CAL_SEED_MOD == 0)
-    variants = None
-    planted = None
-    for m in LSH_CAL_LEVELS:
-        vid = (F.lit(LSH_CAL_ID_BASE) + F.col("doc_id") * 100 + m).alias(
-            "vid"
-        )
-        v = seeds.select(
-            vid.alias("doc_id"),
-            F.array_join(
-                F.transform(
-                    F.split("text", " "),
-                    lambda t, i: F.when(
-                        i % m == 0, F.concat(t, F.lit("~"))
-                    ).otherwise(t),
-                ),
-                " ",
-            ).alias("text"),
-        )
-        p = seeds.select(
-            F.col("doc_id").alias("doc_a"),
-            vid.alias("doc_b"),
-            F.lit(m).alias("m"),
-        )
-        variants = v if variants is None else variants.unionAll(v)
-        planted = p if planted is None else planted.unionAll(p)
+    # all four levels from ONE exploded pass (r15, guide §2.4): the
+    # per-level UNION ALL re-derived the seed scan once per level, so
+    # the 4-level ladder alone cost 8 corpus scans across the variant
+    # and planted arms. explode(levels) emits the same (seed, m) rows
+    # — the level becomes data, the subtree exists once per arm. The
+    # single vid expression still feeds both arms, so the id scheme
+    # cannot drift between the corpus and the pair join.
+    lv = seeds.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.array(*[F.lit(m) for m in LSH_CAL_LEVELS])
+        ).alias("m"),
+    )
+    vid = F.lit(LSH_CAL_ID_BASE) + F.col("doc_id") * 100 + F.col("m")
+    variants = lv.select(
+        vid.alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.split("text", " "),
+                lambda t, i: F.when(
+                    i % F.col("m") == 0, F.concat(t, F.lit("~"))
+                ).otherwise(t),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    planted = lv.select(
+        F.col("doc_id").alias("doc_a"),
+        vid.alias("doc_b"),
+        F.col("m"),
+    )
     planted = (
         planted.crossJoin(F.broadcast(id_guard))
         .filter(
@@ -1261,11 +1268,17 @@ def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = band_candidates(
         _band_keys(_minhash_sigs(spark, aug))
     ).withColumn("hit_mark", F.lit(1))
+    # verify-text attach from the side each id can only live in (r15,
+    # guide §2.4): doc_a is a seed id (< LSH_CAL_ID_BASE, the guard
+    # asserts it) and doc_b a variant id (>= base by construction), so
+    # joining the full aug union on either key matched exactly the
+    # base/variant half and ran the other half's subtree for nothing —
+    # two wasted corpus-scale scans in the before plan.
     texts = (
-        planted.join(aug.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        planted.join(base.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .withColumnRenamed("text", "text_a")
         .join(
-            aug.select(
+            variants.select(
                 F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b")
             ),
             "doc_b",
@@ -1382,23 +1395,29 @@ def dedup_hybrid_confirm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     )
+    # r15 (guide §3.1/§8, the dedup_near_minhash verify-tail pattern):
+    # the candidate pair list is bucket-gated (cap-bounded), so IT is
+    # the side that travels on every attach join — unhinted, the
+    # planner's size estimates broadcast the text-bearing corpus side.
     texts = (
-        cand.join(docs.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        F.broadcast(cand)
+        .join(docs.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .withColumnRenamed("text", "text_a")
-        .join(
-            docs.select(
-                F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b")
-            ),
-            "doc_b",
-        )
+    )
+    texts = F.broadcast(texts).join(
+        docs.select(
+            F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b")
+        ),
+        "doc_b",
+    )
+    texts = (
+        F.broadcast(texts)
         .join(emb.withColumnRenamed("vec_id", "doc_a"), "doc_a")
         .withColumnRenamed("e", "e_a")
-        .join(
-            emb.select(
-                F.col("vec_id").alias("doc_b"), F.col("e").alias("e_b")
-            ),
-            "doc_b",
-        )
+    )
+    texts = F.broadcast(texts).join(
+        emb.select(F.col("vec_id").alias("doc_b"), F.col("e").alias("e_b")),
+        "doc_b",
     )
     scored = texts.select(
         "doc_a",
@@ -1532,9 +1551,12 @@ def corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     pairs = dedup_near_minhash(spark, sf_dir)
+    # ONE pass over the pair relation (r15, guide §2.4): the UNION ALL
+    # of two selects duplicated the ENTIRE minhash pipeline subtree —
+    # explode(array(doc_a, doc_b)) is the same doc multiset from a
+    # single copy of it.
     dup_docs = (
-        pairs.select(F.col("doc_a").alias("d"))
-        .unionAll(pairs.select(F.col("doc_b").alias("d")))
+        pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("d"))
         .distinct()
         .withColumn("is_dup", F.lit(1))
     )
@@ -1986,22 +2008,34 @@ def attribution_linear_multi_touch(
     """
     ev = load_table(spark, sf_dir, "events")
     tl = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ordered = ev.withColumn(
+    # ONE windowed pass (r15, guide §2.4 — the filtered-window
+    # restructure): the separate row_number window over the
+    # non-purchase slice re-scanned events, and the organic arm
+    # re-derived the purchase subtree a third time. A non-purchase
+    # row's rank among non-purchases IS cnt_before + 1, so both sides
+    # of the credit join now descend from the SAME scan→window prefix
+    # (identical exchange, runtime stage reuse), and the organic
+    # purchases fall out of the same join as the unmatched rows of a
+    # LEFT join: a cnt=0 purchase can never satisfy tn <= cnt (tn >=
+    # 1), while a cnt>0 purchase always matches its own cnt-th touch —
+    # the left join IS credits UNION organic, row for row.
+    base = ev.withColumn(
         "cnt_before",
         F.sum(
             F.when(F.col("event_type") != "purchase", 1).otherwise(0)
         ).over(tl.rowsBetween(Window.unboundedPreceding, -1)),
     )
     touches = (
-        ev.filter(F.col("event_type") != "purchase")
+        base.filter(F.col("event_type") != "purchase")
         .select(
             "user_id",
             F.col("event_type").alias("channel"),
-            F.row_number().over(tl).alias("tn"),
+            (F.coalesce("cnt_before", F.lit(0)) + 1).alias("tn"),
         )
+        .alias("t")
     )
     purchases = (
-        ordered.filter(F.col("event_type") == "purchase")
+        base.filter(F.col("event_type") == "purchase")
         .select(
             "user_id",
             "value",
@@ -2011,29 +2045,28 @@ def attribution_linear_multi_touch(
                 F.lit(ATTR_LOOKBACK_K),
             ).alias("n_eff"),
         )
+        .alias("p")
     )
-    credits = (
-        purchases.filter(F.col("cnt") > 0)
-        .join(
-            touches,
-            (purchases.user_id == touches.user_id)
-            & (touches.tn > purchases.cnt - ATTR_LOOKBACK_K)
-            & (touches.tn <= purchases.cnt),
+    matched = F.col("t.tn").isNotNull()
+    credited = purchases.join(
+        touches,
+        (F.col("p.user_id") == F.col("t.user_id"))
+        & (F.col("t.tn") > F.col("p.cnt") - ATTR_LOOKBACK_K)
+        & (F.col("t.tn") <= F.col("p.cnt")),
+        "left",
+    ).select(
+        F.when(matched, F.col("t.channel"))
+        .otherwise(F.lit("organic"))
+        .alias("channel"),
+        F.when(
+            matched, F.floor(F.col("p.value") * 10000 / F.col("p.n_eff"))
         )
-        .select(
-            "channel",
-            F.floor(F.col("value") * 10000 / F.col("n_eff"))
-            .cast("long")
-            .alias("credit_u"),
-        )
-    )
-    organic = purchases.filter(F.col("cnt") == 0).select(
-        F.lit("organic").alias("channel"),
-        F.floor(F.col("value") * 10000).cast("long").alias("credit_u"),
+        .otherwise(F.floor(F.col("p.value") * 10000))
+        .cast("long")
+        .alias("credit_u"),
     )
     return (
-        credits.unionAll(organic)
-        .groupBy("channel")
+        credited.groupBy("channel")
         .agg(
             F.count("*").alias("n_credits"),
             F.sum("credit_u").cast("long").alias("attributed_value_u"),

@@ -290,16 +290,28 @@ def corpus_pack_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     today's batch reopens only the tail buckets it lands in.
     """
     docs = _pack_docs(spark, sf_dir)
-    touched = (
-        docs.filter(F.col("doc_id") >= PACK_BATCH_SPLIT)
-        .select("bucket")
-        .distinct()
+    # touched-bucket membership as a window over ONE pass (r15, guide
+    # §2.4): the anti/semi joins re-derived the touched-bucket set's
+    # corpus scan on both arms (4 scans total), and the kept arm
+    # folded touched buckets' base docs only to discard them. A bucket
+    # is touched iff ANY of its docs is an arrival; in an untouched
+    # bucket every doc is a base doc, so filter(~touched) IS the
+    # base-pack input and filter(touched) the repack input — and both
+    # arms descend from the same scan→window(bucket) prefix, whose
+    # hash(bucket) exchange the fold's own groupBy(bucket) reuses.
+    bw = Window.partitionBy("bucket")
+    flagged = docs.withColumn(
+        "touched",
+        F.max((F.col("doc_id") >= PACK_BATCH_SPLIT).cast("int")).over(bw)
+        == 1,
     )
     kept = _packed_entries(
-        docs.filter(F.col("doc_id") < PACK_BATCH_SPLIT)
-    ).join(F.broadcast(touched), "bucket", "left_anti")
+        flagged.filter(
+            ~F.col("touched") & (F.col("doc_id") < PACK_BATCH_SPLIT)
+        ).select("doc_id", "bucket", "cost")
+    )
     repacked = _packed_entries(
-        docs.join(F.broadcast(touched), "bucket", "left_semi")
+        flagged.filter(F.col("touched")).select("doc_id", "bucket", "cost")
     )
     entries = kept.withColumn("status", F.lit("kept")).unionByName(
         repacked.withColumn("status", F.lit("repacked"))

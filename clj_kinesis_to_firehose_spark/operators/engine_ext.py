@@ -487,7 +487,12 @@ def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("n_distinct") * 10000 / F.col("n_tokens"))
         .cast("long")
         .alias("ratio_u4"),
-    )
+        # lazy pin (r15, guide §2.4/§5): the rank input, the bucket
+        # counts, and the 1-row total each re-derived the whole
+        # tokenize→per-doc-agg pipeline (3 corpus scans). The pinned
+        # relation is three long columns per document — the narrow
+        # numeric sort-key table, never the text.
+    ).localCheckpoint(eager=False)
     # two-phase rank over (ratio_u4 DESC, n_tokens, doc_id): bucket by
     # the leading key's value range (NOT physical partitions) so the
     # bucket relation is bounded by key range / CURRICULUM_BUCKET.
@@ -1105,23 +1110,30 @@ def corpus_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     division keeps both engines bit-identical — no float ratio.
     """
     docs = load_table(spark, sf_dir, "documents").select("source", "text")
-    toks = fan_out(spark, docs).select(
-        "source", F.explode(F.split("text", " ")).alias("term")
+    # ONE corpus pass (r15, guide §2.3/§2.4): token and doc counts per
+    # source in a single aggregation — COUNT(*) of the exploded terms
+    # is SUM(SIZE(split)) term for term (split never yields an empty
+    # array), so the explode and its second corpus scan are gone, and
+    # the separate per-source doc-count scan fuses into the same agg.
+    # The totals then come from a window over the |sources|-row result
+    # instead of a third corpus pass through a 1-row crossJoin.
+    per_src = (
+        fan_out(spark, docs)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split("text", " ")))
+            .cast("long")
+            .alias("n_tokens"),
+        )
     )
-    per_src = toks.groupBy("source").agg(F.count("*").alias("n_tokens"))
-    n_docs = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
-    tot = per_src.agg(
-        F.sum("n_tokens").alias("total_tokens"),
-        F.count("*").alias("n_sources"),
-    )
+    everything = Window.partitionBy()
     budget = F.floor(
-        F.col("total_tokens") * EPOCH_BUDGET_MULT / F.col("n_sources")
+        F.sum("n_tokens").over(everything)
+        * EPOCH_BUDGET_MULT
+        / F.count("*").over(everything)
     ).cast("long")
-    out = (
-        n_docs.join(per_src, "source")
-        .crossJoin(F.broadcast(tot))
-        .withColumn("budget_tokens", budget)
-    )
+    out = per_src.withColumn("budget_tokens", budget)
     return out.select(
         "source",
         "n_docs",

@@ -1048,15 +1048,38 @@ def dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     inherits the banded join's per-bucket pair bound; the report
     itself is three scalar aggregates — nothing corpus-sized ever
     reaches the driver."""
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    keepers = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
-    survivors = docs.join(keepers.select("doc_id"), "doc_id")
+    # r15 (guide §2.4, three rewrites — the before plan scanned
+    # documents 13 times):
+    # 1. survivorship as a WINDOW: doc_id is unique, so a row survives
+    #    iff its doc_id equals its text group's min — the keeper
+    #    groupBy + join-back re-derived the corpus scan per consumer.
+    # 2. the two verify-attach joins read DOCS, not survivors: the
+    #    candidate ids are survivor ids and doc_id is unique, so the
+    #    text lookup is identical row for row — and the cap-bounded
+    #    candidate side travels broadcast (the dedup_near_minhash tail
+    #    pattern) instead of the planner broadcasting the corpus.
+    # 3. both stage counts come from ONE aggregate (survivor count =
+    #    COUNT(DISTINCT text)), lazily pinned (1 row) so r1 and r2
+    #    share it without a second pass.
+    tw = Window.partitionBy("text")
+    survivors = (
+        docs.withColumn("keeper", F.min("doc_id").over(tw))
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .select("doc_id", "text")
+    )
 
     cand_ids = band_candidates(_band_keys(_minhash_sigs(spark, survivors)))
     cands = (
-        cand_ids.join(survivors, cand_ids.doc_a == survivors.doc_id)
+        F.broadcast(cand_ids)
+        .join(docs, cand_ids.doc_a == docs.doc_id)
         .select("doc_a", "doc_b", F.col("text").alias("text_a"))
-        .join(survivors, F.col("doc_b") == survivors.doc_id)
+    )
+    cands = (
+        F.broadcast(cands)
+        .join(docs, F.col("doc_b") == docs.doc_id)
         .select("doc_a", "doc_b", "text_a", F.col("text").alias("text_b"))
     )
     pruned2 = (
@@ -1068,26 +1091,22 @@ def dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .agg(F.count("*").cast("long").alias("p2"))
     )
-    tot = docs.agg(F.count("*").cast("long").alias("tot"))
-    sv = survivors.agg(F.count("*").cast("long").alias("sv"))
+    stats = docs.agg(
+        F.count("*").cast("long").alias("tot"),
+        F.countDistinct("text").alias("sv"),
+    ).localCheckpoint(eager=False)
 
-    r1 = (
-        tot.crossJoin(F.broadcast(sv))
-        .select(
-            F.lit("exact").alias("stage"),
-            F.col("tot").alias("n_in"),
-            (F.col("tot") - F.col("sv")).alias("n_pruned"),
-            F.col("sv").alias("n_out"),
-        )
+    r1 = stats.select(
+        F.lit("exact").alias("stage"),
+        F.col("tot").alias("n_in"),
+        (F.col("tot") - F.col("sv")).alias("n_pruned"),
+        F.col("sv").alias("n_out"),
     )
-    r2 = (
-        sv.crossJoin(F.broadcast(pruned2))
-        .select(
-            F.lit("near_minhash").alias("stage"),
-            F.col("sv").alias("n_in"),
-            F.col("p2").alias("n_pruned"),
-            (F.col("sv") - F.col("p2")).alias("n_out"),
-        )
+    r2 = stats.crossJoin(F.broadcast(pruned2)).select(
+        F.lit("near_minhash").alias("stage"),
+        F.col("sv").alias("n_in"),
+        F.col("p2").alias("n_pruned"),
+        (F.col("sv") - F.col("p2")).alias("n_out"),
     )
     return r1.unionByName(r2)
 

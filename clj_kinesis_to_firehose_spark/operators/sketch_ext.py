@@ -123,10 +123,18 @@ def agg_kmv_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", portable_hash60(item).alias("hv")
     ).distinct()
     w = Window.partitionBy("event_type").orderBy("hv")
+    # lazy pin (r15, guide §2.4/§5): the sketch is the WHOLE POINT of
+    # KMV — |event_types| x K rows — yet the theta table, both pair
+    # sides, the common-hash self-join, and the union estimate each
+    # re-derived the full scan→distinct→window pipeline (7 event
+    # scans). Pinning the sketch makes everything downstream operate
+    # on the bounded sketch rows, exactly as the sketch contract
+    # promises.
     sk = (
         d.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= K)
         .select("event_type", "hv")
+        .localCheckpoint(eager=False)
     )
     kt = sk.groupBy("event_type").agg(
         F.max("hv").alias("theta"), F.count("*").alias("k_n")

@@ -159,12 +159,23 @@ def test_pack_incremental_stability(spark, greedy_rows):
     assert any(r["status"] == "kept" for r in inc)
 
 
-def test_pack_incremental_broadcasts_touched_set(spark):
-    """The O(arrivals) contract in the plan: both touched-bucket joins
-    resolve to broadcast joins — no shuffle keyed on the corpus."""
+def test_pack_incremental_touched_flag_is_a_window(spark):
+    """The touched-bucket membership must be a window over the one
+    bucket-partitioned pass, never a join: the executed plan carries
+    NO join node at all, and each arm's fold reuses its window's
+    hashpartitioning(bucket) exchange — exactly two bucket-keyed
+    exchanges, nothing keyed on anything else (r15 rewrite; the old
+    shape was two broadcast joins against a twice-derived touched
+    set, 4 corpus scans)."""
     df = QUERIES["corpus_pack_incremental"](spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
     phys = df._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in phys or "BroadcastNestedLoopJoin" in phys
+    assert "Join" not in phys
+    exchanges = [
+        line for line in phys.splitlines() if "+- Exchange" in line
+    ]
+    assert len(exchanges) == 2, exchanges
+    assert all("hashpartitioning(bucket" in e for e in exchanges), exchanges
 
 
 def test_batch_by_length_law(spark):
