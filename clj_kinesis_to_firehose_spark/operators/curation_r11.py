@@ -1395,29 +1395,34 @@ def dedup_hybrid_confirm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     )
-    # r15 (guide §3.1/§8, the dedup_near_minhash verify-tail pattern):
-    # the candidate pair list is bucket-gated (cap-bounded), so IT is
-    # the side that travels on every attach join — unhinted, the
-    # planner's size estimates broadcast the text-bearing corpus side.
+    # r15: deliberately left UNHINTED after measuring (the
+    # _hamming_verified_pairs lesson). Forcing broadcast(candidates)
+    # here — the dedup_near_minhash verify-tail pattern — regressed
+    # 1.46 s → 3.95 s: with FOUR chained attach joins the accumulating
+    # candidate relation must re-broadcast after every join, turning
+    # one streaming pass into four sequential broadcast barriers,
+    # whereas the planner builds the four corpus-side hash tables in
+    # parallel and streams the candidate pipeline through them once.
+    # At scale the size estimates flip the build side (or AQE picks
+    # SMJ) on their own; the two-join minhash tail stays hinted
+    # because there the barrier count is what the hint removes.
     texts = (
-        F.broadcast(cand)
-        .join(docs.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        cand.join(docs.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .withColumnRenamed("text", "text_a")
-    )
-    texts = F.broadcast(texts).join(
-        docs.select(
-            F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b")
-        ),
-        "doc_b",
-    )
-    texts = (
-        F.broadcast(texts)
+        .join(
+            docs.select(
+                F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b")
+            ),
+            "doc_b",
+        )
         .join(emb.withColumnRenamed("vec_id", "doc_a"), "doc_a")
         .withColumnRenamed("e", "e_a")
-    )
-    texts = F.broadcast(texts).join(
-        emb.select(F.col("vec_id").alias("doc_b"), F.col("e").alias("e_b")),
-        "doc_b",
+        .join(
+            emb.select(
+                F.col("vec_id").alias("doc_b"), F.col("e").alias("e_b")
+            ),
+            "doc_b",
+        )
     )
     scored = texts.select(
         "doc_a",

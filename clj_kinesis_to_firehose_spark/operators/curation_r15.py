@@ -290,28 +290,29 @@ def corpus_pack_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     today's batch reopens only the tail buckets it lands in.
     """
     docs = _pack_docs(spark, sf_dir)
-    # touched-bucket membership as a window over ONE pass (r15, guide
-    # §2.4): the anti/semi joins re-derived the touched-bucket set's
-    # corpus scan on both arms (4 scans total), and the kept arm
-    # folded touched buckets' base docs only to discard them. A bucket
-    # is touched iff ANY of its docs is an arrival; in an untouched
-    # bucket every doc is a base doc, so filter(~touched) IS the
-    # base-pack input and filter(touched) the repack input — and both
-    # arms descend from the same scan→window(bucket) prefix, whose
-    # hash(bucket) exchange the fold's own groupBy(bucket) reuses.
-    bw = Window.partitionBy("bucket")
-    flagged = docs.withColumn(
-        "touched",
-        F.max((F.col("doc_id") >= PACK_BATCH_SPLIT).cast("int")).over(bw)
-        == 1,
+    # r15, two measured changes (a full window rewrite was tried FIRST
+    # and regressed 0.74 s → 1.59 s — it shuffled the whole corpus by
+    # bucket once PER ARM, where the broadcast joins pre-filter
+    # map-side and only the surviving docs reach the folds' shuffles):
+    # 1. lazy pin of the touched-bucket set (|arrival buckets| rows) —
+    #    the anti and semi arms each re-derived its corpus scan.
+    # 2. the kept arm's anti-join moved BELOW the fold: it used to
+    #    fold touched buckets' base docs only to discard the folded
+    #    rows afterward; dropping whole buckets commutes with a
+    #    per-bucket fold, so filter-then-fold is row-identical.
+    touched = (
+        docs.filter(F.col("doc_id") >= PACK_BATCH_SPLIT)
+        .select("bucket")
+        .distinct()
+        .localCheckpoint(eager=False)
     )
     kept = _packed_entries(
-        flagged.filter(
-            ~F.col("touched") & (F.col("doc_id") < PACK_BATCH_SPLIT)
-        ).select("doc_id", "bucket", "cost")
+        docs.filter(F.col("doc_id") < PACK_BATCH_SPLIT).join(
+            F.broadcast(touched), "bucket", "left_anti"
+        )
     )
     repacked = _packed_entries(
-        flagged.filter(F.col("touched")).select("doc_id", "bucket", "cost")
+        docs.join(F.broadcast(touched), "bucket", "left_semi")
     )
     entries = kept.withColumn("status", F.lit("kept")).unionByName(
         repacked.withColumn("status", F.lit("repacked"))

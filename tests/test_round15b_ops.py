@@ -159,23 +159,19 @@ def test_pack_incremental_stability(spark, greedy_rows):
     assert any(r["status"] == "kept" for r in inc)
 
 
-def test_pack_incremental_touched_flag_is_a_window(spark):
-    """The touched-bucket membership must be a window over the one
-    bucket-partitioned pass, never a join: the executed plan carries
-    NO join node at all, and each arm's fold reuses its window's
-    hashpartitioning(bucket) exchange — exactly two bucket-keyed
-    exchanges, nothing keyed on anything else (r15 rewrite; the old
-    shape was two broadcast joins against a twice-derived touched
-    set, 4 corpus scans)."""
+def test_pack_incremental_broadcasts_touched_set(spark):
+    """The O(arrivals) contract in the plan: the touched-bucket set
+    travels BROADCAST into both arms (anti-join to keep, semi-join to
+    repack) and the pruning runs below the folds, so no corpus-keyed
+    shuffle join exists and no bucket is folded only to be discarded
+    (r15: a window-flag rewrite was measured SLOWER — it shuffled the
+    corpus once per arm — so the broadcast-join shape is pinned)."""
     df = QUERIES["corpus_pack_incremental"](spark, SF_DIR)
     df.write.format("noop").mode("overwrite").save()
     phys = df._jdf.queryExecution().executedPlan().toString()
-    assert "Join" not in phys
-    exchanges = [
-        line for line in phys.splitlines() if "+- Exchange" in line
-    ]
-    assert len(exchanges) == 2, exchanges
-    assert all("hashpartitioning(bucket" in e for e in exchanges), exchanges
+    assert phys.count("BroadcastHashJoin") == 2, phys
+    assert "LeftAnti" in phys and "LeftSemi" in phys
+    assert "SortMergeJoin" not in phys
 
 
 def test_batch_by_length_law(spark):
