@@ -77,13 +77,16 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("user_id")
                 .agg(F.min("ts").alias("ts_stage"))
             )
-        # lazy pin (r15, guide §2.4/§5): each frontier is consumed
-        # TWICE — by the next stage's join and by its own count branch
-        # — and the chaining compounded: the stage-3 branch re-derived
-        # stages 1..3, 6 event scans for a 3-stage funnel. The pinned
-        # relation is one (user_id, ts) row per surviving user,
-        # shrinking monotonically per stage — never the event stream.
-        cur_min = cur_min.localCheckpoint(eager=False)
+        # r15: a lazy pin per frontier was tried (each frontier is
+        # consumed twice — next stage's join + its own count branch —
+        # so the stage-3 branch re-derives stages 1..3, 6 event scans
+        # for a 3-stage funnel) and REJECTED: it bought only ~8%
+        # (1.49 -> 1.37 s, the duplicated subtrees are pruned scans +
+        # broadcast joins) while hiding the plan contract that
+        # test_funnel_pushes_stage_filters_and_broadcasts_frontiers
+        # pins — every stage's event_type filter pushed to its scan
+        # and every frontier lookup a broadcast, the properties that
+        # actually carry this shape to 100 TB.
         frontiers.append(cur_min)
         stage_min = cur_min
 
