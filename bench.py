@@ -281,6 +281,17 @@ def main() -> None:
     def _norm_sec(v: float) -> float:
         return round(v / canary_ratio, 3)
 
+    # Tail-truncation hardening (r15 verdict #3/#6): the driver archives
+    # only a ~2 kB tail of stdout, and r14's single giant JSON line
+    # (headline + extended rows) overflowed it mid-JSON, costing the
+    # round its automated round-over-round comparison. stdout now
+    # carries EXACTLY ONE compact JSON line — the contract fields
+    # (metric/value/unit/queries/sf) plus the canary-normalization
+    # block, ~1.2 kB, so any tail capture >= 1.5 kB holds the complete
+    # parseable line. The non-gating EXTENDED rows (same methodology,
+    # same numbers as before — nothing dropped) move to a sidecar JSON
+    # file ($SPARK_GRAFT_BENCH_EXT, default ./bench_extended.json,
+    # gitignored) and are mirrored to stderr for log capture.
     out = {
         "metric": "headline_median_total_sec",
         "value": total,
@@ -301,6 +312,13 @@ def main() -> None:
         "canary_ratio": canary_ratio,
         "value_normalized_sec": _norm_sec(total),
         "queries_normalized": {k: _norm_sec(v) for k, v in timings.items()},
+    }
+    if errors:
+        # explicit: the total above covers only the queries that ran
+        out["errors"] = errors
+    ext_out = {
+        "metric": "extended_rows",  # non-gating (see EXTENDED above)
+        "extended": extended,
         "extended_normalized": {
             k: (
                 round(v * canary_ratio, 1)
@@ -310,13 +328,21 @@ def main() -> None:
             for k, v in extended.items()
             if isinstance(v, (int, float))
         },
-        "extended": extended,  # non-gating (see EXTENDED above)
+        "canary_ratio": canary_ratio,
     }
-    if errors:
-        # explicit: the total above covers only the queries that ran
-        out["errors"] = errors
     if ext_errors:
-        out["extended_errors"] = ext_errors  # non-gating: no exit(1)
+        ext_out["extended_errors"] = ext_errors  # non-gating: no exit(1)
+    ext_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_EXT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_extended.json"),
+    )
+    try:
+        with open(ext_path, "w") as fh:
+            json.dump(ext_out, fh)
+    except OSError:
+        pass  # read-only checkout: the stderr mirror still records it
+    print(json.dumps(ext_out), file=sys.stderr)
     print(json.dumps(out))
     spark.stop()
     if errors:

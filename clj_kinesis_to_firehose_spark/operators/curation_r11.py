@@ -699,14 +699,13 @@ def _bpe_pat_sub() -> tuple[F.Column, F.Column]:
     return pat, sub
 
 
-def _bpe_top_pair(w: DataFrame) -> DataFrame:
-    """ONE BPE selection step over the '|'-separated symbol dictionary
-    ``w``: pair-count adjacent symbols and pick the (count DESC, left,
-    right) top non-self pair as a 1-row DataFrame. The single shared
-    definition of the select rule — the N=3 unrolled learner, the
-    tokenize-apply replay, and the r12 scaled (checkpointed-loop)
-    learner all iterate exactly this step, so the selection semantics
-    cannot drift between the exact-oracle twin and the scale twin.
+def _bpe_pair_counts(w: DataFrame) -> DataFrame:
+    """Adjacent-pair counts over the '|'-separated symbol dictionary
+    ``w`` as (left_sym, right_sym, pair_count) — BPE selection's
+    aggregation step, factored out of :func:`_bpe_top_pair` so the r16
+    scaled loop can run it over DELTA subsets (only the words that
+    contain the just-merged pair) instead of re-aggregating the whole
+    dictionary every iteration (guide §2.3).
 
     The size >= 2 guard is load-bearing: a word can collapse to ONE
     symbol once a merge spans it entirely (e.g. word 'ab' after merge
@@ -729,14 +728,34 @@ def _bpe_top_pair(w: DataFrame) -> DataFrame:
         ).alias("p"),
         "freq",
     ).select("p.left_sym", "p.right_sym", "freq")
-    agg = pairs.groupBy("left_sym", "right_sym").agg(
+    return pairs.groupBy("left_sym", "right_sym").agg(
         F.sum("freq").cast("long").alias("pair_count")
     )
+
+
+def _bpe_select_top(counts: DataFrame) -> DataFrame:
+    """BPE's selection rule over a pair-count relation: the (count
+    DESC, left ASC, right ASC) top non-self pair as a 1-row DataFrame.
+    Factored from :func:`_bpe_top_pair` so the r16 scaled loop applies
+    the IDENTICAL rule to its delta-maintained count relation."""
     return (
-        agg.filter(F.col("left_sym") != F.col("right_sym"))
+        counts.filter(F.col("left_sym") != F.col("right_sym"))
         .orderBy(F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym"))
         .limit(1)
     )
+
+
+def _bpe_top_pair(w: DataFrame) -> DataFrame:
+    """ONE BPE selection step over the '|'-separated symbol dictionary
+    ``w``: pair-count adjacent symbols and pick the (count DESC, left,
+    right) top non-self pair as a 1-row DataFrame. The single shared
+    definition of the select rule — the N=3 unrolled learner, the
+    tokenize-apply replay, and the r12 scaled (checkpointed-loop)
+    learner all iterate exactly this step (the scaled loop via the
+    same :func:`_bpe_select_top` over its delta-maintained counts), so
+    the selection semantics cannot drift between the exact-oracle twin
+    and the scale twin."""
+    return _bpe_select_top(_bpe_pair_counts(w))
 
 
 def _bpe_len2_dictionary(spark: SparkSession, sf_dir: str,

@@ -300,6 +300,13 @@ def corpus_pack_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     #    fold touched buckets' base docs only to discard the folded
     #    rows afterward; dropping whole buckets commutes with a
     #    per-bucket fold, so filter-then-fold is row-identical.
+    # Caveat for ALL lazy localCheckpoint pins in this repo (r15
+    # ADVICE): local checkpoints store blocks on executors only, so on
+    # a real cluster an executor loss makes the truncated lineage
+    # unrecoverable and fails the job (retryable at the job level).
+    # Fine for bounded relations like these; a cluster deployment that
+    # needs intra-job fault tolerance would swap them to reliable
+    # checkpoint() / persist(DISK_ONLY) behind a deploy-mode flag.
     touched = (
         docs.filter(F.col("doc_id") >= PACK_BATCH_SPLIT)
         .select("bucket")

@@ -1112,17 +1112,20 @@ def corpus_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("source", "text")
     # ONE corpus pass (r15, guide §2.3/§2.4): token and doc counts per
     # source in a single aggregation — COUNT(*) of the exploded terms
-    # is SUM(SIZE(split)) term for term (split never yields an empty
-    # array), so the explode and its second corpus scan are gone, and
-    # the separate per-source doc-count scan fuses into the same agg.
-    # The totals then come from a window over the |sources|-row result
+    # is SUM(SIZE(split)) term for term for non-null text (split never
+    # yields an empty array); a NULL text contributed 0 exploded rows,
+    # while size(split(NULL)) is NULL (or -1 under legacy sizeOfNull),
+    # so the coalesce-to-0 is what makes the fused form equivalent for
+    # every input, not just the null-free fixtures (r15 ADVICE).
+    # The separate per-source doc-count scan fuses into the same agg;
+    # the totals then come from a window over the |sources|-row result
     # instead of a third corpus pass through a 1-row crossJoin.
     per_src = (
         fan_out(spark, docs)
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
-            F.sum(F.size(F.split("text", " ")))
+            F.sum(F.coalesce(F.size(F.split("text", " ")), F.lit(0)))
             .cast("long")
             .alias("n_tokens"),
         )

@@ -142,6 +142,15 @@ _SQL_VERIFY_TAIL = """
 #: not model the guard, is unaffected on non-adversarial corpora.
 BAND_BUCKET_CAP = 1024
 
+#: r16 A/B switch (r15 verdict #2): the merge hint on the band-bucket
+#: self-join (see band_candidates). True = SMJ with both sides sharing
+#: one hashpartitioning(band, bucket) exchange — the signature
+#: pipeline runs once (r15) and AQE skew-split applies at scale.
+#: False = the pre-r15 planner-chosen broadcast shape (pipeline built
+#: twice). Kept as a module switch so the matched-canary A/B
+#: (plans/r16/ab_minhash_hint.json) toggles exactly this.
+BAND_SELF_JOIN_MERGE_HINT = True
+
 
 def sql_bucket_gate(src: str, cap: int = BAND_BUCKET_CAP) -> str:
     """DuckDB twin of the :func:`band_candidates` bucket-size gate:
@@ -305,7 +314,7 @@ def band_candidates(
         # the 100 TB shape: AQE skew-split applies to it, and no
         # bucket relation need fit in broadcast memory.
         left.join(
-            right.hint("merge"),
+            right.hint("merge") if BAND_SELF_JOIN_MERGE_HINT else right,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -1091,9 +1100,19 @@ def dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .agg(F.count("*").cast("long").alias("p2"))
     )
+    # sv counts the distinct-text GROUPS the window keeps one keeper
+    # for — countDistinct alone ignores a NULL text group while the
+    # window would still keep its keeper row, so the null group is
+    # added back explicitly (r15 ADVICE; no-op on the null-free
+    # fixtures, exact on any input)
     stats = docs.agg(
         F.count("*").cast("long").alias("tot"),
-        F.countDistinct("text").alias("sv"),
+        (
+            F.countDistinct("text")
+            + F.coalesce(
+                F.max(F.col("text").isNull().cast("long")), F.lit(0)
+            )
+        ).alias("sv"),
     ).localCheckpoint(eager=False)
 
     r1 = stats.select(

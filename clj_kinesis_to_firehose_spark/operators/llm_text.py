@@ -20,6 +20,18 @@ from clj_kinesis_to_firehose_spark.sources import fan_out, load_table
 #: the fixture vocabulary so the ratios are non-degenerate
 STOPWORDS = ["a", "the", "value", "table"]
 
+#: minimum estimated documents input size for text_tfidf_topterms' tf
+#: lazy pin (r16, r15 verdict #1/#2): the pin trades the df branch's
+#: second corpus scan+tokenize for one materialize+cache of the tf
+#: table — the right trade whenever the corpus pass costs more than
+#: the cache write (any real corpus), the wrong one when the whole
+#: input is sub-MB (the driver's fixture). Below this size the second
+#: scan is kept; at/above it — or when the size is unknown (non-local
+#: storage reads as -1, treated as large) — the pin ships. Semantics
+#: identical either way; matched-canary A/B committed at
+#: plans/r16/ab_tfidf_pin.json.
+TFIDF_PIN_MIN_BYTES = 8 << 20
+
 
 @register(
     "text_wordcount",
@@ -120,7 +132,14 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cross-run cache — each invocation builds a fresh RDD). The
     # materialized relation is the term-level tf table (Zipf-bounded),
     # never the corpus. Guide §2.4 (share one exchange) + §5.
-    tf = tf.localCheckpoint(eager=False)
+    # Gated on estimated input size (r16 — see TFIDF_PIN_MIN_BYTES):
+    # under the threshold the duplicated scan is cheaper than the
+    # materialization; unknown sizes keep the pin (the 100 TB shape).
+    from clj_kinesis_to_firehose_spark.sources.loader import input_bytes
+
+    nbytes = input_bytes(docs)
+    if nbytes < 0 or nbytes >= TFIDF_PIN_MIN_BYTES:
+        tf = tf.localCheckpoint(eager=False)
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = (
         tf.join(df, "term")  # unhinted: AQE broadcasts iff small

@@ -163,6 +163,30 @@ def fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
     return df
 
 
+def input_bytes(df) -> int:
+    """Total size in bytes of the files feeding ``df``'s scan (plan
+    metadata + local stat), or -1 when unknown (non-local storage, no
+    file scan). Callers gate fixture-scale-only shortcuts on this and
+    MUST treat -1 as 'large' so the 100 TB plan shape is the default
+    whenever the estimate is unavailable."""
+    import os
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return -1
+    if not files:
+        return -1
+    total = 0
+    for f in files:
+        local = f[len("file:"):] if f.startswith("file:") else f
+        try:
+            total += os.path.getsize(local)
+        except OSError:
+            return -1
+    return total
+
+
 def prior_epoch_paths(
     index_dir: str, epoch: int, init_name: str = "epoch_init"
 ) -> list[str]:

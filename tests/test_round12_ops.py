@@ -170,6 +170,58 @@ def test_bpe_scaled_extends_the_exact_twin(spark):
     assert not scaled.right_sym.str.contains("|", regex=False).any()
 
 
+def test_bpe_scaled_delta_matches_reaggregating_reference(spark):
+    """r16: the scaled loop maintains its pair counts by DELTA (one
+    single-stage statement per iteration folded in the driver) instead
+    of re-aggregating the dictionary. This pins the invariant that
+    rewrite rests on: a reference loop that re-aggregates the full
+    dictionary with the shared _bpe_top_pair rule every step must
+    produce the identical (merge_rank, left, right, pair_count)
+    sequence — counts included, since the delta-maintained table must
+    equal the full aggregation term for term for selection to agree."""
+    from pyspark.sql import functions as F
+
+    from clj_kinesis_to_firehose_spark.operators.curation_r11 import (
+        _bpe_len2_dictionary,
+        _bpe_top_pair,
+    )
+
+    n_ref = 16  # enough to cross one checkpoint + pending-chain cycle
+    out = (
+        QUERIES["bpe_learn_merges_scaled"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("merge_rank")
+        .head(n_ref)
+        .reset_index(drop=True)
+    )
+    w = _bpe_len2_dictionary(spark, SF_DIR).localCheckpoint(eager=True)
+    ref = []
+    for k in range(1, n_ref + 1):
+        top = _bpe_top_pair(w).collect()
+        if not top:
+            break
+        row = top[0]
+        ref.append(
+            (k, row["left_sym"], row["right_sym"], int(row["pair_count"]))
+        )
+        pat = f"|{row['left_sym']}|{row['right_sym']}|"
+        sub = f"|{row['left_sym']}{row['right_sym']}|"
+        w = w.select(
+            F.replace(
+                F.replace("rep", F.lit(pat), F.lit(sub)),
+                F.lit(pat),
+                F.lit(sub),
+            ).alias("rep"),
+            "freq",
+        )
+    got = list(
+        out[["merge_rank", "left_sym", "right_sym", "pair_count"]].itertuples(
+            index=False, name=None
+        )
+    )
+    assert [(int(a), b, c, int(d)) for a, b, c, d in got] == ref
+
+
 def test_ann_calibration_recall_laws(spark):
     """Structural guarantees of the recall grid: the full ladder x
     budget grid is present; recall is monotone non-decreasing in the

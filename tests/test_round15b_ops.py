@@ -166,8 +166,12 @@ def test_pack_incremental_broadcasts_touched_set(spark):
     shuffle join exists and no bucket is folded only to be discarded
     (r15: a window-flag rewrite was measured SLOWER — it shuffled the
     corpus once per arm — so the broadcast-join shape is pinned)."""
+    # static plan only (r15 ADVICE): both joins are hint-forced, so the
+    # shape holds before execution — a noop write would run a SEPARATE
+    # QueryExecution and df's own executedPlan would still be the
+    # un-executed one, i.e. the write added runtime without making the
+    # assertions observe the AQE-final plan
     df = QUERIES["corpus_pack_incremental"](spark, SF_DIR)
-    df.write.format("noop").mode("overwrite").save()
     phys = df._jdf.queryExecution().executedPlan().toString()
     assert phys.count("BroadcastHashJoin") == 2, phys
     assert "LeftAnti" in phys and "LeftSemi" in phys
