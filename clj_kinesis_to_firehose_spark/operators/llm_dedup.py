@@ -147,8 +147,14 @@ BAND_BUCKET_CAP = 1024
 #: one hashpartitioning(band, bucket) exchange — the signature
 #: pipeline runs once (r15) and AQE skew-split applies at scale.
 #: False = the pre-r15 planner-chosen broadcast shape (pipeline built
-#: twice). Kept as a module switch so the matched-canary A/B
-#: (plans/r16/ab_minhash_hint.json) toggles exactly this.
+#: twice). VERDICT (committed matched-canary A/B,
+#: plans/r16/ab_minhash_hint.json — 5 interleaved runs per variant,
+#: one session): 1.556 s hinted vs 1.539 s unhinted on
+#: dedup_near_minhash — a wash at fixture scale (1.1%, inside noise),
+#: so the hint KEEPS shipping on its 100 TB merits: one shared
+#: exchange instead of a twice-built signature pipeline, no broadcast
+#: memory bound, AQE skew-split applicable. The r15 driver's
+#: cross-phase regression read was box phase, not the plan.
 BAND_SELF_JOIN_MERGE_HINT = True
 
 

@@ -21,16 +21,17 @@ from clj_kinesis_to_firehose_spark.sources import fan_out, load_table
 STOPWORDS = ["a", "the", "value", "table"]
 
 #: minimum estimated documents input size for text_tfidf_topterms' tf
-#: lazy pin (r16, r15 verdict #1/#2): the pin trades the df branch's
+#: lazy pin (r16, r15 verdict #2): the pin trades the df branch's
 #: second corpus scan+tokenize for one materialize+cache of the tf
-#: table — the right trade whenever the corpus pass costs more than
-#: the cache write (any real corpus), the wrong one when the whole
-#: input is sub-MB (the driver's fixture). Below this size the second
-#: scan is kept; at/above it — or when the size is unknown (non-local
-#: storage reads as -1, treated as large) — the pin ships. Semantics
-#: identical either way; matched-canary A/B committed at
-#: plans/r16/ab_tfidf_pin.json.
-TFIDF_PIN_MIN_BYTES = 8 << 20
+#: table. The r15 driver's cross-phase read suggested the pin might
+#: lose at fixture scale; the committed matched-canary A/B
+#: (plans/r16/ab_tfidf_pin.json — 5 interleaved runs per variant, one
+#: session) settles it the other way: pin 0.902 s vs no-pin 1.238 s
+#: median even on the 0.57 MB fixture, so the pin ships UNGATED
+#: (threshold 0). The gate stays wired so a deployment where the
+#: materialization loses can flip one constant; unknown input sizes
+#: (-1, non-local storage) always keep the pin.
+TFIDF_PIN_MIN_BYTES = 0
 
 
 @register(

@@ -31,8 +31,8 @@ import re
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
-    DataSourceStreamWriter,
     InputPartition,
     WriterCommitMessage,
 )
@@ -233,7 +233,7 @@ class DeliveryCommit(WriterCommitMessage):
         self.staged = staged
 
 
-class FirehoseDeliveryStreamWriter(DataSourceStreamWriter):
+class FirehoseDeliveryStreamWriter(DataSourceStreamArrowWriter):
     """The delivery half of the connector pair: each task chunks its
     rows under the PutRecordBatch caps (500 records / 4 MiB, 1000 KiB
     per record, newline-terminated JSON) into STAGED files; the
@@ -245,28 +245,59 @@ class FirehoseDeliveryStreamWriter(DataSourceStreamWriter):
     DataSource writer protocol (task write → commit message → atomic
     driver publish, with ``abort`` sweeping the stage on failure). A
     live PutRecordBatch client replaces the staged-file write with the
-    API call and commit with checkpoint bookkeeping."""
+    API call and commit with checkpoint bookkeeping.
+
+    Arrow face (r16, guide §4.1 — the sink-side twin of the reader's
+    r15 RecordBatch path): micro-batch data reaches the writer as
+    pyarrow RecordBatches instead of one pickled Row per record, so
+    the JVM→Python boundary is columnar on BOTH connector faces. The
+    old path's blocker was byte stability of the delivered JSON: a
+    pickled Row carried a NAIVE datetime (worker-local wall clock)
+    while Arrow batches carry session-tz-aware timestamps. The
+    renderer therefore FORMAT-PINS timestamps — tz-aware timestamp
+    columns cast to naive UTC wall clock before ``str()`` rendering —
+    which reproduces the committed byte format exactly on the UTC
+    session this engine always builds (and removes the old path's
+    hidden dependence on the worker's local timezone). Pinned
+    byte-for-byte against the row path's rendering by
+    ``test_python_datasource_writer_bytes_are_format_pinned``."""
 
     def __init__(self, options: dict):
         self.out_dir = options["path"]
 
-    def write(self, rows) -> DeliveryCommit:
+    def write(self, batches) -> DeliveryCommit:
         import json
         import uuid
 
+        import pyarrow as pa
         from pyspark import TaskContext
 
         from clj_kinesis_to_firehose_spark.streaming.firehose_sink import (
             chunk_records,
         )
 
+        def dicts():
+            for batch in batches:
+                names = batch.schema.names
+                cols = []
+                for i, field in enumerate(batch.schema):
+                    col = batch.column(i)
+                    if (
+                        pa.types.is_timestamp(field.type)
+                        and field.type.tz is not None
+                    ):
+                        # same epoch instant, naive UTC wall clock —
+                        # the committed rendering (see class docstring)
+                        col = col.cast(pa.timestamp(field.type.unit))
+                    cols.append(col.to_pylist())
+                for vals in zip(*cols):
+                    yield dict(zip(names, vals))
+
         pid = TaskContext.get().partitionId()
         stage_dir = os.path.join(self.out_dir, "_stage")
         os.makedirs(stage_dir, exist_ok=True)
         staged: list[str] = []
-        encoded = (
-            json.dumps(row.asDict(), default=str).encode() for row in rows
-        )
+        encoded = (json.dumps(d, default=str).encode() for d in dicts())
         # chunk_records is the property-tested PutRecordBatch chunker
         # the foreachBatch sink uses — one cap implementation everywhere
         for batch in chunk_records(encoded):

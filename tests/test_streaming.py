@@ -553,3 +553,53 @@ def test_python_datasource_writer_caps_and_idempotence(spark):
     w.commit([m], batchId=0)
     files2 = sorted(glob.glob(out + "/batch-*.jsonl"))
     assert files2 == files, "replayed batch must not create new files"
+
+
+def test_python_datasource_writer_bytes_are_format_pinned(spark):
+    """r16 Arrow writer face: the delivered JSON bytes must be
+    byte-identical to the committed pickled-row rendering —
+    json.dumps(row.asDict(), default=str) over rows whose timestamps
+    are naive UTC wall clock. The reference lines are rendered here
+    through exactly that expression from the batch reader's collected
+    rows (the pickled-Row path), so this test pins the Arrow face to
+    the old byte format line for line."""
+    import glob
+    import json
+    import tempfile
+
+    from clj_kinesis_to_firehose_spark.sources.pyds import (
+        register_delivery_sink,
+        register_replay_source,
+    )
+    from clj_kinesis_to_firehose_spark.sources.streams import (
+        write_replay_slices,
+    )
+
+    register_replay_source(spark)
+    register_delivery_sink(spark)
+    replay = write_replay_slices(spark, SF_DIR, n_slices=4)
+    out = tempfile.mkdtemp(prefix="kf_pyds_bytes_")
+    q = (
+        spark.readStream.format("kinesis_replay")
+        .option("path", replay)
+        .load()
+        .writeStream.format("firehose_delivery")
+        .option("path", out)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="kf_chk_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    delivered = sorted(
+        line
+        for f in glob.glob(out + "/batch-*.jsonl")
+        for line in open(f, "rb").read().splitlines()
+    )
+    rows = (
+        spark.read.format("kinesis_replay").option("path", replay).load()
+    ).collect()
+    expected = sorted(
+        json.dumps(r.asDict(), default=str).encode() for r in rows
+    )
+    assert len(delivered) == len(expected)
+    assert delivered == expected
