@@ -612,6 +612,12 @@ def win_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    # r16 (2×-tail triage, the r15 bounded-pin pattern): bounds and
+    # expanded both consume du, and without a pin each re-derived the
+    # events scan + distinct (scan_audit: 2× events). du is
+    # |days × users|-bounded — the lazy pin materializes it once
+    # inside this query's own execution.
+    du = du.localCheckpoint(eager=False)
     bounds = du.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
     expanded = du.select(
         F.explode(F.sequence("day", F.date_add("day", 6))).alias("end_day"),

@@ -521,16 +521,24 @@ def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.array_distinct(shingles(F.col("text"), 3)).alias("gset")
     )
     a, b = docs.alias("a"), docs.alias("b")
-    pairs = a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.size(F.array_intersect("a.gset", "b.gset")).cast("double").alias("n_shared"),
-        F.size("a.gset").alias("n_a"),
-        F.size("b.gset").alias("n_b"),
+    # r16 (2×-tail triage, the dedup_fuzzy_levenshtein finding): a
+    # post-join filter on the jaccard got pushed into the join
+    # condition AHEAD of doc_id<, so the two array_intersect calls in
+    # the ratio ran on every ORDERED pair (n² of the bounded range)
+    # before the free inequality halved them. Authoring the condition
+    # with doc_id< first prices the intersects on n(n-1)/2 pairs.
+    # Same rows, same values — only conjunct order.
+    n_shared = F.size(F.array_intersect("a.gset", "b.gset")).cast("double")
+    jac = n_shared / (
+        F.size("a.gset") + F.size("b.gset") - n_shared
     )
-    jac = F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
-    return pairs.filter(jac >= 0.05).select(
-        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    return (
+        a.join(b, (F.col("a.doc_id") < F.col("b.doc_id")) & (jac >= 0.05))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
     )
 
 
@@ -724,6 +732,21 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     Levenshtein kernel ever sees, the same candidate-first shape as
     the MinHash path (there the block key is a band bucket). Exact
     oracle: both engines implement classic unweighted edit distance.
+
+    r16 (2×-tail triage #1, guide §1.2 per-task work): the original
+    post-join ``filter(edit_dist <= 24)`` was pushed into the join
+    condition AHEAD of the cheap predicates, so the UNBOUNDED O(n·m)
+    kernel ran first on every block-equal ordered pair — 17,008 pairs
+    of ~300-char texts at sf0.1, measured 14.6 s for the kernel alone
+    — and a second time in the projection. Now (1) the distance uses
+    Spark's THRESHOLDED form ``levenshtein(a, b, 24)`` — banded
+    O(k·n), early-exit, returns −1 above the threshold and the exact
+    distance otherwise, so it is value-identical on every surviving
+    row — and (2) the whole condition is authored in the join with
+    the cheap gates first (doc_id <, length-diff ≤ 16 keeps 606 of
+    17,008 pairs at sf0.1) so the kernel prices only the gated pairs.
+    Same rows, same values; oracle MATCH re-verified. A/B:
+    14.67 s → 0.26 s median.
     """
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
@@ -732,21 +755,20 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("len"),
     )
     a, b = d.alias("a"), d.alias("b")
+    lev24 = F.levenshtein(F.col("a.text"), F.col("b.text"), 24)
     return (
         a.join(
             b,
             (F.col("a.block") == F.col("b.block"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.abs(F.col("a.len") - F.col("b.len")) <= 16),
+            & (F.abs(F.col("a.len") - F.col("b.len")) <= 16)
+            & (lev24 >= 0),  # banded: exact distance iff <= 24, else -1
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.levenshtein(F.col("a.text"), F.col("b.text")).cast("long").alias(
-                "edit_dist"
-            ),
+            lev24.cast("long").alias("edit_dist"),
         )
-        .filter(F.col("edit_dist") <= 24)
     )
 
 

@@ -1075,8 +1075,22 @@ def pref_bt_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     fit/apply split — and _bt_fit's ``checkpoint_every`` branch keeps
     the distributed-loop lineage-truncation form alive for the
     bit-equality pytest that pins driver == distributed.
+
+    r16 (2×-tail triage): the registered fit now runs WITH
+    per-iteration lineage truncation (``checkpoint_every=1``, the
+    LocalRelation round-trip of the source-cardinality strength
+    relation — the documented safe truncation). Without it, each MM
+    iteration references the strength relation three times, so the
+    lazily-chained N=3 plan nests 3³ copies of the games/wins subtree
+    — measured 6.64 s of pure plan/exchange ceremony for 10 sources
+    (the captured pref_bt_mm_iter plan carries 40 Exchanges).
+    Arithmetic is unchanged — the iterations still execute as
+    distributed joins + aggregations — and
+    test_bt_driver_loop_bit_equals_distributed pins the checkpointed
+    form bit-equal to the driver loop; the oracle hash pins it to the
+    unrolled CTE.
     """
-    return _bt_fit(spark, sf_dir, BT_ITERS)
+    return _bt_fit(spark, sf_dir, BT_ITERS, checkpoint_every=1)
 
 
 #: iteration count for the scaled twin — a production to-convergence
@@ -1576,6 +1590,12 @@ def pref_bt_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     wins = pairs.groupBy(
         F.col("chosen_source").alias("i"), F.col("rejected_source").alias("j")
     ).agg(F.count("*").alias("w"))
+    # r16 (2×-tail triage, the r15 bounded-pin pattern): games unions
+    # wins with its own swap, so without a pin the corpus-sized
+    # pair-assembly subtree is built once PER UNION SIDE (scan_audit:
+    # 2× documents). wins is |sources|²-bounded — sketch-class state —
+    # and the lazy pin materializes inside this query's own execution.
+    wins = wins.localCheckpoint(eager=False)
     games = (
         wins.select("i", "j", "w", F.lit(True).alias("fwd"))
         .union(
