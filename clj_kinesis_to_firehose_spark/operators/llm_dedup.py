@@ -807,6 +807,10 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.array_distinct(shingles(F.col("text"), 3)).alias("gset")
     )
     a, b = docs.alias("a"), docs.alias("b")
+    # r16 note: the _ngram_pairs conjunct-order fix does NOT transfer
+    # here — `doc_id !=` removes only the n self-pairs of n², so the
+    # intersect count is unchanged either way (A/B read a wash);
+    # original shape kept.
     pairs = a.join(b, F.col("a.doc_id") != F.col("b.doc_id")).select(
         F.col("a.doc_id").alias("doc_contained"),
         F.col("b.doc_id").alias("doc_container"),

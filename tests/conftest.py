@@ -18,7 +18,13 @@ SF_DIR = os.environ.get("KF_TEST_SF_DIR", "/root/testdata/sf0.01")
 
 @pytest.fixture(scope="session")
 def spark():
-    s = build_spark("kf-tests", cpus=int(os.environ.get("KF_TEST_CPUS", "8")))
+    # default 4 local cores (r16, r15 verdict #8): at sf0.01 the
+    # suite's streaming block is micro-batch-machinery-bound, not
+    # compute-bound — the three stream-stream-join oracles read 140 s
+    # at 8 cores vs 103 s at 4 (26% of that block), while the
+    # compute-heavy modules (round12 kernels + fixed-point properties)
+    # measured identical (94.6 vs 93.0 s). Override via KF_TEST_CPUS.
+    s = build_spark("kf-tests", cpus=int(os.environ.get("KF_TEST_CPUS", "4")))
     yield s
     s.stop()
 

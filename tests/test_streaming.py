@@ -499,21 +499,23 @@ def test_python_datasource_offsets_window_correctly(spark):
     assert n == 10000
 
 
-def test_python_datasource_writer_caps_and_idempotence(spark):
-    """firehose_delivery writer: every delivered file honors the
-    PutRecordBatch caps, the stage dir is swept after commit, and a
-    REPLAYED micro-batch (same batchId) overwrites its own files
-    instead of duplicating records — the exactly-once contract."""
+@pytest.fixture(scope="module")
+def pyds_delivery(spark):
+    """ONE full kinesis_replay → firehose_delivery availableNow run,
+    shared by the caps/idempotence and byte-format tests (identical
+    replay + sink config — r16 scaffold sharing, r15 verdict #8).
+    Returns (replay_dir, out_dir, delivered_lines) with the lines
+    snapshotted HERE, before any test mutates the out dir."""
     import glob
-    import os
     import tempfile
 
     from clj_kinesis_to_firehose_spark.sources.pyds import (
-        FirehoseDeliveryStreamWriter,
         register_delivery_sink,
         register_replay_source,
     )
-    from clj_kinesis_to_firehose_spark.sources.streams import write_replay_slices
+    from clj_kinesis_to_firehose_spark.sources.streams import (
+        write_replay_slices,
+    )
 
     register_replay_source(spark)
     register_delivery_sink(spark)
@@ -530,6 +532,27 @@ def test_python_datasource_writer_caps_and_idempotence(spark):
         .start()
     )
     q.awaitTermination()
+    lines = sorted(
+        line
+        for f in glob.glob(out + "/batch-*.jsonl")
+        for line in open(f, "rb").read().splitlines()
+    )
+    return replay, out, lines
+
+
+def test_python_datasource_writer_caps_and_idempotence(spark, pyds_delivery):
+    """firehose_delivery writer: every delivered file honors the
+    PutRecordBatch caps, the stage dir is swept after commit, and a
+    REPLAYED micro-batch (same batchId) overwrites its own files
+    instead of duplicating records — the exactly-once contract."""
+    import glob
+    import os
+
+    from clj_kinesis_to_firehose_spark.sources.pyds import (
+        FirehoseDeliveryStreamWriter,
+    )
+
+    _, out, _ = pyds_delivery
     files = sorted(glob.glob(out + "/batch-*.jsonl"))
     assert files
     total = 0
@@ -555,46 +578,21 @@ def test_python_datasource_writer_caps_and_idempotence(spark):
     assert files2 == files, "replayed batch must not create new files"
 
 
-def test_python_datasource_writer_bytes_are_format_pinned(spark):
+def test_python_datasource_writer_bytes_are_format_pinned(
+    spark, pyds_delivery
+):
     """r16 Arrow writer face: the delivered JSON bytes must be
     byte-identical to the committed pickled-row rendering —
     json.dumps(row.asDict(), default=str) over rows whose timestamps
     are naive UTC wall clock. The reference lines are rendered here
     through exactly that expression from the batch reader's collected
     rows (the pickled-Row path), so this test pins the Arrow face to
-    the old byte format line for line."""
-    import glob
+    the old byte format line for line. (delivered_lines come from the
+    shared fixture's snapshot, taken before any test mutates the out
+    dir.)"""
     import json
-    import tempfile
 
-    from clj_kinesis_to_firehose_spark.sources.pyds import (
-        register_delivery_sink,
-        register_replay_source,
-    )
-    from clj_kinesis_to_firehose_spark.sources.streams import (
-        write_replay_slices,
-    )
-
-    register_replay_source(spark)
-    register_delivery_sink(spark)
-    replay = write_replay_slices(spark, SF_DIR, n_slices=4)
-    out = tempfile.mkdtemp(prefix="kf_pyds_bytes_")
-    q = (
-        spark.readStream.format("kinesis_replay")
-        .option("path", replay)
-        .load()
-        .writeStream.format("firehose_delivery")
-        .option("path", out)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="kf_chk_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    delivered = sorted(
-        line
-        for f in glob.glob(out + "/batch-*.jsonl")
-        for line in open(f, "rb").read().splitlines()
-    )
+    replay, _, delivered = pyds_delivery
     rows = (
         spark.read.format("kinesis_replay").option("path", replay).load()
     ).collect()

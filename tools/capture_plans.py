@@ -1,6 +1,7 @@
 #!/usr/bin/env python
 """Capture .explain('formatted') output for bench queries into
-plans/r15/<query>_<suffix>.txt (optimization-round evidence).
+$PLANS_DIR/<query>_<suffix>.txt (optimization-round evidence;
+PLANS_DIR defaults to plans/r16).
 
 Usage: python tools/capture_plans.py before [query ...]
        python tools/capture_plans.py after  [query ...]
@@ -25,8 +26,9 @@ def main() -> None:
     suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    outdir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r15")
+    outdir = os.environ.get("PLANS_DIR") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans", "r16")
     os.makedirs(outdir, exist_ok=True)
     spark = build_spark("kf-plan-capture")
     spark.sparkContext.setLogLevel("ERROR")
