@@ -614,6 +614,14 @@ def text_ngram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "b.w1", "b.w2")
     # one corpus pass: per-document bigram multiplicities (tf analog)
     docbg = bg.groupBy("w1", "w2", "doc_id").agg(F.count("*").alias("n"))
+    # r16 (the text_tfidf_topterms pin, settled by this round's
+    # committed A/B): the model branch (bgc) and the scoring join both
+    # consume docbg, and without a pin the optimizer splits the
+    # subtree — the corpus tokenize+explode+shuffle ran twice
+    # (scan_audit: 2× documents). The pinned relation is the
+    # bigram-level tf table (the same Zipf-bounded class as tfidf's
+    # tf), materialized once inside this query's own execution.
+    docbg = docbg.localCheckpoint(eager=False)
     bgc = docbg.groupBy("w1", "w2").agg(F.sum("n").alias("c12"))
     model = bgc.withColumn(
         "c1", F.sum("c12").over(Window.partitionBy("w1"))
