@@ -195,6 +195,15 @@ def test_basket_pairs_single_fact_shuffle(spark):
     df = QUERIES["basket_copurchase_pairs"](spark, SF_DIR)
     plan = audit.formatted_plan(df)
     assert "TakeOrderedAndProject" in plan, plan
+    # r16: the self-join is hint-forced SMJ so both sides plan the
+    # identical distinct exchange (AQE reuses it at runtime) instead of
+    # building the distinct twice around a broadcast of the whole
+    # relation; the hint is in the static plan, so assert it here
+    from clj_kinesis_to_firehose_spark.operators import analytics
+
+    if analytics.BASKET_SELF_JOIN_MERGE_HINT:
+        assert "SortMergeJoin" in plan, plan
+        assert "BroadcastHashJoin" not in plan, plan
 
 
 def test_q6_all_predicates_reach_fact_scan(spark):
