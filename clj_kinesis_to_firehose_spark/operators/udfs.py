@@ -181,26 +181,60 @@ _COGROUP_SCHEMA = (
     "total_spent double, max_order double"
 )
 
+#: bytes of parquet input per cogroup bucket (see _cogroup_buckets)
+_COGROUP_BUCKET_BYTES = 4 << 20
+
+_COGROUP_COLS = ["c_custkey", "c_acctbal", "n_orders", "total_spent", "max_order"]
+
+
+def _cogroup_buckets(spark: SparkSession, *dfs: DataFrame) -> int:
+    """Bucket count for a bucketed cogrouped-map (guide §2.3/§4.5):
+    one Python call per BUCKET, so the count must (a) scale with input
+    size so per-call frames stay memory-bounded, and (b) never drop
+    below the session's parallelism. ~4 MB of parquet input per bucket
+    keeps fixture buckets at the core count and gives a 100 TB input
+    millions of distinct keys (well above any partition count, so the
+    hash spreads evenly — guide §2.5)."""
+    import math
+    import os
+
+    floor = spark.sparkContext.defaultParallelism
+    try:
+        in_bytes = 0
+        for df in dfs:
+            for f in df.inputFiles():
+                local = f[len("file:"):] if f.startswith("file:") else f
+                in_bytes += os.path.getsize(local)
+        return max(floor, math.ceil(in_bytes / _COGROUP_BUCKET_BYTES))
+    except Exception:  # non-local storage: keep a generous default
+        return max(floor, 200)
+
 
 def _customer_order_stats(key, cust: pd.DataFrame, orders: pd.DataFrame) -> pd.DataFrame:
+    # One call per BUCKET of customer keys (not per key — r16, guide
+    # §2.3: per-key applyInPandas paid ~1.7 ms of Python/pandas
+    # ceremony per customer, 26 s at sf0.1). Inside the bucket the
+    # same stats are computed vectorized: one pandas groupby over the
+    # bucket's orders, one left merge onto the bucket's customers.
     if cust.empty:
-        return pd.DataFrame(
-            columns=["c_custkey", "c_acctbal", "n_orders", "total_spent", "max_order"]
+        return pd.DataFrame(columns=_COGROUP_COLS)
+    cust = cust[["c_custkey", "c_acctbal"]]
+    if len(orders):
+        # raw sums here; the deterministic HALF_UP rounding is
+        # applied JVM-side after the cogroup (python round() is
+        # half-even and would diverge from SQL ROUND)
+        agg = orders.groupby("o_custkey")["o_totalprice"].agg(
+            n_orders="size", total_spent="sum", max_order="max"
         )
-    return pd.DataFrame(
-        [
-            {
-                "c_custkey": key[0],
-                "c_acctbal": float(cust["c_acctbal"].iloc[0]),
-                "n_orders": len(orders),
-                # raw sums here; the deterministic HALF_UP rounding is
-                # applied JVM-side after the cogroup (python round() is
-                # half-even and would diverge from SQL ROUND)
-                "total_spent": float(orders["o_totalprice"].sum()) if len(orders) else 0.0,
-                "max_order": float(orders["o_totalprice"].max()) if len(orders) else 0.0,
-            }
-        ]
-    )
+        out = cust.merge(
+            agg, left_on="c_custkey", right_index=True, how="left"
+        )
+    else:
+        out = cust.assign(n_orders=0, total_spent=0.0, max_order=0.0)
+    out["n_orders"] = out["n_orders"].fillna(0).astype("int64")
+    out["total_spent"] = out["total_spent"].fillna(0.0).astype("float64")
+    out["max_order"] = out["max_order"].fillna(0.0).astype("float64")
+    return out[_COGROUP_COLS]
 
 
 @register(
@@ -216,19 +250,34 @@ def _customer_order_stats(key, cust: pd.DataFrame, orders: pd.DataFrame) -> pd.D
 )
 def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cogrouped-map pandas UDF (K surface): customer and orders are
-    co-partitioned on the customer key, and each (customer-group,
-    order-group) pair arrives as two aligned pandas frames over Arrow.
-    The per-pair python is arbitrary (here: order-book stats); the
-    cogroup itself is one shuffle of each side on the key — the same
-    cost as the equivalent join+agg, with full imperative freedom
-    inside the group."""
+    co-partitioned on a deterministic BUCKET of the customer key, and
+    each (customer-bucket, order-bucket) pair arrives as two aligned
+    pandas frames over Arrow. The per-pair python is arbitrary (here:
+    vectorized order-book stats); the cogroup itself is one shuffle of
+    each side on the bucket — the same cost as the equivalent
+    join+agg, with full imperative freedom inside the group.
+
+    r16 (guide §2.3/§4.5): bucketed, not per-key — the per-key form
+    invokes Python once per customer (pandas ceremony × |customers| is
+    the scale killer, 26 s at sf0.1 and unbounded at 100 TB); bucketed
+    cogroup amortizes the call cost over ~4 MB of input per call and
+    vectorizes the stats inside the bucket. The bucket key is
+    pmod(xxhash64(key), B) — deterministic under task retry (guide
+    §2.5), with B derived from input size, not the local core count."""
     customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     orders = load_table(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderkey", "o_totalprice"
+        "o_custkey", "o_totalprice"
+    )
+    nb = _cogroup_buckets(spark, customer, orders)
+    b_cust = customer.withColumn(
+        "b", F.pmod(F.xxhash64("c_custkey"), F.lit(nb))
+    )
+    b_ord = orders.withColumn(
+        "b", F.pmod(F.xxhash64("o_custkey"), F.lit(nb))
     )
     out = (
-        customer.groupBy("c_custkey")
-        .cogroup(orders.groupBy("o_custkey"))
+        b_cust.groupBy("b")
+        .cogroup(b_ord.groupBy("b"))
         .applyInPandas(_customer_order_stats, schema=_COGROUP_SCHEMA)
     )
     return out.select(
