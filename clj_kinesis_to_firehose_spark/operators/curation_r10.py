@@ -1809,14 +1809,20 @@ def corpus_chunk_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     text they coincide).
 
     Spark path: the law is inherently sequential WITHIN a document
-    (each boundary depends on the previous), so it runs as a grouped-map
-    pandas UDF (applyInPandas) per doc_id — the documented Arrow slow
-    path, chosen because no window/prefix-sum expression can express a
-    per-chunk restart. Parallelism is per-document (the state never
-    crosses documents), so the stage scales exactly like the scan. The
-    oracle reproduces the same walk as a DuckDB recursive CTE — the
-    one-word-per-step recursion both engines agree on.
+    (each boundary depends on the previous), so the walk is Python —
+    but each documents row already carries its WHOLE text (doc_id is
+    unique), so no grouping is needed to assemble a document: the walk
+    runs as mapInPandas over the scan (r16, guide §2.4/§4.1 — the
+    previous groupBy(doc_id).applyInPandas paid a full shuffle plus a
+    per-document Python call, ~10 s at sf0.1; one Arrow stage with a
+    per-batch loop pays neither). Parallelism is per-document (the
+    state never crosses documents), so the stage scales exactly like
+    the scan. The oracle reproduces the same walk as a DuckDB
+    recursive CTE — the one-word-per-step recursion both engines
+    agree on.
     """
+    from collections.abc import Iterator
+
     import pandas as pd
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -1827,23 +1833,18 @@ def corpus_chunk_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         " chunk_start long, chunk_md5 string"
     )
 
-    def chunk_doc(pdf: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for doc_id, text in zip(pdf.doc_id, pdf.text):
-            rows.extend((doc_id, *r) for r in _greedy_walk(text))
-        return pd.DataFrame(
-            rows,
-            columns=[
-                "doc_id", "chunk_id", "n_words", "n_tokens",
-                "chunk_start", "chunk_md5",
-            ],
-        )
+    def chunk_docs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "doc_id", "chunk_id", "n_words", "n_tokens",
+            "chunk_start", "chunk_md5",
+        ]
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf.doc_id, pdf.text):
+                rows.extend((doc_id, *r) for r in _greedy_walk(text))
+            yield pd.DataFrame(rows, columns=cols)
 
-    return (
-        fan_out(spark, docs)
-        .groupBy("doc_id")
-        .applyInPandas(chunk_doc, out_schema)
-    )
+    return fan_out(spark, docs).mapInPandas(chunk_docs, out_schema)
 
 
 # --- stream_span_index_ingest ------------------------------------------------
