@@ -709,7 +709,13 @@ def tokenize_greedy_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (and cteRecursionRowLimit to its dictionary size).
     spark.conf.set("spark.sql.cteRecursionLevelLimit", "1000")
     pieces = vocab_seed_substrings(spark, sf_dir).select("piece")
-    words = _term_stats(spark, sf_dir).select("term", "tf")
+    # words is pinned FIRST so the jumps pin below builds its grid
+    # from the pinned dictionary — the corpus term aggregate runs once
+    # per execution, not once per pinned consumer (see the r16 pin
+    # comment below for the bounded-pin rationale).
+    words = _term_stats(spark, sf_dir).select("term", "tf").localCheckpoint(
+        eager=False
+    )
     grid = words.select(
         "term",
         F.explode(
@@ -736,6 +742,16 @@ def tokenize_greedy_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("mlen"), F.lit(1)).alias("jump"),
         F.when(F.col("mlen").isNull(), 1).otherwise(0).alias("fb"),
     )
+    # r16 (guide §2.4/§5 bounded pin): a temp view is a logical plan,
+    # so the recursion re-evaluated the WHOLE jump-table subtree —
+    # three corpus scans deep — once per loop iteration (max word
+    # length ≈ 20-30 iterations; the before-plan's UnionLoop body
+    # carries the corpus LogicalRelations). Both pinned relations are
+    # dictionary-bounded (|terms| and Σ|term| rows, never corpus-sized
+    # text), the same Zipf-bounded class as the tfidf/BPE pins; one
+    # materialization pass at first execution, paid per run.
+    # Executor-loss caveat as curation_r15.py documents for this class.
+    jumps = jumps.localCheckpoint(eager=False)
     jumps.createOrReplaceTempView("tok_jumps")
     words.createOrReplaceTempView("tok_words")
     return spark.sql("""
