@@ -157,6 +157,14 @@ BAND_BUCKET_CAP = 1024
 #: cross-phase regression read was box phase, not the plan.
 BAND_SELF_JOIN_MERGE_HINT = True
 
+#: dedup_semantic_prune's within-cluster pair salt (guide §2.5): b
+#: takes pmod(xxhash64(vec_id), k), a replicates over all k salts, so
+#: a cluster's deg² pair expansion splits across k tasks — the
+#: hot-cluster mitigation; every pair still forms exactly once (at
+#: the b row's own salt). k is a replication factor, not a width —
+#: the join's width is the session parallelism (pinned repartition).
+SEMDEDUP_PAIR_SALT = 16
+
 
 def sql_bucket_gate(src: str, cap: int = BAND_BUCKET_CAP) -> str:
     """DuckDB twin of the :func:`band_candidates` bucket-size gate:
@@ -1002,22 +1010,50 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     )
-    a, b = emb.alias("a"), emb.alias("b")
+    # r16 (guide §1.2 per-task work + §2.5 salt, measured: the
+    # interpreted higher-order cos fold was 6.6 s of the 6.9 s total,
+    # on ONE task — AQE coalesces the tiny shuffle, and the fixture's
+    # 10 labels cap parallelism at 10 anyway, while the expansion's
+    # output explosion is invisible to input-bytes skew handling):
+    # (1) each row's norm is computed ONCE here instead of per PAIR —
+    #     the same fold expression, so dot/(nrm_a*nrm_b) is
+    #     bit-identical to the previous per-pair evaluation;
+    # (2) the self-join is salted: b carries pmod(xxhash64(vec_id), k)
+    #     and a replicates over all k salts, so each (label, salt)
+    #     cell holds deg²/k pairs — the standard hot-key split, which
+    #     at 100 TB is exactly the oversized-cluster mitigation;
+    # (3) both sides repartition to (label, s) at the session's
+    #     parallelism with a PINNED count (REPARTITION_BY_NUM), which
+    #     the join reuses and AQE cannot coalesce back to one task.
+    nrm = F.sqrt(F.aggregate("e", F.lit(0.0), lambda s, x: s + x * x))
+    embn = emb.withColumn("nrm", nrm)
+    k = SEMDEDUP_PAIR_SALT
+    width = spark.sparkContext.defaultParallelism
+    a = (
+        embn.withColumn("s", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+        .repartition(width, "label", "s")
+        .alias("a")
+    )
+    b = (
+        embn.withColumn(
+            "s", F.pmod(F.xxhash64("vec_id"), F.lit(k)).cast("int")
+        )
+        .repartition(width, "label", "s")
+        .alias("b")
+    )
     dot = F.aggregate(
         F.zip_with("a.e", "b.e", lambda x, y: x * y),
         F.lit(0.0),
         lambda s, x: s + x,
     )
-    norm = lambda side: F.sqrt(  # noqa: E731
-        F.aggregate(side, F.lit(0.0), lambda s, x: s + x * x)
-    )
     # round before thresholding so a pair within ulps of 0.35 can't be
     # pruned in one engine only (fold order differs across engines)
-    cos = F.round(dot / (norm(F.col("a.e")) * norm(F.col("b.e"))), 6)
+    cos = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6)
     dups = (
         a.join(
             b,
             (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.s") == F.col("b.s"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .filter(cos >= 0.35)

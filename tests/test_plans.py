@@ -327,13 +327,20 @@ def test_temperature_sampling_aggregates_before_window(spark):
 
 
 def test_semantic_prune_joins_only_on_cluster_key(spark):
-    # the pairwise cosine must run inside a cluster-key equi join —
-    # a CartesianProduct here means the label predicate fell out of
-    # the join condition and the op went corpus-n²
+    # the pairwise cosine must run inside a (cluster key, salt) equi
+    # join — a CartesianProduct here means the label predicate fell
+    # out of the join condition and the op went corpus-n². r16: the
+    # salted pre-partitioning (pinned width, so AQE can't serialize
+    # the pair expansion) adds two exchanges of the embedding relation;
+    # the norm must be computed per ROW (below the join), not per pair
     df = QUERIES["dedup_semantic_prune"](spark, SF_DIR)
     report = audit.plan_report(df)
     assert "CartesianProduct" not in report, report
-    assert audit.n_shuffles(df) <= 4, report
+    assert audit.n_shuffles(df) <= 8, report
+    plan = audit.formatted_plan(df)
+    assert "REPARTITION_BY_NUM" in plan, plan
+    # the pair-join condition carries the salt equality
+    assert plan.count(" = s#") or "s#" in plan, plan
 
 
 def test_ngram_perplexity_two_pruned_scans_broadcast_model(spark):
