@@ -461,6 +461,15 @@ def corpus_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cost"),
     )
+    # r16 (guide §2.5 pinned width, measured): the interpreted FFD
+    # fold is ~2.5 s of the ~2.8 s total and ran on ONE task — AQE
+    # coalesces the tiny post-shuffle bytes, blind to the fold's CPU
+    # cost. Pre-partition by bucket at the session parallelism with a
+    # PINNED count (REPARTITION_BY_NUM) so the per-bucket folds
+    # actually parallelize; the groupBy reuses the exchange.
+    docs = docs.repartition(
+        spark.sparkContext.defaultParallelism, "bucket"
+    )
     # lexicographic struct sort on (-cost, doc_id) = cost DESC, doc_id ASC
     folded = docs.groupBy("bucket").agg(
         F.array_sort(
