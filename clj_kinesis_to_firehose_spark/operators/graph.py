@@ -35,11 +35,17 @@ def purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
+        # r16 (guide §2.3 narrower shuffle bytes, measured 4.2 → 1.4 s
+        # on the eager edge build): distinct on the INT key pair, then
+        # namespace — the prefixed concat is injective, so the edge
+        # set is identical while the dedup exchange carries 16 bytes a
+        # row instead of two strings.
+        .select("o_custkey", "l_suppkey")
+        .distinct()
         .select(
             F.concat(F.lit("c"), "o_custkey").alias("src"),
             F.concat(F.lit("s"), "l_suppkey").alias("dst"),
         )
-        .distinct()
     )
 
 
@@ -97,11 +103,24 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nodes = out_deg.select(F.col("src").alias("node"))
     n_nodes = nodes.count()
+    # r16 (guide §2.4, iteration A/B 6.74 → 4.72 → 3.79 s for the 8
+    # rounds, ranks bit-identical): the loop re-aggregated out_deg
+    # over the full edge relation and re-joined it EVERY round — the
+    # degree never changes, so join it once into the pinned edge
+    # relation. Each round then joins only the node-sized ranks,
+    # broadcast (the graph's node set is dimension-bounded —
+    # |customers|+|suppliers|, never corpus-sized), so no round
+    # re-shuffles the edge relation at all; the only per-round
+    # exchange is the node-sized inflow aggregation.
+    edges2 = (
+        edges.join(out_deg, "src")
+        .select("src", "dst", "deg")
+        .localCheckpoint(eager=True)
+    )
     ranks = nodes.select("node", F.lit(1.0).alias("rank"))
-    for _ in range(N_ITER):
+    for it in range(N_ITER):
         contrib = (
-            edges.join(out_deg, "src")
-            .join(ranks, edges.src == ranks.node)
+            edges2.join(F.broadcast(ranks), edges2.src == ranks.node)
             .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
         )
         ranks = (
@@ -111,8 +130,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "node",
                 (F.lit(1.0 - DAMPING) + F.lit(DAMPING) * F.col("inflow")).alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
+        if it == 0:
+            from clj_kinesis_to_firehose_spark.plancap import capture_iter_plan
+
+            capture_iter_plan(ranks, "graph_pagerank_iter")
+        ranks = ranks.localCheckpoint(eager=True)
     return (
         ranks.select("node", F.round("rank", 6).alias("rank"))
         .orderBy(F.desc("rank"), "node")
