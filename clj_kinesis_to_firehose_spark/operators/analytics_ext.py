@@ -223,7 +223,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     well-distributed keys; no nested loop anywhere."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.alias("a")
-    b = li.alias("b")
+    # r16 (guide §2.4, same-session A/B 1.9 → 0.85 s on the edge
+    # build): the merge hint makes both self-join sides require the
+    # identical hashpartitioning(l_orderkey) exchange over the same
+    # scan, so runtime reuse computes it once — the
+    # basket_copurchase_pairs rewrite applied to the edge enumeration.
+    b = li.hint("merge").alias("b")
     edges = (
         a.join(
             b,
@@ -265,9 +270,17 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o1.src") == F.col("o2.src")) & (F.col("o1.dst") < F.col("o2.dst")),
     ).select(F.col("o1.dst").alias("wa"), F.col("o2.dst").alias("wb"))
     # inner join, not semi: wedges sharing (wa, wb) are distinct
-    # triangles (different apex) and must each count
+    # triangles (different apex) and must each count.
+    # r16 (guide §3.1, interleaved A/B: SMJ 5.24/3.95 s, shuffled-hash
+    # 2.32/2.17 s, broadcast 4.45/3.92 s): the wedge stream is the
+    # Σout_deg² side — orders of magnitude larger than the edge list —
+    # and SMJ's sort of it dominated the close. A shuffled-hash join
+    # building on the EDGE side streams the wedges unsorted; the
+    # edge-side per-partition hash table is |E|/P, the same memory
+    # class as the sort buffers it replaces.
     closed = wedges.join(
-        edges, (F.col("wa") == F.col("pa")) & (F.col("wb") == F.col("pb"))
+        edges.hint("shuffle_hash"),
+        (F.col("wa") == F.col("pa")) & (F.col("wb") == F.col("pb")),
     )
     return closed.agg(F.count("*").alias("n_triangles"))
 
