@@ -663,8 +663,18 @@ def _knn_descent_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     eb = emb.select(F.col("vec_id").alias("b"), F.col("nq").alias("nb"))
 
     def score_topk(cand: DataFrame, k: int) -> DataFrame:
+        # r16 (guide §2.5): the interpreted integer-dot fold runs per
+        # CANDIDATE (n·K² per round) and AQE coalesced the tiny
+        # candidate shuffle to a handful of tasks — blind to the
+        # fold's CPU. Pre-partition the candidates by the top-K
+        # window's own key at a PINNED width (REPARTITION_BY_NUM —
+        # AQE can't re-serialize it): the scoring stage parallelizes,
+        # and the window reuses the partitioning with no further
+        # exchange. The embedding joins stay planner-chosen (they
+        # auto-broadcast at fixture size and shuffle at corpus scale).
         scored = (
             cand.filter(F.col("a") != F.col("b"))
+            .repartition(spark.sparkContext.defaultParallelism, "a")
             .join(ea, "a")
             .join(eb, "b")
             .select("a", "b", _idot().alias("dot"))
