@@ -696,19 +696,28 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("embedding", lambda x: x.cast("double")).alias("e"),
         )
     )
-    a, b = emb.alias("a"), emb.alias("b")
+    # r16 (guide §1.2/§2.5, the dedup_semantic_prune recipe): each
+    # row's norm is computed ONCE here instead of per pair — the same
+    # fold expression, so dot/(nrm_a*nrm_b) is bit-identical — and the
+    # streamed side of the nested-loop pair join spreads to the
+    # session's parallelism (the bounded 250-row relation otherwise
+    # arrives as one partition and the whole 31k-pair fold runs
+    # serially).
+    norm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(side, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    embn = emb.withColumn("nrm", norm(F.col("e")))
+    a = embn.repartition(spark.sparkContext.defaultParallelism).alias("a")
+    b = embn.alias("b")
     dot = F.aggregate(
         F.zip_with("a.e", "b.e", lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    norm = lambda side: F.sqrt(  # noqa: E731
-        F.aggregate(side, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
     pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
         F.col("a.vec_id").alias("vec_a"),
         F.col("b.vec_id").alias("vec_b"),
-        (dot / (norm(F.col("a.e")) * norm(F.col("b.e")))).alias("raw_cosine"),
+        (dot / (F.col("a.nrm") * F.col("b.nrm"))).alias("raw_cosine"),
     )
     return pairs.filter(F.col("raw_cosine") >= 0.3).select(
         "vec_a", "vec_b", F.round("raw_cosine", 4).alias("cosine")
