@@ -344,7 +344,11 @@ def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     counts = (
-        docs.select(F.explode(bigrams).alias("bigram"))
+        # r16: tokenize + slice-transform + explode is CPU-heavy
+        # per-row work ahead of the hash agg — fan_out so the map side
+        # parallelizes on the single-file fixture scan
+        fan_out(spark, docs)
+        .select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("n_occurrences"))
     )
@@ -542,7 +546,11 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("text", " ")) >= 2
     )
     bg = shingles(F.col("text"), 2)
-    return docs.select(
+    # r16: the per-row work (shingle transform + two array_distinct
+    # passes over ~300-element arrays) is exactly the CPU-heavy class
+    # fan_out exists for — the single-file fixture scan otherwise runs
+    # it all on one core (2.03 → 0.49 s median at matched canary)
+    return fan_out(spark, docs).select(
         "doc_id",
         F.size(bg).alias("n_bigrams"),
         F.size(F.array_distinct(bg)).alias("n_distinct"),
