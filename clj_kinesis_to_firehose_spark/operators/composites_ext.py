@@ -102,18 +102,22 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     regional = costs.join(
         supplier, costs.l_suppkey == supplier.s_suppkey
     )
-    min_cost = regional.groupBy(F.col("l_partkey").alias("mc_pkey")).agg(
-        F.min("unit_cost").alias("min_cost")
-    )
     part = load_table(spark, sf_dir, "part").filter(
         (F.col("p_type") == "SMALL") & (F.col("p_size") < 15)
     )
+    # r16 (guide §2.4, the r15 window-over-join-back pattern): the
+    # groupBy+join-back formulation built the regional subtree — fact
+    # rollup included — TWICE (the committed before-plan carries two
+    # lineitem scans and two pair-cost aggregates). MIN over a
+    # per-part window is the identical relation (ties kept either
+    # way) on ONE build, and the window's partitioning is the
+    # join-back's own key.
+    from pyspark.sql.window import Window
+
+    min_w = Window.partitionBy("l_partkey")
     return (
-        regional.join(
-            min_cost,
-            (regional.l_partkey == min_cost.mc_pkey)
-            & (regional.unit_cost == min_cost.min_cost),
-        )
+        regional.withColumn("min_cost", F.min("unit_cost").over(min_w))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
         .join(part, regional.l_partkey == part.p_partkey)
         .select(
             F.round("s_acctbal", 2).alias("acctbal"),

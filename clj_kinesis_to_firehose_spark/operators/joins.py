@@ -444,9 +444,15 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice",
         F.floor(F.col("p_retailprice") / W).alias("bucket"),
     )
+    from clj_kinesis_to_firehose_spark.sources import fan_out
+
+    # r16 (guide §2.5): the probe side streams the bucket hash join
+    # from the scan's own partitioning — a single-file fixture scan
+    # arrives as ~3 partitions, capping the refine-filter's
+    # parallelism (the ~15 distinct bucket keys make the shuffle side
+    # no better). fan_out spreads the probe; no-op on real layouts.
     line = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_extendedprice")
+        fan_out(spark, load_table(spark, sf_dir, "lineitem").select("l_extendedprice"))
         .select(
             "l_extendedprice",
             F.explode(
